@@ -1,0 +1,67 @@
+"""Benchmark harness: runs the headline catalog queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query is executed to completion with a count() action (results stay
+distributed; nothing is collected). Timing excludes session startup but
+includes full plan execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: updated as operator coverage grows. Keep this to the
+# queries that exercise distinct physical shapes (scan+agg, star join,
+# window/dedup, text ops) rather than every catalog entry.
+HEADLINE = [
+    "q1_pricing_summary",
+    "orders_status_report",
+    "top10_orders",
+    "star_revenue_by_region",
+    "order_line_value",
+]
+
+
+def main() -> None:
+    from data_integration_project_spark import plans
+    from data_integration_project_spark.session import get_spark
+
+    spark = get_spark("bench")
+    # warm the JVM + file listing once so per-query numbers measure the
+    # query, not first-touch costs
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+
+    names = [n for n in HEADLINE if n in plans.REGISTRY]
+    timings: dict[str, float] = {}
+    t_all0 = time.perf_counter()
+    for name in names:
+        t0 = time.perf_counter()
+        df = plans.REGISTRY[name].fn(spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+    total = round(time.perf_counter() - t_all0, 4)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,8 @@
+"""Query catalog: importing this package populates the registry."""
+
+from .catalog import REGISTRY, QuerySpec, oracle_sql, queries, query
+
+# Import side effects: each module registers its queries.
+from . import core  # noqa: E402,F401
+
+__all__ = ["REGISTRY", "QuerySpec", "query", "queries", "oracle_sql"]

@@ -1,0 +1,97 @@
+"""Registry for the engine's query catalog.
+
+Each entry pairs a PySpark builder ``(spark, sf_dir) -> DataFrame`` with
+an equivalent ANSI-SQL oracle string that DuckDB runs over the same
+parquet tables (pre-registered views). The correctness protocol
+(row-count + schema + order-insensitive value-hash) requires:
+
+* identical column names — alias every computed column on BOTH sides;
+* deterministic values — float aggregates go through the exact-decimal
+  pattern (see :func:`dsum`), ratios are a single float division of
+  exact operands, and LIMIT queries carry a total tie-breaking ORDER BY.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import tune_session
+from ..sources import load_table
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None → driver does a weaker rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Decorator registering a catalog query with its DuckDB oracle."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            tune_session(spark)  # pin UTC/AQE even on a driver-owned session
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        REGISTRY[name] = QuerySpec(name=name, fn=wrapped, oracle=oracle, doc=fn.__doc__ or "")
+        return wrapped
+
+    return deco
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Shorthand table loader used by query builders."""
+    return load_table(spark, name, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Determinism helpers (house style for oracle-comparable aggregates)
+# ---------------------------------------------------------------------------
+
+
+def dsum(col: Column, alias: str, scale: int = 6) -> Column:
+    """Order-independent float sum: per-row cast to exact decimal, exact
+    decimal addition, final cast to double. DuckDB twin:
+    ``CAST(SUM(CAST(expr AS DECIMAL(18,s))) AS DOUBLE) AS alias``.
+
+    Verified bit-exact against DuckDB on the test corpus; double
+    summation order varies with partitioning, decimal addition doesn't.
+    """
+    return F.sum(col.cast(f"decimal(18,{scale})")).cast("double").alias(alias)
+
+
+def SQL_DSUM(expr: str, alias: str, scale: int = 6) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE) AS {alias}"
+
+
+def dmean(col: Column, alias: str, scale: int = 6) -> Column:
+    """Order-independent float mean: exact-decimal sum ÷ exact count as a
+    single double division. DuckDB twin: ``SQL_DMEAN``."""
+    num = F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
+    return (num / F.count(col)).alias(alias)
+
+
+def SQL_DMEAN(expr: str, alias: str, scale: int = 6) -> str:
+    return (
+        f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+        f" / COUNT({expr}) AS {alias}"
+    )

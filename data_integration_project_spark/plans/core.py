@@ -1,0 +1,240 @@
+"""Core relational queries: scans, aggregations, joins, sorts, set ops.
+
+These cover the reference's aggregation/sort/join operator classes
+(SURVEY.md §2.5-§2.8: A1/A5-A7, O1-O3, J1-J3, U1-U2) expressed over the
+driver's TPC-H-ish tables. Dims are broadcast explicitly; everything
+else is left to Catalyst/AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import SQL_DMEAN, SQL_DSUM, dmean, dsum, query, t
+
+# ---------------------------------------------------------------------------
+# q1_pricing_summary — the flagship. TPC-H-Q1-shaped scan+agg on lineitem:
+# grouped conditional aggregation with derived measures (reference A1/A6/A7,
+# sql/create_merged_views.sql:172-203 + sql/create_dwh_tables.sql:147-150).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      {SQL_DSUM('l_quantity', 'sum_qty', 2)},
+      {SQL_DSUM('l_extendedprice', 'sum_base_price', 2)},
+      {SQL_DSUM('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+      {SQL_DSUM('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+      {SQL_DMEAN('l_quantity', 'avg_qty', 2)},
+      {SQL_DMEAN('l_extendedprice', 'avg_price', 2)},
+      {SQL_DMEAN('l_discount', 'avg_disc')},
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary report: 2-key groupBy, 8 aggregates, date filter.
+
+    The filter is pushed into the parquet scan; partial aggregation
+    (map-side combine) happens before the single shuffle on the two
+    low-cardinality group keys, so the shuffle moves only
+    |groups|×|partitions| rows regardless of input scale.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity"), "sum_qty", 2),
+            dsum(F.col("l_extendedprice"), "sum_base_price", 2),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "sum_disc_price"),
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")),
+                "sum_charge",
+            ),
+            dmean(F.col("l_quantity"), "avg_qty", 2),
+            dmean(F.col("l_extendedprice"), "avg_price", 2),
+            dmean(F.col("l_discount"), "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1: conditional aggregation (SUM(CASE WHEN ...)) per merged view
+# (sql/create_merged_views.sql:172-203).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_status_report",
+    oracle=f"""
+    SELECT
+      o_orderpriority,
+      COUNT(*) AS total_orders,
+      SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS finished_orders,
+      SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS open_orders,
+      SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS partial_orders,
+      {SQL_DSUM('o_totalprice', 'total_value', 2)}
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def orders_status_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count + conditional sums per group (reference A1 report shape)."""
+    o = t(spark, sf_dir, "orders")
+    flag = lambda v: F.sum(F.when(F.col("o_orderstatus") == v, 1).otherwise(0))
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("total_orders"),
+        flag("F").alias("finished_orders"),
+        flag("O").alias("open_orders"),
+        flag("P").alias("partial_orders"),
+        dsum(F.col("o_totalprice"), "total_value", 2),
+    )
+
+
+# ---------------------------------------------------------------------------
+# O1: TOP-N with total order (sql/create_merged_views.sql:211-212).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "top10_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           o_totalprice, o_orderpriority
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def top10_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP 10 ... ORDER BY — with a key tie-breaker so the selected set
+    is deterministic under any partitioning (TakeOrderedAndProject)."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3: star-schema FK joins — fact ⋈ small dims, dims broadcast
+# (sql/create_dwh_tables.sql:138-173).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "star_revenue_by_region",
+    oracle=f"""
+    SELECT
+      r.r_name AS region_name,
+      COUNT(*) AS line_count,
+      {SQL_DSUM('l.l_extendedprice * (1 - l.l_discount)', 'revenue')}
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def star_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: the fact shuffles once on o_orderkey; customer/nation/
+    region are broadcast so no additional fact shuffles occur. At 100 TB
+    the orders⋈lineitem join should instead be co-partitioned (bucketed)
+    on orderkey; the dim side stays broadcast."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.count(F.lit(1)).alias("line_count"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A7: order-line fact measures (thanh_tien = qty × unit price) rolled up
+# per order (sql/create_dwh_tables.sql:147-150), with a HAVING-style
+# post-aggregation filter.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "order_line_value",
+    oracle=f"""
+    SELECT
+      l_orderkey,
+      COUNT(*) AS n_lines,
+      {SQL_DSUM('l_quantity', 'total_qty', 2)},
+      {SQL_DSUM('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'order_value')}
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING COUNT(*) >= 4
+    """,
+)
+def order_line_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-order line rollup with post-aggregation filter (HAVING)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(F.col("l_quantity"), "total_qty", 2),
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")),
+                "order_value",
+            ),
+        )
+        .filter(F.col("n_lines") >= 4)
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5 / S6 analogue: catalog-style row-count introspection across tables
+# (database_factory.get_table_info / read_all_tables, U2 union of stat rows).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "table_row_counts",
+    oracle="""
+    SELECT 'customer' AS table_name, COUNT(*) AS n_rows FROM customer
+    UNION ALL SELECT 'orders', COUNT(*) FROM orders
+    UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
+    UNION ALL SELECT 'part', COUNT(*) FROM part
+    UNION ALL SELECT 'supplier', COUNT(*) FROM supplier
+    UNION ALL SELECT 'nation', COUNT(*) FROM nation
+    UNION ALL SELECT 'region', COUNT(*) FROM region
+    """,
+)
+def table_row_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog introspection: COUNT(*) per table, unioned into one report
+    (reference S6/A5 + U2). Parquet count(*) reads footer metadata only."""
+    names = ["customer", "orders", "lineitem", "part", "supplier", "nation", "region"]
+    out = None
+    for name in names:
+        one = (
+            t(spark, sf_dir, name)
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .select(F.lit(name).alias("table_name"), "n_rows")
+        )
+        out = one if out is None else out.unionByName(one)
+    return out

@@ -1,0 +1,65 @@
+"""SparkSession construction with scale-appropriate defaults.
+
+Local testing runs on ``local[N]`` but every knob here is chosen so the
+same code runs unchanged on a multi-executor cluster: AQE for runtime
+re-planning (partition coalescing, skew-join splitting), shuffle
+partitions sized explicitly, Arrow enabled for the Pandas-UDF paths, and
+a pinned UTC session timezone so results are reproducible across engines
+(the DuckDB oracle is UTC-naive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Runtime confs that are safe (and desirable) to apply to an existing
+#: session — e.g. the driver-owned session passed into ``queries()``.
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # parquet scans: keep partition sizes bounded so a 100 TB table
+    # splits into units that fit executor memory.
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(app_name: str = "data_integration_project_spark") -> SparkSession:
+    """Build (or fetch) the session with engine defaults applied."""
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine confs to an externally built session.
+
+    The correctness driver passes its own SparkSession; timezone pinning
+    and AQE are runtime-configurable, so apply them here instead of
+    assuming the session was built by :func:`get_spark`.
+    """
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # immutable conf on this build — leave as-is
+            pass
+    return spark

@@ -1,0 +1,81 @@
+"""Local replica of the driver's correctness protocol.
+
+Runs a catalog query in Spark and its oracle SQL in DuckDB over the same
+parquet tables, then compares row count, column-name set, and the
+order-insensitive multiset of row values. Stricter than the driver
+(exact value equality) so that passing here predicts passing there.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+from decimal import Decimal
+
+import duckdb
+
+from data_integration_project_spark.schemas import TABLE_NAMES
+
+_REL_TOL = 0.0  # exact by default; queries are designed to be bit-deterministic
+
+
+def _norm(v):
+    if v is None:
+        return None
+    if isinstance(v, Decimal):
+        return float(v)
+    if isinstance(v, bool):
+        return int(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, dt.datetime):
+        return v.replace(tzinfo=None).isoformat(sep=" ", timespec="microseconds")
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _norm(x)) for k, x in v.items()))
+    return v
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
+        )
+    return con
+
+
+def run_compare(spark, name: str, sf_dir: str) -> None:
+    from data_integration_project_spark import plans
+
+    spec = plans.REGISTRY[name]
+    sdf = spec.fn(spark, sf_dir)
+    spark_cols = sorted(sdf.columns)
+    spark_rows = [tuple(_norm(row[c]) for c in spark_cols) for row in sdf.collect()]
+
+    assert spec.oracle is not None, f"{name}: no oracle registered"
+    con = duck_connection(sf_dir)
+    res = con.execute(spec.oracle)
+    duck_cols_raw = [d[0] for d in res.description]
+    duck_cols = sorted(duck_cols_raw)
+    idx = [duck_cols_raw.index(c) for c in duck_cols]
+    duck_rows = [tuple(_norm(r[i]) for i in idx) for r in res.fetchall()]
+
+    assert spark_cols == duck_cols, f"{name}: columns differ {spark_cols} vs {duck_cols}"
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row counts differ spark={len(spark_rows)} duck={len(duck_rows)}"
+    )
+    s_sorted = sorted(spark_rows, key=repr)
+    d_sorted = sorted(duck_rows, key=repr)
+    if s_sorted != d_sorted:
+        diffs = [
+            (a, b) for a, b in zip(s_sorted, d_sorted) if a != b
+        ][:5]
+        raise AssertionError(
+            f"{name}: value mismatch; first diffs (spark, duck): {diffs}; cols={spark_cols}"
+        )
