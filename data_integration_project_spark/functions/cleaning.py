@@ -1,0 +1,155 @@
+"""Column-expression cleaning library (reference transforms P1-P6).
+
+Every helper returns a ``Column`` built from JVM-side built-ins —
+whole-stage-codegen friendly, no Python UDFs — re-expressing the
+reference's dict→dict row transforms
+(``etl/transformers/data_transformer.py:13-213``) as declarative
+expressions Catalyst can prune and push down.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Scalar cleaning primitives
+# ---------------------------------------------------------------------------
+
+
+def collapse_whitespace(col: Column) -> Column:
+    """``' '.join(s.split())`` — trim + collapse inner runs (ref P1,
+    data_transformer.py:24-28). NULL-safe."""
+    return F.regexp_replace(F.trim(col), r"\s+", " ")
+
+
+def digits_only(col: Column) -> Column:
+    """Keep digits only — phone normalization (ref P1,
+    data_transformer.py:31-33)."""
+    return F.regexp_replace(col, "[^0-9]", "")
+
+
+def normalized_email(col: Column) -> Column:
+    """Lowercase + trim (ref P1, data_transformer.py:40-41)."""
+    return F.lower(F.trim(col))
+
+
+def cast_default(col: Column, dtype: str, default) -> Column:
+    """``float(x) if parseable else default`` (ref P2/P4/P5,
+    data_transformer.py:57-65): ``try_cast`` yields NULL on malformed
+    input (ANSI-safe), and coalesce supplies the reference's fallback
+    default."""
+    return F.coalesce(col.try_cast(dtype), F.lit(default).cast(dtype))
+
+
+def nullify_blank(col: Column) -> Column:
+    """Empty/whitespace-only strings → NULL (the reference's
+    ``value or None`` idiom)."""
+    trimmed = F.trim(col)
+    return F.when(trimmed == "", F.lit(None)).otherwise(trimmed)
+
+
+def parse_iso_timestamp(col: Column) -> Column:
+    """ISO-8601 parse tolerating a trailing ``Z``, NULL on failure
+    (ref data_transformer.py:74-81 ``fromisoformat(s.replace('Z',...))``)."""
+    return F.try_to_timestamp(F.regexp_replace(col, "Z$", "+00:00"))
+
+
+# ---------------------------------------------------------------------------
+# Entity transform pipelines (P1-P5): DataFrame -> DataFrame in the
+# canonical entity layout of schemas.ENTITIES. Each expects raw columns
+# named as in FIXTURES.md §A and tolerates missing optional ones.
+# ---------------------------------------------------------------------------
+
+
+def _opt(df: DataFrame, name: str) -> Column:
+    return F.col(name) if name in df.columns else F.lit(None).cast("string")
+
+
+def transform_khach_hang(df: DataFrame, extract_time: Column | None = None) -> DataFrame:
+    """P1 (data_transformer.py:13-45): id-coalesce, name collapse, phone
+    digit-strip, city trim, email lowercase."""
+    et = extract_time if extract_time is not None else F.current_timestamp()
+    return df.select(
+        F.coalesce(_opt(df, "id"), _opt(df, "customer_id")).cast("string").alias("customer_id"),
+        nullify_blank(collapse_whitespace(_opt(df, "ho_ten"))).alias("ho_ten"),
+        nullify_blank(digits_only(_opt(df, "sdt"))).alias("sdt"),
+        nullify_blank(_opt(df, "thanh_pho")).alias("thanh_pho"),
+        nullify_blank(normalized_email(_opt(df, "email"))).alias("email"),
+        et.alias("extract_time"),
+    )
+
+
+def transform_loai_mon(df: DataFrame, extract_time: Column | None = None) -> DataFrame:
+    """P3 (data_transformer.py:86-103)."""
+    et = extract_time if extract_time is not None else F.current_timestamp()
+    return df.select(
+        F.coalesce(_opt(df, "id"), _opt(df, "ma_loai")).cast("string").alias("ma_loai"),
+        nullify_blank(_opt(df, "ten_loai")).alias("ten_loai"),
+        nullify_blank(_opt(df, "mo_ta")).alias("mo_ta"),
+        et.alias("extract_time"),
+    )
+
+
+def transform_mon(df: DataFrame, extract_time: Column | None = None) -> DataFrame:
+    """P4 (data_transformer.py:106-151) — dual-layout adapter. The CSV
+    layout carries ``ten_san_pham`` + category *name* ``loai`` (loai_id
+    deferred to a lookup join, see reconcile.category_lookup); the SQL
+    layout carries ``ten_mon`` + ``loai_id``. Detection is per-DataFrame
+    by column presence (schema is uniform per source in Spark, unlike the
+    reference's per-row sniffing)."""
+    et = extract_time if extract_time is not None else F.current_timestamp()
+    if "ten_san_pham" in df.columns:  # CSV layout
+        name_col, loai_id = F.col("ten_san_pham"), F.lit(None).cast("int")
+    else:  # SQL layout
+        name_col, loai_id = _opt(df, "ten_mon"), _opt(df, "loai_id").try_cast("int")
+    return df.select(
+        nullify_blank(F.trim(name_col)).alias("ten_mon"),
+        loai_id.alias("loai_id"),
+        cast_default(_opt(df, "gia"), "double", 0.0).alias("gia"),
+        et.alias("extract_time"),
+    )
+
+
+def transform_nguyen_lieu(df: DataFrame, extract_time: Column | None = None) -> DataFrame:
+    """P2 (data_transformer.py:48-83): numeric casts default 0."""
+    et = extract_time if extract_time is not None else F.current_timestamp()
+    return df.select(
+        F.coalesce(_opt(df, "id"), _opt(df, "ma_nguyen_lieu")).cast("string").alias("ma_nguyen_lieu"),
+        nullify_blank(_opt(df, "ten_nguyen_lieu")).alias("ten_nguyen_lieu"),
+        cast_default(_opt(df, "so_luong"), "double", 0.0).alias("so_luong"),
+        nullify_blank(_opt(df, "don_vi")).alias("don_vi"),
+        cast_default(_opt(df, "gia"), "double", 0.0).alias("gia"),
+        _opt(df, "ngay_nhap").try_cast("date").alias("ngay_nhap"),
+        et.alias("extract_time"),
+    )
+
+
+def transform_dat_hang(df: DataFrame, extract_time: Column | None = None) -> DataFrame:
+    """P5 (data_transformer.py:154-185): FK ids as strings, qty int
+    default 0, status trimmed."""
+    et = extract_time if extract_time is not None else F.current_timestamp()
+    return df.select(
+        _opt(df, "khach_hang_id").cast("string").alias("khach_hang_id"),
+        _opt(df, "mon_id").cast("string").alias("mon_id"),
+        cast_default(_opt(df, "so_luong"), "int", 0).alias("so_luong"),
+        _opt(df, "ngay_dat").try_cast("date").alias("ngay_dat"),
+        nullify_blank(_opt(df, "trang_thai")).alias("trang_thai"),
+        et.alias("extract_time"),
+    )
+
+
+#: P6 dispatch registry (data_transformer.py:188-213); unknown entity →
+#: identity, matching the reference's passthrough.
+TRANSFORMS = {
+    "khach_hang": transform_khach_hang,
+    "loai_mon": transform_loai_mon,
+    "mon": transform_mon,
+    "nguyen_lieu": transform_nguyen_lieu,
+    "dat_hang": transform_dat_hang,
+}
+
+
+def transform_entity(entity: str, df: DataFrame, **kw) -> DataFrame:
+    fn = TRANSFORMS.get(entity)
+    return fn(df, **kw) if fn else df

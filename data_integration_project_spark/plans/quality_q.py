@@ -1,0 +1,219 @@
+"""Quality-engine queries (reference V1-V5) over the driver tables.
+
+``customer ≈ khach_hang`` (SURVEY.md §7). The driver tables are clean,
+so dirt is injected deterministically (keyed on ``c_custkey % 10``),
+reproducing the reference fixtures' dirty patterns (FIXTURES.md §A1:
+truncated email ``test@``, 3-digit phone ``123``, out-of-range values,
+unknown domain values, padded names). The Spark side runs the real
+RuleSet engine; the oracle re-expresses the same fix+check predicates
+in ANSI SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import quality as Q
+from .catalog import SQL_DSUM, dsum, query, t
+
+# ---------------------------------------------------------------------------
+# Deterministic dirt injection (both engines must express this identically)
+# ---------------------------------------------------------------------------
+
+_DIRTY_SQL_CTE = """
+    WITH dirty AS (
+      SELECT
+        c_custkey,
+        CASE WHEN c_custkey % 10 = 1
+             THEN '  ' || c_name || '   ' ELSE c_name END AS c_name,
+        CASE WHEN c_custkey % 10 = 3 THEN -99999.0 ELSE c_acctbal END AS c_acctbal,
+        CASE WHEN c_custkey % 10 = 7 THEN 'UNKNOWN' ELSE c_mktsegment END AS c_mktsegment,
+        CASE WHEN c_custkey % 10 = 5 THEN 'test@'
+             ELSE 'user' || CAST(c_custkey AS VARCHAR) || '@Example.com' END AS email,
+        CASE WHEN c_custkey % 10 = 9 THEN '123'
+             ELSE '09-' || lpad(CAST(c_custkey % 100000000 AS VARCHAR), 8, '0') END AS sdt
+      FROM customer
+    ),
+    fixed AS (
+      SELECT
+        c_custkey,
+        regexp_replace(trim(c_name), '\\s+', ' ', 'g') AS c_name,
+        c_acctbal,
+        c_mktsegment,
+        lower(trim(email)) AS email,
+        regexp_replace(sdt, '[^0-9]', '', 'g') AS sdt
+      FROM dirty
+    ),
+    checked AS (
+      SELECT *,
+        (c_acctbal BETWEEN -1000 AND 10000) AS ok_acctbal,
+        (c_mktsegment IN ('AUTOMOBILE','FURNITURE','MACHINERY','BUILDING','HOUSEHOLD')) AS ok_segment,
+        regexp_matches(email, '^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$') AS ok_email,
+        regexp_matches(sdt, '^[0-9]{9,11}$') AS ok_phone,
+        (c_name IS NOT NULL AND trim(c_name) <> '') AS ok_name
+      FROM fixed
+    )
+"""
+
+
+def _dirty_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    mod = k % 10
+    return c.select(
+        k,
+        F.when(mod == 1, F.concat(F.lit("  "), F.col("c_name"), F.lit("   ")))
+        .otherwise(F.col("c_name"))
+        .alias("c_name"),
+        F.when(mod == 3, F.lit(-99999.0)).otherwise(F.col("c_acctbal")).alias("c_acctbal"),
+        F.when(mod == 7, F.lit("UNKNOWN")).otherwise(F.col("c_mktsegment")).alias("c_mktsegment"),
+        F.when(mod == 5, F.lit("test@"))
+        .otherwise(F.concat(F.lit("user"), k.cast("string"), F.lit("@Example.com")))
+        .alias("email"),
+        F.when(mod == 9, F.lit("123"))
+        .otherwise(F.concat(F.lit("09-"), F.lpad((k % 100000000).cast("string"), 8, "0")))
+        .alias("sdt"),
+    )
+
+
+_SEGMENTS = ["AUTOMOBILE", "FURNITURE", "MACHINERY", "BUILDING", "HOUSEHOLD"]
+
+
+def customer_ruleset() -> Q.RuleSet:
+    """khach_hang rules reconstructed from COMPLETE_DOCUMENTATION.md:265-278
+    + dirty fixtures (FIXTURES.md §A1), applied to the customer mapping.
+    Fixes mirror transform P1 (name collapse, email lower, phone digits)."""
+    rs = Q.RuleSet("customer")
+    rs.fix("c_name", Q.F.regexp_replace(Q.F.trim("c_name"), r"\s+", " "))
+    rs.fix("email", Q.F.lower(Q.F.trim("email")))
+    rs.fix("sdt", Q.F.regexp_replace("sdt", "[^0-9]", ""))
+    rs.rule("name_not_blank", Q.not_blank("c_name"), "ho_ten is blank")
+    rs.rule("acctbal_range", Q.in_range("c_acctbal", -1000, 10000), "acctbal out of range")
+    rs.rule("segment_domain", Q.in_domain("c_mktsegment", _SEGMENTS), "unknown mktsegment")
+    rs.rule("email_format", Q.valid_email("email"), "invalid email")
+    rs.rule("phone_format", Q.matches("sdt", "^[0-9]{9,11}$"), "invalid phone")
+    return rs
+
+
+# ---------------------------------------------------------------------------
+# Queries
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "customer_quality_report",
+    oracle=_DIRTY_SQL_CTE
+    + """
+    SELECT
+      COUNT(*) AS total_rows,
+      SUM(CASE WHEN ok_name AND ok_acctbal AND ok_segment AND ok_email AND ok_phone
+               THEN 1 ELSE 0 END) AS valid_rows,
+      SUM(CASE WHEN NOT (ok_name AND ok_acctbal AND ok_segment AND ok_email AND ok_phone)
+               THEN 1 ELSE 0 END) AS invalid_rows,
+      SUM(CASE WHEN NOT ok_acctbal THEN 1 ELSE 0 END) AS n_bad_acctbal,
+      SUM(CASE WHEN NOT ok_segment THEN 1 ELSE 0 END) AS n_bad_segment,
+      SUM(CASE WHEN NOT ok_email THEN 1 ELSE 0 END) AS n_bad_email,
+      SUM(CASE WHEN NOT ok_phone THEN 1 ELSE 0 END) AS n_bad_phone
+    FROM checked
+    """,
+)
+def customer_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V1+V3 summary: one vectorized validation pass, then counts per
+    rule from the ``_errors`` array (A4 pipeline-stats shape)."""
+    validated = customer_ruleset().validate(_dirty_customers(spark, sf_dir))
+    has = lambda msg: F.sum(F.when(F.array_contains("_errors", msg), 1).otherwise(0))
+    return validated.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.sum(F.when(F.col("_is_valid"), 1).otherwise(0)).alias("valid_rows"),
+        F.sum(F.when(~F.col("_is_valid"), 1).otherwise(0)).alias("invalid_rows"),
+        has("acctbal out of range").alias("n_bad_acctbal"),
+        has("unknown mktsegment").alias("n_bad_segment"),
+        has("invalid email").alias("n_bad_email"),
+        has("invalid phone").alias("n_bad_phone"),
+    )
+
+
+@query(
+    "customer_error_rows",
+    oracle=_DIRTY_SQL_CTE
+    + """
+    SELECT
+      c_custkey,
+      concat_ws(' | ',
+        CASE WHEN NOT ok_name THEN 'ho_ten is blank' END,
+        CASE WHEN NOT ok_acctbal THEN 'acctbal out of range' END,
+        CASE WHEN NOT ok_segment THEN 'unknown mktsegment' END,
+        CASE WHEN NOT ok_email THEN 'invalid email' END,
+        CASE WHEN NOT ok_phone THEN 'invalid phone' END) AS _errors
+    FROM checked
+    WHERE NOT (ok_name AND ok_acctbal AND ok_segment AND ok_email AND ok_phone)
+    """,
+)
+def customer_error_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V3 error zone: rejected rows annotated with ' | '-joined messages
+    (STEP3_QUALITY_ENGINE.py:146-149)."""
+    _, error = customer_ruleset().split(_dirty_customers(spark, sf_dir))
+    return error.select("c_custkey", "_errors")
+
+
+@query(
+    "customer_clean_rows",
+    oracle=_DIRTY_SQL_CTE
+    + """
+    SELECT c_custkey, c_name, c_acctbal, c_mktsegment, email, sdt
+    FROM checked
+    WHERE ok_name AND ok_acctbal AND ok_segment AND ok_email AND ok_phone
+    """,
+)
+def customer_clean_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V3 clean zone with fixes applied — padded names arrive collapsed,
+    emails lowercased, phones digit-stripped (fix-then-validate: repaired
+    rows stay valid rather than being rejected)."""
+    clean, _ = customer_ruleset().split(_dirty_customers(spark, sf_dir))
+    return clean.select("c_custkey", "c_name", "c_acctbal", "c_mktsegment", "email", "sdt")
+
+
+@query(
+    "orders_first_wins_dedup",
+    oracle=f"""
+    WITH unioned AS (
+      SELECT 'csv' AS source, 1 AS priority, o_orderkey, o_totalprice
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT 'sql' AS source, 2 AS priority, o_orderkey, o_totalprice
+      FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                   ORDER BY priority) AS _dup_rank
+      FROM unioned
+    )
+    SELECT source,
+           COUNT(*) AS surviving_rows,
+           {SQL_DSUM('o_totalprice', 'surviving_value', 2)}
+    FROM ranked WHERE _dup_rank = 1
+    GROUP BY source
+    """,
+)
+def orders_first_wins_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V2/V5: deterministic first-wins dedup across two sources with
+    explicit priority (CSV produced before SQL wins key collisions,
+    main.py:663-700). Window on the key ordered by source priority —
+    the scale-safe replacement for driver-side ``seen_ids`` state."""
+    o = t(spark, sf_dir, "orders")
+    csv = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.lit("csv").alias("source"), F.lit(1).alias("priority"), "o_orderkey", "o_totalprice"
+    )
+    sql = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.lit("sql").alias("source"), F.lit(2).alias("priority"), "o_orderkey", "o_totalprice"
+    )
+    ranked = Q.first_wins(csv.unionByName(sql), ["o_orderkey"], ["priority"])
+    return (
+        ranked.filter(F.col("_dup_rank") == 1)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("surviving_rows"),
+            dsum(F.col("o_totalprice"), "surviving_value", 2),
+        )
+    )
