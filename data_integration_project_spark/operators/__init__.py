@@ -1,1 +1,1 @@
-from . import quality  # noqa: F401
+from . import dwh, quality, reconcile  # noqa: F401

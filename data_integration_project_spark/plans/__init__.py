@@ -5,5 +5,7 @@ from .catalog import REGISTRY, QuerySpec, oracle_sql, queries, query
 # Import side effects: each module registers its queries.
 from . import core  # noqa: E402,F401
 from . import quality_q  # noqa: E402,F401
+from . import reconcile_q  # noqa: E402,F401
+from . import dwh_q  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "query", "queries", "oracle_sql"]

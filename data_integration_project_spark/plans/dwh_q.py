@@ -1,0 +1,214 @@
+"""DWH star-schema queries (reference sql/create_dwh_tables.sql):
+dim_date generation, SCD2 customer dimension, fact build + rollup, and
+the monitoring summary (dashboard A2/A3)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.dates import DIM_DATE_SQL_COLUMNS
+from ..operators import dwh as W
+from .catalog import SQL_DSUM, dsum, query, t
+
+# ---------------------------------------------------------------------------
+# dim_date (create_dwh_tables.sql:112-127)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dim_date",
+    oracle=f"""
+    SELECT {DIM_DATE_SQL_COLUMNS}
+    FROM (SELECT unnest(generate_series(DATE '1995-01-01', DATE '1996-12-31',
+                                        INTERVAL 1 DAY))::DATE AS d)
+    """,
+)
+def dim_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date dimension generated fully in the JVM (sequence + explode);
+    731 rows for 1995-1996. ISO day-of-week/week conventions pinned in
+    functions/dates.py so engines agree."""
+    return W.build_dim_date(spark, "1995-01-01", "1996-12-31")
+
+
+# ---------------------------------------------------------------------------
+# SCD Type 2 customer dimension (create_dwh_tables.sql:21-37)
+# ---------------------------------------------------------------------------
+
+_SCD2_ORACLE = """
+    WITH upd AS (
+      SELECT c_custkey, c_name, c_acctbal + 50.0 AS c_acctbal
+      FROM customer WHERE c_custkey % 5 = 0
+      UNION ALL
+      SELECT c_custkey + 10000000, 'NEW CUSTOMER', 0.0
+      FROM customer WHERE c_custkey % 50 = 0
+    )
+    -- unchanged current rows
+    SELECT c_custkey, c_name, c_acctbal,
+           DATE '2024-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to,
+           TRUE AS is_current
+    FROM customer WHERE c_custkey % 5 <> 0
+    UNION ALL
+    -- changed rows: closed-out old version
+    SELECT c_custkey, c_name, c_acctbal,
+           DATE '2024-01-01', DATE '2024-06-01', FALSE
+    FROM customer WHERE c_custkey % 5 = 0
+    UNION ALL
+    -- changed + new rows: opened current version
+    SELECT c_custkey, c_name, c_acctbal,
+           DATE '2024-06-01', CAST(NULL AS DATE), TRUE
+    FROM upd
+"""
+
+
+@query("dim_customer_scd2", oracle=_SCD2_ORACLE)
+def dim_customer_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 merge (SURVEY.md §7): snapshot opened at 2024-01-01, then an
+    update batch at 2024-06-01 with changed balances (%5) and brand-new
+    keys (%50). The generic operator closes changed rows, opens new
+    versions, passes unchanged rows through — the oracle hand-writes the
+    expected dimension state."""
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    dim0 = W.scd2_init(c, "2024-01-01")
+    k = F.col("c_custkey")
+    changed = c.filter(k % 5 == 0).select(
+        k, "c_name", (F.col("c_acctbal") + 50.0).alias("c_acctbal")
+    )
+    new = c.filter(k % 50 == 0).select(
+        (k + 10000000).alias("c_custkey"),
+        F.lit("NEW CUSTOMER").alias("c_name"),
+        F.lit(0.0).alias("c_acctbal"),
+    )
+    return W.scd2_merge(
+        dim0,
+        changed.unionByName(new),
+        "c_custkey",
+        ["c_name", "c_acctbal"],
+        "2024-06-01",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fact build + rollup (fact_dat_hang / fact_kho shapes,
+# create_dwh_tables.sql:138-206, measures A6/A7) with SCD2-aware dim join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "fact_sales_by_brand_year",
+    oracle=f"""
+    SELECT
+      CAST(year(l.l_shipdate) AS INT) AS year,
+      p.p_brand AS brand,
+      COUNT(*) AS n_lines,
+      {SQL_DSUM('l.l_quantity', 'total_qty', 2)},
+      {SQL_DSUM('l.l_extendedprice * (1 - l.l_discount)', 'revenue')}
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1, 2
+    """,
+)
+def fact_sales_by_brand_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3+A6/A7: fact ⋈ broadcast product dim, rolled up by (year,
+    brand). The fact never shuffles for the join (dim broadcast); the
+    single shuffle is the final low-cardinality groupBy."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.year("l_shipdate").cast("int").alias("year"),
+            F.col("p_brand").alias("brand"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(F.col("l_quantity"), "total_qty", 2),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Monitoring: zone/entity summary with rates + status buckets
+# (dashboard.py:159-205, A2/A3)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "monitoring_entity_summary",
+    oracle="""
+    WITH validated AS (
+      SELECT
+        CASE WHEN c_custkey % 2 = 0 THEN 'csv' ELSE 'sql' END AS source,
+        (c_acctbal BETWEEN -1000 AND 10000)
+          AND c_mktsegment IN ('AUTOMOBILE','FURNITURE','MACHINERY','BUILDING','HOUSEHOLD')
+          AND (c_custkey % 10 <> 3) AS ok
+      FROM (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 10 = 3 THEN -99999.0 ELSE c_acctbal END AS c_acctbal,
+               c_mktsegment
+        FROM customer
+      )
+    ),
+    zone AS (
+      SELECT source,
+             COUNT(*) AS raw_records,
+             SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS clean_records,
+             SUM(CASE WHEN NOT ok THEN 1 ELSE 0 END) AS error_records
+      FROM validated GROUP BY source
+    )
+    SELECT 'customer' AS entity, source, raw_records, clean_records, error_records,
+      floor(clean_records * 1000.0 / raw_records + 0.5) / 10 AS success_rate,
+      floor(error_records * 1000.0 / raw_records + 0.5) / 10 AS error_rate,
+      CASE WHEN error_records = 0 THEN 'perfect'
+           WHEN error_records * 100.0 / raw_records < 10 THEN 'good'
+           WHEN error_records * 100.0 / raw_records < 30 THEN 'warning'
+           ELSE 'critical' END AS status
+    FROM zone
+    """,
+)
+def monitoring_entity_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A3 dashboard summary: per (entity, source) zone counts,
+    success/error rates to 1dp, 4-bucket status classification
+    (dashboard.py:183-203). Rounding is explicit half-up on the double
+    (floor(x*10+0.5)/10) so both engines agree bit-for-bit."""
+    c = t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    dirty = c.select(
+        k,
+        F.when(k % 10 == 3, F.lit(-99999.0)).otherwise(F.col("c_acctbal")).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    ok = (
+        F.col("c_acctbal").between(-1000, 10000)
+        & F.col("c_mktsegment").isin(
+            "AUTOMOBILE", "FURNITURE", "MACHINERY", "BUILDING", "HOUSEHOLD"
+        )
+        & (k % 10 != 3)
+    )
+    zone = (
+        dirty.select(
+            F.when(k % 2 == 0, "csv").otherwise("sql").alias("source"), ok.alias("ok")
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("raw_records"),
+            F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("clean_records"),
+            F.sum(F.when(~F.col("ok"), 1).otherwise(0)).alias("error_records"),
+        )
+    )
+    err_pct = F.col("error_records") * 100.0 / F.col("raw_records")
+    half_up_1dp = lambda col: F.floor(col * 10.0 + 0.5) / 10
+    return zone.select(
+        F.lit("customer").alias("entity"),
+        "source",
+        "raw_records",
+        "clean_records",
+        "error_records",
+        half_up_1dp(F.col("clean_records") * 100.0 / F.col("raw_records")).alias("success_rate"),
+        half_up_1dp(err_pct).alias("error_rate"),
+        F.when(F.col("error_records") == 0, "perfect")
+        .when(err_pct < 10, "good")
+        .when(err_pct < 30, "warning")
+        .otherwise("critical")
+        .alias("status"),
+    )

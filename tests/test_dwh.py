@@ -1,0 +1,76 @@
+"""Unit tests for DWH operators: SCD2 lifecycle, dim_date, fact build."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from data_integration_project_spark.operators import dwh as W
+
+
+def test_scd2_lifecycle(spark):
+    dim0 = W.scd2_init(
+        spark.createDataFrame([(1, "a", 10.0), (2, "b", 20.0)], "k int, name string, bal double"),
+        "2024-01-01",
+    )
+    # change key 1, add key 3, leave key 2 untouched
+    upd = spark.createDataFrame([(1, "a", 99.0), (3, "c", 30.0)], "k int, name string, bal double")
+    merged = W.scd2_merge(dim0, upd, "k", ["name", "bal"], "2024-06-01")
+    rows = {(r["k"], r["is_current"]): r for r in merged.collect()}
+    assert len(rows) == 4
+    closed = rows[(1, False)]
+    assert closed["bal"] == 10.0 and closed["valid_to"] == dt.date(2024, 6, 1)
+    opened = rows[(1, True)]
+    assert opened["bal"] == 99.0 and opened["valid_from"] == dt.date(2024, 6, 1)
+    assert rows[(2, True)]["valid_from"] == dt.date(2024, 1, 1)  # untouched
+    assert rows[(3, True)]["valid_from"] == dt.date(2024, 6, 1)  # new key
+
+    # idempotence: re-applying the same updates changes nothing
+    again = W.scd2_merge(merged, upd, "k", ["name", "bal"], "2024-07-01")
+    assert again.count() == 4
+    assert again.filter("is_current").count() == 3
+
+    # a second real change creates a third version for key 1
+    upd2 = spark.createDataFrame([(1, "a", 111.0)], "k int, name string, bal double")
+    v3 = W.scd2_merge(again, upd2, "k", ["name", "bal"], "2024-09-01")
+    hist1 = sorted(
+        (r["valid_from"], r["valid_to"], r["is_current"])
+        for r in v3.filter("k = 1").collect()
+    )
+    assert hist1 == [
+        (dt.date(2024, 1, 1), dt.date(2024, 6, 1), False),
+        (dt.date(2024, 6, 1), dt.date(2024, 9, 1), False),
+        (dt.date(2024, 9, 1), None, True),
+    ]
+
+
+def test_scd2_null_attribute_handling(spark):
+    """NULL tracked values must compare null-safely (no spurious versions)."""
+    dim0 = W.scd2_init(
+        spark.createDataFrame([(1, None)], "k int, name string"), "2024-01-01"
+    )
+    upd = spark.createDataFrame([(1, None)], "k int, name string")
+    merged = W.scd2_merge(dim0, upd, "k", ["name"], "2024-06-01")
+    assert merged.count() == 1  # NULL == NULL under <=> → unchanged
+
+
+def test_dim_date_leap_year(spark):
+    d = W.build_dim_date(spark, "2024-02-27", "2024-03-02")
+    rows = {r["full_date"].isoformat(): r for r in d.collect()}
+    assert len(rows) == 5 and "2024-02-29" in rows
+    assert rows["2024-03-02"]["day_name"] == "Saturday"
+    assert rows["2024-03-02"]["is_weekend"] == 1
+    assert rows["2024-02-29"]["date_key"] == 20240229
+
+
+def test_build_fact_null_fk_preserved(spark):
+    base = spark.createDataFrame([(1, 100), (2, 999)], "id int, fk int")
+    dim = spark.createDataFrame([(100, 7)], "nat int, skey int")
+    fact = W.build_fact(
+        base,
+        [(dim, F.col("fk") == F.col("nat"), [F.col("skey")])],
+        [F.col("id"), (F.col("id") * 2).alias("measure")],
+    )
+    got = {r["id"]: r["skey"] for r in fact.collect()}
+    assert got == {1: 7, 2: None}  # missing dim → NULL key, row kept
