@@ -25,6 +25,16 @@ HEADLINE = [
     "top10_orders",
     "star_revenue_by_region",
     "order_line_value",
+    "customer_quality_report",
+    "orders_first_wins_dedup",
+    "dim_customer_scd2",
+    "fact_sales_by_brand_year",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "doc_quality_scores",
+    "multimodal_features",
 ]
 
 
@@ -46,6 +56,7 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 4)
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+        spark.catalog.clearCache()  # operator-internal persists must not leak
     total = round(time.perf_counter() - t_all0, 4)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

@@ -1,1 +1,1 @@
-from . import dwh, quality, reconcile  # noqa: F401
+from . import dedup, dwh, multimodal, quality, reconcile, similarity  # noqa: F401

@@ -1,0 +1,161 @@
+"""Similarity search over embedding columns (``array<float>``):
+brute-force cosine top-k as the exact baseline, and a signed-random-
+projection (SRP) bucketed variant as the scale path.
+
+The brute-force form is a cross join — correct and oracle-checkable,
+O(|Q|·|C|); keep |Q| bounded. The SRP variant hashes vectors into
+2^n_planes buckets with deterministic pseudo-random hyperplanes (plane
+components derived from integer hashing — no RNG state, reproducible
+across runs/engines) and only compares within a bucket: at 1000-executor
+scale the bucket id becomes the shuffle key and each bucket is a local
+top-k, merged per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from ..functions.vectors import cosine
+
+# fixed 32-bit odd multiplier (Knuth); plane component c(p, d) in [-1, 1)
+_KNUTH = 2654435761
+
+
+def _plane_component(table: int, plane: int, dim: Column) -> Column:
+    """Deterministic pseudo-random hyperplane component in [-1, 1):
+    integer hash of (table, plane, dim) scaled — portable arithmetic,
+    no RNG state."""
+    h = ((F.lit(table * 524287 + plane * 8191) + dim + 1) * _KNUTH) % 2147483648
+    return (h / F.lit(1073741824.0)) - 1.0
+
+
+def srp_bucket(vec: Column, n_planes: int, table: int = 0) -> Column:
+    """Signed-random-projection bucket id: bit p = sign(v · plane_p)."""
+    dims = F.sequence(F.lit(0), F.size(vec) - 1)
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.transform(dims, lambda d: _plane_component(table, p, d)),
+                    lambda x, c: x.cast("double") * c,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            > 0,
+            F.lit(1 << p),
+        ).otherwise(F.lit(0))
+        for p in range(n_planes)
+    ]
+    return sum(bits, start=F.lit(0)).cast("int")
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+) -> DataFrame:
+    """Exact top-k: cross join + fold-based cosine + per-query window.
+    Ties break on corpus id for full determinism. Self-matches
+    (same id) are excluded."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    # spread the O(|Q|·|C|) cosine work: partition the query side so the
+    # cross join fans out even when both inputs are single files
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    scored = (
+        q.repartition(F.col("query_id"))
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("_qv"), F.col("_cv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def srp_bucketed_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_planes: int = 3,
+    n_tables: int = 8,
+) -> DataFrame:
+    """Approximate top-k: compare only within the query's SRP bucket,
+    unioning candidates across ``n_tables`` independent hash tables
+    (multi-table LSH — each table misses different neighbors; the union
+    recovers recall that a single table can't reach on near-uniform
+    data). Cost ≈ n_tables / 2^n_planes of brute force."""
+
+    def bucketed(df: DataFrame, idn: str, vecn: str) -> DataFrame:
+        tables = F.array(
+            *[srp_bucket(F.col(vecn), n_planes, table) for table in range(n_tables)]
+        )
+        staged = df.select(
+            F.col(id_col).alias(idn), F.col(vec_col).alias(vecn)
+        ).withColumn("_tables", tables)
+        return staged.select(
+            idn, vecn, F.posexplode("_tables").alias("_table", "_bucket")
+        )
+
+    q = bucketed(queries, "query_id", "_qv")
+    c = bucketed(corpus, "neighbor_id", "_cv")
+    scored = (
+        q.join(c, ["_table", "_bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "_qv", "_cv")
+        .distinct()  # a pair found by several tables is scored once
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("_qv"), F.col("_cv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def cosine_near_dup_pairs(
+    corpus: DataFrame, id_col: str, vec_col: str, threshold: float
+) -> DataFrame:
+    """Embedding near-duplicate pairs (cos ≥ threshold, id_a < id_b).
+    All-pairs form — bound the corpus slice, or swap in srp buckets as
+    the candidate generator for web scale."""
+    a = corpus.select(F.col(id_col).alias("_id_a"), F.col(vec_col).alias("_va"))
+    b = corpus.select(F.col(id_col).alias("_id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        a.repartition(F.col("_id_a"))
+        .crossJoin(b)
+        .filter(F.col("_id_a") < F.col("_id_b"))
+        .select(
+            "_id_a",
+            "_id_b",
+            cosine(F.col("_va"), F.col("_vb")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -7,5 +7,8 @@ from . import core  # noqa: E402,F401
 from . import quality_q  # noqa: E402,F401
 from . import reconcile_q  # noqa: E402,F401
 from . import dwh_q  # noqa: E402,F401
+from . import textops_q  # noqa: E402,F401
+from . import dedup_q  # noqa: E402,F401
+from . import similarity_q  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "query", "queries", "oracle_sql"]

@@ -1,0 +1,265 @@
+"""Deduplication queries over the documents corpus.
+
+The corpus has no natural duplicates, so each query injects them
+deterministically: mutated copies of every 10th document (token
+appended / token dropped) under ``doc_id + 100000``. The Spark side
+runs the real operators (operators/dedup.py); the oracles rebuild the
+same signatures/pairs in DuckDB with the identical portable hash
+(polynomial char fold mod 2^31-1 — verified bit-equal).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from .catalog import query, t
+
+# ---------------------------------------------------------------------------
+# Shared corpus-with-injected-duplicates (Spark + SQL twins)
+# ---------------------------------------------------------------------------
+
+# %10==0 → exact copy; %10==5 → near-copy (one token appended)
+_CORPUS_SQL = """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 100000, text || ' extra' FROM documents WHERE doc_id % 10 = 5
+    )
+"""
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    near = (
+        d.filter(F.col("doc_id") % 10 == 5)
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+        )
+    )
+    return d.unionByName(exact).unionByName(near)
+
+
+_PORTABLE_HASH_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split({s}, ''), c -> CAST(ascii(c) AS BIGINT))), "
+    "(acc, c) -> (acc*31 + c) % 2147483647)"
+)
+
+_TOKENS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+# 3-word shingles, same left-to-right window construction as
+# functions.text.word_shingles
+_SHINGLES_SQL = f"""
+      SELECT doc_id, {_PORTABLE_HASH_SQL.format(s='sh')} AS shash
+      FROM (
+        SELECT DISTINCT doc_id,
+               array_to_string(toks[i:i+2], ' ') AS sh
+        FROM (SELECT doc_id, {_TOKENS} AS toks FROM corpus),
+             UNNEST(generate_series(1, greatest(len(toks) - 2, 0))) AS u(i)
+      )
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle=_CORPUS_SQL
+    + """
+    , fp AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+             row_number() OVER (
+               PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+               ORDER BY doc_id) AS dup_rank
+      FROM corpus
+    )
+    SELECT
+      COUNT(*) AS total_docs,
+      SUM(CASE WHEN dup_rank = 1 THEN 1 ELSE 0 END) AS surviving_docs,
+      SUM(CASE WHEN dup_rank > 1 THEN 1 ELSE 0 END) AS removed_docs
+    FROM fp
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5-fingerprint group-by, first (lowest id) wins.
+    One shuffle on the fingerprint — at 100 TB this is the cheap first
+    pass that typically removes ~30% of a web corpus."""
+    ranked = D.exact_dedup(_corpus(spark, sf_dir), "doc_id", "text")
+    return ranked.agg(
+        F.count(F.lit(1)).alias("total_docs"),
+        F.sum(F.when(F.col("_dup_rank") == 1, 1).otherwise(0)).alias("surviving_docs"),
+        F.sum(F.when(F.col("_dup_rank") > 1, 1).otherwise(0)).alias("removed_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+_N_HASHES, _N_BANDS, _ROWS_PER_BAND = 16, 4, 4
+_PARAMS_SQL = ", ".join(
+    f"({i}, {a}, {b})" for i, (a, b) in enumerate(D.hash_params(_N_HASHES))
+)
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=_CORPUS_SQL
+    + f"""
+    , shingled AS ({_SHINGLES_SQL}),
+    params(hidx, a, b) AS (VALUES {_PARAMS_SQL}),
+    sigs AS (
+      SELECT doc_id, hidx, min((a * shash + b) % 2147483647) AS minhash
+      FROM shingled CROSS JOIN params
+      GROUP BY doc_id, hidx
+    ),
+    buckets AS (
+      SELECT doc_id, hidx // {_ROWS_PER_BAND} AS band,
+             string_agg(minhash, '-' ORDER BY hidx) AS bucket
+      FROM sigs GROUP BY doc_id, hidx // {_ROWS_PER_BAND}
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+      FROM cands c
+      JOIN shingled sa ON sa.doc_id = c.id_a
+      JOIN shingled sb ON sb.doc_id = c.id_b AND sb.shash = sa.shash
+      GROUP BY c.id_a, c.id_b
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingled GROUP BY doc_id)
+    SELECT c.id_a AS _id_a, c.id_b AS _id_b,
+           CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+             / (za.sz + zb.sz - COALESCE(i.n_inter, 0)) AS jaccard
+    FROM cands c
+    LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+    JOIN sizes za ON za.doc_id = c.id_a
+    JOIN sizes zb ON zb.doc_id = c.id_b
+    WHERE CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+            / (za.sz + zb.sz - COALESCE(i.n_inter, 0)) >= 0.5
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash/LSH near-dedup end-to-end: 3-word shingles → 16 minhashes
+    → 4 bands → bucket-join candidates → exact-Jaccard verify ≥ 0.5.
+    Fully relational (explode/groupBy/join) — the oracle reproduces the
+    identical signatures in SQL. At corpus scale the only quadratic step
+    is within-bucket pairing, bounded by the banding s-curve."""
+    return D.minhash_lsh_dedup(
+        _corpus(spark, sf_dir),
+        "doc_id",
+        "text",
+        shingle_k=3,
+        n_hashes=_N_HASHES,
+        n_bands=_N_BANDS,
+        threshold=0.5,
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_simhash",
+    oracle=_CORPUS_SQL
+    + f"""
+    , toks AS (
+      SELECT doc_id, unnest({_TOKENS}) AS tok FROM corpus
+    ),
+    hashed AS (
+      SELECT doc_id, {_PORTABLE_HASH_SQL.format(s='tok')} AS h FROM toks
+    ),
+    sums AS (
+      SELECT doc_id,
+        {', '.join(f"SUM(CASE WHEN (h // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS s{j}" for j in range(32))}
+      FROM hashed GROUP BY doc_id
+    ),
+    sigs AS (
+      SELECT doc_id,
+        CAST({' + '.join(f"CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(32))} AS BIGINT)
+          AS simhash
+      FROM sums
+    )
+    SELECT a.doc_id AS _id_a, b.doc_id AS _id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dedup: 32-bit frequency-weighted fingerprints,
+    Hamming ≤ 3 pairs found via pigeonhole banding (4 chunks — a pair
+    within distance 3 must agree on one chunk), so no all-pairs scan.
+    The oracle checks the same pair set the slow way (its corpus is
+    small); signatures are bit-identical across engines."""
+    sigs = D.simhash_signature(_corpus(spark, sf_dir), "doc_id", "text", bits=32)
+    return D.simhash_pairs(sigs, "doc_id", max_hamming=3, bits=32).select(
+        "_id_a", "_id_b", "hamming"
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (bounded candidate set, no LSH)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=_CORPUS_SQL
+    + f"""
+    , shingled AS ({_SHINGLES_SQL}),
+    subset AS (SELECT DISTINCT doc_id FROM corpus WHERE doc_id % 5 = 0),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM subset a JOIN subset b ON a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT p.id_a, p.id_b, COUNT(*) AS n_inter
+      FROM pairs p
+      JOIN shingled sa ON sa.doc_id = p.id_a
+      JOIN shingled sb ON sb.doc_id = p.id_b AND sb.shash = sa.shash
+      GROUP BY p.id_a, p.id_b
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingled GROUP BY doc_id)
+    SELECT p.id_a AS _id_a, p.id_b AS _id_b,
+           CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+             / (za.sz + zb.sz - COALESCE(i.n_inter, 0)) AS jaccard
+    FROM pairs p
+    LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+    JOIN sizes za ON za.doc_id = p.id_a
+    JOIN sizes zb ON zb.doc_id = p.id_b
+    WHERE CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+            / (za.sz + zb.sz - COALESCE(i.n_inter, 0)) >= 0.3
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard similarity on an explicit candidate set
+    (every 5th doc, all pairs) — the LSH-free baseline: relational set
+    intersection over shingle hashes, inclusion-exclusion union."""
+    corpus = _corpus(spark, sf_dir)
+    shingled = D.doc_shingles(corpus, "doc_id", "text", 3)
+    subset = corpus.filter(F.col("doc_id") % 5 == 0).select("doc_id").distinct()
+    pairs = (
+        subset.select(F.col("doc_id").alias("_id_a"))
+        .crossJoin(subset.select(F.col("doc_id").alias("_id_b")))
+        .filter(F.col("_id_a") < F.col("_id_b"))
+    )
+    verified = D.jaccard_pairs(pairs, shingled, "doc_id")
+    return verified.filter(F.col("jaccard") >= 0.3).select("_id_a", "_id_b", "jaccard")

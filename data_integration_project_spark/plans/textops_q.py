@@ -1,0 +1,192 @@
+"""Text-analysis queries over the documents corpus: token statistics,
+quality scoring, language ID, fingerprinting, multimodal metadata.
+
+Every expression here has a verified DuckDB twin (tokenization,
+occurrence counting via replace-arithmetic, md5 fingerprints); the
+multimodal feature extraction adds a mapInPandas path whose features are
+oracle-checked through equivalent blob SQL where DuckDB can express it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as X
+from ..operators import multimodal as M
+from .catalog import query, t
+
+_TOKENS_SQL = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+
+
+@query(
+    "doc_token_stats",
+    oracle=f"""
+    SELECT
+      doc_id,
+      lang,
+      source,
+      CAST(length(text) AS BIGINT) AS n_chars,
+      CAST(len({_TOKENS_SQL}) AS INT) AS n_tokens,
+      CAST(len(list_distinct({_TOKENS_SQL})) AS INT) AS n_distinct_tokens,
+      CAST(len(list_distinct({_TOKENS_SQL})) AS DOUBLE)
+        / len({_TOKENS_SQL}) AS type_token_ratio
+    FROM documents
+    """,
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics (token counting over the corpus):
+    whitespace tokenization, distinct-token vocabulary, type/token
+    ratio. Single scan, no shuffle."""
+    d = t(spark, sf_dir, "documents")
+    n_tok = X.token_count(F.col("text"))
+    n_dis = X.distinct_token_count(F.col("text"))
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").cast("long").alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        n_dis.alias("n_distinct_tokens"),
+        (n_dis.cast("double") / n_tok).alias("type_token_ratio"),
+    )
+
+
+@query(
+    "doc_quality_scores",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+        CAST(length(text) AS BIGINT) AS n_chars,
+        len({_TOKENS_SQL}) AS n_tokens,
+        CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+          / nullif(length(lower(text)), 0) AS punct_ratio,
+        CAST((length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' the ', '')))/5
+           + (length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' a ', '')))/3
+           AS INT) AS stopword_hits
+      FROM documents
+    )
+    SELECT doc_id, n_chars, n_tokens, punct_ratio, stopword_hits,
+      CASE WHEN n_tokens >= 20 AND punct_ratio < 0.1 AND stopword_hits > 0 THEN 'good'
+           WHEN n_tokens >= 5 THEN 'fair'
+           ELSE 'poor' END AS quality_bucket
+    FROM scored
+    """,
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring (length / punctuation / stopword
+    signals) with a 3-bucket verdict — the pretraining-corpus filter
+    shape."""
+    d = t(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.lower("text"), F.lit(" "))
+    stop_hits = (
+        X.occurrence_count(padded, " the ") + X.occurrence_count(padded, " a ")
+    ).cast("int")
+    n_tok = X.token_count(F.col("text"))
+    pr = X.punct_ratio(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        pr.alias("punct_ratio"),
+        stop_hits.alias("stopword_hits"),
+        F.when((n_tok >= 20) & (pr < 0.1) & (stop_hits > 0), "good")
+        .when(n_tok >= 5, "fair")
+        .otherwise("poor")
+        .alias("quality_bucket"),
+    )
+
+
+_LANG_SCORE_SQL = {
+    lang: " + ".join(
+        f"(length(padded) - length(replace(padded, '{m}', '')))/{len(m)}"
+        for m in markers
+    )
+    for lang, markers in X.LANG_MARKERS.items()
+}
+
+
+@query(
+    "doc_lang_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang AS labeled_lang,
+        CAST({_LANG_SCORE_SQL['de']} AS INT) AS score_de,
+        CAST({_LANG_SCORE_SQL['en']} AS INT) AS score_en,
+        CAST({_LANG_SCORE_SQL['es']} AS INT) AS score_es,
+        CAST({_LANG_SCORE_SQL['fr']} AS INT) AS score_fr,
+        CAST({_LANG_SCORE_SQL['zh']} AS INT) AS score_zh
+      FROM (SELECT doc_id, lang, ' '||lower(text)||' ' AS padded FROM documents)
+    ),
+    best AS (
+      SELECT doc_id, labeled_lang,
+        CASE
+          WHEN greatest(score_de, score_en, score_es, score_fr, score_zh) <= 0 THEN 'und'
+          WHEN score_de >= greatest(score_en, score_es, score_fr, score_zh) THEN 'de'
+          WHEN score_en >= greatest(score_es, score_fr, score_zh) THEN 'en'
+          WHEN score_es >= greatest(score_fr, score_zh) THEN 'es'
+          WHEN score_fr >= score_zh THEN 'fr'
+          ELSE 'zh' END AS detected_lang
+      FROM scored
+    )
+    SELECT detected_lang, labeled_lang, COUNT(*) AS n_docs
+    FROM best GROUP BY detected_lang, labeled_lang
+    """,
+)
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (stopword-marker argmax, alphabetical
+    tie-break, 'und' on zero signal) — confusion-matrix rollup against
+    the corpus's lang labels."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.col("lang").alias("labeled_lang"),
+            X.lang_id(F.col("text")).alias("detected_lang"),
+        )
+        .groupBy("detected_lang", "labeled_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
+    "doc_fingerprints",
+    oracle="""
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: portable md5 over whitespace-normalized
+    lowercased text (the exact-dedup key)."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        X.fingerprint_md5(F.col("text")).alias("fingerprint"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+@query(
+    "multimodal_features",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           CAST(list_sum(list_transform(string_split(text, ''), c -> ascii(c))) AS BIGINT)
+             AS sum_bytes,
+           CAST(list_sum(list_transform(string_split(text, ''), c -> ascii(c))) AS DOUBLE)
+             / octet_length(encode(text)) AS mean_byte,
+           lower(hex(substr(text, 1, 8))) AS head_hex
+    FROM documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pipeline plumbing end-to-end: documents adapted into
+    binary media records, then Arrow-batched ``mapInPandas`` feature
+    extraction (deterministic fake decode — real codecs are stubbed,
+    operators/multimodal.py). The oracle recomputes the byte-level
+    features in SQL (payloads are ASCII, so bytes ≡ codepoints)."""
+    media = M.documents_as_media(t(spark, sf_dir, "documents"))
+    return M.extract_features(media)

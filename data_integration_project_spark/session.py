@@ -22,9 +22,13 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # parquet scans: keep partition sizes bounded so a 100 TB table
-    # splits into units that fit executor memory.
-    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    # parquet scans: split files small enough that a scan parallelizes
+    # even on modest local inputs (a single 30 MB file would otherwise
+    # be ONE task). At cluster scale raise this back toward 128m+ via
+    # the env knob — fewer, fatter partitions amortize task overhead.
+    "spark.sql.files.maxPartitionBytes": os.environ.get(
+        "SPARK_GRAFT_MAX_PARTITION_BYTES", str(8 * 1024 * 1024)
+    ),
 }
 
 

@@ -1,0 +1,104 @@
+"""Unit tests: dedup operators find the planted duplicates, SRP-ANN
+recall holds against the exact baseline, multimodal plumbing works."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_integration_project_spark.operators import dedup as D
+from data_integration_project_spark.operators import multimodal as M
+from data_integration_project_spark.operators import similarity as S
+
+
+def _docs(spark):
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return base
+
+
+def test_exact_dedup_finds_planted_copies(spark):
+    d = _docs(spark)
+    copies = d.filter("doc_id % 10 = 0").select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    ranked = D.exact_dedup(d.unionByName(copies), "doc_id", "text")
+    dups = ranked.filter("_dup_rank > 1")
+    # every planted copy (and only those) is removed, originals survive
+    assert dups.count() == copies.count()
+    assert dups.filter("doc_id < 100000").count() == 0
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    d = _docs(spark)
+    near = d.filter("doc_id % 10 = 5").select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat("text", F.lit(" extra")).alias("text"),
+    )
+    pairs = D.minhash_lsh_dedup(
+        d.unionByName(near), "doc_id", "text", shingle_k=3, n_hashes=16, n_bands=4,
+        threshold=0.5,
+    ).collect()
+    found = {(r["_id_a"], r["_id_b"]) for r in pairs}
+    planted = {(r["doc_id"], r["doc_id"] + 100000) for r in d.filter("doc_id % 10 = 5").collect()}
+    # high-similarity planted pairs should dominate; all found pairs are real (≥0.5 verified)
+    assert len(planted & found) >= 0.8 * len(planted)
+    assert all(r["jaccard"] >= 0.5 for r in pairs)
+
+
+def test_simhash_planted_copies_distance_zero(spark):
+    d = _docs(spark)
+    copies = d.filter("doc_id % 10 = 0").select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    sigs = D.simhash_signature(d.unionByName(copies), "doc_id", "text")
+    pairs = D.simhash_pairs(sigs, "doc_id", max_hamming=3)
+    got = {(r["_id_a"], r["_id_b"]): r["hamming"] for r in pairs.collect()}
+    for r in d.filter("doc_id % 10 = 0").collect():
+        assert got.get((r["doc_id"], r["doc_id"] + 100000)) == 0  # identical text → distance 0
+
+
+def test_srp_recall_vs_exact(spark):
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.filter("vec_id % 50 = 0")
+    exact = S.brute_force_topk(q, e, "vec_id", "embedding", k=5).collect()
+    approx = S.srp_bucketed_topk(q, e, "vec_id", "embedding", k=5, n_planes=3, n_tables=8).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"SRP recall too low: {recall}"
+    # planted exact duplicates collide in EVERY table → must always be found
+    copies = e.filter("vec_id % 50 = 0").select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    with_copies = e.select("vec_id", "embedding").unionByName(copies)
+    approx2 = S.srp_bucketed_topk(q, with_copies, "vec_id", "embedding", k=5).collect()
+    top1 = {r["query_id"]: r["neighbor_id"] for r in approx2 if r["rank"] == 1}
+    assert all(top1[qid] == qid + 1000000 for qid in top1), "exact dup not retrieved"
+    # and the approx scores it does return are the true cosines
+    exact_scores = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in exact}
+    for r in approx:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_scores:
+            assert abs(exact_scores[key] - r["cos_sim"]) < 1e-12
+
+
+def test_multimodal_stub_contract(spark):
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        M.decode_image_stub(b"\x00\x01")  # real decode is explicitly stubbed
+
+    media = M.documents_as_media(_docs(spark).limit(20).withColumn("lang", F.lit("en")).withColumn("source", F.lit("s")).withColumn("n_chars", F.length("text")))
+    feats = M.extract_features(media).collect()
+    assert len(feats) == 20
+    for r in feats:
+        assert r["byte_len"] > 0 and 0 <= r["mean_byte"] <= 255
+        assert len(r["head_hex"]) == 16  # 8 bytes hex
+
+
+def test_frame_sample_shape(spark):
+    media = M.documents_as_media(_docs(spark).limit(3))
+    frames = M.frame_sample(media, n_frames=4).collect()
+    assert len(frames) == 12
+    assert all(len(r["frame_bytes"]) <= 16 for r in frames)
