@@ -37,7 +37,8 @@ def word_shingles(col: Column, k: int) -> Column:
     """k-word shingles (the MinHash unit): sliding windows over the
     token array, joined with single spaces. Pure array ops —
     ``transform`` over an index ``sequence``; docs shorter than k words
-    yield an empty array.
+    yield an empty array (guarded: Spark's ``sequence(1, 0)`` would
+    DESCEND, not return empty).
 
     DuckDB twin (same left-to-right construction)::
 
@@ -45,11 +46,44 @@ def word_shingles(col: Column, k: int) -> Column:
          for i in generate_series(1, greatest(len(toks) - K + 1, 0))]
     """
     toks = tokens(col)
-    n_windows = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(0))
-    return F.transform(
-        F.sequence(F.lit(1), n_windows),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    n_windows = F.size(toks) - F.lit(k - 1)
+    return F.when(n_windows < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_windows, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable hashing (bit-equal in Spark and the DuckDB oracle)
+# ---------------------------------------------------------------------------
+
+#: Mersenne prime 2^31-1; products with < 2^21 multipliers stay in int64.
+HASH_P = 2147483647
+
+
+def char_fold_hash(col: Column) -> Column:
+    """Polynomial char hash: fold (acc·31 + ascii(c)) mod P.
+
+    DuckDB twin (verified bit-equal)::
+
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(string_split(s,''), c -> CAST(ascii(c) AS BIGINT))),
+          (acc, c) -> (acc*31 + c) % 2147483647)
+    """
+    return F.aggregate(
+        F.split(col, ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % HASH_P,
+    )
+
+
+def token_hash_array(col: Column) -> Column:
+    """Array of per-token ``char_fold_hash`` values (one char pass per
+    token occurrence — shingle/fingerprint layers combine these
+    NUMERICALLY, so no text is re-scanned downstream)."""
+    return F.transform(tokens(col), char_fold_hash)
 
 
 # ---------------------------------------------------------------------------

@@ -1,27 +1,49 @@
 """Corpus deduplication operators for training-data pipelines:
 exact (fingerprint group-by), MinHash+LSH, SimHash, and n-gram Jaccard.
 
-All stages are relational — explode/groupBy/join — so every operator
-scales horizontally: no driver-side state, no all-pairs comparison
-outside LSH/pigeonhole-bounded candidate sets.
+Scale design — everything stays in whole-stage codegen:
 
-Portability: the hash family is built on a polynomial character hash
-(``portable_hash``) with fixed affine parameters, expressible in any
-SQL engine — the DuckDB oracles replicate signatures bit-for-bit.
-Parameters (P, a_i, b_i) are literals, never runtime randomness, so
-results are reproducible across runs and engines.
+- Text is tokenized with built-in ``split``/``posexplode`` (codegen).
+- The char-level polynomial hash — the only non-codegen expression —
+  runs once per DISTINCT token (a Zipf-bounded dimension joined back to
+  occurrences; AQE picks broadcast when it fits), never per occurrence.
+- Shingle hashes fold k consecutive token hashes NUMERICALLY via a
+  window ``lead`` — no shingle strings are ever materialized.
+- MinHash signatures are one ``groupBy(doc).agg(16 × min(...))`` —
+  map-side combined, single shuffle, codegen.
+- The only joins are the LSH bucket self-join and the candidate-pair
+  verification joins, both bounded by the banding s-curve rather than
+  corpus size. No driver-side state anywhere.
+
+Portability: the hash family is a polynomial character fold
+(``char_fold_hash``) combined numerically across token windows — fixed
+affine parameters, expressible in any SQL engine; the DuckDB oracles
+replicate signatures bit-for-bit. Parameters (P, M, a_i, b_i) are
+literals, never runtime randomness, so results are reproducible across
+runs and engines.
+
+Reference parity: dedup is an extension beyond
+NguyenVanHieu165/data-integration-project (which has only the
+order-dependent duplicate-id check, main.py:663-700); these operators
+are the corpus-scale generalization the driver asks for.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
-from ..functions.text import fingerprint_md5, tokens, word_shingles
+from ..functions.text import HASH_P as P
+from ..functions.text import char_fold_hash, fingerprint_md5, tokens
 
-#: Mersenne prime 2^31-1; products a_i * hash stay well inside int64.
-P = 2147483647
+#: Multiplier folding token hashes into a window (shingle) hash.
+#: acc < P ≈ 2^31 and M ≈ 2^20, so acc·M + h < 2^52 — safe in int64.
+M = 1000003
+
+#: Second affine hash (bits 31..61 of SimHash): h2 = (A2·h + B2) mod P.
+A2, B2 = 48271, 11
 
 
 def hash_params(n: int) -> list[tuple[int, int]]:
@@ -30,22 +52,6 @@ def hash_params(n: int) -> list[tuple[int, int]]:
         ((1103515245 * (i + 1)) % P or 1, (12345 * (i + 1) + 7) % P)
         for i in range(n)
     ]
-
-
-def portable_hash(col: Column) -> Column:
-    """Polynomial char hash: fold (acc·31 + ascii(c)) mod P.
-
-    DuckDB twin (verified bit-equal)::
-
-        list_reduce(list_prepend(CAST(0 AS BIGINT),
-          list_transform(string_split(s,''), c -> CAST(ascii(c) AS BIGINT))),
-          (acc, c) -> (acc*31 + c) % 2147483647)
-    """
-    return F.aggregate(
-        F.split(col, ""),
-        F.lit(0).cast("long"),
-        lambda acc, c: (acc * 31 + F.ascii(c)) % P,
-    )
 
 
 # ---------------------------------------------------------------------------
@@ -64,69 +70,116 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Token hashing via a distinct-token dimension
+# ---------------------------------------------------------------------------
+
+
+def hashed_token_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, _pos, _h) rows: position-indexed token hashes.
+
+    The char-fold hash is evaluated once per DISTINCT token — token
+    dimensions are Zipf-distributed, orders of magnitude smaller than
+    occurrence counts — then joined back. No broadcast hint: AQE
+    converts to broadcast when the dim fits, falls back to a shuffle
+    join for web-scale vocabularies; both are linear."""
+    toks = df.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("_pos", "_tok")
+    )
+    dim = toks.select("_tok").distinct().withColumn("_h", char_fold_hash(F.col("_tok")))
+    return toks.join(dim, "_tok").select(id_col, "_pos", "_h")
+
+
+def shingle_rows(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(id, _shash) pairs — one per k-token window (NOT deduplicated;
+    ``shingle_sets``' ``collect_set`` or a ``distinct`` gives set
+    semantics where needed).
+
+    Window hash = numeric fold ``(acc·M + tok_hash) mod P`` over k
+    consecutive token hashes, assembled with ``lead`` over the in-doc
+    position (one shuffle on the doc id, which downstream per-doc
+    groupBys reuse). Docs shorter than k tokens simply produce no rows
+    (trailing ``lead`` nulls are filtered)."""
+    th = hashed_token_rows(df, id_col, text_col)
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    acc = F.lit(0).cast("long")
+    last = None
+    for i in range(k):
+        h_i = F.col("_h") if i == 0 else F.lead("_h", i).over(w)
+        last = h_i
+        acc = (acc * M + h_i) % P
+    return (
+        th.select(F.col(id_col), acc.alias("_shash"), last.isNotNull().alias("_full"))
+        .filter(F.col("_full"))
+        .select(id_col, "_shash")
+    )
+
+
+def shingle_sets(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(id, _shs) — each doc's DISTINCT shingle-hash set as one array
+    row. ``collect_set`` directly follows the window's id-partitioning,
+    so no additional exchange; the result is |docs| small rows, which
+    makes every downstream signature/verify step near-free."""
+    return (
+        shingle_rows(df, id_col, text_col, k)
+        .groupBy(id_col)
+        .agg(F.collect_set("_shash").alias("_shs"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
 
-def doc_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
-    """Distinct (id, shingle-hash) pairs — the set representation used by
-    both MinHash and exact-Jaccard verification.
+def minhash_signatures(sets: DataFrame, id_col: str, n_hashes: int) -> DataFrame:
+    """Wide signatures (id, _mh0.._mhN) from per-doc shingle sets: n
+    min-folds over the (already tiny) set array, computed in-row — a
+    pure map over |docs| rows, no shuffle at all."""
 
-    Repartitions by id first: shingling is expression-heavy (interpreted
-    higher-order functions), so spread it across the cluster even when
-    the source is a single small file — and the id partitioning is
-    exactly what the downstream per-doc groupBys need, so the shuffle is
-    reused, not added."""
-    return (
-        df.repartition(F.col(id_col))
-        .select(F.col(id_col), F.explode(word_shingles(F.col(text_col), k)).alias("_sh"))
-        .select(id_col, portable_hash(F.col("_sh")).alias("_shash"))
-        .distinct()
-    )
+    def min_fold(a: int, b: int):
+        return lambda acc, x: F.least(acc, (F.lit(a) * x + F.lit(b)) % P)
+
+    sigs = [
+        F.aggregate(F.col("_shs"), F.lit(P).cast("long"), min_fold(a, b)).alias(f"_mh{i}")
+        for i, (a, b) in enumerate(hash_params(n_hashes))
+    ]
+    return sets.select(F.col(id_col), *sigs)
 
 
-def minhash_signature(shingled: DataFrame, id_col: str, n_hashes: int) -> DataFrame:
-    """Long-format signatures: (id, _hidx, _minhash). The cross join with
-    the n-row parameter table is broadcast; min-aggregation is one
-    shuffle on the doc id (map-side combined)."""
-    spark = shingled.sparkSession
-    params = spark.createDataFrame(
-        [(i, a, b) for i, (a, b) in enumerate(hash_params(n_hashes))],
-        "_hidx int, _a long, _b long",
-    )
-    return (
-        shingled.crossJoin(F.broadcast(params))
-        .groupBy(id_col, "_hidx")
-        .agg(F.min((F.col("_a") * F.col("_shash") + F.col("_b")) % P).alias("_minhash"))
-    )
-
-
-def lsh_buckets(
-    signatures: DataFrame, id_col: str, n_bands: int, rows_per_band: int
+def lsh_bucket_rows(
+    sigs: DataFrame, id_col: str, n_bands: int, rows_per_band: int
 ) -> DataFrame:
-    """Band the signature: (id, _band, _bucket) where _bucket is the
-    joined minhash run of that band. Docs sharing a bucket in any band
-    become candidate pairs — the classic s-curve knob
-    (n_bands × rows_per_band = n_hashes)."""
-    banded = signatures.withColumn("_band", (F.col("_hidx") / rows_per_band).cast("int"))
-    return banded.groupBy(id_col, "_band").agg(
-        F.concat_ws(
-            "-", F.array_sort(F.collect_list(F.struct("_hidx", "_minhash")))["_minhash"]
-        ).alias("_bucket")
+    """Explode the wide signature into (id, _band, _bucket) rows — one
+    per band, bucket = joined minhash run of that band. Docs sharing a
+    bucket in any band become candidate pairs (the classic s-curve
+    knob: n_bands × rows_per_band = n_hashes)."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("_band"),
+                F.concat_ws(
+                    "-",
+                    *[
+                        F.col(f"_mh{band * rows_per_band + j}")
+                        for j in range(rows_per_band)
+                    ],
+                ).alias("_bucket"),
+            )
+            for band in range(n_bands)
+        ]
+    )
+    return sigs.select(F.col(id_col), F.explode(bands).alias("_bb")).select(
+        id_col, F.col("_bb._band").alias("_band"), F.col("_bb._bucket").alias("_bucket")
     )
 
 
 def candidate_pairs(buckets: DataFrame, id_col: str) -> DataFrame:
     """Self-join on (band, bucket), id_a < id_b, distinct across bands.
-    Skew note: a degenerate bucket (e.g. empty-text docs) would explode
+    Skew note: a degenerate bucket (e.g. boilerplate docs) would explode
     quadratically — AQE skew-join splitting plus an optional bucket-size
     cap handle that at scale."""
-    a = buckets.select(
-        F.col(id_col).alias("_id_a"), F.col("_band"), F.col("_bucket")
-    )
-    b = buckets.select(
-        F.col(id_col).alias("_id_b"), F.col("_band"), F.col("_bucket")
-    )
+    a = buckets.select(F.col(id_col).alias("_id_a"), "_band", "_bucket")
+    b = buckets.select(F.col(id_col).alias("_id_b"), "_band", "_bucket")
     return (
         a.join(b, ["_band", "_bucket"])
         .filter(F.col("_id_a") < F.col("_id_b"))
@@ -135,30 +188,27 @@ def candidate_pairs(buckets: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-def jaccard_pairs(
-    pairs: DataFrame, shingled: DataFrame, id_col: str
+def jaccard_on_pairs(
+    pairs: DataFrame, sets: DataFrame, id_col: str
 ) -> DataFrame:
-    """Exact Jaccard for candidate pairs: intersection counted by
-    joining each doc's shingle set through the pair list (two hash
-    joins), union by inclusion-exclusion."""
-    sh_a = shingled.select(F.col(id_col).alias("_id_a"), "_shash")
-    sh_b = shingled.select(F.col(id_col).alias("_id_b"), "_shash")
-    inter = (
-        pairs.join(sh_a, "_id_a")
-        .join(sh_b, ["_id_b", "_shash"])
-        .groupBy("_id_a", "_id_b")
-        .agg(F.count(F.lit(1)).alias("_n_inter"))
-    )
-    sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
+    """Exact Jaccard for candidate pairs: two joins pull each side's
+    shingle-set array onto the pair row, then ``array_intersect``
+    counts the overlap in-row — intersection work is per-pair (arrays
+    the size of one document's shingle set), never a corpus-wide
+    exploded join. Pairs with zero intersection get jaccard 0."""
+    a = sets.select(F.col(id_col).alias("_id_a"), F.col("_shs").alias("_shs_a"))
+    b = sets.select(F.col(id_col).alias("_id_b"), F.col("_shs").alias("_shs_b"))
+    n_inter = F.size(F.array_intersect("_shs_a", "_shs_b"))
     return (
-        pairs.join(inter, ["_id_a", "_id_b"], "left")
-        .na.fill({"_n_inter": 0})
-        .join(sizes.select(F.col(id_col).alias("_id_a"), F.col("_sz").alias("_sz_a")), "_id_a")
-        .join(sizes.select(F.col(id_col).alias("_id_b"), F.col("_sz").alias("_sz_b")), "_id_b")
+        pairs.join(a, "_id_a")
+        .join(b, "_id_b")
+        .withColumn("_n_inter", n_inter)
         .withColumn(
             "jaccard",
-            F.col("_n_inter") / (F.col("_sz_a") + F.col("_sz_b") - F.col("_n_inter")),
+            F.col("_n_inter")
+            / (F.size("_shs_a") + F.size("_shs_b") - F.col("_n_inter")),
         )
+        .drop("_shs_a", "_shs_b")
     )
 
 
@@ -176,23 +226,19 @@ def minhash_lsh_dedup(
     band → bucket-join → exact-Jaccard verify → pairs ≥ threshold.
     Returns (_id_a, _id_b, jaccard).
 
-    The shingle table feeds three consumers (signatures, intersection,
-    sizes), so it is persisted spill-safely rather than recomputed —
-    at corpus scale this is the difference between one and three full
-    tokenization passes."""
-    from pyspark import StorageLevel
-
-    shingled = doc_shingles(df, id_col, text_col, shingle_k).persist(
+    The heavy lifting (tokenize → hash → window-fold) happens exactly
+    once, collapsed into per-doc set rows that are persisted — every
+    downstream consumer (signature map, bucket self-join sides, both
+    jaccard sides) re-reads |docs| small cached rows instead of
+    re-scanning the corpus."""
+    sets = shingle_sets(df, id_col, text_col, shingle_k).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    # materialize BEFORE fan-out: three consumers racing an unfilled
-    # cache would each recompute the full shingling (and contend on
-    # cache writes); one eager pass fills it once.
-    shingled.count()
-    sigs = minhash_signature(shingled, id_col, n_hashes)
-    buckets = lsh_buckets(sigs, id_col, n_bands, n_hashes // n_bands)
+    sets.count()  # fill before fan-out so consumers don't race an empty cache
+    sigs = minhash_signatures(sets, id_col, n_hashes)
+    buckets = lsh_bucket_rows(sigs, id_col, n_bands, n_hashes // n_bands)
     cands = candidate_pairs(buckets, id_col)
-    verified = jaccard_pairs(cands, shingled, id_col)
+    verified = jaccard_on_pairs(cands, sets, id_col)
     return verified.filter(F.col("jaccard") >= threshold).select(
         "_id_a", "_id_b", "jaccard"
     )
@@ -204,23 +250,28 @@ def minhash_lsh_dedup(
 
 
 def simhash_signature(
-    df: DataFrame, id_col: str, text_col: str, bits: int = 32
+    df: DataFrame, id_col: str, text_col: str, bits: int = 62
 ) -> DataFrame:
-    """Token-frequency-weighted SimHash: per token, ``portable_hash``
-    supplies pseudo-random bits; each bit contributes ±1 per occurrence;
-    the fingerprint sets bit j where the weighted sum is positive.
-    Explode + one groupBy — linear in corpus size."""
-    toks = df.repartition(F.col(id_col)).select(
-        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_tok")
+    """Token-frequency-weighted SimHash: per token, two affine char
+    hashes supply up to 62 pseudo-random bits (h1 → bits 0..30,
+    h2 = (A2·h1+B2) mod P → bits 31..61); each bit contributes ±1 per
+    occurrence; the fingerprint sets bit j where the weighted sum is
+    positive. Distinct-token hashing + one codegen groupBy — linear in
+    corpus size, single shuffle."""
+    rows = hashed_token_rows(df, id_col, text_col).withColumn(
+        "_h2", (F.lit(A2) * F.col("_h") + F.lit(B2)) % P
     )
-    hashed = toks.withColumn("_h", portable_hash(F.col("_tok")))
+
+    def bit_src(j: int):
+        return F.col("_h") if j < 31 else F.col("_h2")
+
     bit_sums = [
         F.sum(
-            F.when((F.floor(F.col("_h") / (1 << j)) % 2) == 1, 1).otherwise(-1)
+            F.when(bit_src(j).bitwiseAND(F.lit(1 << (j % 31))) != 0, 1).otherwise(-1)
         ).alias(f"_s{j}")
         for j in range(bits)
     ]
-    summed = hashed.groupBy(id_col).agg(*bit_sums)
+    summed = rows.groupBy(id_col).agg(*bit_sums)
     fingerprint = sum(
         (F.when(F.col(f"_s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)) for j in range(bits)),
         start=F.lit(0),
@@ -229,14 +280,17 @@ def simhash_signature(
 
 
 def simhash_pairs(
-    sigs: DataFrame, id_col: str, max_hamming: int, bits: int = 32
+    sigs: DataFrame, id_col: str, max_hamming: int, bits: int = 62
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ d via pigeonhole banding:
-    split the fingerprint into d+1 chunks — any pair within distance d
-    agrees on ≥1 whole chunk, so candidates come from equi-joins on
+    split the fingerprint into d+1 chunks covering ALL bits (uneven
+    sizes when d+1 ∤ bits) — any pair within distance d agrees on ≥1
+    whole chunk, so candidates come from equi-joins on
     (chunk_idx, chunk_value), never an all-pairs scan."""
     n_chunks = max_hamming + 1
-    chunk_bits = bits // n_chunks
+    base, rem = divmod(bits, n_chunks)
+    sizes = [base + 1 if c < rem else base for c in range(n_chunks)]
+    offsets = [sum(sizes[:c]) for c in range(n_chunks)]
     chunks = sigs.select(
         F.col(id_col),
         F.col("simhash"),
@@ -245,9 +299,9 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(c).alias("_chunk"),
-                        (F.floor(F.col("simhash") / (1 << (c * chunk_bits))) % (1 << chunk_bits)).alias(
-                            "_cval"
-                        ),
+                        F.shiftright(F.col("simhash"), offsets[c])
+                        .bitwiseAND(F.lit((1 << sizes[c]) - 1))
+                        .alias("_cval"),
                     )
                     for c in range(n_chunks)
                 ]

@@ -55,15 +55,21 @@ _PORTABLE_HASH_SQL = (
 )
 
 _TOKENS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
-# 3-word shingles, same left-to-right window construction as
-# functions.text.word_shingles
+#: per-token char-fold hashes — mirror of functions.text.token_hash_array
+_TOKEN_HASHES = (
+    f"list_transform({_TOKENS}, t -> {_PORTABLE_HASH_SQL.format(s='t')})"
+)
+# 3-token window hashes: numeric fold (acc*M + tok_hash) mod P over each
+# window, mirroring operators.dedup.with_shingle_set (k=3 closed form;
+# the first step's mod is a no-op since tok hashes are already < P).
 _SHINGLES_SQL = f"""
-      SELECT doc_id, {_PORTABLE_HASH_SQL.format(s='sh')} AS shash
-      FROM (
-        SELECT DISTINCT doc_id,
-               array_to_string(toks[i:i+2], ' ') AS sh
-        FROM (SELECT doc_id, {_TOKENS} AS toks FROM corpus),
-             UNNEST(generate_series(1, greatest(len(toks) - 2, 0))) AS u(i)
+      SELECT DISTINCT doc_id, shash FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(1, greatest(len(th) - 2, 0)),
+                 i -> ((((th[i] * 1000003 + th[i+1]) % 2147483647)
+                        * 1000003 + th[i+2]) % 2147483647))) AS shash
+        FROM (SELECT doc_id, {_TOKEN_HASHES} AS th FROM corpus)
       )
 """
 
@@ -176,6 +182,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _simhash_bit_sql(j: int) -> str:
+    src = "h" if j < 31 else "h2"
+    return f"SUM(CASE WHEN ({src} // {1 << (j % 31)}) % 2 = 1 THEN 1 ELSE -1 END) AS s{j}"
+
+
 @query(
     "dedup_simhash",
     oracle=_CORPUS_SQL
@@ -184,16 +195,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, unnest({_TOKENS}) AS tok FROM corpus
     ),
     hashed AS (
-      SELECT doc_id, {_PORTABLE_HASH_SQL.format(s='tok')} AS h FROM toks
+      SELECT doc_id, h, ({D.A2} * h + {D.B2}) % 2147483647 AS h2 FROM (
+        SELECT doc_id, {_PORTABLE_HASH_SQL.format(s='tok')} AS h FROM toks
+      )
     ),
     sums AS (
-      SELECT doc_id,
-        {', '.join(f"SUM(CASE WHEN (h // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS s{j}" for j in range(32))}
+      SELECT doc_id, {', '.join(_simhash_bit_sql(j) for j in range(62))}
       FROM hashed GROUP BY doc_id
     ),
     sigs AS (
       SELECT doc_id,
-        CAST({' + '.join(f"CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(32))} AS BIGINT)
+        CAST({' + '.join(f"CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(62))} AS BIGINT)
           AS simhash
       FROM sums
     )
@@ -204,13 +216,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dedup: 32-bit frequency-weighted fingerprints,
-    Hamming ≤ 3 pairs found via pigeonhole banding (4 chunks — a pair
-    within distance 3 must agree on one chunk), so no all-pairs scan.
+    """SimHash near-dedup: 62-bit frequency-weighted fingerprints (two
+    affine char hashes per token supply the bit pool), Hamming ≤ 3
+    pairs found via pigeonhole banding (4 chunks — a pair within
+    distance 3 must agree on one whole chunk), so no all-pairs scan.
     The oracle checks the same pair set the slow way (its corpus is
     small); signatures are bit-identical across engines."""
-    sigs = D.simhash_signature(_corpus(spark, sf_dir), "doc_id", "text", bits=32)
-    return D.simhash_pairs(sigs, "doc_id", max_hamming=3, bits=32).select(
+    sigs = D.simhash_signature(_corpus(spark, sf_dir), "doc_id", "text", bits=62)
+    return D.simhash_pairs(sigs, "doc_id", max_hamming=3, bits=62).select(
         "_id_a", "_id_b", "hamming"
     )
 
@@ -225,7 +238,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_CORPUS_SQL
     + f"""
     , shingled AS ({_SHINGLES_SQL}),
-    subset AS (SELECT DISTINCT doc_id FROM corpus WHERE doc_id % 5 = 0),
+    subset AS (SELECT DISTINCT doc_id FROM corpus WHERE doc_id % 20 = 0),
     pairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b
       FROM subset a JOIN subset b ON a.doc_id < b.doc_id
@@ -251,15 +264,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard similarity on an explicit candidate set
-    (every 5th doc, all pairs) — the LSH-free baseline: relational set
-    intersection over shingle hashes, inclusion-exclusion union."""
+    (every 20th doc, all pairs) — the LSH-free baseline: relational set
+    intersection over shingle-hash rows, inclusion-exclusion union."""
     corpus = _corpus(spark, sf_dir)
-    shingled = D.doc_shingles(corpus, "doc_id", "text", 3)
-    subset = corpus.filter(F.col("doc_id") % 5 == 0).select("doc_id").distinct()
+    sets = D.shingle_sets(corpus, "doc_id", "text", 3)
+    subset = corpus.filter(F.col("doc_id") % 20 == 0).select("doc_id").distinct()
     pairs = (
         subset.select(F.col("doc_id").alias("_id_a"))
         .crossJoin(subset.select(F.col("doc_id").alias("_id_b")))
         .filter(F.col("_id_a") < F.col("_id_b"))
     )
-    verified = D.jaccard_pairs(pairs, shingled, "doc_id")
+    verified = D.jaccard_on_pairs(pairs, sets, "doc_id")
     return verified.filter(F.col("jaccard") >= 0.3).select("_id_a", "_id_b", "jaccard")
