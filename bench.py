@@ -35,6 +35,9 @@ HEADLINE = [
     "ann_cosine_topk",
     "doc_quality_scores",
     "multimodal_features",
+    "events_hourly_by_type",
+    "events_sessionization",
+    "streaming_inbox_pipeline",
 ]
 
 

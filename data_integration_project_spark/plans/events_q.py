@@ -1,0 +1,156 @@
+"""Event-time queries over the ``events`` stream table: tumbling-window
+rollups, gap-based sessionization, and the end-to-end streaming inbox
+pipeline (SURVEY.md §2.10 — the reference's queue leg has NO event-time
+semantics; these are the extensions a real stream workload needs, built
+on the same operators the streaming module uses).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql import Window
+
+from ..operators.quality import RuleSet, not_blank, positive
+from ..streaming.pipeline import ZonePaths, produce_to_inbox, run_inbox_pipeline, streaming_window_counts
+from .catalog import SQL_DSUM, dsum, query, t
+
+# ---------------------------------------------------------------------------
+# Tumbling windows (same code path batch/streaming)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_hourly_by_type",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {SQL_DSUM('value', 'total_value', 2)}
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event type — built with
+    ``F.window`` so the IDENTICAL plan runs as a Structured Streaming
+    query with a watermark (see streaming.pipeline.streaming_window_counts;
+    epoch-aligned hourly windows ≡ date_trunc in the oracle)."""
+    return streaming_window_counts(t(spark, sf_dir, "events"), window="1 hour")
+
+
+# ---------------------------------------------------------------------------
+# Gap-based sessionization (session windows via lag + running sum)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_sessionization",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+      FROM ordered
+    )
+    SELECT user_id, session_idx,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           {SQL_DSUM('value', 'session_value', 2)}
+    FROM sessions
+    GROUP BY user_id, session_idx
+    """,
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 30-minute inactivity gap: lag to mark
+    session starts, running sum to number sessions, then a per-session
+    rollup. One shuffle on user_id that all three window/group steps
+    reuse. (Streaming twin: ``F.session_window(ts, '30 minutes')`` —
+    the batch form is oracle-checkable.)"""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    marked = ev.withColumn(
+        "_new_s", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    sessions = marked.withColumn("session_idx", F.sum("_new_s").over(wc))
+    return sessions.groupBy("user_id", "session_idx").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(F.col("value"), "session_value", 2),
+    )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end streaming inbox pipeline (S9/K1-K3 parity, run on demand)
+# ---------------------------------------------------------------------------
+
+def _stream_rules() -> RuleSet:
+    """Validation applied inside the streaming consumer's foreachBatch
+    (built lazily — Column expressions need an active SparkContext)."""
+    return (
+        RuleSet("customer")
+        .rule("custkey_positive", positive("c_custkey"), "c_custkey must be > 0")
+        .rule("name_not_blank", not_blank("c_name"), "c_name blank")
+        .rule("acctbal_positive", positive("c_acctbal"), "c_acctbal must be > 0")
+    )
+
+
+@query(
+    "streaming_inbox_pipeline",
+    oracle="""
+    SELECT 'clean' AS zone,
+           SUM(CASE WHEN c_custkey > 0 AND trim(c_name) <> ''
+                     AND c_acctbal > 0 THEN 1 ELSE 0 END) AS n_rows
+    FROM customer
+    UNION ALL
+    SELECT 'error',
+           SUM(CASE WHEN c_custkey > 0 AND trim(c_name) <> ''
+                     AND c_acctbal > 0 THEN 0 ELSE 1 END)
+    FROM customer
+    """,
+)
+def streaming_inbox_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full queue-leg parity run: envelope-wrap the customer table into
+    a JSON inbox (K1), drain it with a checkpointed AvailableNow stream
+    (S9), validate in foreachBatch (V1/V3), land clean/error parquet
+    zones (K2/K3), and report zone counts. The oracle recomputes the
+    expected split relationally. Each invocation uses a fresh temp run
+    directory (run-scoped output, reference DB_{run_id} analogue)."""
+    zones = ZonePaths(tempfile.mkdtemp(prefix="inbox_run_"))
+    cust = t(spark, sf_dir, "customer")
+    produce_to_inbox(
+        cust, zones, entity="customer", source="csv", run_id="r1", order_col="c_custkey"
+    )
+    schema = T.StructType(
+        [f for f in cust.schema.fields]  # canonical customer schema
+    )
+    counts = run_inbox_pipeline(
+        spark,
+        zones,
+        entity="customer",
+        data_schema=schema,
+        ruleset=_stream_rules(),
+    )
+    return spark.createDataFrame(
+        [(z, counts.get(z, 0)) for z in ("clean", "error")],
+        T.StructType(
+            [
+                T.StructField("zone", T.StringType(), False),
+                T.StructField("n_rows", T.LongType(), False),
+            ]
+        ),
+    )

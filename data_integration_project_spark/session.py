@@ -22,6 +22,9 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # testdata events.ts is parquet timestamp[ns]; read as raw long and
+    # convert on load (sources.registry.NANOS_COLUMNS)
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     # parquet scans: split files small enough that a scan parallelizes
     # even on modest local inputs (a single 30 MB file would otherwise
     # be ONE task). At cluster scale raise this back toward 128m+ via

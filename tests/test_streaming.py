@@ -1,0 +1,127 @@
+"""Streaming module tests: envelope round-trip, poison routing, the
+checkpointed inbox pipeline, and batch/streaming window-agg equality."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_integration_project_spark.operators.quality import RuleSet, positive
+from data_integration_project_spark.schemas import TESTDATA
+from data_integration_project_spark.streaming import (
+    decode_envelope,
+    encode_envelope,
+    produce_to_inbox,
+    run_inbox_pipeline,
+    streaming_window_counts,
+)
+from data_integration_project_spark.streaming.pipeline import ZonePaths
+
+
+@pytest.fixture()
+def zones():
+    root = tempfile.mkdtemp(prefix="zones_test_")
+    yield ZonePaths(root)
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_envelope_roundtrip(spark, sf_small):
+    cust = spark.read.schema(TESTDATA["customer"]).parquet(
+        f"{sf_small}/customer.parquet"
+    )
+    enc = encode_envelope(cust, source="csv", entity_type="customer", run_id="r1",
+                          order_col="c_custkey")
+    dec = decode_envelope(enc, TESTDATA["customer"])
+    assert dec.filter("_corrupt").count() == 0
+    back = dec.select(*cust.columns)
+    assert back.count() == cust.count()
+    # typed values survive JSON: keys and doubles match exactly
+    a = {r["c_custkey"]: r["c_acctbal"] for r in cust.collect()}
+    b = {r["c_custkey"]: r["c_acctbal"] for r in back.collect()}
+    assert a == b
+    assert dec.select("_source").distinct().collect()[0][0] == "csv"
+    assert dec.filter(F.col("_line_no").isNull()).count() == 0
+
+
+def test_poison_line_routing(spark, zones, sf_small):
+    cust = spark.read.schema(TESTDATA["customer"]).parquet(
+        f"{sf_small}/customer.parquet"
+    ).limit(10)
+    produce_to_inbox(cust, zones, entity="customer", source="csv", run_id="r1")
+    # inject two poison messages into the inbox (queue-corruption analogue)
+    inbox = os.path.join(zones.inbox, "customer")
+    with open(os.path.join(inbox, "poison.txt"), "w") as f:
+        f.write("this is not json\n{\"source\": \"csv\"}\n")
+    counts = run_inbox_pipeline(
+        spark, zones, entity="customer", data_schema=TESTDATA["customer"]
+    )
+    assert counts["clean"] == 10
+    poison = spark.read.json(os.path.join(zones.error, "customer_poison"))
+    assert poison.count() == 2
+
+
+def test_inbox_pipeline_validates_and_is_exactly_once(spark, zones, sf_small):
+    cust = spark.read.schema(TESTDATA["customer"]).parquet(
+        f"{sf_small}/customer.parquet"
+    )
+    total = cust.count()
+    n_bad = cust.filter(~(F.col("c_acctbal") > 0)).count()
+    assert 0 < n_bad < total  # fixture has negative balances
+    rules = RuleSet("customer").rule(
+        "acctbal_positive", positive("c_acctbal"), "c_acctbal must be > 0"
+    )
+    produce_to_inbox(cust, zones, entity="customer", source="csv", run_id="r1",
+                     order_col="c_custkey")
+    counts = run_inbox_pipeline(
+        spark, zones, entity="customer", data_schema=TESTDATA["customer"], ruleset=rules
+    )
+    assert counts == {"clean": total - n_bad, "error": n_bad}
+    # drain again with the SAME checkpoint: no new input → no duplicates
+    counts2 = run_inbox_pipeline(
+        spark, zones, entity="customer", data_schema=TESTDATA["customer"], ruleset=rules
+    )
+    assert counts2 == counts
+    err = spark.read.parquet(os.path.join(zones.error, "customer"))
+    assert err.filter(F.col("_errors") == "c_acctbal must be > 0").count() == n_bad
+
+
+def test_streaming_window_counts_match_batch(spark, sf_small):
+    from data_integration_project_spark.sources.registry import (
+        convert_nanos,
+        load_table,
+        physical_read_schema,
+    )
+
+    events = load_table(spark, "events", sf_small)
+    batch = streaming_window_counts(events, window="1 hour")
+    expected = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in batch.collect()
+    }
+
+    # the file stream source requires a DIRECTORY; stage the single
+    # parquet file into one (readonly testdata stays untouched)
+    stage_dir = tempfile.mkdtemp(prefix="events_stream_")
+    shutil.copy(f"{sf_small}/events.parquet", os.path.join(stage_dir, "part-0.parquet"))
+    stream = convert_nanos(
+        spark.readStream.schema(physical_read_schema("events")).parquet(stage_dir),
+        "events",
+    )
+    agg = streaming_window_counts(stream, window="1 hour", watermark=None)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    assert got == expected
