@@ -66,6 +66,14 @@ def _opt(df: DataFrame, name: str) -> Column:
     return F.col(name) if name in df.columns else F.lit(None).cast("string")
 
 
+def _meta(df: DataFrame) -> list[Column]:
+    """Lineage/metadata passthrough: ``_``-prefixed columns (line
+    numbers, source tags, lookup results) survive the transforms —
+    the reference's raw zone keeps exactly these (K2), and the
+    order-dependent dedup (V2) needs ``_line_no`` downstream."""
+    return [F.col(c) for c in df.columns if c.startswith("_")]
+
+
 def transform_khach_hang(df: DataFrame, extract_time: Column | None = None) -> DataFrame:
     """P1 (data_transformer.py:13-45): id-coalesce, name collapse, phone
     digit-strip, city trim, email lowercase."""
@@ -77,6 +85,7 @@ def transform_khach_hang(df: DataFrame, extract_time: Column | None = None) -> D
         nullify_blank(_opt(df, "thanh_pho")).alias("thanh_pho"),
         nullify_blank(normalized_email(_opt(df, "email"))).alias("email"),
         et.alias("extract_time"),
+        *_meta(df),
     )
 
 
@@ -88,6 +97,7 @@ def transform_loai_mon(df: DataFrame, extract_time: Column | None = None) -> Dat
         nullify_blank(_opt(df, "ten_loai")).alias("ten_loai"),
         nullify_blank(_opt(df, "mo_ta")).alias("mo_ta"),
         et.alias("extract_time"),
+        *_meta(df),
     )
 
 
@@ -108,6 +118,7 @@ def transform_mon(df: DataFrame, extract_time: Column | None = None) -> DataFram
         loai_id.alias("loai_id"),
         cast_default(_opt(df, "gia"), "double", 0.0).alias("gia"),
         et.alias("extract_time"),
+        *_meta(df),
     )
 
 
@@ -122,6 +133,7 @@ def transform_nguyen_lieu(df: DataFrame, extract_time: Column | None = None) -> 
         cast_default(_opt(df, "gia"), "double", 0.0).alias("gia"),
         _opt(df, "ngay_nhap").try_cast("date").alias("ngay_nhap"),
         et.alias("extract_time"),
+        *_meta(df),
     )
 
 
@@ -136,6 +148,7 @@ def transform_dat_hang(df: DataFrame, extract_time: Column | None = None) -> Dat
         _opt(df, "ngay_dat").try_cast("date").alias("ngay_dat"),
         nullify_blank(_opt(df, "trang_thai")).alias("trang_thai"),
         et.alias("extract_time"),
+        *_meta(df),
     )
 
 

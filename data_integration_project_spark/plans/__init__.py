@@ -11,5 +11,6 @@ from . import textops_q  # noqa: E402,F401
 from . import dedup_q  # noqa: E402,F401
 from . import similarity_q  # noqa: E402,F401
 from . import events_q  # noqa: E402,F401
+from . import entities_q  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "query", "queries", "oracle_sql"]

@@ -18,6 +18,11 @@ from pyspark.sql import SparkSession
 #: session — e.g. the driver-owned session passed into ``queries()``.
 RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
+    # sized to the local core count (driver-owned sessions default to
+    # 200 — tiny-task spray at test scale); AQE coalescing still rules
+    "spark.sql.shuffle.partitions": str(
+        int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    ),
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
