@@ -1,0 +1,129 @@
+"""Sink operators (reference K1-K8): zone writes, failure logs, bulk
+JDBC loads — as DataFrame writer plans.
+
+Zone layout matches the medallion-style dirs the reference keeps
+(staging/raw|clean|error, STEP3_QUALITY_ENGINE.py:29-35) but lands
+PARQUET partitioned by (entity, source, run_id) instead of per-run CSV
+files with encoded filenames (STEP2_RAW_CONSUMER.py:143-148): the
+filename-parsing operator P9 becomes partition pruning, and a 100 TB
+zone stays scannable without listing millions of files.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: K8 per-entity "important fields" projection for failure reports
+#: (FailedDataLogger, main.py:326-357).
+IMPORTANT_FIELDS: dict[str, list[str]] = {
+    "khach_hang": ["customer_id", "ho_ten", "email"],
+    "loai_mon": ["ma_loai", "ten_loai"],
+    "mon": ["ten_mon", "gia", "loai_id"],
+    "nguyen_lieu": ["ma_nguyen_lieu", "ten_nguyen_lieu", "so_luong"],
+    "dat_hang": ["khach_hang_id", "mon_id", "so_luong", "trang_thai"],
+}
+
+
+def zone_write(
+    df: DataFrame,
+    zone_root: str,
+    zone: str,
+    *,
+    entity: str,
+    source: str,
+    run_id: str,
+) -> str:
+    """K2/K3: append one entity×source×run slice into a zone as
+    partitioned parquet. Lineage becomes partition COLUMNS (pruned at
+    read; the reference parses them back out of filenames, P9)."""
+    out = os.path.join(zone_root, zone)
+    (
+        df.withColumn("entity", F.lit(entity))
+        .withColumn("source", F.lit(source))
+        .withColumn("run_id", F.lit(run_id))
+        .write.mode("append")
+        .partitionBy("entity", "source", "run_id")
+        .parquet(out)
+    )
+    return out
+
+
+def read_zone(
+    spark: SparkSession,
+    zone_root: str,
+    zone: str,
+    *,
+    entity: str | None = None,
+    source: str | None = None,
+    run_id: str | None = None,
+) -> DataFrame:
+    """Zone scan with partition pruning (filters on entity/source/run_id
+    never touch non-matching files)."""
+    df = spark.read.parquet(os.path.join(zone_root, zone))
+    for col, val in (("entity", entity), ("source", source), ("run_id", run_id)):
+        if val is not None:
+            df = df.filter(F.col(col) == val)
+    return df
+
+
+def error_zone_write(
+    error_df: DataFrame,
+    zone_root: str,
+    *,
+    entity: str,
+    source: str,
+    run_id: str,
+) -> str:
+    """K3+K8: error rows land twice conceptually in the reference
+    (error zone + failure log); here one write serves both — the
+    failure-log projection is :func:`failed_data_view` at read time."""
+    return zone_write(
+        error_df, zone_root, "error", entity=entity, source=source, run_id=run_id
+    )
+
+
+def failed_data_view(error_df: DataFrame, entity: str) -> DataFrame:
+    """K8 FailedDataLogger projection: (time, entity, errors, important
+    fields) — a select over the error zone, not a second sink."""
+    cols = [c for c in IMPORTANT_FIELDS.get(entity, []) if c in error_df.columns]
+    return error_df.select(
+        F.current_timestamp().alias("log_time"),
+        F.lit(entity).alias("entity"),
+        F.col("_errors").alias("errors"),
+        *cols,
+    )
+
+
+def truncate_overwrite(df: DataFrame, path: str) -> None:
+    """K6 TRUNCATE + reload ≡ overwrite write."""
+    df.write.mode("overwrite").parquet(path)
+
+
+def jdbc_bulk_insert(
+    df: DataFrame,
+    url: str,
+    table: str,
+    *,
+    user: str | None = None,
+    password: str | None = None,
+    driver: str | None = None,
+    batchsize: int = 1000,
+    mode: str = "append",
+) -> None:
+    """K4: batched bulk insert (reference executemany batch=1000 with
+    commit-per-batch, etl/db/sql_client.py:118-194) → JDBC writer with
+    ``batchsize``. Divergence (SURVEY.md §4): the reference skips a
+    failed batch and continues; Spark task retry is all-or-nothing —
+    pre-validate rows (the quality engine's job) instead of relying on
+    partial-batch recovery. Gated: needs a reachable RDBMS + driver jar."""
+    props = {"batchsize": str(batchsize)}
+    if user is not None:
+        props["user"] = user
+    if password is not None:
+        props["password"] = password
+    if driver is not None:
+        props["driver"] = driver
+    df.write.mode(mode).jdbc(url, table, properties=props)
