@@ -33,6 +33,22 @@ def distinct_token_count(col: Column) -> Column:
     return F.size(F.array_distinct(tokens(col)))
 
 
+#: GPT-2-ish pretokenizer pattern (simplified, lookahead-free so it is
+#: portable between Java regex and RE2): contraction suffixes, then
+#: space-prefixed letter runs, digit runs, punctuation runs.
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_ish_tokens(col: Column) -> Column:
+    """BPE-style pretokenization (the unit a byte-pair encoder would
+    merge within). DuckDB twin: ``regexp_extract_all(text, pattern)``."""
+    return F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), 0)
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    return F.size(bpe_ish_tokens(col))
+
+
 def word_shingles(col: Column, k: int) -> Column:
     """k-word shingles (the MinHash unit): sliding windows over the
     token array, joined with single spaces. Pure array ops —

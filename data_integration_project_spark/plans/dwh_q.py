@@ -212,3 +212,26 @@ def monitoring_entity_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("critical")
         .alias("status"),
     )
+
+
+@query("monitoring_file_stats")  # no oracle: file layout is engine-side metadata
+def monitoring_file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 zone statistics (dashboard.py:46-113): per-file record counts
+    via ``input_file_name()`` rolled up per table — file count, row
+    count, largest file. The reference globs and counts CSV lines
+    driver-side; here it is one distributed scan per table (and at
+    scale, parquet footer metadata makes the counts near-free)."""
+    out = None
+    for name in ("customer", "orders", "lineitem", "documents"):
+        per_file = (
+            t(spark, sf_dir, name)
+            .groupBy(F.input_file_name().alias("_file"))
+            .agg(F.count(F.lit(1)).alias("_rows"))
+        )
+        stats = per_file.agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("_rows").alias("n_rows"),
+            F.max("_rows").alias("max_file_rows"),
+        ).select(F.lit(name).alias("table_name"), "n_files", "n_rows", "max_file_rows")
+        out = stats if out is None else out.unionByName(stats)
+    return out

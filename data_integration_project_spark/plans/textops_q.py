@@ -19,6 +19,9 @@ from .catalog import query, t
 _TOKENS_SQL = "regexp_split_to_array(lower(trim(text)), '\\s+')"
 
 
+_BPE_SQL = X.BPE_ISH_PATTERN.replace("'", "''")
+
+
 @query(
     "doc_token_stats",
     oracle=f"""
@@ -29,6 +32,7 @@ _TOKENS_SQL = "regexp_split_to_array(lower(trim(text)), '\\s+')"
       CAST(length(text) AS BIGINT) AS n_chars,
       CAST(len({_TOKENS_SQL}) AS INT) AS n_tokens,
       CAST(len(list_distinct({_TOKENS_SQL})) AS INT) AS n_distinct_tokens,
+      CAST(len(regexp_extract_all(text, '{_BPE_SQL}')) AS INT) AS n_bpe_tokens,
       CAST(len(list_distinct({_TOKENS_SQL})) AS DOUBLE)
         / len({_TOKENS_SQL}) AS type_token_ratio
     FROM documents
@@ -36,8 +40,9 @@ _TOKENS_SQL = "regexp_split_to_array(lower(trim(text)), '\\s+')"
 )
 def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token statistics (token counting over the corpus):
-    whitespace tokenization, distinct-token vocabulary, type/token
-    ratio. Single scan, no shuffle."""
+    whitespace tokenization, distinct-token vocabulary, a BPE-style
+    regex pretokenizer count (the unit an encoder would merge within),
+    and type/token ratio. Single scan, no shuffle."""
     d = t(spark, sf_dir, "documents")
     n_tok = X.token_count(F.col("text"))
     n_dis = X.distinct_token_count(F.col("text"))
@@ -48,6 +53,7 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("long").alias("n_chars"),
         n_tok.alias("n_tokens"),
         n_dis.alias("n_distinct_tokens"),
+        X.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
         (n_dis.cast("double") / n_tok).alias("type_token_ratio"),
     )
 
