@@ -33,6 +33,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_cosine_topk",
+    "ann_topk_pandas",
     "doc_quality_scores",
     "multimodal_features",
     "events_hourly_by_type",

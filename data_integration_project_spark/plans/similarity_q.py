@@ -80,6 +80,16 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_near_dup_pairs(corpus, "vec_id", "embedding", threshold=0.99)
 
 
+@query("ann_topk_pandas")  # no oracle: BLAS sum order ≠ fold order (~1e-15)
+def ann_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vectorized-Pandas-UDF exact path: broadcast corpus index +
+    one matmul per Arrow query batch. Same semantics as ann_cosine_topk
+    (agreement unit-tested); the fast lane when Python is in play."""
+    e = t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 100 == 0)
+    return S.brute_force_topk_pandas(queries, e, "vec_id", "embedding", k=5)
+
+
 @query("ann_srp_bucketed")  # no oracle: approximate — recall tested vs exact
 def ann_srp_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path ANN: signed-random-projection buckets (deterministic

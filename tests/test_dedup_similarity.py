@@ -83,6 +83,20 @@ def test_srp_recall_vs_exact(spark):
             assert abs(exact_scores[key] - r["cos_sim"]) < 1e-12
 
 
+def test_pandas_topk_agrees_with_fold_topk(spark):
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.filter("vec_id % 50 = 0")
+    fold = S.brute_force_topk(q, e, "vec_id", "embedding", k=5).collect()
+    fast = S.brute_force_topk_pandas(q, e, "vec_id", "embedding", k=5).collect()
+    assert len(fold) == len(fast)
+    fold_m = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in fold}
+    fast_m = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in fast}
+    # same neighbor sets (barring exact near-ties) and scores to 1e-9
+    assert set(fold_m) == set(fast_m)
+    for key, sim in fold_m.items():
+        assert abs(sim - fast_m[key]) < 1e-9
+
+
 def test_multimodal_stub_contract(spark):
     import pytest
 
