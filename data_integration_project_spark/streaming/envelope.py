@@ -54,10 +54,13 @@ def encode_envelope(
     line_no = (
         F.col(order_col) if isinstance(order_col, str) else order_col
     ) if order_col is not None else F.monotonically_increasing_id()
+    # payload carries BUSINESS columns only; lineage (_-prefixed) rides
+    # in metadata — decode would otherwise collide restoring _line_no
+    data_cols = [c for c in df.columns if not c.startswith("_")]
     payload = F.struct(
         F.lit(source).alias("source"),
         F.lit(entity_type).alias("entity_type"),
-        F.struct(*[F.col(c) for c in df.columns]).alias("data"),
+        F.struct(*[F.col(c) for c in data_cols]).alias("data"),
         F.struct(
             F.lit(None).cast("string").alias("origin"),
             F.current_timestamp().alias("extract_time"),
