@@ -95,6 +95,44 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# As-of join (custom temporal operator — no Spark primitive)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_asof_last_click",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           c.ts AS asof_ts, c.event_id AS asof_event_id, c.value AS asof_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts > c.ts
+    """,
+)
+def events_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every purchase event enriched with the user's most
+    recent STRICTLY-prior click (attribution shape). Implemented as a
+    union + ONE windowed pass (operators/temporal.asof_join) — no range
+    explosion; the oracle uses DuckDB's native ASOF LEFT JOIN."""
+    from ..operators.temporal import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        "user_id",
+        right_cols=["event_id", "value"],
+        strict=True,
+    )
+
+
+# ---------------------------------------------------------------------------
 # End-to-end streaming inbox pipeline (S9/K1-K3 parity, run on demand)
 # ---------------------------------------------------------------------------
 
