@@ -18,6 +18,47 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 
+def binned_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    *,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    window_seconds: int,
+    prefix: str = "r_",
+) -> DataFrame:
+    """Time-range join: pairs (l, r) with the same key and
+    ``|l.ts - r.ts| <= window_seconds`` — WITHOUT the naive
+    inequality-join cross product.
+
+    Binned form: right rows land in one coarse bin of width
+    ``window_seconds``; left rows probe their own bin ±1 (any match is
+    within one bin of the left row). The equi-join on (key, bin) is an
+    ordinary hash join — work is proportional to true candidates, and
+    the exact predicate filters the bin edges. This is the standard
+    OSS-Spark substitute for a range-join optimizer rule.
+    """
+    w = F.lit(window_seconds)
+    r_binned = right.select(
+        F.col(on),
+        *[F.col(c).alias(f"{prefix}{c}") for c in right.columns if c != on],
+    ).withColumn("_bin", F.floor(F.col(f"{prefix}{right_ts}").cast("double") / w))
+    l_binned = left.withColumn(
+        "_bins",
+        F.array(
+            F.floor(F.col(left_ts).cast("double") / w) - 1,
+            F.floor(F.col(left_ts).cast("double") / w),
+            F.floor(F.col(left_ts).cast("double") / w) + 1,
+        ),
+    ).withColumn("_bin", F.explode("_bins")).drop("_bins")
+    joined = l_binned.join(r_binned, [on, "_bin"]).drop("_bin")
+    dt_abs = F.abs(
+        F.col(left_ts).cast("double") - F.col(f"{prefix}{right_ts}").cast("double")
+    )
+    return joined.filter(dt_abs <= w)
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

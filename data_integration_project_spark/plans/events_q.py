@@ -133,6 +133,117 @@ def events_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Range join (binned — no cross-product), hypertable-style rollup,
+# running window stats
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_range_correlation",
+    oracle=f"""
+    SELECT e.event_id, e.user_id,
+           COUNT(*) AS n_nearby,
+           {SQL_DSUM('r.value', 'nearby_value', 2)}
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    JOIN events r
+      ON e.user_id = r.user_id
+     AND r.event_id <> e.event_id
+     AND abs(epoch(e.ts) - epoch(r.ts)) <= 300
+    GROUP BY e.event_id, e.user_id
+    """,
+)
+def events_range_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: events of the same user within ±5 minutes of each
+    error event, rolled up per error. Binned equi-join form
+    (operators/temporal.binned_range_join) — hash join on (key, bin)
+    instead of an inequality cross product; the oracle does it the
+    quadratic way (its corpus is small)."""
+    from ..operators.temporal import binned_range_join
+
+    ev = t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    others = ev.select("user_id", "ts", "event_id", "value")
+    joined = binned_range_join(
+        errors, others, "user_id", window_seconds=300
+    ).filter(F.col("r_event_id") != F.col("event_id"))
+    return joined.groupBy("event_id", "user_id").agg(
+        F.count(F.lit(1)).alias("n_nearby"),
+        dsum(F.col("r_value"), "nearby_value", 2),
+    )
+
+
+@query(
+    "events_multi_rollup",
+    oracle=f"""
+    SELECT date_trunc('day', ts) AS day, date_trunc('hour', ts) AS hour,
+           GROUPING(date_trunc('day', ts)) + 2*GROUPING(date_trunc('hour', ts)) AS gid,
+           COUNT(*) AS n_events,
+           {SQL_DSUM('value', 'total_value', 2)}
+    FROM events
+    GROUP BY ROLLUP(date_trunc('day', ts), date_trunc('hour', ts))
+    """,
+)
+def events_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: one ROLLUP pass emits
+    hour-grain, day-grain, and grand-total rows with a grouping id —
+    the multi-granularity rollup a time-series store keeps
+    incrementally, here as a single shuffle (Spark expands grouping
+    sets before the partial aggregate, so it stays map-side-combined)."""
+    ev = t(spark, sf_dir, "events").select(
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        F.date_trunc("hour", "ts").alias("hour"),
+        "value",
+    )
+    return ev.rollup("day", "hour").agg(
+        (F.grouping("day") + 2 * F.grouping("hour")).alias("gid"),
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(F.col("value"), "total_value", 2),
+    )
+
+
+@query(
+    "events_user_running_stats",
+    oracle="""
+    SELECT event_id, user_id, ts, value,
+      CAST(SUM(CAST(value AS DECIMAL(18,2)))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value,
+      CAST(SUM(CAST(value AS DECIMAL(18,2)))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving3_value,
+      rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS value_rank
+    FROM events
+    """,
+)
+def events_user_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running totals, 3-event moving sums, and a value rank —
+    three window specs sharing ONE shuffle on user_id (exact-decimal
+    sums keep frames order-independent across engines)."""
+    ev = t(spark, sf_dir, "events")
+    order = [F.col("ts"), F.col("event_id")]
+    w_run = (
+        Window.partitionBy("user_id").orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_mov = Window.partitionBy("user_id").orderBy(*order).rowsBetween(-2, 0)
+    w_rank = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    dec = F.col("value").cast("decimal(18,2)")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.sum(dec).over(w_run).cast("double").alias("running_value"),
+        F.sum(dec).over(w_mov).cast("double").alias("moving3_value"),
+        F.rank().over(w_rank).alias("value_rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # End-to-end streaming inbox pipeline (S9/K1-K3 parity, run on demand)
 # ---------------------------------------------------------------------------
 

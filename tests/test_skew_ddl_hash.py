@@ -55,7 +55,8 @@ def test_salted_join_matches_plain(spark, sf_small):
 def test_ddl_bootstrap_idempotent(spark):
     db = bootstrap_run_schema(spark, "testrun")
     try:
-        tables = {t.name for t in spark.catalog.listTables(db)}
+        # listTables also returns session temp views — exclude them
+        tables = {t.name for t in spark.catalog.listTables(db) if not t.isTemporary}
         assert "khach_hang_csv" in tables and "dat_hang_sql" in tables
         assert len(tables) == 10  # 5 entities × 2 sources
         bootstrap_run_schema(spark, "testrun")  # second call: no-op
