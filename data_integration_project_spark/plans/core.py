@@ -208,6 +208,40 @@ def order_line_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Exact distribution statistics (extension beyond the reference's
+# SUM/COUNT-only aggregate surface): percentiles with linear
+# interpolation — Spark 4's exact `percentile` ≡ DuckDB quantile_cont.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_price_quantiles",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           round(quantile_cont(o_totalprice, 0.50), 4) AS median,
+           round(quantile_cont(o_totalprice, 0.95), 4) AS p95
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def orders_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantiles per priority class (linear interpolation, both
+    engines; 4-dp rounding absorbs last-ulp interpolation ordering).
+    At 100 TB swap `percentile` for `approx_percentile` — same plan
+    shape, sketch-mergeable, no global sort."""
+    o = t(spark, sf_dir, "orders")
+    q = lambda p: F.round(F.percentile(F.col("o_totalprice"), F.lit(p)), 4)
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        q(0.25).alias("p25"),
+        q(0.50).alias("median"),
+        q(0.95).alias("p95"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # A5 / S6 analogue: catalog-style row-count introspection across tables
 # (database_factory.get_table_info / read_all_tables, U2 union of stat rows).
 # ---------------------------------------------------------------------------
