@@ -97,38 +97,43 @@ def consume_inbox(
     raw = reader.load(os.path.join(zones.inbox, entity))
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
-        decoded = decode_envelope(batch, data_schema)
-        poison = decoded.filter(F.col("_corrupt")).select(
-            F.col("value").alias("_raw_value"),
-            F.lit("unparseable envelope").alias("_errors"),
-        )
-        rows = decoded.filter(~F.col("_corrupt")).drop("value", "_corrupt")
-        if ruleset is not None:
-            validated = ruleset.validate(rows)
-            if dedup_keys:
-                from ..operators.quality import reject_duplicates
+        # the micro-batch feeds three sinks (clean/error/poison) —
+        # decode+validate once, not once per sink
+        decoded = decode_envelope(batch, data_schema).persist()
+        try:
+            poison = decoded.filter(F.col("_corrupt")).select(
+                F.col("value").alias("_raw_value"),
+                F.lit("unparseable envelope").alias("_errors"),
+            )
+            rows = decoded.filter(~F.col("_corrupt")).drop("value", "_corrupt")
+            if ruleset is not None:
+                validated = ruleset.validate(rows)
+                if dedup_keys:
+                    from ..operators.quality import reject_duplicates
 
-                validated = reject_duplicates(
-                    validated.drop("_is_valid"),
-                    dedup_keys,
-                    [F.col("_line_no").asc_nulls_last()],
+                    validated = reject_duplicates(
+                        validated.drop("_is_valid"),
+                        dedup_keys,
+                        [F.col("_line_no").asc_nulls_last()],
+                    )
+                validated = validated.persist()
+                clean = validated.filter("_is_valid").drop("_errors", "_is_valid")
+                error = (
+                    validated.filter(~F.col("_is_valid"))
+                    .withColumn("_errors", F.concat_ws(" | ", "_errors"))
+                    .drop("_is_valid")
                 )
-            clean = validated.filter("_is_valid").drop("_errors", "_is_valid")
-            error = (
-                validated.filter(~F.col("_is_valid"))
-                .withColumn("_errors", F.concat_ws(" | ", "_errors"))
-                .drop("_is_valid")
-            )
-        else:
-            clean, error = rows, None
-        clean.write.mode("append").parquet(os.path.join(zones.clean, entity))
-        if error is not None:
-            error.write.mode("append").parquet(os.path.join(zones.error, entity))
-        p_count = poison.count()
-        if p_count:
-            poison.write.mode("append").json(
-                os.path.join(zones.error, f"{entity}_poison")
-            )
+            else:
+                clean, error = rows, None
+            clean.write.mode("append").parquet(os.path.join(zones.clean, entity))
+            if error is not None:
+                error.write.mode("append").parquet(os.path.join(zones.error, entity))
+            if not poison.isEmpty():
+                poison.write.mode("append").json(
+                    os.path.join(zones.error, f"{entity}_poison")
+                )
+        finally:
+            decoded.unpersist()
 
     return (
         raw.writeStream.foreachBatch(process_batch)
