@@ -18,9 +18,11 @@ from pyspark.sql import functions as F
 
 
 def collapse_whitespace(col: Column) -> Column:
-    """``' '.join(s.split())`` — trim + collapse inner runs (ref P1,
-    data_transformer.py:24-28). NULL-safe."""
-    return F.regexp_replace(F.trim(col), r"\s+", " ")
+    """``' '.join(s.split())`` (ref P1, data_transformer.py:24-28).
+    Collapse FIRST, then trim: SQL ``trim`` strips only spaces, so the
+    collapse must turn leading/trailing tabs into spaces before the
+    trim can remove them (property-test-found ordering). NULL-safe."""
+    return F.trim(F.regexp_replace(col, r"\s+", " "))
 
 
 def digits_only(col: Column) -> Column:

@@ -83,7 +83,7 @@ _KH_ORACLE = f"""
       {_values(_KH_ROWS)}),
     fixed AS (
       SELECT line_no, id AS customer_id,
-             nullif(regexp_replace(trim(ho_ten), '\\s+', ' ', 'g'), '') AS ho_ten,
+             nullif(trim(regexp_replace(ho_ten, '\\s+', ' ', 'g')), '') AS ho_ten,
              nullif(regexp_replace(sdt, '[^0-9]', '', 'g'), '') AS sdt,
              nullif(lower(trim(email)), '') AS email
       FROM raw),

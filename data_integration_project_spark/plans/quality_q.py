@@ -38,7 +38,7 @@ _DIRTY_SQL_CTE = """
     fixed AS (
       SELECT
         c_custkey,
-        regexp_replace(trim(c_name), '\\s+', ' ', 'g') AS c_name,
+        trim(regexp_replace(c_name, '\\s+', ' ', 'g')) AS c_name,
         c_acctbal,
         c_mktsegment,
         lower(trim(email)) AS email,
@@ -85,7 +85,7 @@ def customer_ruleset() -> Q.RuleSet:
     + dirty fixtures (FIXTURES.md §A1), applied to the customer mapping.
     Fixes mirror transform P1 (name collapse, email lower, phone digits)."""
     rs = Q.RuleSet("customer")
-    rs.fix("c_name", Q.F.regexp_replace(Q.F.trim("c_name"), r"\s+", " "))
+    rs.fix("c_name", Q.F.trim(Q.F.regexp_replace("c_name", r"\s+", " ")))
     rs.fix("email", Q.F.lower(Q.F.trim("email")))
     rs.fix("sdt", Q.F.regexp_replace("sdt", "[^0-9]", ""))
     rs.rule("name_not_blank", Q.not_blank("c_name"), "ho_ten is blank")

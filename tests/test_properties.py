@@ -1,0 +1,115 @@
+"""Property-based tests (hypothesis) for the expression library: each
+property generates a batch of adversarial strings/numbers and checks
+the Spark Column expression against an independent Python model in ONE
+job per example set (Spark per-example round-trips would be too slow).
+
+Alphabet note: Java's ``\\s`` is ASCII-only while Python's
+``str.split()`` splits on unicode whitespace — a real engine-vs-model
+divergence. The text alphabet below therefore includes unicode LETTERS
+but only ASCII whitespace; the divergence itself is documented at the
+definition site (functions/text.tokens).
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from data_integration_project_spark.functions.cleaning import (
+    cast_default,
+    collapse_whitespace,
+    digits_only,
+    nullify_blank,
+)
+from data_integration_project_spark.functions.text import char_fold_hash
+
+_TEXT = st.text(
+    alphabet=st.characters(
+        codec="utf-8",
+        categories=("L", "N", "P", "S"),
+        include_characters=" \t",
+    ),
+    max_size=60,
+)
+
+_SETTINGS = dict(max_examples=8, deadline=None)
+
+
+def _one_job(spark, values, expr_fn):
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(values)], "i int, s string")
+    return {r["i"]: r["out"] for r in df.select("i", expr_fn(F.col("s")).alias("out")).collect()}
+
+
+@settings(**_SETTINGS)
+@given(st.lists(_TEXT, min_size=1, max_size=40))
+def test_collapse_whitespace_model(spark, values):
+    got = _one_job(spark, values, collapse_whitespace)
+    for i, s in enumerate(values):
+        # collapse (ASCII \s, Java semantics) then space-only trim
+        expected = re.sub(r"[ \t\r\n\x0b\x0c]+", " ", s).strip(" ")
+        assert got[i] == expected, (s,)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(_TEXT, min_size=1, max_size=40))
+def test_digits_only_model(spark, values):
+    got = _one_job(spark, values, digits_only)
+    for i, s in enumerate(values):
+        assert got[i] == "".join(c for c in s if c in "0123456789"), (s,)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(_TEXT, min_size=1, max_size=40))
+def test_nullify_blank_model(spark, values):
+    got = _one_job(spark, values, nullify_blank)
+    for i, s in enumerate(values):
+        # SQL trim strips SPACES only (tabs survive — callers that need
+        # full whitespace handling collapse first; see collapse_whitespace)
+        t = s.strip(" ")
+        assert got[i] == (t if t else None), (s,)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.one_of(
+            st.integers(-10**6, 10**6).map(str),
+            st.floats(
+                allow_nan=False, allow_infinity=False, width=32, min_value=-1e6, max_value=1e6
+            ).map(repr),
+            _TEXT,
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_cast_default_total(spark, values):
+    """cast_default never nulls and parses everything float() parses
+    that try_cast also accepts; garbage lands on the default."""
+    got = _one_job(spark, values, lambda c: cast_default(c, "double", 0.0))
+    for i, s in enumerate(values):
+        assert got[i] is not None
+        try:
+            expected = float(s)
+        except ValueError:
+            expected = 0.0
+        # try_cast accepts a subset of float()'s grammar; when it parses,
+        # it must agree — when it rejects, the default must appear
+        assert got[i] in (expected, 0.0), (s, got[i])
+
+
+@settings(**_SETTINGS)
+@given(st.lists(_TEXT, min_size=1, max_size=30))
+def test_char_fold_hash_model(spark, values):
+    """The portable hash's Python model: fold (acc*31 + codepoint) mod P
+    — ``ascii()`` in both engines returns the full codepoint of the
+    first character, not just ASCII."""
+    got = _one_job(spark, values, char_fold_hash)
+    P = 2147483647
+    for i, s in enumerate(values):
+        acc = 0
+        for ch in s:
+            acc = (acc * 31 + ord(ch)) % P
+        assert got[i] == acc, (s,)
