@@ -199,6 +199,166 @@ def brute_force_topk_pandas(
     )
 
 
+def _collect_matrix(df: DataFrame, id_col: str, vec_col: str):
+    import numpy as np
+
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    return ids, mat
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    *,
+    n_iters: int = 5,
+) -> "object":
+    """Deterministic mini k-means for the IVF coarse quantizer: init
+    from id-evenly-spaced corpus vectors (no RNG), then n_iters of
+    assign (numpy matmul inside mapInPandas) + per-cluster mean
+    (codegen aggregate over exploded dims). The centroid table is
+    k×d — genuinely driver-sized metadata (16×64 here); everything
+    row-scale stays distributed."""
+    import numpy as np
+
+    n = corpus.count()
+    step = max(n // k, 1)
+    w = Window.orderBy(id_col)
+    seed_rows = (
+        corpus.select(id_col, vec_col)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter((F.col("_rk") - 1) % step == 0)
+        .limit(k)
+        .select(vec_col)
+        .collect()
+    )
+    centroids = np.array([r[0] for r in seed_rows], dtype=np.float64)
+
+    spark = corpus.sparkSession
+    for _ in range(n_iters):
+        bc = spark.sparkContext.broadcast(centroids)
+
+        def assign(batches):
+            import pandas as pd
+
+            cents = bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+                d2 = ((v[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+                out = pd.DataFrame({"_cluster": d2.argmin(axis=1).astype("int32")})
+                out[vec_col] = list(pdf[vec_col])
+                yield out
+
+        assigned = corpus.select(vec_col).mapInPandas(
+            assign, schema=f"_cluster int, {vec_col} array<float>"
+        )
+        # per-cluster mean via explode + codegen avg (no driver rows
+        # beyond the k×d result)
+        means = (
+            assigned.select("_cluster", F.posexplode(vec_col).alias("_d", "_x"))
+            .groupBy("_cluster", "_d")
+            .agg(F.avg("_x").alias("_m"))
+            .collect()
+        )
+        new = centroids.copy()
+        for r in means:
+            new[r["_cluster"], r["_d"]] = r["_m"]
+        centroids = new
+    return centroids
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    *,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    n_iters: int = 3,
+) -> DataFrame:
+    """IVF approximate top-k: a k-means coarse quantizer partitions the
+    corpus into inverted lists; each query scores only the ``n_probe``
+    nearest lists (cost ≈ n_probe/n_clusters of brute force). The
+    cluster id is the shuffle/join key — at scale the inverted lists
+    are the partitioning, and the centroid table stays broadcast."""
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    centroids = kmeans_centroids(corpus, id_col, vec_col, n_clusters, n_iters=n_iters)
+    bc = spark.sparkContext.broadcast(centroids)
+
+    def assign_one(batches):
+        cents = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+            d2 = ((v[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            out = pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "_cluster": d2.argmin(axis=1).astype("int32"),
+                }
+            )
+            out[vec_col] = list(pdf[vec_col])
+            yield out
+
+    schema = f"{id_col} long, _cluster int, {vec_col} array<float>"
+    c_assigned = corpus.select(id_col, vec_col).mapInPandas(assign_one, schema=schema)
+
+    def assign_probes(batches):
+        cents = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+            d2 = ((v[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            probes = np.argsort(d2, axis=1)[:, :n_probe].astype("int32")
+            out = pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), n_probe),
+                    "_cluster": probes.reshape(-1),
+                }
+            )
+            out[vec_col] = [v_ for v_ in pdf[vec_col] for _ in range(n_probe)]
+            yield out
+
+    q_probed = queries.select(id_col, vec_col).mapInPandas(assign_probes, schema=schema)
+
+    q = q_probed.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), "_cluster"
+    )
+    c = c_assigned.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), "_cluster"
+    )
+    scored = (
+        q.join(c, "_cluster")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("_qv"), F.col("_cv")).alias("cos_sim"),
+        )
+        .distinct()  # a neighbor reachable via several probed lists scores once
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def cosine_near_dup_pairs(
     corpus: DataFrame, id_col: str, vec_col: str, threshold: float
 ) -> DataFrame:

@@ -90,6 +90,19 @@ def ann_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk_pandas(queries, e, "vec_id", "embedding", k=5)
 
 
+@query("ann_ivf_topk")  # no oracle: approximate — recall tested vs exact
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic mini-k-means coarse quantizer → inverted
+    lists keyed by cluster id → queries probe their n_probe nearest
+    lists only. The centroid table is driver-sized metadata; corpus
+    assignment and scoring stay distributed (cluster id = join key)."""
+    e = t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 100 == 0)
+    return S.ivf_topk(
+        queries, e, "vec_id", "embedding", k=5, n_clusters=16, n_probe=6, n_iters=3
+    )
+
+
 @query("ann_srp_bucketed")  # no oracle: approximate — recall tested vs exact
 def ann_srp_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path ANN: signed-random-projection buckets (deterministic

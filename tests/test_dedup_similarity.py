@@ -83,6 +83,27 @@ def test_srp_recall_vs_exact(spark):
             assert abs(exact_scores[key] - r["cos_sim"]) < 1e-12
 
 
+def test_ivf_recall_and_planted_duplicates(spark):
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.filter("vec_id % 50 = 0")
+    exact = S.brute_force_topk(q, e, "vec_id", "embedding", k=5).collect()
+    ivf = S.ivf_topk(
+        q, e, "vec_id", "embedding", k=5, n_clusters=8, n_probe=4, n_iters=3
+    ).collect()
+    es = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    iv = {(r["query_id"], r["neighbor_id"]) for r in ivf}
+    assert len(iv & es) / len(es) >= 0.6, "IVF recall too low"
+    # an exact duplicate has identical centroid distances → same
+    # inverted list as its query → ALWAYS retrieved at rank 1
+    copies = q.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    with_copies = e.select("vec_id", "embedding").unionByName(copies)
+    got = S.ivf_topk(
+        q, with_copies, "vec_id", "embedding", k=5, n_clusters=8, n_probe=2, n_iters=2
+    ).collect()
+    top1 = {r["query_id"]: r["neighbor_id"] for r in got if r["rank"] == 1}
+    assert all(top1[qid] == qid + 1000000 for qid in top1)
+
+
 def test_pandas_topk_agrees_with_fold_topk(spark):
     e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     q = e.filter("vec_id % 50 = 0")
