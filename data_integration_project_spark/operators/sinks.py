@@ -102,6 +102,57 @@ def truncate_overwrite(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").parquet(path)
 
 
+def compact_zone(
+    spark: SparkSession,
+    zone_root: str,
+    zone: str,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+) -> dict[str, int]:
+    """Small-file compaction for streaming-appended zones: each
+    micro-batch append leaves one-or-more files per partition; over
+    days a 100 TB zone accumulates millions of tiny files and scan
+    planning dominates runtime. Rewrites each (entity, source, run_id)
+    partition whose file count exceeds ``min_files`` into
+    ``ceil(bytes / target_file_bytes)`` files via a staging directory +
+    atomic directory swap (readers see old or new, never partial).
+
+    Returns {partition_path: files_before} for the partitions rewritten.
+    OPTIMIZE-style table formats replace this at full scale; the
+    operator IS the fallback when only parquet directories exist."""
+    import glob as _glob
+    import shutil
+
+    base = os.path.join(zone_root, zone)
+    rewritten: dict[str, int] = {}
+    for part_dir in sorted(
+        _glob.glob(os.path.join(base, "entity=*", "source=*", "run_id=*"))
+    ):
+        files = [
+            f
+            for f in _glob.glob(os.path.join(part_dir, "*.parquet"))
+            if os.path.isfile(f)
+        ]
+        if len(files) <= min_files:
+            continue
+        total = sum(os.path.getsize(f) for f in files)
+        n_out = max(1, -(-total // target_file_bytes))
+        staged = part_dir + "._compact"
+        (
+            spark.read.parquet(part_dir)
+            .repartition(int(n_out))
+            .write.mode("overwrite")
+            .parquet(staged)
+        )
+        old = part_dir + "._old"
+        os.rename(part_dir, old)
+        os.rename(staged, part_dir)
+        shutil.rmtree(old, ignore_errors=True)
+        rewritten[part_dir] = len(files)
+    return rewritten
+
+
 def jdbc_bulk_insert(
     df: DataFrame,
     url: str,

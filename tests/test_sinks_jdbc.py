@@ -55,6 +55,31 @@ def test_failed_data_view(spark, zone_root):
     assert set(IMPORTANT_FIELDS["khach_hang"]) <= set(view.columns) | {"log_time", "entity", "errors"}
 
 
+def test_compact_zone(spark, zone_root, sf_small):
+    from data_integration_project_spark.operators.sinks import compact_zone
+
+    cust = spark.read.parquet(f"{sf_small}/customer.parquet").limit(200)
+    # simulate many micro-batch appends → many small files
+    for _ in range(6):
+        zone_write(
+            cust.repartition(4), zone_root, "clean",
+            entity="khach_hang", source="csv", run_id="r1",
+        )
+    import glob, os
+    part = os.path.join(zone_root, "clean", "entity=khach_hang", "source=csv", "run_id=r1")
+    before = len(glob.glob(os.path.join(part, "*.parquet")))
+    assert before >= 20
+    n_before = spark.read.parquet(part).count()
+
+    rewritten = compact_zone(spark, zone_root, "clean")
+    assert rewritten == {part: before}
+    after = len(glob.glob(os.path.join(part, "*.parquet")))
+    assert after < before and after >= 1
+    assert spark.read.parquet(part).count() == n_before  # no rows lost
+    # second pass: already compact → no-op
+    assert compact_zone(spark, zone_root, "clean") == {}
+
+
 def test_jdbc_plan_construction(spark):
     src = JdbcSource(
         url="jdbc:sqlserver://localhost;databaseName=x",
