@@ -208,6 +208,45 @@ def order_line_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Semi-join / EXISTS (J-class extension): orders having at least one
+# late line — the correlated-subquery shape, executed as a left-semi
+# hash join (one pass each side, no duplicate inflation).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_with_late_lines",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_late_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def orders_with_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as a left-semi join: orders with ≥1 line shipped more
+    than 90 days after the order date, counted per priority. The semi
+    join emits each order at most once (no fan-out, unlike inner join +
+    distinct) and the ship-date predicate is evaluated join-side."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.date_add(o.o_orderdate, 90)),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_late_orders")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Exact distribution statistics (extension beyond the reference's
 # SUM/COUNT-only aggregate surface): percentiles with linear
 # interpolation — Spark 4's exact `percentile` ≡ DuckDB quantile_cont.
