@@ -174,4 +174,35 @@ def run_full_pipeline(
     run.ingested = ingest_csv_dir(spark, data_dir, zones, run_id=run_id)
     run.zone_counts = drain_and_validate(spark, zones, sorted(run.ingested))
     build_marts(spark, zones, sorted(run.ingested))
+    record_run_history(spark, out_root, run)
     return run
+
+
+def record_run_history(spark: SparkSession, out_root: str, run: PipelineRun) -> None:
+    """A4 across runs: append one row per (run, entity) with ingest and
+    zone counts to a queryable history table — the reference keeps this
+    only in per-run log files (pipeline_run_*.log); here it is a
+    partitioned parquet table any monitoring query can scan."""
+    rows = [
+        (
+            run.run_id,
+            entity,
+            run.ingested.get(entity, 0),
+            counts.get("clean", 0),
+            counts.get("error", 0),
+        )
+        for entity, counts in sorted(run.zone_counts.items())
+    ]
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        rows, "run_id string, entity string, ingested long, clean long, error long"
+    ).withColumn("recorded_at", F.current_timestamp())
+    df.write.mode("append").partitionBy("run_id").parquet(
+        os.path.join(out_root, "run_history")
+    )
+
+
+def run_history(spark: SparkSession, out_root: str):
+    """Scan the cross-run history (monitoring surface)."""
+    return spark.read.parquet(os.path.join(out_root, "run_history"))

@@ -96,3 +96,13 @@ def test_run_full_pipeline(spark, pipeline_dirs):
     assert n == 1
     src = spark.sql("SELECT source, COUNT(*) c FROM mon_merged GROUP BY source").collect()
     assert {r["source"] for r in src} == {"csv"}
+
+    # cross-run history recorded (A4 across runs)
+    from data_integration_project_spark.pipeline import run_history
+
+    hist = {
+        r["entity"]: (r["ingested"], r["clean"], r["error"])
+        for r in run_history(spark, os.path.join(root, "out")).collect()
+    }
+    assert hist["khach_hang"] == (5, 1, 4)
+    assert hist["dat_hang"] == (3, 1, 2)
