@@ -1,1 +1,1 @@
-from . import cleaning, dates  # noqa: F401
+from . import cleaning, dates, text, vectors  # noqa: F401

@@ -1,1 +1,14 @@
-from . import dedup, dwh, multimodal, quality, reconcile, similarity  # noqa: F401
+from . import (  # noqa: F401
+    ddl,
+    dedup,
+    dwh,
+    entity_rules,
+    multimodal,
+    quality,
+    reconcile,
+    rule_dsl,
+    similarity,
+    sinks,
+    skew,
+    temporal,
+)
