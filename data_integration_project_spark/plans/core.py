@@ -281,6 +281,43 @@ def orders_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Supplier-side rollup (nguyen_lieu supplier analogue, SURVEY.md §7
+# entity mapping): dim join + grouped stats with a HAVING filter.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "supplier_balance_by_nation",
+    oracle=f"""
+    SELECT n.n_name AS nation_name,
+           COUNT(*) AS n_suppliers,
+           {SQL_DSUM('s.s_acctbal', 'total_acctbal', 2)},
+           {SQL_DMEAN('s.s_acctbal', 'avg_acctbal', 2)}
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    HAVING COUNT(*) >= 2
+    """,
+)
+def supplier_balance_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier account rollup per nation (broadcast dim join, exact-
+    decimal sums, post-aggregation filter) — the supplier-side summary
+    the reference's nguyen_lieu reporting implies."""
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            dsum(F.col("s_acctbal"), "total_acctbal", 2),
+            dmean(F.col("s_acctbal"), "avg_acctbal", 2),
+        )
+        .filter(F.col("n_suppliers") >= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
 # A5 / S6 analogue: catalog-style row-count introspection across tables
 # (database_factory.get_table_info / read_all_tables, U2 union of stat rows).
 # ---------------------------------------------------------------------------
