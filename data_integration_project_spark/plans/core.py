@@ -79,9 +79,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       o_orderpriority,
       COUNT(*) AS total_orders,
-      SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS finished_orders,
-      SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS open_orders,
-      SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS partial_orders,
+      CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS finished_orders,
+      CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS open_orders,
+      CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS partial_orders,
       {SQL_DSUM('o_totalprice', 'total_value', 2)}
     FROM orders
     GROUP BY o_orderpriority

@@ -93,8 +93,8 @@ _SHINGLES_SQL = f"""
     )
     SELECT
       COUNT(*) AS total_docs,
-      SUM(CASE WHEN dup_rank = 1 THEN 1 ELSE 0 END) AS surviving_docs,
-      SUM(CASE WHEN dup_rank > 1 THEN 1 ELSE 0 END) AS removed_docs
+      CAST(SUM(CASE WHEN dup_rank = 1 THEN 1 ELSE 0 END) AS BIGINT) AS surviving_docs,
+      CAST(SUM(CASE WHEN dup_rank > 1 THEN 1 ELSE 0 END) AS BIGINT) AS removed_docs
     FROM fp
     """,
 )

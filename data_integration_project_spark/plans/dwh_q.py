@@ -152,8 +152,8 @@ def fact_sales_by_brand_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     zone AS (
       SELECT source,
              COUNT(*) AS raw_records,
-             SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS clean_records,
-             SUM(CASE WHEN NOT ok THEN 1 ELSE 0 END) AS error_records
+             CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS clean_records,
+             CAST(SUM(CASE WHEN NOT ok THEN 1 ELSE 0 END) AS BIGINT) AS error_records
       FROM validated GROUP BY source
     )
     SELECT 'customer' AS entity, source, raw_records, clean_records, error_records,

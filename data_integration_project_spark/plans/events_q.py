@@ -262,13 +262,13 @@ def _stream_rules() -> RuleSet:
     "streaming_inbox_pipeline",
     oracle="""
     SELECT 'clean' AS zone,
-           SUM(CASE WHEN c_custkey > 0 AND trim(c_name) <> ''
-                     AND c_acctbal > 0 THEN 1 ELSE 0 END) AS n_rows
+           CAST(SUM(CASE WHEN c_custkey > 0 AND trim(c_name) <> ''
+                     AND c_acctbal > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rows
     FROM customer
     UNION ALL
     SELECT 'error',
-           SUM(CASE WHEN c_custkey > 0 AND trim(c_name) <> ''
-                     AND c_acctbal > 0 THEN 0 ELSE 1 END)
+           CAST(SUM(CASE WHEN c_custkey > 0 AND trim(c_name) <> ''
+                     AND c_acctbal > 0 THEN 0 ELSE 1 END) AS BIGINT)
     FROM customer
     """,
 )

@@ -107,14 +107,14 @@ def customer_ruleset() -> Q.RuleSet:
     + """
     SELECT
       COUNT(*) AS total_rows,
-      SUM(CASE WHEN ok_name AND ok_acctbal AND ok_segment AND ok_email AND ok_phone
-               THEN 1 ELSE 0 END) AS valid_rows,
-      SUM(CASE WHEN NOT (ok_name AND ok_acctbal AND ok_segment AND ok_email AND ok_phone)
-               THEN 1 ELSE 0 END) AS invalid_rows,
-      SUM(CASE WHEN NOT ok_acctbal THEN 1 ELSE 0 END) AS n_bad_acctbal,
-      SUM(CASE WHEN NOT ok_segment THEN 1 ELSE 0 END) AS n_bad_segment,
-      SUM(CASE WHEN NOT ok_email THEN 1 ELSE 0 END) AS n_bad_email,
-      SUM(CASE WHEN NOT ok_phone THEN 1 ELSE 0 END) AS n_bad_phone
+      CAST(SUM(CASE WHEN ok_name AND ok_acctbal AND ok_segment AND ok_email AND ok_phone
+               THEN 1 ELSE 0 END) AS BIGINT) AS valid_rows,
+      CAST(SUM(CASE WHEN NOT (ok_name AND ok_acctbal AND ok_segment AND ok_email AND ok_phone)
+               THEN 1 ELSE 0 END) AS BIGINT) AS invalid_rows,
+      CAST(SUM(CASE WHEN NOT ok_acctbal THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_acctbal,
+      CAST(SUM(CASE WHEN NOT ok_segment THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_segment,
+      CAST(SUM(CASE WHEN NOT ok_email THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_email,
+      CAST(SUM(CASE WHEN NOT ok_phone THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_phone
     FROM checked
     """,
 )
