@@ -131,19 +131,38 @@ def shingle_sets(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame
 # ---------------------------------------------------------------------------
 
 
-def minhash_signatures(sets: DataFrame, id_col: str, n_hashes: int) -> DataFrame:
-    """Wide signatures (id, _mh0.._mhN) from per-doc shingle sets: n
-    min-folds over the (already tiny) set array, computed in-row — a
-    pure map over |docs| rows, no shuffle at all."""
-
-    def min_fold(a: int, b: int):
-        return lambda acc, x: F.least(acc, (F.lit(a) * x + F.lit(b)) % P)
-
-    sigs = [
-        F.aggregate(F.col("_shs"), F.lit(P).cast("long"), min_fold(a, b)).alias(f"_mh{i}")
+def _min_hash_aggs(n_hashes: int) -> list:
+    """n codegen ``min((a_i·_shash + b_i) mod P)`` aggregate columns.
+    Min over the shingle MULTISET equals min over the distinct set
+    (the affine map is a pure function of the value), so these can
+    aggregate raw shingle rows directly — no set materialization."""
+    return [
+        F.min((F.lit(a) * F.col("_shash") + F.lit(b)) % P).alias(f"_mh{i}")
         for i, (a, b) in enumerate(hash_params(n_hashes))
     ]
-    return sets.select(F.col(id_col), *sigs)
+
+
+def shingle_sets_with_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int, n_hashes: int
+) -> DataFrame:
+    """(id, _shs, _mh0.._mhN) in ONE codegen groupBy over shingle rows:
+    the distinct-shingle array (for exact-Jaccard verify) and all n
+    min-hash signatures (map-side combined ``min`` aggregates) come out
+    of the same single shuffle — no interpreted higher-order folds."""
+    return (
+        shingle_rows(df, id_col, text_col, k)
+        .groupBy(id_col)
+        .agg(F.collect_set("_shash").alias("_shs"), *_min_hash_aggs(n_hashes))
+    )
+
+
+def minhash_signatures(sets: DataFrame, id_col: str, n_hashes: int) -> DataFrame:
+    """Wide signatures (id, _mh0.._mhN) from per-doc shingle sets.
+    Standalone variant for callers that already hold set arrays; the
+    fused ``shingle_sets_with_signatures`` is the hot path (codegen
+    ``min`` aggregates instead of interpreted array folds)."""
+    exploded = sets.select(F.col(id_col), F.explode("_shs").alias("_shash"))
+    return exploded.groupBy(id_col).agg(*_min_hash_aggs(n_hashes))
 
 
 def lsh_bucket_rows(
@@ -227,16 +246,16 @@ def minhash_lsh_dedup(
     Returns (_id_a, _id_b, jaccard).
 
     The heavy lifting (tokenize → hash → window-fold) happens exactly
-    once, collapsed into per-doc set rows that are persisted — every
-    downstream consumer (signature map, bucket self-join sides, both
-    jaccard sides) re-reads |docs| small cached rows instead of
-    re-scanning the corpus."""
-    sets = shingle_sets(df, id_col, text_col, shingle_k).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    once: a single groupBy emits each doc's shingle-set array AND its
+    n min-hash signatures together (codegen ``min`` aggregates, one
+    shuffle), persisted so every downstream consumer (bucket self-join
+    sides, both jaccard sides) re-reads |docs| small cached rows
+    instead of re-scanning the corpus."""
+    sets = shingle_sets_with_signatures(
+        df, id_col, text_col, shingle_k, n_hashes
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     sets.count()  # fill before fan-out so consumers don't race an empty cache
-    sigs = minhash_signatures(sets, id_col, n_hashes)
-    buckets = lsh_bucket_rows(sigs, id_col, n_bands, n_hashes // n_bands)
+    buckets = lsh_bucket_rows(sets, id_col, n_bands, n_hashes // n_bands)
     cands = candidate_pairs(buckets, id_col)
     verified = jaccard_on_pairs(cands, sets, id_col)
     return verified.filter(F.col("jaccard") >= threshold).select(
