@@ -151,51 +151,56 @@ def brute_force_topk_pandas(
     broadcast to executors as one numpy matrix; each query batch is a
     single BLAS matmul (~100× the per-element fold throughput).
 
-    This is the classic broadcast-index shape: right when the corpus
-    index fits executor memory (here ~|C|·d·4 bytes) and the QUERY side
-    is the big, partitioned one. At 100 TB-corpus scale, invert or
-    block it: partition the corpus into index blocks, run this per
-    block, and merge per-query top-k across blocks (a groupBy(query)
-    window over the unioned block results).
+    Scale shape: the QUERY matrix (the bounded side — |Q|·d doubles,
+    centroid-table-sized metadata) is broadcast; the CORPUS — the
+    100 TB side — is never collected. Each corpus Arrow batch is one
+    BLAS matmul emitting a per-batch partial top-k per query, and a
+    final per-query window merges partials into the exact global
+    top-k (top-k of unioned per-block top-ks = global top-k, same
+    (cos desc, id asc) order on both levels).
 
     Scores can differ from the fold-based :func:`brute_force_topk` by
     float-summation order (~1e-15 rel) — ranking is tie-broken on id,
-    so top-k membership only changes on genuine near-ties; no DuckDB
-    oracle for this path."""
+    so top-k membership only changes on genuine near-ties; the oracle
+    rounds cos_sim to absorb that."""
     import numpy as np
     import pandas as pd
 
     spark = queries.sparkSession
-    rows = corpus.select(id_col, vec_col).collect()  # index build: |C|·d floats
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    mat_norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, mat_norm))
+    rows = queries.select(id_col, vec_col).collect()  # bounded query set
+    q_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in rows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((q_ids, q_mat))
 
     def op(batches):
-        c_ids, c_mat = bc.value
+        qi, qm = bc.value
         for pdf in batches:
             if not len(pdf):
                 continue
-            q_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            q = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            q /= np.linalg.norm(q, axis=1, keepdims=True)
-            sims = q @ c_mat.T  # one BLAS call per Arrow batch
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            c = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            c /= np.linalg.norm(c, axis=1, keepdims=True)
+            sims = qm @ c.T  # one BLAS call per corpus Arrow batch
             out = []
-            for i, qid in enumerate(q_ids):
+            for i, qid in enumerate(qi):
                 s = sims[i]
                 mask = c_ids != qid  # exclude self-match
                 order = np.lexsort((c_ids[mask], -s[mask]))[:k]
-                cand_ids, cand_s = c_ids[mask][order], s[mask][order]
-                for rank, (nid, sim) in enumerate(zip(cand_ids, cand_s), start=1):
-                    out.append((qid, nid, float(sim), rank))
-            yield pd.DataFrame(
-                out, columns=["query_id", "neighbor_id", "cos_sim", "rank"]
-            )
+                for nid, sim in zip(c_ids[mask][order], s[mask][order]):
+                    out.append((qid, nid, float(sim)))
+            yield pd.DataFrame(out, columns=["query_id", "neighbor_id", "cos_sim"])
 
-    q = queries.select(id_col, vec_col).repartition(F.col(id_col))
-    return q.mapInPandas(
-        op, schema="query_id long, neighbor_id long, cos_sim double, rank int"
+    partial = corpus.select(id_col, vec_col).mapInPandas(
+        op, schema="query_id long, neighbor_id long, cos_sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
 
 
@@ -226,11 +231,13 @@ def kmeans_centroids(
 
     n = corpus.count()
     step = max(n // k, 1)
-    w = Window.orderBy(id_col)
+    # id-stride arithmetic sampling — a pushed-down filter plus a
+    # TakeOrdered(k) (distributed per-partition top-k, merged on the
+    # driver); no global window sort anywhere in the plan.
     seed_rows = (
         corpus.select(id_col, vec_col)
-        .withColumn("_rk", F.row_number().over(w))
-        .filter((F.col("_rk") - 1) % step == 0)
+        .filter(F.pmod(F.col(id_col), F.lit(step)) == 0)
+        .orderBy(id_col)
         .limit(k)
         .select(vec_col)
         .collect()
@@ -360,18 +367,48 @@ def ivf_topk(
 
 
 def cosine_near_dup_pairs(
-    corpus: DataFrame, id_col: str, vec_col: str, threshold: float
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    *,
+    n_planes: int = 4,
+    n_tables: int = 6,
 ) -> DataFrame:
     """Embedding near-duplicate pairs (cos ≥ threshold, id_a < id_b).
-    All-pairs form — bound the corpus slice, or swap in srp buckets as
-    the candidate generator for web scale."""
-    a = corpus.select(F.col(id_col).alias("_id_a"), F.col(vec_col).alias("_va"))
-    b = corpus.select(F.col(id_col).alias("_id_b"), F.col(vec_col).alias("_vb"))
-    return (
-        a.repartition(F.col("_id_a"))
-        .crossJoin(b)
+
+    Candidates come from multi-table SRP buckets — an equi-join on
+    (table, bucket), never an all-pairs scan — then exact cosine
+    verifies each candidate in-bucket. The bucket id is the shuffle
+    key, so at corpus scale cost is ~n_tables/2^n_planes of all-pairs.
+
+    Recall: identical vectors share every bucket in every table, so
+    exact copies are always found. A pair at angle θ survives one
+    table with (1-θ/π)^n_planes; n_tables independent tables give
+    1-(1-(1-θ/π)^p)^T ≈ 0.9996 at cos=0.99 with the defaults.
+    """
+    tables = F.array(
+        *[srp_bucket(F.col("_v"), n_planes, table) for table in range(n_tables)]
+    )
+    staged = (
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .withColumn("_tb", tables)
+        .select("_id", "_v", F.posexplode("_tb").alias("_table", "_bucket"))
+    )
+    a = staged.select(
+        F.col("_id").alias("_id_a"), F.col("_v").alias("_va"), "_table", "_bucket"
+    )
+    b = staged.select(
+        F.col("_id").alias("_id_b"), F.col("_v").alias("_vb"), "_table", "_bucket"
+    )
+    cands = (
+        a.join(b, ["_table", "_bucket"])
         .filter(F.col("_id_a") < F.col("_id_b"))
-        .select(
+        .select("_id_a", "_id_b", "_va", "_vb")
+        .distinct()  # a pair colliding in several tables is scored once
+    )
+    return (
+        cands.select(
             "_id_a",
             "_id_b",
             cosine(F.col("_va"), F.col("_vb")).alias("cos_sim"),
