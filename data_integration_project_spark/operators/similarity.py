@@ -226,7 +226,13 @@ def kmeans_centroids(
     assign (numpy matmul inside mapInPandas) + per-cluster mean
     (codegen aggregate over exploded dims). The centroid table is
     k×d — genuinely driver-sized metadata (16×64 here); everything
-    row-scale stays distributed."""
+    row-scale stays distributed.
+
+    Cross-engine determinism: distances are rounded to 6 dp before the
+    argmin (ties break to the lowest cluster id) and centroid means
+    are rounded to 6 dp after each update, so a SQL oracle folding the
+    same arithmetic in a different summation order reproduces every
+    assignment exactly."""
     import numpy as np
 
     n = corpus.count()
@@ -257,6 +263,7 @@ def kmeans_centroids(
                     continue
                 v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
                 d2 = ((v[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+                d2 = np.round(d2, 6)  # argmin ties → lowest cluster id
                 out = pd.DataFrame({"_cluster": d2.argmin(axis=1).astype("int32")})
                 out[vec_col] = list(pdf[vec_col])
                 yield out
@@ -275,7 +282,7 @@ def kmeans_centroids(
         new = centroids.copy()
         for r in means:
             new[r["_cluster"], r["_d"]] = r["_m"]
-        centroids = new
+        centroids = np.round(new, 6)
     return centroids
 
 
@@ -308,7 +315,7 @@ def ivf_topk(
             if not len(pdf):
                 continue
             v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
-            d2 = ((v[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            d2 = np.round(((v[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2), 6)
             out = pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy(),
@@ -327,8 +334,9 @@ def ivf_topk(
             if not len(pdf):
                 continue
             v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
-            d2 = ((v[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-            probes = np.argsort(d2, axis=1)[:, :n_probe].astype("int32")
+            d2 = np.round(((v[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2), 6)
+            # stable sort: equal rounded distances probe the lowest id first
+            probes = np.argsort(d2, axis=1, kind="stable")[:, :n_probe].astype("int32")
             out = pd.DataFrame(
                 {
                     id_col: np.repeat(pdf[id_col].to_numpy(), n_probe),

@@ -214,7 +214,22 @@ def monitoring_entity_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("monitoring_file_stats")  # no oracle: file layout is engine-side metadata
+@query(
+    "monitoring_file_stats",
+    # The driver's testdata tables are one parquet file each, so the
+    # relational twin of the file rollup is a single COUNT(*) per
+    # table (n_files = 1, max_file_rows = n_rows).
+    oracle="\nUNION ALL\n".join(
+        f"""
+        SELECT '{name}' AS table_name,
+               CAST(1 AS BIGINT) AS n_files,
+               COUNT(*) AS n_rows,
+               COUNT(*) AS max_file_rows
+        FROM {name}
+        """
+        for name in ("customer", "orders", "lineitem", "documents")
+    ),
+)
 def monitoring_file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 zone statistics (dashboard.py:46-113): per-file record counts
     via ``input_file_name()`` rolled up per table — file count, row

@@ -80,22 +80,131 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_near_dup_pairs(corpus, "vec_id", "embedding", threshold=0.99)
 
 
-@query("ann_topk_pandas")  # no oracle: BLAS sum order ≠ fold order (~1e-15)
+@query(
+    "ann_topk_pandas",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id % 100 = 0),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             {_cos('q.qv', 'c.embedding')} AS cos_sim
+      FROM q, embeddings c
+      WHERE q.query_id <> c.vec_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, round(cos_sim, 9) AS cos_sim, rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
 def ann_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The vectorized-Pandas-UDF exact path: broadcast corpus index +
-    one matmul per Arrow query batch. Same semantics as ann_cosine_topk
-    (agreement unit-tested); the fast lane when Python is in play."""
+    """The vectorized-Pandas-UDF exact path: broadcast query matrix +
+    one matmul per corpus Arrow batch, partial top-k merged per query.
+    Same semantics as ann_cosine_topk (agreement unit-tested). BLAS
+    sums in a different order than the fold (~1e-15 rel), so BOTH
+    sides round cos_sim to 9 dp; ranking happens on the unrounded
+    values on both sides."""
     e = t(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") % 100 == 0)
-    return S.brute_force_topk_pandas(queries, e, "vec_id", "embedding", k=5)
+    topk = S.brute_force_topk_pandas(queries, e, "vec_id", "embedding", k=5)
+    return topk.withColumn("cos_sim", F.round("cos_sim", 9))
 
 
-@query("ann_ivf_topk")  # no oracle: approximate — recall tested vs exact
+def _sql_d2(vec: str, cent: str) -> str:
+    """Rounded squared euclidean distance — the 6 dp rounding on BOTH
+    engines absorbs float-summation-order drift (numpy pairwise sum vs
+    SQL left-to-right fold), making every k-means assignment, probe
+    choice, and tie-break identical across engines."""
+    diff = f"(CAST({vec}[i] AS DOUBLE) - {cent}[i])"
+    return (
+        f"round(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(range(1, len({vec})+1), i -> {diff} * {diff})), "
+        f"(x, y) -> x + y), 6)"
+    )
+
+
+def _ivf_iteration(i: int) -> str:
+    """One unrolled k-means iteration: nearest-centroid assignment
+    (rounded d2, lowest-cluster tie-break), per-dim rounded means,
+    empty clusters keep their previous centroid (coalesce)."""
+    d2 = _sql_d2("embedding", "cent")
+    return f"""
+    assign{i} AS (
+      SELECT vec_id, embedding, cluster,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY {d2}, cluster) AS rn
+      FROM corpus CROSS JOIN cents{i}
+    ),
+    dmeans{i} AS (
+      SELECT cluster, d, round(avg(CAST(embedding[d] AS DOUBLE)), 6) AS m
+      FROM (SELECT embedding, cluster FROM assign{i} WHERE rn = 1), dims
+      GROUP BY cluster, d
+    ),
+    newcent{i} AS (
+      SELECT cluster, list(m ORDER BY d) AS cent FROM dmeans{i} GROUP BY cluster
+    ),
+    cents{i + 1} AS (
+      SELECT c.cluster, coalesce(n.cent, c.cent) AS cent
+      FROM cents{i} c LEFT JOIN newcent{i} n USING (cluster)
+    )"""
+
+
+_IVF_D2 = _sql_d2("embedding", "cent")
+
+_IVF_ORACLE = f"""
+    WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
+    dims AS (
+      SELECT unnest(range(1, len(embedding) + 1)) AS d
+      FROM (SELECT embedding FROM embeddings LIMIT 1)
+    ),
+    cents0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
+      FROM corpus
+      WHERE vec_id % (SELECT greatest(count(*) // 16, 1) FROM corpus) = 0
+      ORDER BY vec_id LIMIT 16
+    ),
+    {','.join(_ivf_iteration(i) for i in range(3))},
+    final_assign AS (
+      SELECT vec_id, embedding, cluster,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY {_IVF_D2}, cluster) AS rn
+      FROM corpus CROSS JOIN cents3
+    ),
+    inv AS (
+      SELECT vec_id AS neighbor_id, embedding AS cv, cluster
+      FROM final_assign WHERE rn = 1
+    ),
+    qprobe AS (
+      SELECT vec_id AS query_id, embedding AS qv, cluster
+      FROM final_assign WHERE vec_id % 100 = 0 AND rn <= 6
+    ),
+    scored AS (
+      SELECT DISTINCT query_id, neighbor_id, {_cos('qv', 'cv')} AS cos_sim
+      FROM qprobe q JOIN inv c USING (cluster)
+      WHERE query_id <> neighbor_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
+"""
+
+
+@query("ann_ivf_topk", oracle=_IVF_ORACLE)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: deterministic mini-k-means coarse quantizer → inverted
     lists keyed by cluster id → queries probe their n_probe nearest
     lists only. The centroid table is driver-sized metadata; corpus
-    assignment and scoring stay distributed (cluster id = join key)."""
+    assignment and scoring stay distributed (cluster id = join key).
+    Every float that steers control flow (distances, centroid means)
+    is rounded to 6 dp on both engines, so the DuckDB oracle unrolls
+    the same three iterations to identical clusters."""
     e = t(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") % 100 == 0)
     return S.ivf_topk(
@@ -103,12 +212,64 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_srp_bucketed")  # no oracle: approximate — recall tested vs exact
+def _sql_plane_dot(vec: str, table: str, plane: int) -> str:
+    """DuckDB twin of ``srp_bucket``'s per-plane dot product: the
+    hyperplane component for (table, plane, dim=i-1) is the same
+    integer-hash arithmetic as ``_plane_component`` (exact in BIGINT,
+    exact double scaling), and the sum folds left-to-right exactly
+    like Spark's ``F.aggregate`` — bit-identical buckets."""
+    comp = (
+        f"(((({table}*524287 + {plane}*8191) + i) * 2654435761) % 2147483648)"
+        f" / 1073741824.0 - 1.0"
+    )
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(range(1, len({vec})+1), "
+        f"i -> CAST({vec}[i] AS DOUBLE) * ({comp}))), (x, y) -> x + y)"
+    )
+
+
+_SRP_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN {_sql_plane_dot('e.embedding', 't._table', p)} > 0 "
+    f"THEN {1 << p} ELSE 0 END)"
+    for p in range(3)
+)
+
+
+@query(
+    "ann_srp_bucketed",
+    oracle=f"""
+    WITH buck AS (
+      SELECT e.vec_id, e.embedding, t._table,
+             CAST({_SRP_BUCKET_SQL} AS INTEGER) AS _bucket
+      FROM embeddings e
+      CROSS JOIN (SELECT unnest(range(8)) AS _table) t
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             q.embedding AS qv, c.embedding AS cv
+      FROM buck q JOIN buck c
+        ON q._table = c._table AND q._bucket = c._bucket
+      WHERE q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id, {_cos('qv', 'cv')} AS cos_sim FROM cand
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
+    """,
+)
 def ann_srp_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path ANN: signed-random-projection buckets (deterministic
     hyperplanes), cosine only within the query's bucket. ~2^planes×
     fewer comparisons; recall vs the exact baseline is asserted in
-    tests/test_similarity.py."""
+    tests/test_dedup_similarity.py. The hyperplanes are pure integer
+    arithmetic, so the DuckDB oracle reproduces every bucket — and
+    therefore the exact candidate set — bit-for-bit."""
     e = t(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") % 100 == 0)
     return S.srp_bucketed_topk(queries, e, "vec_id", "embedding", k=5, n_planes=3, n_tables=8)

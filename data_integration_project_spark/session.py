@@ -28,7 +28,7 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # testdata events.ts is parquet timestamp[ns]; read as raw long and
-    # convert on load (sources.registry.NANOS_COLUMNS)
+    # convert on load (sources.registry.NANOS_CANDIDATES)
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # parquet scans: split files small enough that a scan parallelizes
     # even on modest local inputs (a single 30 MB file would otherwise

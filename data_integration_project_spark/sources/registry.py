@@ -9,6 +9,7 @@ into the parquet scan (verify with ``df.explain('formatted')`` →
 from __future__ import annotations
 
 import os
+from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -18,19 +19,51 @@ from ..schemas import TABLE_NAMES, TESTDATA
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-#: Columns stored as parquet timestamp[ns], which Spark's vectorized
-#: reader refuses to map to TimestampType. They are read as raw nanos
+#: Timestamp columns that MAY be stored as parquet timestamp[ns], which
+#: Spark's vectorized reader refuses to map to TimestampType. The actual
+#: unit is probed from the parquet footer per file (cheap, driver-side,
+#: cached): ns files are read as raw longs
 #: (``spark.sql.legacy.parquet.nanosAsLong`` — pinned in
 #: session.RUNTIME_CONFS) and converted to µs timestamps on load with
 #: integer division (ns→µs loses nothing here: the fixtures carry no
-#: sub-µs precision, and DuckDB's reader truncates identically).
-NANOS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+#: sub-µs precision, and DuckDB's reader truncates identically); µs/ms
+#: files map straight to TimestampType with no conversion.
+NANOS_CANDIDATES: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
-def physical_read_schema(name: str) -> T.StructType:
+@lru_cache(maxsize=1024)
+def _file_nanos_columns(path: str, candidates: tuple[str, ...]) -> tuple[str, ...]:
+    """Subset of ``candidates`` physically stored as timestamp[ns] at
+    ``path`` (file or directory) — a parquet footer/metadata read, no
+    data scan."""
+    if not candidates:
+        return ()
+    import pyarrow as pa
+
+    try:
+        import pyarrow.dataset as pads
+
+        schema = pads.dataset(path, format="parquet").schema
+    except Exception:
+        import pyarrow.parquet as pq
+
+        schema = pq.read_schema(path)
+    return tuple(
+        c
+        for c in candidates
+        if c in schema.names
+        and pa.types.is_timestamp(schema.field(c).type)
+        and schema.field(c).type.unit == "ns"
+    )
+
+
+def physical_read_schema(name: str, path: str | None = None) -> T.StructType:
     """The schema handed to the parquet reader — canonical schema with
-    timestamp[ns] columns widened to long."""
-    nanos = NANOS_COLUMNS.get(name, ())
+    the columns that are physically timestamp[ns] widened to long.
+    Without a ``path`` to probe, all candidates are assumed ns (the
+    legacy layout)."""
+    candidates = NANOS_CANDIDATES.get(name, ())
+    nanos = _file_nanos_columns(path, candidates) if path else candidates
     return T.StructType(
         [
             T.StructField(f.name, T.LongType() if f.name in nanos else f.dataType)
@@ -39,11 +72,14 @@ def physical_read_schema(name: str) -> T.StructType:
     )
 
 
-def convert_nanos(df: DataFrame, name: str) -> DataFrame:
-    """ns-long → µs-timestamp conversion for :data:`NANOS_COLUMNS`
-    (``div`` keeps the arithmetic in int64 — a double division would
-    lose precision above 2^53 ns)."""
-    for c in NANOS_COLUMNS.get(name, ()):
+def convert_nanos(df: DataFrame, name: str, path: str | None = None) -> DataFrame:
+    """ns-long → µs-timestamp conversion for the columns
+    :func:`physical_read_schema` widened to long (``div`` keeps the
+    arithmetic in int64 — a double division would lose precision above
+    2^53 ns)."""
+    candidates = NANOS_CANDIDATES.get(name, ())
+    nanos = _file_nanos_columns(path, candidates) if path else candidates
+    for c in nanos:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
 
@@ -53,10 +89,9 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     sf_dir = sf_dir or DEFAULT_SF_DIR
     if name not in TESTDATA:
         raise KeyError(f"unknown table {name!r}; known: {sorted(TESTDATA)}")
-    df = spark.read.schema(physical_read_schema(name)).parquet(
-        f"{sf_dir}/{name}.parquet"
-    )
-    return convert_nanos(df, name)
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.schema(physical_read_schema(name, path)).parquet(path)
+    return convert_nanos(df, name, path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFrame]:

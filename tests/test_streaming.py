@@ -108,8 +108,9 @@ def test_streaming_window_counts_match_batch(spark, sf_small):
     stage_dir = tempfile.mkdtemp(prefix="events_stream_")
     shutil.copy(f"{sf_small}/events.parquet", os.path.join(stage_dir, "part-0.parquet"))
     stream = convert_nanos(
-        spark.readStream.schema(physical_read_schema("events")).parquet(stage_dir),
+        spark.readStream.schema(physical_read_schema("events", stage_dir)).parquet(stage_dir),
         "events",
+        stage_dir,
     )
     agg = streaming_window_counts(stream, window="1 hour", watermark=None)
     q = (
