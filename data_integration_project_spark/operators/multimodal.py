@@ -1,14 +1,16 @@
 """Multimodal column plumbing: images/audio/video as opaque ``binary``
 columns with typed metadata, processed by Arrow-batched Pandas UDFs.
 
-The decode step itself (JPEG/PNG/audio codecs) needs libraries not in
-this container, so it is STUBBED — ``decode_image_stub`` raises
-``NotImplementedError`` unless ``fake=True``, in which case it derives
-deterministic fake features from the bytes. Everything around the stub
-is real and tested: the schema contract, ``mapInPandas`` batch
-iteration (bounded memory per batch — never a full-partition
-materialization), and the partitioning story (binary payloads hash-
-partition on the id, metadata joins broadcast).
+Uncompressed raster formats decode for REAL, dependency-free:
+``decode_image`` parses P6/P3 PPM and 24-bit BI_RGB BMP byte layouts
+directly (header fields, row padding, bottom-up order) and returns
+dimensions + per-channel means. Compressed codecs (JPEG/PNG/audio)
+need libraries not in this container, so those formats remain stubbed
+— ``decode_image_stub`` raises ``NotImplementedError`` unless
+``fake=True``. Everything around decode is real and tested: the schema
+contract, ``mapInPandas`` batch iteration (bounded memory per batch —
+never a full-partition materialization), and the partitioning story
+(binary payloads hash-partition on the id, metadata joins broadcast).
 """
 
 from __future__ import annotations
@@ -80,6 +82,160 @@ def decode_image_stub(payload: bytes, *, fake: bool = False) -> dict:
         "mean_byte": total / len(payload) if payload else 0.0,
         "head_hex": payload[:8].hex(),
     }
+
+
+# ---------------------------------------------------------------------------
+# Real decoders: uncompressed formats parsed byte-by-byte, no codec libs
+# ---------------------------------------------------------------------------
+
+
+def _channel_means(r_sum: int, g_sum: int, b_sum: int, n_pixels: int) -> dict:
+    n = max(n_pixels, 1)
+    return {"mean_r": r_sum / n, "mean_g": g_sum / n, "mean_b": b_sum / n}
+
+
+def decode_ppm(payload: bytes) -> dict:
+    """P6 (binary) / P3 (ascii) PPM decode: parse the whitespace/comment
+    header grammar, then the RGB raster (short rasters are treated as
+    zero-padded). Pure byte arithmetic."""
+    if payload[:2] not in (b"P6", b"P3"):
+        raise ValueError("not a PPM payload")
+    binary = payload[:2] == b"P6"
+    # header tokens: magic, width, height, maxval; '#' comments to EOL
+    tokens: list[bytes] = []
+    i = 2
+    while len(tokens) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        tokens.append(payload[i:j])
+        i = j
+    width, height, maxval = (int(t) for t in tokens)
+    i += 1  # single whitespace after maxval before the raster
+    if binary:
+        raster = payload[i : i + width * height * 3]
+    else:
+        raster = bytes(int(v) for v in payload[i:].split())[: width * height * 3]
+    return {
+        "format": "ppm",
+        "width": width,
+        "height": height,
+        "n_pixels": width * height,
+        **_channel_means(
+            sum(raster[0::3]), sum(raster[1::3]), sum(raster[2::3]), width * height
+        ),
+    }
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """Uncompressed 24-bit BI_RGB BMP decode: BITMAPFILEHEADER (pixel
+    offset at byte 10), BITMAPINFOHEADER (width/height/bpp/compression),
+    rows padded to 4-byte boundaries, bottom-up unless height < 0,
+    pixels stored BGR. Pure byte arithmetic."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (pix_offset,) = struct.unpack_from("<I", payload, 10)
+    width, height = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError("only uncompressed 24-bit BI_RGB supported")
+    abs_h = abs(height)
+    row_stride = (width * 3 + 3) // 4 * 4
+    r_sum = g_sum = b_sum = 0
+    for row in range(abs_h):
+        base = pix_offset + row * row_stride
+        line = payload[base : base + width * 3]
+        b_sum += sum(line[0::3])
+        g_sum += sum(line[1::3])
+        r_sum += sum(line[2::3])
+    return {
+        "format": "bmp",
+        "width": width,
+        "height": abs_h,
+        "n_pixels": width * abs_h,
+        **_channel_means(r_sum, g_sum, b_sum, width * abs_h),
+    }
+
+
+def decode_image(payload: bytes) -> dict:
+    """Dispatch on magic bytes: PPM and 24-bit BMP decode for real;
+    compressed formats raise (stubbed — no codecs in this container)."""
+    if payload[:2] in (b"P6", b"P3"):
+        return decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    raise NotImplementedError(
+        "only PPM/BMP byte decoding is available without codec libraries"
+    )
+
+
+#: Deterministic PPM rendering bounds for documents_as_ppm_media.
+PPM_WIDTH = 16
+PPM_MAX_HEIGHT = 64
+
+
+def encode_ppm(raw: bytes, width: int = PPM_WIDTH, max_height: int = PPM_MAX_HEIGHT) -> bytes:
+    """Render raw bytes into a VALID binary P6 PPM file: the raster is
+    the first ``3·width·max_height`` bytes, zero-padded to fill whole
+    rows. Any PPM reader can open the result."""
+    n = min(len(raw), 3 * width * max_height)
+    height = max(1, -(-n // (3 * width)))  # ceil
+    raster = raw[:n] + b"\x00" * (3 * width * height - n)
+    return f"P6\n{width} {height}\n255\n".encode("ascii") + raster
+
+
+def documents_as_ppm_media(docs: DataFrame) -> DataFrame:
+    """Adapter producing REAL image payloads: each document's text bytes
+    rendered into a valid P6 PPM via an Arrow-batched encode step (the
+    ingest half of the image pipeline; decode_image reads them back
+    without any faking)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].values,
+                    "payload": [
+                        encode_ppm(t.encode("utf-8")) for t in pdf["text"]
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        op, schema="media_id long, payload binary"
+    )
+
+
+IMAGE_FEATURE_SCHEMA = (
+    "media_id long, format string, width int, height int, n_pixels long, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def decode_image_features(media: DataFrame) -> DataFrame:
+    """Real image feature extraction: ``decode_image`` over every
+    payload inside ``mapInPandas`` — no fake path. Arrow-batched,
+    payloads hash-partitioned on the id."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_image(bytes(p)) for p in pdf["payload"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            yield out
+
+    return media.repartition(F.col("media_id")).mapInPandas(
+        op, schema=IMAGE_FEATURE_SCHEMA
+    )
 
 
 def extract_features(media: DataFrame, *, batch_hint: int | None = None) -> DataFrame:

@@ -49,8 +49,42 @@ def conflicting_records(
 def only_in(left: DataFrame, right: DataFrame, key: str) -> DataFrame:
     """J2/U3: set difference on keys via left_anti (the reference's
     ``NOT IN`` — with NULL keys the anti-join keeps NULL-keyed left rows
-    whereas ``NOT IN`` yields no rows; keys here are non-null)."""
+    whereas ``NOT IN`` yields no rows; keys here are non-null). For
+    exact NULL parity see :func:`only_in_not_in`."""
     return left.join(right.select(key), key, "left_anti")
+
+
+def only_in_not_in(left: DataFrame, right: DataFrame, key: str) -> DataFrame:
+    """J2 with exact SQL ``NOT IN`` three-valued semantics
+    (create_merged_views.sql:227-235):
+
+    - right side contains ANY NULL key → the predicate is never TRUE
+      (empty result);
+    - a NULL key on the left never qualifies against a non-empty right;
+    - an EMPTY right subquery qualifies every left row — including
+      NULL-keyed ones.
+
+    Implemented as a broadcast one-row guard (count + any-null
+    aggregate, a two-long scalar) cross-joined onto the left, then a
+    left_anti equi-join — no driver-side branching, and the anti-join
+    stays the only row-scale shuffle at 100 TB."""
+    guard = F.broadcast(
+        right.agg(
+            F.count(F.lit(1)).alias("_n_right"),
+            F.coalesce(F.max(F.col(key).isNull()), F.lit(False)).alias(
+                "_right_has_null"
+            ),
+        )
+    )
+    return (
+        left.crossJoin(guard)
+        .filter(
+            (F.col("_n_right") == 0)
+            | (~F.col("_right_has_null") & F.col(key).isNotNull())
+        )
+        .drop("_n_right", "_right_has_null")
+        .join(right.select(key).filter(F.col(key).isNotNull()), key, "left_anti")
+    )
 
 
 def category_lookup(

@@ -118,6 +118,56 @@ def reconcile_only_in_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "reconcile_not_in_null_keys",
+    oracle="""
+    WITH src AS (
+      SELECT CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE c_custkey END AS k
+      FROM customer WHERE c_custkey % 2 = 0
+    ),
+    tgt_clean AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 3 = 0),
+    tgt_null AS (SELECT k FROM tgt_clean UNION ALL SELECT NULL),
+    tgt_empty AS (SELECT k FROM tgt_clean WHERE FALSE)
+    SELECT 'vs_clean' AS leg, k FROM src
+    WHERE k NOT IN (SELECT k FROM tgt_clean)
+    UNION ALL
+    SELECT 'vs_null', k FROM src
+    WHERE k NOT IN (SELECT k FROM tgt_null)
+    UNION ALL
+    SELECT 'vs_empty', k FROM src
+    WHERE k NOT IN (SELECT k FROM tgt_empty)
+    """,
+)
+def reconcile_not_in_null_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 NOT IN parity with NULL keys (SURVEY §7 flagged divergence):
+    three legs against the same NULL-bearing source — a clean target
+    (NULL-keyed source rows must NOT surface, unlike left_anti), a
+    target containing a NULL (must be empty), and an empty target
+    (every source row qualifies, NULLs included)."""
+    c = t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    src = c.filter(k % 2 == 0).select(
+        F.when(k % 10 == 0, F.lit(None)).otherwise(k).alias("k")
+    )
+    tgt_clean = c.filter(k % 3 == 0).select(k.alias("k"))
+    tgt_null = tgt_clean.unionByName(
+        spark.range(1).select(F.lit(None).cast("long").alias("k"))
+    )
+    tgt_empty = tgt_clean.filter(F.lit(False))
+    legs = [
+        ("vs_clean", tgt_clean),
+        ("vs_null", tgt_null),
+        ("vs_empty", tgt_empty),
+    ]
+    out = None
+    for tag, tgt in legs:
+        leg = R.only_in_not_in(src, tgt, "k").select(
+            F.lit(tag).alias("leg"), "k"
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out
+
+
+@query(
     "part_category_lookup",
     oracle="""
     WITH dim AS (

