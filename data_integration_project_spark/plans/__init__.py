@@ -12,5 +12,6 @@ from . import dedup_q  # noqa: E402,F401
 from . import similarity_q  # noqa: E402,F401
 from . import events_q  # noqa: E402,F401
 from . import entities_q  # noqa: E402,F401
+from . import relational_q  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "query", "queries", "oracle_sql"]

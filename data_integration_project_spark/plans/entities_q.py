@@ -33,6 +33,7 @@ from ..operators.entity_rules import (
 )
 from ..operators.quality import reject_duplicates
 from ..operators.reconcile import category_lookup, merged_view
+from ..pipeline import run_full_pipeline, run_history
 from ..sources.csv import read_entity_csv, with_line_numbers
 from .catalog import SQL_DSUM, dsum, query
 
@@ -369,4 +370,82 @@ def nguyenlieu_inventory_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         dsum(F.col("so_luong"), "total_qty", 2),
         dsum(F.col("so_luong") * F.col("gia"), "tong_gia_tri", 2),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Run-history lineage (A4 across runs): two full pipeline runs land in
+# one queryable history table; the oracle recomputes both runs' zone
+# counts from the same fixture VALUES.
+# ---------------------------------------------------------------------------
+
+_KH_ROWS_RUN2 = _KH_ROWS[:5]  # second run: a smaller re-delivery
+
+
+def _kh_run_counts_sql(tag: str, rows: list[tuple]) -> str:
+    """Expected (run_id, entity, ingested, clean, error) for one run of
+    the khach_hang pipeline over ``rows`` — the same transform/check/
+    first-wins logic as ``_KH_ORACLE``, aggregated to zone counts
+    (corrupt CSV lines never enter the envelope, so they appear in no
+    count)."""
+    return f"""
+    SELECT '{tag}' AS run_id, 'khach_hang' AS entity,
+           COUNT(*) AS ingested,
+           CAST(SUM(CASE WHEN ok_all AND rnk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS clean,
+           CAST(SUM(CASE WHEN NOT (ok_all AND rnk = 1) THEN 1 ELSE 0 END) AS BIGINT)
+             AS error
+    FROM (
+      SELECT *,
+             (ok_id AND ok_nb AND ok_nc AND ok_nl AND ok_ph AND ok_em) AS ok_all,
+             row_number() OVER (PARTITION BY customer_id ORDER BY line_no) AS rnk
+      FROM (
+        SELECT line_no, customer_id, ho_ten, sdt, email,
+          (customer_id IS NOT NULL AND regexp_matches(customer_id, '^[0-9]+$')) AS ok_id,
+          (ho_ten IS NOT NULL AND trim(ho_ten) <> '') AS ok_nb,
+          (ho_ten IS NOT NULL AND regexp_matches(ho_ten, '^[\\p{{L}} ]+$')) AS ok_nc,
+          (coalesce(length(ho_ten), 0) <= 100) AS ok_nl,
+          (sdt IS NOT NULL AND regexp_matches(sdt, '^[0-9]{{9,11}}$')) AS ok_ph,
+          (email IS NOT NULL AND
+           regexp_matches(email, '^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}$')) AS ok_em
+        FROM (
+          SELECT line_no, id AS customer_id,
+                 nullif(trim(regexp_replace(ho_ten, '\\s+', ' ', 'g')), '') AS ho_ten,
+                 nullif(regexp_replace(sdt, '[^0-9]', '', 'g'), '') AS sdt,
+                 nullif(lower(trim(email)), '') AS email
+          FROM (VALUES
+            {_values(rows)})
+            AS raw(line_no, id, ho_ten, sdt, thanh_pho, email)
+        )
+      )
+    )
+    """
+
+
+@query(
+    "pipeline_run_history",
+    oracle=_kh_run_counts_sql("r1", _KH_ROWS)
+    + "\n    UNION ALL\n"
+    + _kh_run_counts_sql("r2", _KH_ROWS_RUN2),
+)
+def pipeline_run_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 across runs: two complete pipeline executions (ingest →
+    checkpointed drain → validate/dedup → zones → marts) append to the
+    run_history lineage table, which is then queried back — run-scoped
+    counts survive as a queryable parquet table rather than the
+    reference's per-run log files (pipeline_run_*.log)."""
+    out_root = tempfile.mkdtemp(prefix="runhist_")
+    for tag, rows in (("r1", _KH_ROWS), ("r2", _KH_ROWS_RUN2)):
+        data_dir = os.path.join(out_root, f"in_{tag}")
+        os.makedirs(data_dir)
+        with open(
+            os.path.join(data_dir, "khachhang.csv"), "w", encoding="utf-8-sig"
+        ) as f:
+            f.write("id,ho_ten,sdt,thanh_pho,email\n")
+            for row in rows:
+                f.write(",".join(c if c is not None else "" for c in row) + "\n")
+            f.write(_KH_CORRUPT_LINE + "\n")  # dead-letters, reaches no zone
+        run_full_pipeline(spark, data_dir, out_root, run_id=tag)
+    return run_history(spark, out_root).select(
+        "run_id", "entity", "ingested", "clean", "error"
     )

@@ -1,0 +1,141 @@
+"""Relational-breadth queries (ROADMAP #2): GROUPING SETS beyond
+ROLLUP, discrete percentiles, and correlated NOT EXISTS — the ANSI
+surface a reference user would reach for next, run through Spark's SQL
+API over registered views so the plans exercise the same parser/
+optimizer path a SQL client would.
+
+Oracle notes: grouping_id bit order (first column = most significant)
+matches between Spark and DuckDB; percentile_disc is oracled through
+its standard definition (least value with cum_dist >= p) because
+DuckDB's quantile_disc picks floor((n-1)p), which diverges from the
+standard at some (n, p).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import SQL_DSUM, query, t
+
+
+def _view(spark: SparkSession, sf_dir: str, name: str, alias: str) -> None:
+    t(spark, sf_dir, name).createOrReplaceTempView(alias)
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS (beyond the ROLLUP already covered by events_multi_rollup)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_grouping_sets",
+    oracle=f"""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+           COUNT(*) AS n_orders,
+           {SQL_DSUM('o_totalprice', 'total_value', 2)}
+    FROM orders
+    GROUP BY GROUPING SETS (
+      (o_orderpriority, o_orderstatus), (o_orderpriority), (o_orderstatus), ()
+    )
+    """,
+)
+def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four grouping sets in one pass — detail, both one-dimension
+    subtotals (NOT expressible as a single ROLLUP/CUBE subset), and the
+    grand total — with grouping_id disambiguating subtotal NULLs from
+    data NULLs. One shuffle; Spark expands the sets map-side."""
+    _view(spark, sf_dir, "orders", "rel_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               grouping_id(o_orderpriority, o_orderstatus) AS gid,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM rel_orders
+        GROUP BY GROUPING SETS (
+          (o_orderpriority, o_orderstatus), (o_orderpriority), (o_orderstatus), ()
+        )
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Discrete percentiles (percentile_disc — an actual data value, no
+# interpolation; complements the exact-interpolated orders_price_quantiles)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_price_percentile_disc",
+    oracle="""
+    WITH cd AS (
+      SELECT o_orderpriority, o_totalprice,
+             cume_dist() OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice) AS cd
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           MIN(CASE WHEN cd >= 0.25 THEN o_totalprice END) AS p25,
+           MIN(CASE WHEN cd >= 0.50 THEN o_totalprice END) AS p50,
+           MIN(CASE WHEN cd >= 0.90 THEN o_totalprice END) AS p90
+    FROM cd GROUP BY o_orderpriority
+    """,
+)
+def orders_price_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_disc per priority: the standard least-value-with-
+    cum_dist>=p definition, so results are actual order prices (exact
+    across engines — no float interpolation). The oracle spells the
+    definition out with a window because DuckDB's quantile_disc uses a
+    different index rule."""
+    _view(spark, sf_dir, "orders", "rel_orders_pd")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS p25,
+               percentile_disc(0.50) WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+               percentile_disc(0.90) WITHIN GROUP (ORDER BY o_totalprice) AS p90
+        FROM rel_orders_pd
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correlated NOT EXISTS (anti-join with a join-side predicate)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "customers_without_bulk_orders",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_totalprice > 150000
+    )
+    GROUP BY c_mktsegment
+    """,
+)
+def customers_without_bulk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated NOT EXISTS: customers with no order over 150k,
+    counted per segment. Catalyst decorrelates this into a left-anti
+    hash join with the price predicate pushed below the join — one
+    pass over each side, no driver-side subquery loop."""
+    _view(spark, sf_dir, "customer", "rel_customer")
+    _view(spark, sf_dir, "orders", "rel_orders_ne")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, count(*) AS n_customers
+        FROM rel_customer c
+        WHERE NOT EXISTS (
+          SELECT 1 FROM rel_orders_ne o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_totalprice > 150000
+        )
+        GROUP BY c_mktsegment
+        """
+    )
