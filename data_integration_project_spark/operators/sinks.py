@@ -115,8 +115,11 @@ def compact_zone(
     days a 100 TB zone accumulates millions of tiny files and scan
     planning dominates runtime. Rewrites each (entity, source, run_id)
     partition whose file count exceeds ``min_files`` into
-    ``ceil(bytes / target_file_bytes)`` files via a staging directory +
-    atomic directory swap (readers see old or new, never partial).
+    ``ceil(bytes / target_file_bytes)`` files via a staging directory
+    swapped in with two renames. Single-writer, no-concurrent-reader
+    assumption: a reader between the renames sees the partition
+    missing, and the pair is not atomic — a table format with atomic
+    commits (Delta/Iceberg) is required for reader-safe compaction.
 
     Returns {partition_path: files_before} for the partitions rewritten.
     OPTIMIZE-style table formats replace this at full scale; the

@@ -61,7 +61,17 @@ def salted_join(
     every copy of the hot key must spread, so salt from a column that
     varies WITHIN the key; fall back to a per-row monotonic id), and the
     small side is replicated n_salts× via explode. Join on (key, salt)
-    → the hot key's rows fan across n_salts tasks."""
+    → the hot key's rows fan across n_salts tasks.
+
+    Only inner/left joins are supported: the replicated small side
+    would emit every unmatched row n_salts times under right/full
+    outer semantics."""
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports inner/left only (got {how!r}): the "
+            "small side is replicated n_salts times, so outer joins "
+            "would duplicate unmatched small-side rows"
+        )
     src = salt_from or "_row_for_salt"
     sk = (
         skewed

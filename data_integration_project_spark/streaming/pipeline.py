@@ -90,7 +90,18 @@ def consume_inbox(
     query, ``Trigger.AvailableNow`` (drain what exists, then stop).
 
     Returns the started StreamingQuery; callers ``awaitTermination()``.
+
+    ``dedup_keys`` first-wins dedup runs per micro-batch; splitting the
+    drain with ``max_files_per_trigger`` would let duplicate keys that
+    span batches through, silently diverging from the reference's
+    whole-drain seen_ids semantics — the combination is rejected (use
+    streaming.stateful.stateful_first_wins for cross-batch dedup).
     """
+    if dedup_keys and max_files_per_trigger:
+        raise ValueError(
+            "dedup_keys with max_files_per_trigger would dedup only within "
+            "each micro-batch; use stateful_first_wins for cross-batch dedup"
+        )
     reader = spark.readStream.format("text")
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -100,6 +111,7 @@ def consume_inbox(
         # the micro-batch feeds three sinks (clean/error/poison) —
         # decode+validate once, not once per sink
         decoded = decode_envelope(batch, data_schema).persist()
+        cached = [decoded]
         try:
             poison = decoded.filter(F.col("_corrupt")).select(
                 F.col("value").alias("_raw_value"),
@@ -117,6 +129,7 @@ def consume_inbox(
                         [F.col("_line_no").asc_nulls_last()],
                     )
                 validated = validated.persist()
+                cached.append(validated)
                 clean = validated.filter("_is_valid").drop("_errors", "_is_valid")
                 error = (
                     validated.filter(~F.col("_is_valid"))
@@ -133,7 +146,8 @@ def consume_inbox(
                     os.path.join(zones.error, f"{entity}_poison")
                 )
         finally:
-            decoded.unpersist()
+            for df in cached:  # one leaked cache per batch adds up on a long stream
+                df.unpersist()
 
     return (
         raw.writeStream.foreachBatch(process_batch)
