@@ -137,6 +137,99 @@ def scd2_merge(
     )
 
 
+def _bucket_of(key: str, n_buckets: int) -> Column:
+    """Deterministic dimension bucket: stable hash of the natural key
+    (cast to string so int/string keys bucket identically)."""
+    return F.pmod(F.xxhash64(F.col(key).cast("string")), F.lit(n_buckets))
+
+
+def write_dim_bucketed(
+    dim: DataFrame,
+    path: str,
+    key: str,
+    *,
+    n_buckets: int = 64,
+    bucket_col: str = "_bucket",
+) -> None:
+    """Persist a dimension hash-bucketed on its natural key
+    (``bucket=0..n-1`` partition directories). The bucket is the
+    MERGE pruning unit: an incremental merge touches only the buckets
+    whose keys changed, never the whole dimension."""
+    dim.withColumn(bucket_col, _bucket_of(key, n_buckets)).write.mode(
+        "overwrite"
+    ).partitionBy(bucket_col).parquet(path)
+
+
+def scd2_merge_incremental(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key: str,
+    tracked: list[str],
+    effective_date: str,
+    *,
+    n_buckets: int = 64,
+    bucket_col: str = "_bucket",
+    from_col="valid_from",
+    to_col="valid_to",
+    cur_col="is_current",
+) -> list[int]:
+    """``MERGE INTO`` emulation on plain parquet (the incremental SCD2
+    the reference lacks; Delta/Iceberg MERGE replaces this when a table
+    format is on the classpath):
+
+    1. bucket the update keys; the distinct affected-bucket list is
+       driver metadata (≤ n_buckets small ints, never row data);
+    2. read ONLY those buckets — a partition-pruned scan (the plan's
+       PartitionFilters carry ``_bucket IN (...)``);
+    3. run the standard :func:`scd2_merge` on the slice;
+    4. dynamic-partition-overwrite exactly those bucket directories.
+
+    Cost scales with |changed keys|' bucket coverage, not dimension
+    size: at a 10 TB dimension with 1k buckets, a 0.1% daily delta
+    rewrites ~tens of buckets. Returns the affected bucket ids.
+
+    The merged slice is localCheckpoint-ed before the write because the
+    output path is also the input path (Spark refuses a self-overwrite
+    otherwise); single-writer assumption, same as compact_zone."""
+    upd = updates.withColumn(bucket_col, _bucket_of(key, n_buckets))
+    affected = sorted(
+        r[0] for r in upd.select(bucket_col).distinct().collect()
+    )
+    if not affected:
+        return []
+    dim_slice = (
+        spark.read.parquet(path)
+        .filter(F.col(bucket_col).isin([int(b) for b in affected]))
+        .drop(bucket_col)
+    )
+    merged = scd2_merge(
+        dim_slice,
+        upd.drop(bucket_col),
+        key,
+        tracked,
+        effective_date,
+        from_col=from_col,
+        to_col=to_col,
+        cur_col=cur_col,
+    ).withColumn(bucket_col, _bucket_of(key, n_buckets))
+    merged = merged.localCheckpoint(eager=True)  # break lineage to `path`
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy(bucket_col).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return [int(b) for b in affected]
+
+
+def read_dim_bucketed(
+    spark: SparkSession, path: str, bucket_col: str = "_bucket"
+) -> DataFrame:
+    """Scan the bucketed dimension without the bucket column."""
+    return spark.read.parquet(path).drop(bucket_col)
+
+
 def current_dim(dim: DataFrame, cur_col: str = "is_current") -> DataFrame:
     """SCD2 lookup side: J3 requires ``is_current = 1`` filtering
     (create_dwh_tables.sql:160-165 FK + is_current index)."""

@@ -88,6 +88,42 @@ def dim_customer_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("dim_customer_scd2_incremental", oracle=_SCD2_ORACLE)
+def dim_customer_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME SCD2 semantics as dim_customer_scd2, but through the
+    parquet MERGE-INTO emulation: the dimension is persisted hash-
+    bucketed on the key, the update batch prunes to its affected
+    buckets (partition-pruned scan), and only those bucket directories
+    are dynamically overwritten. The oracle is identical — incremental
+    merge must be indistinguishable from full merge-and-rewrite."""
+    import tempfile
+
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    dim_path = tempfile.mkdtemp(prefix="scd2_dim_") + "/dim"
+    W.write_dim_bucketed(
+        W.scd2_init(c, "2024-01-01"), dim_path, "c_custkey", n_buckets=16
+    )
+    k = F.col("c_custkey")
+    changed = c.filter(k % 5 == 0).select(
+        k, "c_name", (F.col("c_acctbal") + 50.0).alias("c_acctbal")
+    )
+    new = c.filter(k % 50 == 0).select(
+        (k + 10000000).alias("c_custkey"),
+        F.lit("NEW CUSTOMER").alias("c_name"),
+        F.lit(0.0).alias("c_acctbal"),
+    )
+    W.scd2_merge_incremental(
+        spark,
+        dim_path,
+        changed.unionByName(new),
+        "c_custkey",
+        ["c_name", "c_acctbal"],
+        "2024-06-01",
+        n_buckets=16,
+    )
+    return W.read_dim_bucketed(spark, dim_path)
+
+
 # ---------------------------------------------------------------------------
 # Fact build + rollup (fact_dat_hang / fact_kho shapes,
 # create_dwh_tables.sql:138-206, measures A6/A7) with SCD2-aware dim join
