@@ -177,3 +177,33 @@ def test_frame_sample_shape(spark):
     frames = M.frame_sample(media, n_frames=4).collect()
     assert len(frames) == 12
     assert all(len(r["frame_bytes"]) <= 16 for r in frames)
+
+
+def test_decode_wav_roundtrip_and_stereo():
+    import struct
+
+    raw = bytes(range(200)) * 2
+    d = M.decode_wav(M.encode_wav(raw))
+    assert (d["format"], d["sample_rate"], d["n_channels"]) == ("wav", 8000, 1)
+    n = (len(raw) - (len(raw) & 1)) // 2
+    vals = struct.unpack(f"<{n}h", raw[: n * 2])
+    assert d["n_frames"] == n
+    assert d["sum_abs"] == sum(abs(v) for v in vals)
+    assert d["peak_abs"] == max(abs(v) for v in vals)
+    assert d["duration_ms"] == n * 1000 // 8000
+
+    # handcrafted stereo WAV with an extra chunk before data (chunk walk)
+    samples = struct.pack("<4h", 1000, -1000, 32767, -32768)  # 2 frames x 2 ch
+    fmt = struct.pack("<HHIIHH", 1, 2, 44100, 44100 * 4, 4, 16)
+    junk = b"LIST" + struct.pack("<I", 3) + b"abc\x00"  # odd size + pad byte
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt + junk
+    chunks += b"data" + struct.pack("<I", len(samples)) + samples
+    wav = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    d2 = M.decode_wav(wav)
+    assert (d2["n_channels"], d2["sample_rate"], d2["n_frames"]) == (2, 44100, 2)
+    assert d2["peak_abs"] == 32768 and d2["sum_abs"] == 1000 + 1000 + 32767 + 32768
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        M.decode_wav(b"OggS....")
