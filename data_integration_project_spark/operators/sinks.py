@@ -156,6 +156,46 @@ def compact_zone(
     return rewritten
 
 
+def expire_zone_runs(
+    zone_root: str,
+    zone: str,
+    *,
+    keep_last: int | None = None,
+    drop_run_ids: list[str] | None = None,
+) -> list[str]:
+    """Retention/TTL on a zone (the medallion counterpart of the
+    reference's per-run DB_{run_id} databases piling up forever): remove
+    whole ``run_id=`` partition directories, either an explicit list
+    (``drop_run_ids``) or everything but the newest ``keep_last``
+    distinct run ids (run ids are timestamp-prefixed in the pipeline, so
+    lexicographic order IS age order).
+
+    Pure driver-side metadata work — directory listing + removes, no
+    data scan; at 100 TB the same listing is an object-store prefix
+    delete. Single-writer, no-concurrent-reader assumption (same as
+    compact_zone). Returns the removed directories."""
+    import glob as _glob
+    import shutil
+
+    if (keep_last is None) == (drop_run_ids is None):
+        raise ValueError("pass exactly one of keep_last / drop_run_ids")
+    base = os.path.join(zone_root, zone)
+    run_dirs = sorted(_glob.glob(os.path.join(base, "entity=*", "source=*", "run_id=*")))
+    by_run: dict[str, list[str]] = {}
+    for d in run_dirs:
+        by_run.setdefault(os.path.basename(d).split("=", 1)[1], []).append(d)
+    if drop_run_ids is not None:
+        doomed = [r for r in by_run if r in set(drop_run_ids)]
+    else:
+        doomed = sorted(by_run)[: max(len(by_run) - keep_last, 0)]
+    removed = []
+    for r in doomed:
+        for d in by_run[r]:
+            shutil.rmtree(d, ignore_errors=True)
+            removed.append(d)
+    return removed
+
+
 def jdbc_bulk_insert(
     df: DataFrame,
     url: str,

@@ -88,7 +88,12 @@ def orders_price_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum_dist>=p definition, so results are actual order prices (exact
     across engines — no float interpolation). The oracle spells the
     definition out with a window because DuckDB's quantile_disc uses a
-    different index rule."""
+    different index rule.
+
+    Scale note: Spark's percentile_disc buffers each group's values in
+    the aggregation state — fine for dimension-sized groups. For 100 TB
+    fact groups, use the oracle's own shape instead (cume_dist window +
+    conditional min: sort-based, spillable) or approx_percentile."""
     _view(spark, sf_dir, "orders", "rel_orders_pd")
     return spark.sql(
         """

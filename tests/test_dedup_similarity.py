@@ -207,3 +207,42 @@ def test_decode_wav_roundtrip_and_stereo():
 
     with pytest.raises(ValueError):
         M.decode_wav(b"OggS....")
+
+
+def test_ann_recall_sweep(spark):
+    """Recall scales the way the knobs promise: more SRP tables and
+    more IVF probes strictly widen the candidate set (monotone recall),
+    and the high-end settings reach strong recall on sf0.001."""
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.filter("vec_id % 25 = 0")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.brute_force_topk(q, e, "vec_id", "embedding", k=5).collect()
+    }
+
+    def srp_recall(n_tables):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in S.srp_bucketed_topk(
+                q, e, "vec_id", "embedding", k=5, n_planes=3, n_tables=n_tables
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r2, r8 = srp_recall(2), srp_recall(8)
+    assert r8 >= r2, (r2, r8)  # more tables never hurt
+    assert r8 >= 0.6, r8
+
+    def ivf_recall(n_probe):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in S.ivf_topk(
+                q, e, "vec_id", "embedding", k=5,
+                n_clusters=8, n_probe=n_probe, n_iters=2,
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    i1, i4 = ivf_recall(1), ivf_recall(4)
+    assert i4 >= i1, (i1, i4)  # more probes never hurt
+    assert i4 >= 0.6, i4

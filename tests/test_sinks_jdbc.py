@@ -92,3 +92,33 @@ def test_jdbc_plan_construction(spark):
     # plan builds lazily; executing would need a live server + driver
     with pytest.raises(Exception):
         read_table(spark, src, "khach_hang").count()
+
+
+def test_expire_zone_runs(spark, tmp_path):
+    import os
+
+    from data_integration_project_spark.operators.sinks import (
+        expire_zone_runs,
+        read_zone,
+        zone_write,
+    )
+
+    df = spark.range(5).select(F.col("id").cast("int").alias("v"))
+    root = str(tmp_path)
+    for run in ("20240101_0900", "20240102_0900", "20240103_0900"):
+        zone_write(df, root, "clean", entity="e1", source="csv", run_id=run)
+
+    removed = expire_zone_runs(root, "clean", keep_last=2)
+    assert len(removed) == 1 and "run_id=20240101_0900" in removed[0]
+    left = {
+        r["run_id"]
+        for r in read_zone(spark, root, "clean").select("run_id").distinct().collect()
+    }
+    assert left == {"20240102_0900", "20240103_0900"}
+
+    removed2 = expire_zone_runs(root, "clean", drop_run_ids=["20240103_0900"])
+    assert len(removed2) == 1
+    import pytest
+
+    with pytest.raises(ValueError):
+        expire_zone_runs(root, "clean")
