@@ -124,6 +124,50 @@ def dim_customer_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     return W.read_dim_bucketed(spark, dim_path)
 
 
+@query("dim_customer_scd2_streaming", oracle=_SCD2_ORACLE)
+def dim_customer_scd2_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME SCD2 semantics a third way: the update batch arrives as
+    a STREAM (file source, AvailableNow) and foreachBatch merges each
+    micro-batch into the bucketed dimension via the incremental MERGE
+    (streaming.upsert.scd2_stream_upsert). Batch full-rewrite,
+    incremental MERGE, and streaming MERGE must all be oracle-
+    indistinguishable."""
+    import tempfile
+
+    from ..streaming.upsert import scd2_stream_upsert
+
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    root = tempfile.mkdtemp(prefix="scd2_stream_")
+    dim_path = root + "/dim"
+    W.write_dim_bucketed(
+        W.scd2_init(c, "2024-01-01"), dim_path, "c_custkey", n_buckets=16
+    )
+    k = F.col("c_custkey")
+    changed = c.filter(k % 5 == 0).select(
+        k, "c_name", (F.col("c_acctbal") + 50.0).alias("c_acctbal")
+    )
+    new = c.filter(k % 50 == 0).select(
+        (k + 10000000).alias("c_custkey"),
+        F.lit("NEW CUSTOMER").alias("c_name"),
+        F.lit(0.0).alias("c_acctbal"),
+    )
+    updates = changed.unionByName(new)
+    updates.write.parquet(root + "/updates")
+    stream = spark.readStream.schema(updates.schema).parquet(root + "/updates")
+    q = scd2_stream_upsert(
+        spark,
+        dim_path,
+        stream,
+        "c_custkey",
+        ["c_name", "c_acctbal"],
+        "2024-06-01",
+        checkpoint=root + "/cp",
+        n_buckets=16,
+    )
+    q.awaitTermination()
+    return W.read_dim_bucketed(spark, dim_path)
+
+
 # ---------------------------------------------------------------------------
 # Fact build + rollup (fact_dat_hang / fact_kho shapes,
 # create_dwh_tables.sql:138-206, measures A6/A7) with SCD2-aware dim join

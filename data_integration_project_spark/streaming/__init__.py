@@ -9,8 +9,10 @@ from .pipeline import (
     run_inbox_pipeline,
     streaming_window_counts,
 )
+from .upsert import scd2_stream_upsert
 
 __all__ = [
+    "scd2_stream_upsert",
     "envelope_schema",
     "decode_envelope",
     "encode_envelope",

@@ -118,3 +118,20 @@ def test_scd2_incremental_prunes_and_matches_full(spark, tmp_path):
     pruned = spark.read.parquet(path).filter(F.col("_bucket") == affected[0])
     assert "PartitionFilters: [" in pruned._jdf.queryExecution().executedPlan().toString() or \
            pruned.count() > 0  # plan text fallback: at minimum the read works
+
+
+def test_scd2_incremental_merge_idempotent(spark, tmp_path):
+    c = spark.createDataFrame(
+        [(i, f"n{i}", float(i)) for i in range(1, 41)], "k int, name string, bal double"
+    )
+    path = str(tmp_path / "dim")
+    W.write_dim_bucketed(W.scd2_init(c, "2024-01-01"), path, "k", n_buckets=4)
+    upd = spark.createDataFrame([(3, "n3", 99.0), (41, "new", 1.0)],
+                                "k int, name string, bal double")
+    W.scd2_merge_incremental(spark, path, upd, "k", ["name", "bal"], "2024-06-01", n_buckets=4)
+    once = {tuple(r) for r in W.read_dim_bucketed(spark, path).collect()}
+    # replaying the SAME batch (at-least-once delivery) changes nothing:
+    # tracked values already match the current rows
+    W.scd2_merge_incremental(spark, path, upd, "k", ["name", "bal"], "2024-06-01", n_buckets=4)
+    twice = {tuple(r) for r in W.read_dim_bucketed(spark, path).collect()}
+    assert once == twice
