@@ -303,3 +303,43 @@ def streaming_inbox_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# JSON scalar functions (§2.9): the events props column is a JSON
+# document; both the typed parse (from_json) and the path extractor
+# (get_json_object) stay JVM-side.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_json_props",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT)
+             AS sum_k,
+           CAST(SUM(CASE WHEN json_extract_string(props, '$.k') IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar surface over the props column: min via the TYPED
+    parse (from_json with an explicit schema — the scale path: parse
+    once, prune to the referenced field) and max/sum via the path
+    extractor get_json_object; both are JVM expressions inside the
+    same codegen aggregate."""
+    e = t(spark, sf_dir, "events")
+    typed_k = F.from_json("props", "k INT").getField("k")
+    path_k = F.get_json_object("props", "$.k").cast("int")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(typed_k).alias("min_k"),
+        F.max(path_k).alias("max_k"),
+        F.sum(path_k).alias("sum_k"),
+        F.sum(F.when(path_k.isNull(), 1).otherwise(0)).alias("n_missing"),
+    )

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .catalog import SQL_DSUM, query, t
+from .catalog import SQL_DSUM, dsum, query, t
 
 
 def _view(spark: SparkSession, sf_dir: str, name: str, alias: str) -> None:
@@ -143,4 +143,65 @@ def customers_without_bulk_orders(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         GROUP BY c_mktsegment
         """
+    )
+
+
+# ---------------------------------------------------------------------------
+# PIVOT / UNPIVOT (wide<->long reshaping)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_pivot_status",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def orders_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts per priority spread across one column per
+    status. Pivot values are pinned explicitly — at scale an implicit
+    pivot runs an extra distinct-values job and risks an unbounded
+    column fan-out; pinning keeps it one pass."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["F", "O", "P"])
+    )
+
+
+@query(
+    "orders_unpivot_measures",
+    oracle=f"""
+    WITH agg AS (
+      SELECT o_orderpriority,
+             {SQL_DSUM('o_totalprice', 'total_value', 2)},
+             CAST(COUNT(*) AS DOUBLE) AS n_orders
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, 'total_value' AS metric, total_value AS value FROM agg
+    UNION ALL
+    SELECT o_orderpriority, 'n_orders', n_orders FROM agg
+    """,
+)
+def orders_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): the per-priority metric columns rotated into
+    (metric, value) rows — the long form BI layers ingest. Spark's
+    unpivot is a zero-shuffle projection over the aggregated rows."""
+    o = t(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderpriority").agg(
+        dsum(F.col("o_totalprice"), "total_value", 2),
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+    )
+    return agg.unpivot(
+        ["o_orderpriority"],
+        ["total_value", "n_orders"],
+        "metric",
+        "value",
     )
