@@ -331,8 +331,9 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON scalar surface over the props column: min via the TYPED
     parse (from_json with an explicit schema — the scale path: parse
     once, prune to the referenced field) and max/sum via the path
-    extractor get_json_object; both are JVM expressions inside the
-    same codegen aggregate."""
+    extractor get_json_object. Both are JVM expressions (no Python);
+    JSON parsing is a codegen-fallback expression, but the single
+    hash-aggregate pass and one exchange are unchanged."""
     e = t(spark, sf_dir, "events")
     typed_k = F.from_json("props", "k INT").getField("k")
     path_k = F.get_json_object("props", "$.k").cast("int")
