@@ -43,6 +43,11 @@ HEADLINE = [
     "events_hourly_by_type",
     "events_sessionization",
     "streaming_inbox_pipeline",
+    # round 2: new physical shapes — grouping-set expand, real
+    # mapInPandas byte decode, partition-pruned parquet MERGE
+    "orders_grouping_sets",
+    "multimodal_ppm_decode",
+    "dim_customer_scd2_incremental",
 ]
 
 
