@@ -344,3 +344,49 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(path_k).alias("sum_k"),
         F.sum(F.when(path_k.isNull(), 1).otherwise(0)).alias("n_missing"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct-count sketch (the portable, oracle-checkable alternative
+# to HyperLogLog — operators/sketch.py)
+# ---------------------------------------------------------------------------
+
+
+def _KMV_SQL(col: str, scope: str, k: int = 256) -> str:
+    a, b, p = 1103515245, 12352, 2147483647
+    return f"""
+    SELECT '{scope}' AS scope, CAST({k} AS INTEGER) AS k,
+           COUNT(*) AS n_seen,
+           CAST(CASE WHEN COUNT(*) < {k} THEN COUNT(*)
+                ELSE floor({float(k - 1)} * {float(p)} / MAX(hv)) END AS BIGINT)
+             AS n_estimate
+    FROM (
+      SELECT hv FROM (
+        SELECT DISTINCT ({a} * ({col} % {p}) + {b}) % {p} AS hv FROM events
+      ) ORDER BY hv LIMIT {k}
+    )
+    """
+
+
+@query(
+    "events_kmv_distinct",
+    oracle=_KMV_SQL("user_id", "user_id")
+    + "\n    UNION ALL\n"
+    + _KMV_SQL("event_id", "event_id"),
+)
+def events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch over two cardinality regimes: user_id
+    (sketch not full → exact count) and event_id (full sketch → the
+    (k-1)·P/h_k estimate). Deterministic affine hashing + TakeOrdered(k)
+    means both engines compute the identical estimate — the sketch is
+    oracle-checked bit-for-bit, which HLL never can be."""
+    from ..operators.sketch import kmv_distinct_estimate
+
+    e = t(spark, sf_dir, "events")
+    out = None
+    for col in ("user_id", "event_id"):
+        leg = kmv_distinct_estimate(e, col, k=256).select(
+            F.lit(col).alias("scope"), "k", "n_seen", "n_estimate"
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out

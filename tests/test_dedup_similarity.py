@@ -246,3 +246,19 @@ def test_ann_recall_sweep(spark):
     i1, i4 = ivf_recall(1), ivf_recall(4)
     assert i4 >= i1, (i1, i4)  # more probes never hurt
     assert i4 >= 0.6, i4
+
+
+def test_kmv_sketch_accuracy_and_exact_regime(spark):
+    from data_integration_project_spark.operators.sketch import kmv_distinct_estimate
+
+    # below k: the sketch IS the exact distinct count
+    small = spark.range(100).select((F.col("id") % 37).alias("v"))
+    r = kmv_distinct_estimate(small, "v", k=256).collect()[0]
+    assert (r["n_seen"], r["n_estimate"]) == (37, 37)
+
+    # well above k: estimate within 10% of truth
+    big = spark.range(50000).select((F.col("id") * 7919 % 49999).alias("v"))
+    true_n = big.distinct().count()
+    r2 = kmv_distinct_estimate(big, "v", k=256).collect()[0]
+    assert r2["n_seen"] == 256
+    assert abs(r2["n_estimate"] - true_n) / true_n < 0.10, (r2["n_estimate"], true_n)
