@@ -279,3 +279,48 @@ def multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL (integer channel sums, one double division)."""
     media = M.documents_as_ppm_media(t(spark, sf_dir, "documents"))
     return M.decode_image_features(media)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling (operators/sampling.py): hash-based, stable
+# under repartitioning — the reproducible train/test-split primitive.
+# ---------------------------------------------------------------------------
+
+_SAMPLE_BUCKET = "((1103515245 * ((doc_id + {salt}) % 2147483647) + 12360) % 2147483647) % 1000"
+
+
+@query(
+    "doc_stratified_sample",
+    oracle=f"""
+    WITH langs AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN 'en'
+                  WHEN doc_id % 7 = 1 THEN 'de' ELSE 'other' END AS lang
+      FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_sampled
+    FROM langs
+    WHERE {_SAMPLE_BUCKET.format(salt=0)} <
+          CASE WHEN lang = 'en' THEN 250
+               WHEN lang = 'de' THEN 1000 ELSE 50 END
+    GROUP BY lang
+    """,
+)
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: downsample the dominant
+    stratum (en: 25%), keep all of the rare one (de: 100%), and thin
+    the rest (5%) — membership is a pure function of doc_id, so the
+    sample is identical across runs, partitionings, and engines. A
+    scan-side codegen filter; zero shuffles before the count."""
+    from ..operators.sampling import stratified_hash_sample
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    k = F.col("doc_id")
+    langs = docs.withColumn(
+        "lang",
+        F.when(k % 7 == 0, "en").when(k % 7 == 1, "de").otherwise("other"),
+    )
+    sampled = stratified_hash_sample(
+        langs, "doc_id", "lang", {"en": 250, "de": 1000}, default_permille=50
+    )
+    return sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))

@@ -262,3 +262,16 @@ def test_kmv_sketch_accuracy_and_exact_regime(spark):
     r2 = kmv_distinct_estimate(big, "v", k=256).collect()[0]
     assert r2["n_seen"] == 256
     assert abs(r2["n_estimate"] - true_n) / true_n < 0.10, (r2["n_estimate"], true_n)
+
+
+def test_hash_sample_stable_under_repartitioning(spark):
+    from data_integration_project_spark.operators.sampling import hash_sample
+
+    df = spark.range(10000).select(F.col("id").alias("k"))
+    s1 = {r["k"] for r in hash_sample(df, "k", 100).collect()}
+    s2 = {r["k"] for r in hash_sample(df.repartition(17), "k", 100).collect()}
+    assert s1 == s2  # membership is a pure function of the key
+    assert 0.07 < len(s1) / 10000 < 0.13  # ~10% rate
+    # nested rates: a 5% sample is a subset of the 10% sample
+    s05 = {r["k"] for r in hash_sample(df, "k", 50).collect()}
+    assert s05 <= s1
