@@ -1,10 +1,16 @@
 """Cardinality sketches for corpus-scale profiling.
 
 Spark's built-in ``approx_count_distinct`` (HyperLogLog++) cannot be
-oracle-checked — its register layout is engine-specific. The KMV
-(k-minimum-values) sketch here is the portable alternative: hash every
-value with the fixed affine family (functions.text.HASH_P arithmetic),
-keep the k smallest DISTINCT hashes, and estimate
+oracle-checked — its register layout is engine-specific. Two portable
+alternatives live here, both built on the fixed affine hash family
+(functions.text.HASH_P arithmetic) so two engines produce identical
+estimates bit-for-bit:
+
+* ``hll_distinct_estimate`` — classic HyperLogLog with the float parts
+  folded into one constant (exact integer registers, one double
+  division at the end);
+* ``kmv_distinct_estimate`` — k-minimum-values: keep the k smallest
+  DISTINCT hashes and estimate
 
     distinct ≈ (k - 1) · P / h_(k)
 
@@ -32,6 +38,71 @@ _A, _B = 1103515245 % P, 12352 % P
 def kmv_hash(col: Column) -> Column:
     """Portable value hash into [0, P): injective for values < P."""
     return (F.lit(_A) * (col.cast("long") % P) + F.lit(_B)) % P
+
+
+def hll_constants(m: int) -> tuple[int, int, float]:
+    """(bucket_bits, K, scaled_alpha) for an m-register portable HLL.
+
+    The hash is 31-bit (values in [0, P)); the low ``bucket_bits``
+    select the register and the remaining ``w_bits = 31 - bucket_bits``
+    form the rank word, so ranks live in [1, K] with K = w_bits + 1.
+    ``scaled_alpha`` folds the whole float part of the estimator —
+    alpha_m · m² · 2^K — into ONE constant, so the runtime estimate is
+    a single double division over an exact integer sum (bit-portable).
+    """
+    bucket_bits = m.bit_length() - 1
+    if 1 << bucket_bits != m:
+        raise ValueError(f"m must be a power of two, got {m}")
+    k_max = (31 - bucket_bits) + 1
+    alpha = 0.7213 / (1 + 1.079 / m)
+    return bucket_bits, k_max, alpha * m * m * float(1 << k_max)
+
+
+def hll_distinct_estimate(df: DataFrame, col: str, m: int = 64) -> DataFrame:
+    """One-row portable-HLL summary: (m, n_empty, s_scaled, n_estimate).
+
+    Classic HyperLogLog, made oracle-checkable by keeping every step in
+    exact integer arithmetic: register = hash % m, rank = leading-zero
+    count of the remaining 25-bit word + 1 (via ``length(bin(w))`` —
+    identical in Spark and DuckDB), and the harmonic denominator
+    Z = Σ 2^(-M_j) stored scaled by 2^K as the integer
+    ``s_scaled = Σ 2^(K - M_j)`` (empty registers contribute 2^K).
+    The estimate alpha·m²/Z is then ``floor(scaled_alpha / s_scaled)``
+    — one double division, bit-equal across engines.
+
+    No low-cardinality linear-counting correction (it needs ln(), whose
+    last-bit behavior is libm-specific) — the raw estimator's known
+    small-range bias is visible against ``n_empty``/exact counts.
+
+    Distributed shape: one groupBy on m keys (map-side combined max),
+    then a single m-row final fold — constant state, mergeable, the
+    same plan at any scale."""
+    _, k_max, scaled_alpha = hll_constants(m)
+    hv = kmv_hash(F.col(col))
+    w = F.floor(hv / m).cast("long")
+    rank = F.when(w == F.lit(0), F.lit(k_max)).otherwise(
+        F.lit(k_max) - F.length(F.bin(w))
+    )
+    regs = (
+        df.select((hv % m).alias("_b"), rank.alias("_r"))
+        .groupBy("_b")
+        .agg(F.max("_r").alias("_m"))
+    )
+    n_seen = F.count(F.lit(1))
+    s_scaled = (
+        F.sum(F.pow(F.lit(2.0), F.lit(k_max) - F.col("_m")).cast("long"))
+        + (F.lit(m) - n_seen) * F.lit(1 << k_max)
+    ).cast("long")
+    return regs.agg(
+        F.lit(m).alias("m"),
+        (F.lit(m) - n_seen).cast("int").alias("n_empty"),
+        s_scaled.alias("s_scaled"),
+    ).select(
+        "m",
+        "n_empty",
+        "s_scaled",
+        F.floor(F.lit(scaled_alpha) / F.col("s_scaled")).cast("long").alias("n_estimate"),
+    )
 
 
 def kmv_distinct_estimate(df: DataFrame, col: str, k: int = 256) -> DataFrame:

@@ -13,5 +13,7 @@ from . import similarity_q  # noqa: E402,F401
 from . import events_q  # noqa: E402,F401
 from . import entities_q  # noqa: E402,F401
 from . import relational_q  # noqa: E402,F401
+from . import corpus_q  # noqa: E402,F401
+from . import skew_q  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "query", "queries", "oracle_sql"]

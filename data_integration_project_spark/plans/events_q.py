@@ -390,3 +390,120 @@ def events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = leg if out is None else out.unionByName(leg)
     return out
+
+
+def _HLL_SQL(col: str, scope: str, m: int = 64) -> str:
+    from ..operators.sketch import _A, _B, hll_constants
+    from ..functions.text import HASH_P as p
+
+    _, k_max, scaled_alpha = hll_constants(m)
+    rank = (
+        f"CASE WHEN hv // {m} = 0 THEN {k_max} "
+        f"ELSE {k_max} - length(bin(hv // {m})) END"
+    )
+    s_scaled = (
+        f"SUM(CAST(power(2, {k_max} - mreg) AS BIGINT))"
+        f" + ({m} - COUNT(*)) * {1 << k_max}"
+    )
+    return f"""
+    SELECT '{scope}' AS scope,
+           CAST({m} AS INTEGER) AS m,
+           CAST({m} - COUNT(*) AS INTEGER) AS n_empty,
+           CAST({s_scaled} AS BIGINT) AS s_scaled,
+           CAST(floor({scaled_alpha!r} / ({s_scaled})) AS BIGINT) AS n_estimate,
+           (SELECT COUNT(DISTINCT {col}) FROM events) AS n_exact
+    FROM (
+      SELECT hv % {m} AS b, MAX({rank}) AS mreg
+      FROM (SELECT ({_A} * ({col} % {p}) + {_B}) % {p} AS hv FROM events)
+      GROUP BY b
+    )
+    """
+
+
+def _hll_oracle() -> str:
+    return (
+        _HLL_SQL("user_id", "user_id")
+        + "\n    UNION ALL\n"
+        + _HLL_SQL("event_id", "event_id")
+    )
+
+
+@query("events_hll_distinct", oracle=_hll_oracle())
+def events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog distinct-count sketch (operators/sketch.py)
+    over the same two cardinality regimes as the KMV query: user_id
+    (150 true distinct at sf0.01 — raw-estimator small-range bias is
+    visible next to n_exact) and event_id (dense regime where HLL
+    shines). Registers are exact integers and the estimate is one
+    double division of a precomputed constant, so the DuckDB oracle
+    replays the sketch bit-for-bit — including the estimate itself."""
+    from ..operators.sketch import hll_distinct_estimate
+
+    e = t(spark, sf_dir, "events")
+    out = None
+    for col in ("user_id", "event_id"):
+        exact = e.agg(F.countDistinct(col).cast("long").alias("n_exact"))
+        leg = (
+            hll_distinct_estimate(e, col, m=64)
+            .crossJoin(exact)
+            .select(F.lit(col).alias("scope"), "m", "n_empty", "s_scaled", "n_estimate", "n_exact")
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Event-time RANGE frame (trailing-hour sliding window per user)
+# ---------------------------------------------------------------------------
+
+
+_TRAIL_FRAME = (
+    "PARTITION BY user_id ORDER BY epoch_us(ts) "
+    "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW"
+)
+
+
+@query(
+    "events_trailing_hour_window",
+    oracle=f"""
+    WITH w AS (
+      SELECT user_id,
+             COUNT(*) OVER ({_TRAIL_FRAME}) AS n_1h,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER ({_TRAIL_FRAME})
+                  AS DOUBLE) AS v_1h
+      FROM events
+    )
+    SELECT user_id,
+           MAX(n_1h) AS peak_1h_events,
+           MAX(v_1h) AS peak_1h_value
+    FROM w GROUP BY user_id
+    """,
+)
+def events_trailing_hour_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE frame: for every event, the count and value-sum
+    of the same user's events in the trailing hour (frame bounded by
+    the ORDER-BY VALUE, not row position — peers at the same timestamp
+    enter together), rolled up to each user's peak trailing-hour rate.
+    The burst-detection / rate-limiting shape.
+
+    Ordering is unix-microseconds (a long), so the numeric RANGE frame
+    is portable to any engine; the windowed sum rides as exact decimal.
+    Scale shape: one hash shuffle on user_id, per-partition sort, a
+    sliding frame evaluated in one pass, then a map-side-combined
+    rollup — no self-join, no explode of the window."""
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    n1h = F.count(F.lit(1)).over(w)
+    v1h = F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double")
+    return (
+        e.select("user_id", n1h.alias("n_1h"), v1h.alias("v_1h"))
+        .groupBy("user_id")
+        .agg(
+            F.max("n_1h").alias("peak_1h_events"),
+            F.max("v_1h").alias("peak_1h_value"),
+        )
+    )

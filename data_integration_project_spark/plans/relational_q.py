@@ -205,3 +205,60 @@ def orders_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "value",
     )
+
+
+# ---------------------------------------------------------------------------
+# INTERSECT / EXCEPT (distinct set semantics — the cohort algebra)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "customers_setops_cohorts",
+    oracle="""
+    WITH y95 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE year(o_orderdate) = 1995),
+         y96 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE year(o_orderdate) = 1996)
+    SELECT 'retained' AS cohort, COUNT(*) AS n_customers
+      FROM (SELECT * FROM y95 INTERSECT SELECT * FROM y96)
+    UNION ALL
+    SELECT 'churned', COUNT(*)
+      FROM (SELECT * FROM y95 EXCEPT SELECT * FROM y96)
+    UNION ALL
+    SELECT 'acquired', COUNT(*)
+      FROM (SELECT * FROM y96 EXCEPT SELECT * FROM y95)
+    """,
+)
+def customers_setops_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT cohort algebra: customers active in both 1995
+    and 1996 (retained), only 1995 (churned), only 1996 (acquired) —
+    the two set operators the catalog did not yet exercise (U1-U3
+    cover UNION ALL and anti-join).
+
+    Scale shape: each leg is a distinct-aggregate on the key followed
+    by a hash set-op — Catalyst plans INTERSECT/EXCEPT as left-semi /
+    left-anti joins over pre-distincted sides, so the year filters
+    push to the parquet scan and each leg shuffles custkeys once."""
+    o = t(spark, sf_dir, "orders")
+
+    def keys(year: int) -> DataFrame:
+        return (
+            o.filter(F.year("o_orderdate") == year)
+            .select("o_custkey")
+            .distinct()
+        )
+
+    y95, y96 = keys(1995), keys(1996)
+    legs = [
+        ("retained", y95.intersect(y96)),
+        ("churned", y95.subtract(y96)),
+        ("acquired", y96.subtract(y95)),
+    ]
+    out = None
+    for cohort, df in legs:
+        leg = df.agg(
+            F.lit(cohort).alias("cohort"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out
