@@ -5,10 +5,11 @@ JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ..
 Each query is executed to completion with a count() action (results stay
 distributed; nothing is collected). Timing excludes session startup but
 includes full plan execution. Per-query time is the BEST of
-$SPARK_GRAFT_BENCH_REPS runs (default 2): the host VM's cores are bursty
-(±2× run-to-run on identical plans), and best-of-N recovers the plan's
-actual cost from the noise floor; rep 1 additionally pays one-time plan
-compilation. "value" is the sum of the per-query bests.
+$SPARK_GRAFT_BENCH_REPS runs (default 3): the host VM's cores are bursty
+(measured up to ~5× run-to-run on identical plans), and best-of-N
+recovers the plan's actual cost from the noise floor; rep 1 additionally
+pays one-time plan compilation. "value" is the sum of the per-query
+bests.
 """
 
 from __future__ import annotations
@@ -48,6 +49,10 @@ HEADLINE = [
     "orders_grouping_sets",
     "multimodal_ppm_decode",
     "dim_customer_scd2_incremental",
+    # round 2 (cont.): explode-heavy vocabulary profile and an
+    # event-time RANGE-frame window
+    "doc_top_tokens",
+    "events_trailing_hour_window",
 ]
 
 
@@ -60,7 +65,7 @@ def main() -> None:
     # query, not first-touch costs
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
 
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     names = [n for n in HEADLINE if n in plans.REGISTRY]
     timings: dict[str, float] = {}
     for name in names:

@@ -264,6 +264,83 @@ def minhash_lsh_dedup(
 
 
 # ---------------------------------------------------------------------------
+# Duplicate-cluster canonicalization (connected components)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    *,
+    id_a: str = "_id_a",
+    id_b: str = "_id_b",
+    max_iter: int = 15,
+) -> DataFrame:
+    """(node, comp) labels for the pair graph: comp = the smallest id
+    reachable from the node, i.e. each duplicate CLUSTER collapses to
+    its lowest member as the canonical representative. This is the step
+    after pair detection that pairwise dedup alone can't express —
+    A~B and B~C must yield ONE survivor, not two independent drops.
+
+    Min-label propagation: each round, every node takes the min of its
+    own label and its neighbors' labels (one equi-join + one map-side-
+    combined min aggregate per round), stopping at fixpoint. Rounds ≈
+    graph diameter — near-dup clusters are shallow (chains of edits),
+    so this converges in a handful of rounds; each round is a bounded
+    shuffle on node id, with persist() truncating re-computation.
+    For adversarial long-path graphs at 100 TB, the large-star/
+    small-star variant (Kiveris et al., "Connected Components in
+    MapReduce") halves path lengths per round — same join primitives,
+    log-diameter rounds; this direct form keeps the common case
+    simple.
+
+    Only nodes that appear in ``pairs`` are labeled (singletons are
+    their own trivial clusters and never shuffle)."""
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels.count()
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("comp").alias("_ncomp"))
+            .withColumnRenamed("src", "node")
+        )
+        new_labels = (
+            labels.join(neigh, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("_ncomp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = (
+            new_labels.withColumnRenamed("comp", "_new_comp")
+            .join(labels, "node")
+            .filter(F.col("_new_comp") != F.col("comp"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

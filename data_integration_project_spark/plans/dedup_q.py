@@ -178,6 +178,141 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Duplicate-cluster canonicalization (connected components over the
+# near-dup pair graph)
+# ---------------------------------------------------------------------------
+
+# Chain corpus: every 10th doc in four versions — exact copy plus two
+# successive one-token edits — so the pair graph has multi-hop paths
+# (orig ~ copy ~ +extra ~ +extra extra) and transitivity actually
+# matters: pairwise dedup alone would keep multiple chain members.
+_CHAIN_CORPUS_SQL = """
+    WITH RECURSIVE corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 200000, text || ' extra' FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 300000, text || ' extra extra' FROM documents
+      WHERE doc_id % 10 = 0
+    )
+"""
+
+_PAIRS_BLOCKS_SQL = f"""
+    , shingled AS ({_SHINGLES_SQL}),
+    params(hidx, a, b) AS (VALUES {_PARAMS_SQL}),
+    sigs AS (
+      SELECT doc_id, hidx, min((a * shash + b) % 2147483647) AS minhash
+      FROM shingled CROSS JOIN params
+      GROUP BY doc_id, hidx
+    ),
+    buckets AS (
+      SELECT doc_id, hidx // {_ROWS_PER_BAND} AS band,
+             string_agg(minhash, '-' ORDER BY hidx) AS bucket
+      FROM sigs GROUP BY doc_id, hidx // {_ROWS_PER_BAND}
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+      FROM cands c
+      JOIN shingled sa ON sa.doc_id = c.id_a
+      JOIN shingled sb ON sb.doc_id = c.id_b AND sb.shash = sa.shash
+      GROUP BY c.id_a, c.id_b
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingled GROUP BY doc_id),
+    pairs AS (
+      SELECT c.id_a, c.id_b
+      FROM cands c
+      LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+      JOIN sizes za ON za.doc_id = c.id_a
+      JOIN sizes zb ON zb.doc_id = c.id_b
+      WHERE CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+              / (za.sz + zb.sz - COALESCE(i.n_inter, 0)) >= 0.5
+    )
+"""
+
+
+@query(
+    "dedup_clusters",
+    oracle=_CHAIN_CORPUS_SQL
+    + _PAIRS_BLOCKS_SQL
+    + """
+    , edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    walk(node, r) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT w.node, e.dst FROM walk w JOIN edges e ON e.src = w.r
+    ),
+    labels AS (SELECT node, MIN(r) AS comp FROM walk GROUP BY node)
+    SELECT comp AS cluster_rep, COUNT(*) AS n_members, MAX(node) AS max_member
+    FROM labels GROUP BY comp
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-CLUSTER canonicalization: MinHash/LSH pair detection
+    over an edit-chain corpus, then connected components (iterative
+    min-label propagation, operators/dedup.py) so A~B~C collapses to
+    one canonical representative — the transitive step pairwise dedup
+    can't express, and what a real corpus dedup keeps per cluster.
+    Per-cluster rollup: representative (min id), member count, max id.
+
+    The oracle replays pair detection with the identical portable
+    hashes and resolves reachability with a recursive CTE — the
+    fixpoints agree exactly. The Spark loop is O(graph diameter)
+    bounded shuffles; edit-chain clusters are shallow."""
+    base = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 10 == 0)
+    )
+
+    def variant(offset: int, suffix: str) -> DataFrame:
+        txt = (
+            F.concat(F.col("text"), F.lit(suffix)) if suffix else F.col("text")
+        )
+        return base.select(
+            (F.col("doc_id") + offset).alias("doc_id"), txt.alias("text")
+        )
+
+    corpus = (
+        base.unionByName(variant(100000, ""))
+        .unionByName(variant(200000, " extra"))
+        .unionByName(variant(300000, " extra extra"))
+    )
+    pairs = D.minhash_lsh_dedup(
+        corpus,
+        "doc_id",
+        "text",
+        shingle_k=3,
+        n_hashes=_N_HASHES,
+        n_bands=_N_BANDS,
+        threshold=0.5,
+    )
+    labels = D.connected_components(pairs)
+    return (
+        labels.groupBy("comp")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max("node").alias("max_member"),
+        )
+        .select(
+            F.col("comp").alias("cluster_rep"),
+            "n_members",
+            "max_member",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

@@ -262,3 +262,40 @@ def customers_setops_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = leg if out is None else out.unionByName(leg)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width histogram (distribution profiling)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_price_histogram",
+    oracle="""
+    SELECT least(CAST(floor(o_totalprice / 50000) AS BIGINT), 9) AS bucket,
+           COUNT(*) AS n_orders,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+    FROM orders
+    GROUP BY least(CAST(floor(o_totalprice / 50000) AS BIGINT), 9)
+    """,
+)
+def orders_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order value (50k buckets, top-coded at
+    bucket 9) with per-bucket min/max — the one-pass distribution
+    profile. floor() of a double is exact, so bucket edges are
+    engine-independent; the whole thing is a single map-side-combined
+    aggregation, no sort, no windowing."""
+    o = t(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / 50000).cast("long"), F.lit(9)
+    )
+    return (
+        o.select(bucket.alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )

@@ -273,3 +273,46 @@ def ann_srp_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") % 100 == 0)
     return S.srp_bucketed_topk(queries, e, "vec_id", "embedding", k=5, n_planes=3, n_tables=8)
+
+
+# ---------------------------------------------------------------------------
+# Vector aggregation: per-label centroids (the feature-averaging shape —
+# class prototypes, cluster summaries, embedding-drift monitoring)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embeddings_label_centroids",
+    oracle="""
+    SELECT label, u.pos AS pos,
+           COUNT(*) AS n_vectors,
+           CAST(SUM(CAST(CAST(u.val AS DOUBLE) AS DECIMAL(18,9)))
+                AS DOUBLE) / COUNT(*) AS mean_val
+    FROM (
+      SELECT label,
+             unnest(list_transform(range(1, len(embedding) + 1),
+                    i -> struct_pack(pos := i, val := embedding[i]))) AS u
+      FROM embeddings
+    )
+    GROUP BY label, u.pos
+    """,
+)
+def embeddings_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column, one row per
+    (label, dimension): posexplode the vector, group by (label, pos),
+    exact-decimal mean. The components-as-rows layout is the scale
+    form — the shuffle carries |labels|·|dims| partial aggregates (not
+    vectors), map-side combined, and reassembling an array centroid is
+    one small collect_list at the end if a consumer wants it.
+    The mean rides as exact decimal so engines agree bit-for-bit."""
+    e = t(spark, sf_dir, "embeddings")
+    comps = e.select(
+        "label", F.posexplode("embedding").alias("pos0", "val")
+    ).select("label", (F.col("pos0") + 1).alias("pos"), "val")
+    return comps.groupBy("label", "pos").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        (
+            F.sum(F.col("val").cast("double").cast("decimal(18,9)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_val"),
+    )
