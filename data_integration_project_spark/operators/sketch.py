@@ -40,12 +40,29 @@ def kmv_hash(col: Column) -> Column:
     return (F.lit(_A) * (col.cast("long") % P) + F.lit(_B)) % P
 
 
+def hll_hash(col: Column) -> Column:
+    """32-bit NONLINEAR portable hash: the first 8 hex digits of
+    md5(value-as-string), parsed to an integer.
+
+    HLL needs uniform, independent bits — the affine ``kmv_hash`` is a
+    LINEAR map, so a dense id range stays a lattice and the
+    leading-zero ranks come out biased (measured ~2× overestimate on
+    ``range(20000)``). md5 destroys that structure; KMV keeps the
+    affine hash because its k-th-smallest estimator only needs
+    equidistribution, which a lattice satisfies.
+
+    DuckDB twin: fold the same 8 hex chars with
+    ``acc·16 + hex_digit`` (see plans/events_q._HLL_HASH_SQL) —
+    verified bit-equal."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long")
+
+
 def hll_constants(m: int) -> tuple[int, int, float]:
     """(bucket_bits, K, scaled_alpha) for an m-register portable HLL.
 
-    The hash is 31-bit (values in [0, P)); the low ``bucket_bits``
-    select the register and the remaining ``w_bits = 31 - bucket_bits``
-    form the rank word, so ranks live in [1, K] with K = w_bits + 1.
+    The hash is 32-bit (``hll_hash``); the low ``bucket_bits`` select
+    the register and the remaining ``w_bits = 32 - bucket_bits`` form
+    the rank word, so ranks live in [1, K] with K = w_bits + 1.
     ``scaled_alpha`` folds the whole float part of the estimator —
     alpha_m · m² · 2^K — into ONE constant, so the runtime estimate is
     a single double division over an exact integer sum (bit-portable).
@@ -53,7 +70,7 @@ def hll_constants(m: int) -> tuple[int, int, float]:
     bucket_bits = m.bit_length() - 1
     if 1 << bucket_bits != m:
         raise ValueError(f"m must be a power of two, got {m}")
-    k_max = (31 - bucket_bits) + 1
+    k_max = (32 - bucket_bits) + 1
     alpha = 0.7213 / (1 + 1.079 / m)
     return bucket_bits, k_max, alpha * m * m * float(1 << k_max)
 
@@ -63,7 +80,7 @@ def hll_distinct_estimate(df: DataFrame, col: str, m: int = 64) -> DataFrame:
 
     Classic HyperLogLog, made oracle-checkable by keeping every step in
     exact integer arithmetic: register = hash % m, rank = leading-zero
-    count of the remaining 25-bit word + 1 (via ``length(bin(w))`` —
+    count of the remaining 26-bit word + 1 (via ``length(bin(w))`` —
     identical in Spark and DuckDB), and the harmonic denominator
     Z = Σ 2^(-M_j) stored scaled by 2^K as the integer
     ``s_scaled = Σ 2^(K - M_j)`` (empty registers contribute 2^K).
@@ -78,7 +95,7 @@ def hll_distinct_estimate(df: DataFrame, col: str, m: int = 64) -> DataFrame:
     then a single m-row final fold — constant state, mergeable, the
     same plan at any scale."""
     _, k_max, scaled_alpha = hll_constants(m)
-    hv = kmv_hash(F.col(col))
+    hv = hll_hash(F.col(col))
     w = F.floor(hv / m).cast("long")
     rank = F.when(w == F.lit(0), F.lit(k_max)).otherwise(
         F.lit(k_max) - F.length(F.bin(w))

@@ -122,3 +122,193 @@ def corpus_clean_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("survivor_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (regex redaction — the compliance pass every corpus gets)
+# ---------------------------------------------------------------------------
+
+#: dialect-portable patterns (no \d, no lookaround): Java regex and RE2
+#: agree on these exactly.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{2,4}"
+
+
+@query(
+    "doc_pii_scrub",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id ||
+             '@example.com or 555-12' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') ||
+             '-3456 thanks' AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS INT) AS n_phones,
+           CAST(length(text) AS BIGINT) AS len_raw,
+           CAST(length(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                                      '{_PHONE_RE}', '<PHONE>', 'g')) AS BIGINT)
+             AS len_scrubbed,
+           md5(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_PHONE_RE}', '<PHONE>', 'g')) AS scrubbed_md5
+    FROM aug
+    """,
+)
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: regex redaction of emails and phone numbers
+    (deterministically injected into the synthetic corpus so the
+    counts are non-trivial), reporting per-doc hit counts and the md5
+    of the scrubbed text — byte-level proof both engines redacted
+    identically. Patterns avoid every dialect-divergent construct
+    (no \\d, no lookaround) so Java regex and RE2 agree.
+
+    Scale shape: pure per-row codegen expressions, zero shuffles —
+    the cheapest possible full-corpus pass."""
+    d = t(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id"),
+            F.lit("@example.com or 555-12"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+            F.lit("-3456 thanks"),
+        ).alias("text"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    return aug.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(_EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(_PHONE_RE)).cast("int").alias("n_phones"),
+        F.length("text").cast("long").alias("len_raw"),
+        F.length(scrubbed).cast("long").alias("len_scrubbed"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence chunking (context-window packing for training)
+# ---------------------------------------------------------------------------
+
+_CHUNK, _STRIDE = 64, 48  # 16-token overlap between consecutive chunks
+
+
+@query(
+    "doc_chunk_packing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKENS_SQL} AS tk, len({_TOKENS_SQL}) AS n
+      FROM documents
+    ),
+    chunked AS (
+      SELECT doc_id, n,
+             unnest(range(0, CASE WHEN n <= {_CHUNK} THEN 1
+                    ELSE CAST(ceil((n - {_CHUNK}) / {_STRIDE}.0) AS INT) + 1 END))
+               AS chunk_idx
+      FROM toks
+    )
+    SELECT c.doc_id, c.chunk_idx,
+           CAST(least(c.n - c.chunk_idx * {_STRIDE}, {_CHUNK}) AS INT)
+             AS n_chunk_tokens,
+           md5(array_to_string(
+             t.tk[c.chunk_idx * {_STRIDE} + 1 :
+                  least(c.chunk_idx * {_STRIDE} + {_CHUNK}, c.n)], ' '))
+             AS chunk_md5
+    FROM chunked c JOIN toks t USING (doc_id)
+    """,
+)
+def doc_chunk_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: split each document's token stream into
+    64-token chunks with stride 48 (16-token overlap) — the sequence-
+    chunking step that turns documents into fixed-size training
+    samples. Emits (doc, chunk_idx, token count, chunk md5); the md5
+    over the re-joined token window proves both engines cut identical
+    chunk boundaries.
+
+    Scale shape: chunk indices come from a per-row ``sequence`` +
+    ``posexplode`` over the already-tokenized array — no shuffle at
+    all; output rows ≈ corpus_tokens / stride, each independent (the
+    ideal downstream-training partition layout)."""
+    d = t(spark, sf_dir, "documents")
+    toks = X.tokens(F.col("text"))
+    n = F.size(toks)
+    n_chunks = F.when(n <= _CHUNK, F.lit(1)).otherwise(
+        F.ceil((n - _CHUNK) / float(_STRIDE)).cast("int") + 1
+    )
+    base = d.select("doc_id", toks.alias("tk"), n.alias("n"), n_chunks.alias("nc"))
+    exploded = base.select(
+        "doc_id",
+        "n",
+        "tk",
+        F.explode(F.sequence(F.lit(0), F.col("nc") - 1)).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * _STRIDE + 1
+    return exploded.select(
+        "doc_id",
+        "chunk_idx",
+        F.least(F.col("n") - F.col("chunk_idx") * _STRIDE, F.lit(_CHUNK))
+        .cast("int")
+        .alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", F.slice(F.col("tk"), start, _CHUNK))).alias("chunk_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic shard assignment (the global training shuffle)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus_shard_assignment",
+    oracle="""
+    WITH hashed AS (
+      SELECT doc_id,
+             (1103515245 * (doc_id % 2147483647) + 12352) % 2147483647 AS h
+      FROM documents
+    ),
+    placed AS (
+      SELECT doc_id, h % 8 AS shard,
+             row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS pos
+      FROM hashed
+    )
+    SELECT shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(pos AS BIGINT) * doc_id) AS BIGINT) AS placement_checksum
+    FROM placed GROUP BY shard
+    """,
+)
+def corpus_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The global training shuffle, deterministically: affine-hash each
+    doc id, shard = hash mod 8, position within shard = rank by
+    (hash, id). The per-shard checksum Σ pos·doc_id pins the exact
+    permutation — not just membership — so the shuffle is reproducible
+    across engines, runs, and partitionings (what ``ORDER BY rand()``
+    can never give you).
+
+    Scale shape: one hash shuffle on the shard key, per-shard sort for
+    rank (each shard = corpus/8, spillable), map-side-combined rollup.
+    Writing the actual shards is the same plan with
+    ``partitionBy(shard)`` instead of the final aggregate."""
+    from ..operators.sketch import kmv_hash
+
+    d = t(spark, sf_dir, "documents")
+    hashed = d.select("doc_id", kmv_hash(F.col("doc_id")).alias("h"))
+    w = Window.partitionBy(F.col("h") % 8).orderBy("h", "doc_id")
+    placed = hashed.select(
+        "doc_id",
+        (F.col("h") % 8).alias("shard"),
+        F.row_number().over(w).alias("pos"),
+    )
+    return placed.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("pos").cast("long") * F.col("doc_id"))
+        .cast("long")
+        .alias("placement_checksum"),
+    )

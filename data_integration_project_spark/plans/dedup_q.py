@@ -411,3 +411,89 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     verified = D.jaccard_on_pairs(pairs, sets, "doc_id")
     return verified.filter(F.col("jaccard") >= 0.3).select("_id_a", "_id_b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap against a held-out eval set)
+# ---------------------------------------------------------------------------
+
+
+def _shingle_fold_sql(k: int) -> str:
+    """Nested (acc*M + th[i+j]) % P fold over a k-token window —
+    the SQL twin of operators.dedup.shingle_rows for any k."""
+    expr = "th[i]"
+    for j in range(1, k):
+        expr = f"(({expr}) * 1000003 + th[i+{j}]) % 2147483647"
+    return expr
+
+
+def _shingles_sql_for(src: str, k: int) -> str:
+    """DISTINCT (doc_id, shash) k-gram shingle hashes over CTE ``src``."""
+    return f"""
+      SELECT DISTINCT doc_id, shash FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(1, greatest(len(th) - {k - 1}, 0)),
+                 i -> {_shingle_fold_sql(k)})) AS shash
+        FROM (SELECT doc_id, {_TOKEN_HASHES} AS th FROM {src})
+      )
+    """
+
+
+_DECON_K = 8
+
+
+@query(
+    "benchmark_decontamination",
+    oracle=f"""
+    WITH train AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
+      UNION ALL
+      SELECT doc_id + 500000, 'copy: ' || text FROM documents
+      WHERE doc_id % 25 = 0
+    ),
+    evalset AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0
+    ),
+    ts AS ({_shingles_sql_for('train', _DECON_K)}),
+    es AS ({_shingles_sql_for('evalset', _DECON_K)})
+    SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
+           COUNT(*) AS n_shared_ngrams
+    FROM ts t JOIN es e ON t.shash = e.shash
+    GROUP BY t.doc_id, e.doc_id
+    HAVING COUNT(*) >= 5
+    """,
+)
+def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: find training documents sharing ≥5
+    distinct 8-gram shingles with a held-out eval set (every 50th doc;
+    contaminated copies are injected deterministically so the detector
+    has true positives). The step every serious pretraining pipeline
+    runs before training — and the reason eval numbers can be trusted.
+
+    Scale shape: both sides reduce to DISTINCT (doc, shingle-hash)
+    rows; the contamination check is one equi-join on the hash — the
+    eval side is benchmark-sized (broadcastable), so the 100 TB train
+    side streams through a broadcast-hash join with zero wide shuffle,
+    then a map-side-combined pair count."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % 50 != 0).unionByName(
+        docs.filter(F.col("doc_id") % 25 == 0).select(
+            (F.col("doc_id") + 500000).alias("doc_id"),
+            F.concat(F.lit("copy: "), F.col("text")).alias("text"),
+        )
+    )
+    evalset = docs.filter(F.col("doc_id") % 50 == 0)
+    ts = D.shingle_rows(train, "doc_id", "text", _DECON_K).distinct()
+    es = (
+        D.shingle_rows(evalset, "doc_id", "text", _DECON_K)
+        .distinct()
+        .withColumnRenamed("doc_id", "eval_id")
+    )
+    return (
+        ts.withColumnRenamed("doc_id", "train_id")
+        .join(F.broadcast(es), "_shash")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+        .filter(F.col("n_shared_ngrams") >= 5)
+    )

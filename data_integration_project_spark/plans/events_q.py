@@ -392,9 +392,18 @@ def events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+#: md5-based 32-bit hash twin of operators.sketch.hll_hash: fold the
+#: first 8 hex digits with acc*16 + digit (ascii arithmetic).
+_HLL_HASH_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split(substr(md5(CAST({col} AS VARCHAR)), 1, 8), ''), "
+    "c -> CAST(CASE WHEN ascii(c) >= 97 THEN ascii(c) - 87 "
+    "ELSE ascii(c) - 48 END AS BIGINT))), (acc, d) -> acc * 16 + d)"
+)
+
+
 def _HLL_SQL(col: str, scope: str, m: int = 64) -> str:
-    from ..operators.sketch import _A, _B, hll_constants
-    from ..functions.text import HASH_P as p
+    from ..operators.sketch import hll_constants
 
     _, k_max, scaled_alpha = hll_constants(m)
     rank = (
@@ -414,7 +423,7 @@ def _HLL_SQL(col: str, scope: str, m: int = 64) -> str:
            (SELECT COUNT(DISTINCT {col}) FROM events) AS n_exact
     FROM (
       SELECT hv % {m} AS b, MAX({rank}) AS mreg
-      FROM (SELECT ({_A} * ({col} % {p}) + {_B}) % {p} AS hv FROM events)
+      FROM (SELECT {_HLL_HASH_SQL.format(col=col)} AS hv FROM events)
       GROUP BY b
     )
     """

@@ -275,3 +275,32 @@ def test_hash_sample_stable_under_repartitioning(spark):
     # nested rates: a 5% sample is a subset of the 10% sample
     s05 = {r["k"] for r in hash_sample(df, "k", 50).collect()}
     assert s05 <= s1
+
+
+def test_connected_components_transitive_chain(spark):
+    from data_integration_project_spark.operators.dedup import connected_components
+
+    # chain 1-2-3 plus island 10-11: labels must collapse transitively
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["_id_a", "_id_b"]
+    )
+    got = {
+        (r["node"], r["comp"]) for r in connected_components(pairs).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+
+def test_hll_estimate_tracks_cardinality(spark):
+    from pyspark.sql import functions as F
+
+    from data_integration_project_spark.operators.sketch import hll_distinct_estimate
+
+    df = spark.range(0, 20000).select(F.col("id").alias("v"))
+    row = hll_distinct_estimate(df, "v", m=64).collect()[0]
+    assert row["m"] == 64 and row["n_empty"] == 0
+    # raw HLL with m=64 has ~13% relative error; allow 3 sigma
+    assert 0.6 * 20000 < row["n_estimate"] < 1.4 * 20000
+    # duplicates must not change the sketch (register max is idempotent)
+    dup = df.union(df)
+    row2 = hll_distinct_estimate(dup, "v", m=64).collect()[0]
+    assert row2["n_estimate"] == row["n_estimate"]
