@@ -34,6 +34,41 @@ def build_dim_date(spark: SparkSession, start: str, end: str) -> DataFrame:
     return days.select(*dim_date_columns(F.col("d")))
 
 
+#: Fixed-date holiday calendar (the reference's business domain is a
+#: Vietnamese coffee shop; its DDL carries is_holiday but defaults it
+#: to 0 — create_dwh_tables.sql:125). Lunar holidays (Tet) need a
+#: lunisolar table and stay out of scope.
+FIXED_HOLIDAYS: list[tuple[int, int, str]] = [
+    (1, 1, "New Year"),
+    (4, 30, "Reunification Day"),
+    (5, 1, "Labour Day"),
+    (9, 2, "National Day"),
+]
+
+
+def with_holiday_calendar(
+    dim_date: DataFrame,
+    holidays: list[tuple[int, int, str]] = FIXED_HOLIDAYS,
+) -> DataFrame:
+    """Apply a data-driven holiday calendar to dim_date: broadcast-join
+    the (month, day) holiday table, overriding ``is_holiday`` and
+    adding ``holiday_name``. A join (not a hardcoded CASE) because
+    calendars are per-country data that changes without code edits."""
+    spark = dim_date.sparkSession
+    hol = spark.createDataFrame(
+        holidays, ["_hmonth", "_hday", "holiday_name"]
+    )
+    joined = dim_date.drop("is_holiday").join(
+        F.broadcast(hol),
+        (F.col("month") == F.col("_hmonth"))
+        & (F.col("day_of_month") == F.col("_hday")),
+        "left",
+    )
+    return joined.withColumn(
+        "is_holiday", F.col("holiday_name").isNotNull().cast("int")
+    ).drop("_hmonth", "_hday")
+
+
 def with_surrogate_key(df: DataFrame, natural_key: str, key_name: str) -> DataFrame:
     """IDENTITY-column replacement (create_dwh_tables.sql surrogate
     keys): deterministic dense ids 1..n ordered by the natural key."""

@@ -261,18 +261,129 @@ AUDIO_FEATURE_SCHEMA = (
 
 
 def decode_audio_features(media: DataFrame) -> DataFrame:
-    """Real audio feature extraction: ``decode_wav`` over every payload
-    inside ``mapInPandas`` — no fake path."""
+    """Real audio feature extraction: ``decode_audio`` (WAV or AIFF,
+    dispatched on container magic) over every payload inside
+    ``mapInPandas`` — no fake path."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [decode_wav(bytes(p)) for p in pdf["payload"]]
+            feats = [decode_audio(bytes(p)) for p in pdf["payload"]]
             out = pd.DataFrame(feats)
             out.insert(0, "media_id", pdf["media_id"].values)
             yield out
 
     return media.repartition(F.col("media_id")).mapInPandas(
         op, schema=AUDIO_FEATURE_SCHEMA
+    )
+
+
+def _extended80_pack(rate: int) -> bytes:
+    """IEEE 754 80-bit extended float (big-endian) for an integer sample
+    rate — the one genuinely exotic field in AIFF's COMM chunk."""
+    import struct
+
+    if rate <= 0:
+        raise ValueError("sample rate must be positive")
+    e = rate.bit_length() - 1  # floor(log2(rate))
+    mantissa = rate << (63 - e)  # normalized: top bit set
+    return struct.pack(">Hq", 16383 + e, mantissa - (1 << 64) if mantissa >= 1 << 63 else mantissa)
+
+
+def _extended80_unpack(raw: bytes) -> int:
+    import struct
+
+    exp, mant = struct.unpack(">HQ", raw[:10])
+    e = (exp & 0x7FFF) - 16383
+    if mant == 0:
+        return 0
+    return mant >> (63 - e) if e <= 63 else mant << (e - 63)
+
+
+def encode_aiff(raw: bytes, sample_rate: int = WAV_RATE, max_bytes: int = WAV_MAX_BYTES) -> bytes:
+    """Render raw bytes into a VALID mono 16-bit AIFF: big-endian IFF
+    FORM/AIFF with COMM (channels, frames, bits, 80-bit extended-float
+    rate) and SSND (offset/blocksize + big-endian samples). The
+    byte-order mirror of encode_wav — same payload bytes become
+    DIFFERENT sample values, which is exactly what the decoder tests."""
+    import struct
+
+    data = raw[:max_bytes]
+    data = data[: len(data) - (len(data) & 1)]
+    n_frames = len(data) // 2
+    comm = struct.pack(">hIh", 1, n_frames, 16) + _extended80_pack(sample_rate)
+    ssnd = struct.pack(">II", 0, 0) + data
+    body = b"AIFF"
+    body += b"COMM" + struct.pack(">I", len(comm)) + comm
+    body += b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
+    return b"FORM" + struct.pack(">I", len(body)) + body
+
+
+def decode_aiff(payload: bytes) -> dict:
+    """AIFF decode: walk the IFF chunk list (big-endian sizes), parse
+    COMM including the 80-bit extended-float sample rate, and compute
+    exact sample statistics from the big-endian 16-bit frames in SSND
+    (skipping its offset/blocksize preamble). Pure byte arithmetic."""
+    import struct
+
+    if payload[:4] != b"FORM" or payload[8:12] != b"AIFF":
+        raise ValueError("not an IFF/AIFF payload")
+    comm = ssnd = None
+    i = 12
+    while i + 8 <= len(payload):
+        cid, size = payload[i : i + 4], struct.unpack_from(">I", payload, i + 4)[0]
+        body = payload[i + 8 : i + 8 + size]
+        if cid == b"COMM":
+            comm = body
+        elif cid == b"SSND":
+            ssnd = body
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if comm is None or ssnd is None:
+        raise ValueError("missing COMM/SSND chunk")
+    n_channels, n_frames, bits = struct.unpack_from(">hIh", comm, 0)
+    sample_rate = _extended80_unpack(comm[8:18])
+    if bits != 16:
+        raise NotImplementedError("only 16-bit PCM AIFF supported")
+    offset, _block = struct.unpack_from(">II", ssnd, 0)
+    data = ssnd[8 + offset : 8 + offset + n_frames * n_channels * 2]
+    vals = struct.unpack(f">{len(data) // 2}h", data)
+    return {
+        "format": "aiff",
+        "sample_rate": sample_rate,
+        "n_channels": n_channels,
+        "n_frames": n_frames,
+        "duration_ms": n_frames * 1000 // sample_rate if sample_rate else 0,
+        "sum_abs": sum(abs(v) for v in vals),
+        "peak_abs": max((abs(v) for v in vals), default=0),
+    }
+
+
+def decode_audio(payload: bytes) -> dict:
+    """Dispatch on container magic: RIFF/WAVE (little-endian) or
+    FORM/AIFF (big-endian). Compressed codecs are not available here."""
+    if payload[:4] == b"RIFF":
+        return decode_wav(payload)
+    if payload[:4] == b"FORM":
+        return decode_aiff(payload)
+    raise NotImplementedError(
+        "only WAV/AIFF byte decoding is available without codec libraries"
+    )
+
+
+def documents_as_aiff_media(docs: DataFrame) -> DataFrame:
+    """Adapter producing REAL big-endian audio payloads (see
+    documents_as_wav_media for the little-endian twin)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].values,
+                    "payload": [encode_aiff(t.encode("utf-8")) for t in pdf["text"]],
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        op, schema="media_id long, payload binary"
     )
 
 

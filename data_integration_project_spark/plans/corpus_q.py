@@ -312,3 +312,77 @@ def corpus_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("placement_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary encoding (apply a learned top-k vocab; OOV accounting)
+# ---------------------------------------------------------------------------
+
+_VOCAB_K = 20
+
+
+@query(
+    "doc_vocab_encode",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(tk) + 1),
+                      i -> struct_pack(pos := i, tok := tk[i]))) AS u
+        FROM (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents)
+      )
+    ),
+    vocab AS (
+      SELECT tok, row_number() OVER (ORDER BY n DESC, tok) AS token_id
+      FROM (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok)
+      ORDER BY n DESC, tok LIMIT {_VOCAB_K}
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           CAST(SUM(CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS oov_ratio,
+           CAST(SUM(CAST(t.pos AS BIGINT) * COALESCE(v.token_id, 0)) AS BIGINT)
+             AS enc_checksum
+    FROM toks t LEFT JOIN vocab v USING (tok)
+    GROUP BY t.doc_id
+    """,
+)
+def doc_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary application — the tokenize-with-a-learned-vocab shape:
+    build a top-k vocab (count desc, token asc — total order, so the
+    cut line is deterministic), assign dense ids by that order, encode
+    every token occurrence via broadcast lookup, and report per-doc
+    token/OOV counts plus a position-weighted checksum
+    Σ pos·token_id that pins the exact encoded SEQUENCE, not just the
+    bag of ids.
+
+    Scale shape: vocab building is the heavy-hitters aggregation
+    (map-side combined, TakeOrdered k); the k-row vocab broadcasts, so
+    encoding is a per-row hash lookup with no wide shuffle; the final
+    per-doc rollup rides the existing doc partitioning."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(X.tokens(F.col("text"))).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    vocab = (
+        counts.orderBy(F.desc("n"), F.asc("tok"))
+        .limit(_VOCAB_K)
+        .withColumn(
+            "token_id",
+            F.row_number().over(Window.orderBy(F.desc("n"), F.asc("tok"))),
+        )
+        .drop("n")
+    )
+    enc = toks.join(F.broadcast(vocab), "tok", "left")
+    oov = F.when(F.col("token_id").isNull(), 1).otherwise(0)
+    return enc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(oov).cast("long").alias("n_oov"),
+        (F.sum(oov).cast("double") / F.count(F.lit(1))).alias("oov_ratio"),
+        F.sum(F.col("pos").cast("long") * F.coalesce(F.col("token_id"), F.lit(0)))
+        .cast("long")
+        .alias("enc_checksum"),
+    )

@@ -31,6 +31,36 @@ def dim_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.build_dim_date(spark, "1995-01-01", "1996-12-31")
 
 
+@query(
+    "dim_date_holidays",
+    oracle=f"""
+    WITH base AS (
+      SELECT {DIM_DATE_SQL_COLUMNS}
+      FROM (SELECT unnest(generate_series(DATE '1995-01-01', DATE '1996-12-31',
+                                          INTERVAL 1 DAY))::DATE AS d)
+    ),
+    hol(hmonth, hday, holiday_name) AS (VALUES
+      (1, 1, 'New Year'), (4, 30, 'Reunification Day'),
+      (5, 1, 'Labour Day'), (9, 2, 'National Day')
+    )
+    SELECT base.* EXCLUDE (is_holiday),
+           h.holiday_name,
+           CAST(h.holiday_name IS NOT NULL AS INT) AS is_holiday
+    FROM base LEFT JOIN hol h
+      ON base.month = h.hmonth AND base.day_of_month = h.hday
+    """,
+)
+def dim_date_holidays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dim_date with a data-driven holiday calendar applied: the fixed
+    Gregorian Vietnamese public holidays broadcast-joined on
+    (month, day), overriding the reference's is_holiday=0 default
+    (create_dwh_tables.sql:125; the ROADMAP gap). Calendar-as-data —
+    swapping countries is a table change, not a code change; at scale
+    the holiday dim is trivially broadcast."""
+    base = W.build_dim_date(spark, "1995-01-01", "1996-12-31")
+    return W.with_holiday_calendar(base)
+
+
 # ---------------------------------------------------------------------------
 # SCD Type 2 customer dimension (create_dwh_tables.sql:21-37)
 # ---------------------------------------------------------------------------

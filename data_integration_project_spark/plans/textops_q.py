@@ -248,6 +248,48 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.decode_audio_features(media)
 
 
+#: abs(signed int16) from the BIG-endian byte pair at sample j —
+#: hi = ascii(sp[2j-1]), lo = ascii(sp[2j]); hi >= 128 means negative.
+_AIFF_ABS = (
+    "abs(256 * ascii(sp[2*j - 1]) + ascii(sp[2*j]) "
+    "- CASE WHEN ascii(sp[2*j - 1]) >= 128 THEN 65536 ELSE 0 END)"
+)
+
+
+@query(
+    "multimodal_aiff_decode",
+    oracle=f"""
+    WITH dims AS (
+      SELECT CAST(doc_id AS BIGINT) AS media_id,
+             string_split(text, '') AS sp,
+             least(octet_length(encode(text)), 4096) // 2 AS n
+      FROM documents
+    )
+    SELECT media_id,
+           'aiff' AS format,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(1 AS INTEGER) AS n_channels,
+           CAST(n AS BIGINT) AS n_frames,
+           CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+           CAST(coalesce(list_sum(list_transform(range(1, n + 1),
+                 j -> {_AIFF_ABS})), 0) AS BIGINT) AS sum_abs,
+           CAST(coalesce(list_max(list_transform(range(1, n + 1),
+                 j -> {_AIFF_ABS})), 0) AS BIGINT) AS peak_abs
+    FROM dims
+    """,
+)
+def multimodal_aiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL big-endian audio decode: documents render into valid mono
+    16-bit AIFF files (IFF FORM/AIFF, COMM with an 80-bit
+    extended-float sample rate, SSND with offset preamble), then
+    decode_audio dispatches on container magic and walks the chunk
+    list. The oracle reassembles the same BIG-endian int16 stream —
+    the same text bytes yield different samples than the WAV twin, so
+    endianness handling is actually exercised."""
+    media = M.documents_as_aiff_media(t(spark, sf_dir, "documents"))
+    return M.decode_audio_features(media)
+
+
 @query(
     "multimodal_ppm_decode",
     oracle=f"""

@@ -304,3 +304,27 @@ def test_hll_estimate_tracks_cardinality(spark):
     dup = df.union(df)
     row2 = hll_distinct_estimate(dup, "v", m=64).collect()[0]
     assert row2["n_estimate"] == row["n_estimate"]
+
+
+def test_decode_aiff_roundtrip_and_dispatch():
+    import struct
+
+    from data_integration_project_spark.operators.multimodal import (
+        _extended80_pack,
+        _extended80_unpack,
+        decode_audio,
+        encode_aiff,
+        encode_wav,
+    )
+
+    for rate in (8000, 22050, 44100, 48000):
+        assert _extended80_unpack(_extended80_pack(rate)) == rate
+    raw = bytes(range(256)) * 3
+    a = decode_audio(encode_aiff(raw))
+    w = decode_audio(encode_wav(raw))
+    assert a["format"] == "aiff" and w["format"] == "wav"
+    assert a["n_frames"] == w["n_frames"] == 384
+    vals = struct.unpack(">384h", raw[:768])
+    assert a["sum_abs"] == sum(abs(v) for v in vals)
+    # same bytes, opposite endianness: the two decoders must disagree
+    assert a["peak_abs"] != w["peak_abs"]
