@@ -166,15 +166,54 @@ def decode_bmp(payload: bytes) -> dict:
     }
 
 
+def decode_tga(payload: bytes) -> dict:
+    """Uncompressed 24-bit truecolor TGA decode: 18-byte header
+    (little-endian width/height, image type 2, descriptor bit 5 for
+    top-down origin), BGR pixels, rows bottom-up by default. Pure byte
+    arithmetic — TGA has no magic number, so dispatch keys on the
+    header fields themselves."""
+    import struct
+
+    if len(payload) < 18:
+        raise ValueError("not a TGA payload")
+    id_len, cmap_type, img_type = payload[0], payload[1], payload[2]
+    if img_type != 2 or cmap_type != 0:
+        raise NotImplementedError("only uncompressed truecolor TGA supported")
+    width, height = struct.unpack_from("<HH", payload, 12)
+    bpp, descriptor = payload[16], payload[17]
+    if bpp != 24:
+        raise NotImplementedError("only 24-bit TGA supported")
+    top_down = bool(descriptor & 0x20)
+    base = 18 + id_len
+    raster = payload[base : base + width * height * 3]
+    rows = [raster[r * width * 3 : (r + 1) * width * 3] for r in range(height)]
+    if not top_down:
+        rows.reverse()  # normalize to top-down before any row-wise use
+    flat = b"".join(rows)
+    return {
+        "format": "tga",
+        "width": width,
+        "height": height,
+        "n_pixels": width * height,
+        **_channel_means(
+            sum(flat[2::3]), sum(flat[1::3]), sum(flat[0::3]), width * height
+        ),
+    }
+
+
 def decode_image(payload: bytes) -> dict:
-    """Dispatch on magic bytes: PPM and 24-bit BMP decode for real;
-    compressed formats raise (stubbed — no codecs in this container)."""
+    """Dispatch on magic bytes: PPM, 24-bit BMP, and uncompressed TGA
+    decode for real; compressed formats raise (stubbed — no codecs in
+    this container). TGA has no magic, so it is the structural
+    fallback (header sanity-checked)."""
     if payload[:2] in (b"P6", b"P3"):
         return decode_ppm(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if len(payload) >= 18 and payload[2] == 2 and payload[1] == 0:
+        return decode_tga(payload)
     raise NotImplementedError(
-        "only PPM/BMP byte decoding is available without codec libraries"
+        "only PPM/BMP/TGA byte decoding is available without codec libraries"
     )
 
 
@@ -415,6 +454,41 @@ def documents_as_ppm_media(docs: DataFrame) -> DataFrame:
                     "media_id": pdf["doc_id"].values,
                     "payload": [
                         encode_ppm(t.encode("utf-8")) for t in pdf["text"]
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        op, schema="media_id long, payload binary"
+    )
+
+
+def encode_tga(raw: bytes, width: int = PPM_WIDTH, max_height: int = PPM_MAX_HEIGHT) -> bytes:
+    """Render raw bytes into a VALID uncompressed 24-bit TGA: pixels
+    are the byte prefix as BGR triples, stored bottom-up (the format
+    default — descriptor 0), zero-padded to whole rows."""
+    import struct
+
+    n = min(len(raw), 3 * width * max_height)
+    height = max(1, -(-n // (3 * width)))
+    flat = raw[:n] + b"\x00" * (3 * width * height - n)
+    rows = [flat[r * width * 3 : (r + 1) * width * 3] for r in range(height)]
+    rows.reverse()  # bottom-up storage
+    header = struct.pack("<BBBHHBHHHHBB", 0, 0, 2, 0, 0, 0, 0, 0, width, height, 24, 0)
+    return header + b"".join(rows)
+
+
+def documents_as_tga_media(docs: DataFrame) -> DataFrame:
+    """Adapter producing REAL TGA payloads (bottom-up BGR — exercises
+    the decoder's row normalization and channel order)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].values,
+                    "payload": [
+                        encode_tga(t.encode("utf-8")) for t in pdf["text"]
                     ],
                 }
             )

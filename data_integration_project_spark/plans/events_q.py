@@ -516,3 +516,89 @@ def events_trailing_hour_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("v_1h").alias("peak_1h_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming session windows (F.session_window — the streaming twin the
+# batch sessionization query's docstring promises)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_streaming_sessions",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM ordered
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end_bound,
+           COUNT(*) AS n_events,
+           {SQL_DSUM('value', 'session_value', 2)}
+    FROM sessions GROUP BY user_id, sid
+    """,
+)
+def events_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming session windows: the events file
+    replayed through a file-source stream, ``F.session_window(ts,
+    '30 minutes')`` merging per-user sessions in state, drained with
+    ``Trigger.AvailableNow`` into a memory sink. Session semantics are
+    Spark's: a gap of exactly 30 minutes starts a NEW session (the
+    oracle uses >=, unlike the batch query's >), and ``session_end_
+    bound`` is last-event-time + gap, which is how the streaming
+    operator defines window end.
+
+    Complete output mode (no watermark) — correct for a bounded drain;
+    an unbounded production stream would add a watermark and append
+    mode, trading the tail sessions' finality for reclaimable state.
+
+    Scale shape: session merging is stateful per user_id — state
+    shuffles once on the grouping key, and each micro-batch touches
+    only keys with new events."""
+    import tempfile
+    import uuid
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")  # file source needs a dir
+        .parquet(sf_dir)
+    )
+    agg = (
+        src.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end_bound"),
+            "n_events",
+            "session_value",
+        )
+    )
+    name = "strsess_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="strsess_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

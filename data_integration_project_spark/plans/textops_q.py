@@ -248,6 +248,40 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.decode_audio_features(media)
 
 
+@query(
+    "multimodal_tga_decode",
+    oracle=f"""
+    WITH dims AS (
+      SELECT CAST(doc_id AS BIGINT) AS media_id,
+             string_split(text, '') AS sp,
+             least(octet_length(encode(text)), 3072) AS n,
+             greatest(1, CAST(ceil(least(octet_length(encode(text)), 3072) / 48.0)
+                              AS INTEGER)) AS height
+      FROM documents
+    )
+    SELECT media_id,
+           'tga' AS format,
+           CAST(16 AS INTEGER) AS width,
+           height,
+           CAST(16 * height AS BIGINT) AS n_pixels,
+           CAST({_PPM_CH_SUM(2)} AS DOUBLE) / (16 * height) AS mean_r,
+           CAST({_PPM_CH_SUM(1)} AS DOUBLE) / (16 * height) AS mean_g,
+           CAST({_PPM_CH_SUM(0)} AS DOUBLE) / (16 * height) AS mean_b
+    FROM dims
+    """,
+)
+def multimodal_tga_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL TGA decode: documents render into valid uncompressed 24-bit
+    TGAs stored bottom-up in BGR (encode_tga), and decode_image's
+    structural dispatch (TGA has no magic bytes) parses the 18-byte
+    little-endian header, re-normalizes row order, and computes exact
+    channel means. Versus PPM the channel offsets are swapped (byte 0
+    is BLUE) — the oracle's mean_r reads offset 2, proving the decoder
+    honors BGR rather than copying the PPM path."""
+    media = M.documents_as_tga_media(t(spark, sf_dir, "documents"))
+    return M.decode_image_features(media)
+
+
 #: abs(signed int16) from the BIG-endian byte pair at sample j —
 #: hi = ascii(sp[2j-1]), lo = ascii(sp[2j]); hi >= 128 means negative.
 _AIFF_ABS = (

@@ -328,3 +328,18 @@ def test_decode_aiff_roundtrip_and_dispatch():
     assert a["sum_abs"] == sum(abs(v) for v in vals)
     # same bytes, opposite endianness: the two decoders must disagree
     assert a["peak_abs"] != w["peak_abs"]
+
+
+def test_decode_tga_bgr_and_bottom_up():
+    from data_integration_project_spark.operators.multimodal import (
+        decode_image,
+        encode_tga,
+    )
+
+    # one pixel per channel: (B=10,G=20,R=30) then (B=40,G=50,R=60)
+    raw = bytes([10, 20, 30, 40, 50, 60])
+    d = decode_image(encode_tga(raw, width=2, max_height=1))
+    assert d["format"] == "tga" and (d["width"], d["height"]) == (2, 1)
+    assert d["mean_b"] == (10 + 40) / 2
+    assert d["mean_g"] == (20 + 50) / 2
+    assert d["mean_r"] == (30 + 60) / 2
