@@ -602,3 +602,52 @@ def events_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Hopping (sliding) windows — each event lands in window/slide windows
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_hopping_window",
+    oracle=f"""
+    SELECT TIMESTAMP '1970-01-01'
+             + INTERVAL (CAST(floor(epoch(ts) / 900) AS BIGINT) * 900
+                         - o * 900) SECOND AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {SQL_DSUM('value', 'total_value', 2)}
+    FROM events, (SELECT unnest(range(0, 4)) AS o)
+    GROUP BY 1, 2
+    """,
+)
+def events_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping event-time windows: 1-hour windows sliding every 15
+    minutes, so each event contributes to exactly 4 overlapping
+    windows — the smoothing rollup dashboards want. ``F.window`` with a
+    slide assigns all 4 memberships in one codegen projection (the
+    oracle spells the replication out with an offset cross join).
+
+    Scale note: output is 4× the tumbling rollup but the plan is the
+    same single shuffle; at 100 TB choose slide/size so the fan-out
+    factor (size/slide) stays small, or pre-aggregate per slide grain
+    and re-sum windows from slides (the two-level rollup)."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("_w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("_w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )

@@ -13,7 +13,7 @@ standard at some (n, p).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .catalog import SQL_DSUM, dsum, query, t
@@ -297,5 +297,155 @@ def orders_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
             F.min("o_totalprice").alias("min_price"),
             F.max("o_totalprice").alias("max_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-group top-N (the windowed cousin of the global top-k)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_top3_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders
+    ) WHERE rk <= 3
+    """,
+)
+def orders_top3_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-N: each customer's 3 largest orders by value
+    (row_number with a total tie-break, filter rk <= 3) — the windowed
+    cousin of the global TakeOrdered top-k. One shuffle on the group
+    key; Spark's WindowGroupLimit pushes the rank filter into the sort
+    so each partition keeps only N rows per key instead of sorting
+    everything and filtering after."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data profiling (per-column stats in one enumerable report)
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+
+
+@query(
+    "customer_profile",
+    oracle="\n    UNION ALL\n".join(
+        f"""
+    SELECT '{c}' AS col_name,
+           COUNT(*) AS n_rows,
+           CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST(MIN({c}) AS VARCHAR) AS min_value,
+           CAST(MAX({c}) AS VARCHAR) AS max_value
+    FROM customer
+    """
+        for c in _PROFILE_COLS
+    ),
+)
+def customer_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data profiling: one report row per column — row/null/distinct
+    counts and min/max (stringified for a uniform schema). The
+    first-look profile every ingestion runs before trusting a feed.
+
+    Scale shape: each column's stats are a map-side-combined aggregate
+    over the same scan; Catalyst shares the scan across the union legs
+    and a distinct-count per leg shuffles only that column's values.
+    For very wide tables switch n_distinct to approx_count_distinct
+    (or the portable sketches in operators/sketch.py) to keep it one
+    pass."""
+    cust = t(spark, sf_dir, "customer")
+    out = None
+    for c in _PROFILE_COLS:
+        leg = cust.agg(
+            F.lit(c).alias("col_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) - F.count(c)).cast("long").alias("n_nulls"),
+            F.countDistinct(c).cast("long").alias("n_distinct"),
+            F.min(c).cast("string").alias("min_value"),
+            F.max(c).cast("string").alias("max_value"),
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy entity matching (blocked levenshtein — entity resolution)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "customer_fuzzy_match",
+    oracle="""
+    WITH blocked AS (
+      SELECT c_custkey, c_name, c_nationkey,
+             substr(c_name, 1, 16) AS blk
+      FROM customer
+    )
+    SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+           a.c_name AS name_a, b.c_name AS name_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS edit_dist
+    FROM blocked a JOIN blocked b
+      ON a.c_nationkey = b.c_nationkey AND a.blk = b.blk
+     AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def customer_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity resolution: near-identical customer names found by
+    BLOCKED edit distance — candidates come from an equi-join on
+    (nation, 16-char name prefix), and only in-block pairs pay the
+    levenshtein. The J1 reconciliation join generalized from exact
+    equality to typo tolerance.
+
+    Scale shape: blocking converts O(N²) comparisons into a hash join
+    whose cost is Σ |block|² — with sane blocking keys, blocks are
+    dozens of rows at any corpus size. Same-block skew (a degenerate
+    key) is the risk; cap block size or refine the key, exactly like
+    the LSH bucket-size cap in dedup."""
+    cust = t(spark, sf_dir, "customer")
+    blocked = cust.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.substring("c_name", 1, 16).alias("blk"),
+    )
+    a = blocked.select(
+        F.col("c_custkey").alias("key_a"),
+        F.col("c_name").alias("name_a"),
+        "c_nationkey",
+        "blk",
+    )
+    b = blocked.select(
+        F.col("c_custkey").alias("key_b"),
+        F.col("c_name").alias("name_b"),
+        "c_nationkey",
+        "blk",
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, ["c_nationkey", "blk"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .filter(dist <= 1)
+        .select(
+            "key_a", "key_b", "name_a", "name_b", dist.cast("int").alias("edit_dist")
         )
     )
