@@ -651,3 +651,63 @@ def events_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental rollup refresh (materialized-view maintenance by
+# partial-aggregate merge — recompute only the delta, re-sum the rest)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_rollup_incremental_refresh",
+    oracle=f"""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           event_type,
+           COUNT(*) AS n_events,
+           {SQL_DSUM('value', 'total_value', 2)}
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_rollup_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate maintenance: a day-grain rollup is
+    MATERIALIZED for the historical slice (everything before the last
+    event day), then refreshed by aggregating ONLY the new slice and
+    merging partial aggregates — counts and exact-decimal sums re-sum,
+    so merged state is bit-identical to the full recompute the oracle
+    runs. The timescale/materialized-view refresh shape: at 100 TB the
+    daily refresh touches one day of input + |groups| rollup rows,
+    never the full history. (Decimal sums make partials mergeable;
+    averages would be maintained as (sum, count) pairs the same way.)"""
+    import tempfile
+
+    ev = t(spark, sf_dir, "events")
+    cutoff = ev.agg(F.max(F.date_trunc("day", "ts")).alias("c")).collect()[0]["c"]
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy(
+                F.date_trunc("day", "ts").alias("day"), "event_type"
+            ).agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,2)")).alias("_dec_value"),
+            )
+        )
+
+    # historical slice materialized once (the standing rollup table)
+    hist_path = tempfile.mkdtemp(prefix="rollup_hist_")
+    rollup(ev.filter(F.date_trunc("day", "ts") < cutoff)).write.mode(
+        "overwrite"
+    ).parquet(hist_path)
+    hist = spark.read.parquet(hist_path)
+    # delta slice aggregated fresh, then partial-aggregate merge
+    delta = rollup(ev.filter(F.date_trunc("day", "ts") >= cutoff))
+    return (
+        hist.unionByName(delta)
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("_dec_value").cast("double").alias("total_value"),
+        )
+    )
