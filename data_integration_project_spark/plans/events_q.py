@@ -711,3 +711,104 @@ def events_rollup_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataF
             F.sum("_dec_value").cast("double").alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel analysis (view -> click -> purchase within a session)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_session_funnel",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    srows AS (
+      SELECT user_id, ts, event_type,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM ordered
+    ),
+    s1 AS (
+      SELECT user_id, sid, MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+      FROM srows GROUP BY user_id, sid
+    ),
+    s2 AS (
+      SELECT r.user_id, r.sid, MIN(r.ts) AS t_click
+      FROM srows r JOIN s1 ON s1.user_id = r.user_id AND s1.sid = r.sid
+      WHERE r.event_type = 'click' AND r.ts > s1.t_view
+      GROUP BY r.user_id, r.sid
+    ),
+    s3 AS (
+      SELECT r.user_id, r.sid, MIN(r.ts) AS t_purchase
+      FROM srows r JOIN s2 ON s2.user_id = r.user_id AND s2.sid = r.sid
+      WHERE r.event_type = 'purchase' AND r.ts > s2.t_click
+      GROUP BY r.user_id, r.sid
+    )
+    SELECT CASE WHEN s3.t_purchase IS NOT NULL THEN 3
+                WHEN s2.t_click IS NOT NULL THEN 2
+                WHEN s1.t_view IS NOT NULL THEN 1
+                ELSE 0 END AS funnel_stage,
+           COUNT(*) AS n_sessions
+    FROM s1
+    LEFT JOIN s2 ON s2.user_id = s1.user_id AND s2.sid = s1.sid
+    LEFT JOIN s3 ON s3.user_id = s1.user_id AND s3.sid = s1.sid
+    GROUP BY 1
+    """,
+)
+def events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED funnel analysis per session: stage 1 = saw a view,
+    stage 2 = clicked strictly AFTER the first view, stage 3 =
+    purchased strictly after that click — order matters, so this is
+    three dependent minima, not three filters. Classic product
+    analytics; the reference's status-report aggregates never sequence
+    events.
+
+    Scale shape: session numbering is the one user_id shuffle; each
+    subsequent stage joins the session rows back on (user, session) —
+    same key, so no new partitioning — and the final rollup is 4
+    rows."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    srows = ev.withColumn(
+        "_new_s", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ).withColumn(
+        "sid", F.sum("_new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    ).select("user_id", "sid", "ts", "event_type")
+    s1 = srows.groupBy("user_id", "sid").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view")
+    )
+    s2 = (
+        srows.join(s1, ["user_id", "sid"])
+        .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")))
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    s3 = (
+        srows.join(s2, ["user_id", "sid"])
+        .filter(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t_click"))
+        )
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    stage = (
+        F.when(F.col("t_purchase").isNotNull(), 3)
+        .when(F.col("t_click").isNotNull(), 2)
+        .when(F.col("t_view").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        s1.join(s2, ["user_id", "sid"], "left")
+        .join(s3, ["user_id", "sid"], "left")
+        .select(stage.alias("funnel_stage"))
+        .groupBy("funnel_stage")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    )

@@ -449,3 +449,75 @@ def customer_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             "key_a", "key_b", "name_a", "name_b", dist.cast("int").alias("edit_dist")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Anti-entropy table diff (block checksums — replication verification)
+# ---------------------------------------------------------------------------
+
+_DIFF_HASH = (
+    "(31 * (o_orderkey % 2147483647) + 37 * (o_custkey % 2147483647)"
+    " + 41 * (CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) % 2147483647)"
+    " + 43 * (ascii(substr(o_orderstatus, 1, 1)) % 2147483647)) % 2147483647"
+)
+
+
+@query(
+    "orders_zone_diff",
+    oracle=f"""
+    WITH a AS (
+      SELECT o_orderkey % 64 AS block, COUNT(*) AS n_rows,
+             SUM({_DIFF_HASH}) AS checksum
+      FROM orders GROUP BY 1
+    ),
+    mutated AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             o_totalprice + CASE WHEN o_orderkey % 5000 = 7 THEN 1.0 ELSE 0.0 END
+               AS o_totalprice
+      FROM orders
+    ),
+    b AS (
+      SELECT o_orderkey % 64 AS block, COUNT(*) AS n_rows,
+             SUM({_DIFF_HASH}) AS checksum
+      FROM mutated GROUP BY 1
+    )
+    SELECT COALESCE(a.block, b.block) AS block,
+           a.n_rows AS n_rows_a, b.n_rows AS n_rows_b,
+           a.checksum AS checksum_a, b.checksum AS checksum_b
+    FROM a FULL OUTER JOIN b ON a.block = b.block
+    WHERE a.n_rows IS NULL OR b.n_rows IS NULL
+       OR a.n_rows <> b.n_rows OR a.checksum <> b.checksum
+    """,
+)
+def orders_zone_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy diff between two copies of a table
+    (operators/tablediff.py): each side collapses to 64 block rows
+    (count + additive portable row-hash), the comparison is a 64-row
+    full-outer join, and only disagreeing blocks surface — here a
+    deterministic corruption (+1.00 on keys ≡ 7 mod 5000) lights up
+    exactly the blocks holding those keys. How you verify a 100 TB
+    replication without a row-by-row join: O(table) scan each side,
+    O(blocks) comparison, drill into flagged blocks only.
+
+    Floats enter the hash integer-scaled (floor(x·100 + 0.5)) — float
+    STRING formatting is engine-specific, integers are not."""
+    from ..operators.tablediff import table_diff
+
+    o = t(spark, sf_dir, "orders")
+    mutated = o.withColumn(
+        "o_totalprice",
+        F.col("o_totalprice")
+        + F.when(F.col("o_orderkey") % 5000 == 7, 1.0).otherwise(0.0),
+    )
+
+    def hcols(df: DataFrame) -> list:
+        return [
+            df["o_orderkey"],
+            df["o_custkey"],
+            F.floor(df["o_totalprice"] * 100 + 0.5).cast("long"),
+            F.ascii(F.substring(df["o_orderstatus"], 1, 1)),
+        ]
+
+    return table_diff(
+        o, mutated, F.col("o_orderkey"), hcols(o), hcols(mutated), n_blocks=64
+    )
