@@ -812,3 +812,94 @@ def events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("funnel_stage")
         .agg(F.count(F.lit(1)).alias("n_sessions"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream join (watermarked, time-bounded attribution join)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id,
+           p.ts AS purchase_ts, c.ts AS click_ts,
+           (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS lag_seconds
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE
+    """,
+)
+def events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-stream join: purchases and clicks arrive as two
+    watermarked streams, inner-joined on user with the time-range
+    predicate ``click.ts ∈ [purchase.ts - 30 min, purchase.ts]`` — the
+    attribution join, emitting every (purchase, contributing click)
+    pair. Both sides are stateful; the watermark plus the range bound
+    is what lets Spark expire buffered rows instead of holding each
+    stream forever — THE mechanism that makes a 100 TB/day
+    stream-stream join feasible.
+
+    Bounded replay (AvailableNow over the fixture) makes the result
+    deterministic and equal to the batch join the oracle runs."""
+    import tempfile
+    import uuid
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # watermarks require TIMESTAMP (with local-tz semantics); the parquet
+    # column is NTZ — the cast is value-identical under the pinned UTC tz
+    purchases = (
+        src.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").cast("timestamp").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    clicks = (
+        src.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").cast("timestamp").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    ).select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        "purchase_ts",
+        "click_ts",
+        F.floor(
+            (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")) / 1_000_000
+        )
+        .cast("long")
+        .alias("lag_seconds"),
+    )
+    name = "strjoin_" + uuid.uuid4().hex[:8]
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="strjoin_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
