@@ -386,3 +386,84 @@ def doc_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("enc_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF (Spark 4): the §2.11 table-function extension point
+# ---------------------------------------------------------------------------
+
+try:  # pyspark >= 3.5
+    from pyspark.sql.functions import udtf as _udtf
+
+    @_udtf(returnType="doc_id: bigint, token: string, start_pos: int, run_len: int")
+    class TokenRunsUDTF:
+        """Run-length encoding of consecutive repeated tokens — a
+        genuinely table-valued transform (0..n output rows per input
+        row) with sequential state, the shape UDTFs exist for."""
+
+        def eval(self, doc_id, text):  # noqa: D102
+            toks = text.lower().strip().split()
+            i = 0
+            while i < len(toks):
+                j = i
+                while j < len(toks) and toks[j] == toks[i]:
+                    j += 1
+                if j - i >= 2:
+                    yield doc_id, toks[i], i + 1, j - i
+                i = j
+
+except ImportError:  # pragma: no cover - pyspark too old
+    TokenRunsUDTF = None
+
+
+@query(
+    "doc_token_runs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(tk) + 1),
+                      i -> struct_pack(pos := i, tok := tk[i]))) AS u
+        FROM (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents)
+      )
+    ),
+    marked AS (
+      SELECT doc_id, pos, tok,
+             CASE WHEN lag(tok) OVER w IS NULL OR lag(tok) OVER w <> tok
+                  THEN 1 ELSE 0 END AS brk
+      FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    runs AS (
+      SELECT doc_id, pos, tok,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM marked
+    )
+    SELECT doc_id, tok AS token,
+           CAST(MIN(pos) AS INT) AS start_pos,
+           CAST(COUNT(*) AS INT) AS run_len
+    FROM runs GROUP BY doc_id, tok, run_id
+    HAVING COUNT(*) >= 2
+    """,
+)
+def doc_token_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4's table-function extension point, §2.11):
+    run-length encode consecutive repeated tokens per document — a
+    0..n-rows-per-input transform with sequential state, lateral-joined
+    in SQL. The oracle proves the imperative UDTF equals the relational
+    gaps-and-islands form (lag-break + running sum + group).
+
+    This is deliberately the ONLY Python-row-path query in the catalog:
+    the UDTF is the extensibility demo, and the oracle's own
+    gaps-and-islands shape is what the 100 TB hot path would use
+    (window + groupBy — codegen, one shuffle)."""
+    if TokenRunsUDTF is None:
+        raise NotImplementedError("pyspark UDTF support missing")
+    spark.udtf.register("token_runs", TokenRunsUDTF)
+    t(spark, sf_dir, "documents").createOrReplaceTempView("corpus_docs_udtf")
+    return spark.sql(
+        """
+        SELECT f.doc_id, f.token, f.start_pos, f.run_len
+        FROM corpus_docs_udtf d, LATERAL token_runs(d.doc_id, d.text) f
+        """
+    )
