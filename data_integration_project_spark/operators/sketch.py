@@ -122,6 +122,64 @@ def hll_distinct_estimate(df: DataFrame, col: str, m: int = 64) -> DataFrame:
     )
 
 
+#: Affine row-hash family for count-min (pairwise independence is
+#: exactly what affine-mod-P gives; the value entering it must already
+#: be well-mixed — e.g. a char-fold token hash).
+CMS_PARAMS: list[tuple[int, int]] = [
+    (1103515245, 12352),
+    (48271, 11),
+    (69621, 403),
+    (40692, 3791),
+]
+
+
+def cms_counters(
+    weighted: DataFrame, hash_col: str, weight_col: str, width: int = 256
+) -> DataFrame:
+    """Count-min sketch counters from (value-hash, weight) rows:
+    one (depth, bucket, counter) row per occupied cell — depth×width
+    bounded state, additive counters (mergeable across partitions,
+    batches, or days by summing). The estimate for a value is the MIN
+    over its depth cells (see ``cms_estimate``); overestimates only,
+    by ≤ total/width per row with high probability."""
+    legs = []
+    for j, (a, b) in enumerate(CMS_PARAMS):
+        legs.append(
+            weighted.select(
+                F.lit(j).alias("depth"),
+                (((F.lit(a) * (F.col(hash_col) % P) + F.lit(b)) % P) % width).alias(
+                    "bucket"
+                ),
+                F.col(weight_col).alias("_w"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.groupBy("depth", "bucket").agg(F.sum("_w").alias("counter"))
+
+
+def cms_estimate(
+    queries: DataFrame, counters: DataFrame, hash_col: str, width: int = 256
+) -> DataFrame:
+    """Point-query the sketch: join each query value's depth cells to
+    the counter table (broadcastable — depth×width rows) and take the
+    per-value MIN counter as the estimate."""
+    cells = None
+    for j, (a, b) in enumerate(CMS_PARAMS):
+        leg = queries.select(
+            "*",
+            F.lit(j).alias("depth"),
+            (((F.lit(a) * (F.col(hash_col) % P) + F.lit(b)) % P) % width).alias(
+                "bucket"
+            ),
+        )
+        cells = leg if cells is None else cells.unionByName(leg)
+    joined = cells.join(F.broadcast(counters), ["depth", "bucket"])
+    keys = [c for c in queries.columns]
+    return joined.groupBy(*keys).agg(F.min("counter").alias("cms_estimate"))
+
+
 def kmv_distinct_estimate(df: DataFrame, col: str, k: int = 256) -> DataFrame:
     """One-row sketch summary: (k, n_seen, n_estimate).
 

@@ -467,3 +467,92 @@ def doc_token_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM corpus_docs_udtf d, LATERAL token_runs(d.doc_id, d.text) f
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (mergeable counters for unbounded vocabularies)
+# ---------------------------------------------------------------------------
+
+_CMS_W = 16  # deliberately tight: 31 distinct tokens into 16 buckets
+#             forces collisions, so min-over-depth visibly matters
+
+_CHARFOLD_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split(tok, ''), c -> CAST(ascii(c) AS BIGINT))), "
+    "(acc, c) -> (acc*31 + c) % 2147483647)"
+)
+
+
+def _cms_params_sql() -> str:
+    from ..operators.sketch import CMS_PARAMS
+
+    return ", ".join(f"({j}, {a}, {b})" for j, (a, b) in enumerate(CMS_PARAMS))
+
+
+@query(
+    "doc_cms_token_counts",
+    oracle=f"""
+    WITH counts AS (
+      SELECT tok, COUNT(*) AS n
+      FROM (SELECT unnest({_TOKENS_SQL}) AS tok FROM documents)
+      GROUP BY tok
+    ),
+    hashed AS (SELECT tok, n, {_CHARFOLD_SQL} AS h FROM counts),
+    params(depth, a, b) AS (VALUES {_cms_params_sql()}),
+    cells AS (
+      SELECT p.depth,
+             ((p.a * (h.h % 2147483647) + p.b) % 2147483647) % {_CMS_W} AS bucket,
+             h.n
+      FROM hashed h CROSS JOIN params p
+    ),
+    counters AS (
+      SELECT depth, bucket, SUM(n) AS counter FROM cells GROUP BY 1, 2
+    ),
+    qcells AS (
+      SELECT h.tok, h.n, p.depth,
+             ((p.a * (h.h % 2147483647) + p.b) % 2147483647) % {_CMS_W} AS bucket
+      FROM hashed h CROSS JOIN params p
+    )
+    SELECT q.tok AS token,
+           CAST(q.n AS BIGINT) AS exact_count,
+           CAST(MIN(c.counter) AS BIGINT) AS cms_estimate
+    FROM qcells q JOIN counters c USING (depth, bucket)
+    GROUP BY q.tok, q.n
+    """,
+)
+def doc_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over token frequencies
+    (operators/sketch.cms_counters): 4 pairwise-independent affine
+    hashes scatter each token's weight into a 4×16 counter grid;
+    a point query takes the MIN over its 4 cells. Counters are
+    additive — mergeable across partitions, batches, or days — which
+    is what makes frequency tracking possible when |vocab| itself
+    can't be shuffled (the exact two-level agg in doc_top_tokens
+    stops scaling exactly there). The width is deliberately tight so
+    collisions occur and every estimate is >= exact (CMS one-sided
+    error), both visible in the output.
+
+    Fully deterministic integer arithmetic on the portable char-fold
+    hash — the oracle rebuilds the identical grid."""
+    from ..functions.text import char_fold_hash
+    from ..operators.sketch import cms_counters, cms_estimate
+
+    d = t(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(X.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    hashed = counts.withColumn("h", char_fold_hash(F.col("tok")))
+    counters = cms_counters(hashed, "h", "n", width=_CMS_W)
+    est = cms_estimate(
+        hashed.select(
+            F.col("tok").alias("token"),
+            F.col("n").cast("long").alias("exact_count"),
+            "h",
+        ),
+        counters,
+        "h",
+        width=_CMS_W,
+    )
+    return est.select("token", "exact_count", F.col("cms_estimate").cast("long").alias("cms_estimate"))
