@@ -903,3 +903,79 @@ def events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Grouped-map Pandas UDF (applyInPandas): robust per-user outliers
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_user_robust_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT user_id, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY user_id
+    ),
+    dev AS (
+      SELECT e.user_id, e.value, m.med, abs(e.value - m.med) AS ad
+      FROM events e JOIN med m USING (user_id)
+    ),
+    madt AS (
+      SELECT user_id, quantile_cont(ad, 0.5) AS mad FROM dev GROUP BY user_id
+    )
+    SELECT d.user_id,
+           COUNT(*) AS n_events,
+           ANY_VALUE(d.med) AS median_value,
+           ANY_VALUE(a.mad) AS mad,
+           CAST(SUM(CASE WHEN a.mad > 0 AND d.ad / a.mad > 3.5
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN madt a USING (user_id)
+    GROUP BY d.user_id
+    """,
+)
+def events_user_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map Pandas UDF (``applyInPandas`` — the Arrow-batched
+    per-group escape hatch, §2.11): per-user robust outlier stats via
+    median / MAD, the estimator family that needs the whole group in
+    memory at once and genuinely doesn't decompose into built-in
+    aggregates + windows cleanly.
+
+    Bit-parity across engines is engineered, not hoped for: the UDF
+    computes quantiles with DuckDB's exact ``quantile_cont``
+    interpolation formula (v[lo] + frac·(v[lo+1]-v[lo])) rather than
+    numpy's (a+b)/2 — the two differ in the last ulp, which the
+    value-hash would catch.
+
+    Scale shape: one shuffle on user_id; each group materializes in
+    one Arrow batch (fine for per-user event counts; a group too big
+    for memory should switch to the sort-based window form)."""
+    import numpy as np
+    import pandas as pd
+
+    def _qcont(sorted_vals: "np.ndarray", q: float) -> float:
+        # DuckDB quantile_cont: pos = (n-1)q; lerp between neighbors
+        n = len(sorted_vals)
+        pos = (n - 1) * q
+        lo = int(pos)
+        frac = pos - lo
+        if lo + 1 < n:
+            return float(sorted_vals[lo] + frac * (sorted_vals[lo + 1] - sorted_vals[lo]))
+        return float(sorted_vals[lo])
+
+    def per_user(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        vals = np.sort(pdf["value"].to_numpy())
+        med = _qcont(vals, 0.5)
+        ad = np.abs(pdf["value"].to_numpy() - med)
+        mad = _qcont(np.sort(ad), 0.5)
+        n_out = int(np.sum((ad / mad) > 3.5)) if mad > 0 else 0
+        return pd.DataFrame(
+            [[int(pdf["user_id"].iloc[0]), len(pdf), med, mad, n_out]],
+            columns=["user_id", "n_events", "median_value", "mad", "n_outliers"],
+        )
+
+    ev = t(spark, sf_dir, "events").select("user_id", "value")
+    return ev.groupBy("user_id").applyInPandas(
+        per_user,
+        schema="user_id long, n_events long, median_value double, mad double, n_outliers long",
+    )
