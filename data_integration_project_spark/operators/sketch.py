@@ -180,6 +180,82 @@ def cms_estimate(
     return joined.groupBy(*keys).agg(F.min("counter").alias("cms_estimate"))
 
 
+def misra_gries_candidates(df: DataFrame, col: str, capacity: int) -> DataFrame:
+    """Bounded-state heavy-hitter CANDIDATES: per-partition Misra-Gries
+    summaries (≤ ``capacity`` live counters each, regardless of |vocab|)
+    merged into one candidate list of ≤ capacity × n_partitions rows.
+
+    The frequent-items guarantee (Misra & Gries 1982; mergeability per
+    Agarwal et al., "Mergeable Summaries", PODS'12): every item with true
+    count > N/(capacity+1) survives with a positive counter in at least
+    one partition summary — independent of row order or partitioning. The
+    candidate SET therefore deterministically contains all true heavy
+    hitters even though individual MG counters are order-dependent; callers
+    must exact-verify candidates (cheap: the list is tiny) before claiming
+    counts, which is what :func:`heavy_hitters` does.
+
+    This is the LIST-shaped complement to the count-min grid
+    (``cms_counters``): CMS answers point queries over an unbounded vocab,
+    MG enumerates the frequent items without ever shuffling the vocab.
+
+    Per-batch the summary is updated with the vectorized merge (batch
+    ``value_counts`` + "subtract the (capacity+1)-th largest, drop ≤ 0"),
+    not a per-row loop — one pandas op per Arrow batch."""
+    import pandas as pd
+
+    def mg(batches):
+        counts: "pd.Series | None" = None
+        for pdf in batches:
+            vc = pdf[col].value_counts()
+            merged = vc if counts is None else counts.add(vc, fill_value=0)
+            if len(merged) > capacity:
+                cut = merged.nlargest(capacity + 1).iloc[-1]
+                merged = merged - cut
+                merged = merged[merged > 0]
+            counts = merged
+        if counts is None or counts.empty:
+            yield pd.DataFrame({"item": pd.Series([], dtype=object)})
+        else:
+            yield pd.DataFrame({"item": counts.index.astype(object)})
+
+    return df.select(F.col(col).cast("string").alias(col)).mapInPandas(
+        mg, "item string"
+    ).distinct()
+
+
+def heavy_hitters(df: DataFrame, col: str, capacity: int) -> DataFrame:
+    """Exact frequent-items list with bounded state: all values of
+    ``col`` whose count exceeds N/(capacity+1), with their EXACT counts —
+    computed without ever shuffling the full vocabulary.
+
+    Two passes: (1) Misra-Gries candidate generation (bounded per-partition
+    state, tiny merged candidate list — see guarantee on
+    :func:`misra_gries_candidates`); (2) exact verification counting ONLY
+    rows matching a candidate (broadcast semi-join, so the groupBy key
+    domain is ≤ the candidate list). The output is deterministic — the
+    superset guarantee plus exact verification erase the order-dependence
+    of the raw MG counters — and equals ``GROUP BY HAVING
+    count·(capacity+1) > N``, which is exactly what the oracle computes.
+
+    100 TB shape: where doc_top_tokens' exact two-level agg stops scaling
+    (shuffle carries |vocab| rows), this carries ≤ capacity×partitions
+    candidates and then counts a pre-filtered stream against a broadcast
+    list."""
+    vals = df.select(F.col(col).cast("string").alias(col))
+    total = vals.agg(F.count(F.lit(1)).alias("_n"))
+    cands = misra_gries_candidates(vals, col, capacity)
+    exact = (
+        vals.join(F.broadcast(cands), vals[col] == cands["item"], "left_semi")
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("n_occurrences") * (capacity + 1) > F.col("_n"))
+        .drop("_n")
+    )
+
+
 def kmv_distinct_estimate(df: DataFrame, col: str, k: int = 256) -> DataFrame:
     """One-row sketch summary: (k, n_seen, n_estimate).
 

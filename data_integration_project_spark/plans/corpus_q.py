@@ -556,3 +556,45 @@ def doc_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         width=_CMS_W,
     )
     return est.select("token", "exact_count", F.col("cms_estimate").cast("long").alias("cms_estimate"))
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries / space-saving heavy hitters (bounded-state frequent-item LIST)
+# ---------------------------------------------------------------------------
+
+_MG_CAPACITY = 64
+
+
+@query(
+    "doc_heavy_hitters_mg",
+    oracle=f"""
+    WITH tok AS (SELECT unnest({_TOKENS_SQL}) AS t FROM documents),
+    tot AS (SELECT COUNT(*) AS n FROM tok)
+    SELECT t AS token, COUNT(*) AS n_occurrences
+    FROM tok, tot
+    GROUP BY t, tot.n
+    HAVING COUNT(*) * {_MG_CAPACITY + 1} > tot.n
+    """,
+)
+def doc_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-token LIST with bounded state (operators/sketch.
+    heavy_hitters): per-partition Misra-Gries summaries (<= 64 live
+    counters each, whatever |vocab| is) merge into a tiny candidate
+    list that PROVABLY contains every token with count > N/65, then an
+    exact-count pass restricted to candidates (broadcast semi-join)
+    verifies and filters. Raw MG counters are partition-order-dependent;
+    the superset guarantee + exact verify make the OUTPUT deterministic
+    — which is why the oracle is the plain relational
+    GROUP BY ... HAVING count*65 > N.
+
+    This is the enumerate-the-frequent-items complement to the
+    count-min point-query grid (doc_cms_token_counts), and the shape
+    that replaces doc_top_tokens' exact two-level agg when the
+    vocabulary itself is too large to shuffle (URLs, n-grams, user
+    agents at 100 TB)."""
+    from ..operators.sketch import heavy_hitters
+
+    toks = t(spark, sf_dir, "documents").select(
+        F.explode(X.tokens(F.col("text"))).alias("token")
+    )
+    return heavy_hitters(toks, "token", _MG_CAPACITY)
