@@ -53,6 +53,12 @@ HEADLINE = [
     # event-time RANGE-frame window
     "doc_top_tokens",
     "events_trailing_hour_window",
+    # round 2 (cont.): bounded-state heavy hitters (mapInPandas MG pass
+    # + broadcast verify), Bloom runtime-filter semi-join, log-diameter
+    # connected components on a long-path graph
+    "doc_heavy_hitters_mg",
+    "orders_bloom_semi_join",
+    "dedup_clusters_largestar",
 ]
 
 

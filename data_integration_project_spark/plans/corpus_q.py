@@ -598,3 +598,128 @@ def doc_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(X.tokens(F.col("text"))).alias("token")
     )
     return heavy_hitters(toks, "token", _MG_CAPACITY)
+
+
+# ---------------------------------------------------------------------------
+# Intra-document paragraph dedup (repeated-block removal)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_paragraph_dedup",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id,
+             concat_ws(chr(10), text, upper(text), text, upper(text)) AS text
+      FROM documents
+    ),
+    paras AS (
+      SELECT doc_id, u.pos AS pos, u.para AS para FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(ps) + 1),
+                      i -> struct_pack(pos := i, para := ps[i]))) AS u
+        FROM (SELECT doc_id, string_split(text, chr(10)) AS ps FROM corpus)
+      )
+    ),
+    firsts AS (
+      SELECT doc_id, para, MIN(pos) AS first_pos, COUNT(*) AS n_occ
+      FROM paras GROUP BY doc_id, para
+    )
+    SELECT doc_id,
+           CAST(SUM(n_occ) AS INT) AS n_paras,
+           CAST(COUNT(*) AS INT) AS n_kept,
+           string_agg(para, chr(10) ORDER BY first_pos) AS clean_text
+    FROM firsts GROUP BY doc_id
+    """,
+)
+def doc_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repeated-paragraph removal
+    (operators/dedup.intra_doc_dedup): the line/block-level cleanup a
+    pretraining pipeline runs BEFORE cross-document dedup — repeated
+    boilerplate inside one page must not survive into training text.
+    The corpus has no natural paragraph breaks, so the fixture
+    manufactures them identically on both engines: each doc becomes
+    A\\nB\\nA\\nB (B = uppercased A); the operator must return A\\nB with
+    first-occurrence order preserved and report 4 paragraphs seen /
+    2 kept.
+
+    Scale shape: split → posexplode → (doc,para) then (doc) aggregates —
+    two co-partitioned shuffles on the doc key, order restored by
+    array_sort on (first_pos, para) structs rather than any global
+    sort. Linear at 100 TB."""
+    from ..operators.dedup import intra_doc_dedup
+
+    corpus = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.upper(F.col("text")),
+            F.col("text"),
+            F.upper(F.col("text")),
+        ).alias("text"),
+    )
+    return intra_doc_dedup(corpus, "doc_id", "text", sep="\n")
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-step pair counts (tokenizer training primitive)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_bpe_pair_counts",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT u.a AS left_tok, u.b AS right_tok FROM (
+        SELECT unnest(list_transform(range(1, len(tk)),
+                      i -> struct_pack(a := tk[i], b := tk[i + 1]))) AS u
+        FROM (SELECT {_TOKENS_SQL} AS tk FROM documents)
+        WHERE len(tk) >= 2
+      )
+    )
+    SELECT left_tok, right_tok, n_pairs FROM (
+      SELECT left_tok, right_tok, COUNT(*) AS n_pairs
+      FROM pairs GROUP BY left_tok, right_tok
+    )
+    ORDER BY n_pairs DESC, left_tok, right_tok
+    LIMIT 20
+    """,
+)
+def doc_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-training merge step: count ADJACENT token pairs across
+    the corpus and rank the merge candidates — the inner loop of
+    byte-pair-encoding tokenizer training, run corpus-wide. The
+    highest-count pair is the next merge rule; re-running after each
+    merge trains the full vocab.
+
+    Scale shape: pairs are built inside one codegen projection
+    (``transform(sequence(...))`` over the token array — no self-join
+    of an exploded token table on position, which would shuffle the
+    whole corpus twice), then one map-side-combined count whose shuffle
+    carries |pair-vocab| rows, then TakeOrdered(20). Total order at the
+    cut (count desc, pair asc) keeps the result deterministic."""
+    d = t(spark, sf_dir, "documents")
+    tk = X.tokens(F.col("text"))
+    pairs = (
+        d.select(tk.alias("tk"))
+        .filter(F.size("tk") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("tk") - 2),
+                    lambda i: F.struct(
+                        F.col("tk")[i].alias("left_tok"),
+                        F.col("tk")[i + 1].alias("right_tok"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.left_tok", "p.right_tok")
+    )
+    return (
+        pairs.groupBy("left_tok", "right_tok")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy(F.desc("n_pairs"), F.asc("left_tok"), F.asc("right_tok"))
+        .limit(20)
+    )

@@ -10,7 +10,7 @@ same signatures/pairs in DuckDB with the identical portable hash
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import dedup as D
@@ -496,4 +496,53 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("train_id", "eval_id")
         .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
         .filter(F.col("n_shared_ngrams") >= 5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Log-diameter connected components (large-star/small-star) on a path graph
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_clusters_largestar",
+    oracle="""
+    WITH labeled AS (
+      SELECT doc_id AS node, MIN(doc_id) OVER (PARTITION BY doc_id % 3) AS comp
+      FROM documents
+    )
+    SELECT comp AS cluster_rep, COUNT(*) AS n_members, MAX(node) AS max_member
+    FROM labeled GROUP BY comp
+    """,
+)
+def dedup_clusters_largestar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components on an ADVERSARIAL long-path graph via
+    alternating large-star/small-star rounds
+    (operators/dedup.connected_components_star, after Kiveris et al.
+    SoCC'14). The fixture chains consecutive doc_ids within each
+    residue class mod 3 — three paths of length |docs|/3 (~1,700 hops
+    at sf0.01), the exact graph where the direct min-label loop in
+    dedup_clusters would need one shuffle round PER HOP and a 100 TB
+    dedup graph with edit chains would never converge. The star
+    rounds halve path lengths each pass, so the same component labels
+    arrive in O(log L) rounds of plain equi-joins.
+
+    The oracle never needs recursion: a chained residue class is one
+    component by construction, so comp = MIN(doc_id) over the class —
+    which is precisely what the star fixpoint must output. Rollup
+    mirrors dedup_clusters (representative, size, max member)."""
+    from ..operators.dedup import connected_components_star
+
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    w = Window.partitionBy(F.col("doc_id") % 3).orderBy("doc_id")
+    edges = (
+        d.select("doc_id", F.lead("doc_id").over(w).alias("next_id"))
+        .filter(F.col("next_id").isNotNull())
+        .select(F.col("doc_id").alias("_id_a"), F.col("next_id").alias("_id_b"))
+    )
+    labels = connected_components_star(edges, max_iter=30)
+    return (
+        labels.groupBy("comp")
+        .agg(F.count(F.lit(1)).alias("n_members"), F.max("node").alias("max_member"))
+        .select(F.col("comp").alias("cluster_rep"), "n_members", "max_member")
     )

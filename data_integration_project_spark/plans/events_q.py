@@ -979,3 +979,122 @@ def events_user_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_user,
         schema="user_id long, n_events long, median_value double, mad double, n_outliers long",
     )
+
+
+@query(
+    "events_stream_stream_left_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id,
+           p.ts AS purchase_ts, c.ts AS click_ts,
+           CASE WHEN c.event_id IS NULL THEN 'unattributed'
+                ELSE 'attributed' END AS attribution
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE
+    """,
+)
+def events_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER stream-stream join: like events_stream_stream_join
+    but purchases with NO click in the 30-minute window must still be
+    emitted (click side null) — the attribution report that includes
+    the unattributed tail. Outer stream joins add the null-emission
+    timing problem: a purchase can only be declared clickless once the
+    watermark guarantees no matching click can still arrive, so
+    unmatched rows surface when state expires, not when they arrive.
+    A null can only be emitted once the watermark PASSES the purchase —
+    so the last 90 minutes of a bounded fixture would stay pending
+    forever (measured: 2 rows short at sf0.001). Production streams
+    solve this with a heartbeat that advances event time; the fixture
+    does the same — a far-future sentinel event on each side (streamed
+    from a temp dir that symlinks the read-only fixture plus one tiny
+    sentinel file) pushes the watermark past every real row, the
+    closing no-data batch flushes all pending nulls, and the result
+    equals the batch LEFT JOIN the oracle runs.
+
+    State stays bounded exactly as in the inner variant — the
+    watermark + range bound let both sides evict; the only addition is
+    the per-row "matched" bit Spark keeps to know which evicted rows
+    owe a null emission."""
+    import os
+    import tempfile
+    import uuid
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    max_ts = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .agg(F.max("ts").alias("m"))
+        .collect()[0]["m"]
+    )
+    import datetime
+
+    far = max_ts + datetime.timedelta(days=30)
+    stream_dir = tempfile.mkdtemp(prefix="strljoin_src_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(stream_dir, "events.parquet"),
+    )
+    sentinel = spark.createDataFrame(
+        [
+            (-1, far, -1, "purchase", 0.0, "{}"),
+            (-2, far + datetime.timedelta(days=1), -2, "click", 0.0, "{}"),
+        ],
+        schema,
+    )
+    sentinel.coalesce(1).write.parquet(os.path.join(stream_dir, "sentinel.parquet"))
+    src = spark.readStream.schema(schema).option("recursiveFileLookup", "true").parquet(
+        stream_dir
+    )
+    purchases = (
+        src.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").cast("timestamp").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    clicks = (
+        src.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").cast("timestamp").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES")),
+        "left_outer",
+    ).select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        "purchase_ts",
+        "click_ts",
+        F.when(F.col("click_id").isNull(), F.lit("unattributed"))
+        .otherwise(F.lit("attributed"))
+        .alias("attribution"),
+    )
+    name = "strljoin_" + uuid.uuid4().hex[:8]
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="strljoin_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # The sentinel filter must sit on the SINK side: a `user_id >= 0`
+    # predicate inside the streaming plan gets pushed below the
+    # EventTimeWatermark operator, so the heartbeat rows are pruned at
+    # the scan and the watermark never advances past the real data
+    # (measured: the two tail nulls went missing again). Filtering the
+    # materialized result is pushdown-proof.
+    return spark.table(name).filter(F.col("user_id") >= 0)

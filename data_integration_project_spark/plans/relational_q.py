@@ -521,3 +521,154 @@ def orders_zone_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_diff(
         o, mutated, F.col("o_orderkey"), hcols(o), hcols(mutated), n_blocks=64
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantile bucketing (feature discretization)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_quantile_buckets",
+    oracle="""
+    WITH tiled AS (
+      SELECT o_totalprice,
+             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+      FROM orders
+    )
+    SELECT bucket,
+           COUNT(*) AS n_orders,
+           CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS lo,
+           CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS hi,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS bucket_value
+    FROM tiled GROUP BY bucket
+    """,
+)
+def orders_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency bucketing (decile discretization) of order value
+    — the feature-prep step that turns a skewed continuous column into
+    a uniform categorical one (ML binning / QuantileDiscretizer's exact
+    form). ntile's total ORDER BY (price, key tiebreak) makes bucket
+    assignment deterministic; per-bucket count/lo/hi/sum describe the
+    learned bin edges.
+
+    Scale note: an exact global ntile is a single-partition sort — fine
+    for |orders| of dims/facts that fit one machine's sort budget, but
+    the 100 TB form replaces it with approx_percentile bin EDGES
+    (mergeable sketch, one pass) + a broadcast range join of rows to
+    edges; the exact form here doubles as that path's correctness
+    oracle. Sum goes through exact decimal addition (dsum pattern) so
+    the value-hash is order-independent."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    tiled = o.select(
+        F.col("o_totalprice"), F.ntile(10).over(w).alias("bucket")
+    )
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return tiled.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min(dec).cast("double").alias("lo"),
+        F.max(dec).cast("double").alias("hi"),
+        F.sum(dec).cast("double").alias("bucket_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join reduction (runtime-filter pattern)
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 2048
+_BLOOM_K = 3
+
+
+def _bloom_pos_sql(key_expr: str, i: int) -> str:
+    from .events_q import _HLL_HASH_SQL
+
+    fold = _HLL_HASH_SQL.format(col=f"CAST({key_expr} AS VARCHAR) || ':{i}'")
+    return f"({fold}) % {_BLOOM_M}"
+
+
+@query(
+    "orders_bloom_semi_join",
+    oracle=f"""
+    WITH build AS (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    ),
+    pos AS (
+      SELECT DISTINCT pos FROM (
+        SELECT unnest([{", ".join(_bloom_pos_sql("c_custkey", i) for i in range(_BLOOM_K))}]) AS pos
+        FROM build
+      )
+    ),
+    opos AS (
+      SELECT o_orderkey, o_custkey, unnest([{", ".join(_bloom_pos_sql("o_custkey", i) for i in range(_BLOOM_K))}]) AS pos
+      FROM orders
+    ),
+    cand AS (
+      SELECT o_orderkey, any_value(o_custkey) AS o_custkey
+      FROM opos JOIN pos USING (pos)
+      GROUP BY o_orderkey HAVING COUNT(*) = {_BLOOM_K}
+    )
+    SELECT
+      (SELECT COUNT(*) FROM build) AS n_build_keys,
+      (SELECT COUNT(*) FROM pos) AS n_bits_set,
+      (SELECT COUNT(*) FROM cand) AS n_candidate_orders,
+      (SELECT COUNT(*) FROM cand WHERE o_custkey IN (SELECT c_custkey FROM build))
+        AS n_matched_orders,
+      (SELECT COUNT(*) FROM cand WHERE o_custkey NOT IN (SELECT c_custkey FROM build))
+        AS n_false_positives
+    """,
+)
+def orders_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction (operators/bloom.py): the
+    build side (BUILDING-segment customers) collapses to an m-bit
+    filter — represented relationally as its ≤ m distinct set-bit
+    positions, so membership and the false-positive count are
+    deterministic and replayable in any engine with md5 — and probe
+    rows (orders) are dropped before any shuffle unless all k=3 of
+    their key's bits are set. The exact join that follows only pays for
+    candidates; the report shows exactly what the filter saved and what
+    leaked through (false positives — present by design at m=2048, the
+    one-sided error every Bloom deployment budgets for).
+
+    100 TB shape: this is Spark's runtime bloom-filter join made
+    explicit — the filter is O(m) regardless of build size, the probe
+    side never shuffles, broadcast does all the work. No false
+    negatives, so correctness never depends on the filter."""
+    from ..operators.bloom import bloom_build, bloom_probe
+
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    build = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    pos = bloom_build(build, "c_custkey", m=_BLOOM_M, k=_BLOOM_K)
+    cand = bloom_probe(
+        orders.select("o_orderkey", "o_custkey"),
+        "o_custkey",
+        pos,
+        m=_BLOOM_M,
+        k=_BLOOM_K,
+    ).persist()
+    matched = cand.join(
+        F.broadcast(build),
+        cand["o_custkey"] == build["c_custkey"],
+        "left_semi",
+    )
+    stats = (
+        build.agg(F.count(F.lit(1)).alias("n_build_keys"))
+        .crossJoin(F.broadcast(pos.agg(F.count(F.lit(1)).alias("n_bits_set"))))
+        .crossJoin(
+            F.broadcast(cand.agg(F.count(F.lit(1)).alias("n_candidate_orders")))
+        )
+        .crossJoin(
+            F.broadcast(matched.agg(F.count(F.lit(1)).alias("n_matched_orders")))
+        )
+    )
+    return stats.select(
+        "n_build_keys",
+        "n_bits_set",
+        "n_candidate_orders",
+        "n_matched_orders",
+        (F.col("n_candidate_orders") - F.col("n_matched_orders")).alias(
+            "n_false_positives"
+        ),
+    )

@@ -343,3 +343,79 @@ def test_decode_tga_bgr_and_bottom_up():
     assert d["mean_b"] == (10 + 40) / 2
     assert d["mean_g"] == (20 + 50) / 2
     assert d["mean_r"] == (30 + 60) / 2
+
+
+def test_star_cc_matches_direct_cc(spark):
+    """large-star/small-star must produce identical labels to direct
+    min-label propagation on an irregular graph (two components, one
+    with a branch), and on a path long enough that direct propagation
+    needs many rounds."""
+    from data_integration_project_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 9), (3, 7), (20, 21), (21, 22)]
+    pairs = spark.createDataFrame(edges, ["_id_a", "_id_b"])
+    direct = {r["node"]: r["comp"] for r in connected_components(pairs).collect()}
+    star = {r["node"]: r["comp"] for r in connected_components_star(pairs).collect()}
+    assert direct == star
+    assert set(star.values()) == {1, 20}
+
+    # 64-node path: direct needs ~63 rounds, star must finish inside 10
+    path = spark.createDataFrame([(i, i + 1) for i in range(63)], ["_id_a", "_id_b"])
+    labels = connected_components_star(path, max_iter=10).collect()
+    assert len(labels) == 64
+    assert all(r["comp"] == 0 for r in labels)
+
+
+def test_heavy_hitters_guarantee(spark):
+    """Output equals the exact HAVING count*(cap+1) > N set even under
+    adversarial partitioning."""
+    import pyspark.sql.functions as F
+
+    from data_integration_project_spark.operators.sketch import heavy_hitters
+
+    rows = (["hot"] * 500) + (["warm"] * 120) + [f"cold{i}" for i in range(400)]
+    df = spark.createDataFrame([(v,) for v in rows], ["tok"]).repartition(7)
+    out = {
+        r["tok"]: r["n_occurrences"]
+        for r in heavy_hitters(df, "tok", capacity=7).collect()
+    }
+    n = len(rows)  # 1020; threshold: count*8 > 1020 → count > 127.5
+    assert out == {"hot": 500}
+    out2 = {
+        r["tok"]: r["n_occurrences"]
+        for r in heavy_hitters(df, "tok", capacity=15).collect()
+    }
+    # capacity 15 → threshold count > 1020/16 = 63.75
+    assert out2 == {"hot": 500, "warm": 120}
+
+
+def test_intra_doc_dedup_order_preserved(spark):
+    from data_integration_project_spark.operators.dedup import intra_doc_dedup
+
+    df = spark.createDataFrame(
+        [(1, "b\na\nb\nc\na"), (2, "x")], ["id", "text"]
+    )
+    out = {r["id"]: r for r in intra_doc_dedup(df, "id", "text").collect()}
+    assert out[1]["clean_text"] == "b\na\nc"
+    assert (out[1]["n_paras"], out[1]["n_kept"]) == (5, 3)
+    assert out[2]["clean_text"] == "x"
+
+
+def test_bloom_filter_no_false_negatives(spark):
+    import pyspark.sql.functions as F
+
+    from data_integration_project_spark.operators.bloom import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    build = spark.createDataFrame([(i,) for i in range(0, 100, 2)], ["k"])
+    probe = spark.createDataFrame([(i, f"r{i}") for i in range(100)], ["k", "v"])
+    pos = bloom_build(build, "k", m=512, k=3)
+    cand = bloom_probe(probe, "k", pos, m=512, k=3)
+    kept = {r["k"] for r in cand.collect()}
+    # every true member must survive (no false negatives)
+    assert set(range(0, 100, 2)) <= kept
