@@ -59,6 +59,10 @@ HEADLINE = [
     "doc_heavy_hitters_mg",
     "orders_bloom_semi_join",
     "dedup_clusters_largestar",
+    # round 2 (cont.): classic TPC-H multi-join shape and the Morton
+    # interleave projection
+    "q3_shipping_priority",
+    "orders_zorder_layout",
 ]
 
 

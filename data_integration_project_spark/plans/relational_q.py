@@ -672,3 +672,172 @@ def orders_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_false_positives"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Range-partition boundaries from a deterministic sample (the
+# RangePartitioner / global-sort-without-global-sort pattern)
+# ---------------------------------------------------------------------------
+
+_RP_PARTS = 8
+_RP_MOD = 20  # 5% deterministic sample
+
+
+def _rp_sample_sql() -> str:
+    from .events_q import _HLL_HASH_SQL
+
+    fold = _HLL_HASH_SQL.format(col="'rs:' || CAST(o_orderkey AS VARCHAR)")
+    return f"({fold}) % {_RP_MOD} = 0"
+
+
+@query(
+    "orders_range_partition_hist",
+    oracle=f"""
+    WITH sample AS (
+      SELECT o_totalprice FROM orders WHERE {_rp_sample_sql()}
+    ),
+    barr AS (
+      SELECT list_sort(list(o_totalprice)) AS arr FROM sample
+    ),
+    bounds AS (
+      SELECT list_transform(range(1, {_RP_PARTS}),
+                            k -> arr[(k * len(arr)) // {_RP_PARTS}]) AS bnd
+      FROM barr
+    ),
+    assigned AS (
+      SELECT o_orderkey, o_totalprice,
+             len(list_filter(bnd, b -> b < o_totalprice)) AS pid
+      FROM orders, bounds
+    )
+    SELECT pid,
+           COUNT(*) AS n_orders,
+           CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS lo,
+           CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS hi
+    FROM assigned GROUP BY pid
+    """,
+)
+def orders_range_partition_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partition boundary computation — how a 100 TB global sort
+    actually works (Spark's RangePartitioner / TeraSort): take a small
+    DETERMINISTIC sample (md5-hash 5% here; reservoir in production),
+    sort only the sample, read off k-1 boundary values, broadcast them,
+    and assign every row to its range partition with a local
+    boundary-array scan — the full data is never globally sorted to
+    discover the split points. Per-partition count/lo/hi show the
+    near-equal balance the sample buys.
+
+    Everything is portable arithmetic: the sample predicate is the md5
+    hex-fold, boundaries are positional picks from the sorted sample
+    array, assignment is `count(b < x)` — so DuckDB replays the exact
+    partitioning."""
+    o = t(spark, sf_dir, "orders")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("rs:"), F.col("o_orderkey").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    sample = o.filter(h % _RP_MOD == 0).select("o_totalprice")
+    bounds = sample.agg(
+        F.array_sort(F.collect_list("o_totalprice")).alias("arr")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(_RP_PARTS - 1)),
+            lambda k: F.element_at(
+                F.col("arr"), ((k * F.size("arr")) / _RP_PARTS).cast("int")
+            ),
+        ).alias("bnd")
+    )
+    assigned = o.crossJoin(F.broadcast(bounds)).select(
+        "o_totalprice",
+        F.size(F.filter(F.col("bnd"), lambda b: b < F.col("o_totalprice"))).alias(
+            "pid"
+        ),
+    )
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return assigned.groupBy("pid").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min(dec).cast("double").alias("lo"),
+        F.max(dec).cast("double").alias("hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) clustering: multi-column data layout for skipping
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 8
+_ZX_CELL = 64   # custkeys per cell
+_ZY_CELL = 256  # days per cell
+
+
+def _z_interleave_terms(x: str, y: str, idiv: str = "//") -> str:
+    """Morton interleave as engine-neutral arithmetic. ``idiv`` is the
+    integer-division operator: ``//`` for DuckDB, ``div`` for Spark SQL
+    (where ``//`` starts a comment)."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"(({x} {idiv} {1 << i}) % 2) * {4 ** i}")
+        terms.append(f"(({y} {idiv} {1 << i}) % 2) * {2 * 4 ** i}")
+    return " + ".join(terms)
+
+
+@query(
+    "orders_zorder_layout",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT o_custkey AS x,
+             CAST(date_diff('day', DATE '1995-01-01',
+                            CAST(o_orderdate AS DATE)) AS BIGINT) AS y,
+             (o_custkey // {_ZX_CELL}) % {1 << _Z_BITS} AS xq,
+             (CAST(date_diff('day', DATE '1995-01-01',
+                             CAST(o_orderdate AS DATE)) AS BIGINT)
+                // {_ZY_CELL}) % {1 << _Z_BITS} AS yq
+      FROM orders
+    ),
+    z AS (
+      SELECT x, y, ({_z_interleave_terms('xq', 'yq')}) AS z_cell
+      FROM keyed
+    )
+    SELECT z_cell,
+           COUNT(*) AS n_orders,
+           MAX(x) - MIN(x) AS custkey_span,
+           MAX(y) - MIN(y) AS day_span
+    FROM z GROUP BY z_cell
+    """,
+)
+def orders_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustering: quantize (customer key,
+    order day) into fixed cells (64 keys × 256 days), interleave the
+    cell coordinates' bits, and group by the resulting z-value — the
+    layout behind Delta/Iceberg ``ZORDER BY``, where sorting by ONE
+    value co-locates rows close in BOTH dimensions so min/max file
+    statistics can prune scans for predicates on either column. The
+    per-cell spans prove the payoff: every z-cell covers a bounded
+    custkey×day rectangle (span < cell size), never a stripe across
+    one dimension.
+
+    The interleave is pure integer arithmetic (16 shift-mask terms in
+    one codegen projection — no UDF); writing the table would be
+    ``df.repartitionByRange("z_cell").sortWithinPartitions("z_cell")``
+    so each parquet file's min/max stats inherit one rectangle. Sorting
+    z_cell ASC walks the Morton curve; adjacent cells stay adjacent on
+    disk."""
+    o = t(spark, sf_dir, "orders")
+    day = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+    ).cast("long")
+    keyed = o.select(
+        F.col("o_custkey").alias("x"),
+        day.alias("y"),
+        (F.floor(F.col("o_custkey") / _ZX_CELL) % (1 << _Z_BITS)).alias("xq"),
+        (F.floor(day / _ZY_CELL) % (1 << _Z_BITS)).alias("yq"),
+    )
+    zexpr = F.expr(_z_interleave_terms("xq", "yq", idiv="div"))
+    zdf = keyed.select("x", "y", zexpr.cast("long").alias("z_cell"))
+    return zdf.groupBy("z_cell").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.max("x") - F.min("x")).alias("custkey_span"),
+        (F.max("y") - F.min("y")).alias("day_span"),
+    )
