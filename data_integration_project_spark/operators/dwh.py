@@ -288,3 +288,35 @@ def build_fact(
         out = out.join(F.broadcast(dim), on, "left")
         keep.extend(take)
     return out.select(*keep, *measures)
+
+
+def cdc_apply(
+    snapshot: DataFrame,
+    changelog: DataFrame,
+    key: str,
+    *,
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply an ordered change-data-capture log (op ∈ I/U/D with a
+    monotone sequence number per key) onto a snapshot — the lakehouse
+    ingestion primitive behind Debezium→Delta/Hudi pipelines. The
+    snapshot enters as sequence 0 upserts, the log is unioned on top,
+    and ONE window (per-key, latest sequence wins) resolves the final
+    image; rows whose last operation is a delete drop out.
+
+    Scale shape: a single shuffle on the key; the window reads each
+    key's handful of changes, never the table twice. Idempotent —
+    replaying the same log yields the same table (max-seq is
+    insensitive to duplicates), which is what makes at-least-once CDC
+    delivery safe."""
+    base = snapshot.withColumn(seq_col, F.lit(0).cast("long")).withColumn(
+        op_col, F.lit("I")
+    )
+    all_rows = base.unionByName(changelog.select(*base.columns))
+    w = Window.partitionBy(key).orderBy(F.desc(seq_col))
+    return (
+        all_rows.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col(op_col) != "D"))
+        .drop("_rn", seq_col, op_col)
+    )

@@ -121,3 +121,35 @@ def asof_join(
     for c in [right_ts, *rcols]:
         out = out.withColumn(f"{prefix}{c}", F.col(f"_asof.{c}"))
     return out.drop("_asof")
+
+
+def pit_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    ts_col: str,
+    *,
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Point-in-time join: enrich each fact row with the SCD2 dimension
+    version that was VALID AT the fact's event time —
+    ``valid_from <= ts < valid_to`` (open-ended current version =
+    NULL valid_to). The join every event-sourced DWH needs and plain
+    equi-joins can't express: joining on key alone would fan out one
+    fact row per dimension version.
+
+    Scale shape: dimensions are small relative to facts, so the default
+    is a broadcast join with the validity range as a residual predicate
+    — the fact side never shuffles. For a dimension too big to
+    broadcast, pass ``broadcast_dim=False``: the equi-key part shuffles
+    both sides on the key and the range predicate filters within each
+    key's (few) versions — never a blind interval cross-product."""
+    d = F.broadcast(dim) if broadcast_dim else dim
+    cond = (
+        (fact[ts_col] >= d[from_col])
+        & (d[to_col].isNull() | (fact[ts_col] < d[to_col]))
+        & (fact[key] == d[key])
+    )
+    return fact.join(d, cond, "left").drop(d[key])

@@ -546,3 +546,76 @@ def dedup_clusters_largestar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_members"), F.max("node").alias("max_member"))
         .select(F.col("comp").alias("cluster_rep"), "n_members", "max_member")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: today's batch against yesterday's fingerprint store
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_incremental_against_store",
+    oracle="""
+    WITH store AS (
+      SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+               AS fingerprint
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    batch AS (
+      SELECT doc_id, source,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+               AS fingerprint
+      FROM documents
+    ),
+    fresh AS (
+      SELECT b.*,
+             ROW_NUMBER() OVER (PARTITION BY b.fingerprint
+                                ORDER BY b.doc_id) AS rn
+      FROM batch b LEFT JOIN store s USING (fingerprint)
+      WHERE s.fingerprint IS NULL
+    )
+    SELECT source,
+           COUNT(*) AS n_batch_docs,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_new_docs
+    FROM fresh GROUP BY source
+    """,
+)
+def dedup_incremental_against_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup: today's crawl batch is deduplicated
+    against the HISTORY of everything already ingested — but the
+    history participates only as its fingerprint store (one md5 per
+    ever-seen document), never as text. This is the only dedup shape
+    that survives a daily 100 TB pipeline: cost is
+    O(batch + |store ∩ batch-keys|), the store is append-only (the
+    kept fingerprints union in after the run), and re-crawled content
+    is dropped without touching a byte of the historical corpus.
+
+    Fixture: the store is the even-doc_id half of the corpus; the
+    batch is the full corpus — so every even doc must be recognized as
+    already-seen (anti-join on fingerprint) and the odd docs dedupe
+    among themselves (first-wins window), rolled up per source.
+
+    Shape: one shuffle of the batch on fingerprint serving both the
+    anti-join and the within-batch window — the store side is just
+    (fingerprint) rows, co-partitioned on the same key."""
+    from ..functions.text import fingerprint_md5
+
+    d = t(spark, sf_dir, "documents")
+    store = (
+        d.filter(F.col("doc_id") % 2 == 0)
+        .select(fingerprint_md5(F.col("text")).alias("fingerprint"))
+        .distinct()
+    )
+    batch = d.select(
+        "doc_id", "source", fingerprint_md5(F.col("text")).alias("fingerprint")
+    )
+    fresh = batch.join(store, "fingerprint", "left_anti")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    ranked = fresh.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_batch_docs"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_new_docs"),
+    )

@@ -360,3 +360,150 @@ def monitoring_file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(name).alias("table_name"), "n_files", "n_rows", "max_file_rows")
         out = stats if out is None else out.unionByName(stats)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time (temporal) join: facts enriched with the SCD2 version
+# valid at event time
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_pit_dimension_join",
+    oracle=f"""
+    WITH dim AS (
+      SELECT c_custkey, c_acctbal,
+             DATE '1995-01-01' AS valid_from,
+             CASE WHEN c_custkey % 5 = 0 THEN DATE '1998-01-01' END AS valid_to
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, c_acctbal + 50.0,
+             DATE '1998-01-01', CAST(NULL AS DATE)
+      FROM customer WHERE c_custkey % 5 = 0
+    )
+    SELECT d.valid_from AS version_from,
+           COUNT(*) AS n_orders,
+           {SQL_DSUM('o.o_totalprice', 'order_value', 2)},
+           {SQL_DSUM('d.c_acctbal', 'acctbal_at_order', 2)}
+    FROM orders o
+    JOIN dim d
+      ON o.o_custkey = d.c_custkey
+     AND o.o_orderdate >= d.valid_from
+     AND (d.valid_to IS NULL OR o.o_orderdate < d.valid_to)
+    GROUP BY d.valid_from
+    """,
+)
+def orders_pit_dimension_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join (operators/temporal.pit_join): every order is
+    enriched with the customer-dimension VERSION that was valid on its
+    order date — the as-of-event-time semantics an equi-join can't give
+    (it would fan out one row per version) and a "current version only"
+    join silently falsifies (historical facts would get today's
+    attributes). Dimension: SCD2 opened 1995-01-01, balances of %5 keys
+    changed effective 1998-01-01 — so pre-1998 orders must see the OLD
+    balance and post-1998 orders the new one, which the
+    acctbal_at_order sum proves.
+
+    Scale shape: dim broadcast, validity range as a residual predicate
+    on the broadcast join — the fact never shuffles for the
+    enrichment; rollup by version is the one aggregation exchange."""
+    from ..operators.temporal import pit_join
+
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    k = F.col("c_custkey")
+    dim0 = W.scd2_init(c, "1995-01-01")
+    changed = c.filter(k % 5 == 0).select(k, (F.col("c_acctbal") + 50.0).alias("c_acctbal"))
+    dim = W.scd2_merge(dim0, changed, "c_custkey", ["c_acctbal"], "1998-01-01")
+    o = t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    ).withColumn("_odate", F.col("o_orderdate").cast("date"))
+    # pit_join keys fact[key] == dim[key]; fact uses o_custkey, so align names
+    fact = o.withColumnRenamed("o_custkey", "c_custkey")
+    enriched = pit_join(
+        fact,
+        dim.select("c_custkey", "c_acctbal", "valid_from", "valid_to"),
+        "c_custkey",
+        "_odate",
+    )
+    return enriched.groupBy(F.col("valid_from").alias("version_from")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice"), "order_value", 2),
+        dsum(F.col("c_acctbal"), "acctbal_at_order", 2),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC changelog apply (Debezium-style ordered upsert/delete log)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_cdc_apply",
+    oracle=f"""
+    WITH log AS (
+      SELECT o_orderkey, o_totalprice, 0 AS seq, 'I' AS op FROM orders
+      UNION ALL
+      SELECT o_orderkey, o_totalprice + 10.0, 2, 'U'
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, 3, 'D'
+      FROM orders WHERE o_orderkey % 13 = 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, 1.0, 1, 'I'
+      FROM orders WHERE o_orderkey % 11 = 0
+    ),
+    resolved AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                   ORDER BY seq DESC) AS rn
+      FROM log
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN o_orderkey > 10000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_inserted,
+           {SQL_DSUM('o_totalprice', 'total_value', 2)}
+    FROM resolved WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def orders_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog apply (operators/dwh.cdc_apply): a Debezium-style
+    ordered log — updates on %7 keys (seq 2), deletes of %13 keys
+    (seq 3), brand-new inserts (seq 1) — lands on the orders snapshot;
+    one per-key latest-sequence-wins window resolves the final table
+    and deletes drop out. Idempotent under log replay (max-seq), which
+    is what makes at-least-once delivery safe. Summary proves all three
+    op kinds took effect: row count (deletes gone, inserts in), insert
+    count, and the value sum shifted by the updates.
+
+    Scale shape: exactly one shuffle on the key; each key's window
+    holds only its few change rows."""
+    from ..operators.dwh import cdc_apply
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    k = F.col("o_orderkey")
+    changelog = (
+        o.filter(k % 7 == 0)
+        .select(k, (F.col("o_totalprice") + 10.0).alias("o_totalprice"))
+        .withColumn("seq", F.lit(2).cast("long"))
+        .withColumn("op", F.lit("U"))
+        .unionByName(
+            o.filter(k % 13 == 0)
+            .select(k, "o_totalprice")
+            .withColumn("seq", F.lit(3).cast("long"))
+            .withColumn("op", F.lit("D"))
+        )
+        .unionByName(
+            o.filter(k % 11 == 0)
+            .select(
+                (k + 10000000).alias("o_orderkey"),
+                F.lit(1.0).alias("o_totalprice"),
+            )
+            .withColumn("seq", F.lit(1).cast("long"))
+            .withColumn("op", F.lit("I"))
+        )
+    )
+    final = cdc_apply(o, changelog, "o_orderkey")
+    return final.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("o_orderkey") > 10000000).cast("long")).alias("n_inserted"),
+        dsum(F.col("o_totalprice"), "total_value", 2),
+    )

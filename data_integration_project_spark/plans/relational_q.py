@@ -841,3 +841,126 @@ def orders_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("x") - F.min("x")).alias("custkey_span"),
         (F.max("y") - F.min("y")).alias("day_span"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the nation-level trade graph (integer fixed-point)
+# ---------------------------------------------------------------------------
+
+_PR_SCALE = 10**12
+_PR_ITERS = 5
+_PR_BASE = 15 * _PR_SCALE // 100  # (1 - d) * scale with d = 0.85
+
+
+def _pr_round_sql(prev: str, rnd: int) -> str:
+    """One unrolled PageRank round in engine-neutral SQL (DuckDB)."""
+    return f"""
+    r{rnd} AS (
+      SELECT n.node,
+             {_PR_BASE} + (85 * COALESCE(s.contrib, 0)) // 100 AS rank_scaled
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, SUM(p.rank_scaled // o.outdeg) AS contrib
+        FROM edges e
+        JOIN {prev} p ON p.node = e.src
+        JOIN outdeg o ON o.node = e.src
+        GROUP BY e.dst
+      ) s ON s.node = n.node
+    )"""
+
+
+@query(
+    "nations_trade_pagerank",
+    oracle=f"""
+    WITH edges AS (
+      SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey
+    ),
+    nodes AS (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ),
+    outdeg AS (
+      SELECT src AS node, COUNT(*) AS outdeg FROM edges GROUP BY src
+    ),
+    r0 AS (SELECT node, CAST({_PR_SCALE} AS BIGINT) AS rank_scaled FROM nodes)
+    {"".join("," + _pr_round_sql(f"r{i}", i + 1) for i in range(_PR_ITERS))}
+    SELECT r.node AS nationkey, n.n_name AS nation_name,
+           r.rank_scaled,
+           CAST(r.rank_scaled AS DOUBLE) / {_PR_SCALE} AS pagerank
+    FROM r{_PR_ITERS} r JOIN nation n ON n.n_nationkey = r.node
+    """,
+)
+def nations_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (d=0.85, 5 iterations) over the directed nation-level
+    trade graph (customer nation → supplier nation, distinct, no self
+    loops). All arithmetic is integer FIXED-POINT (ranks scaled by
+    1e12, contributions ``rank div outdeg``, damping ``(85·sum) div
+    100``): sums of integers are order-independent, so the result is
+    bit-identical under any partitioning — the trick that makes an
+    iterative float algorithm value-hash-oracle-able, and equally the
+    trick for reproducible ranking runs across cluster sizes.
+
+    Scale shape per iteration: one equi-join of edges to ranks on src
+    (edges pre-grouped with outdegree), one map-side-combined sum on
+    dst — the standard Pregel-style round as two shuffles, with
+    localCheckpoint truncating the iterative plan (same lesson as
+    connected_components_star)."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.col("c_nationkey").cast("long").alias("src"),
+            F.col("s_nationkey").cast("long").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    ranks = nodes.withColumn("rank_scaled", F.lit(_PR_SCALE).cast("long"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(outdeg.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank_scaled div outdeg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(_PR_BASE)
+                    + F.expr("85 * coalesce(contrib, 0) div 100")
+                ).cast("long").alias("rank_scaled"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.join(
+        F.broadcast(n), ranks["node"] == n["n_nationkey"]
+    ).select(
+        F.col("node").alias("nationkey"),
+        F.col("n_name").alias("nation_name"),
+        "rank_scaled",
+        (F.col("rank_scaled").cast("double") / _PR_SCALE).alias("pagerank"),
+    )
