@@ -506,35 +506,61 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
+
+    def _sig(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal(38,0) sums: long would overflow under ANSI mode
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+            F.sum(F.col("u").cast("decimal(38,0)")).alias("su"),
+            F.sum(F.col("v").cast("decimal(38,0)")).alias("sv"),
+        ).collect()[0]
+        return (row["n"], row["h"], row["su"], row["sv"])
+
+    prev_sig = _sig(e)
+    # Each round is exactly THREE shuffles: a window-min keyed on u for
+    # large-star, a window-min keyed on u for small-star, and the final
+    # distinct. The groupBy+join formulation of "attach min(N(u)) to
+    # every (u,v)" costs two extra exchanges per star; a min OVER
+    # (PARTITION BY u) computes the same value in the single exchange
+    # that co-locates each node's edges. Intermediate duplicates are
+    # carried (they can't change a min) and collapsed once, at the end.
+    wu = Window.partitionBy("u")
     for _ in range(max_iter):
-        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
-        mins = sym.groupBy("u").agg(F.min("v").alias("_mn"))
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         large = (
-            sym.join(mins, "u")
-            .withColumn("_m", F.least(F.col("_mn"), F.col("u")))
+            sym.withColumn("_m", F.least(F.min("v").over(wu), F.col("u")))
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("_m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
         )
         directed = large.select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-        ).distinct()
-        mins2 = directed.groupBy("u").agg(F.min("v").alias("_m"))
-        joined = directed.join(mins2, "u")
+        )
+        withmin = directed.withColumn("_m", F.min("v").over(wu))
         small = (
-            joined.select(F.col("v").alias("u"), F.col("_m").alias("v"))
-            .union(joined.select("u", F.col("_m").alias("v")))
+            withmin.select(F.col("v").alias("u"), F.col("_m").alias("v"))
+            .union(withmin.select("u", F.col("_m").alias("v")))
             .filter(F.col("u") != F.col("v"))
             .distinct()
             .localCheckpoint(eager=True)
         )
-        changed = (
-            small.exceptAll(e).limit(1).count() + e.exceptAll(small).limit(1).count()
-        )
+        # Convergence: ONE cheap aggregate per round (count + three
+        # order-independent sums over the checkpointed set). Only when
+        # the signature repeats do we pay for the exact set-equality
+        # confirm — so the expensive exceptAll pair runs once, at the
+        # fixpoint, instead of every round (measured ~30% of loop time).
+        sig = _sig(small)
+        if sig == prev_sig:
+            changed = (
+                small.exceptAll(e).limit(1).count()
+                + e.exceptAll(small).limit(1).count()
+            )
+            if changed == 0:
+                e = small
+                break
+        prev_sig = sig
         e = small
-        if changed == 0:
-            break
     roots = (
         e.select(F.col("v").alias("node"))
         .distinct()

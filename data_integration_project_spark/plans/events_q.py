@@ -1098,3 +1098,170 @@ def events_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFram
     # (measured: the two tail nulls went missing again). Filtering the
     # materialized result is pushdown-proof.
     return spark.table(name).filter(F.col("user_id") >= 0)
+
+
+# ---------------------------------------------------------------------------
+# Streaming exactly-once ingestion: dedup on a replayed (duplicated) stream
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_streaming_dedup",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT event_id) AS n_unique_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once ingestion: the source REPLAYS the event
+    feed twice (two files streaming the same rows — the at-least-once
+    delivery every real queue exhibits), and ``dropDuplicates`` on the
+    event id inside the stream must collapse the replay so downstream
+    counts equal the exactly-once truth the oracle computes. This is
+    the engine-level form of the reference's seen_ids dedup
+    (SURVEY §2.10 V2): state keyed on event_id, duplicates dropped
+    across micro-batches, results identical whether a row arrived once
+    or twice.
+
+    At 100 TB/day unbounded keyed state is the real concern — the
+    production variant bounds it with dropDuplicatesWithinWatermark
+    (state expires once the watermark passes the id's event time);
+    bounded replay here keeps full-fidelity state and makes the result
+    exact."""
+    import os
+    import tempfile
+    import uuid
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream_dir = tempfile.mkdtemp(prefix="strdedup_src_")
+    # the same fixture file twice = an at-least-once replay
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(stream_dir, "replay_a.parquet"),
+    )
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(stream_dir, "replay_b.parquet"),
+    )
+    src = spark.readStream.schema(schema).parquet(stream_dir)
+    deduped = src.dropDuplicates(["event_id"]).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_unique_events")
+    )
+    name = "strdedup_" + uuid.uuid4().hex[:8]
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="strdedup_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Running distinct users without quadratic state (first-seen marking)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_cumulative_unique_users",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+      FROM events GROUP BY user_id
+    ),
+    daily_new AS (
+      SELECT first_day AS day, COUNT(*) AS n_new_users
+      FROM first_seen GROUP BY first_day
+    )
+    SELECT day, n_new_users,
+           CAST(SUM(n_new_users) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cumulative_users
+    FROM daily_new
+    """,
+)
+def events_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day WITHOUT running-distinct state:
+    a naive "COUNT(DISTINCT user) OVER (ORDER BY day)" needs every
+    day's full user set (quadratic state, and Spark refuses DISTINCT
+    window aggregates anyway). The scalable identity: a user counts
+    toward exactly the cumulative totals from their FIRST day on — so
+    reduce to first-seen per user (one shuffle), count new users per
+    day (tiny), and run a plain SUM window over the |days| rows. State
+    collapses from |users|×|days| to |days|.
+
+    This first-occurrence-marking trick is the same one behind
+    incremental corpus dedup and is the standard growth-accounting
+    query at any scale."""
+    e = t(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day")
+    )
+    daily_new = first_seen.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily_new.select(
+        "day",
+        "n_new_users",
+        F.sum("n_new_users").over(w).cast("long").alias("cumulative_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention (product-analytics classic)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_cohort_retention",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT e.user_id,
+             date_trunc('week', f.cohort_day) AS cohort_week,
+             date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) // 7
+               AS week_offset
+      FROM events e JOIN first_seen f USING (user_id)
+    )
+    SELECT CAST(cohort_week AS DATE) AS cohort_week, week_offset,
+           COUNT(DISTINCT user_id) AS n_active_users
+    FROM activity
+    WHERE week_offset BETWEEN 0 AND 8
+    GROUP BY cohort_week, week_offset
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen week, counted
+    distinct in each subsequent week offset — the triangle every
+    product-analytics deployment computes daily. Shape: first-seen per
+    user (one shuffle on user), events re-joined to their cohort (the
+    join key is user — co-partitioned with the first aggregate, so AQE
+    reuses the exchange), then a distinct-count per (cohort, offset)
+    cell. No per-user window, no self-join of events to events.
+
+    Week arithmetic is day-diff // 7 from the cohort day (engine-
+    neutral), cohort label is the ISO week start (date_trunc in both
+    engines)."""
+    e = t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    )
+    first_seen = e.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    activity = e.join(first_seen, "user_id").select(
+        "user_id",
+        F.date_trunc("week", F.col("cohort_day")).cast("date").alias("cohort_week"),
+        F.floor(F.datediff(F.col("d"), F.col("cohort_day")) / 7).alias("week_offset"),
+    )
+    return (
+        activity.filter(F.col("week_offset").between(0, 8))
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active_users"))
+    )
