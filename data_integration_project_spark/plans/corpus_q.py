@@ -723,3 +723,131 @@ def doc_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_pairs"), F.asc("left_tok"), F.asc("right_tok"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Inverted index (search-engine posting lists)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_inverted_index",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct({_TOKENS_SQL})) AS token
+      FROM documents
+    ),
+    postings AS (
+      SELECT token,
+             COUNT(*) AS doc_freq,
+             list_sort(list(doc_id)) AS posting_list
+      FROM tok GROUP BY token
+    )
+    SELECT token, doc_freq, posting_list
+    FROM postings
+    ORDER BY doc_freq DESC, token
+    LIMIT 15
+    """,
+)
+def doc_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: token → sorted posting list of containing
+    documents plus document frequency — the search-engine/retrieval
+    structure a corpus engine materializes once and serves forever.
+    Within-doc duplicate tokens collapse BEFORE the explode
+    (array_distinct on the token array — shuffles one row per
+    (doc, distinct token), not per occurrence), postings assemble in
+    the same groupBy that counts df, and array_sort makes the list
+    deterministic despite collect_list's arrival order. Top-15 by df
+    with token tiebreak keeps the output bounded.
+
+    At 100 TB the shape is identical — posting lists for frequent
+    tokens get long, so production shards them (token, bucket) with a
+    fixed list-length cap per row; the build is still one explode +
+    one groupBy."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(X.tokens(F.col("text")))).alias("token"),
+    )
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("doc_freq"),
+            F.array_sort(F.collect_list("doc_id")).alias("posting_list"),
+        )
+        .orderBy(F.desc("doc_freq"), F.asc("token"))
+        .limit(15)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document (integer-scaled idf: no libm in the score)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKENS_SQL}) AS token FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+    ),
+    df AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT t.doc_id, t.token,
+             t.tf * ((1000000 * n.n_docs) // d.df) AS tfidf_scaled,
+             ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                                ORDER BY t.tf * ((1000000 * n.n_docs) // d.df)
+                                         DESC, t.token) AS rk
+      FROM tf t JOIN df d USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, tfidf_scaled, rk
+    FROM scored WHERE rk <= 3 AND doc_id % 50 = 0
+    """,
+)
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF term ranking, made bit-portable: the idf factor is the
+    INTEGER-SCALED rational ``(1e6·N) div df`` instead of ln(N/df) —
+    same ranking monotonicity (div is order-preserving in df), zero
+    dependence on libm's last-ulp ln behavior, so two engines agree
+    exactly where a float idf could flip ties. Top-3 terms per doc
+    (score desc, token tiebreak), sampled to every 50th doc to bound
+    output.
+
+    Shape: tf is one (doc,token) groupBy; df is a (token) groupBy off
+    the same exploded stream; df joins back BROADCAST (|vocab| rows);
+    the per-doc top-3 is a rank window that WindowGroupLimit prunes
+    before the sort — no global materialization of all (doc, token)
+    scores."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    # df falls out of tf for free: tf rows are unique per (doc, token),
+    # so COUNT(*) per token == COUNT(DISTINCT doc) — one explode + one
+    # extra narrow aggregate instead of a second pass over the corpus
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            (F.col("tf") * F.expr("(1000000 * n_docs) div df")).alias(
+                "tfidf_scaled"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf_scaled"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter((F.col("rk") <= 3) & (F.col("doc_id") % 50 == 0))
+        .select("doc_id", "token", "tfidf_scaled", "rk")
+    )

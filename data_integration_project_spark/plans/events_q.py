@@ -1265,3 +1265,149 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.countDistinct("user_id").alias("n_active_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Arbitrary stateful streaming (applyInPandasWithState) as a catalog query
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_stateful_user_totals",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def events_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARBITRARY stateful streaming (applyInPandasWithState, §2.10):
+    per-user accumulators live in the checkpointed state store, updated
+    by a Python function over Arrow batches — the extension point for
+    semantics no built-in windowed aggregate expresses (custom
+    eviction, cross-batch dedup, per-key models). Here the state is
+    (n_events, total_cents); the drain's final update per user must
+    equal the batch GROUP BY the oracle runs.
+
+    Money lives in INTEGER CENTS inside the state on purpose: a float
+    accumulator's value depends on arrival order, which is exactly the
+    nondeterminism a restart-safe stateful operator cannot afford
+    (and the value-hash would catch). floor(v·100 + 0.5) is the same
+    float64 op in pandas and the oracle, so the integers agree
+    bit-for-bit. Update-mode emissions are resolved to each user's
+    LAST update (max n_events — monotone) before returning."""
+    import tempfile
+    import uuid
+
+    from collections.abc import Iterator
+    from typing import Any
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select("user_id", "value")
+    )
+
+    def fn(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int(
+                np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype("int64").sum()
+            )
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
+        )
+
+    totals = src.groupBy("user_id").applyInPandasWithState(
+        fn,
+        "user_id long, n_events long, total_cents long",
+        "n long, cents long",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    name = "stateful_" + uuid.uuid4().hex[:8]
+    q = (
+        totals.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="stateful_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode re-emits a user on every batch that touches them;
+    # keep the last (largest n_events — monotone) update per user
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        spark.table(name)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hot-key downsampling: deterministic per-user event cap
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_per_user_capped_sample",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY md5(CAST(event_id AS VARCHAR)),
+                                         event_id) AS rk
+      FROM events
+    )
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN rk <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN rk <= 5 THEN event_id ELSE 0 END) AS BIGINT)
+             AS kept_checksum
+    FROM ranked GROUP BY user_id
+    """,
+)
+def events_per_user_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key downsampling: cap every user at 5 events, chosen by
+    DETERMINISTIC hash order (md5 of the event id, id tiebreak) — the
+    per-entity cap a training pipeline applies so one prolific
+    user/domain/repo can't dominate the corpus, and the degenerate-key
+    guard for power-law data. Hash order makes the cap a uniform
+    per-user sample that is stable across reruns, partitionings and
+    engines — a LIMIT or arrival-order cap would be silently
+    irreproducible. The kept-set checksum (sum of kept ids) proves both
+    engines selected the identical rows, not just the same counts.
+
+    Shape: one shuffle on user_id; the rank window reads each user's
+    events once. At extreme skew (one user = one partition's worth),
+    pre-aggregate a per-(user, salt) partial top-5 then re-rank the
+    ≤ 5·n_salts survivors — same two-level trick as salted aggregation."""
+    e = t(spark, sf_dir, "events").select("user_id", "event_id")
+    w = Window.partitionBy("user_id").orderBy(
+        F.md5(F.col("event_id").cast("string")), F.col("event_id")
+    )
+    ranked = e.withColumn("rk", F.row_number().over(w))
+    return ranked.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("rk") <= 5, 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(F.col("rk") <= 5, F.col("event_id")).otherwise(0)).alias(
+            "kept_checksum"
+        ),
+    )

@@ -964,3 +964,77 @@ def nations_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank_scaled",
         (F.col("rank_scaled").cast("double") / _PR_SCALE).alias("pagerank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed co-located fact⋈fact join (zero-exchange sort-merge join)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_bucketed_colocated_join",
+    oracle=f"""
+    SELECT o.o_orderstatus,
+           COUNT(*) AS n_lines,
+           {SQL_DSUM('l.l_extendedprice', 'gross_value')}
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+)
+def orders_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB fact⋈fact strategy as a first-class query: BOTH sides
+    written bucketed+sorted on the join key, so the sort-merge join
+    consumes bucket-aligned files directly — the executed plan is
+    REQUIRED (asserted below) to contain no Exchange under the join.
+    This is the shape that amortizes: pay the orderkey shuffle once at
+    ingest, and every subsequent orders⋈lineitem join on any cluster
+    size reads co-located buckets with zero network.
+
+    Broadcast is disabled inside the query so the bucketed path is
+    actually exercised (at test scale the dim-sized side would
+    otherwise broadcast — also shuffle-free, but proving nothing about
+    bucketing). The oracle is the plain relational join: bucketing is
+    pure physical layout and must not change a single value."""
+    import tempfile
+    import uuid
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    db = "bkt_" + uuid.uuid4().hex[:8]
+    # explicit LOCATION: never drop bucket files into the caller's cwd
+    # warehouse dir
+    loc = tempfile.mkdtemp(prefix="bkt_wh_")
+    spark.sql(f"CREATE DATABASE {db} LOCATION '{loc}'")
+    for name, df, key in (("orders_b", o, "o_orderkey"), ("lineitem_b", li, "l_orderkey")):
+        (
+            df.write.format("parquet")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .mode("overwrite")
+            .saveAsTable(f"{db}.{name}")
+        )
+    ob = spark.table(f"{db}.orders_b")
+    lb = spark.table(f"{db}.lineitem_b")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = (
+            lb.join(ob, lb["l_orderkey"] == ob["o_orderkey"])
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                dsum(F.col("l_extendedprice"), "gross_value"),
+            )
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        join_section = plan.split("HashAggregate")[-1]
+        assert "Exchange" not in join_section, (
+            "bucketed join unexpectedly shuffled:\n" + join_section[:500]
+        )
+        # materialize while broadcast is still disabled and tables exist
+        rows = joined.collect()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    return spark.createDataFrame(rows, joined.schema)
