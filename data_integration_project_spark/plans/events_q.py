@@ -1411,3 +1411,114 @@ def events_per_user_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame
             "kept_checksum"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Partition-pruned scan (hive-partitioned layout + asserted pruning)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_partition_pruned_scan",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    WHERE CAST(ts AS DATE) = (SELECT MIN(CAST(ts AS DATE)) + 3 FROM events)
+    GROUP BY event_type
+    """,
+)
+def events_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition pruning as a contract: events are written out
+    hive-partitioned by day (the layout every 100 TB event lake uses),
+    the query filters one day, and the plan is ASSERTED to scan only
+    that day's partition (PartitionFilters present, one of |days|
+    directories read) — a filter that fails to prune reads the whole
+    lake, the difference between seconds and hours at scale. The
+    oracle runs the same day filter over the flat fixture: layout must
+    not change a single value.
+
+    Day is derived (min+3) rather than a literal so the fixture's date
+    range can shift without breaking the query."""
+    import tempfile
+
+    e = t(spark, sf_dir, "events")
+    day = e.agg(
+        F.date_add(F.min(F.col("ts").cast("date")), 3).alias("d")
+    ).collect()[0]["d"]
+    path = tempfile.mkdtemp(prefix="events_bydaylake_") + "/events"
+    e.withColumn("event_date", F.col("ts").cast("date")).write.partitionBy(
+        "event_date"
+    ).parquet(path)
+    lake = spark.read.parquet(path)
+    one_day = lake.filter(F.col("event_date") == F.lit(day))
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "event_date" in plan.split(
+        "PartitionFilters"
+    )[1][:200], "day filter did not reach PartitionFilters:\n" + plan[:800]
+    return one_day.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouped-aggregate pandas UDF (§2.11 breadth: the UDAF surface)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_grouped_agg_median",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           quantile_cont(o_totalprice, 0.5) AS median_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def orders_grouped_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDF — the user-defined AGGREGATE surface
+    (§2.11), distinct from grouped-map applyInPandas: the UDF receives
+    one group's column as a pandas Series and returns ONE scalar,
+    slotting into a normal groupBy next to built-in aggregates. The
+    median uses DuckDB's exact quantile_cont interpolation
+    (h = (n-1)/2, lo + frac·(hi-lo)) rather than numpy's percentile
+    path end-to-end, because the two differ in the last ulp and the
+    value-hash catches it (same lesson as events_user_robust_outliers).
+
+    Hot-path note: per-group state is one sort of that group's values
+    inside Arrow batches — for exact global medians at 100 TB prefer
+    the two-level percentile_disc plan (orders_price_percentile_disc);
+    this is the extension point for aggregates Spark lacks."""
+    import math
+
+    import pandas as pd
+
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # functionType passed explicitly: `from __future__ import
+    # annotations` stringifies the hints, so signature inference can't
+    # see Series -> float here
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def exact_median(v):
+        s = v.sort_values().reset_index(drop=True)
+        n = len(s)
+        h = (n - 1) / 2.0
+        lo = int(math.floor(h))
+        hi = int(math.ceil(h))
+        lov, hiv = float(s.iloc[lo]), float(s.iloc[hi])
+        return lov + (h - lo) * (hiv - lov)
+
+    # a GROUPED_AGG UDF can't share an agg() with non-pandas aggregates
+    # (INVALID_PANDAS_UDF_PLACEMENT) — the count is a pandas agg too
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def n_rows(v):
+        return len(v)
+
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        n_rows(F.col("o_totalprice")).alias("n_orders"),
+        exact_median(F.col("o_totalprice")).alias("median_price"),
+    )
