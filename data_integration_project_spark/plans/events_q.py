@@ -1145,7 +1145,14 @@ def events_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(sf_dir, "events.parquet"),
         os.path.join(stream_dir, "replay_b.parquet"),
     )
-    src = spark.readStream.schema(schema).parquet(stream_dir)
+    # one file per trigger: the replay is GUARANTEED to arrive in a
+    # later micro-batch than the original, so the dedup state is
+    # genuinely exercised ACROSS batches, not within one
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
     deduped = src.dropDuplicates(["event_id"]).groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_unique_events")
     )
@@ -1522,3 +1529,63 @@ def orders_grouped_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_rows(F.col("o_totalprice")).alias("n_orders"),
         exact_median(F.col("o_totalprice")).alias("median_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream-static join (per-batch dimension enrichment)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_stream_static_join",
+    oracle="""
+    SELECT n.n_name AS nation_name, e.event_type,
+           COUNT(*) AS n_events
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name, e.event_type
+    """,
+)
+def events_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC join: the event stream is enriched against a
+    static dimension (customer → nation) inside the streaming query —
+    the everyday pattern between stateless maps and full stream-stream
+    joins. No watermark and no join state: the static side is simply
+    (re)broadcast per micro-batch, which is also the semantics to know
+    about — a dim updated mid-stream is picked up at the NEXT batch,
+    not mid-batch. Aggregation runs in complete mode; the oracle is
+    the batch join.
+
+    At 100 TB/day the static side stays broadcast-sized (dims), so the
+    stream never shuffles for enrichment — identical to the batch star
+    join's dim strategy."""
+    import tempfile
+    import uuid
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select("user_id", "event_type")
+    )
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    dim = F.broadcast(c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey))
+    joined = (
+        src.join(dim, src.user_id == dim.c_custkey)
+        .groupBy(F.col("n_name").alias("nation_name"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    name = "strstatic_" + uuid.uuid4().hex[:8]
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="strstatic_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -1,0 +1,71 @@
+"""Physical-plan regression guards: the catalog's headline plans must
+KEEP the shapes SCALE.md promises — filters pushed to the scan, dims
+broadcast, top-k as TakeOrdered, rank pushdown via WindowGroupLimit.
+A refactor that silently turns a broadcast join into a shuffle join or
+un-pushes a filter passes every value-level test and only shows up at
+scale; these assertions catch it at test time.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from data_integration_project_spark import plans
+
+
+def _executed_plan(spark, name: str, sf_dir: str) -> str:
+    df = plans.REGISTRY[name].fn(spark, sf_dir)
+    df.collect()  # AQE finalizes the plan only after execution
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_filter_pushed_and_partial_agg(spark, sf_small):
+    plan = _executed_plan(spark, "q1_pricing_summary", sf_small)
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    # two-level aggregate: partial (map-side) + final
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q3_broadcasts_and_takeordered(spark, sf_small):
+    plan = _executed_plan(spark, "q3_shipping_priority", sf_small)
+    assert "TakeOrderedAndProject" in plan, "top-10 must not be a global sort"
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_q5_fact_shuffles_once(spark, sf_small):
+    plan = _executed_plan(spark, "q5_local_supplier_volume", sf_small)
+    # every dim leg is broadcast; no SortMergeJoin anywhere in the tree
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_star_revenue_dims_broadcast(spark, sf_small):
+    plan = _executed_plan(spark, "star_revenue_by_region", sf_small)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_top10_orders_is_takeordered(spark, sf_small):
+    plan = _executed_plan(spark, "top10_orders", sf_small)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tfidf_rank_pushdown(spark, sf_small):
+    plan = _executed_plan(spark, "doc_tfidf_top_terms", sf_small)
+    assert "WindowGroupLimit" in plan, "per-doc top-3 must prune before sorting"
+
+
+def test_top3_per_customer_rank_pushdown(spark, sf_small):
+    plan = _executed_plan(spark, "orders_top3_per_customer", sf_small)
+    assert "WindowGroupLimit" in plan
+
+
+def test_decontamination_eval_side_broadcast(spark, sf_small):
+    plan = _executed_plan(spark, "benchmark_decontamination", sf_small)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pit_join_dim_broadcast(spark, sf_small):
+    plan = _executed_plan(spark, "orders_pit_dimension_join", sf_small)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
