@@ -1589,3 +1589,197 @@ def events_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# CEP pattern matching over session event sequences
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_session_patterns",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, event_id, ts, event_type,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM ordered
+    ),
+    seqs AS (
+      SELECT user_id, session_idx,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS seq
+      FROM sessions GROUP BY user_id, session_idx
+    )
+    SELECT
+      COUNT(*) AS n_sessions,
+      CAST(SUM(CASE WHEN regexp_matches(seq, 'v.*c.*p') THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_funnel_sessions,
+      CAST(SUM(CASE WHEN regexp_matches(seq, 'e{2}') THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_error_burst_sessions,
+      CAST(SUM(CASE WHEN regexp_matches(seq, '^p') THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_cold_purchase_sessions
+    FROM seqs
+    """,
+)
+def events_session_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing via sequence-string compilation: each
+    session's events collapse to an ordered string of type initials
+    (one groupBy; array_sort on (ts, id, char) structs makes
+    collect_list's arrival order irrelevant), and PATTERNS become plain
+    regexes over that string — view→click→purchase funnels ('v.*c.*p'),
+    consecutive-error bursts ('ee'), purchases with no prior contact
+    ('^p'). This is the MATCH_RECOGNIZE workload expressed with two
+    primitives Spark already has, and the per-session string is bounded
+    by session length, so the pattern pass is embarrassingly parallel.
+
+    Shape: ONE shuffle on user_id feeds sessionization (lag + running
+    sum), the per-session string build, and the pattern flags; the
+    final count is a single-row fold."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_s = F.when(
+        F.lag("ts").over(w).isNull()
+        | (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)) > 1800),
+        1,
+    ).otherwise(0)
+    sessions = ev.withColumn("_new_s", new_s).withColumn(
+        "session_idx",
+        F.sum("_new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    seqs = sessions.groupBy("user_id", "session_idx").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("ts"),
+                            F.col("event_id"),
+                            F.substring("event_type", 1, 1).alias("c"),
+                        )
+                    )
+                ),
+                lambda s: s["c"],
+            ),
+            "",
+        ).alias("seq")
+    )
+    return seqs.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(F.col("seq").rlike("v.*c.*p").cast("long")).alias(
+            "n_funnel_sessions"
+        ),
+        F.sum(F.col("seq").rlike("e{2}").cast("long")).alias(
+            "n_error_burst_sessions"
+        ),
+        F.sum(F.col("seq").rlike("^p").cast("long")).alias(
+            "n_cold_purchase_sessions"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable per-group HLL: partial registers per shard, merged by MAX
+# ---------------------------------------------------------------------------
+
+
+def _hll_merge_oracle(m: int = 64) -> str:
+    from ..operators.sketch import hll_constants
+
+    _, k_max, scaled_alpha = hll_constants(m)
+    rank = (
+        f"CASE WHEN hv // {m} = 0 THEN {k_max} "
+        f"ELSE {k_max} - length(bin(hv // {m})) END"
+    )
+    s_scaled = (
+        f"SUM(CAST(power(2, {k_max} - mreg) AS BIGINT))"
+        f" + ({m} - COUNT(*)) * {1 << k_max}"
+    )
+    return f"""
+    WITH hashed AS (
+      SELECT event_type,
+             CAST(epoch(ts) // 86400 AS BIGINT) % 2 AS shard,
+             {_HLL_HASH_SQL.format(col="user_id")} AS hv
+      FROM events
+    ),
+    partial_regs AS (
+      SELECT event_type, shard, hv % {m} AS b, MAX({rank}) AS mreg
+      FROM hashed GROUP BY event_type, shard, b
+    ),
+    merged_regs AS (
+      SELECT event_type, b, MAX(mreg) AS mreg
+      FROM partial_regs GROUP BY event_type, b
+    ),
+    est AS (
+      SELECT event_type,
+             CAST(floor({scaled_alpha!r} / ({s_scaled})) AS BIGINT)
+               AS n_estimate
+      FROM merged_regs GROUP BY event_type
+    ),
+    exact AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, x.n_exact, e.n_estimate
+    FROM est e JOIN exact x USING (event_type)
+    """
+
+
+@query("events_hll_mergeable_groups", oracle=_hll_merge_oracle())
+def events_hll_mergeable_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The property that justifies sketches at 100 TB: MERGEABILITY.
+    Distinct users per event type, where the register tables are built
+    INDEPENDENTLY per shard (day parity here — in production: per day,
+    per partition, per datacenter) and combined afterward by a plain
+    MAX per (group, register) — no re-scan of either shard, and the
+    merged estimate is bit-identical to a single-pass sketch because
+    max is associative/commutative/idempotent. This is what lets a
+    daily pipeline keep 64 longs per group per day and answer "distinct
+    over any date range" by folding registers.
+
+    Exact distinct per group rides along for the error comparison.
+    State: |groups|·m registers; every aggregate map-side combines."""
+    from ..operators.sketch import hll_constants, hll_hash
+
+    m = 64
+    _, k_max, scaled_alpha = hll_constants(m)
+    ev = t(spark, sf_dir, "events")
+    hv = hll_hash(F.col("user_id"))
+    w_ = F.floor(hv / m).cast("long")
+    rank = F.when(w_ == F.lit(0), F.lit(k_max)).otherwise(
+        F.lit(k_max) - F.length(F.bin(w_))
+    )
+    hashed = ev.select(
+        "event_type",
+        ((F.unix_timestamp("ts") / 86400).cast("long") % 2).alias("shard"),
+        (hv % m).alias("b"),
+        rank.alias("r"),
+    )
+    partial_regs = hashed.groupBy("event_type", "shard", "b").agg(
+        F.max("r").alias("mreg")
+    )
+    merged_regs = partial_regs.groupBy("event_type", "b").agg(
+        F.max("mreg").alias("mreg")
+    )
+    n_seen = F.count(F.lit(1))
+    s_scaled = (
+        F.sum(F.pow(F.lit(2.0), F.lit(k_max) - F.col("mreg")).cast("long"))
+        + (F.lit(m) - n_seen) * F.lit(1 << k_max)
+    ).cast("long")
+    est = merged_regs.groupBy("event_type").agg(
+        F.floor(F.lit(scaled_alpha) / s_scaled).cast("long").alias("n_estimate")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type", "n_exact", "n_estimate"
+    )

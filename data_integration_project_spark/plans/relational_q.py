@@ -1038,3 +1038,94 @@ def orders_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFram
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     return spark.createDataFrame(rows, joined.schema)
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence test (in-engine statistics)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_chisq_segment_status",
+    oracle="""
+    WITH obs AS (
+      SELECT c.c_mktsegment AS seg, o.o_orderstatus AS st,
+             COUNT(*) AS n
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY seg, st
+    ),
+    tot AS (SELECT SUM(n) AS total FROM obs),
+    rows_ AS (SELECT seg, SUM(n) AS rn FROM obs GROUP BY seg),
+    cols_ AS (SELECT st, SUM(n) AS cn FROM obs GROUP BY st),
+    cells AS (
+      SELECT o.seg, o.st, o.n,
+             CAST(r.rn AS DOUBLE) * c.cn / t.total AS expected
+      FROM obs o
+      JOIN rows_ r USING (seg) JOIN cols_ c USING (st) CROSS JOIN tot t
+    )
+    SELECT
+      CAST((SELECT total FROM tot) AS BIGINT) AS n_orders,
+      CAST((SELECT (COUNT(*) - 1) FROM rows_) *
+           (SELECT (COUNT(*) - 1) FROM cols_) AS BIGINT) AS dof,
+      CAST(SUM(CAST(round((n - expected) * (n - expected) / expected, 6)
+                    AS DECIMAL(28,6))) AS DOUBLE) AS chi2
+    FROM cells
+    """,
+)
+def orders_chisq_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine statistics: the chi-square independence test between
+    customer market segment and order status — the contingency-table
+    screen a feature-selection or drift-detection pipeline runs over
+    every categorical pair. Observed counts are one groupBy; expected
+    counts are rank-1 products of the broadcastable margin vectors —
+    the table itself never materializes beyond |segments|×|statuses|
+    cells, whatever the row count.
+
+    Determinism: each cell's (O−E)²/E is identical float64 arithmetic
+    on integer inputs in both engines; cells are rounded to 6 dp and
+    summed as exact decimals so the fold order can't move the total
+    (the house float-aggregation pattern)."""
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_orderstatus")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    obs = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"), F.col("o_orderstatus").alias("st")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    rows_ = obs.groupBy("seg").agg(F.sum("n").alias("rn"))
+    cols_ = obs.groupBy("st").agg(F.sum("n").alias("cn"))
+    tot = obs.agg(F.sum("n").alias("total"))
+    cells = (
+        obs.join(F.broadcast(rows_), "seg")
+        .join(F.broadcast(cols_), "st")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n",
+            "total",
+            (F.col("rn").cast("double") * F.col("cn") / F.col("total")).alias(
+                "expected"
+            ),
+        )
+    )
+    term = F.round(
+        (F.col("n") - F.col("expected"))
+        * (F.col("n") - F.col("expected"))
+        / F.col("expected"),
+        6,
+    ).cast("decimal(28,6)")
+    dof = (
+        rows_.agg((F.count(F.lit(1)) - 1).alias("r1"))
+        .crossJoin(cols_.agg((F.count(F.lit(1)) - 1).alias("c1")))
+        .select((F.col("r1") * F.col("c1")).cast("long").alias("dof"))
+    )
+    return (
+        cells.agg(
+            F.max("total").cast("long").alias("n_orders"),
+            F.sum(term).cast("double").alias("chi2"),
+        )
+        .crossJoin(F.broadcast(dof))
+        .select("n_orders", "dof", "chi2")
+    )
