@@ -1129,3 +1129,127 @@ def orders_chisq_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(dof))
         .select("n_orders", "dof", "chi2")
     )
+
+
+# ---------------------------------------------------------------------------
+# Ranking-function suite (percent_rank / cume_dist / ntile / nth_value)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_window_rank_suite",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice,
+             rank()         OVER w AS price_rank,
+             dense_rank()   OVER w AS price_dense_rank,
+             percent_rank() OVER w AS price_percent_rank,
+             cume_dist()    OVER w AS price_cume_dist,
+             first_value(o_orderkey) OVER w AS cheapest_order,
+             nth_value(o_orderkey, 2) OVER w AS second_cheapest_order
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderstatus
+                   ORDER BY o_totalprice, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT * FROM ranked WHERE o_orderkey % 100 = 0
+    """,
+)
+def orders_window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function surface in one partitioned window:
+    rank / dense_rank / percent_rank / cume_dist / first_value /
+    nth_value over (status, price) — covering the analytic functions
+    the per-group top-N and percentile queries don't touch. Total
+    tie-break (price, key) pins every function's output; the explicit
+    UNBOUNDED frame makes nth_value/first_value read the whole
+    partition in both engines (their default frames differ!). Output
+    sampled to every 100th key to bound rows.
+
+    One shuffle on the partition key serves all six functions — Spark
+    evaluates them in a single Window operator pass."""
+    o = t(spark, sf_dir, "orders")
+    # ranking functions must keep their required default frame; only
+    # the value functions take the explicit full-partition frame
+    wr = Window.partitionBy("o_orderstatus").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    wf = wr.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.rank().over(wr).alias("price_rank"),
+            F.dense_rank().over(wr).alias("price_dense_rank"),
+            F.percent_rank().over(wr).alias("price_percent_rank"),
+            F.cume_dist().over(wr).alias("price_cume_dist"),
+            F.first("o_orderkey").over(wf).alias("cheapest_order"),
+            F.nth_value("o_orderkey", 2).over(wf).alias("second_cheapest_order"),
+        )
+        .filter(F.col("o_orderkey") % 100 == 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Schema-evolving union (unionByName with missing columns)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "customers_union_evolving_schema",
+    oracle="""
+    WITH v1 AS (
+      SELECT c_custkey, c_name, c_acctbal
+      FROM customer WHERE c_custkey % 2 = 0
+    ),
+    v2 AS (
+      SELECT c_custkey, c_name, c_mktsegment, c_nationkey
+      FROM customer WHERE c_custkey % 2 = 1
+    ),
+    unioned AS (
+      SELECT c_custkey, c_name, c_acctbal,
+             CAST(NULL AS VARCHAR) AS c_mktsegment,
+             CAST(NULL AS INTEGER) AS c_nationkey,
+             'v1' AS schema_version
+      FROM v1
+      UNION ALL
+      SELECT c_custkey, c_name, CAST(NULL AS DOUBLE), c_mktsegment,
+             c_nationkey, 'v2'
+      FROM v2
+    )
+    SELECT schema_version,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_acctbal,
+           CAST(SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_segment
+    FROM unioned GROUP BY schema_version
+    """,
+)
+def customers_union_evolving_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution at the union: two batches of the same entity
+    written under DIFFERENT schema versions (v1 carries acctbal, v2
+    replaced it with segment + nation) combine with
+    ``unionByName(allowMissingColumns=True)`` — each side's missing
+    columns surface as typed NULLs, by NAME, never by position. This is
+    the read-side half of schema evolution every long-lived lake needs
+    (the positional UNION of most engines silently mis-aligns columns
+    the moment one side adds a field).
+
+    The rollup counts nulls per schema version — proving the alignment
+    — rather than dumping rows."""
+    c = t(spark, sf_dir, "customer")
+    v1 = c.filter(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey", "c_name", "c_acctbal"
+    ).withColumn("schema_version", F.lit("v1"))
+    v2 = c.filter(F.col("c_custkey") % 2 == 1).select(
+        "c_custkey", "c_name", "c_mktsegment", "c_nationkey"
+    ).withColumn("schema_version", F.lit("v2"))
+    unioned = v1.unionByName(v2, allowMissingColumns=True)
+    return unioned.groupBy("schema_version").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("c_acctbal").isNull().cast("long")).alias("n_null_acctbal"),
+        F.sum(F.col("c_mktsegment").isNull().cast("long")).alias(
+            "n_null_segment"
+        ),
+    )
