@@ -1253,3 +1253,59 @@ def customers_union_evolving_schema(spark: SparkSession, sf_dir: str) -> DataFra
             "n_null_segment"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom Python DataSource (Spark 4 DataSource API)
+# ---------------------------------------------------------------------------
+
+_SG_N = 100_000
+
+
+@query(
+    "sensors_python_datasource",
+    oracle=f"""
+    WITH gen AS (
+      SELECT i AS reading_id,
+             CAST(i % 50 AS INTEGER) AS sensor_id,
+             ((48271 * i + 11213) % 2147483647) % 1000000 AS micro_value,
+             CASE WHEN ((48271 * i + 11213) % 2147483647) % 97 <> 0
+                  THEN 'ok' ELSE 'fault' END AS status
+      FROM (SELECT unnest(range(0, {_SG_N})) AS i)
+    )
+    SELECT sensor_id,
+           COUNT(*) AS n_readings,
+           CAST(SUM(CASE WHEN status = 'fault' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_faults,
+           CAST(SUM(micro_value) AS BIGINT) AS total_micro
+    FROM gen GROUP BY sensor_id
+    """,
+)
+def sensors_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A CUSTOM source via the Spark 4 Python DataSource API
+    (sources/pygen.py): the extension point for exposing an internal
+    service, proprietary format, or generator as a first-class
+    ``spark.read.format(...)`` — with REAL partition planning
+    (``partitions()`` returns 8 ranges → 8 parallel read tasks; no
+    driver-side materialization, the same scan parallelism a file
+    source gets). Rows are a pure affine function of the row id, so
+    the oracle regenerates the stream from ``range()`` and the
+    aggregate must match exactly.
+
+    At scale this is how a 100 TB backfill from a non-file system
+    enters Spark without a single-cursor bottleneck: one partition per
+    shard/key-range of the remote system."""
+    from ..sources.pygen import register
+
+    register(spark)
+    df = (
+        spark.read.format("sensorgen")
+        .option("n_rows", str(_SG_N))
+        .option("n_partitions", "8")
+        .load()
+    )
+    return df.groupBy("sensor_id").agg(
+        F.count(F.lit(1)).alias("n_readings"),
+        F.sum((F.col("status") == "fault").cast("long")).alias("n_faults"),
+        F.sum("micro_value").alias("total_micro"),
+    )

@@ -1,0 +1,79 @@
+"""Custom Python DataSource (Spark 4 DataSource API): a deterministic
+synthetic telemetry generator with real partition planning.
+
+This is the §2.1 extension point beyond file/JDBC sources: the same API
+a team uses to expose an internal service, a proprietary format, or a
+test-data generator as a first-class ``spark.read.format(...)`` source.
+The planner calls ``partitions()`` once (N partitions → N parallel
+tasks) and ``read(partition)`` per task — so the source scales out like
+any file scan, with no driver bottleneck.
+
+Rows are a pure function of the row id (affine arithmetic mod the usual
+Mersenne prime), so any engine can replay the stream exactly — the
+DuckDB oracle regenerates it from ``range()``. No RNG, no state.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+P = 2_147_483_647
+A, B = 48_271, 11_213
+
+SCHEMA_DDL = (
+    "reading_id long, sensor_id int, micro_value long, status string"
+)
+
+
+def row_for(i: int) -> tuple:
+    """The generator contract, shared with the oracle: one row per id."""
+    h = (A * i + B) % P
+    return (
+        i,
+        i % 50,
+        h % 1_000_000,
+        "ok" if h % 97 != 0 else "fault",
+    )
+
+
+@dataclass
+class _Range(InputPartition):
+    start: int
+    end: int
+
+
+class SensorReader(DataSourceReader):
+    def __init__(self, options):
+        self.n_rows = int(options.get("n_rows", 100_000))
+        self.n_parts = int(options.get("n_partitions", 8))
+
+    def partitions(self):
+        step = -(-self.n_rows // self.n_parts)
+        return [
+            _Range(lo, min(lo + step, self.n_rows))
+            for lo in range(0, self.n_rows, step)
+        ]
+
+    def read(self, partition: _Range):
+        for i in range(partition.start, partition.end):
+            yield row_for(i)
+
+
+class SensorDataSource(DataSource):
+    """``spark.read.format("sensorgen").option("n_rows", ...)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "sensorgen"
+
+    def schema(self) -> str:
+        return SCHEMA_DDL
+
+    def reader(self, schema) -> SensorReader:
+        return SensorReader(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(SensorDataSource)
