@@ -1309,3 +1309,79 @@ def sensors_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("status") == "fault").cast("long")).alias("n_faults"),
         F.sum("micro_value").alias("total_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Nested data: the denormalized order document (array<struct> columns)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_nested_lines",
+    oracle="""
+    WITH nested AS (
+      SELECT l_orderkey,
+             list_sort(list(struct_pack(
+               ln := l_linenumber,
+               qty := CAST(l_quantity AS DECIMAL(18,2)),
+               price := CAST(l_extendedprice AS DECIMAL(18,2))
+             ))) AS lines
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           len(lines) AS n_lines,
+           CAST(list_sum(list_transform(lines, x -> x.qty)) AS DOUBLE)
+             AS total_qty,
+           CAST(COALESCE(list_sum(list_transform(
+                 list_filter(lines, x -> x.qty >= 30),
+                 x -> x.price)), 0) AS DOUBLE) AS bulk_value,
+           lines[1].ln AS first_line_no
+    FROM nested
+    WHERE l_orderkey % 20 = 0
+    """,
+)
+def orders_nested_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The denormalized-document pattern: order lines collapse into an
+    ``array<struct>`` column (one groupBy; array_sort for a canonical
+    order), then all per-order math runs INSIDE the array with
+    higher-order functions — size, aggregate over a transformed field,
+    filter-then-aggregate — without ever re-exploding. This is how a
+    lakehouse serves "order with its lines" documents: nested Parquet
+    keeps each order's lines physically together, so point reads and
+    per-document compute skip the join entirely.
+
+    Exact-decimal elements make the in-array sums order-independent
+    (same dsum discipline, one level down). Output sampled to every
+    20th order."""
+    li = t(spark, sf_dir, "lineitem")
+    nested = (
+        li.select(
+            "l_orderkey",
+            F.struct(
+                F.col("l_linenumber").alias("ln"),
+                F.col("l_quantity").cast("decimal(18,2)").alias("qty"),
+                F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+            ).alias("line"),
+        )
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_list("line")).alias("lines"))
+    )
+    zero = F.lit(0).cast("decimal(28,2)")
+    return nested.filter(F.col("l_orderkey") % 20 == 0).select(
+        "l_orderkey",
+        F.size("lines").alias("n_lines"),
+        # re-cast inside the lambda: decimal addition widens (28,2)+
+        # (18,2) -> (29,2) and aggregate() requires the accumulator
+        # type to be closed under the merge function
+        F.aggregate(
+            F.col("lines"),
+            zero,
+            lambda acc, x: (acc + x["qty"]).cast("decimal(28,2)"),
+        ).cast("double").alias("total_qty"),
+        F.aggregate(
+            F.filter(F.col("lines"), lambda x: x["qty"] >= 30),
+            zero,
+            lambda acc, x: (acc + x["price"]).cast("decimal(28,2)"),
+        ).cast("double").alias("bulk_value"),
+        F.element_at("lines", 1)["ln"].alias("first_line_no"),
+    )
