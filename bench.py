@@ -63,6 +63,10 @@ HEADLINE = [
     # interleave projection
     "q3_shipping_priority",
     "orders_zorder_layout",
+    # round 2 (cont.): iterative fixed-point graph rounds and
+    # python-stateful streaming
+    "nations_trade_pagerank",
+    "events_stateful_user_totals",
 ]
 
 

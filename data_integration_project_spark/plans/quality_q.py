@@ -11,7 +11,7 @@ in ANSI SQL.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import quality as Q
@@ -216,4 +216,146 @@ def orders_first_wins_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("surviving_rows"),
             dsum(F.col("o_totalprice"), "surviving_value", 2),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Missing-value imputation (group-mean fill)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "customer_imputation",
+    oracle="""
+    WITH holed AS (
+      SELECT c_custkey, c_mktsegment,
+             CASE WHEN c_custkey % 7 = 0 THEN NULL
+                  ELSE CAST(c_acctbal AS DECIMAL(18,2)) END AS bal
+      FROM customer
+    ),
+    seg_mean AS (
+      SELECT c_mktsegment,
+             CAST(SUM(bal) / COUNT(bal) AS DECIMAL(18,2)) AS seg_mean
+      FROM holed GROUP BY c_mktsegment
+    )
+    SELECT h.c_mktsegment,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CASE WHEN h.bal IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_imputed,
+           CAST(MAX(s.seg_mean) AS DOUBLE) AS fill_value,
+           CAST(SUM(COALESCE(h.bal, s.seg_mean)) AS DOUBLE) AS total_after_fill
+    FROM holed h JOIN seg_mean s USING (c_mktsegment)
+    GROUP BY h.c_mktsegment
+    """,
+)
+def customer_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-mean imputation — the ML-preprocessing fill for missing
+    numerics, done relationally: nulls are punched into every 7th
+    balance, per-segment means are computed over the REMAINING values
+    (exact decimal: mean = decimal sum / count, quantized to 2 dp so
+    the fill value is the same bits in both engines), and a broadcast
+    join fills the holes. The report per segment: how many were
+    imputed, with what value, and the post-fill total.
+
+    Shape: one groupBy for the means (broadcast back — |segments|
+    rows), one map-side fill, one rollup; the data never shuffles for
+    the fill itself."""
+    c = t(spark, sf_dir, "customer")
+    holed = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 7 == 0, None)
+        .otherwise(F.col("c_acctbal").cast("decimal(18,2)"))
+        .alias("bal"),
+    )
+    seg_mean = holed.groupBy("c_mktsegment").agg(
+        (F.sum("bal") / F.count("bal")).cast("decimal(18,2)").alias("seg_mean")
+    )
+    filled = holed.join(F.broadcast(seg_mean), "c_mktsegment")
+    return filled.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("bal").isNull().cast("long")).alias("n_imputed"),
+        F.max("seg_mean").cast("double").alias("fill_value"),
+        F.sum(F.coalesce(F.col("bal"), F.col("seg_mean")))
+        .cast("double")
+        .alias("total_after_fill"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winsorization (percentile clipping)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_winsorized_stats",
+    oracle="""
+    WITH ranked AS (
+      SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+             ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+             COUNT(*) OVER () AS n
+      FROM orders
+    ),
+    cuts AS (
+      SELECT MAX(CASE WHEN rn = (n * 5 + 99) // 100 THEN p END) AS lo,
+             MAX(CASE WHEN rn = (n * 95 + 99) // 100 THEN p END) AS hi
+      FROM ranked
+    )
+    SELECT CAST(c.lo AS DOUBLE) AS p05,
+           CAST(c.hi AS DOUBLE) AS p95,
+           CAST(SUM(CASE WHEN r.p < c.lo OR r.p > c.hi THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clipped,
+           CAST(SUM(r.p) AS DOUBLE) AS total_raw,
+           -- DuckDB's LEAST/GREATEST return DOUBLE even on decimals;
+           -- re-cast before SUM to keep the exact-decimal fold
+           CAST(SUM(CAST(LEAST(GREATEST(r.p, c.lo), c.hi) AS DECIMAL(18,2)))
+                AS DOUBLE) AS total_winsorized
+    FROM ranked r CROSS JOIN cuts c
+    GROUP BY c.lo, c.hi
+    """,
+)
+def orders_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization: clip order values to the exact [p5, p95] band —
+    the outlier treatment feature pipelines apply before scaling, with
+    the cut points defined by discrete rank (rn = ceil(n·q/100), the
+    percentile_disc convention) so both engines pick the identical
+    data values as cuts. Exact-decimal totals before/after quantify
+    what clipping moved.
+
+    Shape note: the global row_number is the same single-sort caveat as
+    orders_quantile_buckets — at 100 TB the cuts come from the
+    sample-based boundary pattern (orders_range_partition_hist) and
+    clipping stays a map-side LEAST/GREATEST against two broadcast
+    scalars."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    ranked = o.select(
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy()
+        ).alias("n"),
+    )
+    cuts = ranked.agg(
+        F.max(
+            F.when(F.col("rn") == F.floor((F.col("n") * 5 + 99) / 100), F.col("p"))
+        ).alias("lo"),
+        F.max(
+            F.when(F.col("rn") == F.floor((F.col("n") * 95 + 99) / 100), F.col("p"))
+        ).alias("hi"),
+    )
+    r = ranked.crossJoin(F.broadcast(cuts))
+    clipped = F.least(F.greatest(F.col("p"), F.col("lo")), F.col("hi"))
+    return r.groupBy("lo", "hi").agg(
+        F.sum(
+            ((F.col("p") < F.col("lo")) | (F.col("p") > F.col("hi"))).cast("long")
+        ).alias("n_clipped"),
+        F.sum("p").cast("double").alias("total_raw"),
+        F.sum(clipped).cast("double").alias("total_winsorized"),
+    ).select(
+        F.col("lo").cast("double").alias("p05"),
+        F.col("hi").cast("double").alias("p95"),
+        "n_clipped",
+        "total_raw",
+        "total_winsorized",
     )
