@@ -1385,3 +1385,49 @@ def orders_nested_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("double").alias("bulk_value"),
         F.element_at("lines", 1)["ln"].alias("first_line_no"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pure-SQL surface: correlated scalar subquery through spark.sql()
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "customers_correlated_subquery",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           (SELECT MAX(CAST(o.o_totalprice AS DECIMAL(18,2)))
+            FROM orders o WHERE o.o_custkey = c.c_custkey) AS max_order_value,
+           (SELECT COUNT(*) FROM orders o
+            WHERE o.o_custkey = c.c_custkey) AS n_orders
+    FROM customer c
+    WHERE c.c_custkey % 25 = 0
+    """,
+)
+def customers_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pure-SQL entry path: the query text goes through
+    ``spark.sql()`` over registered temp views — proving the engine's
+    SQL surface (not just the DataFrame builders) handles CORRELATED
+    scalar subqueries, which Catalyst de-correlates into left outer
+    joins + aggregates rather than executing per-row (the plan shows
+    joins, not a subquery loop — O(n) instead of O(n·m)). Both
+    correlated aggregates (MAX, COUNT) land in one rewritten plan;
+    customers with no orders get NULL max and 0 count, matching SQL
+    scalar-subquery semantics exactly.
+
+    The decimal cast inside the subquery keeps MAX exact; sampled to
+    every 25th customer."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name,
+               (SELECT MAX(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                FROM orders_v o WHERE o.o_custkey = c.c_custkey)
+                 AS max_order_value,
+               (SELECT COUNT(*) FROM orders_v o
+                WHERE o.o_custkey = c.c_custkey) AS n_orders
+        FROM customer_v c
+        WHERE c.c_custkey % 25 = 0
+        """
+    )
