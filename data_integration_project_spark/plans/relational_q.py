@@ -1431,3 +1431,57 @@ def customers_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame
         WHERE c.c_custkey % 25 = 0
         """
     )
+
+
+@query(
+    "sensors_pushdown_scan",
+    oracle=f"""
+    WITH gen AS (
+      SELECT i AS reading_id,
+             ((48271 * i + 11213) % 2147483647) % 1000000 AS micro_value,
+             CASE WHEN ((48271 * i + 11213) % 2147483647) % 97 <> 0
+                  THEN 'ok' ELSE 'fault' END AS status
+      FROM (SELECT unnest(range(0, {_SG_N})) AS i)
+      WHERE i % 50 = 7
+    )
+    SELECT COUNT(*) AS n_readings,
+           CAST(SUM(CASE WHEN status = 'fault' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_faults,
+           CAST(SUM(micro_value) AS BIGINT) AS total_micro,
+           MIN(reading_id) AS first_id,
+           MAX(reading_id) AS last_id
+    FROM gen
+    """,
+)
+def sensors_pushdown_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER PUSHDOWN into the custom Python DataSource
+    (SensorReader.pushFilters): the ``sensor_id = 7`` equality is
+    absorbed by the source, which then GENERATES only that sensor's
+    rows (stride-50 id walk — 1/50th of the stream ever exists), the
+    same scan reduction a database-backed source gets from native
+    filtering. The executed plan is ASSERTED to carry no post-scan
+    equality on sensor_id — only the residual null check Spark keeps.
+
+    This plus partitions() makes the custom source a full citizen of
+    the §2.1 scan contract: parallel AND prunable."""
+    from ..sources.pygen import register
+
+    register(spark)
+    df = (
+        spark.read.format("sensorgen")
+        .option("n_rows", str(_SG_N))
+        .option("n_partitions", "8")
+        .load()
+        .filter(F.col("sensor_id") == 7)
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "= 7" not in plan, (
+        "sensor_id equality was NOT pushed into the source:\n" + plan[:500]
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n_readings"),
+        F.sum((F.col("status") == "fault").cast("long")).alias("n_faults"),
+        F.sum("micro_value").alias("total_micro"),
+        F.min("reading_id").alias("first_id"),
+        F.max("reading_id").alias("last_id"),
+    )

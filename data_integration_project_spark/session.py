@@ -27,6 +27,8 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # let custom Python DataSources (sources/pygen.py) absorb filters
+    "spark.sql.python.filterPushdown.enabled": "true",
     # testdata events.ts is parquet timestamp[ns]; read as raw long and
     # convert on load (sources.registry.NANOS_CANDIDATES)
     "spark.sql.legacy.parquet.nanosAsLong": "true",

@@ -17,7 +17,12 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    InputPartition,
+)
 
 P = 2_147_483_647
 A, B = 48_271, 11_213
@@ -48,6 +53,27 @@ class SensorReader(DataSourceReader):
     def __init__(self, options):
         self.n_rows = int(options.get("n_rows", 100_000))
         self.n_parts = int(options.get("n_partitions", 8))
+        self.sensor_eq: int | None = None  # set by pushFilters
+
+    def pushFilters(self, filters):
+        """Source-side FILTER PUSHDOWN (Spark 4.1 DataSource API): an
+        ``sensor_id = k`` equality is absorbed into the source — the
+        generator then steps straight through that sensor's ids
+        (``k, k+50, k+100, …``) and emits 1/50th of the rows, exactly
+        the scan reduction a database or service-backed source gets
+        from native filtering. Everything else is returned for Spark
+        to evaluate post-scan (the contract: returned filters must be
+        the input objects by reference)."""
+        for f in filters:
+            if (
+                isinstance(f, EqualTo)
+                and f.attribute == ("sensor_id",)
+                and isinstance(f.value, int)
+                and self.sensor_eq is None
+            ):
+                self.sensor_eq = int(f.value)
+            else:
+                yield f
 
     def partitions(self):
         step = -(-self.n_rows // self.n_parts)
@@ -57,8 +83,14 @@ class SensorReader(DataSourceReader):
         ]
 
     def read(self, partition: _Range):
-        for i in range(partition.start, partition.end):
-            yield row_for(i)
+        if self.sensor_eq is not None:
+            k = self.sensor_eq
+            first = partition.start + ((k - partition.start) % 50)
+            for i in range(first, partition.end, 50):
+                yield row_for(i)
+        else:
+            for i in range(partition.start, partition.end):
+                yield row_for(i)
 
 
 class SensorDataSource(DataSource):
