@@ -1485,3 +1485,175 @@ def sensors_pushdown_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("reading_id").alias("first_id"),
         F.max("reading_id").alias("last_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# In-engine ML training: closed-form OLS (normal equations from moments)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "lineitem_ols_regression",
+    oracle="""
+    WITH m AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))
+                 * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))
+                 * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy
+      FROM lineitem
+    )
+    SELECT n,
+           CAST((n * sxy - sx * sy) AS DOUBLE)
+             / CAST((n * sxx - sx * sx) AS DOUBLE) AS beta1,
+           (CAST(sy AS DOUBLE)
+              - (CAST((n * sxy - sx * sy) AS DOUBLE)
+                 / CAST((n * sxx - sx * sx) AS DOUBLE))
+                * CAST(sx AS DOUBLE)) / n AS beta0,
+           CAST((n * sxy - sx * sy) AS DOUBLE)
+             * CAST((n * sxy - sx * sy) AS DOUBLE)
+             / (CAST((n * sxx - sx * sx) AS DOUBLE)
+                * CAST((n * syy - sy * sy) AS DOUBLE)) AS r2
+    FROM m
+    """,
+)
+def lineitem_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML TRAINING in the engine: ordinary least squares
+    (price ~ quantity) by the closed-form normal equations — the model
+    reduces to five moment sums (Σx, Σy, Σxx, Σxy, Σyy), which are
+    map-side-combined EXACT DECIMAL aggregates, then a handful of
+    scalar divisions. One pass over the data, one single-row shuffle,
+    any scale; this moment-matrix trick is how distributed OLS/ridge
+    actually trains (X'X is k×k however big X is), and the exact
+    moments make the fitted coefficients bit-identical across engines
+    and partitionings — try that with SGD.
+
+    beta1 = (nΣxy − ΣxΣy)/(nΣxx − (Σx)²), beta0 = ȳ − beta1·x̄,
+    r² = Pearson² — every float op happens AFTER aggregation, on
+    scalars equal in both engines by construction."""
+    li = t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    m = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(y * y).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    beta1 = num / den
+    return m.select(
+        "n",
+        beta1.alias("beta1"),
+        ((F.col("sy").cast("double") - beta1 * F.col("sx").cast("double")) / F.col("n")).alias(
+            "beta0"
+        ),
+        (num * num / (den * deny)).alias("r2"),
+    )
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _corr_oracle() -> str:
+    # values enter as SCALED INTEGERS (cents: floor(x*100+0.5)) — Pearson
+    # r is invariant under linear scaling, so no correction is needed,
+    # and the moments become exact integer sums (DECIMAL(38,0)) that
+    # cannot hit either engine's decimal-multiplication width limits
+    ints = ", ".join(
+        f"CAST(floor({c} * 100 + 0.5) AS BIGINT) AS x{i}"
+        for i, c in enumerate(_CORR_COLS)
+    )
+    sums = ",\n             ".join(
+        f"SUM(CAST(x{i} AS DECIMAL(38,0))) AS s{i}"
+        for i in range(len(_CORR_COLS))
+    )
+    cross = ",\n             ".join(
+        f"SUM(CAST(x{i} * x{j} AS DECIMAL(38,0))) AS s{i}_{j}"
+        for i in range(len(_CORR_COLS))
+        for j in range(len(_CORR_COLS))
+        if i <= j
+    )
+
+    def d(expr: str) -> str:
+        return f"CAST({expr} AS DOUBLE)"
+
+    pairs = "\n      UNION ALL\n".join(
+        f"""SELECT '{a}' AS col_x, '{b}' AS col_y,
+             ({d('n')} * {d(f's{i}_{j}')} - {d(f's{i}')} * {d(f's{j}')}) /
+             sqrt(({d('n')} * {d(f's{i}_{i}')} - {d(f's{i}')} * {d(f's{i}')})
+                  * ({d('n')} * {d(f's{j}_{j}')} - {d(f's{j}')} * {d(f's{j}')}))
+               AS pearson_r
+      FROM m"""
+        for i, a in enumerate(_CORR_COLS)
+        for j, b in enumerate(_CORR_COLS)
+        if i < j
+    )
+    return f"""
+    WITH scaled AS (SELECT {ints} FROM lineitem),
+    m AS (
+      SELECT COUNT(*) AS n,
+             {sums},
+             {cross}
+      FROM scaled
+    )
+    {pairs}
+    """
+
+
+@query("lineitem_correlation_matrix", oracle=_corr_oracle())
+def lineitem_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over four fact measures —
+    the profiling/feature-selection screen, computed the distributed
+    way: ONE pass accumulates all 14 exact moments (4 sums + 10
+    cross-products, map-side combined into a single row), then every r
+    falls out as scalar arithmetic. Values enter as scaled integers
+    (Pearson r is scale-invariant), so the moments are exact integer
+    sums immune to decimal-width limits; the float work (one sqrt per
+    pair) happens after aggregation on scalars both engines hold
+    bit-identically. Adding a column costs one more moment, not
+    another scan."""
+    li = t(spark, sf_dir, "lineitem")
+    xi = {
+        i: F.floor(F.col(c) * 100 + 0.5).cast("long")
+        for i, c in enumerate(_CORR_COLS)
+    }
+    aggs = [F.count(F.lit(1)).alias("n")]
+    aggs += [
+        F.sum(xi[i].cast("decimal(38,0)")).alias(f"s{i}")
+        for i in range(len(_CORR_COLS))
+    ]
+    aggs += [
+        F.sum((xi[i] * xi[j]).cast("decimal(38,0)")).alias(f"s{i}_{j}")
+        for i in range(len(_CORR_COLS))
+        for j in range(len(_CORR_COLS))
+        if i <= j
+    ]
+    m = li.agg(*aggs)
+    out = None
+    for i, a in enumerate(_CORR_COLS):
+        for j, b in enumerate(_CORR_COLS):
+            if i >= j:
+                continue
+
+            def D(name):
+                return F.col(name).cast("double")
+
+            num = D("n") * D(f"s{i}_{j}") - D(f"s{i}") * D(f"s{j}")
+            vx = D("n") * D(f"s{i}_{i}") - D(f"s{i}") * D(f"s{i}")
+            vy = D("n") * D(f"s{j}_{j}") - D(f"s{j}") * D(f"s{j}")
+            row = m.select(
+                F.lit(a).alias("col_x"),
+                F.lit(b).alias("col_y"),
+                (num / F.sqrt(vx * vy)).alias("pearson_r"),
+            )
+            out = row if out is None else out.unionByName(row)
+    return out
