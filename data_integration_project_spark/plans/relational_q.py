@@ -1657,3 +1657,289 @@ def lineitem_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Market-basket analysis (pairwise co-occurrence + lift)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "parts_market_basket",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n_orders AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM baskets),
+    item_supp AS (
+      SELECT l_partkey, COUNT(*) AS supp FROM baskets GROUP BY l_partkey
+    ),
+    pair_supp AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             COUNT(*) AS pair_count
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY part_a, part_b
+    )
+    SELECT part_a, part_b, pair_count,
+           sa.supp AS supp_a, sb.supp AS supp_b,
+           CAST(pair_count AS DOUBLE) * (SELECT n FROM n_orders)
+             / (sa.supp * sb.supp) AS lift
+    FROM pair_supp
+    JOIN item_supp sa ON sa.l_partkey = part_a
+    JOIN item_supp sb ON sb.l_partkey = part_b
+    ORDER BY pair_count DESC, part_a, part_b
+    LIMIT 15
+    """,
+)
+def parts_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket mining: which parts co-occur in the same order
+    more than their popularity predicts (lift = P(a,b)/(P(a)·P(b))).
+    The candidate space is generated by a WITHIN-ORDER self-join — cost
+    Σ|basket|² with baskets of ~7 lines, never |parts|² — which is the
+    a-priori counting step every distributed frequent-itemset miner
+    runs. Support counts are exact integers; lift is one double ratio
+    of post-aggregate scalars; top-15 by support with full tiebreak.
+
+    At 100 TB: identical plan — the self-join key is the orderkey
+    (co-partitioned with the basket build), item supports broadcast
+    back."""
+    li = t(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct().persist()
+    n_orders = baskets.agg(F.countDistinct("l_orderkey").alias("n"))
+    item_supp = baskets.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("supp"))
+    a = baskets.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = baskets.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    pair_supp = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+    )
+    sa = item_supp.select(
+        F.col("l_partkey").alias("part_a"), F.col("supp").alias("supp_a")
+    )
+    sb = item_supp.select(
+        F.col("l_partkey").alias("part_b"), F.col("supp").alias("supp_b")
+    )
+    return (
+        pair_supp.join(F.broadcast(sa), "part_a")
+        .join(F.broadcast(sb), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "pair_count",
+            "supp_a",
+            "supp_b",
+            (
+                F.col("pair_count").cast("double")
+                * F.col("n")
+                / (F.col("supp_a") * F.col("supp_b"))
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("pair_count"), F.asc("part_a"), F.asc("part_b"))
+        .limit(15)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix over event sequences
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    trans AS (
+      SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY from_type, to_type
+    ),
+    outdeg AS (
+      SELECT from_type, SUM(n) AS total FROM trans GROUP BY from_type
+    )
+    SELECT t.from_type, t.to_type, t.n AS n_transitions,
+           CAST(t.n AS DOUBLE) / o.total AS p_transition
+    FROM trans t JOIN outdeg o USING (from_type)
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next = b | current = a) — the sequence model behind
+    next-action prediction, anomaly scoring (improbable transitions),
+    and CEP rule discovery. One lead() window on the user shuffle
+    builds the bigrams; counts are exact; each probability is one
+    double division of per-row integers (deterministic — no float
+    aggregation anywhere).
+
+    The |types|² matrix is tiny whatever the event volume — the
+    classic big-data→small-model reduction."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    trans = seq.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("n_transitions"))
+    outdeg = trans.groupBy("from_type").agg(
+        F.sum("n_transitions").alias("total")
+    )
+    return trans.join(F.broadcast(outdeg), "from_type").select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        (F.col("n_transitions").cast("double") / F.col("total")).alias(
+            "p_transition"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decision-stump training (best Gini split)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_decision_stump",
+    oracle="""
+    WITH ranked AS (
+      SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+             (o_orderstatus = 'F') AS y,
+             ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+             COUNT(*) OVER () AS n
+      FROM orders
+    ),
+    cuts AS (
+      SELECT k, p AS threshold
+      FROM ranked CROSS JOIN (SELECT unnest(range(1, 10)) AS k)
+      WHERE rn = (n * k) // 10
+    ),
+    bucketed AS (
+      SELECT r.p, r.y,
+             (SELECT COUNT(*) FROM cuts c WHERE c.threshold < r.p) AS bucket
+      FROM ranked r
+    ),
+    bucket_counts AS (
+      SELECT bucket,
+             COUNT(*) AS n_all,
+             CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+      FROM bucketed GROUP BY bucket
+    ),
+    cand AS (
+      SELECT c.k, c.threshold,
+             (SELECT COALESCE(SUM(n_all), 0) FROM bucket_counts b
+              WHERE b.bucket < c.k) AS nl,
+             (SELECT COALESCE(SUM(n_pos), 0) FROM bucket_counts b
+              WHERE b.bucket < c.k) AS pl,
+             (SELECT SUM(n_all) FROM bucket_counts) AS n,
+             (SELECT SUM(n_pos) FROM bucket_counts) AS pos
+      FROM cuts c
+    ),
+    scored AS (
+      SELECT k, threshold, nl, n - nl AS nr,
+             (CAST(nl AS DOUBLE) * (1.0
+                - (CAST(pl AS DOUBLE)/nl) * (CAST(pl AS DOUBLE)/nl)
+                - (CAST(nl - pl AS DOUBLE)/nl) * (CAST(nl - pl AS DOUBLE)/nl))
+              + CAST(n - nl AS DOUBLE) * (1.0
+                - (CAST(pos - pl AS DOUBLE)/(n - nl)) * (CAST(pos - pl AS DOUBLE)/(n - nl))
+                - (CAST((n - nl) - (pos - pl) AS DOUBLE)/(n - nl))
+                  * (CAST((n - nl) - (pos - pl) AS DOUBLE)/(n - nl)))) / n
+               AS gini
+      FROM cand WHERE nl > 0 AND nl < n
+    )
+    SELECT CAST(threshold AS DOUBLE) AS threshold,
+           nl AS n_left, nr AS n_right, gini
+    FROM scored
+    ORDER BY gini, k LIMIT 1
+    """,
+)
+def orders_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a DECISION STUMP in the engine: the best Gini split of
+    order value for predicting finished status, over nine decile
+    candidate thresholds. The whole search reduces to one 10×2 count
+    table — rows are bucketed against the broadcast thresholds
+    (``bucket = #{t < p}``, so candidate k's left side is exactly
+    buckets < k), per-bucket label counts aggregate map-side, and all
+    nine candidates score from cumulative sums of TEN rows. This is
+    the histogram trick every distributed tree learner (XGBoost/
+    LightGBM-style) uses: one pass over data per tree level, however
+    many candidate splits.
+
+    Gini is rational arithmetic on exact integer counts evaluated
+    identically post-aggregation; argmin tie-breaks on candidate
+    index."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    ranked = o.select(
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+        (F.col("o_orderstatus") == "F").alias("y"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    cuts = (
+        ranked.crossJoin(
+            F.broadcast(
+                spark.range(1, 10).select(F.col("id").cast("int").alias("k"))
+            )
+        )
+        .filter(F.col("rn") == F.floor((F.col("n") * F.col("k")) / 10))
+        .select("k", F.col("p").alias("threshold"))
+    )
+    tarr = cuts.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("k"), F.col("threshold")))
+        ).alias("cs")
+    )
+    bucketed = ranked.crossJoin(F.broadcast(tarr)).select(
+        "y",
+        F.size(
+            F.filter(F.col("cs"), lambda c: c["threshold"] < F.col("p"))
+        ).alias("bucket"),
+    )
+    bucket_counts = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum(F.col("y").cast("long")).alias("n_pos"),
+    )
+    cand = (
+        cuts.crossJoin(F.broadcast(bucket_counts))
+        .groupBy("k", "threshold")
+        .agg(
+            F.sum(F.when(F.col("bucket") < F.col("k"), F.col("n_all")).otherwise(0)).alias("nl"),
+            F.sum(F.when(F.col("bucket") < F.col("k"), F.col("n_pos")).otherwise(0)).alias("pl"),
+            F.sum("n_all").alias("n"),
+            F.sum("n_pos").alias("pos"),
+        )
+        .filter((F.col("nl") > 0) & (F.col("nl") < F.col("n")))
+    )
+    D = lambda c: c.cast("double")
+    nl, pl = F.col("nl"), F.col("pl")
+    n, pos = F.col("n"), F.col("pos")
+    nr, pr = n - nl, pos - pl
+    gini = (
+        D(nl) * (1.0 - (D(pl) / nl) * (D(pl) / nl) - (D(nl - pl) / nl) * (D(nl - pl) / nl))
+        + D(nr) * (1.0 - (D(pr) / nr) * (D(pr) / nr) - (D(nr - pr) / nr) * (D(nr - pr) / nr))
+    ) / n
+    return (
+        cand.select(
+            D(F.col("threshold")).alias("threshold"),
+            nl.alias("n_left"),
+            nr.alias("n_right"),
+            gini.alias("gini"),
+            F.col("k"),
+        )
+        .orderBy("gini", "k")
+        .limit(1)
+        .drop("k")
+    )
