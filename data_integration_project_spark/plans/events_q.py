@@ -1783,3 +1783,94 @@ def events_hll_mergeable_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "event_type").select(
         "event_type", "n_exact", "n_estimate"
     )
+
+
+# ---------------------------------------------------------------------------
+# Position-based multi-touch attribution
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_position_attribution",
+    oracle="""
+    WITH pairs AS (
+      SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+             p.user_id,
+             ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                ORDER BY c.ts, c.event_id) AS pos,
+             COUNT(*) OVER (PARTITION BY p.event_id) AS k
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id
+       AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
+    ),
+    credited AS (
+      SELECT user_id, purchase_id, click_id,
+             CASE WHEN k = 1 THEN 1.0
+                  WHEN k = 2 THEN 0.5
+                  WHEN pos = 1 OR pos = k THEN 0.4
+                  ELSE 0.2 / (k - 2) END AS credit
+      FROM pairs
+    )
+    SELECT user_id,
+           COUNT(DISTINCT purchase_id) AS n_purchases,
+           COUNT(*) AS n_credited_clicks,
+           CAST(SUM(CAST(round(credit, 6) AS DECIMAL(18,6))) AS DOUBLE)
+             AS total_credit
+    FROM credited GROUP BY user_id
+    """,
+)
+def events_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: each
+    purchase's 30-minute click window splits conversion credit 40% to
+    the first touch, 40% to the last, 20% across the middle (solo
+    click takes 1.0, a pair splits evenly) — the marketing-analytics
+    standard between last-click and Shapley. One windowed rank over
+    the per-purchase click set assigns positions; credits are exact
+    rationals of the window size, rounded to 6 dp and summed as
+    decimals so per-user totals are order-independent.
+
+    Every purchase's credit sums to exactly 1.0 — the invariant that
+    makes attribution reports reconcile with the conversion count."""
+    ev = t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    pairs = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES")),
+    )
+    wp = Window.partitionBy("purchase_id")
+    ranked = pairs.select(
+        "user_id",
+        "purchase_id",
+        "click_id",
+        F.row_number().over(wp.orderBy("c_ts", "click_id")).alias("pos"),
+        F.count(F.lit(1)).over(wp).alias("k"),
+    )
+    credit = (
+        F.when(F.col("k") == 1, F.lit(1.0))
+        .when(F.col("k") == 2, F.lit(0.5))
+        .when((F.col("pos") == 1) | (F.col("pos") == F.col("k")), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("k") - 2))
+    )
+    return (
+        ranked.withColumn("credit", credit)
+        .groupBy("user_id")
+        .agg(
+            F.countDistinct("purchase_id").alias("n_purchases"),
+            F.count(F.lit(1)).alias("n_credited_clicks"),
+            F.sum(F.round(F.col("credit"), 6).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_credit"),
+        )
+    )

@@ -1943,3 +1943,72 @@ def orders_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(1)
         .drop("k")
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting on the co-purchase graph
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "parts_triangle_count",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    edges AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    wedges AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM edges e1 JOIN edges e2 ON e2.u = e1.v
+    )
+    SELECT (SELECT COUNT(*) FROM edges) AS n_edges,
+           (SELECT COUNT(*) FROM wedges) AS n_wedges,
+           (SELECT COUNT(*) FROM wedges w
+            JOIN edges e3 ON e3.u = w.a AND e3.v = w.c) AS n_triangles
+    """,
+)
+def parts_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting — the clustering-coefficient primitive of
+    graph analytics — on the parts co-purchase graph. Edges are
+    oriented low-id → high-id so each triangle is generated EXACTLY
+    once (a<b<c): wedge enumeration is one self-join on the middle
+    vertex, closure is one more equi-join back to the edge set. No
+    per-vertex adjacency materialization, no driver graph object —
+    three counts, two joins.
+
+    The 100 TB refinement is degree ordering (orient edges from
+    low-degree to high-degree endpoint instead of by id) which bounds
+    wedge fan-out by O(m^1.5) on skewed graphs; id orientation keeps
+    the oracle trivial here and the join shapes are identical."""
+    li = t(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    a = baskets.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u")
+    )
+    b = baskets.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v")
+    )
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .persist()
+    )
+    e2 = edges.select(F.col("u").alias("b_"), F.col("v").alias("c_"))
+    wedges = edges.join(e2, edges["v"] == e2["b_"]).select(
+        F.col("u").alias("a_"), F.col("v").alias("mid"), "c_"
+    ).persist()
+    e3 = edges.select(F.col("u").alias("a_"), F.col("v").alias("c_"))
+    closed = wedges.join(e3, ["a_", "c_"])
+    return (
+        edges.agg(F.count(F.lit(1)).alias("n_edges"))
+        .crossJoin(F.broadcast(wedges.agg(F.count(F.lit(1)).alias("n_wedges"))))
+        .crossJoin(
+            F.broadcast(closed.agg(F.count(F.lit(1)).alias("n_triangles")))
+        )
+    )
