@@ -1874,3 +1874,122 @@ def events_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_credit"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ML dataset construction: temporal split + churn feature/label windows
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_temporal_split",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id,
+             CASE WHEN ts < TIMESTAMP '2024-01-21' THEN 'train'
+                  ELSE 'test' END AS split
+      FROM events
+    ),
+    per_split AS (
+      SELECT split, COUNT(*) AS n_events,
+             COUNT(DISTINCT user_id) AS n_users
+      FROM tagged GROUP BY split
+    ),
+    overlap AS (
+      SELECT COUNT(*) AS n_overlap_users FROM (
+        SELECT user_id FROM tagged GROUP BY user_id
+        HAVING COUNT(DISTINCT split) = 2
+      )
+    )
+    SELECT p.split, p.n_events, p.n_users, o.n_overlap_users
+    FROM per_split p CROSS JOIN overlap o
+    """,
+)
+def events_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/test split — the ONLY honest split for
+    time-dependent data (a random row split lets the model see the
+    future): everything before the cut date trains, everything after
+    tests, and the report carries the leakage statistic every split
+    audit needs — how many users appear on BOTH sides (their test
+    rows are not cold-start predictions). One tag projection, one
+    rollup, one distinct-split-count per user; no shuffle beyond the
+    two aggregates."""
+    ev = t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-21").cast("timestamp")
+    tagged = ev.select(
+        "user_id",
+        F.when(F.col("ts") < cut, "train").otherwise("test").alias("split"),
+    )
+    per_split = tagged.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    overlap = (
+        tagged.groupBy("user_id")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") == 2)
+        .agg(F.count(F.lit(1)).alias("n_overlap_users"))
+    )
+    return per_split.crossJoin(F.broadcast(overlap))
+
+
+@query(
+    "events_churn_labels",
+    oracle="""
+    WITH feat AS (
+      SELECT user_id,
+             COUNT(*) AS n_events_feat,
+             COUNT(DISTINCT CAST(ts AS DATE)) AS n_active_days,
+             CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS value_cents_feat
+      FROM events WHERE ts < TIMESTAMP '2024-01-21'
+      GROUP BY user_id
+    ),
+    lab AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE ts >= TIMESTAMP '2024-01-21' AND ts < TIMESTAMP '2024-01-28'
+    )
+    SELECT f.user_id, f.n_events_feat, f.n_active_days, f.value_cents_feat,
+           CAST(l.user_id IS NOT NULL AS INT) AS is_retained
+    FROM feat f LEFT JOIN lab l USING (user_id)
+    """,
+)
+def events_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn training-set construction: per-user FEATURES from the
+    window before the cut (event count, active days, integer-cent
+    value) and the LABEL from a disjoint 7-day window after it
+    (retained = any activity) — the feature/label time separation
+    that prevents target leakage, expressed as two window-filtered
+    aggregates and one left join. Users with no feature-window
+    activity are correctly absent (nothing to predict from); users
+    who churn get label 0 via the null-padded join.
+
+    Both window filters push to the parquet scan; the join key is the
+    same user shuffle the feature aggregate already produced."""
+    ev = t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-21").cast("timestamp")
+    lab_end = F.lit("2024-01-28").cast("timestamp")
+    feat = (
+        ev.filter(F.col("ts") < cut)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events_feat"),
+            F.countDistinct(F.col("ts").cast("date")).alias("n_active_days"),
+            F.sum(
+                F.floor(F.col("value") * 100 + 0.5).cast("long")
+            ).alias("value_cents_feat"),
+        )
+    )
+    lab = (
+        ev.filter((F.col("ts") >= cut) & (F.col("ts") < lab_end))
+        .select("user_id")
+        .distinct()
+        .withColumn("_r", F.lit(1))
+    )
+    return feat.join(lab, "user_id", "left").select(
+        "user_id",
+        "n_events_feat",
+        "n_active_days",
+        "value_cents_feat",
+        F.coalesce(F.col("_r"), F.lit(0)).cast("int").alias("is_retained"),
+    )

@@ -2012,3 +2012,106 @@ def parts_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(closed.agg(F.count(F.lit(1)).alias("n_triangles")))
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Negative sampling for recommender training (hash-band candidates)
+# ---------------------------------------------------------------------------
+
+
+def _ns_fold(expr: str) -> str:
+    from .events_q import _HLL_HASH_SQL
+
+    return _HLL_HASH_SQL.format(col=expr)
+
+
+@query(
+    "orders_negative_sampling",
+    oracle=f"""
+    WITH positives AS (
+      SELECT DISTINCT o.o_custkey AS custkey, l.l_partkey AS partkey
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    part_bucket AS (
+      SELECT p_partkey, ({_ns_fold("p_partkey")}) % 8 AS bucket FROM part
+    ),
+    user_bucket AS (
+      SELECT DISTINCT custkey, ({_ns_fold("custkey")}) % 8 AS bucket
+      FROM positives
+    ),
+    cands AS (
+      SELECT u.custkey, pb.p_partkey AS partkey,
+             ({_ns_fold("CAST(u.custkey AS VARCHAR) || ':' || CAST(pb.p_partkey AS VARCHAR)")})
+               AS rkey
+      FROM user_bucket u JOIN part_bucket pb USING (bucket)
+    ),
+    negs AS (
+      SELECT c.custkey, c.partkey,
+             ROW_NUMBER() OVER (PARTITION BY c.custkey
+                                ORDER BY c.rkey, c.partkey) AS rk
+      FROM cands c
+      LEFT JOIN positives p
+        ON p.custkey = c.custkey AND p.partkey = c.partkey
+      WHERE p.partkey IS NULL
+    )
+    SELECT custkey,
+           COUNT(*) AS n_negatives,
+           CAST(SUM(partkey) AS BIGINT) AS neg_checksum
+    FROM negs WHERE rk <= 3
+    GROUP BY custkey
+    """,
+)
+def orders_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative sampling for recommender training: each customer gets
+    3 parts they have NEVER ordered, chosen deterministically — the
+    contrastive counterpart every implicit-feedback trainer needs.
+    The scale trick is the HASH BAND: parts pre-partition into 8
+    static buckets, a user's candidates are just their bucket
+    (broadcast join, |users|·|parts|/8 rows) — never the full
+    user×catalog cross product a naive sampler materializes. Within
+    the band, true positives drop by anti-join and the md5(user:part)
+    order picks a stable pseudo-random 3; the checksum proves both
+    engines choose identical items, not just identical counts.
+
+    Determinism is the point: resampling on retry/repartition would
+    silently change the training set (same rule as
+    corpus_shard_assignment)."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+
+    def fold(col):
+        return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast(
+            "long"
+        )
+
+    positives = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("custkey"), F.col("l_partkey").alias("partkey"))
+        .distinct()
+    )
+    part_bucket = p.select(
+        F.col("p_partkey"), (fold(F.col("p_partkey")) % 8).alias("bucket")
+    )
+    user_bucket = positives.select("custkey").distinct().select(
+        "custkey", (fold(F.col("custkey")) % 8).alias("bucket")
+    )
+    rkey = fold(
+        F.concat(
+            F.col("custkey").cast("string"), F.lit(":"), F.col("p_partkey").cast("string")
+        )
+    )
+    cands = user_bucket.join(F.broadcast(part_bucket), "bucket").select(
+        "custkey", F.col("p_partkey").alias("partkey"), rkey.alias("rkey")
+    )
+    negs = cands.join(positives, ["custkey", "partkey"], "left_anti")
+    w = Window.partitionBy("custkey").orderBy("rkey", "partkey")
+    return (
+        negs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .groupBy("custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_negatives"),
+            F.sum("partkey").alias("neg_checksum"),
+        )
+    )
