@@ -2115,3 +2115,137 @@ def orders_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("partkey").alias("neg_checksum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end entity resolution: block → score → cluster → golden record
+# ---------------------------------------------------------------------------
+
+_ER_CORPUS_SQL = """
+    WITH RECURSIVE corpus AS (
+      SELECT c_custkey AS k, c_name AS name, c_nationkey AS nat,
+             CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+      FROM customer
+      UNION ALL
+      SELECT c_custkey + 100000, c_name, c_nationkey, NULL
+      FROM customer
+      UNION ALL
+      SELECT c_custkey + 200000, c_name || 'x', c_nationkey,
+             CAST(c_acctbal AS DECIMAL(18,2)) + 10
+      FROM customer
+    )
+"""
+
+
+@query(
+    "customer_golden_records",
+    oracle=_ER_CORPUS_SQL
+    + """
+    , blocked AS (
+      SELECT k, name, nat, bal, substr(name, 1, 16) AS blk FROM corpus
+    ),
+    pairs AS (
+      SELECT a.k AS ka, b.k AS kb
+      FROM blocked a JOIN blocked b
+        ON a.nat = b.nat AND a.blk = b.blk AND a.k < b.k
+      WHERE levenshtein(a.name, b.name) <= 1
+    ),
+    edges AS (
+      SELECT ka AS src, kb AS dst FROM pairs
+      UNION SELECT kb, ka FROM pairs
+    ),
+    walk(node, r) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT w.node, e.dst FROM walk w JOIN edges e ON e.src = w.r
+    ),
+    labels AS (SELECT node, MIN(r) AS comp FROM walk GROUP BY node),
+    members AS (
+      SELECT c.k, c.name, c.bal, COALESCE(l.comp, c.k) AS comp
+      FROM corpus c LEFT JOIN labels l ON l.node = c.k
+    )
+    SELECT m.comp AS golden_key,
+           MAX(CASE WHEN m.k = m.comp THEN m.name END) AS golden_name,
+           CAST(MAX(m.bal) AS DOUBLE) AS best_acctbal,
+           COUNT(*) AS n_members,
+           CAST(SUM(CASE WHEN m.bal IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_incomplete
+    FROM members m GROUP BY m.comp
+    """,
+)
+def customer_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END entity resolution — the full MDM flow as one
+    composed plan: (1) BLOCK on (nation, name prefix) so only
+    plausible pairs exist; (2) SCORE in-block pairs with edit
+    distance; (3) CLUSTER matches with connected components
+    (operators/dedup.connected_components — A~B~C must become ONE
+    entity); (4) SURVIVORSHIP per cluster — canonical key is the
+    minimum, the name comes from the canonical member, the balance is
+    the most-complete value across duplicates (MAX over nullable
+    copies), plus completeness accounting. Singletons pass through as
+    their own golden record via the left join.
+
+    The fixture plants each customer three times (exact copy with a
+    NULL balance, one-typo copy with a richer balance), so every stage
+    provably does work: blocking admits the typo, clustering fuses the
+    triangle, survivorship must pick the non-null richer balance while
+    keeping the canonical name. Each stage is a shape used elsewhere
+    in the catalog; this query is their composition — which is what an
+    MDM pipeline actually ships."""
+    from ..operators.dedup import connected_components_star
+
+    c = t(spark, sf_dir, "customer")
+    base = c.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_acctbal").cast("decimal(18,2)").alias("bal"),
+    )
+    corpus = (
+        base.unionByName(
+            base.select(
+                (F.col("k") + 100000).alias("k"),
+                "name",
+                "nat",
+                F.lit(None).cast("decimal(18,2)").alias("bal"),
+            )
+        )
+        .unionByName(
+            base.select(
+                (F.col("k") + 200000).alias("k"),
+                F.concat(F.col("name"), F.lit("x")).alias("name"),
+                "nat",
+                (F.col("bal") + 10).cast("decimal(18,2)").alias("bal"),
+            )
+        )
+        .persist()
+    )
+    blocked = corpus.withColumn("blk", F.substring("name", 1, 16))
+    a = blocked.select(
+        F.col("k").alias("ka"), F.col("name").alias("na"), "nat", "blk"
+    )
+    b = blocked.select(
+        F.col("k").alias("kb"), F.col("name").alias("nb"), "nat", "blk"
+    )
+    pairs = (
+        a.join(b, ["nat", "blk"])
+        .filter(F.col("ka") < F.col("kb"))
+        .filter(F.levenshtein("na", "nb") <= 1)
+        .select(F.col("ka").alias("_id_a"), F.col("kb").alias("_id_b"))
+    )
+    # lev<=1 also matches digit-neighbor names (#...100 ~ #...101),
+    # chaining entities into LONG paths — exactly the adversarial case
+    # the log-diameter star variant exists for; the direct min-label
+    # loop needs O(path) rounds and its plan growth OOMs small drivers
+    labels = connected_components_star(pairs)
+    members = corpus.join(
+        labels.withColumnRenamed("node", "k"), "k", "left"
+    ).withColumn("comp", F.coalesce(F.col("comp"), F.col("k")))
+    return members.groupBy(F.col("comp").alias("golden_key")).agg(
+        F.max(
+            F.when(F.col("k") == F.col("comp"), F.col("name"))
+        ).alias("golden_name"),
+        F.max("bal").cast("double").alias("best_acctbal"),
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum(F.col("bal").isNull().cast("long")).alias("n_incomplete"),
+    )
