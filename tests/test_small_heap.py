@@ -1,0 +1,43 @@
+"""Small-driver canary: the heaviest catalog queries must run in a
+DEFAULT-memory Spark session (no 48g driver), because the correctness
+driver builds its own session and makes no memory promises.
+
+This caught a real bug: entity-resolution clustering with the direct
+min-label CC loop OOM'd a 1 GB heap — not from data (a few thousand
+rows) but from Catalyst plan growth across self-referential loop
+rounds. The fix (localCheckpoint-truncated star rounds) is exactly what
+this test pins. Runs in a subprocess so the session is genuinely fresh
+and default-sized.
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+_PROBE = r"""
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[4]")
+         .config("spark.ui.enabled", "false").getOrCreate())
+import __spark_entry__ as e
+qs = e.queries()
+for name in ["customer_golden_records", "dedup_clusters_largestar",
+             "dedup_minhash_lsh", "parts_market_basket"]:
+    n = qs[name](spark, "/root/testdata/sf0.01").count()
+    print("HEAPCANARY", name, n, flush=True)
+print("HEAPCANARY ALL_OK", flush=True)
+"""
+
+
+def test_heavy_queries_fit_default_driver_heap():
+    proc = subprocess.run(
+        [sys.executable, "-c", _PROBE],
+        capture_output=True,
+        text=True,
+        timeout=900,
+        cwd="/root/repo",
+    )
+    assert "HEAPCANARY ALL_OK" in proc.stdout, (
+        f"rc={proc.returncode}\nstdout tail: {proc.stdout[-1000:]}\n"
+        f"stderr tail: {proc.stderr[-2000:]}"
+    )
