@@ -507,3 +507,109 @@ def orders_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("o_orderkey") > 10000000).cast("long")).alias("n_inserted"),
         dsum(F.col("o_totalprice"), "total_value", 2),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bitemporal dimension: valid time × transaction time
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dim_customer_bitemporal",
+    oracle="""
+    WITH dim AS (
+      -- recorded at tx T0: initial load, valid from 1995 open-ended
+      SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal,
+             DATE '1995-01-01' AS vf, CAST(NULL AS DATE) AS vt,
+             DATE '2024-01-01' AS tf, DATE '2024-06-01' AS tt
+      FROM customer
+      UNION ALL
+      -- recorded at tx T1: %3 keys RETROACTIVELY corrected (+99) for
+      -- the same valid period — supersedes the T0 belief
+      SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) + 99,
+             DATE '1995-01-01', CAST(NULL AS DATE),
+             DATE '2024-06-01', CAST(NULL AS DATE)
+      FROM customer WHERE c_custkey % 3 = 0
+      UNION ALL
+      -- T0 rows of corrected keys stay queryable AS OF T0 (tt closes
+      -- them at T1); uncorrected keys remain open at T1
+      SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)),
+             DATE '1995-01-01', CAST(NULL AS DATE),
+             DATE '2024-06-01', CAST(NULL AS DATE)
+      FROM customer WHERE c_custkey % 3 <> 0
+    ),
+    probes AS (
+      SELECT * FROM (VALUES
+        (DATE '2024-03-01', DATE '1996-06-01'),
+        (DATE '2024-07-01', DATE '1996-06-01')
+      ) AS v(tx_asof, valid_asof)
+    )
+    SELECT p.tx_asof, p.valid_asof,
+           COUNT(*) AS n_rows,
+           CAST(SUM(d.bal) AS DOUBLE) AS total_balance
+    FROM probes p JOIN dim d
+      ON d.tf <= p.tx_asof AND (d.tt IS NULL OR p.tx_asof < d.tt)
+     AND d.vf <= p.valid_asof AND (d.vt IS NULL OR p.valid_asof < d.vt)
+    GROUP BY p.tx_asof, p.valid_asof
+    """,
+)
+def dim_customer_bitemporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITEMPORAL dimension query: every row carries TWO intervals —
+    VALID time (when the fact was true in the world) and TRANSACTION
+    time (when the warehouse believed it) — and "AS OF" takes both
+    coordinates. The fixture records an initial load at tx T0, then a
+    RETROACTIVE correction at T1 for a third of the keys (same valid
+    period, new balance): querying valid date 1996 AS OF tx March must
+    return the pre-correction numbers (reproducing the report exactly
+    as it was produced — the audit requirement SCD2 alone can't meet),
+    while AS OF July reflects the correction. Both probes run in one
+    broadcast-probe join against the same dimension scan.
+
+    SCD2 (dim_customer_scd2) is the valid-time half; this adds the
+    transaction axis that makes restatements queryable instead of
+    destructive."""
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_acctbal").cast("decimal(18,2)").alias("bal")
+    )
+    d0 = lambda s: F.lit(s).cast("date")
+    null_d = F.lit(None).cast("date")
+    k = F.col("c_custkey")
+    dim = (
+        c.select(
+            "c_custkey", "bal",
+            d0("1995-01-01").alias("vf"), null_d.alias("vt"),
+            d0("2024-01-01").alias("tf"), d0("2024-06-01").alias("tt"),
+        )
+        .unionByName(
+            c.filter(k % 3 == 0).select(
+                "c_custkey", (F.col("bal") + 99).cast("decimal(18,2)").alias("bal"),
+                d0("1995-01-01").alias("vf"), null_d.alias("vt"),
+                d0("2024-06-01").alias("tf"), null_d.alias("tt"),
+            )
+        )
+        .unionByName(
+            c.filter(k % 3 != 0).select(
+                "c_custkey", "bal",
+                d0("1995-01-01").alias("vf"), null_d.alias("vt"),
+                d0("2024-06-01").alias("tf"), null_d.alias("tt"),
+            )
+        )
+    )
+    probes = spark.createDataFrame(
+        [("2024-03-01", "1996-06-01"), ("2024-07-01", "1996-06-01")],
+        ["tx_s", "valid_s"],
+    ).select(
+        F.col("tx_s").cast("date").alias("tx_asof"),
+        F.col("valid_s").cast("date").alias("valid_asof"),
+    )
+    joined = dim.join(
+        F.broadcast(probes),
+        (F.col("tf") <= F.col("tx_asof"))
+        & (F.col("tt").isNull() | (F.col("tx_asof") < F.col("tt")))
+        & (F.col("vf") <= F.col("valid_asof"))
+        & (F.col("vt").isNull() | (F.col("valid_asof") < F.col("vt"))),
+    )
+    return joined.groupBy("tx_asof", "valid_asof").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("bal").cast("double").alias("total_balance"),
+    )
