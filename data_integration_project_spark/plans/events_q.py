@@ -1993,3 +1993,57 @@ def events_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value_cents_feat",
         F.coalesce(F.col("_r"), F.lit(0)).cast("int").alias("is_retained"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling weekly-active-users (sliding-window distinct)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_rolling_wau",
+    oracle="""
+    WITH user_days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    contrib AS (
+      SELECT user_id, d + CAST(x AS INTEGER) AS report_day
+      FROM user_days CROSS JOIN (SELECT unnest(range(0, 7)) AS x)
+    ),
+    days AS (SELECT DISTINCT CAST(ts AS DATE) AS report_day FROM events)
+    SELECT c.report_day,
+           COUNT(DISTINCT c.user_id) AS wau
+    FROM contrib c JOIN days USING (report_day)
+    GROUP BY c.report_day
+    """,
+)
+def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day — the engagement metric a
+    DISTINCT window aggregate can't express (Spark refuses
+    COUNT(DISTINCT) OVER, and buffering each day's user set is
+    quadratic state). The scalable identity: a user active on day d
+    contributes to exactly the 7 report days [d, d+6] — so deduplicate
+    to (user, active-day), EXPLODE each into its 7 contribution days
+    (a bounded 7× factor on the already-small distinct pairs, nothing
+    like raw event volume), and distinct-count per report day.
+    Restricted to days that exist in the data, so edges are
+    well-defined.
+
+    Same first-occurrence family as events_cumulative_unique_users —
+    running-distinct tricks are substitution identities, not window
+    functions."""
+    ev = t(spark, sf_dir, "events")
+    user_days = ev.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    contrib = user_days.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("x"),
+        "d",
+    ).select("user_id", F.date_add(F.col("d"), F.col("x")).alias("report_day"))
+    days = ev.select(F.col("ts").cast("date").alias("report_day")).distinct()
+    return (
+        contrib.join(F.broadcast(days), "report_day")
+        .groupBy("report_day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
