@@ -2249,3 +2249,83 @@ def customer_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_members"),
         F.sum(F.col("bal").isNull().cast("long")).alias("n_incomplete"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hierarchy rollup (path-explode — no recursion in the engine)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "customers_hierarchy_rollup",
+    oracle="""
+    WITH nodes AS (
+      SELECT c_custkey AS k, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+      FROM customer
+    ),
+    paths AS (
+      -- every ancestor of k in the binary hierarchy is k >> j
+      SELECT n.k, n.bal, (n.k // CAST(power(2, j) AS BIGINT)) AS anc
+      FROM nodes n CROSS JOIN (SELECT unnest(range(0, 11)) AS j)
+      WHERE (n.k // CAST(power(2, j) AS BIGINT)) >= 1
+    ),
+    rolled AS (
+      SELECT anc AS k,
+             COUNT(*) AS subtree_size,
+             CAST(SUM(bal) AS DOUBLE) AS subtree_balance
+      FROM paths GROUP BY anc
+    )
+    SELECT r.k, CAST(floor(log2(r.k)) AS INT) AS depth,
+           r.subtree_size, r.subtree_balance
+    FROM rolled r JOIN nodes n ON n.k = r.k
+    ORDER BY r.subtree_size DESC, r.k
+    LIMIT 25
+    """,
+)
+def customers_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIERARCHY aggregation without recursion: customers form a binary
+    org tree (parent of k = k div 2), and every subtree total is
+    computed by the PATH-EXPLODE identity — each node contributes to
+    exactly its ⌈log n⌉ ancestors (anc = k >> j), so one explode of
+    depth-many rows plus one groupBy replaces the recursive CTE an
+    engine-side rollup would otherwise need. This is how org-chart /
+    BOM / category-tree rollups run at scale: recursion depth becomes
+    a bounded column, not an iteration count.
+
+    Top-25 subtrees by size (tie-broken); depth = floor(log2(k)) —
+    integer-exact in both engines since k is an exact power-2 shift
+    hierarchy. Exact-decimal balances keep the sums
+    order-independent."""
+    c = t(spark, sf_dir, "customer")
+    nodes = c.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_acctbal").cast("decimal(18,2)").alias("bal"),
+    )
+    paths = (
+        nodes.select(
+            "k", "bal", F.explode(F.sequence(F.lit(0), F.lit(10))).alias("j")
+        )
+        .select(
+            "k",
+            "bal",
+            # shiftright() the function wants a literal bit count; the
+            # SQL form takes a column
+            F.expr("shiftright(k, cast(j as int))").alias("anc"),
+        )
+        .filter(F.col("anc") >= 1)
+    )
+    rolled = paths.groupBy(F.col("anc").alias("k")).agg(
+        F.count(F.lit(1)).alias("subtree_size"),
+        F.sum("bal").cast("double").alias("subtree_balance"),
+    )
+    return (
+        rolled.join(nodes.select("k"), "k")
+        .select(
+            "k",
+            F.floor(F.log2("k")).cast("int").alias("depth"),
+            "subtree_size",
+            "subtree_balance",
+        )
+        .orderBy(F.desc("subtree_size"), F.asc("k"))
+        .limit(25)
+    )
