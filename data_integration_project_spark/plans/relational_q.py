@@ -2329,3 +2329,55 @@ def customers_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("subtree_size"), F.asc("k"))
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# Observation API: metrics collected during the pass (no second scan)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_observed_metrics",
+    oracle="""
+    WITH big AS (
+      SELECT * FROM orders WHERE o_totalprice > 150000
+    )
+    SELECT (SELECT COUNT(*) FROM orders) AS rows_scanned,
+           CAST((SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders)
+                AS DOUBLE) AS value_scanned,
+           (SELECT COUNT(*) FROM big) AS rows_kept
+    """,
+)
+def orders_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OBSERVATION API: named metrics (`df.observe`) accumulate
+    DURING the main query's single pass — the engine-level form of
+    pipeline telemetry, where "how many rows/how much value flowed
+    past this point" must not cost a second scan of a 100 TB input.
+    The observation point sits BEFORE the filter, so rows_scanned /
+    value_scanned describe the raw feed while the query's own result
+    is the filtered count — three numbers, one scan.
+
+    The reference logs per-step row counts around every pipeline stage
+    (coffee_etl_clean/main.py run logging); this is that telemetry as
+    a first-class, zero-extra-pass construct. The oracle recomputes
+    the same three aggregates relationally."""
+    from pyspark.sql import Observation
+
+    o = t(spark, sf_dir, "orders")
+    obs = Observation("feed")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_scanned"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("value_scanned"),
+    )
+    kept = observed.filter(F.col("o_totalprice") > 150000).agg(
+        F.count(F.lit(1)).alias("rows_kept")
+    )
+    n_kept = kept.collect()[0]["rows_kept"]  # triggers the single pass
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["rows_scanned"], m["value_scanned"], n_kept)],
+        "rows_scanned long, value_scanned double, rows_kept long",
+    )
