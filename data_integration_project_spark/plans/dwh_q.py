@@ -613,3 +613,101 @@ def dim_customer_bitemporal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("bal").cast("double").alias("total_balance"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Late-arriving dimension (inferred members + backfill)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "fact_late_dimension",
+    oracle="""
+    WITH dim AS (
+      -- the dimension loaded BEFORE a third of the customers arrived
+      SELECT c_custkey, c_name, c_mktsegment FROM customer
+      WHERE c_custkey % 3 <> 0
+    ),
+    facts AS (SELECT o_orderkey, o_custkey FROM orders),
+    inferred AS (
+      -- early-arriving facts mint placeholder members for unknown keys
+      SELECT DISTINCT f.o_custkey AS c_custkey,
+             'INFERRED' AS c_name, 'UNKNOWN' AS c_mktsegment
+      FROM facts f LEFT JOIN dim d ON d.c_custkey = f.o_custkey
+      WHERE d.c_custkey IS NULL
+    ),
+    dim2 AS (SELECT * FROM dim UNION ALL SELECT * FROM inferred),
+    backfilled AS (
+      -- the late dimension rows arrive and overwrite the placeholders
+      SELECT d2.c_custkey,
+             COALESCE(c.c_name, d2.c_name) AS c_name,
+             COALESCE(c.c_mktsegment, d2.c_mktsegment) AS c_mktsegment,
+             (d2.c_name = 'INFERRED') AS was_inferred
+      FROM dim2 d2
+      LEFT JOIN (SELECT * FROM customer WHERE c_custkey % 3 = 0) c
+        ON c.c_custkey = d2.c_custkey
+    )
+    SELECT b.c_mktsegment,
+           COUNT(*) AS n_members,
+           CAST(SUM(CASE WHEN b.was_inferred THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_backfilled,
+           (SELECT COUNT(*) FROM facts f JOIN dim2 d ON d.c_custkey = f.o_custkey)
+             AS n_facts_joinable
+    FROM backfilled b GROUP BY b.c_mktsegment
+    """,
+)
+def fact_late_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATE-ARRIVING DIMENSION handling — the DWH pattern for facts
+    that reference members the dimension hasn't loaded yet: instead of
+    dropping or quarantining the fact (losing revenue rows), the load
+    MINTS an inferred member per unknown key ('INFERRED'/'UNKNOWN'),
+    every fact stays joinable immediately, and when the real dimension
+    rows land the placeholders are overwritten in place (backfill
+    coalesce). The report shows segment membership after backfill,
+    how many members went through the inferred state, and that fact
+    joinability was total throughout.
+
+    Shape: unknown keys via left-anti on the broadcast dim; the
+    backfill is one more broadcast join. The reference quarantines FK
+    misses to the error zone (V4) — this is the other standard
+    answer, and both now exist in the catalog."""
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    facts = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    k = F.col("c_custkey")
+    dim = c.filter(k % 3 != 0)
+    inferred = (
+        facts.join(
+            F.broadcast(dim.select("c_custkey")),
+            facts["o_custkey"] == dim["c_custkey"],
+            "left_anti",
+        )
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .withColumn("c_name", F.lit("INFERRED"))
+        .withColumn("c_mktsegment", F.lit("UNKNOWN"))
+    )
+    dim2 = dim.unionByName(inferred)
+    late = c.filter(k % 3 == 0).select(
+        F.col("c_custkey").alias("lk"),
+        F.col("c_name").alias("ln"),
+        F.col("c_mktsegment").alias("ls"),
+    )
+    backfilled = dim2.join(
+        F.broadcast(late), dim2["c_custkey"] == late["lk"], "left"
+    ).select(
+        "c_custkey",
+        F.coalesce(F.col("ln"), F.col("c_name")).alias("c_name"),
+        F.coalesce(F.col("ls"), F.col("c_mktsegment")).alias("c_mktsegment"),
+        (F.col("c_name") == "INFERRED").alias("was_inferred"),
+    )
+    joinable = facts.join(
+        F.broadcast(dim2), facts["o_custkey"] == dim2["c_custkey"]
+    ).agg(F.count(F.lit(1)).alias("n_facts_joinable"))
+    return (
+        backfilled.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(F.col("was_inferred").cast("long")).alias("n_backfilled"),
+        )
+        .crossJoin(F.broadcast(joinable))
+    )

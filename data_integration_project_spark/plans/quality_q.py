@@ -359,3 +359,51 @@ def orders_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_raw",
         "total_winsorized",
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic pseudonymization (governance: referentially-stable tokens)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "customers_pseudonymized",
+    oracle="""
+    WITH tok AS (
+      SELECT c_custkey, c_mktsegment,
+             'cust-' || substr(md5('pepper:' || c_name), 1, 12) AS name_token
+      FROM customer
+    )
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           COUNT(DISTINCT name_token) AS n_distinct_tokens,
+           MIN(name_token) AS sample_token
+    FROM tok GROUP BY c_mktsegment
+    """,
+)
+def customers_pseudonymized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Governance: PSEUDONYMIZATION with deterministic, referentially
+    stable tokens — names become `cust-<md5(pepper:name)[:12]>`, so the
+    same person maps to the same token in every table and every run
+    (joins and dedup still work on tokenized data), while the raw
+    value never leaves the engine. Distinct-token counts per segment
+    prove injectivity held on this corpus (tokens == customers); the
+    pepper models the secret that rotates to sever re-identification.
+
+    Unlike doc_pii_scrub (destructive redaction for training text),
+    this is the analytics-preserving transform for sharing relational
+    data. Pure codegen projection — zero cost at any scale."""
+    c = t(spark, sf_dir, "customer")
+    token = F.concat(
+        F.lit("cust-"),
+        F.substring(F.md5(F.concat(F.lit("pepper:"), F.col("c_name"))), 1, 12),
+    )
+    return (
+        c.select("c_mktsegment", token.alias("name_token"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.countDistinct("name_token").alias("n_distinct_tokens"),
+            F.min("name_token").alias("sample_token"),
+        )
+    )
