@@ -2047,3 +2047,81 @@ def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("report_day")
         .agg(F.countDistinct("user_id").alias("wau"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-granularity rollup cascade (hour -> day -> month, lossless)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_rollup_cascade",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, event_type,
+             COUNT(*) AS n, SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+      FROM events GROUP BY h, event_type
+    ),
+    daily AS (
+      SELECT CAST(date_trunc('day', h) AS DATE) AS d, event_type,
+             SUM(n) AS n, SUM(cents) AS cents
+      FROM hourly GROUP BY d, event_type
+    ),
+    monthly AS (
+      SELECT CAST(date_trunc('month', d) AS DATE) AS m, event_type,
+             CAST(SUM(n) AS BIGINT) AS n_events,
+             CAST(SUM(cents) AS BIGINT) AS value_cents
+      FROM daily GROUP BY m, event_type
+    ),
+    direct AS (
+      SELECT CAST(date_trunc('month', ts) AS DATE) AS m, event_type,
+             COUNT(*) AS n_direct
+      FROM events GROUP BY m, event_type
+    )
+    SELECT mo.m AS month, mo.event_type, mo.n_events, mo.value_cents,
+           CAST(mo.n_events = di.n_direct AS INT) AS cascade_matches_direct
+    FROM monthly mo JOIN direct di
+      ON di.m = mo.m AND di.event_type = mo.event_type
+    """,
+)
+def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AGGREGATION CASCADE: hour rollup from raw events, day FROM
+    the hour rollup, month FROM the day rollup — each level reads the
+    previous level's (tiny) output, never the raw data again. This is
+    how a 100 TB metrics store actually serves multi-granularity
+    queries: ingest aggregates once into the finest grain, and every
+    coarser grain is a re-aggregation of partials (valid because count
+    and integer-cent sums are associative — a mean or percentile would
+    need its decomposed form first). The in-row flag compares the
+    cascaded month against a direct-from-raw month count — 1
+    everywhere, the losslessness proof.
+
+    Integer cents (floor(v·100+0.5)) rather than float sums make every
+    level exactly mergeable — same discipline as the stateful-streaming
+    accumulator."""
+    ev = t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("cents"))
+    daily = hourly.groupBy(
+        F.date_trunc("day", "h").cast("date").alias("d"), "event_type"
+    ).agg(F.sum("n").alias("n"), F.sum("cents").alias("cents"))
+    monthly = daily.groupBy(
+        F.date_trunc("month", "d").cast("date").alias("m"), "event_type"
+    ).agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.sum("cents").cast("long").alias("value_cents"),
+    )
+    direct = ev.groupBy(
+        F.date_trunc("month", "ts").cast("date").alias("m"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_direct"))
+    return monthly.join(direct, ["m", "event_type"]).select(
+        F.col("m").alias("month"),
+        "event_type",
+        "n_events",
+        "value_cents",
+        (F.col("n_events") == F.col("n_direct")).cast("int").alias(
+            "cascade_matches_direct"
+        ),
+    )

@@ -2381,3 +2381,60 @@ def orders_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["rows_scanned"], m["value_scanned"], n_kept)],
         "rows_scanned long, value_scanned double, rows_kept long",
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-column checksums (drift localization for anti-entropy)
+# ---------------------------------------------------------------------------
+
+_COLSUM_SPECS = [
+    ("o_orderkey", "o_orderkey % 2147483647"),
+    ("o_custkey", "o_custkey % 2147483647"),
+    ("o_totalprice", "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) % 2147483647"),
+    ("o_orderstatus", "ascii(substr(o_orderstatus, 1, 1)) % 2147483647"),
+]
+
+
+@query(
+    "orders_column_checksums",
+    oracle="""
+    SELECT col_name, n_rows, checksum FROM (
+    """
+    + "\n      UNION ALL\n".join(
+        f"""SELECT '{name}' AS col_name, COUNT(*) AS n_rows,
+             SUM({expr}) % 2147483647 AS checksum FROM orders"""
+        for name, expr in _COLSUM_SPECS
+    )
+    + """
+    )
+    """,
+)
+def orders_column_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-COLUMN checksums: the drill-down companion to the row-block
+    table diff (orders_zone_diff) — when two replicas disagree, column
+    checksums localize WHICH attribute drifted (a price restatement vs
+    a status migration look identical at row level), before any
+    row-by-row comparison runs. Additive mod-P sums are
+    order-independent and mergeable, floats enter integer-scaled, and
+    all four columns checksum in ONE scan (Catalyst shares the scan
+    across the union legs' map-side-combined aggregates).
+
+    The anti-entropy toolkit is now three resolutions: table → block
+    (zone_diff) → column (here) → row (the final bounded join)."""
+    o = t(spark, sf_dir, "orders")
+    exprs = {
+        "o_orderkey": F.col("o_orderkey") % 2147483647,
+        "o_custkey": F.col("o_custkey") % 2147483647,
+        "o_totalprice": F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+        % 2147483647,
+        "o_orderstatus": F.ascii(F.substring("o_orderstatus", 1, 1)) % 2147483647,
+    }
+    out = None
+    for name, e in exprs.items():
+        leg = o.agg(
+            F.lit(name).alias("col_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.sum(e) % 2147483647).alias("checksum"),
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out
