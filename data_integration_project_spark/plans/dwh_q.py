@@ -711,3 +711,183 @@ def fact_late_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(joinable))
     )
+
+
+# ---------------------------------------------------------------------------
+# Compensating fact entries (append-only corrections)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "fact_compensating_entries",
+    oracle="""
+    WITH postings AS (
+      -- original postings
+      SELECT o_orderkey, o_orderdate,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS amount, 1 AS seq
+      FROM orders
+      UNION ALL
+      -- corrections arrive append-only: full reversal + corrected row
+      SELECT o_orderkey, o_orderdate,
+             -CAST(o_totalprice AS DECIMAL(18,2)), 2
+      FROM orders WHERE o_orderkey % 9 = 0
+      UNION ALL
+      SELECT o_orderkey, o_orderdate,
+             CAST(o_totalprice AS DECIMAL(18,2)) + 5, 3
+      FROM orders WHERE o_orderkey % 9 = 0
+    )
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           COUNT(*) AS n_postings,
+           CAST(SUM(CASE WHEN seq = 1 THEN amount ELSE 0 END) AS DOUBLE)
+             AS as_posted,
+           CAST(SUM(amount) AS DOUBLE) AS net_amount,
+           CAST(SUM(CASE WHEN seq > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correction_rows
+    FROM postings GROUP BY month
+    """,
+)
+def fact_compensating_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-ONLY fact corrections (compensating entries): a posted
+    fact is never updated — a correction appends a full reversal plus
+    the corrected row, so history is immutable (audit), every past
+    report is reproducible from as-posted rows alone, and the NET view
+    is just SUM over all postings — no MERGE, no rewrite, no conflict
+    with concurrent readers. The accounting answer to mutable facts,
+    and at 100 TB the cheapest one: corrections are a tiny append, and
+    exact-decimal addition makes net == corrected by construction.
+
+    The month report carries both views (as-posted vs net) plus the
+    correction volume — the reconciliation triangle every ledger
+    closes with."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", F.col("o_totalprice").cast("decimal(18,2)").alias("amount")
+    )
+    k = F.col("o_orderkey")
+    postings = (
+        o.withColumn("seq", F.lit(1))
+        .unionByName(
+            o.filter(k % 9 == 0).select(
+                "o_orderkey", "o_orderdate", (-F.col("amount")).alias("amount")
+            ).withColumn("seq", F.lit(2))
+        )
+        .unionByName(
+            o.filter(k % 9 == 0).select(
+                "o_orderkey", "o_orderdate",
+                (F.col("amount") + 5).cast("decimal(18,2)").alias("amount"),
+            ).withColumn("seq", F.lit(3))
+        )
+    )
+    return postings.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_postings"),
+        F.sum(F.when(F.col("seq") == 1, F.col("amount")).otherwise(F.lit(0).cast("decimal(18,2)")))
+        .cast("double")
+        .alias("as_posted"),
+        F.sum("amount").cast("double").alias("net_amount"),
+        F.sum((F.col("seq") > 1).cast("long")).alias("n_correction_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Effective-dated FX conversion (as-of join against a rate series)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_fx_normalized",
+    oracle="""
+    WITH rates AS (
+      SELECT CAST(w AS TIMESTAMP) AS rate_ts,
+             1000000 + (CAST(epoch(CAST(w AS TIMESTAMP)) // 86400 AS BIGINT) % 50)
+               * 1000 AS rate_micro
+      FROM (SELECT unnest(generate_series(DATE '1994-12-26', DATE '2001-12-31',
+                                          INTERVAL 7 DAY)) AS w)
+    ),
+    converted AS (
+      SELECT o.o_orderkey, o.o_orderdate, r.rate_micro,
+             CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) * r.rate_micro
+               AS conv_micro_cents
+      FROM orders o
+      ASOF LEFT JOIN rates r ON o.o_orderdate >= r.rate_ts
+    )
+    SELECT CAST(date_trunc('year', o_orderdate) AS DATE) AS year,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT rate_micro) AS n_rates_used,
+           CAST(SUM(CAST(conv_micro_cents AS DECIMAL(38,0))) AS DOUBLE)
+             AS total_converted_micro_cents
+    FROM converted GROUP BY year
+    """,
+)
+def orders_fx_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective-dated currency conversion: each order converts at the
+    LATEST rate published on or before its order date — the as-of join
+    (operators/temporal.asof_join) against a weekly rate series, which
+    is how every multi-currency warehouse normalizes amounts (an
+    equi-join on date would lose orders between publications; a range
+    join would be quadratic). Rates are a deterministic integer
+    function of the week (micro-rates), conversion is integer
+    arithmetic (cents × micro-rate), and the yearly rollup sums exact
+    decimals — bit-identical across engines and partitionings.
+
+    A rate series is TINY (|weeks| rows) however big the fact side is
+    — so instead of the generic as-of join (whose window would put a
+    single currency's entire fact stream in one sort partition), the
+    rates collapse into ONE broadcast sorted array and each order picks
+    its rate with a local array scan (the same broadcast-boundaries
+    pattern as orders_range_partition_hist). The general
+    operators/temporal.asof_join remains the tool when BOTH sides are
+    large (events as-of events); DuckDB's native ASOF LEFT JOIN is the
+    oracle either way — certifying against an independent engine's
+    dedicated operator."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    rates = (
+        spark.sql(
+            """
+            SELECT explode(sequence(DATE '1994-12-26', DATE '2001-12-31',
+                                    INTERVAL 7 DAY)) AS w
+            """
+        )
+        .select(F.col("w").cast("timestamp").alias("rate_ts"))
+        .withColumn(
+            "rate_micro",
+            F.lit(1000000)
+            + (F.floor(F.unix_timestamp("rate_ts") / 86400).cast("long") % 50)
+            * 1000,
+        )
+    )
+    rate_arr = rates.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("rate_ts"), F.col("rate_micro")))
+        ).alias("arr")
+    )
+    joined = o.crossJoin(F.broadcast(rate_arr)).select(
+        "o_orderdate",
+        "cents",
+        F.element_at(
+            F.col("arr"),
+            F.size(
+                F.filter(F.col("arr"), lambda r: r["rate_ts"] <= F.col("o_orderdate"))
+            ),
+        )["rate_micro"].alias("rate_micro"),
+    )
+    conv = joined.select(
+        "o_orderdate",
+        "rate_micro",
+        (F.col("cents") * F.col("rate_micro")).cast("decimal(38,0)").alias(
+            "conv_micro_cents"
+        ),
+    )
+    return conv.groupBy(
+        F.date_trunc("year", "o_orderdate").cast("date").alias("year")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("rate_micro").alias("n_rates_used"),
+        F.sum("conv_micro_cents").cast("double").alias(
+            "total_converted_micro_cents"
+        ),
+    )
