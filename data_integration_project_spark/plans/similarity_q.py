@@ -316,3 +316,89 @@ def embeddings_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("mean_val"),
     )
+
+
+# ---------------------------------------------------------------------------
+# kNN label-vote classification (embedding eval / weak supervision)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embeddings_knn_classify",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS true_label
+               FROM embeddings WHERE vec_id % 100 = 0),
+    scored AS (
+      SELECT q.query_id, q.true_label, c.label AS nlabel,
+             {_cos('q.qv', 'c.embedding')} AS cos_sim, c.vec_id AS nid
+      FROM q, embeddings c
+      WHERE q.query_id <> c.vec_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, nid) AS rank
+      FROM scored
+    ),
+    votes AS (
+      SELECT query_id, true_label, nlabel, COUNT(*) AS n_votes
+      FROM ranked WHERE rank <= 5
+      GROUP BY query_id, true_label, nlabel
+    ),
+    best AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY n_votes DESC, nlabel) AS vr
+      FROM votes
+    )
+    SELECT query_id, true_label, nlabel AS predicted_label, n_votes,
+           CAST(nlabel = true_label AS INT) AS correct
+    FROM best WHERE vr = 1
+    """,
+)
+def embeddings_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN CLASSIFICATION by label vote: every 100th vector is held
+    out as a query, its exact cosine top-5 neighbors vote with their
+    labels, and the majority (ties broken by label) is the prediction
+    — the evaluation loop behind embedding-quality checks, label
+    propagation, and weak supervision. Per-query output carries the
+    true label and a correctness flag, so accuracy is one AVG away.
+
+    Composition shape: the same scored/ranked pipeline as
+    ann_cosine_topk plus one vote aggregate and one argmax window —
+    at scale the neighbor stage swaps for the SRP-bucketed candidates
+    with identical voting on top."""
+    e = t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("true_label"),
+    )
+    topk = S.brute_force_topk(
+        queries.select(F.col("query_id").alias("vec_id"), F.col("qv").alias("embedding")),
+        e,
+        "vec_id",
+        "embedding",
+        k=5,
+    )
+    labeled = topk.join(
+        e.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nlabel")),
+        "neighbor_id",
+    ).join(queries.select("query_id", "true_label"), "query_id")
+    votes = labeled.groupBy("query_id", "true_label", "nlabel").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.asc("nlabel")
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(w))
+        .filter(F.col("vr") == 1)
+        .select(
+            "query_id",
+            "true_label",
+            F.col("nlabel").alias("predicted_label"),
+            "n_votes",
+            (F.col("nlabel") == F.col("true_label")).cast("int").alias("correct"),
+        )
+    )
