@@ -357,6 +357,42 @@ def multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.decode_image_features(media)
 
 
+@query(
+    "multimodal_png_decode",
+    oracle=f"""
+    WITH dims AS (
+      SELECT CAST(doc_id AS BIGINT) AS media_id,
+             string_split(text, '') AS sp,
+             least(octet_length(encode(text)), 3072) AS n,
+             greatest(1, CAST(ceil(least(octet_length(encode(text)), 3072) / 48.0)
+                              AS INTEGER)) AS height
+      FROM documents
+    )
+    SELECT media_id,
+           'png' AS format,
+           CAST(16 AS INTEGER) AS width,
+           height,
+           CAST(16 * height AS BIGINT) AS n_pixels,
+           CAST({_PPM_CH_SUM(0)} AS DOUBLE) / (16 * height) AS mean_r,
+           CAST({_PPM_CH_SUM(1)} AS DOUBLE) / (16 * height) AS mean_g,
+           CAST({_PPM_CH_SUM(2)} AS DOUBLE) / (16 * height) AS mean_b
+    FROM dims
+    """,
+)
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL COMPRESSED image decode — the codec gap closed for PNG with
+    zero external libraries: documents render into valid 8-bit truecolor
+    PNGs whose scanlines cycle through all five PNG filter types before
+    DEFLATE (encode_png), then decode_png walks the CRC-checked chunk
+    list, inflates IDAT via stdlib zlib, and undoes Sub/Up/Average/Paeth
+    filtering byte-by-byte inside mapInPandas. Filters + DEFLATE are
+    lossless, so the oracle recomputes the exact channel means from the
+    same padded byte prefix in SQL — any unfiltering bug (e.g. a wrong
+    Paeth tie-break) shifts the sums and fails the hash."""
+    media = M.documents_as_png_media(t(spark, sf_dir, "documents"))
+    return M.decode_image_features(media)
+
+
 # ---------------------------------------------------------------------------
 # Deterministic sampling (operators/sampling.py): hash-based, stable
 # under repartitioning — the reproducible train/test-split primitive.

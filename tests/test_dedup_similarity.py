@@ -3,6 +3,8 @@ recall holds against the exact baseline, multimodal plumbing works."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from data_integration_project_spark.operators import dedup as D
@@ -343,6 +345,31 @@ def test_decode_tga_bgr_and_bottom_up():
     assert d["mean_b"] == (10 + 40) / 2
     assert d["mean_g"] == (20 + 50) / 2
     assert d["mean_r"] == (30 + 60) / 2
+
+
+def test_decode_png_roundtrip_all_filters():
+    from data_integration_project_spark.operators.multimodal import (
+        decode_image,
+        decode_png,
+        encode_png,
+    )
+
+    # >=5 rows so every filter type (None/Sub/Up/Average/Paeth) is hit;
+    # non-trivial byte pattern so each filter's delta math matters
+    raw = bytes((i * 37 + 11) % 256 for i in range(3 * 16 * 7 - 5))
+    png = encode_png(raw)
+    d = decode_image(png)  # dispatch must route on the PNG signature
+    assert d["format"] == "png" and d["width"] == 16 and d["height"] == 7
+    raster = raw + b"\x00" * (3 * 16 * 7 - len(raw))
+    assert d["mean_r"] == sum(raster[0::3]) / d["n_pixels"]
+    assert d["mean_g"] == sum(raster[1::3]) / d["n_pixels"]
+    assert d["mean_b"] == sum(raster[2::3]) / d["n_pixels"]
+
+    # corrupting one IDAT byte must fail the CRC check, not mis-decode
+    idat_at = png.index(b"IDAT") + 6
+    bad = png[:idat_at] + bytes([png[idat_at] ^ 0xFF]) + png[idat_at + 1 :]
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bad)
 
 
 def test_star_cc_matches_direct_cc(spark):
