@@ -851,3 +851,158 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rk") <= 3) & (F.col("doc_id") % 50 == 0))
         .select("doc_id", "token", "tfidf_scaled", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition filters (Rae et al. 2021, arXiv:2112.11446
+# table A1): the standard pretraining-corpus quality gate.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_gopher_quality",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, 1 AS gsize, unnest(tk) AS gram FROM tk
+      UNION ALL
+      SELECT doc_id, 2 AS gsize,
+             unnest(list_transform(range(1, len(tk)),
+                    i -> tk[i] || ' ' || tk[i + 1])) AS gram
+      FROM tk WHERE len(tk) >= 2
+      UNION ALL
+      SELECT doc_id, 5 AS gsize,
+             unnest(list_transform(range(1, len(tk) - 3),
+                    i -> array_to_string(tk[i : i + 4], ' '))) AS gram
+      FROM tk WHERE len(tk) >= 5
+    ),
+    counts AS (
+      SELECT doc_id, gsize, gram, COUNT(*) AS cnt
+      FROM grams GROUP BY doc_id, gsize, gram
+    ),
+    agg AS (
+      SELECT doc_id,
+        CAST(SUM(CASE WHEN gsize = 1 THEN cnt ELSE 0 END) AS BIGINT) AS n_tokens,
+        CAST(SUM(CASE WHEN gsize = 1 THEN cnt * length(gram) ELSE 0 END) AS BIGINT)
+          AS tok_chars,
+        CAST(MAX(CASE WHEN gsize = 1 THEN cnt END) AS BIGINT) AS top_tok_cnt,
+        CAST(COALESCE(MAX(CASE WHEN gsize = 2 THEN cnt * length(gram) END), 0)
+          AS BIGINT) AS top2_chars,
+        CAST(COALESCE(SUM(CASE WHEN gsize = 5 AND cnt >= 2
+                           THEN cnt * length(gram) END), 0) AS BIGINT) AS dup5_chars
+      FROM counts GROUP BY doc_id
+    )
+    SELECT doc_id,
+           n_tokens,
+           CAST(tok_chars AS DOUBLE) / n_tokens AS mean_token_len,
+           CAST(top_tok_cnt AS DOUBLE) / n_tokens AS top_token_frac,
+           CAST(top2_chars AS DOUBLE) / (tok_chars + n_tokens - 1) AS top_2gram_frac,
+           CAST(dup5_chars AS DOUBLE) / (tok_chars + n_tokens - 1) AS dup_5gram_frac,
+           CAST(CASE WHEN n_tokens >= 20
+                      AND CAST(tok_chars AS DOUBLE) / n_tokens BETWEEN 3 AND 10
+                      AND CAST(top_tok_cnt AS DOUBLE) / n_tokens <= 0.20
+                      AND CAST(top2_chars AS DOUBLE) / (tok_chars + n_tokens - 1) <= 0.20
+                      AND CAST(dup5_chars AS DOUBLE) / (tok_chars + n_tokens - 1) <= 0.15
+                     THEN 1 ELSE 0 END AS INT) AS keep
+    FROM agg
+    """,
+)
+def doc_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality gate, adapted to a corpus without
+    line structure: per document (a) mean token length, (b) fraction of
+    tokens that are the single most frequent token, (c) character
+    coverage of the highest-covering word 2-gram (max of count x gram
+    length — deterministic under count ties where an argmax is not),
+    and (d) fraction of characters inside word 5-grams that occur at
+    least twice. A document keeps only if all four repetition signals
+    and a minimum length pass their (documented, Gopher-inspired)
+    thresholds.
+
+    Scale shape: the three gram sizes are built in one codegen
+    projection each (``transform(sequence(...))`` over the token array,
+    no positional self-join) and unioned into a SINGLE
+    (doc, gsize, gram) count — map-side combine, one shuffle carrying
+    per-doc gram vocabularies — then one doc-keyed aggregate folds all
+    five signals with conditional aggregates. Every fraction is one
+    IEEE division of two exact integers, so the oracle is bit-exact.
+    Ref parity: quality gating mirrors the reference's rule-engine
+    validate step (coffee_etl_clean/etl/validate.py) applied to corpus
+    hygiene rather than entity fields."""
+    d = t(spark, sf_dir, "documents")
+    tk = X.tokens(F.col("text"))
+    base = d.select("doc_id", tk.alias("tk"))
+    g1 = base.select("doc_id", F.lit(1).alias("gsize"), F.explode("tk").alias("gram"))
+    g2 = (
+        base.filter(F.size("tk") >= 2)
+        .select(
+            "doc_id",
+            F.lit(2).alias("gsize"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("tk") - 2),
+                    lambda i: F.concat_ws(" ", F.col("tk")[i], F.col("tk")[i + 1]),
+                )
+            ).alias("gram"),
+        )
+    )
+    g5 = (
+        base.filter(F.size("tk") >= 5)
+        .select(
+            "doc_id",
+            F.lit(5).alias("gsize"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("tk") - 5),
+                    lambda i: F.array_join(
+                        F.slice(F.col("tk"), i + 1, F.lit(5)), " "
+                    ),
+                )
+            ).alias("gram"),
+        )
+    )
+    counts = (
+        g1.unionByName(g2)
+        .unionByName(g5)
+        .groupBy("doc_id", "gsize", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    is1 = F.col("gsize") == 1
+    chars = F.col("cnt") * F.length("gram")
+    agg = counts.groupBy("doc_id").agg(
+        F.sum(F.when(is1, F.col("cnt")).otherwise(0)).alias("n_tokens"),
+        F.sum(F.when(is1, chars).otherwise(0)).alias("tok_chars"),
+        F.max(F.when(is1, F.col("cnt"))).alias("top_tok_cnt"),
+        F.coalesce(
+            F.max(F.when(F.col("gsize") == 2, chars)), F.lit(0)
+        ).alias("top2_chars"),
+        F.coalesce(
+            F.sum(F.when((F.col("gsize") == 5) & (F.col("cnt") >= 2), chars)),
+            F.lit(0),
+        ).alias("dup5_chars"),
+    )
+    norm_len = F.col("tok_chars") + F.col("n_tokens") - 1
+    mean_len = F.col("tok_chars").cast("double") / F.col("n_tokens")
+    top_tok = F.col("top_tok_cnt").cast("double") / F.col("n_tokens")
+    top2 = F.col("top2_chars").cast("double") / norm_len
+    dup5 = F.col("dup5_chars").cast("double") / norm_len
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        mean_len.alias("mean_token_len"),
+        top_tok.alias("top_token_frac"),
+        top2.alias("top_2gram_frac"),
+        dup5.alias("dup_5gram_frac"),
+        F.when(
+            (F.col("n_tokens") >= 20)
+            & mean_len.between(3, 10)
+            & (top_tok <= 0.20)
+            & (top2 <= 0.20)
+            & (dup5 <= 0.15),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("keep"),
+    )
