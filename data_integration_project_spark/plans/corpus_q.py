@@ -1006,3 +1006,117 @@ def doc_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# In-engine statistical LM quality filter (CCNet-style, Wenzek et al.
+# 2019): train a char-bigram model on the corpus, score every document
+# by its average log-likelihood under that model.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_charlm_score",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, lower(trim(text)) AS s FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, length(s)), i -> s[i : i + 1])) AS bg
+      FROM s WHERE length(s) >= 2
+    ),
+    vocab AS (
+      SELECT CAST(COUNT(DISTINCT c) AS BIGINT) AS v
+      FROM (SELECT unnest(string_split(s, '')) AS c FROM s)
+    ),
+    model AS (
+      SELECT bg,
+             CAST(round(ln(
+               CAST(cnt + 1 AS DOUBLE) / (tot + (SELECT v FROM vocab))
+             ) * 1000000) AS BIGINT) AS logp_unats
+      FROM (
+        SELECT bg, COUNT(*) AS cnt,
+               SUM(COUNT(*)) OVER (PARTITION BY substr(bg, 1, 1)) AS tot
+        FROM bg GROUP BY bg
+      )
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(logp_unats) AS BIGINT) AS sum_logp_unats,
+           CAST(SUM(logp_unats) AS DOUBLE) / (1000000 * COUNT(*)) AS avg_logp,
+           CAST(CASE WHEN CAST(SUM(logp_unats) AS DOUBLE) / (1000000 * COUNT(*))
+                          >= -4.7 THEN 1 ELSE 0 END AS INT) AS keep
+    FROM bg JOIN model USING (bg)
+    GROUP BY doc_id
+    """,
+)
+def doc_charlm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-LM quality filtering trained entirely in-engine (the
+    CCNet recipe with a character bigram model standing in for KenLM):
+    count corpus-wide char bigrams, add-one-smooth conditioned on the
+    left character, then score each document by its average bigram
+    log-likelihood; documents far below the corpus's typical likelihood
+    get dropped.
+
+    Determinism: each distinct bigram's log-probability is computed
+    ONCE (one exact-integer division, one ln, rounded to integer
+    micro-nats), so per-document totals are exact BIGINT sums — no
+    float-summation-order hazard; the only double is a final single
+    division. Scale shape: the model is |alphabet|^2 rows built with
+    one map-side-combined count, then BROADCAST into the scoring join —
+    the corpus-side bigram stream never shuffles on the model key; the
+    doc rollup is the single big shuffle. At 100 TB the same plan holds
+    with a word-ngram model as long as the model side stays
+    broadcastable (quantize/prune the vocab first otherwise)."""
+    d = t(spark, sf_dir, "documents")
+    s = d.select("doc_id", F.lower(F.trim(F.col("text"))).alias("s"))
+    bg = (
+        s.filter(F.length("s") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("s") - 1),
+                    lambda i: F.col("s").substr(i, F.lit(2)),
+                )
+            ).alias("bg"),
+        )
+    )
+    vocab = (
+        s.select(F.explode(F.split(F.col("s"), "")).alias("c"))
+        .agg(F.countDistinct("c").cast("long").alias("v"))
+    )
+    counts = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("cnt"))
+    tot_w = Window.partitionBy(F.substring("bg", 1, 1))
+    model = (
+        counts.withColumn("tot", F.sum("cnt").over(tot_w))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "bg",
+            F.round(
+                F.log(
+                    (F.col("cnt") + 1).cast("double") / (F.col("tot") + F.col("v"))
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("logp_unats"),
+        )
+    )
+    scored = bg.join(F.broadcast(model), "bg")
+    avg = F.col("sum_logp_unats").cast("double") / (1000000 * F.col("n_bigrams"))
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("logp_unats").alias("sum_logp_unats"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "sum_logp_unats",
+            avg.alias("avg_logp"),
+            F.when(avg >= -4.7, 1).otherwise(0).cast("int").alias("keep"),
+        )
+    )

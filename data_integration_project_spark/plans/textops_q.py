@@ -393,6 +393,49 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.decode_image_features(media)
 
 
+@query(
+    "multimodal_gif_decode",
+    oracle="""
+    WITH dims AS (
+      SELECT CAST(doc_id AS BIGINT) AS media_id,
+             string_split(text, '') AS sp,
+             least(octet_length(encode(text)), 1024) AS n,
+             greatest(1, CAST(ceil(least(octet_length(encode(text)), 1024) / 16.0)
+                              AS INTEGER)) AS height
+      FROM documents
+    ),
+    sums AS (
+      SELECT media_id, height,
+             CAST(coalesce(list_sum(list_transform(range(1, n + 1),
+                   i -> ascii(sp[i]))), 0) AS BIGINT) AS byte_sum
+      FROM dims
+    )
+    SELECT media_id,
+           'gif' AS format,
+           CAST(16 AS INTEGER) AS width,
+           height,
+           CAST(16 * height AS BIGINT) AS n_pixels,
+           CAST(byte_sum AS DOUBLE) / (16 * height) AS mean_r,
+           CAST(byte_sum AS DOUBLE) / (16 * height) AS mean_g,
+           CAST(byte_sum AS DOUBLE) / (16 * height) AS mean_b
+    FROM sums
+    """,
+)
+def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL LZW-compressed image decode, implemented from the GIF89a
+    spec with zero libraries: documents render into valid GIFs (one
+    pixel per byte through a grayscale palette, raster LZW-compressed
+    into sub-blocks), then decode_gif parses the screen descriptor +
+    color table, reassembles the sub-blocks, runs variable-width LZW
+    decompression (code widening, CLEAR resets, the KwKwK case), and
+    maps indices through the palette inside mapInPandas. The grayscale
+    palette makes all three channel means equal the exact padded byte
+    mean, which the oracle recomputes in SQL — any LZW bug shifts the
+    sums and fails the hash."""
+    media = M.documents_as_gif_media(t(spark, sf_dir, "documents"))
+    return M.decode_image_features(media)
+
+
 # ---------------------------------------------------------------------------
 # Deterministic sampling (operators/sampling.py): hash-based, stable
 # under repartitioning — the reproducible train/test-split primitive.

@@ -372,6 +372,31 @@ def test_decode_png_roundtrip_all_filters():
         decode_png(bad)
 
 
+def test_gif_lzw_roundtrip_and_decode():
+    from data_integration_project_spark.operators.multimodal import (
+        _gif_lzw_compress,
+        _gif_lzw_decompress,
+        decode_image,
+        encode_gif,
+    )
+
+    # large pseudo-random stream: forces code-width growth through 12
+    # bits and at least one CLEAR + dictionary reset
+    big = bytes((i * 131 + 17) % 256 for i in range(20000))
+    assert _gif_lzw_decompress(_gif_lzw_compress(big)) == big
+    # highly repetitive stream: exercises the KwKwK special case
+    rep = b"ababababab" * 500
+    assert _gif_lzw_decompress(_gif_lzw_compress(rep)) == rep
+
+    raw = bytes((i * 37 + 11) % 256 for i in range(16 * 5 - 3))
+    d = decode_image(encode_gif(raw))  # dispatch must route on GIF magic
+    assert d["format"] == "gif" and d["width"] == 16 and d["height"] == 5
+    padded = raw + b"\x00" * 3
+    mean = sum(padded) / len(padded)
+    # grayscale palette: all three channel means equal the byte mean
+    assert d["mean_r"] == d["mean_g"] == d["mean_b"] == mean
+
+
 def test_star_cc_matches_direct_cc(spark):
     """large-star/small-star must produce identical labels to direct
     min-label propagation on an irregular graph (two components, one
