@@ -1,0 +1,134 @@
+"""Exact quantiles at scale without a global sort: multipass range
+refinement.
+
+``multipass_quantile`` computes EXACT order statistics of an integer
+column in O(log_k(domain)) full scans, holding only ``k`` counters per
+quantile on the driver. Each pass buckets the current candidate range
+of every requested quantile into ``k`` equal-width bins in ONE shared
+scan (map-side-combined counts, shuffle carries <= k * |quantiles|
+rows), locates the bin containing the target rank, and recurses into
+it; when a range narrows to single values, the answer is exact.
+
+This is the mergeable/bounded-state "edge estimator" completing the
+sample-based RangePartitioner pattern (orders_range_partition_hist):
+per-pass histograms are additive across partitions (mergeable), state
+is fixed at k counters, and unlike a KLL sketch the final answer is
+exact — the extra passes buy exactness, the right trade at 100 TB
+where a global sort of the fact column is the thing to avoid.
+
+Reference parity: the reference's reporting layer computes order
+statistics by sorting in SQL over staged tables
+(coffee_etl_clean/sql/create_merged_views.sql aggregate views); this
+reformulates the same statistic scan-iteratively for data too large to
+sort.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class _Range:
+    idx: int
+    label: str
+    rank: int  # 1-indexed rank still to locate WITHIN [lo, hi]
+    lo: int
+    hi: int
+
+
+def multipass_quantile(
+    df: DataFrame,
+    value: Column,
+    probs: dict[str, tuple[int, int]],
+    k: int = 4096,
+    max_passes: int = 12,
+) -> list[dict]:
+    """Exact percentile_disc (least value whose cume_dist >= p) for an
+    integer-valued column, via iterative k-ary range refinement.
+
+    ``probs`` maps label -> (numerator, denominator); ranks are
+    ``ceil(num * N / den)`` in EXACT integer arithmetic (a float
+    ``ceil(p * N)`` is an off-by-one hazard: 0.9 * N computed in
+    doubles can land an ulp above the true product and ceil past it).
+
+    Returns one dict per entry of ``probs``: {label, prob, rank, value}.
+    Driver memory is O(k * |probs|); every pass is one scan of ``df``.
+    """
+    v = value.alias("v")
+    base = df.select(v)
+    first = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+    ).collect()[0]
+    n, lo0, hi0 = first["n"], first["lo"], first["hi"]
+    if n == 0:
+        return []
+
+    def rank_of(num: int, den: int) -> int:
+        return max(1, (num * n + den - 1) // den)
+
+    ranges = [
+        _Range(i, label, rank_of(*nd), lo0, hi0)
+        for i, (label, nd) in enumerate(sorted(probs.items()))
+    ]
+    for _ in range(max_passes):
+        active = [r for r in ranges if r.lo < r.hi]
+        if not active:
+            break
+        widths = {r.idx: max(1, -(-(r.hi - r.lo + 1) // k)) for r in active}
+        # one shared scan: every active quantile contributes a
+        # (quantile-idx, bucket) pair where its range covers the row
+        pairs = F.array(
+            *[
+                F.when(
+                    F.col("v").between(r.lo, r.hi),
+                    F.struct(
+                        F.lit(r.idx).alias("qi"),
+                        ((F.col("v") - F.lit(r.lo)) / F.lit(widths[r.idx]))
+                        .cast("long")
+                        .alias("b"),
+                    ),
+                )
+                for r in active
+            ]
+        )
+        counts = (
+            base.select(F.explode(pairs).alias("p"))
+            .filter(F.col("p").isNotNull())
+            .groupBy(F.col("p.qi").alias("qi"), F.col("p.b").alias("b"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        by_q: dict[int, dict[int, int]] = {}
+        for row in counts:
+            by_q.setdefault(row["qi"], {})[row["b"]] = row["c"]
+        for r in active:
+            width = widths[r.idx]
+            cum = 0
+            for b in sorted(by_q.get(r.idx, {})):
+                c = by_q[r.idx][b]
+                if cum + c >= r.rank:
+                    r.rank -= cum
+                    r.lo = r.lo + b * width
+                    r.hi = min(r.hi, r.lo + width - 1)
+                    break
+                cum += c
+            else:  # pragma: no cover — rank beyond range means a bug
+                raise RuntimeError(f"rank {r.rank} not found in [{r.lo},{r.hi}]")
+    leftover = [r for r in ranges if r.lo < r.hi]
+    if leftover:  # pragma: no cover
+        raise RuntimeError(f"did not converge in {max_passes} passes")
+    return [
+        {
+            "label": r.label,
+            "prob": probs[r.label][0] / probs[r.label][1],
+            "rank": rank_of(*probs[r.label]),
+            "value": r.lo,
+        }
+        for r in ranges
+    ]

@@ -2438,3 +2438,62 @@ def orders_column_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = leg if out is None else out.unionByName(leg)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Exact quantiles without a global sort (operators/quantiles.py):
+# multipass k-ary range refinement — the mergeable/bounded-state edge
+# estimator completing orders_range_partition_hist's sampling half.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_multipass_quantiles",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(o_totalprice * 100 AS BIGINT) AS v FROM orders
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c),
+    p AS (
+      SELECT * FROM (VALUES ('p25', 1, 4), ('p50', 1, 2), ('p90', 9, 10))
+        AS t(label, num, den)
+    ),
+    r AS (
+      SELECT label,
+             CAST(num AS DOUBLE) / den AS prob,
+             CAST((num * n + den - 1) // den AS BIGINT) AS rank
+      FROM p, n
+    ),
+    s AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM c)
+    SELECT r.label, r.prob, r.rank,
+           s.v AS value_cents,
+           CAST(s.v AS DOUBLE) / 100 AS price
+    FROM r JOIN s ON s.rn = r.rank
+    """,
+)
+def orders_multipass_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT p25/p50/p90 of o_totalprice with NO global sort: multipass
+    k-ary range refinement (operators/quantiles.py) — each pass is one
+    shared scan bucketing every still-active quantile's candidate range
+    into k equal-width bins (shuffle carries <= 3k counter rows), then
+    the driver descends into the bin holding the target rank. Integer
+    cents converge in ~3 passes at k=4096 regardless of row count;
+    ranks are exact rational arithmetic (ceil(num*N/den)), so the
+    result is bit-identical to the oracle's row_number lookup. This is
+    how an engine gets exact order statistics over a 100 TB fact column
+    where sorting is off the table and approx_percentile's error bound
+    is not acceptable."""
+    from ..operators.quantiles import multipass_quantile
+
+    o = t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice") * 100).cast("long")
+    res = multipass_quantile(
+        o, cents, {"p25": (1, 4), "p50": (1, 2), "p90": (9, 10)}
+    )
+    return spark.createDataFrame(
+        [
+            (r["label"], r["prob"], r["rank"], r["value"], r["value"] / 100.0)
+            for r in res
+        ],
+        schema="label string, prob double, rank bigint, value_cents bigint, price double",
+    )
