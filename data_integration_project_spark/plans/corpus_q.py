@@ -1120,3 +1120,91 @@ def doc_charlm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(avg >= -4.7, 1).otherwise(0).cast("int").alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-mixture construction: per-domain sampling weights under an
+# epoch cap (the Pile / data-constrained-scaling recipe).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus_mixture_weights",
+    oracle=f"""
+    WITH per_src AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len({_TOKENS_SQL})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT *,
+             CAST(SUM(n_tokens) OVER () AS BIGINT) AS total_tokens,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n_sources
+      FROM per_src
+    ),
+    w AS (
+      SELECT *,
+             CAST(round(least(
+               CAST(total_tokens AS DOUBLE) / (n_sources * n_tokens), 4.0
+             ) * 1000000) AS BIGINT) AS weight_ppm
+      FROM tot
+    )
+    SELECT source, n_docs, n_tokens,
+           CAST(n_tokens AS DOUBLE) / total_tokens AS token_share,
+           weight_ppm,
+           CAST(weight_ppm * n_tokens AS DOUBLE)
+             / CAST(SUM(weight_ppm * n_tokens) OVER () AS DOUBLE) AS mixture_share
+    FROM w
+    """,
+)
+def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture weight assignment: per-source token inventory,
+    then a sampling weight that upsamples each source toward a uniform
+    target share, capped at 4 epochs (repeating a small domain more
+    than ~4x hurts — the data-constrained-scaling rule of thumb), and
+    the resulting realized mixture share after the cap.
+
+    Determinism: weights are integer ppm (one division + one round per
+    source); realized shares divide exact integer products, so the only
+    doubles are single divisions. Scale shape: one corpus-wide
+    map-side-combined aggregate to |sources| rows; everything after is
+    broadcast arithmetic on the tiny summary — at 100 TB the token
+    inventory is the only pass over the data."""
+    d = t(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(X.token_count(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    totals = per_src.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    w = per_src.crossJoin(F.broadcast(totals)).withColumn(
+        "weight_ppm",
+        F.round(
+            F.least(
+                F.col("total_tokens").cast("double")
+                / (F.col("n_sources") * F.col("n_tokens")),
+                F.lit(4.0),
+            )
+            * 1000000
+        ).cast("long"),
+    )
+    denom = w.agg(F.sum(F.col("weight_ppm") * F.col("n_tokens")).alias("wsum"))
+    return (
+        w.crossJoin(F.broadcast(denom))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            (F.col("n_tokens").cast("double") / F.col("total_tokens")).alias(
+                "token_share"
+            ),
+            "weight_ppm",
+            (
+                (F.col("weight_ppm") * F.col("n_tokens")).cast("double")
+                / F.col("wsum").cast("double")
+            ).alias("mixture_share"),
+        )
+    )

@@ -2497,3 +2497,54 @@ def orders_multipass_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         schema="label string, prob double, rank bigint, value_cents bigint, price double",
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 (large-volume customer): IN-subquery over a grouped HAVING
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q18_large_volume_customer",
+    oracle=f"""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           {SQL_DSUM('l_quantity', 'sum_qty', 2)}
+    FROM customer, orders, lineitem
+    WHERE o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+          )
+      AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: orders whose total line quantity exceeds a threshold,
+    with customer detail — the IN-subquery-over-grouped-HAVING shape.
+
+    Scale shape: the HAVING subquery is a map-side-combined aggregate of
+    lineitem on its own native key (no extra shuffle beyond the agg);
+    its survivors join back to lineitem/orders as a key-filter
+    semi-join BEFORE the wide customer join, so the expensive joins run
+    only on qualifying orders. The final TakeOrdered(100) carries a
+    total order (price desc, date, orderkey) for a deterministic cut."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    line = t(spark, sf_dir, "lineitem")
+    big = (
+        line.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        line.join(big, "l_orderkey")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum(F.col("l_quantity"), "sum_qty", 2))
+        .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )
