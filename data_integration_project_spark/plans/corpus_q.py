@@ -1208,3 +1208,151 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mixture_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated-substring coverage (the char-level exact-substring
+# dedup signal of Lee et al. 2021, arXiv:2107.06499): which spans of
+# each document also appear verbatim in another document.
+# ---------------------------------------------------------------------------
+
+_DUPSPAN_L = 40
+
+
+@query(
+    "doc_dup_substring_coverage",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, lower(trim(text)) AS s,
+             CAST(length(lower(trim(text))) AS BIGINT) AS n_chars
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, s,
+             unnest(range(1, length(s) - {_DUPSPAN_L} + 2)) AS pos
+      FROM s WHERE length(s) >= {_DUPSPAN_L}
+    ),
+    gpos AS (SELECT doc_id, pos, substr(s, pos, {_DUPSPAN_L}) AS g FROM grams),
+    dup AS (
+      SELECT g FROM gpos GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    hits AS (SELECT doc_id, pos FROM gpos JOIN dup USING (g)),
+    islands AS (
+      SELECT doc_id, pos,
+             CASE WHEN max(pos + {_DUPSPAN_L}) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ) IS NULL
+                  OR pos >= max(pos + {_DUPSPAN_L}) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ) THEN 1 ELSE 0 END AS new_island
+      FROM hits
+    ),
+    numbered AS (
+      SELECT doc_id, pos,
+             SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM islands
+    ),
+    spans AS (
+      SELECT doc_id, island,
+             CAST(MAX(pos) + {_DUPSPAN_L} - MIN(pos) AS BIGINT) AS covered,
+             CAST(COUNT(*) AS BIGINT) AS n_pos
+      FROM numbered GROUP BY doc_id, island
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(SUM(covered) AS BIGINT) AS covered_chars,
+             CAST(SUM(n_pos) AS BIGINT) AS n_dup_positions,
+             CAST(COUNT(*) AS BIGINT) AS n_spans
+      FROM spans GROUP BY doc_id
+    )
+    SELECT s.doc_id, s.n_chars,
+           COALESCE(p.n_dup_positions, 0) AS n_dup_positions,
+           COALESCE(p.n_spans, 0) AS n_spans,
+           COALESCE(p.covered_chars, 0) AS covered_chars,
+           CAST(COALESCE(p.covered_chars, 0) AS DOUBLE) / s.n_chars
+             AS dup_char_frac
+    FROM s LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def doc_dup_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication coverage: every char 40-gram that
+    appears verbatim in >= 2 distinct documents marks its positions as
+    duplicated; overlapping marked windows merge into maximal spans
+    (gaps-and-islands over positions), and each document reports how
+    much of it is covered by cross-document verbatim repetition — the
+    removal signal of suffix-array exact-substring dedup, computed
+    relationally.
+
+    Scale shape: the gram stream is one codegen projection + explode
+    (never a suffix array in memory); duplicated grams fall out of one
+    map-side-combined distinct-doc count keyed by the gram (at 100 TB,
+    key by md5(gram) to shrink shuffle bytes); the join back is an
+    equi-join on the same key; span merging is a per-doc window over
+    only the HIT positions. Everything is exact integer arithmetic."""
+    d = t(spark, sf_dir, "documents")
+    L = _DUPSPAN_L
+    s = d.select(
+        "doc_id",
+        F.lower(F.trim(F.col("text"))).alias("s"),
+    ).withColumn("n_chars", F.length("s").cast("long"))
+    gpos = (
+        s.filter(F.length("s") >= L)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("s") - L + 1),
+                    lambda i: F.struct(
+                        i.alias("pos"), F.col("s").substr(i, F.lit(L)).alias("g")
+                    ),
+                )
+            ).alias("pg"),
+        )
+        .select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.g").alias("g"))
+    )
+    dup = (
+        gpos.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    hits = gpos.join(dup, "g").select("doc_id", "pos")
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + L).over(w_prev)
+    numbered = hits.withColumn(
+        "island",
+        F.sum(
+            F.when(prev_end.isNull() | (F.col("pos") >= prev_end), 1).otherwise(0)
+        ).over(w_run),
+    )
+    spans = numbered.groupBy("doc_id", "island").agg(
+        (F.max("pos") + L - F.min("pos")).cast("long").alias("covered"),
+        F.count(F.lit(1)).alias("n_pos"),
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum("covered").alias("covered_chars"),
+        F.sum("n_pos").alias("n_dup_positions"),
+        F.count(F.lit(1)).alias("n_spans"),
+    )
+    return (
+        s.select("doc_id", "n_chars")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce("n_dup_positions", F.lit(0)).alias("n_dup_positions"),
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("covered_chars", F.lit(0)).alias("covered_chars"),
+            (
+                F.coalesce("covered_chars", F.lit(0)).cast("double")
+                / F.col("n_chars")
+            ).alias("dup_char_frac"),
+        )
+    )
