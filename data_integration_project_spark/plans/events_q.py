@@ -2125,3 +2125,66 @@ def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cascade_matches_direct"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# VARIANT ingestion (Spark 4 semi-structured type): parse once into the
+# binary variant encoding, extract typed fields, tolerate corrupt rows.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_variant_props",
+    oracle="""
+    WITH raw AS (
+      SELECT event_type,
+             CASE WHEN event_id % 97 = 0 THEN '{"k":' ELSE props END AS pj
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN NOT json_valid(pj) THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_corrupt,
+           CAST(SUM(CASE WHEN json_valid(pj)
+                         THEN CAST(json_extract_string(pj, '$.k') AS BIGINT)
+                    END) AS BIGINT) AS sum_k,
+           CAST(SUM(CASE WHEN json_valid(pj)
+                          AND json_extract_string(pj, '$.missing') IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_no_extra
+    FROM raw GROUP BY event_type
+    """,
+)
+def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingestion through Spark 4's VARIANT type: props
+    parse ONCE into the binary variant encoding (``try_parse_json`` —
+    corrupt documents, injected deterministically on every 97th event,
+    become NULL instead of failing the job), then typed field access
+    via ``variant_get`` paths, including a missing-path probe that
+    must come back NULL rather than erroring.
+
+    Scale note: variant's binary encoding is the columnar-shredding
+    path for 100 TB semi-structured columns — parse cost is paid once
+    per row (not once per path access like repeated get_json_object),
+    and typed extraction stays a JVM expression inside the single
+    hash-aggregate pass. The oracle mirrors the same semantics through
+    DuckDB's JSON functions (json_valid / json_extract_string)."""
+    e = t(spark, sf_dir, "events")
+    v = F.try_parse_json(
+        F.when(F.col("event_id") % 97 == 0, F.lit('{"k":')).otherwise(
+            F.col("props")
+        )
+    )
+    k = F.try_variant_get(v, "$.k", "bigint")
+    extra = F.try_variant_get(v, "$.missing", "string")
+    return (
+        e.select("event_type", v.alias("v"), k.alias("k"), extra.alias("extra"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).alias("n_corrupt"),
+            F.sum("k").alias("sum_k"),
+            F.sum(
+                F.when(F.col("v").isNotNull() & F.col("extra").isNull(), 1).otherwise(0)
+            ).alias("n_no_extra"),
+        )
+    )
