@@ -2188,3 +2188,60 @@ def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_no_extra"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gap filling: last-observation-carried-forward via IGNORE NULLS
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_gap_fill_locf",
+    oracle="""
+    WITH sparse AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+      FROM events
+    ),
+    filled AS (
+      SELECT user_id, v,
+             last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS filled
+      FROM sparse
+    )
+    SELECT user_id,
+           COUNT(*) AS n_readings,
+           CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+           CAST(SUM(CASE WHEN v IS NULL AND filled IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+           CAST(SUM(CAST(filled AS DECIMAL(18,2))) AS DOUBLE) AS filled_sum
+    FROM filled GROUP BY user_id
+    """,
+)
+def events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward gap filling: a deterministic
+    20% of readings are nulled out (every 5th event id — the sensor
+    dropout simulation), then each user's series is repaired with
+    ``last_value(... IGNORE NULLS)`` over event time. Gaps before the
+    first real reading stay NULL (n_gaps vs n_filled shows them). The
+    exact-decimal sum over the filled series proves repaired values
+    are the right ones, not merely non-null.
+
+    Scale shape: one window sorted within the user partition (the
+    same partitioning every per-user operator here reuses), then one
+    map-side-combined rollup. IGNORE NULLS is a frame-native JVM
+    expression — no sentinel self-join, no UDF."""
+    e = t(spark, sf_dir, "events")
+    v = F.when(F.col("event_id") % 5 == 0, F.lit(None)).otherwise(F.col("value"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    filled = e.select("user_id", "ts", "event_id", v.alias("v")).withColumn(
+        "filled", F.last("v", ignorenulls=True).over(w)
+    )
+    return filled.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_readings"),
+        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).alias("n_gaps"),
+        F.sum(
+            F.when(F.col("v").isNull() & F.col("filled").isNotNull(), 1).otherwise(0)
+        ).alias("n_filled"),
+        F.sum(F.col("filled").cast("decimal(18,2)")).cast("double").alias("filled_sum"),
+    )

@@ -2548,3 +2548,60 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE (engine-side recursion — the iterative twin of the
+# path-explode rollup above, for hierarchies with no closed-form parent)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "customers_recursive_root_path",
+    oracle="""
+    WITH RECURSIVE r(start_k, k, depth, path_bal) AS (
+      SELECT c_custkey, c_custkey, 0, CAST(c_acctbal AS DECIMAL(18,2))
+      FROM customer WHERE c_custkey % 25 = 0 AND c_custkey > 0
+      UNION ALL
+      SELECT r.start_k, r.k // 2, r.depth + 1,
+             CAST(r.path_bal + c.c_acctbal AS DECIMAL(18,2))
+      FROM r JOIN customer c ON c.c_custkey = r.k // 2
+      WHERE r.k > 1
+    )
+    SELECT start_k, depth AS depth_to_root,
+           CAST(path_bal AS DOUBLE) AS path_balance
+    FROM r WHERE k = 1
+    """,
+)
+def customers_recursive_root_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-side RECURSIVE CTE (Spark 4 `WITH RECURSIVE`): walk each
+    seeded customer's ancestor chain (parent of k = k div 2) up to the
+    root, accumulating exact-decimal balances along the path. The
+    path-explode rollup (customers_hierarchy_rollup) handles this
+    hierarchy WITHOUT recursion because the parent is closed-form;
+    this query is the general-case twin — the recursion joins the
+    frontier back to the table each round, which is what you need when
+    parentage is data, not formula.
+
+    Scale note: each recursion round is a frontier⋈dimension equi-join
+    — frontier size |seeds|, rounds = tree depth (log n here). The
+    100 TB caveat is the same as any iterative plan: lineage grows per
+    round, so for deep hierarchies prefer the path-explode form or
+    checkpoint between rounds (cf. the large-star CC lesson)."""
+    _view(spark, sf_dir, "customer", "rec_customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE r(start_k, k, depth, path_bal) AS (
+          SELECT c_custkey, c_custkey, 0, CAST(c_acctbal AS DECIMAL(18,2))
+          FROM rec_customer WHERE c_custkey % 25 = 0 AND c_custkey > 0
+          UNION ALL
+          SELECT r.start_k, r.k div 2, r.depth + 1,
+                 CAST(r.path_bal + c.c_acctbal AS DECIMAL(18,2))
+          FROM r JOIN rec_customer c ON c.c_custkey = r.k div 2
+          WHERE r.k > 1
+        )
+        SELECT start_k, depth AS depth_to_root,
+               CAST(path_bal AS DOUBLE) AS path_balance
+        FROM r WHERE k = 1
+        """
+    )
