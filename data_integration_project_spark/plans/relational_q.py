@@ -2605,3 +2605,87 @@ def customers_recursive_root_path(spark: SparkSession, sf_dir: str) -> DataFrame
         FROM r WHERE k = 1
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Modern SQL surface: pipe syntax (|>) and case-insensitive collation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_pipe_syntax",
+    oracle=f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           {SQL_DSUM('o_totalprice', 'total_value', 2)}
+    FROM orders
+    WHERE o_totalprice > 100000
+    GROUP BY o_orderstatus
+    """,
+)
+def orders_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4 `|>` operators): the same
+    filter→aggregate plan expressed as a linear pipeline — each pipe
+    stage is parsed into the identical logical operators as the nested
+    form (the oracle is the plain-SQL twin), so Catalyst optimizes both
+    to the same pushed-filter + partial-agg physical plan. Included as
+    parser-surface coverage: a reference user migrating hand-written
+    ETL steps maps each imperative step onto one pipe stage."""
+    _view(spark, sf_dir, "orders", "pipe_orders")
+    return spark.sql(
+        """
+        FROM pipe_orders
+        |> WHERE o_totalprice > 100000
+        |> AGGREGATE COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_value
+           GROUP BY o_orderstatus
+        """
+    )
+
+
+@query(
+    "customers_collated_segments",
+    oracle="""
+    WITH cased AS (
+      SELECT CASE c_custkey % 3
+               WHEN 0 THEN upper(c_mktsegment)
+               WHEN 1 THEN lower(c_mktsegment)
+               ELSE c_mktsegment END AS seg
+      FROM customer
+    )
+    SELECT MIN(seg) AS seg_representative,
+           COUNT(*) AS n_customers,
+           CAST(COUNT(DISTINCT seg) AS BIGINT) AS n_spellings
+    FROM cased GROUP BY lower(seg)
+    """,
+)
+def customers_collated_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive grouping through a COLLATION (Spark 4
+    UTF8_LCASE) instead of a lower() rewrite: market segments arrive
+    with inconsistent casing (reconstructed deterministically from the
+    key), and the collated GROUP BY folds spellings together while
+    MIN over the original binary strings picks a deterministic
+    representative. The oracle is the classic lower()-key rewrite —
+    proving the collation path groups identically.
+
+    Scale note: collation-aware grouping hashes the collation key
+    directly (no derived lower() column to carry through the shuffle)
+    and keeps the original string available — at 100 TB that is one
+    fewer corpus-wide projected column."""
+    _view(spark, sf_dir, "customer", "coll_customer")
+    return spark.sql(
+        """
+        WITH cased AS (
+          SELECT CASE c_custkey % 3
+                   WHEN 0 THEN upper(c_mktsegment)
+                   WHEN 1 THEN lower(c_mktsegment)
+                   ELSE c_mktsegment END AS seg
+          FROM coll_customer
+        )
+        SELECT MIN(seg) AS seg_representative,
+               COUNT(*) AS n_customers,
+               COUNT(DISTINCT seg) AS n_spellings
+        FROM cased GROUP BY seg COLLATE UTF8_LCASE
+        """
+    )
