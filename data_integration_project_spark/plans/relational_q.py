@@ -2689,3 +2689,66 @@ def customers_collated_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM cased GROUP BY seg COLLATE UTF8_LCASE
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming Python DataSource (Spark 4 SimpleDataSourceStreamReader)
+# ---------------------------------------------------------------------------
+
+_SGS_N = 20_000
+
+
+@query(
+    "sensors_streaming_source",
+    oracle=f"""
+    WITH gen AS (
+      SELECT CAST(i % 50 AS INTEGER) % 10 AS sensor_bucket,
+             ((48271 * i + 11213) % 2147483647) % 1000000 AS micro_value,
+             CASE WHEN ((48271 * i + 11213) % 2147483647) % 97 <> 0
+                  THEN 'ok' ELSE 'fault' END AS status
+      FROM (SELECT unnest(range(0, {_SGS_N})) AS i)
+    )
+    SELECT sensor_bucket, status,
+           COUNT(*) AS n_readings,
+           CAST(SUM(micro_value) AS BIGINT) AS total_micro
+    FROM gen GROUP BY sensor_bucket, status
+    """,
+)
+def sensors_streaming_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A custom STREAMING source through the Spark 4 Python DataSource
+    API (sources/pygen.py SensorStreamReader): micro-batches advance a
+    row-position offset, every batch appends into a memory sink, and
+    the drained table must contain each generated row EXACTLY once —
+    the offset/replay contract (readBetweenOffsets) is what guarantees
+    that under checkpoint recovery, the same guarantee a Kafka-style
+    broker source provides via offsets. The oracle regenerates the full
+    stream relationally; any dropped or doubled micro-batch changes
+    the counts and fails the hash.
+
+    Scale note: a simple stream reader reads on the driver — right for
+    control-plane-sized streams; a partition-planned ``streamReader``
+    is the fan-out variant when per-batch volume needs executors."""
+    import uuid
+
+    from ..sources.pygen import register
+
+    register(spark)
+    src = (
+        spark.readStream.format("sensorgen")
+        .option("max_rows", str(_SGS_N))
+        .option("rows_per_batch", "3072")
+        .load()
+    )
+    name = "sensorstream_" + uuid.uuid4().hex[:8]
+    q = src.writeStream.format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    drained = spark.table(name)
+    return drained.groupBy(
+        (F.col("sensor_id") % 10).alias("sensor_bucket"), "status"
+    ).agg(
+        F.count(F.lit(1)).alias("n_readings"),
+        F.sum("micro_value").alias("total_micro"),
+    )

@@ -22,6 +22,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     EqualTo,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 P = 2_147_483_647
@@ -93,8 +94,37 @@ class SensorReader(DataSourceReader):
                 yield row_for(i)
 
 
+class SensorStreamReader(SimpleDataSourceStreamReader):
+    """STREAMING leg of the same source (Spark 4
+    ``SimpleDataSourceStreamReader``): offsets are plain row positions,
+    each micro-batch advances by ``rows_per_batch`` until ``max_rows``.
+    ``readBetweenOffsets`` replays any [start, end) range exactly —
+    the recovery contract that makes the source exactly-once under
+    checkpoint restart: because rows are a pure function of the id,
+    replay is trivially deterministic (the property a real queue source
+    gets from broker offsets)."""
+
+    def __init__(self, options):
+        self.rows_per_batch = int(options.get("rows_per_batch", 1024))
+        self.max_rows = int(options.get("max_rows", 10_000))
+
+    def initialOffset(self) -> dict:
+        return {"offset": 0}
+
+    def read(self, start: dict):
+        lo = int(start["offset"])
+        hi = min(lo + self.rows_per_batch, self.max_rows)
+        return iter([row_for(i) for i in range(lo, hi)]), {"offset": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(
+            [row_for(i) for i in range(int(start["offset"]), int(end["offset"]))]
+        )
+
+
 class SensorDataSource(DataSource):
-    """``spark.read.format("sensorgen").option("n_rows", ...)``."""
+    """``spark.read.format("sensorgen").option("n_rows", ...)`` for
+    batch; ``spark.readStream.format("sensorgen")`` for streaming."""
 
     @classmethod
     def name(cls) -> str:
@@ -105,6 +135,9 @@ class SensorDataSource(DataSource):
 
     def reader(self, schema) -> SensorReader:
         return SensorReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SensorStreamReader:
+        return SensorStreamReader(self.options)
 
 
 def register(spark) -> None:
