@@ -619,3 +619,128 @@ def dedup_incremental_against_store(spark: SparkSession, sf_dir: str) -> DataFra
         F.count(F.lit(1)).alias("n_batch_docs"),
         F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_new_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtering set-similarity join (PPJoin family — Xiao et al.
+# 2008): the deterministic, recall-exact alternative to LSH for
+# Jaccard near-dedup.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_prefix_filter_join",
+    oracle="""
+    WITH toks AS (
+      SELECT DISTINCT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+      FROM documents
+    ),
+    freq AS (
+      SELECT token, COUNT(*) AS df FROM toks GROUP BY token
+    ),
+    ordered AS (
+      SELECT t.doc_id, t.token,
+             row_number() OVER (PARTITION BY t.doc_id
+                                ORDER BY f.df, t.token) AS rn,
+             COUNT(*) OVER (PARTITION BY t.doc_id) AS set_size
+      FROM toks t JOIN freq f USING (token)
+    ),
+    prefix AS (
+      SELECT doc_id, token, set_size
+      FROM ordered
+      WHERE rn <= set_size - CAST((3 * set_size + 4) // 5 AS BIGINT) + 1
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM prefix a JOIN prefix b ON a.token = b.token
+      WHERE a.doc_id < b.doc_id
+    ),
+    verified AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(COUNT(*) AS BIGINT) AS inter_size,
+             CAST(MIN(x.set_size) + MIN(y.set_size) - COUNT(*) AS BIGINT)
+               AS union_size
+      FROM cands c
+      JOIN ordered x ON x.doc_id = c.doc_a
+      JOIN ordered y ON y.doc_id = c.doc_b AND y.token = x.token
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT doc_a, doc_b, inter_size, union_size,
+           CAST(inter_size AS DOUBLE) / union_size AS jaccard
+    FROM verified
+    WHERE 5 * inter_size >= 3 * union_size
+    """,
+)
+def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-similarity self-join by PREFIX FILTERING (the PPJoin family):
+    order each document's distinct tokens rarest-first by global
+    document frequency, keep only the first ``s - ceil(t*s) + 1``
+    tokens (two sets with Jaccard >= t MUST share a prefix token —
+    the pigeonhole guarantee), generate candidates with an equi-join
+    on prefix tokens only, then verify exact Jaccard with integer
+    arithmetic (``5*inter >= 3*union`` for t = 3/5). Unlike MinHash-LSH
+    this has PERFECT recall at the threshold and no hash tables —
+    the trade is candidate count growing with prefix collisions.
+
+    Scale shape: the frequency dim is a map-side-combined count; the
+    rarest-first ordering makes prefix tokens the LOW-frequency ones,
+    so the candidate equi-join's key distribution is intentionally
+    anti-skewed (the heavy tokens never enter the join). All integer
+    math; one double division at the end."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+        ).alias("token"),
+    )
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    w_ord = Window.partitionBy("doc_id").orderBy("df", "token")
+    w_sz = Window.partitionBy("doc_id")
+    ordered = (
+        toks.join(freq, "token")
+        .withColumn("rn", F.row_number().over(w_ord))
+        .withColumn("set_size", F.count(F.lit(1)).over(w_sz))
+    )
+    prefix_len = (
+        F.col("set_size") - ((3 * F.col("set_size") + 4) / 5).cast("long") + 1
+    )
+    prefix = ordered.filter(F.col("rn") <= prefix_len).select(
+        "doc_id", "token", "set_size"
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cands = (
+        a.join(b, (F.col("a.token") == F.col("b.token"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    x = ordered.select("doc_id", "token", "set_size").alias("x")
+    y = ordered.select("doc_id", "token", "set_size").alias("y")
+    verified = (
+        cands.join(x, F.col("x.doc_id") == F.col("doc_a"))
+        .join(
+            y,
+            (F.col("y.doc_id") == F.col("doc_b"))
+            & (F.col("y.token") == F.col("x.token")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("inter_size"),
+            (
+                F.min("x.set_size") + F.min("y.set_size") - F.count(F.lit(1))
+            ).alias("union_size"),
+        )
+    )
+    return verified.filter(
+        5 * F.col("inter_size") >= 3 * F.col("union_size")
+    ).select(
+        "doc_a",
+        "doc_b",
+        "inter_size",
+        "union_size",
+        (F.col("inter_size").cast("double") / F.col("union_size")).alias("jaccard"),
+    )

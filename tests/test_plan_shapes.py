@@ -69,3 +69,31 @@ def test_decontamination_eval_side_broadcast(spark, sf_small):
 def test_pit_join_dim_broadcast(spark, sf_small):
     plan = _executed_plan(spark, "orders_pit_dimension_join", sf_small)
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_q18_aggregates_before_wide_joins(spark, sf_small):
+    plan = _executed_plan(spark, "q18_large_volume_customer", sf_small)
+    assert "TakeOrderedAndProject" in plan, "top-100 must not be a global sort"
+    assert "CartesianProduct" not in plan
+    # the HAVING filter runs on the aggregate, pre-join
+    assert "HashAggregate" in plan
+
+
+def test_charlm_model_is_broadcast(spark, sf_small):
+    plan = _executed_plan(spark, "doc_charlm_score", sf_small)
+    # |alphabet|^2 model rows must broadcast into the scoring join, not
+    # shuffle the corpus-side bigram stream on the model key
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dup_substring_no_cartesian(spark, sf_small):
+    plan = _executed_plan(spark, "doc_dup_substring_coverage", sf_small)
+    assert "CartesianProduct" not in plan
+
+
+def test_prefix_filter_join_no_cartesian(spark, sf_small):
+    plan = _executed_plan(spark, "dedup_prefix_filter_join", sf_small)
+    # candidate generation must be an equi-join on the prefix token
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
