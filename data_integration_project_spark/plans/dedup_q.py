@@ -631,10 +631,16 @@ def dedup_incremental_against_store(spark: SparkSession, sf_dir: str) -> DataFra
 @query(
     "dedup_prefix_filter_join",
     oracle="""
-    WITH toks AS (
-      SELECT DISTINCT doc_id,
-             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+    WITH tk AS (
+      SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
       FROM documents
+    ),
+    toks AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(tk) - 1),
+                    i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS token
+      FROM tk WHERE len(tk) >= 3
     ),
     freq AS (
       SELECT token, COUNT(*) AS df FROM toks GROUP BY token
@@ -674,26 +680,40 @@ def dedup_incremental_against_store(spark: SparkSession, sf_dir: str) -> DataFra
 )
 def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-similarity self-join by PREFIX FILTERING (the PPJoin family):
-    order each document's distinct tokens rarest-first by global
-    document frequency, keep only the first ``s - ceil(t*s) + 1``
-    tokens (two sets with Jaccard >= t MUST share a prefix token —
-    the pigeonhole guarantee), generate candidates with an equi-join
-    on prefix tokens only, then verify exact Jaccard with integer
+    each document becomes its set of distinct word 3-gram shingles
+    (single-token sets are degenerate on a small vocabulary — shingles
+    carry sequence), the set is ordered rarest-first by global shingle
+    frequency, and only the first ``s - ceil(t*s) + 1`` shingles
+    survive (two sets with Jaccard >= t MUST share a prefix element —
+    the pigeonhole guarantee). Candidates come from an equi-join on
+    prefix shingles only; exact Jaccard verifies with integer
     arithmetic (``5*inter >= 3*union`` for t = 3/5). Unlike MinHash-LSH
-    this has PERFECT recall at the threshold and no hash tables —
-    the trade is candidate count growing with prefix collisions.
+    this has PERFECT recall at the threshold and no hash tables — the
+    trade is candidate count growing with prefix collisions.
 
     Scale shape: the frequency dim is a map-side-combined count; the
-    rarest-first ordering makes prefix tokens the LOW-frequency ones,
+    rarest-first ordering makes prefix elements the LOW-frequency ones,
     so the candidate equi-join's key distribution is intentionally
-    anti-skewed (the heavy tokens never enter the join). All integer
+    anti-skewed (the heavy shingles never enter the join). All integer
     math; one double division at the end."""
     d = t(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
-        ).alias("token"),
+    tk = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    toks = (
+        d.select("doc_id", tk.alias("tk"))
+        .filter(F.size("tk") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("tk") - 3),
+                        lambda i: F.concat_ws(
+                            " ", F.col("tk")[i], F.col("tk")[i + 1], F.col("tk")[i + 2]
+                        ),
+                    )
+                )
+            ).alias("token"),
+        )
     )
     freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     w_ord = Window.partitionBy("doc_id").orderBy("df", "token")
