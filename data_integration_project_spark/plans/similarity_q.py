@@ -402,3 +402,125 @@ def embeddings_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("nlabel") == F.col("true_label")).cast("int").alias("correct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011) — the vector-compression
+# half of IVF-PQ; composes with the IVF probes above for ADC search.
+# ---------------------------------------------------------------------------
+
+
+def _pq_sub_d2(vec: str, cent: str) -> str:
+    return _sql_d2(vec, cent)
+
+
+def _pq_iteration(s: int, i: int) -> str:
+    d2 = _pq_sub_d2("sv", "cent")
+    return f"""
+    assign_{s}_{i} AS (
+      SELECT vec_id, sv, cluster,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY {d2}, cluster) AS rn
+      FROM sub{s} CROSS JOIN cents_{s}_{i}
+    ),
+    dmeans_{s}_{i} AS (
+      SELECT cluster, d, round(avg(sv[d]), 6) AS m
+      FROM (SELECT sv, cluster FROM assign_{s}_{i} WHERE rn = 1), sdims
+      GROUP BY cluster, d
+    ),
+    newcent_{s}_{i} AS (
+      SELECT cluster, list(m ORDER BY d) AS cent
+      FROM dmeans_{s}_{i} GROUP BY cluster
+    ),
+    cents_{s}_{i + 1} AS (
+      SELECT c.cluster, coalesce(n.cent, c.cent) AS cent
+      FROM cents_{s}_{i} c LEFT JOIN newcent_{s}_{i} n USING (cluster)
+    )"""
+
+
+def _pq_subspace(s: int, n_iters: int) -> str:
+    lo, hi = 16 * s + 1, 16 * s + 16
+    d2 = _pq_sub_d2("sv", "cent")
+    ctes = [
+        f"""
+    sub{s} AS (
+      SELECT vec_id,
+             list_transform(embedding[{lo}:{hi}], x -> CAST(x AS DOUBLE)) AS sv
+      FROM corpus
+    ),
+    cents_{s}_0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, sv AS cent
+      FROM sub{s}
+      WHERE vec_id % (SELECT greatest(count(*) // 16, 1) FROM corpus) = 0
+      ORDER BY vec_id LIMIT 16
+    )"""
+    ]
+    ctes += [_pq_iteration(s, i) for i in range(n_iters)]
+    ctes.append(
+        f"""
+    encoded_{s} AS (
+      SELECT CAST({s} AS INT) AS sub, vec_id,
+             CAST(cluster AS INT) AS code, {d2} AS err_d2
+      FROM (
+        SELECT vec_id, sv, cluster, cent,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY {d2}, cluster) AS rn
+        FROM sub{s} CROSS JOIN cents_{s}_{n_iters}
+      ) WHERE rn = 1
+    )"""
+    )
+    return ",".join(ctes)
+
+
+_PQ_ORACLE = f"""
+    WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
+    sdims AS (SELECT unnest(range(1, 17)) AS d),
+    {','.join(_pq_subspace(s, 2) for s in range(4))},
+    encoded AS (
+      SELECT * FROM encoded_0 UNION ALL SELECT * FROM encoded_1
+      UNION ALL SELECT * FROM encoded_2 UNION ALL SELECT * FROM encoded_3
+    )
+    SELECT sub, code,
+           COUNT(*) AS n_vectors,
+           CAST(SUM(CAST(err_d2 AS DECIMAL(18,6))) AS DOUBLE) AS total_err,
+           CAST(SUM(CAST(err_d2 AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+             AS avg_err
+    FROM encoded GROUP BY sub, code
+"""
+
+
+@query("embeddings_pq_codebooks", oracle=_PQ_ORACLE)
+def embeddings_pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCT QUANTIZATION codebook training + corpus encoding
+    (operators/similarity.pq_train_encode): 4 subspaces x 16 codes,
+    deterministic per-subspace k-means, every vector compressed to 4
+    code ids (64 floats -> 2 bytes) with its exact quantization error.
+    Reported per (subspace, code): occupancy and exact-decimal error
+    totals — the codebook-quality view a vector-store operator watches
+    (dead codes, unbalanced cells, error regressions).
+
+    Scale shape: codebooks are m*k*(d/m) driver metadata (the IVF
+    discipline); training scans are mapInPandas matmuls; encoding is
+    one linear pass per subspace; the report is one map-side-combined
+    rollup of 64 groups. ADC search = IVF probe candidates scored by
+    distance-table lookups over these codes — never raw-vector math
+    per pair. Every control-flow float rounds to 6 dp on both engines,
+    so the oracle's unrolled k-means reproduces every code exactly."""
+    e = t(spark, sf_dir, "embeddings")
+    enc = S.pq_train_encode(e, "vec_id", "embedding", m=4, k=16, n_iters=2)
+    return (
+        enc.groupBy("sub", "code")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(F.col("err_d2").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_err"),
+        )
+        .select(
+            "sub",
+            "code",
+            "n_vectors",
+            "total_err",
+            (F.col("total_err") / F.col("n_vectors")).alias("avg_err"),
+        )
+    )
