@@ -2245,3 +2245,77 @@ def events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_filled"),
         F.sum(F.col("filled").cast("decimal(18,2)")).cast("double").alias("filled_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Watermark-bounded streaming dedup (dropDuplicatesWithinWatermark)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_stream_dedup_watermark",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_unique,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with BOUNDED state (`dropDuplicatesWithinWatermark`):
+    every event is deliberately delivered twice (at-least-once delivery
+    simulated by exploding each row into two copies), and the operator
+    drops the duplicate while only retaining per-key state until the
+    watermark passes it — the mechanism that keeps exactly-once dedup
+    state from growing without bound on an infinite stream, unlike a
+    plain dropDuplicates whose key set never expires. The downstream
+    integer-cent aggregate must equal the batch GROUP BY over the
+    ORIGINAL (single-delivery) table: any surviving duplicate doubles
+    a count and fails the hash.
+
+    Scale shape: dedup state shuffles once on event_id and expires
+    with the watermark; the aggregate reuses the standard two-level
+    hash-agg. (The custom drain in streaming/pipeline.py solves the
+    same problem with explicit state; this is the built-in form.)"""
+    import uuid
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        # watermarks require an instant (TIMESTAMP), not NTZ; the
+        # session is pinned UTC so the cast is deterministic
+        .select(
+            "event_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "event_type",
+            "value",
+        )
+    )
+    duplicated = src.select(
+        F.explode(F.array(F.lit(1), F.lit(2))).alias("_copy"),
+        "event_id",
+        "ts",
+        "event_type",
+        "value",
+    ).drop("_copy")
+    deduped = duplicated.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    agg = deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_unique"),
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("total_cents"),
+    )
+    name = "dedupwm_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -9,7 +9,7 @@ oracle-checked through equivalent blob SQL where DuckDB can express it.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as X
@@ -479,3 +479,142 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         langs, "doc_id", "lang", {"en": 250, "de": 1000}, default_permille=50
     )
     return sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))
+
+
+# ---------------------------------------------------------------------------
+# Learned language ID: multinomial Naive Bayes trained in-engine (the
+# statistical upgrade of doc_lang_id's fixed marker heuristic)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_nb_lang_classify",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang AS labeled_lang, unnest({_TOKENS_SQL}) AS token
+      FROM documents
+    ),
+    counts_tl AS (
+      SELECT labeled_lang AS lang, token, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM toks GROUP BY 1, 2
+    ),
+    tot_l AS (
+      SELECT lang, CAST(SUM(cnt) AS BIGINT) AS tot FROM counts_tl GROUP BY lang
+    ),
+    vocab AS (SELECT DISTINCT token FROM toks),
+    vsize AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+    priors AS (
+      SELECT lang,
+             CAST(round(ln(CAST(n AS DOUBLE) / total) * 1000000) AS BIGINT)
+               AS prior_unats
+      FROM (
+        SELECT labeled_lang AS lang,
+               COUNT(DISTINCT doc_id) AS n,
+               SUM(COUNT(DISTINCT doc_id)) OVER () AS total
+        FROM toks GROUP BY labeled_lang
+      )
+    ),
+    model AS (
+      SELECT v.token, l.lang,
+             CAST(round(ln(
+               CAST(COALESCE(c.cnt, 0) + 1 AS DOUBLE)
+               / (l.tot + (SELECT v FROM vsize))
+             ) * 1000000) AS BIGINT) AS logp_unats
+      FROM vocab v CROSS JOIN tot_l l
+      LEFT JOIN counts_tl c ON c.token = v.token AND c.lang = l.lang
+    ),
+    scored AS (
+      SELECT t.doc_id, t.labeled_lang, m.lang,
+             CAST(SUM(m.logp_unats) AS BIGINT) + ANY_VALUE(p.prior_unats)
+               AS score_unats
+      FROM toks t
+      JOIN model m USING (token)
+      JOIN priors p ON p.lang = m.lang
+      GROUP BY t.doc_id, t.labeled_lang, m.lang
+    ),
+    best AS (
+      SELECT doc_id, labeled_lang, lang AS detected_lang,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score_unats DESC, lang) AS rn
+      FROM scored
+    )
+    SELECT detected_lang, labeled_lang, COUNT(*) AS n_docs
+    FROM best WHERE rn = 1
+    GROUP BY detected_lang, labeled_lang
+    """,
+)
+def doc_nb_lang_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEARNED language identification: a multinomial Naive Bayes
+    classifier trained in-engine on the corpus's own labels (class
+    priors + add-one-smoothed token likelihoods over the shared vocab)
+    and evaluated on the training set as a confusion matrix against
+    doc_lang_id's fixed-marker heuristic shape.
+
+    Determinism: every (token, lang) log-likelihood and every class
+    prior is computed ONCE (one exact-integer division, one ln,
+    rounded to integer micro-nats), so per-document scores are exact
+    BIGINT sums with a total-order argmax (score desc, lang asc).
+    Scale shape: the model is |vocab| x |langs| rows — built from one
+    map-side-combined count and BROADCAST into the scoring join; the
+    corpus-side token stream fans out only by |langs| and the doc
+    rollup is the single big shuffle. The same plan carries a
+    100 TB corpus as long as the pruned vocab stays broadcastable."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        F.explode(X.tokens(F.col("text"))).alias("token"),
+    )
+    counts_tl = toks.groupBy(
+        F.col("labeled_lang").alias("lang"), "token"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    tot_l = counts_tl.groupBy("lang").agg(F.sum("cnt").alias("tot"))
+    vocab = toks.select("token").distinct()
+    vsize = vocab.agg(F.count(F.lit(1)).alias("v"))
+    pr = toks.groupBy("labeled_lang").agg(
+        F.countDistinct("doc_id").alias("n")
+    )
+    priors = (
+        pr.crossJoin(F.broadcast(pr.agg(F.sum("n").alias("total"))))
+        .select(
+            F.col("labeled_lang").alias("lang"),
+            F.round(F.log(F.col("n").cast("double") / F.col("total")) * 1000000)
+            .cast("long")
+            .alias("prior_unats"),
+        )
+    )
+    model = (
+        vocab.crossJoin(tot_l)
+        .join(counts_tl, ["token", "lang"], "left")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "token",
+            "lang",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("cnt"), F.lit(0)) + 1).cast("double")
+                    / (F.col("tot") + F.col("v"))
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("logp_unats"),
+        )
+    )
+    scored = (
+        toks.join(F.broadcast(model), "token")
+        .join(F.broadcast(priors), "lang")
+        .groupBy("doc_id", "labeled_lang", "lang")
+        .agg(
+            (F.sum("logp_unats") + F.first("prior_unats")).alias("score_unats")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_unats"), F.asc("lang")
+    )
+    best = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        best.select(F.col("lang").alias("detected_lang"), "labeled_lang")
+        .groupBy("detected_lang", "labeled_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
