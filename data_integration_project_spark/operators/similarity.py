@@ -451,20 +451,54 @@ def pq_train_encode(
     the argmin (ties -> lowest code), identical to kmeans_centroids,
     so a SQL oracle unrolling the same iterations reproduces every
     code and every error term exactly."""
-    import numpy as np
+    codebooks = pq_codebooks(corpus, id_col, vec_col, m=m, k=k, n_iters=n_iters)
+    return pq_encode(corpus, id_col, vec_col, codebooks)
 
+
+def pq_codebooks(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    m: int = 4,
+    k: int = 16,
+    n_iters: int = 2,
+) -> list:
+    """Train the ``m`` per-subspace codebooks (deterministic k-means on
+    each contiguous slice). Returns a list of k x (dim/m) numpy arrays
+    — driver-sized metadata, like the IVF centroid table."""
     dim = corpus.select(F.size(vec_col)).first()[0]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
+    return [
+        kmeans_centroids(
+            corpus.select(id_col, F.slice(vec_col, s * sub + 1, sub).alias(vec_col)),
+            id_col,
+            vec_col,
+            k,
+            n_iters=n_iters,
+        )
+        for s in range(m)
+    ]
+
+
+def pq_encode(
+    corpus: DataFrame, id_col: str, vec_col: str, codebooks: list
+) -> DataFrame:
+    """Encode every vector against pre-trained codebooks: one linear
+    mapInPandas pass per subspace yielding (id, sub, code, err_d2)."""
+    import numpy as np
+
+    m = len(codebooks)
+    sub = codebooks[0].shape[1]
     spark = corpus.sparkSession
     parts = []
     for s in range(m):
         sliced = corpus.select(
             id_col, F.slice(vec_col, s * sub + 1, sub).alias(vec_col)
         )
-        cents = kmeans_centroids(sliced, id_col, vec_col, k, n_iters=n_iters)
-        bc = spark.sparkContext.broadcast(cents)
+        bc = spark.sparkContext.broadcast(codebooks[s])
 
         def op(batches, _bc=bc, _s=s):
             import pandas as pd
@@ -497,3 +531,133 @@ def pq_train_encode(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def ivf_pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    *,
+    n_clusters: int = 16,
+    n_probe: int = 6,
+    n_iters: int = 2,
+    m: int = 4,
+    n_codes: int = 16,
+    pq_iters: int = 2,
+) -> DataFrame:
+    """IVF-PQ with ASYMMETRIC DISTANCE COMPUTATION — the full
+    trillion-scale ANN architecture: the coarse quantizer restricts
+    each query to its ``n_probe`` inverted lists, and candidates are
+    scored WITHOUT touching raw vectors — each query precomputes a
+    distance TABLE (m x n_codes integer micro-units, one squared
+    distance per codebook entry) and a candidate's approximate
+    distance is the SUM of m table lookups keyed by its stored codes.
+
+    Scale shape: raw vectors are read exactly twice (train+encode, both
+    linear); search-time state per query is the m*n_codes table (64
+    ints here) joined as a broadcast; scoring is a pure equi-join +
+    integer-sum aggregate over (pair, subspace) rows. Distances are
+    integer micro-units end-to-end, so ranking has no float-summation
+    hazard and a SQL oracle reproduces every rank exactly."""
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    coarse = kmeans_centroids(corpus, id_col, vec_col, n_clusters, n_iters=n_iters)
+    bc_coarse = spark.sparkContext.broadcast(coarse)
+
+    def assign_one(batches):
+        cents = bc_coarse.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+            d2 = np.round(((v[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2), 6)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "_cluster": d2.argmin(axis=1).astype("int32"),
+                }
+            )
+
+    c_assigned = corpus.select(id_col, vec_col).mapInPandas(
+        assign_one, schema=f"{id_col} long, _cluster int"
+    )
+
+    def assign_probes(batches):
+        cents = bc_coarse.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+            d2 = np.round(((v[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2), 6)
+            probes = np.argsort(d2, axis=1, kind="stable")[:, :n_probe].astype("int32")
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), n_probe),
+                    "_cluster": probes.reshape(-1),
+                }
+            )
+
+    q_probed = queries.select(id_col, vec_col).mapInPandas(
+        assign_probes, schema=f"{id_col} long, _cluster int"
+    )
+
+    codebooks = pq_codebooks(
+        corpus, id_col, vec_col, m=m, k=n_codes, n_iters=pq_iters
+    )
+    enc = pq_encode(corpus, id_col, vec_col, codebooks).select(
+        F.col(id_col).alias("neighbor_id"), "sub", "code"
+    )
+    bc_books = spark.sparkContext.broadcast(codebooks)
+    sub_dim = codebooks[0].shape[1]
+
+    def dist_tables(batches):
+        books = bc_books.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+            frames = []
+            for s, cents in enumerate(books):
+                qs = v[:, s * sub_dim : (s + 1) * sub_dim]
+                d2 = np.round(((qs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2), 6)
+                unats = np.rint(d2 * 1_000_000).astype("int64")
+                n, kk = unats.shape
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.repeat(pdf[id_col].to_numpy(), kk),
+                            "sub": np.int32(s),
+                            "code": np.tile(np.arange(kk, dtype="int32"), n),
+                            "dist_unats": unats.reshape(-1),
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    dtab = queries.select(id_col, vec_col).mapInPandas(
+        dist_tables, schema="query_id long, sub int, code int, dist_unats long"
+    )
+
+    pairs = (
+        q_probed.select(F.col(id_col).alias("query_id"), "_cluster")
+        .join(c_assigned.withColumnRenamed(id_col, "neighbor_id"), "_cluster")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    scored = (
+        pairs.join(enc, "neighbor_id")
+        .join(F.broadcast(dtab), ["query_id", "sub", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("dist_unats").alias("adc_unats"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_unats", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_unats", "rank")
+    )

@@ -524,3 +524,112 @@ def embeddings_pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("total_err") / F.col("n_vectors")).alias("avg_err"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ with asymmetric distance computation — the composed
+# trillion-scale ANN architecture (coarse probes + code lookups)
+# ---------------------------------------------------------------------------
+
+_ADC_D2 = _sql_d2("sv", "cent")
+
+_IVFPQ_ORACLE = f"""
+    WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
+    dims AS (
+      SELECT unnest(range(1, len(embedding) + 1)) AS d
+      FROM (SELECT embedding FROM embeddings LIMIT 1)
+    ),
+    cents0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
+      FROM corpus
+      WHERE vec_id % (SELECT greatest(count(*) // 16, 1) FROM corpus) = 0
+      ORDER BY vec_id LIMIT 16
+    ),
+    {','.join(_ivf_iteration(i) for i in range(2))},
+    final_assign AS (
+      SELECT vec_id, embedding, cluster,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY {_IVF_D2}, cluster) AS rn
+      FROM corpus CROSS JOIN cents2
+    ),
+    inv AS (
+      SELECT vec_id AS neighbor_id, cluster FROM final_assign WHERE rn = 1
+    ),
+    qprobe AS (
+      SELECT vec_id AS query_id, cluster
+      FROM final_assign WHERE vec_id % 100 = 0 AND rn <= 6
+    ),
+    sdims AS (SELECT unnest(range(1, 17)) AS d),
+    {','.join(_pq_subspace(s, 2) for s in range(4))},
+    enc AS (
+      SELECT sub, vec_id AS neighbor_id, code FROM encoded_0
+      UNION ALL SELECT sub, vec_id, code FROM encoded_1
+      UNION ALL SELECT sub, vec_id, code FROM encoded_2
+      UNION ALL SELECT sub, vec_id, code FROM encoded_3
+    ),
+    dtab AS (
+      {' UNION ALL '.join(
+        f"SELECT CAST({s} AS INT) AS sub, q.vec_id AS query_id, "
+        f"CAST(c.cluster AS INT) AS code, "
+        f"CAST(round({_ADC_D2} * 1000000) AS BIGINT) AS dist_unats "
+        f"FROM (SELECT vec_id, sv FROM sub{s} WHERE vec_id % 100 = 0) q "
+        f"CROSS JOIN cents_{s}_2 c"
+        for s in range(4)
+      )}
+    ),
+    pairs AS (
+      SELECT DISTINCT query_id, neighbor_id
+      FROM qprobe JOIN inv USING (cluster)
+      WHERE query_id <> neighbor_id
+    ),
+    scored AS (
+      SELECT p.query_id, p.neighbor_id,
+             CAST(SUM(d.dist_unats) AS BIGINT) AS adc_unats
+      FROM pairs p
+      JOIN enc e USING (neighbor_id)
+      JOIN dtab d ON d.query_id = p.query_id
+                 AND d.sub = e.sub AND d.code = e.code
+      GROUP BY p.query_id, p.neighbor_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_unats, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, adc_unats, rank FROM ranked WHERE rank <= 5
+"""
+
+
+@query("ann_ivf_pq_adc", oracle=_IVFPQ_ORACLE)
+def ann_ivf_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ADC — the composed architecture behind billion-vector
+    ANN indexes: the IVF coarse quantizer restricts each query to its
+    6 probed inverted lists; candidates are scored by ASYMMETRIC
+    DISTANCE COMPUTATION — each query precomputes a 4x16 distance
+    table against the PQ codebooks and a candidate's distance is the
+    sum of 4 integer table lookups keyed by its stored codes. Raw
+    vectors are never touched at search time.
+
+    Everything that steers control flow is deterministic integer or
+    6 dp-rounded arithmetic, so the oracle unrolls BOTH quantizers
+    (coarse k-means + 4 subspace k-means) and reproduces every code,
+    every probe, and every rank bit-for-bit. Scale shape: scoring is
+    an equi-join on (query, sub, code) against a BROADCAST distance
+    table plus an integer-sum aggregate — per-candidate cost is 4
+    lookups regardless of vector dimension."""
+    e = t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 100 == 0)
+    return S.ivf_pq_topk(
+        queries,
+        e,
+        "vec_id",
+        "embedding",
+        k=5,
+        n_clusters=16,
+        n_probe=6,
+        n_iters=2,
+        m=4,
+        n_codes=16,
+        pq_iters=2,
+    )
