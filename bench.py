@@ -67,6 +67,14 @@ HEADLINE = [
     # python-stateful streaming
     "nations_trade_pagerank",
     "events_stateful_user_totals",
+    # round 2 (cont. 3): compressed-codec decode (DEFLATE/LZW inside
+    # mapInPandas), gram-explode quality gate, double-quantizer ANN,
+    # prefix-filter join, char-gram island merge
+    "multimodal_png_decode",
+    "doc_gopher_quality",
+    "ann_ivf_pq_adc",
+    "dedup_prefix_filter_join",
+    "doc_dup_substring_coverage",
 ]
 
 
