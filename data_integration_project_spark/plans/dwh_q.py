@@ -891,3 +891,142 @@ def orders_fx_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_converted_micro_cents"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Governance: right-to-be-forgotten purge with a verifiable audit trail
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "customers_rtbf_purge_audit",
+    oracle="""
+    WITH tombstones AS (
+      SELECT c_custkey AS k FROM customer WHERE c_custkey % 97 = 0
+    ),
+    o_cascade AS (
+      SELECT o_orderkey FROM orders JOIN tombstones ON o_custkey = k
+    )
+    SELECT 'customer' AS table_name,
+           CAST((SELECT COUNT(*) FROM tombstones) AS BIGINT) AS n_purged,
+           CAST((SELECT COUNT(*) FROM customer) -
+                (SELECT COUNT(*) FROM tombstones) AS BIGINT) AS n_retained
+    UNION ALL
+    SELECT 'orders',
+           CAST((SELECT COUNT(*) FROM o_cascade) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM orders) -
+                (SELECT COUNT(*) FROM o_cascade) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem',
+           CAST((SELECT COUNT(*) FROM lineitem JOIN o_cascade
+                 ON l_orderkey = o_orderkey) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem) -
+                (SELECT COUNT(*) FROM lineitem JOIN o_cascade
+                 ON l_orderkey = o_orderkey) AS BIGINT)
+    """,
+)
+def customers_rtbf_purge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten erasure across the relational cascade:
+    a tombstone list of data subjects (every 97th customer) drives an
+    anti-join purge of the customer table, their orders, and those
+    orders' line items, and the audit report proves completeness —
+    per table, how many rows left and how many remain (the artifact a
+    DPO asks for; complements customers_pseudonymized, which handles
+    the keep-but-mask cases).
+
+    Scale shape: the tombstone list is dimension-sized and BROADCASTS
+    into every purge leg (left_anti join = the delete predicate); the
+    cascade key set (purged orderkeys) is itself the product of a
+    broadcast join. Nothing scans more than once per table; counts are
+    map-side-combined."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    tomb = c.filter(F.col("c_custkey") % 97 == 0).select(
+        F.col("c_custkey").alias("k")
+    )
+    o_gone = o.join(
+        F.broadcast(tomb), F.col("o_custkey") == F.col("k")
+    ).select("o_orderkey")
+    li_gone = li.join(
+        F.broadcast(o_gone), F.col("l_orderkey") == F.col("o_orderkey")
+    ).select("l_orderkey")
+
+    def leg(name, total_df, gone_df):
+        total = total_df.agg(F.count(F.lit(1)).alias("_t"))
+        gone = gone_df.agg(F.count(F.lit(1)).alias("_g"))
+        return total.crossJoin(gone).select(
+            F.lit(name).alias("table_name"),
+            F.col("_g").alias("n_purged"),
+            (F.col("_t") - F.col("_g")).alias("n_retained"),
+        )
+
+    return (
+        leg("customer", c, tomb)
+        .unionByName(leg("orders", o, o_gone))
+        .unionByName(leg("lineitem", li, li_gone))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental JOIN-view maintenance: V = agg(orders x customer) kept
+# fresh by merging only the delta's contribution (IVM for joins — the
+# companion to events_rollup_incremental_refresh's aggregate-only IVM)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "fact_join_view_incremental",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(year(o_orderdate) AS INT) AS order_year,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment, year(o_orderdate)
+    """,
+)
+def fact_join_view_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view: the materialized view
+    V = (segment, year) -> (count, revenue) over orders x customer is
+    refreshed for a new batch of orders (the 1998+ slice) by computing
+    ONLY delta-orders x customer and MERGING partial aggregates into
+    the stale view — the dV = dA x B identity of delta-join IVM
+    (inserts-only; deletes would carry signed counts). The result must
+    be bit-identical to recomputing the view from scratch, which is
+    exactly what the oracle does.
+
+    Scale shape: the refresh touches |delta| fact rows + the broadcast
+    dimension + |affected groups| view rows — not the historical fact
+    table; partial counts and EXACT-DECIMAL revenue sums merge
+    associatively, so stale + delta composes in one tiny groupBy. At
+    100 TB this is the difference between an hourly refresh reading
+    one hour and reading three years."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cutoff = "1998-01-01"
+
+    def view_of(orders_slice: DataFrame) -> DataFrame:
+        return (
+            orders_slice.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy(
+                "c_mktsegment",
+                F.year("o_orderdate").cast("int").alias("order_year"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_rev"),
+            )
+        )
+
+    stale = view_of(o.filter(F.col("o_orderdate") < cutoff))
+    delta = view_of(o.filter(F.col("o_orderdate") >= cutoff))
+    return (
+        stale.unionByName(delta)
+        .groupBy("c_mktsegment", "order_year")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("_rev").cast("double").alias("total_revenue"),
+        )
+    )

@@ -2752,3 +2752,148 @@ def sensors_streaming_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_readings"),
         F.sum("micro_value").alias("total_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Audit analytics: Benford's-law conformance and an A/B z-test
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_benford_leading_digit",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(o_totalprice * 100 AS BIGINT) AS VARCHAR), 1, 1)
+                  AS INT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ),
+    counts AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_observed,
+             CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS n_total
+      FROM digits GROUP BY digit
+    )
+    SELECT digit, n_observed,
+           CAST(round(log10(1.0 + 1.0 / digit) * 1000000) AS BIGINT)
+             AS benford_ppm,
+           CAST(round(CAST(n_observed AS DOUBLE) * 1000000 / n_total) AS BIGINT)
+             AS observed_ppm,
+           CAST(round(CAST(n_observed AS DOUBLE) * 1000000 / n_total)
+                - round(log10(1.0 + 1.0 / digit) * 1000000) AS BIGINT)
+             AS deviation_ppm
+    FROM counts
+    """,
+)
+def orders_benford_leading_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order totals: the leading-significant-
+    digit distribution against log10(1 + 1/d) — the forensic-accounting
+    screen for fabricated amounts. (TPC-H prices are uniform-ish, so
+    the deviations are LARGE — which is exactly what the test should
+    say about synthetic data.) Leading digit comes from the integer
+    cents (scaling by 100 preserves the significand); all reported
+    shares are integer ppm, so the only float hazard is one log10/round
+    per digit. One scan, one 9-group aggregate."""
+    o = t(spark, sf_dir, "orders")
+    digit = F.substring(
+        (F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    counts = (
+        o.filter(F.col("o_totalprice") > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_observed"))
+    )
+    total = counts.agg(F.sum("n_observed").alias("n_total"))
+    benford_ppm = F.round(F.log10(1.0 + 1.0 / F.col("digit")) * 1000000).cast("long")
+    observed_ppm = F.round(
+        F.col("n_observed").cast("double") * 1000000 / F.col("n_total")
+    ).cast("long")
+    return counts.crossJoin(F.broadcast(total)).select(
+        "digit",
+        "n_observed",
+        benford_ppm.alias("benford_ppm"),
+        observed_ppm.alias("observed_ppm"),
+        (observed_ppm - benford_ppm).alias("deviation_ppm"),
+    )
+
+
+@query(
+    "events_ab_conversion_ztest",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    assigned AS (
+      SELECT user_id,
+             CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS grp,
+             CAST(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                  AS BIGINT) AS converted
+      FROM firsts WHERE rn = 1
+    ),
+    g AS (
+      SELECT CAST(SUM(CASE WHEN grp = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN grp = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN grp = 'A' THEN converted ELSE 0 END) AS BIGINT)
+               AS conv_a,
+             CAST(SUM(CASE WHEN grp = 'B' THEN converted ELSE 0 END) AS BIGINT)
+               AS conv_b
+      FROM assigned
+    )
+    SELECT n_a, n_b, conv_a, conv_b,
+           CAST(conv_a AS DOUBLE) / n_a AS p_a,
+           CAST(conv_b AS DOUBLE) / n_b AS p_b,
+           (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+             / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                    * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b)) AS z_score
+    FROM g
+    """,
+)
+def events_ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B z-test computed in-engine: users split into
+    arms by id parity (the deterministic hash-assignment every
+    experimentation platform uses), per-user conversion = the user's
+    FIRST event is a purchase (a volume-independent ~1-in-5 metric;
+    any count threshold degenerates to all-converted as event volume
+    grows with scale factor), pooled-variance z-score for the
+    difference. Every float op
+    (divisions, sqrt, products) is IEEE-exactly-rounded and written in
+    the identical expression order on both engines, so even the
+    z-score hashes bit-for-bit. One shuffle to the per-user rollup;
+    the arm totals are a single conditional aggregate."""
+    e = t(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    assigned = (
+        e.withColumn("rn", F.row_number().over(w_first))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("grp"),
+            (F.col("event_type") == "purchase").cast("long").alias("converted"),
+        )
+    )
+    g = assigned.agg(
+        F.sum(F.when(F.col("grp") == "A", 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("grp") == "B", 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("grp") == "A", F.col("converted")).otherwise(0)).alias(
+            "conv_a"
+        ),
+        F.sum(F.when(F.col("grp") == "B", F.col("converted")).otherwise(0)).alias(
+            "conv_b"
+        ),
+    )
+    p_a = F.col("conv_a").cast("double") / F.col("n_a")
+    p_b = F.col("conv_b").cast("double") / F.col("n_b")
+    pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (p_a - p_b) / F.sqrt(
+        pool * (F.lit(1.0) - pool)
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    return g.select(
+        "n_a", "n_b", "conv_a", "conv_b",
+        p_a.alias("p_a"), p_b.alias("p_b"), z.alias("z_score"),
+    )
