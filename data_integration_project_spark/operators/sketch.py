@@ -278,3 +278,73 @@ def kmv_distinct_estimate(df: DataFrame, col: str, k: int = 256) -> DataFrame:
         .cast("long")
         .alias("n_estimate"),
     )
+
+
+def kmv_sketch(df: DataFrame, col: Column, k: int = 256) -> DataFrame:
+    """The raw KMV sketch: the k smallest distinct affine hashes of a
+    set, as a k-row DataFrame — the mergeable representation that
+    set-algebra estimates (union / intersection) operate on."""
+    return df.select(kmv_hash(col).alias("_h")).distinct().orderBy("_h").limit(k)
+
+
+def kmv_set_algebra(
+    df_a: DataFrame, col_a: Column, df_b: DataFrame, col_b: Column, k: int = 256
+) -> DataFrame:
+    """Theta-sketch-style set algebra over two KMV sketches: estimate
+    |A ∪ B| and |A ∩ B| WITHOUT joining the underlying sets — the
+    sketches are k rows each, so the whole computation after the two
+    scans is constant-size. This is how overlap questions ("how many
+    purchasers also clicked?", "how much does this source overlap that
+    one?") are answered at 100 TB: sketch each side during ingest,
+    merge/intersect sketches at query time.
+
+    Mechanics (integer-exact except two final single divisions):
+    theta = min of the two sketches' k-th-smallest hashes (each P if
+    the sketch isn't full — degrading gracefully to exact); common =
+    hashes below theta present in BOTH sketches; |A∩B| ~= floor(
+    common * P / theta); |A∪B| from the standard KMV estimate over the
+    k smallest of the merged sketch entries."""
+    a = kmv_sketch(df_a, col_a, k).withColumnRenamed("_h", "_ha")
+    b = kmv_sketch(df_b, col_b, k).withColumnRenamed("_h", "_hb")
+    a_stats = a.agg(
+        F.count(F.lit(1)).alias("na"),
+        F.when(F.count(F.lit(1)) < k, F.lit(P)).otherwise(F.max("_ha")).alias("ta"),
+    )
+    b_stats = b.agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.when(F.count(F.lit(1)) < k, F.lit(P)).otherwise(F.max("_hb")).alias("tb"),
+    )
+    theta = F.least(F.col("ta"), F.col("tb"))
+    common = (
+        a.join(b, F.col("_ha") == F.col("_hb"))
+        .crossJoin(F.broadcast(a_stats.crossJoin(b_stats)))
+        .filter(F.col("_ha") < theta)
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    merged = a.select(F.col("_ha").alias("_h")).unionByName(
+        b.select(F.col("_hb").alias("_h"))
+    ).distinct().orderBy("_h").limit(k)
+    union_est = merged.agg(
+        F.count(F.lit(1)).alias("nu"),
+        F.when(F.count(F.lit(1)) < k, F.count(F.lit(1)))
+        .otherwise(F.floor(F.lit(float(k - 1)) * F.lit(float(P)) / F.max("_h")))
+        .cast("long")
+        .alias("est_union"),
+    )
+    return (
+        a_stats.crossJoin(b_stats)
+        .crossJoin(F.broadcast(common))
+        .crossJoin(F.broadcast(union_est))
+        .select(
+            F.lit(k).alias("k"),
+            theta.cast("long").alias("theta"),
+            F.col("n_common").cast("long").alias("n_common"),
+            F.floor(
+                F.col("n_common").cast("double") * F.lit(float(P))
+                / theta.cast("double")
+            )
+            .cast("long")
+            .alias("est_intersection"),
+            F.col("est_union"),
+        )
+    )

@@ -2897,3 +2897,180 @@ def events_ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_a", "n_b", "conv_a", "conv_b",
         p_a.alias("p_a"), p_b.alias("p_b"), z.alias("z_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketch set algebra: estimate |A ∪ B| / |A ∩ B| from two KMV sketches
+# without ever joining the underlying sets
+# ---------------------------------------------------------------------------
+
+_KMV_AB = """
+    seta AS (
+      SELECT o_orderkey AS v FROM orders WHERE o_totalprice > 250000
+    ),
+    setb AS (
+      SELECT o_orderkey AS v FROM orders WHERE o_orderdate >= DATE '1996-01-01'
+    ),
+    ska AS (
+      SELECT hv FROM (
+        SELECT DISTINCT (1103515245 * (v % 2147483647) + 12352) % 2147483647 AS hv
+        FROM seta
+      ) ORDER BY hv LIMIT 256
+    ),
+    skb AS (
+      SELECT hv FROM (
+        SELECT DISTINCT (1103515245 * (v % 2147483647) + 12352) % 2147483647 AS hv
+        FROM setb
+      ) ORDER BY hv LIMIT 256
+    ),
+    astats AS (
+      SELECT COUNT(*) AS na,
+             CASE WHEN COUNT(*) < 256 THEN 2147483647 ELSE MAX(hv) END AS ta
+      FROM ska
+    ),
+    bstats AS (
+      SELECT COUNT(*) AS nb,
+             CASE WHEN COUNT(*) < 256 THEN 2147483647 ELSE MAX(hv) END AS tb
+      FROM skb
+    ),
+    com AS (
+      SELECT COUNT(*) AS n_common
+      FROM ska JOIN skb USING (hv), astats, bstats
+      WHERE hv < least(ta, tb)
+    ),
+    merged AS (
+      SELECT hv FROM (
+        SELECT hv FROM ska UNION SELECT hv FROM skb
+      ) ORDER BY hv LIMIT 256
+    ),
+    uni AS (
+      SELECT COUNT(*) AS nu,
+             CAST(CASE WHEN COUNT(*) < 256 THEN COUNT(*)
+                  ELSE floor(255.0 * 2147483647.0 / MAX(hv)) END AS BIGINT)
+               AS est_union
+      FROM merged
+    )
+"""
+
+
+@query(
+    "orders_kmv_set_algebra",
+    oracle=f"""
+    WITH {_KMV_AB}
+    SELECT CAST(256 AS INT) AS k,
+           CAST(least(ta, tb) AS BIGINT) AS theta,
+           CAST(n_common AS BIGINT) AS n_common,
+           CAST(floor(CAST(n_common AS DOUBLE) * 2147483647.0
+                      / CAST(least(ta, tb) AS DOUBLE)) AS BIGINT)
+             AS est_intersection,
+           est_union
+    FROM astats, bstats, com, uni
+    """,
+)
+def orders_kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra (operators/sketch.kmv_set_algebra):
+    estimate the overlap between high-value orders and recent orders
+    from two 256-entry KMV sketches — the underlying sets are never
+    joined, so the same query answers overlap questions between two
+    100 TB id sets with constant post-scan cost. Deterministic affine
+    hashing makes the sketches, theta, and both estimates bit-portable
+    (the oracle reproduces every entry); accuracy is unit-tested
+    against the exact overlap in tests."""
+    from ..operators.sketch import kmv_set_algebra
+
+    o = t(spark, sf_dir, "orders")
+    return kmv_set_algebra(
+        o.filter(F.col("o_totalprice") > 250000),
+        F.col("o_orderkey"),
+        o.filter(F.col("o_orderdate") >= "1996-01-01"),
+        F.col("o_orderkey"),
+        k=256,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift: Population Stability Index between two periods
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_psi_drift",
+    oracle="""
+    WITH bucketed AS (
+      SELECT least(CAST(o_totalprice * 100 AS BIGINT) // 6000000, 9) AS bucket,
+             CASE WHEN year(o_orderdate) = 1997 THEN 'ref'
+                  WHEN year(o_orderdate) = 1998 THEN 'cur' END AS period
+      FROM orders
+      WHERE year(o_orderdate) IN (1997, 1998)
+    ),
+    counts AS (
+      SELECT b.bucket,
+             CAST(1 + COALESCE(SUM(CASE WHEN period = 'ref' THEN 1 END), 0)
+                  AS BIGINT) AS n_ref,
+             CAST(1 + COALESCE(SUM(CASE WHEN period = 'cur' THEN 1 END), 0)
+                  AS BIGINT) AS n_cur
+      FROM (SELECT unnest(range(0, 10)) AS bucket) b
+      LEFT JOIN bucketed USING (bucket)
+      GROUP BY b.bucket
+    ),
+    tot AS (
+      SELECT *, CAST(SUM(n_ref) OVER () AS BIGINT) AS t_ref,
+             CAST(SUM(n_cur) OVER () AS BIGINT) AS t_cur
+      FROM counts
+    )
+    SELECT bucket, n_ref, n_cur,
+           CAST(round(
+             (CAST(n_cur AS DOUBLE) / t_cur - CAST(n_ref AS DOUBLE) / t_ref)
+             * ln((CAST(n_cur AS DOUBLE) / t_cur)
+                  / (CAST(n_ref AS DOUBLE) / t_ref)) * 1000000
+           ) AS BIGINT) AS psi_contrib_micro
+    FROM tot
+    """,
+)
+def orders_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the 1997 (reference) and 1998
+    (current) order-value distributions — the standard production-ML
+    drift monitor (PSI < 0.1 stable, > 0.25 action). Ten fixed price
+    buckets, Laplace add-one so empty buckets stay finite, and each
+    bucket's (p_cur - p_ref)·ln(p_cur/p_ref) contribution reported in
+    integer micro-units (one fixed-order float chain per bucket; the
+    total is their exact integer sum). One scan, one 10-group
+    aggregate, window totals over 10 rows — nothing scales with data
+    beyond the scan."""
+    o = t(spark, sf_dir, "orders")
+    year = F.year("o_orderdate")
+    bucketed = (
+        o.filter(year.isin(1997, 1998))
+        .select(
+            F.least(
+                F.expr("CAST(o_totalprice * 100 AS BIGINT) div 6000000"), F.lit(9)
+            ).alias("bucket"),
+            F.when(year == 1997, "ref").otherwise("cur").alias("period"),
+        )
+    )
+    buckets = spark.range(0, 10).select(F.col("id").alias("bucket"))
+    counts = (
+        buckets.join(bucketed, "bucket", "left")
+        .groupBy("bucket")
+        .agg(
+            (1 + F.coalesce(F.sum(F.when(F.col("period") == "ref", 1)), F.lit(0)))
+            .cast("long")
+            .alias("n_ref"),
+            (1 + F.coalesce(F.sum(F.when(F.col("period") == "cur", 1)), F.lit(0)))
+            .cast("long")
+            .alias("n_cur"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    p_ref = F.col("n_ref").cast("double") / F.col("t_ref")
+    p_cur = F.col("n_cur").cast("double") / F.col("t_cur")
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        F.round((p_cur - p_ref) * F.log(p_cur / p_ref) * 1000000)
+        .cast("long")
+        .alias("psi_contrib_micro"),
+    )

@@ -518,3 +518,16 @@ def test_ivf_pq_adc_recall_and_planted_duplicates(spark):
     ).collect()
     top1 = {r["query_id"]: r["neighbor_id"] for r in adc2 if r["rank"] == 1}
     assert all(top1[qid] == qid + 1000000 for qid in top1), "twin not at rank 1"
+
+
+def test_kmv_set_algebra_accuracy(spark):
+    """Sketch estimates of |A∩B| and |A∪B| must land within ~3/sqrt(k)
+    relative error of the exact values on overlapping integer sets."""
+    from data_integration_project_spark.operators.sketch import kmv_set_algebra
+
+    a = spark.range(0, 6000).withColumnRenamed("id", "v")
+    b = spark.range(4000, 12000).withColumnRenamed("id", "v")
+    row = kmv_set_algebra(a, F.col("v"), b, F.col("v"), k=256).collect()[0]
+    exact_i, exact_u = 2000, 12000
+    assert abs(row["est_intersection"] - exact_i) / exact_i < 0.35
+    assert abs(row["est_union"] - exact_u) / exact_u < 0.2
