@@ -2451,7 +2451,7 @@ def orders_column_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orders_multipass_quantiles",
     oracle="""
     WITH c AS (
-      SELECT CAST(o_totalprice * 100 AS BIGINT) AS v FROM orders
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v FROM orders
     ),
     n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c),
     p AS (
@@ -2486,7 +2486,7 @@ def orders_multipass_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.quantiles import multipass_quantile
 
     o = t(spark, sf_dir, "orders")
-    cents = (F.col("o_totalprice") * 100).cast("long")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
     res = multipass_quantile(
         o, cents, {"p25": (1, 4), "p50": (1, 2), "p90": (9, 10)}
     )
@@ -2763,7 +2763,7 @@ def sensors_streaming_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orders_benford_leading_digit",
     oracle="""
     WITH digits AS (
-      SELECT CAST(substr(CAST(CAST(o_totalprice * 100 AS BIGINT) AS VARCHAR), 1, 1)
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR), 1, 1)
                   AS INT) AS digit
       FROM orders WHERE o_totalprice > 0
     ),
@@ -2794,7 +2794,7 @@ def orders_benford_leading_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     per digit. One scan, one 9-group aggregate."""
     o = t(spark, sf_dir, "orders")
     digit = F.substring(
-        (F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").cast("string"), 1, 1
     ).cast("int")
     counts = (
         o.filter(F.col("o_totalprice") > 0)
@@ -2997,7 +2997,7 @@ def orders_kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orders_psi_drift",
     oracle="""
     WITH bucketed AS (
-      SELECT least(CAST(o_totalprice * 100 AS BIGINT) // 6000000, 9) AS bucket,
+      SELECT least(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) // 6000000, 9) AS bucket,
              CASE WHEN year(o_orderdate) = 1997 THEN 'ref'
                   WHEN year(o_orderdate) = 1998 THEN 'cur' END AS period
       FROM orders
@@ -3043,7 +3043,7 @@ def orders_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.filter(year.isin(1997, 1998))
         .select(
             F.least(
-                F.expr("CAST(o_totalprice * 100 AS BIGINT) div 6000000"), F.lit(9)
+                F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) div 6000000"), F.lit(9)
             ).alias("bucket"),
             F.when(year == 1997, "ref").otherwise("cur").alias("period"),
         )
@@ -3073,4 +3073,93 @@ def orders_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((p_cur - p_ref) * F.log(p_cur / p_ref) * 1000000)
         .cast("long")
         .alias("psi_contrib_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap: resampling uncertainty at scan speed (no row
+# indexing, no global sort — the massive-data bootstrap)
+# ---------------------------------------------------------------------------
+
+#: Deterministic uniform in [0,1) for (orderkey, replicate): affine hash.
+_BOOT_U = "(((1103515245 * ((o_orderkey * 37 + b) % 2147483647) + 12352) % 2147483647) / 2147483647.0)"
+
+#: Poisson(1) inverse-CDF thresholds (cumulative e^-1 * 1/k! terms).
+_POIS = (
+    "CASE WHEN u < 0.36787944117144233 THEN 0 "
+    "WHEN u < 0.7357588823428847 THEN 1 "
+    "WHEN u < 0.9196986029286058 THEN 2 "
+    "WHEN u < 0.9810118431238462 THEN 3 "
+    "WHEN u < 0.9963401531726563 THEN 4 ELSE 5 END"
+)
+
+
+@query(
+    "orders_poisson_bootstrap",
+    oracle=f"""
+    WITH grid AS (
+      SELECT o_orderkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents, b
+      FROM orders, (SELECT unnest(range(0, 32)) AS b)
+    ),
+    weighted AS (
+      SELECT b, cents, {_POIS} AS w
+      FROM (SELECT *, {_BOOT_U} AS u FROM grid)
+    )
+    SELECT CAST(b AS BIGINT) AS replicate,
+           CAST(SUM(w) AS BIGINT) AS n_eff,
+           CAST(SUM(w * cents) AS BIGINT) AS sum_cents,
+           CAST(SUM(w * cents) AS DOUBLE) / SUM(w) AS mean_cents
+    FROM weighted GROUP BY b
+    """,
+)
+def orders_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POISSON BOOTSTRAP of the mean order value: classic bootstrap
+    resampling needs row indexing (a global sort and random access —
+    both non-starters at 100 TB); the Poisson bootstrap instead gives
+    every row an independent Poisson(1)-distributed weight per
+    replicate, which converges to the same resampling distribution and
+    runs as ONE scan with a 32-way conditional weighting. Weights come
+    from a deterministic affine hash pushed through the Poisson(1)
+    inverse CDF, so all 32 replicate means are bit-reproducible
+    (integer cents sums, one final division); the spread of the 32
+    means IS the standard-error estimate.
+
+    Scale shape: the replicate grid is a projection (no extra scan per
+    replicate — at 100 TB you'd fold the 32 weights into one pass with
+    an array column exactly like this flattened form), and the rollup
+    is map-side combined to 32 groups."""
+    o = t(spark, sf_dir, "orders")
+    grid = o.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    ).crossJoin(spark.range(0, 32).select(F.col("id").alias("b")))
+    u = (
+        (
+            (1103515245 * ((F.col("o_orderkey") * 37 + F.col("b")) % 2147483647)
+             + 12352)
+            % 2147483647
+        )
+        / 2147483647.0
+    )
+    w = (
+        F.when(u < 0.36787944117144233, 0)
+        .when(u < 0.7357588823428847, 1)
+        .when(u < 0.9196986029286058, 2)
+        .when(u < 0.9810118431238462, 3)
+        .when(u < 0.9963401531726563, 4)
+        .otherwise(5)
+    )
+    return (
+        grid.select("b", "cents", w.alias("w"))
+        .groupBy("b")
+        .agg(
+            F.sum("w").alias("n_eff"),
+            F.sum(F.col("w") * F.col("cents")).alias("sum_cents"),
+        )
+        .select(
+            F.col("b").cast("long").alias("replicate"),
+            "n_eff",
+            "sum_cents",
+            (F.col("sum_cents").cast("double") / F.col("n_eff")).alias("mean_cents"),
+        )
     )
