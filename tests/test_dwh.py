@@ -135,3 +135,29 @@ def test_scd2_incremental_merge_idempotent(spark, tmp_path):
     W.scd2_merge_incremental(spark, path, upd, "k", ["name", "bal"], "2024-06-01", n_buckets=4)
     twice = {tuple(r) for r in W.read_dim_bucketed(spark, path).collect()}
     assert once == twice
+
+
+def test_lunar_tet_matches_public_record():
+    """The astronomical lunar calendar must reproduce historically
+    documented Tet dates and sexagenary names across decades,
+    including a lunar-leap-year conversion."""
+    from datetime import date
+
+    from data_integration_project_spark.functions.lunar import (
+        can_chi_year,
+        lunar_to_solar,
+        tet_dates,
+    )
+
+    known = {
+        1995: (date(1995, 1, 31), "At Hoi"),
+        1996: (date(1996, 2, 19), "Binh Ty"),
+        1997: (date(1997, 2, 7), "Dinh Suu"),
+        2000: (date(2000, 2, 5), "Canh Thin"),
+        2024: (date(2024, 2, 10), "Giap Thin"),
+    }
+    for year, (tet, name) in known.items():
+        assert tet_dates(year)[0] == tet, year
+        assert can_chi_year(year) == name, year
+    # 2023 had a leap month 2: mid-autumn (lunar 15/8) fell on Sep 29
+    assert lunar_to_solar(15, 8, 2023) == date(2023, 9, 29)
