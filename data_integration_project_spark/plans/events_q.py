@@ -2319,3 +2319,131 @@ def events_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Sweep-line peak concurrency and time-weighted averages
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_peak_concurrency",
+    oracle="""
+    WITH iv AS (
+      SELECT CAST(ts AS DATE) AS day, epoch_ms(ts) AS t0, epoch_ms(ts) + 600000 AS t1
+      FROM events
+    ),
+    deltas AS (
+      SELECT day, t0 AS t, 1 AS delta FROM iv
+      UNION ALL
+      SELECT day, t1 AS t, -1 AS delta FROM iv
+    ),
+    running AS (
+      SELECT day,
+             SUM(delta) OVER (PARTITION BY day ORDER BY t, delta
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS live
+      FROM deltas
+    )
+    SELECT day,
+           CAST(MAX(live) AS BIGINT) AS peak_concurrent,
+           CAST(COUNT(*) / 2 AS BIGINT) AS n_intervals
+    FROM running GROUP BY day
+    """,
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency by SWEEP LINE: each event opens a 10-minute
+    interval, intervals become +1/-1 boundary deltas, and the daily
+    maximum of the running sum is the peak number of simultaneously
+    open intervals — the classic interval-overlap aggregation
+    (concurrent sessions, connection-pool high-water marks) done with
+    one window, no interval self-join (the O(N^2) trap). Boundary
+    convention: an interval ending exactly when another starts does
+    NOT overlap it (-1 sorts before +1 at equal time).
+
+    Scale shape: the sweep is PER DAY (intervals attributed to their
+    start day — exact here since none cross midnight), so the sort is
+    within the day partition, never global; a year of 100 TB events
+    sweeps as 365 independent partitions."""
+    e = t(spark, sf_dir, "events")
+    iv = e.select(
+        F.col("ts").cast("date").alias("day"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("t0"),
+    ).withColumn("t1", F.col("t0") + 600000)
+    deltas = iv.select("day", F.col("t0").alias("t"), F.lit(1).alias("delta")).unionByName(
+        iv.select("day", F.col("t1").alias("t"), F.lit(-1).alias("delta"))
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = deltas.withColumn("live", F.sum("delta").over(w))
+    return running.groupBy("day").agg(
+        F.max("live").cast("long").alias("peak_concurrent"),
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_intervals"),
+    )
+
+
+@query(
+    "events_time_weighted_value",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+             epoch_ms(ts) AS t,
+             lead(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS t_next
+      FROM events
+    )
+    SELECT user_id,
+           COUNT(*) AS n_intervals,
+           CAST(SUM(t_next - t) AS BIGINT) AS total_dur_ms,
+           CAST(SUM(cents * (t_next - t)) AS BIGINT) AS cent_millis,
+           CAST(SUM(cents * (t_next - t)) AS DOUBLE) / SUM(t_next - t)
+             AS tw_mean_cents
+    FROM seq WHERE t_next IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def events_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-WEIGHTED average (the TWAP shape): each reading holds
+    until the user's next event, so the mean weights every value by
+    its holding duration — the correct aggregate for balances, prices,
+    and gauge metrics where plain AVG over-counts bursts. Durations
+    from lead() over the per-user timeline in integer MILLISECONDS
+    (DuckDB's epoch() is fractional while Spark's unix_timestamp
+    truncates — millis are exact integers in both engines), so the
+    cent-millisecond sums are exact (one final division).
+
+    Scale shape: one window + one rollup, both on the user partition
+    the event queries already shuffle on."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("t"),
+        F.lead(F.unix_millis(F.col("ts").cast("timestamp"))).over(w).alias(
+            "t_next"
+        ),
+    )
+    dur = F.col("t_next") - F.col("t")
+    return (
+        seq.filter(F.col("t_next").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum(dur).alias("total_dur_ms"),
+            F.sum(F.col("cents") * dur).alias("cent_millis"),
+        )
+        .select(
+            "user_id",
+            "n_intervals",
+            "total_dur_ms",
+            "cent_millis",
+            (
+                F.col("cent_millis").cast("double") / F.col("total_dur_ms")
+            ).alias("tw_mean_cents"),
+        )
+    )

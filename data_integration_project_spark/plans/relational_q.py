@@ -3163,3 +3163,125 @@ def orders_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sum_cents").cast("double") / F.col("n_eff")).alias("mean_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# LATERAL correlated derived tables (the decorrelation surface beyond
+# scalar subqueries): per-row top-N without hand-writing the window
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "customers_lateral_top2_orders",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+    LATERAL (
+      SELECT o_orderkey, o_totalprice
+      FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 2
+    ) t
+    WHERE c.c_custkey % 20 = 0
+    """,
+)
+def customers_lateral_top2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated derived table (Spark 4 `, LATERAL (...)`):
+    each selected customer's top-2 orders written as a correlated
+    subquery with ORDER BY + LIMIT — the form a SQL user ports from
+    Postgres — which Catalyst DECORRELATES into the same
+    window/rank-pushdown plan orders_top3_per_customer hand-writes.
+    Included as parser/optimizer surface: the correlated-limit
+    decorrelation is the non-trivial rewrite (a naive engine would
+    re-run the subquery per outer row — the 100 TB anti-pattern)."""
+    _view(spark, sf_dir, "customer", "lat_customer")
+    _view(spark, sf_dir, "orders", "lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM lat_customer c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM lat_orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 2
+        ) t
+        WHERE c.c_custkey % 20 = 0
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood blocking (Hernandez & Stolfo 1995): the
+# complementary ER blocking discipline to prefix-equality blocks
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "customer_sorted_neighborhood",
+    oracle="""
+    WITH ranked AS (
+      SELECT c_custkey, c_name, c_nationkey,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_name, c_custkey) AS rn
+      FROM customer
+    )
+    SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+           a.c_name AS name_a, b.c_name AS name_b,
+           CAST(b.rn - a.rn AS INT) AS window_gap,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS edit_dist
+    FROM ranked a JOIN ranked b
+      ON a.c_nationkey = b.c_nationkey
+     AND b.rn - a.rn BETWEEN 1 AND 3
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+    """,
+)
+def customer_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood entity resolution (Hernandez-Stolfo): sort
+    records on a discriminating key WITHIN each coarse block, then
+    compare only records at most w=3 sort positions apart — the
+    complementary blocking discipline to customer_fuzzy_match's
+    prefix-equality blocks (equality blocking misses matches whose
+    prefix differs; the sliding window catches sort-adjacent variants
+    and bounds comparisons at w*N regardless of block-size skew).
+
+    Scale shape: the sort is per-nation (a window inside the
+    partition, not a global sort); the neighbor join is a range-bound
+    self-equi-join on the block key. Only window pairs pay the
+    levenshtein."""
+    cust = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_name", "c_custkey")
+    ranked = cust.select(
+        "c_custkey", "c_name", "c_nationkey", F.row_number().over(w).alias("rn")
+    )
+    a = ranked.select(
+        F.col("c_custkey").alias("key_a"),
+        F.col("c_name").alias("name_a"),
+        "c_nationkey",
+        F.col("rn").alias("rn_a"),
+    )
+    b = ranked.select(
+        F.col("c_custkey").alias("key_b"),
+        F.col("c_name").alias("name_b"),
+        F.col("c_nationkey").alias("nk_b"),
+        F.col("rn").alias("rn_b"),
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(
+            b,
+            (F.col("c_nationkey") == F.col("nk_b"))
+            & (F.col("rn_b") - F.col("rn_a")).between(1, 3),
+        )
+        .filter(dist <= 2)
+        .select(
+            "key_a",
+            "key_b",
+            "name_a",
+            "name_b",
+            (F.col("rn_b") - F.col("rn_a")).cast("int").alias("window_gap"),
+            dist.cast("int").alias("edit_dist"),
+        )
+    )
