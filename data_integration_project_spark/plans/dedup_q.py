@@ -738,21 +738,33 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    x = ordered.select("doc_id", "token", "set_size").alias("x")
-    y = ordered.select("doc_id", "token", "set_size").alias("y")
+    # verify on COLLECTED shingle sets, not a second exploded join: one
+    # (doc -> sorted set) materialization, then each candidate pair is
+    # a single codegen array_intersect over two ~|doc|-sized arrays —
+    # the exploded (doc, token) x (doc, token) verify join this
+    # replaces shuffled the whole shingle stream a second time
+    sets = toks.groupBy("doc_id").agg(
+        F.collect_set("token").alias("toks"), F.count(F.lit(1)).alias("set_size")
+    )
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("toks").alias("toks_a"),
+        F.col("set_size").alias("size_a"),
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("toks").alias("toks_b"),
+        F.col("set_size").alias("size_b"),
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("long")
     verified = (
-        cands.join(x, F.col("x.doc_id") == F.col("doc_a"))
-        .join(
-            y,
-            (F.col("y.doc_id") == F.col("doc_b"))
-            & (F.col("y.token") == F.col("x.token")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.count(F.lit(1)).alias("inter_size"),
-            (
-                F.min("x.set_size") + F.min("y.set_size") - F.count(F.lit(1))
-            ).alias("union_size"),
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.alias("inter_size"),
+            (F.col("size_a") + F.col("size_b") - inter).alias("union_size"),
         )
     )
     return verified.filter(
