@@ -2447,3 +2447,67 @@ def events_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tw_mean_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing: sequential recurrences via grouped-map pandas UDF,
+# oracled by DuckDB's equally-sequential list_reduce fold
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_ewma_smoothing",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id,
+             list(CAST(floor(value * 100 + 0.5) AS DOUBLE)
+                  ORDER BY ts, event_id) AS xs
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(xs) AS BIGINT) AS n_points,
+           list_reduce(xs, (acc, x) -> 0.2 * x + 0.8 * acc) AS ewma_cents
+    FROM ordered
+    """,
+)
+def events_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA (exponentially weighted moving average) per user — the
+    sequential recurrence e_t = a*x_t + (1-a)*e_{t-1} that no
+    commutative aggregate expresses. Computed in a grouped-map
+    ``applyInPandas`` (one Arrow batch per user, a float64 loop in
+    time order); the oracle runs the IDENTICAL recurrence as DuckDB's
+    list_reduce fold. Because BOTH engines evaluate the same strictly
+    sequential op chain, the result hashes bit-for-bit with no
+    rounding at all — the determinism rule for sequential float state:
+    pin the evaluation ORDER, not just the values.
+
+    Scale shape: state is one float per user; groups shuffle once on
+    user_id. (A segment-tree windowed SUM would NOT match — engines
+    disagree on addition tree shape; the fold form is the portable
+    one.)"""
+    import pandas as pd
+
+    e = t(spark, sf_dir, "events")
+
+    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        acc = None
+        for x in pdf["cents"]:
+            acc = x if acc is None else 0.2 * x + 0.8 * acc
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_points": [len(pdf)],
+                "ewma_cents": [acc],
+            }
+        )
+
+    src = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("double").alias("cents"),
+    )
+    return src.groupBy("user_id").applyInPandas(
+        ewma, schema="user_id long, n_points long, ewma_cents double"
+    )

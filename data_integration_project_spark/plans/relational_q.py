@@ -3285,3 +3285,119 @@ def customer_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.cast("int").alias("edit_dist"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Geospatial proximity: grid-binned candidate join + haversine verify
+# (the spatial-join family: equi-join on space cells, never all pairs)
+# ---------------------------------------------------------------------------
+
+#: Deterministic synthetic coordinates in a 10x10-degree region
+#: (integer-hash-derived -> exact doubles in both engines).
+_GEO_LAT = "((1103515245 * (c_custkey % 2147483647) + 12352) % 2147483647) % 100000 / 10000.0"
+_GEO_LON = "(100 + ((48271 * (c_custkey % 2147483647) + 11213) % 2147483647) % 100000 / 10000.0)"
+
+_HAV = (
+    "round(2 * 6371.0088 * asin(sqrt("
+    "sin(radians(b.lat - a.lat) / 2) * sin(radians(b.lat - a.lat) / 2)"
+    " + cos(radians(a.lat)) * cos(radians(b.lat))"
+    " * sin(radians(b.lon - a.lon) / 2) * sin(radians(b.lon - a.lon) / 2)"
+    ")), 6)"
+)
+
+
+@query(
+    "customers_geo_proximity",
+    oracle=f"""
+    WITH pts AS (
+      SELECT c_custkey AS id, {_GEO_LAT} AS lat, {_GEO_LON} AS lon
+      FROM customer
+    ),
+    cells AS (
+      SELECT *, CAST(floor(lat) AS BIGINT) AS cy, CAST(floor(lon) AS BIGINT) AS cx
+      FROM pts
+    ),
+    rhs AS (
+      SELECT id, lat, lon, cy + dy AS cy, cx + dx AS cx
+      FROM cells,
+           (SELECT unnest(range(-1, 2)) AS dy),
+           (SELECT unnest(range(-1, 2)) AS dx)
+    )
+    SELECT a.id AS id_a, b.id AS id_b, {_HAV} AS dist_km
+    FROM cells a JOIN rhs b USING (cy, cx)
+    WHERE a.id < b.id AND {_HAV} < 50.0
+    """,
+)
+def customers_geo_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPATIAL JOIN by grid binning: deterministic synthetic
+    coordinates (a 10x10-degree region), points bucketed into
+    1-degree cells, and candidate pairs generated by an EQUI-JOIN of
+    each point's home cell against its neighbors' 3x3 cell
+    replication — then only candidates pay the haversine, verified
+    under 50 km (a 1-degree neighborhood covers >= 109 km at these
+    latitudes, so recall is exact). This is the scale pattern for
+    proximity joins: space-filling bins make 'within distance' an
+    equi-join; all-pairs distance is never computed.
+
+    Determinism: coordinates are integer-hash-derived exact doubles;
+    the haversine (libm trig on both engines) rounds to 1e-6 km
+    before the threshold and the output."""
+    c = t(spark, sf_dir, "customer")
+    lat = F.expr(_GEO_LAT)
+    lon = F.expr(_GEO_LON)
+    pts = c.select(
+        F.col("c_custkey").alias("id"), lat.alias("lat"), lon.alias("lon")
+    )
+    cells = pts.select(
+        "id",
+        "lat",
+        "lon",
+        F.floor("lat").cast("long").alias("cy"),
+        F.floor("lon").cast("long").alias("cx"),
+    )
+    offsets = spark.range(-1, 2).select(F.col("id").alias("dy")).crossJoin(
+        spark.range(-1, 2).select(F.col("id").alias("dx"))
+    )
+    rhs = cells.crossJoin(F.broadcast(offsets)).select(
+        "id",
+        "lat",
+        "lon",
+        (F.col("cy") + F.col("dy")).alias("cy"),
+        (F.col("cx") + F.col("dx")).alias("cx"),
+    )
+    a = cells.select(
+        F.col("id").alias("id_a"),
+        F.col("lat").alias("lat_a"),
+        F.col("lon").alias("lon_a"),
+        "cy",
+        "cx",
+    )
+    b = rhs.select(
+        F.col("id").alias("id_b"),
+        F.col("lat").alias("lat_b"),
+        F.col("lon").alias("lon_b"),
+        "cy",
+        "cx",
+    )
+    dlat = F.radians(F.col("lat_b") - F.col("lat_a")) / 2
+    dlon = F.radians(F.col("lon_b") - F.col("lon_a")) / 2
+    hav = F.round(
+        2
+        * 6371.0088
+        * F.asin(
+            F.sqrt(
+                F.sin(dlat) * F.sin(dlat)
+                + F.cos(F.radians("lat_a"))
+                * F.cos(F.radians("lat_b"))
+                * F.sin(dlon)
+                * F.sin(dlon)
+            )
+        ),
+        6,
+    )
+    return (
+        a.join(b, ["cy", "cx"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hav.alias("dist_km"))
+        .filter(F.col("dist_km") < 50.0)
+    )
