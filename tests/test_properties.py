@@ -113,3 +113,49 @@ def test_char_fold_hash_model(spark, values):
         for ch in s:
             acc = (acc * 31 + ord(ch)) % P
         assert got[i] == acc, (s,)
+
+
+# ---------------------------------------------------------------------------
+# Codec roundtrips: every byte string must survive encode->decode for
+# the dependency-free PNG (all five filters + DEFLATE) and GIF (LZW)
+# implementations — pure Python, no Spark job per example.
+# ---------------------------------------------------------------------------
+
+_BYTES = st.binary(min_size=0, max_size=4000)
+
+
+@settings(max_examples=40, deadline=None)
+@given(_BYTES)
+def test_png_roundtrip_property(raw):
+    from data_integration_project_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    d = decode_png(encode_png(raw))
+    n = min(len(raw), 3 * 16 * 64)
+    height = max(1, -(-n // 48))
+    padded = raw[:n] + b"\x00" * (48 * height - n)
+    assert (d["width"], d["height"]) == (16, height)
+    assert d["mean_r"] == sum(padded[0::3]) / (16 * height)
+    assert d["mean_g"] == sum(padded[1::3]) / (16 * height)
+    assert d["mean_b"] == sum(padded[2::3]) / (16 * height)
+
+
+@settings(max_examples=40, deadline=None)
+@given(_BYTES)
+def test_gif_lzw_roundtrip_property(raw):
+    from data_integration_project_spark.operators.multimodal import (
+        _gif_lzw_compress,
+        _gif_lzw_decompress,
+        decode_gif,
+        encode_gif,
+    )
+
+    assert _gif_lzw_decompress(_gif_lzw_compress(raw)) == raw
+    d = decode_gif(encode_gif(raw))
+    n = min(len(raw), 16 * 64)
+    height = max(1, -(-n // 16))
+    padded = raw[:n] + b"\x00" * (16 * height - n)
+    assert (d["width"], d["height"]) == (16, height)
+    assert d["mean_r"] == d["mean_g"] == d["mean_b"] == sum(padded) / (16 * height)
