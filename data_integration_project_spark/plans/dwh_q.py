@@ -1078,3 +1078,90 @@ def dim_date_tet_holidays(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, schema="d date, holiday_name string, lunar_year_name string"
     )
     return df.withColumn("iso_dow", (F.weekday("d") + 1).cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# Changelog DERIVATION (snapshot diff -> CDC events): the inverse of
+# fact_cdc_changelog_apply — closing the CDC loop
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "customers_snapshot_changelog",
+    oracle="""
+    WITH old AS (
+      SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 11 <> 0
+    ),
+    new AS (
+      SELECT c_custkey, c_name,
+             CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+                  ELSE c_acctbal END AS c_acctbal,
+             c_mktsegment
+      FROM customer WHERE c_custkey % 13 <> 0
+    )
+    SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+           CASE WHEN o.c_custkey IS NULL THEN 'I'
+                WHEN n.c_custkey IS NULL THEN 'D'
+                ELSE 'U' END AS op,
+           CASE WHEN o.c_custkey IS NOT NULL AND n.c_custkey IS NOT NULL
+                     AND o.c_acctbal <> n.c_acctbal
+                THEN 'c_acctbal' END AS changed_col,
+           n.c_acctbal AS new_acctbal,
+           o.c_acctbal AS old_acctbal
+    FROM old o FULL JOIN new n USING (c_custkey)
+    WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
+       OR o.c_acctbal <> n.c_acctbal
+    """,
+)
+def customers_snapshot_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog DERIVATION: two dimension snapshots (yesterday
+    drops keys %11, today drops %13 and bumps balances %7) full-outer
+    join on the key and emit only the differences as I/U/D operations
+    with old/new values — the inverse of fact_cdc_changelog_apply,
+    closing the loop: derive the changelog from snapshots where the
+    source system can't emit one, then apply it downstream.
+
+    Scale shape: one full-outer shuffle join on the key (AQE handles
+    the skew); unchanged rows — the overwhelming majority at 100 TB —
+    are filtered before anything materializes. Snapshot diffing at
+    scale wants the block-checksum pre-filter (orders_zone_diff) to
+    prune identical key ranges before this row-level join."""
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    k = F.col("c_custkey")
+    old = c.filter(k % 11 != 0)
+    new = c.filter(k % 13 != 0).withColumn(
+        "c_acctbal",
+        F.when(k % 7 == 0, F.col("c_acctbal") + 100.0).otherwise(
+            F.col("c_acctbal")
+        ),
+    )
+    o = old.select(
+        k.alias("ok"), F.col("c_acctbal").alias("old_acctbal")
+    )
+    n = new.select(
+        k.alias("nk"), F.col("c_acctbal").alias("new_acctbal")
+    )
+    joined = o.join(n, F.col("ok") == F.col("nk"), "full_outer")
+    changed = (
+        F.col("ok").isNotNull()
+        & F.col("nk").isNotNull()
+        & (F.col("old_acctbal") != F.col("new_acctbal"))
+    )
+    return (
+        joined.filter(
+            F.col("ok").isNull() | F.col("nk").isNull() | changed
+        )
+        .select(
+            F.coalesce("ok", "nk").alias("c_custkey"),
+            F.when(F.col("ok").isNull(), "I")
+            .when(F.col("nk").isNull(), "D")
+            .otherwise("U")
+            .alias("op"),
+            F.when(changed, "c_acctbal").alias("changed_col"),
+            "new_acctbal",
+            "old_acctbal",
+        )
+    )

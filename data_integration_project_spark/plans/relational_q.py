@@ -3401,3 +3401,101 @@ def customers_geo_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", hav.alias("dist_km"))
         .filter(F.col("dist_km") < 50.0)
     )
+
+
+# ---------------------------------------------------------------------------
+# Largest-remainder proration: allocations that sum EXACTLY
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_rebate_proration",
+    oracle="""
+    WITH lines AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_cents
+      FROM lineitem WHERE l_orderkey % 100 = 0
+    ),
+    totals AS (
+      SELECT *,
+             CAST(SUM(price_cents) OVER (PARTITION BY l_orderkey) AS BIGINT)
+               AS order_cents,
+             CAST(COUNT(*) OVER (PARTITION BY l_orderkey) AS BIGINT) AS n_lines
+      FROM lines
+    ),
+    base AS (
+      SELECT *,
+             order_cents // 10 AS rebate_cents,
+             (price_cents * (order_cents // 10)) // order_cents AS floor_share,
+             (price_cents * (order_cents // 10)) % order_cents AS remainder
+      FROM totals
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY remainder DESC, l_linenumber) AS rr,
+             CAST(rebate_cents - SUM(floor_share) OVER (PARTITION BY l_orderkey)
+                  AS BIGINT) AS leftover
+      FROM base
+    )
+    SELECT l_orderkey, l_linenumber, price_cents,
+           CAST(floor_share + CASE WHEN rr <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS allocated_cents
+    FROM ranked
+    """,
+)
+def orders_rebate_proration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LARGEST-REMAINDER PRORATION (Hamilton's method): a 10% rebate on
+    each order, allocated across its line items proportionally to
+    price — floor shares first, then the leftover cents go to the
+    largest fractional remainders (ties to the lowest line number), so
+    per-order allocations sum EXACTLY to the rebate with no lost or
+    invented cents. Pure integer arithmetic throughout: the float
+    proration that 'rounds each share' never reconciles, which is why
+    ledgers use this method.
+
+    Scale shape: two windows on the order partition (totals, remainder
+    rank) — the partitioning every per-order operator here reuses; no
+    joins."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    lines = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor(F.col("l_extendedprice") * 100 + 0.5)
+        .cast("long")
+        .alias("price_cents"),
+    )
+    w = Window.partitionBy("l_orderkey")
+    totals = lines.withColumn(
+        "order_cents", F.sum("price_cents").over(w)
+    )
+    rebate = F.expr("order_cents div 10")
+    base = totals.select(
+        "l_orderkey",
+        "l_linenumber",
+        "price_cents",
+        rebate.alias("rebate_cents"),
+        F.expr("(price_cents * (order_cents div 10)) div order_cents").alias(
+            "floor_share"
+        ),
+        F.expr("(price_cents * (order_cents div 10)) % order_cents").alias(
+            "remainder"
+        ),
+    )
+    wr = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("remainder"), F.asc("l_linenumber")
+    )
+    ranked = base.withColumn("rr", F.row_number().over(wr)).withColumn(
+        "leftover", F.col("rebate_cents") - F.sum("floor_share").over(w)
+    )
+    return ranked.select(
+        "l_orderkey",
+        "l_linenumber",
+        "price_cents",
+        (
+            F.col("floor_share")
+            + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("allocated_cents"),
+    )
