@@ -4,7 +4,7 @@ the monitoring summary (dashboard A2/A3)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.dates import DIM_DATE_SQL_COLUMNS
@@ -1163,5 +1163,121 @@ def customers_snapshot_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(changed, "c_acctbal").alias("changed_col"),
             "new_acctbal",
             "old_acctbal",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Accumulating-snapshot fact and semi-additive measures — the two
+# Kimball fact patterns not yet in the catalog
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "fact_order_lifecycle",
+    oracle="""
+    SELECT o_orderkey, o_orderdate,
+           MIN(l_shipdate) AS first_ship,
+           MAX(l_shipdate) AS last_ship,
+           CAST(date_diff('day', o_orderdate, MIN(l_shipdate)) AS INT)
+             AS days_to_first_ship,
+           CAST(date_diff('day', MIN(l_shipdate), MAX(l_shipdate)) AS INT)
+             AS ship_window_days,
+           CAST(SUM(CASE WHEN l_shipdate IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_lines_shipped,
+           COUNT(*) AS n_lines
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey % 50 = 0
+    GROUP BY o_orderkey, o_orderdate
+    """,
+)
+def fact_order_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACCUMULATING-SNAPSHOT fact (the third Kimball fact type, after
+    the transaction facts and periodic rollups already in the catalog):
+    one row per order tracking its milestone pipeline — placed ->
+    first ship -> last ship (the fixture carries no receipt date) —
+    with the lag measures between milestones. In production this row is UPDATED as milestones land;
+    rebuilt here declaratively from the line items, which is also the
+    backfill path. Milestone lags are day-exact integers.
+
+    Scale shape: one fact-fact equi-join on the native key, one
+    map-side-combined rollup to |orders| rows."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.min("l_shipdate").alias("first_ship"),
+            F.max("l_shipdate").alias("last_ship"),
+            F.datediff(F.min("l_shipdate"), F.col("o_orderdate"))
+            .cast("int")
+            .alias("days_to_first_ship"),
+            F.datediff(F.max("l_shipdate"), F.min("l_shipdate"))
+            .cast("int")
+            .alias("ship_window_days"),
+            F.sum(F.when(F.col("l_shipdate").isNotNull(), 1).otherwise(0)).alias(
+                "n_lines_shipped"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "fact_period_end_balance",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id,
+             date_trunc('month', ts) AS month,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+             row_number() OVER (PARTITION BY user_id, date_trunc('month', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT CAST(month AS DATE) AS month,
+           COUNT(*) AS n_users,
+           CAST(SUM(cents) AS BIGINT) AS total_period_end_cents,
+           CAST(SUM(cents) AS DOUBLE) / COUNT(*) AS avg_period_end_cents
+    FROM ranked WHERE rn = 1
+    GROUP BY month
+    """,
+)
+def fact_period_end_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMI-ADDITIVE measure aggregation: balances sum across USERS but
+    not across TIME — summing every reading over a month would count
+    each user many times, so the period aggregate takes each user's
+    LAST reading of the month (rank over the user-month partition) and
+    only then sums across users. The pattern for account balances,
+    inventory levels, and any gauge metric in a periodic-snapshot
+    fact.
+
+    Scale shape: one window on (user, month) with rank pushdown
+    (WindowGroupLimit prunes to the top row per group before any
+    sort spill), then a map-side-combined month rollup."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy(
+        "user_id", F.date_trunc("month", F.col("ts"))
+    ).orderBy(F.desc("ts"), F.desc("event_id"))
+    ranked = e.select(
+        "user_id",
+        F.date_trunc("month", F.col("ts")).cast("date").alias("month"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        F.row_number().over(w).alias("rn"),
+    )
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .groupBy("month")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("cents").alias("total_period_end_cents"),
+        )
+        .select(
+            "month",
+            "n_users",
+            "total_period_end_cents",
+            (
+                F.col("total_period_end_cents").cast("double") / F.col("n_users")
+            ).alias("avg_period_end_cents"),
         )
     )

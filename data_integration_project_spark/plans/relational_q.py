@@ -3499,3 +3499,84 @@ def orders_rebate_proration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("allocated_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ABC / Pareto classification: cumulative-share tiers
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "parts_abc_classification",
+    oracle="""
+    WITH rev AS (
+      SELECT p_partkey,
+             CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS rev_cents
+      FROM part JOIN lineitem ON p_partkey = l_partkey
+      GROUP BY p_partkey
+    ),
+    cum AS (
+      SELECT p_partkey, rev_cents,
+             SUM(rev_cents) OVER (ORDER BY rev_cents DESC, p_partkey
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cum_cents,
+             SUM(rev_cents) OVER () AS total_cents
+      FROM rev
+    ),
+    classed AS (
+      SELECT p_partkey, rev_cents,
+             CASE WHEN 5 * cum_cents <= 4 * total_cents THEN 'A'
+                  WHEN 20 * cum_cents <= 19 * total_cents THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM cum
+    )
+    SELECT abc_class,
+           COUNT(*) AS n_parts,
+           CAST(SUM(rev_cents) AS BIGINT) AS class_rev_cents
+    FROM classed GROUP BY abc_class
+    """,
+)
+def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) inventory classification: parts ranked by revenue,
+    class A = the prefix covering the first 80% of cumulative revenue,
+    B = to 95%, C = the tail — the 80/20 segmentation every inventory
+    and spend analysis starts from. Thresholds compare as exact
+    integer cross-products (5*cum <= 4*total), so no float share ever
+    decides a class.
+
+    Scale note: the cumulative share needs a GLOBAL revenue ordering —
+    legitimate here because the window runs over the AGGREGATED
+    |parts| rows, not the fact table; at 100 TB the rollup shrinks
+    line items to the part dimension first and the single-partition
+    window sees only that."""
+    p = t(spark, sf_dir, "part")
+    li = t(spark, sf_dir, "lineitem")
+    rev = (
+        p.join(li, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_partkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+            ).alias("rev_cents")
+        )
+    )
+    w_cum = (
+        Window.orderBy(F.desc("rev_cents"), F.asc("p_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = rev.withColumn("cum_cents", F.sum("rev_cents").over(w_cum)).crossJoin(
+        F.broadcast(rev.agg(F.sum("rev_cents").alias("total_cents")))
+    )
+    classed = cum.select(
+        "p_partkey",
+        "rev_cents",
+        F.when(5 * F.col("cum_cents") <= 4 * F.col("total_cents"), "A")
+        .when(20 * F.col("cum_cents") <= 19 * F.col("total_cents"), "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("rev_cents").alias("class_rev_cents"),
+    )
