@@ -2511,3 +2511,87 @@ def events_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return src.groupBy("user_id").applyInPandas(
         ewma, schema="user_id long, n_points long, ewma_cents double"
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-baseline anomaly detection: hour-of-week profile vs actuals
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_seasonal_anomaly",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h,
+             (isodow(ts) - 1) * 24 + hour(ts) AS how,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    split AS (
+      SELECT *, h >= TIMESTAMP '2024-03-01' AS is_eval FROM hourly
+    ),
+    baseline AS (
+      SELECT how,
+             CAST(SUM(n) AS BIGINT) AS base_total,
+             CAST(COUNT(*) AS BIGINT) AS base_hours
+      FROM split WHERE NOT is_eval GROUP BY how
+    )
+    SELECT s.how,
+           CAST(COUNT(*) AS BIGINT) AS eval_hours,
+           CAST(SUM(s.n) AS BIGINT) AS eval_total,
+           b.base_total, b.base_hours,
+           CAST(SUM(CASE WHEN s.n * b.base_hours > 2 * b.base_total
+                          AND s.n >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_anomalous_hours
+    FROM split s JOIN baseline b USING (how)
+    WHERE s.is_eval
+    GROUP BY s.how, b.base_total, b.base_hours
+    """,
+)
+def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly detection: traffic has an hour-of-week
+    rhythm, so raw thresholds misfire every weekend — the baseline is
+    the per-hour-of-week mean rate learned from the history before
+    March 2024, and an evaluation hour is anomalous when its count
+    exceeds 2x its OWN hour-of-week baseline (integer cross-product
+    comparison n*base_hours > 2*base_total — no float rate) with a
+    minimum-support floor. The ops-monitoring twin of the PSI drift
+    monitor (which watches distributions; this watches rates).
+
+    Scale shape: two map-side-combined aggregates (hourly, then
+    hour-of-week) and a broadcast join of the 168-row baseline."""
+    e = t(spark, sf_dir, "events")
+    hourly = (
+        e.select(
+            F.date_trunc("hour", F.col("ts")).alias("h"),
+            ((F.weekday("ts")) * 24 + F.hour("ts")).alias("how"),
+        )
+        .groupBy("h", "how")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    split = hourly.withColumn("is_eval", F.col("h") >= F.lit("2024-03-01").cast("timestamp"))
+    baseline = (
+        split.filter(~F.col("is_eval"))
+        .groupBy("how")
+        .agg(
+            F.sum("n").alias("base_total"),
+            F.count(F.lit(1)).alias("base_hours"),
+        )
+    )
+    ev = split.filter(F.col("is_eval"))
+    anomalous = (
+        F.col("n") * F.col("base_hours") > 2 * F.col("base_total")
+    ) & (F.col("n") >= 5)
+    return (
+        ev.join(F.broadcast(baseline), "how")
+        .groupBy("how", "base_total", "base_hours")
+        .agg(
+            F.count(F.lit(1)).alias("eval_hours"),
+            F.sum("n").alias("eval_total"),
+            F.sum(F.when(anomalous, 1).otherwise(0)).alias("n_anomalous_hours"),
+        )
+        .select(
+            "how", "eval_hours", "eval_total", "base_total", "base_hours",
+            "n_anomalous_hours",
+        )
+    )

@@ -3580,3 +3580,136 @@ def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_parts"),
         F.sum("rev_cents").alias("class_rev_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7 (volume shipping) and Q14 (promotion effect) analogues
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q7_volume_shipping",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           {SQL_DSUM('volume', 'revenue', 4)}
+    FROM (
+      SELECT n1.n_name AS supp_nation,
+             n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INT) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        AND c_custkey = o_custkey
+        AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+        AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+          OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        AND l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: trade volume between two specific nations by year —
+    the DISJUNCTIVE cross-nation join predicate ((A,B) or (B,A)) that
+    defeats naive single-sided pushdown: both nation legs broadcast
+    with their own filters, and the pair condition applies after.
+    Exact-decimal revenue sums.
+
+    Scale shape: lineitem (the 100 TB side) shuffles once on orderkey
+    for the orders join; supplier/customer/nation all broadcast; the
+    ship-date range is pushed to the parquet scan."""
+    s = t(spark, sf_dir, "supplier")
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    ).filter(F.col("supp_nation").isin("NATION_3", "NATION_7"))
+    n2 = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    ).filter(F.col("cust_nation").isin("NATION_3", "NATION_7"))
+    joined = (
+        li.filter(
+            F.col("l_shipdate").between("1995-01-01", "1996-12-31")
+        )
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_3")
+                & (F.col("cust_nation") == "NATION_7")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_7")
+                & (F.col("cust_nation") == "NATION_3")
+            )
+        )
+    )
+    return joined.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("int").alias("l_year"),
+    ).agg(
+        dsum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue", 4
+        )
+    )
+
+
+@query(
+    "q14_promotion_effect",
+    oracle="""
+    SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+           CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                 THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+                 AS DECIMAL(18,4))) AS DOUBLE) AS promo_revenue,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                 AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue,
+           CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                 THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+                 AS DECIMAL(18,4))) AS DOUBLE) * 100.0
+             / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                 AS DECIMAL(18,4))) AS DOUBLE) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= DATE '1996-01-01'
+    GROUP BY date_trunc('month', l_shipdate)
+    """,
+)
+def q14_promotion_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: monthly share of revenue from promotional parts —
+    the conditional-aggregate-over-join shape. The percentage is an
+    all-double chain over the two EXACT decimal sums in the identical
+    operation order on both engines (mixed decimal/double promotion
+    orders diverge in the last ulp), so even the ratio hashes
+    bit-for-bit.
+
+    Scale shape: part broadcasts into the date-pruned lineitem scan;
+    one map-side-combined month rollup."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") >= "1996-01-01")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    agg = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.date_trunc("month", F.col("l_shipdate")).cast("date").alias("month")
+        )
+        .agg(F.sum(promo).alias("_p"), F.sum(rev).alias("_t"))
+    )
+    return agg.select(
+        "month",
+        F.col("_p").cast("double").alias("promo_revenue"),
+        F.col("_t").cast("double").alias("total_revenue"),
+        (
+            F.col("_p").cast("double") * F.lit(100.0)
+            / F.col("_t").cast("double")
+        ).alias("promo_pct"),
+    )
