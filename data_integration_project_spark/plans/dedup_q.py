@@ -776,3 +776,138 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "union_size",
         (F.col("inter_size").cast("double") / F.col("union_size")).alias("jaccard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Containment join (asymmetric overlap): quote/inclusion detection,
+# where Jaccard misses subset relationships between unequal lengths
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_containment_pairs",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+      FROM documents
+    ),
+    toks AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(tk) - 1),
+                    i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS g
+      FROM tk WHERE len(tk) >= 3
+    ),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS s FROM toks GROUP BY doc_id),
+    freq AS (SELECT g, COUNT(*) AS df FROM toks GROUP BY g),
+    ordered AS (
+      SELECT t.doc_id, t.g,
+             row_number() OVER (PARTITION BY t.doc_id
+                                ORDER BY f.df, t.g) AS rn,
+             COUNT(*) OVER (PARTITION BY t.doc_id) AS s
+      FROM toks t JOIN freq f USING (g)
+    ),
+    prefix AS (
+      -- containment prefix: |A| - ceil(0.8|A|) + 1 rarest shingles of
+      -- the CONTAINED side only
+      SELECT doc_id, g FROM ordered
+      WHERE rn <= s - CAST((4 * s + 4) // 5 AS BIGINT) + 1
+    ),
+    cands AS (
+      SELECT DISTINCT p.doc_id AS doc_a, t.doc_id AS doc_b
+      FROM prefix p JOIN toks t USING (g)
+      WHERE p.doc_id <> t.doc_id
+    ),
+    verified AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(COUNT(*) AS BIGINT) AS inter_size
+      FROM cands c
+      JOIN toks x ON x.doc_id = c.doc_a
+      JOIN toks y ON y.doc_id = c.doc_b AND y.g = x.g
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT v.doc_a, v.doc_b, v.inter_size,
+           sa.s AS size_a,
+           CAST(v.inter_size AS DOUBLE) / sa.s AS containment
+    FROM verified v JOIN sizes sa ON sa.doc_id = v.doc_a
+    WHERE 5 * v.inter_size >= 4 * sa.s
+    """,
+)
+def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTAINMENT join (|A∩B| / |A| >= 0.8): finds documents mostly
+    INCLUDED in another — quotations, boilerplate wrapping, subset
+    near-dups — which symmetric Jaccard misses whenever lengths differ
+    (a 50-shingle doc fully contained in a 500-shingle doc has Jaccard
+    0.1 but containment 1.0). Candidates come from the contained
+    side's rarest-shingle prefix (pigeonhole: containment >= t forces
+    a shared element among A's first |A| - ceil(t|A|) + 1), probed
+    against the full shingle postings; the verify threshold is exact
+    integer arithmetic.
+
+    Scale shape: the prefix side is ~1/5 of each doc's shingles and
+    rarest-first (anti-skewed postings probes); verification groups
+    only candidate pairs."""
+    d = t(spark, sf_dir, "documents")
+    tk = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    toks = (
+        d.select("doc_id", tk.alias("tk"))
+        .filter(F.size("tk") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("tk") - 3),
+                        lambda i: F.concat_ws(
+                            " ", F.col("tk")[i], F.col("tk")[i + 1], F.col("tk")[i + 2]
+                        ),
+                    )
+                )
+            ).alias("g"),
+        )
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("s"))
+    freq = toks.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    w_ord = Window.partitionBy("doc_id").orderBy("df", "g")
+    w_sz = Window.partitionBy("doc_id")
+    ordered = (
+        toks.join(freq, "g")
+        .withColumn("rn", F.row_number().over(w_ord))
+        .withColumn("s", F.count(F.lit(1)).over(w_sz))
+    )
+    prefix = ordered.filter(
+        F.col("rn")
+        <= F.col("s") - ((4 * F.col("s") + 4) / 5).cast("long") + 1
+    ).select("doc_id", "g")
+    cands = (
+        prefix.withColumnRenamed("doc_id", "doc_a")
+        .join(toks.withColumnRenamed("doc_id", "doc_b"), "g")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    x = toks.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("gx"))
+    y = toks.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("gy"))
+    verified = (
+        cands.join(x, "doc_a")
+        .join(y, "doc_b")
+        .filter(F.col("gx") == F.col("gy"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter_size"))
+    )
+    return (
+        verified.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("size_a")),
+            "doc_a",
+        )
+        .filter(5 * F.col("inter_size") >= 4 * F.col("size_a"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter_size",
+            "size_a",
+            (F.col("inter_size").cast("double") / F.col("size_a")).alias(
+                "containment"
+            ),
+        )
+    )

@@ -3713,3 +3713,52 @@ def q14_promotion_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("_t").cast("double")
         ).alias("promo_pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew profiling: the stats a planner (or a human choosing a
+# salting factor) needs before a big shuffle join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "lineitem_key_skew_profile",
+    oracle="""
+    WITH freq AS (
+      SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS f
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT CAST(SUM(f) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(MAX(f) AS BIGINT) AS max_key_freq,
+           CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_singleton_keys,
+           CAST(MAX(f) AS DOUBLE) * COUNT(*) / SUM(f) AS skew_ratio,
+           CAST(round(CAST(MAX(f) AS DOUBLE) * 1000000 / SUM(f)) AS BIGINT)
+             AS top1_share_ppm
+    FROM freq
+    """,
+)
+def lineitem_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-KEY SKEW PROFILE of the fact table's shuffle key: row and
+    key cardinalities, the hottest key's frequency, singleton-key
+    count, and the skew ratio (max_freq x n_keys / n_rows — 1.0 means
+    perfectly uniform; at 100 TB this number decides whether the plain
+    shuffle join is safe, AQE's skew split suffices, or the explicit
+    salting operators (operators/skew.py) are needed). One map-side-
+    combined count plus a second tiny aggregate — the cheapest
+    pre-flight check before committing to a join strategy."""
+    li = t(spark, sf_dir, "lineitem")
+    freq = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("f"))
+    return freq.agg(
+        F.sum("f").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("f").alias("max_key_freq"),
+        F.sum(F.when(F.col("f") == 1, 1).otherwise(0)).alias("n_singleton_keys"),
+        (
+            F.max("f").cast("double") * F.count(F.lit(1)) / F.sum("f")
+        ).alias("skew_ratio"),
+        F.round(F.max("f").cast("double") * 1000000 / F.sum("f"))
+        .cast("long")
+        .alias("top1_share_ppm"),
+    )
