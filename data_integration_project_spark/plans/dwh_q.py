@@ -1281,3 +1281,67 @@ def fact_period_end_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_period_end_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Calendar-spine densification: zero-filled daily series per group
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_daily_spine",
+    oracle="""
+    WITH spine AS (
+      SELECT unnest(generate_series(DATE '1997-01-01', DATE '1997-03-31',
+                                    INTERVAL 1 DAY))::DATE AS d
+    ),
+    statuses AS (SELECT DISTINCT o_orderstatus AS st FROM orders),
+    actual AS (
+      SELECT o_orderdate AS d, o_orderstatus AS st,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders
+      WHERE o_orderdate BETWEEN DATE '1997-01-01' AND DATE '1997-03-31'
+      GROUP BY 1, 2
+    )
+    SELECT s.d, t.st AS o_orderstatus,
+           COALESCE(a.n, 0) AS n_orders,
+           CAST(COALESCE(a.n, 0) = 0 AS INT) AS is_gap
+    FROM spine s CROSS JOIN statuses t
+    LEFT JOIN actual a ON a.d = s.d AND a.st = t.st
+    """,
+)
+def orders_daily_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-SPINE densification: a quarter's daily series per
+    order status with explicit zero rows for days that had no orders —
+    the upsampling every BI chart and forecasting model needs (a
+    GROUP BY alone silently omits empty days, corrupting moving
+    averages and lag features downstream). Spine x groups is a
+    broadcast cross join of two dimension-sized sides; facts attach
+    with a left join and gaps are flagged.
+
+    Scale shape: the spine (days) and the group list are metadata;
+    the fact side is date-range pruned at the scan. The result is the
+    dense frame the LOCF/EWMA operators above consume."""
+    o = t(spark, sf_dir, "orders")
+    spine = spark.sql(
+        "SELECT explode(sequence(DATE '1997-01-01', DATE '1997-03-31',"
+        " INTERVAL 1 DAY)) AS d"
+    )
+    statuses = o.select(F.col("o_orderstatus").alias("st")).distinct()
+    actual = (
+        o.filter(F.col("o_orderdate").between("1997-01-01", "1997-03-31"))
+        .groupBy(
+            F.col("o_orderdate").alias("d"), F.col("o_orderstatus").alias("st")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        spine.crossJoin(F.broadcast(statuses))
+        .join(actual, ["d", "st"], "left")
+        .select(
+            "d",
+            F.col("st").alias("o_orderstatus"),
+            F.coalesce("n", F.lit(0)).alias("n_orders"),
+            (F.coalesce("n", F.lit(0)) == 0).cast("int").alias("is_gap"),
+        )
+    )

@@ -3762,3 +3762,168 @@ def lineitem_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("top1_share_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter probabilistic record linkage: pattern weights from
+# frequency-estimated u-probabilities
+# ---------------------------------------------------------------------------
+
+_FS_M = {"name": 0.95, "seg": 0.9, "bal": 0.8}  # documented match priors
+
+
+def _fs_weights_sql() -> str:
+    """Per-field agree/disagree weights in micro-nats: u from the value
+    distribution (chance two random records agree = sum p_v^2), m fixed
+    priors; weight = ln(m/u) on agreement, ln((1-m)/(1-u)) otherwise."""
+    return f"""
+    u AS (
+      SELECT
+        (SELECT CAST(SUM(CAST(c AS DOUBLE) * c) AS DOUBLE) / (SUM(c) * SUM(c))
+         FROM (SELECT COUNT(*) AS c FROM customer GROUP BY c_name)) AS u_name,
+        (SELECT CAST(SUM(CAST(c AS DOUBLE) * c) AS DOUBLE) / (SUM(c) * SUM(c))
+         FROM (SELECT COUNT(*) AS c FROM customer GROUP BY c_mktsegment))
+          AS u_seg,
+        (SELECT CAST(SUM(CAST(c AS DOUBLE) * c) AS DOUBLE) / (SUM(c) * SUM(c))
+         FROM (SELECT COUNT(*) AS c FROM customer
+               GROUP BY CAST(floor(c_acctbal / 1000) AS BIGINT))) AS u_bal
+    ),
+    wts AS (
+      SELECT
+        CAST(round(ln({_FS_M['name']} / u_name) * 1000000) AS BIGINT) AS w_name_a,
+        CAST(round(ln({1 - _FS_M['name']} / (1 - u_name)) * 1000000) AS BIGINT)
+          AS w_name_d,
+        CAST(round(ln({_FS_M['seg']} / u_seg) * 1000000) AS BIGINT) AS w_seg_a,
+        CAST(round(ln({1 - _FS_M['seg']} / (1 - u_seg)) * 1000000) AS BIGINT)
+          AS w_seg_d,
+        CAST(round(ln({_FS_M['bal']} / u_bal) * 1000000) AS BIGINT) AS w_bal_a,
+        CAST(round(ln({1 - _FS_M['bal']} / (1 - u_bal)) * 1000000) AS BIGINT)
+          AS w_bal_d
+      FROM u
+    )"""
+
+
+@query(
+    "customer_fellegi_sunter",
+    oracle=f"""
+    WITH blocked AS (
+      SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+             substr(c_name, 1, 14) AS blk
+      FROM customer
+    ),
+    pairs AS (
+      SELECT CAST(a.c_name = b.c_name AS INT) AS agree_name,
+             CAST(a.c_mktsegment = b.c_mktsegment AS INT) AS agree_seg,
+             CAST(a.bal_bucket = b.bal_bucket AS INT) AS agree_bal
+      FROM blocked a JOIN blocked b
+        ON a.c_nationkey = b.c_nationkey AND a.blk = b.blk
+       AND a.c_custkey < b.c_custkey
+    ),
+    {_fs_weights_sql()}
+    SELECT agree_name, agree_seg, agree_bal,
+           COUNT(*) AS n_pairs,
+           CAST(CASE WHEN agree_name = 1 THEN w_name_a ELSE w_name_d END
+              + CASE WHEN agree_seg = 1 THEN w_seg_a ELSE w_seg_d END
+              + CASE WHEN agree_bal = 1 THEN w_bal_a ELSE w_bal_d END
+              AS BIGINT) AS score_unats,
+           CASE WHEN CASE WHEN agree_name = 1 THEN w_name_a ELSE w_name_d END
+                   + CASE WHEN agree_seg = 1 THEN w_seg_a ELSE w_seg_d END
+                   + CASE WHEN agree_bal = 1 THEN w_bal_a ELSE w_bal_d END
+                   >= 4000000 THEN 'link'
+                WHEN CASE WHEN agree_name = 1 THEN w_name_a ELSE w_name_d END
+                   + CASE WHEN agree_seg = 1 THEN w_seg_a ELSE w_seg_d END
+                   + CASE WHEN agree_bal = 1 THEN w_bal_a ELSE w_bal_d END
+                   >= 0 THEN 'possible' ELSE 'non-link' END AS decision
+    FROM pairs, wts
+    GROUP BY agree_name, agree_seg, agree_bal,
+             w_name_a, w_name_d, w_seg_a, w_seg_d, w_bal_a, w_bal_d
+    """,
+)
+def customer_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage (the 1969 model
+    every MDM engine implements): candidate pairs from the usual
+    blocking, each compared on three fields; u-probabilities (chance
+    agreement between NON-matches) are estimated from the value
+    distributions (sum of squared value shares — the frequency-based
+    estimator), m-probabilities are documented priors, and each
+    agreement pattern scores the sum of ln(m/u) / ln((1-m)/(1-u))
+    field weights. Patterns roll up with their integer micro-nat
+    scores and a link / possible / non-link decision — the deterministic
+    skeleton under which EM-trained m/u would slot.
+
+    Scale shape: weights are SIX SCALARS (broadcast); pairs come from
+    the same anti-skew blocking as the fuzzy matcher; the rollup is
+    eight pattern rows."""
+    cust = t(spark, sf_dir, "customer")
+    blocked = cust.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_bucket"),
+        F.substring("c_name", 1, 14).alias("blk"),
+    )
+
+    def u_of(col):
+        counts = blocked.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        return counts.agg(
+            (
+                F.sum(F.col("c").cast("double") * F.col("c"))
+                / (F.sum("c") * F.sum("c"))
+            ).alias("u")
+        ).collect()[0]["u"]
+
+    import math
+
+    u_name, u_seg, u_bal = (
+        u_of("c_name"),
+        u_of("c_mktsegment"),
+        u_of("bal_bucket"),
+    )
+
+    def w(m, u):
+        return (
+            int(round(math.log(m / u) * 1000000)),
+            int(round(math.log((1 - m) / (1 - u)) * 1000000)),
+        )
+
+    wn = w(_FS_M["name"], u_name)
+    ws = w(_FS_M["seg"], u_seg)
+    wb = w(_FS_M["bal"], u_bal)
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    ).select(
+        (F.col("a.c_name") == F.col("b.c_name")).cast("int").alias("agree_name"),
+        (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+        .cast("int")
+        .alias("agree_seg"),
+        (F.col("a.bal_bucket") == F.col("b.bal_bucket"))
+        .cast("int")
+        .alias("agree_bal"),
+    )
+    score = (
+        F.when(F.col("agree_name") == 1, wn[0]).otherwise(wn[1])
+        + F.when(F.col("agree_seg") == 1, ws[0]).otherwise(ws[1])
+        + F.when(F.col("agree_bal") == 1, wb[0]).otherwise(wb[1])
+    )
+    return (
+        pairs.groupBy("agree_name", "agree_seg", "agree_bal")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(
+            "agree_name",
+            "agree_seg",
+            "agree_bal",
+            "n_pairs",
+            score.cast("long").alias("score_unats"),
+            F.when(score >= 4000000, "link")
+            .when(score >= 0, "possible")
+            .otherwise("non-link")
+            .alias("decision"),
+        )
+    )
