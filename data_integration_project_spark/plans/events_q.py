@@ -2595,3 +2595,145 @@ def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_anomalous_hours",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Lagged cross-correlation between two event-type series
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_cross_correlation",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    lags AS (SELECT unnest(range(-2, 3)) AS lag),
+    shifted AS (
+      SELECT l.lag, a.x, b.y
+      FROM lags l
+      JOIN hourly a ON TRUE
+      JOIN hourly b ON b.h = a.h + to_hours(l.lag::BIGINT)
+    ),
+    moments AS (
+      SELECT lag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM shifted GROUP BY lag
+    )
+    SELECT CAST(lag AS INT) AS lag, n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)) AS xcorr
+    FROM moments
+    """,
+)
+def events_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAGGED CROSS-CORRELATION between the hourly view series and the
+    purchase series shifted by -2..+2 hours — the lead/lag diagnostic
+    behind 'does activity in X precede conversions in Y' questions.
+    Each lag's Pearson correlation comes from EXACT integer moment
+    sums (the one-pass identity n*Sxy - Sx*Sy etc.), so the only
+    floats are one fixed-order division/sqrt chain per lag.
+
+    Scale shape: the hourly rollup is the only pass over events; the
+    lag join runs on the |hours| aggregate with a +lag equi-join (a
+    self-join of metadata-sized series, one row per lag after the
+    moment rollup)."""
+    e = t(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "y"
+        ),
+    )
+    lags = spark.range(-2, 3).select(F.col("id").cast("int").alias("lag"))
+    a = hourly.select(F.col("h").alias("ha"), "x")
+    b = hourly.select(F.col("h").alias("hb"), "y")
+    shifted = (
+        lags.crossJoin(a)
+        .join(
+            b,
+            F.col("hb")
+            == F.col("ha") + F.make_interval(hours=F.col("lag")),
+        )
+    )
+    m = shifted.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return m.select(
+        "lag", "n", (num / F.sqrt(vx * vy)).alias("xcorr")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exactly-once streaming file sink via manifest commits
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "streaming_manifest_sink",
+    oracle="""
+    WITH gen AS (
+      SELECT ((48271 * i + 11213) % 2147483647) % 1000000 AS micro_value,
+             CASE WHEN ((48271 * i + 11213) % 2147483647) % 97 <> 0
+                  THEN 'ok' ELSE 'fault' END AS status
+      FROM (SELECT unnest(range(0, 20000)) AS i)
+    )
+    SELECT status,
+           COUNT(*) AS n_readings,
+           CAST(SUM(micro_value) AS BIGINT) AS total_micro,
+           CAST(ceil(20000.0 / 3072) AS BIGINT) AS n_batches
+    FROM gen GROUP BY status
+    """,
+)
+def streaming_manifest_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-ONCE streaming file sink on a plain filesystem
+    (streaming/manifest_sink.py): every micro-batch writes its files
+    and then atomically publishes a manifest (temp + rename = the
+    commit point); the reader consumes ONLY manifested files, so
+    half-written batches are invisible and replayed batches are
+    skipped by their existing manifest — the commit discipline a table
+    format provides, built from two filesystem primitives. Fed by the
+    custom streaming source's 7 deterministic micro-batches; the
+    drained aggregate must equal the generator twin exactly (any
+    dropped or doubled batch shifts counts) and n_batches counts the
+    committed manifests."""
+    import tempfile
+    import uuid
+
+    from ..sources.pygen import register
+    from ..streaming.manifest_sink import manifest_sink, read_manifested
+
+    register(spark)
+    src = (
+        spark.readStream.format("sensorgen")
+        .option("max_rows", "20000")
+        .option("rows_per_batch", "3072")
+        .load()
+    )
+    root = tempfile.mkdtemp(prefix="manifest_sink_")
+    manifest_sink(src, root + "/out", root + "/cp_" + uuid.uuid4().hex[:8])
+    drained, n_batches = read_manifested(spark, root + "/out")
+    return drained.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_readings"),
+        F.sum("micro_value").alias("total_micro"),
+        F.lit(n_batches).cast("long").alias("n_batches"),
+    )

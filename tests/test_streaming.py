@@ -126,3 +126,27 @@ def test_streaming_window_counts_match_batch(spark, sf_small):
         for r in spark.sql("SELECT * FROM win_counts").collect()
     }
     assert got == expected
+
+
+def test_manifest_sink_replay_idempotent(spark, tmp_path):
+    """Replaying a committed batch must be a no-op (manifest already
+    present), and uncommitted batch directories must stay invisible to
+    the reader."""
+    from data_integration_project_spark.streaming.manifest_sink import (
+        commit_batch,
+        read_manifested,
+    )
+
+    out = str(tmp_path / "out")
+    df = spark.range(0, 10).withColumnRenamed("id", "v")
+    assert commit_batch(df, 0, out) is True
+    # replay of the same batch id: skipped, nothing changes
+    assert commit_batch(spark.range(50, 99).withColumnRenamed("id", "v"), 0, out) is False
+    # a batch written WITHOUT a manifest (crash before commit point)
+    df2 = spark.range(10, 15).withColumnRenamed("id", "v")
+    import os
+
+    df2.write.parquet(os.path.join(out, "data", "batch=00000007"))
+    got, n_batches = read_manifested(spark, out)
+    assert n_batches == 1
+    assert sorted(r["v"] for r in got.collect()) == list(range(10))
