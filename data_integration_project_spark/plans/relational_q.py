@@ -3927,3 +3927,210 @@ def customer_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("decision"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation (recency / frequency / monetary quintiles)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "customers_rfm_segments",
+    oracle="""
+    WITH rfm AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', MAX(o_orderdate), DATE '1998-08-02') AS BIGINT)
+               AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT *,
+             ntile(5) OVER (ORDER BY recency_days DESC, o_custkey) AS r_score,
+             ntile(5) OVER (ORDER BY frequency, o_custkey) AS f_score,
+             ntile(5) OVER (ORDER BY monetary_cents, o_custkey) AS m_score
+      FROM rfm
+    )
+    SELECT r_score, f_score, m_score,
+           COUNT(*) AS n_customers,
+           CAST(SUM(monetary_cents) AS BIGINT) AS segment_cents
+    FROM scored GROUP BY r_score, f_score, m_score
+    """,
+)
+def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM SEGMENTATION (the classic CRM model): per customer, days
+    since last order (recency), order count (frequency), and lifetime
+    cents (monetary), each quintiled with a total-order tiebreak
+    (higher score = better: recent, frequent, high-spend), then
+    customers rolled up by their 3-digit RFM cell. Ties broken on the
+    key make ntile deterministic across engines.
+
+    Scale note: the three ntiles are global sorts over the CUSTOMER
+    aggregate (dimension-sized) — at 100 TB swap each for the
+    multipass-quantile boundaries + a broadcast bucket assignment
+    (orders_multipass_quantiles is the building block); the fact scan
+    happens once either way."""
+    o = t(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.datediff(F.lit("1998-08-02").cast("date"), F.max("o_orderdate"))
+        .cast("long")
+        .alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")).alias(
+            "monetary_cents"
+        ),
+    )
+    scored = (
+        rfm.withColumn(
+            "r_score",
+            F.ntile(5).over(
+                Window.orderBy(F.desc("recency_days"), F.asc("o_custkey"))
+            ),
+        )
+        .withColumn(
+            "f_score",
+            F.ntile(5).over(Window.orderBy(F.asc("frequency"), F.asc("o_custkey"))),
+        )
+        .withColumn(
+            "m_score",
+            F.ntile(5).over(
+                Window.orderBy(F.asc("monetary_cents"), F.asc("o_custkey"))
+            ),
+        )
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("monetary_cents").alias("segment_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal prediction intervals over the in-engine OLS fit:
+# distribution-free uncertainty with finite-sample coverage
+# ---------------------------------------------------------------------------
+
+_CONF_BASE_SQL = """
+    base AS (
+      SELECT o_orderkey, o_orderdate,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS y,
+             CAST(n_lines AS BIGINT) AS x
+      FROM orders JOIN (
+        SELECT l_orderkey, COUNT(*) AS n_lines FROM lineitem GROUP BY l_orderkey
+      ) ON o_orderkey = l_orderkey
+    ),
+    fit AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM base WHERE o_orderdate < DATE '1997-01-01'
+    ),
+    coef AS (
+      SELECT CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+             (CAST(sy AS DOUBLE)
+              - CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               / n AS intercept,
+             n AS n_train
+      FROM fit
+    ),
+    cal AS (
+      SELECT abs(CAST(y AS DOUBLE) - (intercept + slope * CAST(x AS DOUBLE)))
+               AS ar
+      FROM base, coef
+      WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1998-01-01'
+    ),
+    q AS (
+      SELECT ar AS half_width,
+             (SELECT COUNT(*) FROM cal) AS n_cal
+      FROM (SELECT ar, row_number() OVER (ORDER BY ar) AS rn FROM cal)
+      WHERE rn = CAST(ceil(0.9 * ((SELECT COUNT(*) FROM cal) + 1)) AS BIGINT)
+    )
+"""
+
+
+@query(
+    "orders_conformal_intervals",
+    oracle=f"""
+    WITH {_CONF_BASE_SQL}
+    SELECT c.n_train,
+           CAST(q.n_cal AS BIGINT) AS n_cal,
+           CAST(COUNT(*) AS BIGINT) AS n_eval,
+           c.slope, c.intercept, q.half_width,
+           CAST(SUM(CASE WHEN
+                 abs(CAST(b.y AS DOUBLE)
+                     - (c.intercept + c.slope * CAST(b.x AS DOUBLE)))
+                 <= q.half_width THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+    FROM base b, coef c, q
+    WHERE b.o_orderdate >= DATE '1998-01-01'
+    GROUP BY c.n_train, q.n_cal, c.slope, c.intercept, q.half_width
+    """,
+)
+def orders_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPLIT-CONFORMAL prediction intervals around the in-engine OLS
+    fit (order value ~ line count): fit on pre-1997 orders with exact
+    integer moment sums, take the ceil(0.9*(n+1))-th smallest absolute
+    calibration residual (1997) as the interval half-width — the
+    distribution-free quantile that guarantees >= 90% coverage on
+    exchangeable data — and report realized coverage on 1998. The
+    model-agnostic uncertainty layer for any point predictor, with no
+    parametric assumption.
+
+    Determinism: coefficients are single divisions of exact integer
+    moments; every residual is the same fixed-order float chain on
+    both engines, so the rank-selected half-width and the coverage
+    count are bit-identical. Scale shape: one moments pass, one
+    calibration rank (window over the calibration slice only), one
+    broadcast of three scalars over the eval scan."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    nl = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_lines"))
+    base = o.join(nl, F.col("o_orderkey") == F.col("l_orderkey")).select(
+        "o_orderkey",
+        "o_orderdate",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("y"),
+        F.col("n_lines").cast("long").alias("x"),
+    )
+    fit = base.filter(F.col("o_orderdate") < "1997-01-01").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    r = fit.collect()[0]
+    n_train = r["n"]
+    slope = float(r["n"] * r["sxy"] - r["sx"] * r["sy"]) / float(
+        r["n"] * r["sxx"] - r["sx"] * r["sx"]
+    )
+    intercept = (float(r["sy"]) - slope * float(r["sx"])) / r["n"]
+    ar = F.abs(
+        F.col("y").cast("double")
+        - (F.lit(intercept) + F.lit(slope) * F.col("x").cast("double"))
+    )
+    cal = base.filter(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    ).select(ar.alias("ar"))
+    n_cal = cal.count()
+    import math
+
+    k = math.ceil(0.9 * (n_cal + 1))
+    half_width = (
+        cal.withColumn("rn", F.row_number().over(Window.orderBy("ar")))
+        .filter(F.col("rn") == k)
+        .collect()[0]["ar"]
+    )
+    ev = base.filter(F.col("o_orderdate") >= "1998-01-01")
+    return ev.agg(
+        F.lit(n_train).cast("long").alias("n_train"),
+        F.lit(n_cal).cast("long").alias("n_cal"),
+        F.count(F.lit(1)).alias("n_eval"),
+        F.lit(slope).alias("slope"),
+        F.lit(intercept).alias("intercept"),
+        F.lit(half_width).alias("half_width"),
+        F.sum(F.when(ar <= half_width, 1).otherwise(0)).alias("n_covered"),
+    )
