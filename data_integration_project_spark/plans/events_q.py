@@ -2737,3 +2737,147 @@ def streaming_manifest_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("micro_value").alias("total_micro"),
         F.lit(n_batches).cast("long").alias("n_batches"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SRE multiwindow SLO burn rate and funnel time-to-convert
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_slo_burn_rate",
+    oracle="""
+    WITH windows(w_name, w_hours) AS (VALUES ('1h', 1), ('6h', 6), ('24h', 24)),
+    bounds AS (SELECT MAX(ts) AS t_max FROM events),
+    rates AS (
+      SELECT w.w_name, w.w_hours,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CASE WHEN e.event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_errors
+      FROM windows w, bounds b, events e
+      WHERE e.ts > b.t_max - to_hours(CAST(w.w_hours AS BIGINT))
+      GROUP BY w.w_name, w.w_hours
+    )
+    SELECT w_name, n_events, n_errors,
+           CAST(round(CAST(n_errors AS DOUBLE) * 1000000 / n_events) AS BIGINT)
+             AS error_ppm,
+           CAST(round(CAST(n_errors AS DOUBLE) * 1000000 / n_events) AS DOUBLE)
+             / 250000 AS burn_rate,
+           CAST(CAST(round(CAST(n_errors AS DOUBLE) * 1000000 / n_events)
+                     AS DOUBLE) / 250000 > 2.0 AS INT) AS alerting
+    FROM rates
+    """,
+)
+def events_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLO BURN-RATE alerting (the SRE-workbook multiwindow rule): the
+    error-rate over trailing 1h/6h/24h windows anchored at the newest
+    event, expressed as a multiple of the error budget (SLO: 75% of
+    events non-error -> 250000 ppm budget); an alert fires when a
+    window burns budget at >2x. Multiple simultaneous windows separate
+    fast-burn pages from slow-burn tickets. Rates are integer ppm
+    (one rounding each), the burn ratio one further division.
+
+    Scale shape: the window bounds prune the scan (trailing-window
+    predicate pushdown); three conditional aggregates share one pass
+    via the windows-values join."""
+    e = t(spark, sf_dir, "events")
+    t_max = e.agg(F.max("ts").alias("t_max"))
+    windows = spark.createDataFrame(
+        [("1h", 1), ("6h", 6), ("24h", 24)], "w_name string, w_hours int"
+    )
+    joined = (
+        windows.crossJoin(F.broadcast(t_max))
+        .join(
+            e,
+            F.col("ts")
+            > F.col("t_max") - F.make_interval(hours=F.col("w_hours")),
+        )
+    )
+    rates = joined.groupBy("w_name").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
+            "n_errors"
+        ),
+    )
+    ppm = F.round(
+        F.col("n_errors").cast("double") * 1000000 / F.col("n_events")
+    ).cast("long")
+    burn = ppm.cast("double") / 250000
+    return rates.select(
+        "w_name",
+        "n_events",
+        "n_errors",
+        ppm.alias("error_ppm"),
+        burn.alias("burn_rate"),
+        (burn > 2.0).cast("int").alias("alerting"),
+    )
+
+
+@query(
+    "events_funnel_time_to_convert",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN epoch_ms(ts) END) AS t_view,
+             MIN(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END)
+               AS t_purchase
+      FROM events GROUP BY user_id
+    ),
+    lags AS (
+      SELECT user_id, (t_purchase - t_view) AS lag_ms
+      FROM firsts
+      WHERE t_view IS NOT NULL AND t_purchase IS NOT NULL
+        AND t_purchase >= t_view
+    ),
+    ranked AS (
+      SELECT lag_ms,
+             row_number() OVER (ORDER BY lag_ms, user_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM lags
+    )
+    SELECT CAST(n AS BIGINT) AS n_converted,
+           CAST(MIN(lag_ms) AS BIGINT) AS min_lag_ms,
+           CAST(MAX(CASE WHEN 2 * rn <= n + 1 THEN lag_ms END) AS BIGINT)
+             AS median_lag_ms,
+           CAST(MAX(lag_ms) AS BIGINT) AS max_lag_ms
+    FROM ranked GROUP BY n
+    """,
+)
+def events_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel TIME-TO-CONVERT: for users whose first view precedes
+    their first purchase, the distribution of the lag between the two
+    firsts — the latency dimension the count-based funnel
+    (events_session_funnel) doesn't carry. Median by explicit rank
+    (largest lag among the lower half — the discrete lower median, the
+    same convention both engines compute with integer ranks); all lags
+    integer milliseconds.
+
+    Scale shape: one conditional-min rollup per user, then ranking
+    over the CONVERTED-user aggregate only."""
+    e = t(spark, sf_dir, "events")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", ms)).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "purchase", ms)).alias("t_purchase"),
+    )
+    lags = firsts.filter(
+        F.col("t_view").isNotNull()
+        & F.col("t_purchase").isNotNull()
+        & (F.col("t_purchase") >= F.col("t_view"))
+    ).select("user_id", (F.col("t_purchase") - F.col("t_view")).alias("lag_ms"))
+    w = Window.orderBy("lag_ms", "user_id")
+    ranked = lags.withColumn("rn", F.row_number().over(w)).crossJoin(
+        F.broadcast(lags.agg(F.count(F.lit(1)).alias("n")))
+    )
+    return ranked.groupBy("n").agg(
+        F.min("lag_ms").alias("min_lag_ms"),
+        F.max(F.when(2 * F.col("rn") <= F.col("n") + 1, F.col("lag_ms"))).alias(
+            "median_lag_ms"
+        ),
+        F.max("lag_ms").alias("max_lag_ms"),
+    ).select(
+        F.col("n").cast("long").alias("n_converted"),
+        "min_lag_ms",
+        "median_lag_ms",
+        "max_lag_ms",
+    )
