@@ -286,7 +286,8 @@ def connected_components(
     combined min aggregate per round), stopping at fixpoint. Rounds ≈
     graph diameter — near-dup clusters are shallow (chains of edits),
     so this converges in a handful of rounds; each round is a bounded
-    shuffle on node id, with persist() truncating re-computation.
+    shuffle on node id, with per-round localCheckpoint truncating both
+    re-computation and lineage.
     For adversarial long-path graphs at 100 TB, the large-star/
     small-star variant (Kiveris et al., "Connected Components in
     MapReduce") halves path lengths per round — same join primitives,
@@ -315,6 +316,14 @@ def connected_components(
             .agg(F.min("comp").alias("_ncomp"))
             .withColumnRenamed("src", "node")
         )
+        # localCheckpoint, not persist: persist alone truncates
+        # RE-COMPUTATION but keeps the logical lineage, so a consumer
+        # that builds further plan on the returned labels (e.g. the
+        # B-cubed evaluation) inherits a plan tree that grows with the
+        # round count — measured as a driver OOM in AQE's plan-string
+        # rendering on a default 1g heap. Same lesson as the star
+        # variant below: iterative self-referential plans must cut
+        # lineage every round.
         new_labels = (
             labels.join(neigh, "node", "left")
             .select(
@@ -323,7 +332,7 @@ def connected_components(
                     F.col("comp"), F.coalesce(F.col("_ncomp"), F.col("comp"))
                 ).alias("comp"),
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.withColumnRenamed("comp", "_new_comp")

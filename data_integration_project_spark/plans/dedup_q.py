@@ -911,3 +911,149 @@ def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# B-cubed clustering evaluation: how good is the dedup clustering
+# against the planted ground truth
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_clusters_bcubed",
+    oracle=_CHAIN_CORPUS_SQL
+    + _PAIRS_BLOCKS_SQL
+    + """
+    , edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    walk(node, r) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT w.node, e.dst FROM walk w JOIN edges e ON e.src = w.r
+    ),
+    cc AS (SELECT node, MIN(r) AS comp FROM walk GROUP BY node),
+    items AS (
+      SELECT c.doc_id AS node,
+             COALESCE(l.comp, c.doc_id) AS comp,
+             c.doc_id % 100000 AS truth
+      FROM corpus c LEFT JOIN cc l ON l.node = c.doc_id
+    ),
+    cells AS (
+      SELECT comp, truth, CAST(COUNT(*) AS BIGINT) AS n
+      FROM items GROUP BY comp, truth
+    ),
+    csize AS (SELECT comp, CAST(SUM(n) AS BIGINT) AS cs FROM cells GROUP BY comp),
+    tsize AS (SELECT truth, CAST(SUM(n) AS BIGINT) AS ts FROM cells GROUP BY truth),
+    terms AS (
+      SELECT CAST(round(CAST(n * n AS DOUBLE) * 1000000000 / cs) AS BIGINT)
+               AS p_ppb,
+             CAST(round(CAST(n * n AS DOUBLE) * 1000000000 / ts) AS BIGINT)
+               AS r_ppb
+      FROM cells JOIN csize USING (comp) JOIN tsize USING (truth)
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items FROM items)
+    SELECT n_items,
+           CAST(SUM(p_ppb) AS BIGINT) AS precision_ppb_sum,
+           CAST(SUM(r_ppb) AS BIGINT) AS recall_ppb_sum,
+           CAST(SUM(p_ppb) AS DOUBLE) / (1000000000.0 * n_items) AS b3_precision,
+           CAST(SUM(r_ppb) AS DOUBLE) / (1000000000.0 * n_items) AS b3_recall
+    FROM terms, tot GROUP BY n_items
+    """,
+)
+def dedup_clusters_bcubed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-CUBED evaluation of the dedup clustering (Bagga & Baldwin;
+    the standard coreference/dedup clustering metric): predicted
+    clusters come from the same MinHash-LSH + connected-components
+    pipeline as dedup_clusters, ground truth is the planted edit-chain
+    group, and B3 precision/recall are per-item purity/completeness
+    averages — computed via the cell identity (sum over
+    (cluster, truth) cells of n^2/|cluster| resp. n^2/|truth|).
+    Singleton documents (never paired) count as their own clusters —
+    omitting them silently inflates precision, the classic evaluation
+    bug.
+
+    Determinism: each cell term is one division rounded to integer
+    ppb, summed exactly. Scale shape: everything after the pair graph
+    is dimension-sized aggregates over cluster labels."""
+    base = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 10 == 0)
+    )
+
+    def variant(offset: int, suffix: str) -> DataFrame:
+        txt = (
+            F.concat(F.col("text"), F.lit(suffix)) if suffix else F.col("text")
+        )
+        return base.select(
+            (F.col("doc_id") + offset).alias("doc_id"), txt.alias("text")
+        )
+
+    corpus = (
+        base.unionByName(variant(100000, ""))
+        .unionByName(variant(200000, " extra"))
+        .unionByName(variant(300000, " extra extra"))
+    )
+    pairs = D.minhash_lsh_dedup(
+        corpus,
+        "doc_id",
+        "text",
+        shingle_k=3,
+        n_hashes=_N_HASHES,
+        n_bands=_N_BANDS,
+        threshold=0.5,
+    )
+    cc = D.connected_components(pairs)
+    items = (
+        corpus.select("doc_id")
+        .join(cc.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("comp", F.col("doc_id")).alias("comp"),
+            (F.col("doc_id") % 100000).alias("truth"),
+        )
+    )
+    cells = items.groupBy("comp", "truth").agg(F.count(F.lit(1)).alias("n"))
+    csize = cells.groupBy("comp").agg(F.sum("n").alias("cs"))
+    tsize = cells.groupBy("truth").agg(F.sum("n").alias("ts"))
+    terms = (
+        cells.join(csize, "comp")
+        .join(tsize, "truth")
+        .select(
+            F.round(
+                (F.col("n") * F.col("n")).cast("double") * 1000000000 / F.col("cs")
+            )
+            .cast("long")
+            .alias("p_ppb"),
+            F.round(
+                (F.col("n") * F.col("n")).cast("double") * 1000000000 / F.col("ts")
+            )
+            .cast("long")
+            .alias("r_ppb"),
+        )
+    )
+    tot = items.agg(F.count(F.lit(1)).alias("n_items"))
+    return (
+        terms.crossJoin(F.broadcast(tot))
+        .groupBy("n_items")
+        .agg(
+            F.sum("p_ppb").alias("precision_ppb_sum"),
+            F.sum("r_ppb").alias("recall_ppb_sum"),
+        )
+        .select(
+            "n_items",
+            "precision_ppb_sum",
+            "recall_ppb_sum",
+            (
+                F.col("precision_ppb_sum").cast("double")
+                / (1000000000.0 * F.col("n_items"))
+            ).alias("b3_precision"),
+            (
+                F.col("recall_ppb_sum").cast("double")
+                / (1000000000.0 * F.col("n_items"))
+            ).alias("b3_recall"),
+        )
+    )
