@@ -22,7 +22,8 @@ spark = (SparkSession.builder.master("local[4]")
 import __spark_entry__ as e
 qs = e.queries()
 for name in ["customer_golden_records", "dedup_clusters_largestar",
-             "dedup_minhash_lsh", "parts_market_basket"]:
+             "dedup_minhash_lsh", "parts_market_basket",
+             "dedup_clusters_bcubed", "ann_ivf_pq_adc"]:
     n = qs[name](spark, "/root/testdata/sf0.01").count()
     print("HEAPCANARY", name, n, flush=True)
 print("HEAPCANARY ALL_OK", flush=True)
