@@ -2881,3 +2881,231 @@ def events_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame
         "median_lag_ms",
         "max_lag_ms",
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact Shapley-value channel attribution (4-channel coalition game)
+# ---------------------------------------------------------------------------
+
+_SHAP_CHANNELS = [("view", 1), ("click", 2), ("signup", 4), ("error", 8)]
+#: (channel_bit, T, T|c, weight_numerator) for every coalition not
+#: containing the channel; weight = |T|!(4-|T|-1)!/4! = num/24.
+_SHAP_PAIRS = [
+    (bit, T, T | bit, {0: 6, 1: 2, 2: 2, 3: 6}[bin(T).count("1")])
+    for _, bit in _SHAP_CHANNELS
+    for T in range(16)
+    if not T & bit
+]
+_SHAP_PAIRS_SQL = ", ".join(f"({c}, {t}, {tc}, {n})" for c, t, tc, n in _SHAP_PAIRS)
+_SHAP_NAMES_SQL = ", ".join(f"('{n}', {b})" for n, b in _SHAP_CHANNELS)
+
+
+@query(
+    "events_shapley_attribution",
+    oracle=f"""
+    WITH touched AS (
+      SELECT user_id,
+             CAST(SUM(DISTINCT CASE event_type
+                    WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                    WHEN 'signup' THEN 4 WHEN 'error' THEN 8
+                    ELSE 0 END) AS BIGINT) AS mask,
+             CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS converted
+      FROM events GROUP BY user_id
+    ),
+    subsets AS (SELECT unnest(range(0, 16)) AS t),
+    vtab AS (
+      SELECT s.t,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(COALESCE(SUM(u.converted), 0) AS BIGINT) AS n_conv,
+             CASE WHEN COUNT(*) > 0
+                  THEN CAST(COALESCE(SUM(u.converted), 0) AS DOUBLE) / COUNT(*)
+                  ELSE 0.0 END AS v
+      FROM subsets s LEFT JOIN touched u ON (u.mask & s.t) = u.mask
+      GROUP BY s.t
+    ),
+    pairs(cbit, t, tc, wnum) AS (VALUES {_SHAP_PAIRS_SQL}),
+    names(channel, cbit) AS (VALUES {_SHAP_NAMES_SQL}),
+    terms AS (
+      SELECT n.channel,
+             CAST(round((vc.v - vt.v) * p.wnum / 24, 12) AS DECIMAL(20,12))
+               AS term
+      FROM pairs p
+      JOIN names n USING (cbit)
+      JOIN vtab vt ON vt.t = p.t
+      JOIN vtab vc ON vc.t = p.tc
+    )
+    SELECT channel, CAST(SUM(term) AS DOUBLE) AS shapley_value
+    FROM terms GROUP BY channel
+    """,
+)
+def events_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT SHAPLEY-VALUE attribution over the four non-purchase
+    channels: the coalition value v(T) is the empirical conversion
+    rate of users whose touched-channel set is CONTAINED in T
+    (estimated from the data for all 16 coalitions), and each
+    channel's credit is the exact Shapley sum over its 8
+    marginal-contribution terms with factorial weights — the
+    game-theoretically fair division that position-based attribution
+    (events_attribution) approximates. Four channels make the 2^4
+    coalition table exact; beyond ~10 channels you sample permutations
+    instead, same machinery.
+
+    Determinism: v values are single divisions; every term is a
+    fixed-order float chain rounded to 12 dp and summed as exact
+    decimals. Scale shape: one per-user rollup (bitmask OR), a
+    16-coalition containment aggregate (broadcast), and literal weight
+    tables."""
+    e = t(spark, sf_dir, "events")
+    bit = (
+        F.when(F.col("event_type") == "view", 1)
+        .when(F.col("event_type") == "click", 2)
+        .when(F.col("event_type") == "signup", 4)
+        .when(F.col("event_type") == "error", 8)
+        .otherwise(0)
+    )
+    touched = e.groupBy("user_id").agg(
+        F.sum_distinct(bit).cast("long").alias("mask"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("converted"),
+    )
+    subsets = spark.range(0, 16).select(F.col("id").cast("long").alias("t"))
+    vtab = (
+        subsets.join(
+            touched,
+            F.col("mask").bitwiseAND(F.col("t")) == F.col("mask"),
+            "left",
+        )
+        .groupBy("t")
+        .agg(
+            F.count(F.col("user_id")).alias("n_users"),
+            F.coalesce(F.sum("converted"), F.lit(0)).alias("n_conv"),
+        )
+        .select(
+            "t",
+            F.when(
+                F.col("n_users") > 0,
+                F.col("n_conv").cast("double") / F.col("n_users"),
+            )
+            .otherwise(0.0)
+            .alias("v"),
+        )
+    )
+    pairs = spark.createDataFrame(
+        _SHAP_PAIRS, "cbit long, t long, tc long, wnum long"
+    )
+    names = spark.createDataFrame(
+        [(n, b) for n, b in _SHAP_CHANNELS], "channel string, cbit long"
+    )
+    vt = vtab.select(F.col("t").alias("t"), F.col("v").alias("v_t"))
+    vc = vtab.select(F.col("t").alias("tc"), F.col("v").alias("v_tc"))
+    terms = (
+        pairs.join(F.broadcast(names), "cbit")
+        .join(F.broadcast(vt), "t")
+        .join(F.broadcast(vc), "tc")
+        .select(
+            "channel",
+            F.round(
+                (F.col("v_tc") - F.col("v_t")) * F.col("wnum") / 24, 12
+            )
+            .cast("decimal(20,12)")
+            .alias("term"),
+        )
+    )
+    return terms.groupBy("channel").agg(
+        F.sum("term").cast("double").alias("shapley_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV curves: cumulative value by signup cohort and age
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_cohort_ltv",
+    oracle="""
+    WITH cohorts AS (
+      SELECT user_id, CAST(date_trunc('month', MIN(ts)) AS DATE) AS cohort
+      FROM events GROUP BY user_id
+    ),
+    monthly AS (
+      SELECT c.cohort,
+             CAST(date_diff('month', c.cohort,
+                            CAST(date_trunc('month', e.ts) AS DATE)) AS BIGINT)
+               AS age_months,
+             CAST(SUM(CASE WHEN e.event_type = 'purchase'
+                           THEN CAST(floor(e.value * 100 + 0.5) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS rev_cents
+      FROM events e JOIN cohorts c USING (user_id)
+      GROUP BY c.cohort, 2
+    ),
+    sized AS (
+      SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_users
+      FROM cohorts GROUP BY cohort
+    )
+    SELECT m.cohort, m.age_months, s.cohort_users,
+           CAST(SUM(m.rev_cents) OVER (PARTITION BY m.cohort
+                                       ORDER BY m.age_months) AS BIGINT)
+             AS cum_rev_cents,
+           CAST(SUM(m.rev_cents) OVER (PARTITION BY m.cohort
+                                       ORDER BY m.age_months) AS DOUBLE)
+             / s.cohort_users AS ltv_cents_per_user
+    FROM monthly m JOIN sized s USING (cohort)
+    """,
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHORT LTV CURVES (the growth-analytics staple): users grouped
+    by first-seen month, purchase revenue accumulated by cohort age,
+    normalized per cohort member — the table behind every 'LTV by
+    cohort' chart and payback-period estimate. Integer-cent running
+    sums (the window is a per-cohort cumulative over the monthly
+    AGGREGATE, exact in both engines), one division per row for the
+    per-user curve.
+
+    Scale shape: the cohort map is one per-user min; revenue rolls up
+    map-side to (cohort, age) before any window; cohort sizes
+    broadcast. Complements events_cohort_retention (headcount decay)
+    with the value dimension."""
+    e = t(spark, sf_dir, "events")
+    cohorts = e.groupBy("user_id").agg(
+        F.date_trunc("month", F.min("ts")).cast("date").alias("cohort")
+    )
+    monthly = (
+        e.join(cohorts, "user_id")
+        .groupBy(
+            "cohort",
+            (
+                F.months_between(
+                    F.date_trunc("month", F.col("ts")).cast("date"),
+                    F.col("cohort"),
+                )
+            )
+            .cast("long")
+            .alias("age_months"),
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.floor(F.col("value") * 100 + 0.5).cast("long"),
+                ).otherwise(0)
+            ).alias("rev_cents")
+        )
+    )
+    sized = cohorts.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_users"))
+    w = Window.partitionBy("cohort").orderBy("age_months")
+    return (
+        monthly.join(F.broadcast(sized), "cohort")
+        .withColumn("cum_rev_cents", F.sum("rev_cents").over(w))
+        .select(
+            "cohort",
+            "age_months",
+            "cohort_users",
+            "cum_rev_cents",
+            (
+                F.col("cum_rev_cents").cast("double") / F.col("cohort_users")
+            ).alias("ltv_cents_per_user"),
+        )
+    )
