@@ -2903,15 +2903,23 @@ _SHAP_NAMES_SQL = ", ".join(f"('{n}', {b})" for n, b in _SHAP_CHANNELS)
 @query(
     "events_shapley_attribution",
     oracle=f"""
-    WITH touched AS (
+    WITH journey AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    touched AS (
+      -- attribution window: the user's first four touchpoints (full
+      -- histories touch every channel here, degenerating the game)
       SELECT user_id,
-             CAST(SUM(DISTINCT CASE event_type
+             CAST(SUM(DISTINCT CASE WHEN rn <= 4 THEN CASE event_type
                     WHEN 'view' THEN 1 WHEN 'click' THEN 2
                     WHEN 'signup' THEN 4 WHEN 'error' THEN 8
-                    ELSE 0 END) AS BIGINT) AS mask,
+                    ELSE 0 END ELSE 0 END) AS BIGINT) AS mask,
              CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
                   AS BIGINT) AS converted
-      FROM events GROUP BY user_id
+      FROM journey GROUP BY user_id
     ),
     subsets AS (SELECT unnest(range(0, 16)) AS t),
     vtab AS (
@@ -2942,7 +2950,8 @@ _SHAP_NAMES_SQL = ", ".join(f"('{n}', {b})" for n, b in _SHAP_CHANNELS)
 def events_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT SHAPLEY-VALUE attribution over the four non-purchase
     channels: the coalition value v(T) is the empirical conversion
-    rate of users whose touched-channel set is CONTAINED in T
+    rate of users whose first-four-touchpoint channel set is CONTAINED
+    in T
     (estimated from the data for all 16 coalitions), and each
     channel's credit is the exact Shapley sum over its 8
     marginal-contribution terms with factorial weights — the
@@ -2964,8 +2973,12 @@ def events_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("event_type") == "error", 8)
         .otherwise(0)
     )
-    touched = e.groupBy("user_id").agg(
-        F.sum_distinct(bit).cast("long").alias("mask"),
+    w_j = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    journey = e.withColumn("rn", F.row_number().over(w_j))
+    touched = journey.groupBy("user_id").agg(
+        F.sum_distinct(F.when(F.col("rn") <= 4, bit).otherwise(0))
+        .cast("long")
+        .alias("mask"),
         F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
         .cast("long")
         .alias("converted"),
