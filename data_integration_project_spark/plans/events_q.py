@@ -2917,8 +2917,9 @@ _SHAP_NAMES_SQL = ", ".join(f"('{n}', {b})" for n, b in _SHAP_CHANNELS)
                     WHEN 'view' THEN 1 WHEN 'click' THEN 2
                     WHEN 'signup' THEN 4 WHEN 'error' THEN 8
                     ELSE 0 END ELSE 0 END) AS BIGINT) AS mask,
-             CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-                  AS BIGINT) AS converted
+             CAST(CASE WHEN 5 * SUM(CASE WHEN event_type = 'purchase'
+                                     THEN 1 ELSE 0 END) > COUNT(*)
+                       THEN 1 ELSE 0 END AS BIGINT) AS converted
       FROM journey GROUP BY user_id
     ),
     subsets AS (SELECT unnest(range(0, 16)) AS t),
@@ -2952,7 +2953,9 @@ def events_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     channels: the coalition value v(T) is the empirical conversion
     rate of users whose first-four-touchpoint channel set is CONTAINED
     in T
-    (estimated from the data for all 16 coalitions), and each
+    (conversion = the user's purchase share exceeds 20% of their
+    events — a volume-independent label; estimated from the data for
+    all 16 coalitions), and each
     channel's credit is the exact Shapley sum over its 8
     marginal-contribution terms with factorial weights — the
     game-theoretically fair division that position-based attribution
@@ -2979,7 +2982,13 @@ def events_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum_distinct(F.when(F.col("rn") <= 4, bit).otherwise(0))
         .cast("long")
         .alias("mask"),
-        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        (
+            5
+            * F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            > F.count(F.lit(1))
+        )
         .cast("long")
         .alias("converted"),
     )
