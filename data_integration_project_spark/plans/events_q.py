@@ -3131,3 +3131,99 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ltv_cents_per_user"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival with right-censoring
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_kaplan_meier",
+    oracle="""
+    WITH spans AS (
+      SELECT user_id,
+             CAST(date_diff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE)))
+                  AS BIGINT) AS t,
+             CAST(MAX(CAST(ts AS DATE)) < DATE '2024-12-01' AS INT) AS churned
+      FROM events GROUP BY user_id
+    ),
+    times AS (
+      SELECT t,
+             CAST(SUM(churned) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS leaving
+      FROM spans GROUP BY t
+    ),
+    risk AS (
+      SELECT t, d,
+             CAST((SELECT COUNT(*) FROM spans) AS BIGINT)
+               - CAST(COALESCE(SUM(leaving) OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS BIGINT) AS n_at_risk
+      FROM times
+    ),
+    terms AS (
+      SELECT t, d, n_at_risk,
+             CAST(round(ln(1.0 - CAST(d AS DOUBLE) / n_at_risk) * 1000000)
+                  AS BIGINT) AS logterm_unats
+      FROM risk WHERE d > 0 AND d < n_at_risk
+    )
+    SELECT t, d, n_at_risk,
+           round(exp(CAST(SUM(logterm_unats) OVER (ORDER BY t) AS DOUBLE)
+                     / 1000000), 9) AS survival
+    FROM terms
+    """,
+)
+def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KAPLAN-MEIER survival estimator with right-censoring: each
+    user's lifetime runs from first to last event; users still active
+    in the final observed month are CENSORED (they leave the risk set
+    without counting as churn — ignoring censoring is the classic
+    retention-analysis bias). S(t) multiplies (1 - d_t/n_t) over event
+    times; computed in log space with per-term integer micro-nats so
+    the running product is an EXACT integer cumulative sum (one
+    exp + 9 dp rounding per output row — the portable form of a
+    cumulative product).
+
+    Scale shape: per-user span rollup, then all work happens on the
+    |distinct lifetimes| aggregate (window over dimension-sized
+    data)."""
+    e = t(spark, sf_dir, "events")
+    spans = e.groupBy("user_id").agg(
+        F.datediff(
+            F.max(F.col("ts").cast("date")), F.min(F.col("ts").cast("date"))
+        )
+        .cast("long")
+        .alias("t"),
+        (F.max(F.col("ts").cast("date")) < F.lit("2024-12-01").cast("date"))
+        .cast("int")
+        .alias("churned"),
+    )
+    times = spans.groupBy("t").agg(
+        F.sum("churned").alias("d"), F.count(F.lit(1)).alias("leaving")
+    )
+    n_total = spans.count()
+    w_prev = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk = times.withColumn(
+        "n_at_risk",
+        F.lit(n_total) - F.coalesce(F.sum("leaving").over(w_prev), F.lit(0)),
+    )
+    terms = risk.filter(
+        (F.col("d") > 0) & (F.col("d") < F.col("n_at_risk"))
+    ).withColumn(
+        "logterm_unats",
+        F.round(
+            F.log(1.0 - F.col("d").cast("double") / F.col("n_at_risk")) * 1000000
+        ).cast("long"),
+    )
+    w_cum = Window.orderBy("t")
+    return terms.select(
+        "t",
+        "d",
+        "n_at_risk",
+        F.round(
+            F.exp(F.sum("logterm_unats").over(w_cum).cast("double") / 1000000), 9
+        ).alias("survival"),
+    )

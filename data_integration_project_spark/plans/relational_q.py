@@ -4134,3 +4134,75 @@ def orders_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(half_width).alias("half_width"),
         F.sum(F.when(ar <= half_width, 1).otherwise(0)).alias("n_covered"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient / Lorenz ordering of customer revenue concentration
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "customers_gini_revenue",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents, o_custkey) AS i,
+             COUNT(*) OVER () AS n,
+             SUM(cents) OVER () AS total
+      FROM rev
+    ),
+    g AS (
+      SELECT CAST(MAX(n) AS BIGINT) AS n,
+             CAST(MAX(total) AS BIGINT) AS total_cents,
+             CAST(SUM(i * cents) AS BIGINT) AS weighted_sum
+      FROM ranked
+    )
+    SELECT n AS n_customers, total_cents, weighted_sum,
+           CAST(2 * weighted_sum AS DOUBLE) / (n * CAST(total_cents AS DOUBLE))
+             - CAST(n + 1 AS DOUBLE) / n AS gini
+    FROM g
+    """,
+)
+def customers_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GINI COEFFICIENT of customer revenue concentration (the Lorenz
+    summary behind 'what share of revenue comes from the top X%'):
+    G = 2*sum(i*x_i)/(n*sum x) - (n+1)/n over revenue sorted
+    ascending with a key tiebreak. All moments are exact integers
+    (the rank-weighted sum fits int64 comfortably at any realistic
+    customer count); the coefficient is a fixed-order double chain.
+    Complements parts_abc_classification (which cuts the same Lorenz
+    curve at 80/95%).
+
+    Scale note: the rank runs over the CUSTOMER aggregate. For a
+    dimension too large even aggregated, the multipass-quantile
+    boundaries give the decile Lorenz points without any global
+    rank."""
+    o = t(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")).alias(
+            "cents"
+        )
+    )
+    w = Window.orderBy("cents", "o_custkey")
+    ranked = rev.withColumn("i", F.row_number().over(w))
+    g = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("total_cents"),
+        F.sum(F.col("i") * F.col("cents")).alias("weighted_sum"),
+    )
+    return g.select(
+        F.col("n").alias("n_customers"),
+        "total_cents",
+        "weighted_sum",
+        (
+            (2 * F.col("weighted_sum")).cast("double")
+            / (F.col("n") * F.col("total_cents").cast("double"))
+            - (F.col("n") + 1).cast("double") / F.col("n")
+        ).alias("gini"),
+    )
