@@ -4206,3 +4206,166 @@ def customers_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (F.col("n") + 1).cast("double") / F.col("n")
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences and Mann-Whitney rank-sum
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_diff_in_diff",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(c_nationkey % 2 = 0 AS INT) AS treated,
+             CAST(o_orderdate >= DATE '1997-01-01' AS INT) AS post,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    ),
+    means AS (
+      SELECT treated, post, n, cents,
+             CAST(cents AS DOUBLE) / n AS mean_cents
+      FROM cells
+    )
+    SELECT
+      MAX(CASE WHEN treated = 1 AND post = 1 THEN mean_cents END) AS t_post,
+      MAX(CASE WHEN treated = 1 AND post = 0 THEN mean_cents END) AS t_pre,
+      MAX(CASE WHEN treated = 0 AND post = 1 THEN mean_cents END) AS c_post,
+      MAX(CASE WHEN treated = 0 AND post = 0 THEN mean_cents END) AS c_pre,
+      (MAX(CASE WHEN treated = 1 AND post = 1 THEN mean_cents END)
+       - MAX(CASE WHEN treated = 1 AND post = 0 THEN mean_cents END))
+      - (MAX(CASE WHEN treated = 0 AND post = 1 THEN mean_cents END)
+         - MAX(CASE WHEN treated = 0 AND post = 0 THEN mean_cents END))
+        AS did_estimate
+    FROM means
+    """,
+)
+def orders_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENCE-IN-DIFFERENCES: treated customers (even nations)
+    versus control, before/after a 1997-01-01 'policy' — the 2x2 cell
+    means whose double difference cancels both the group baseline and
+    the common time trend, the workhorse quasi-experimental estimator
+    when randomization isn't available. Cell means are single
+    divisions of exact integer cents; the DiD estimate is one
+    fixed-order chain over the four.
+
+    Scale shape: one broadcast dim join + a 4-group conditional
+    aggregate — nothing beyond the fact scan."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    cells = (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            (F.col("c_nationkey") % 2 == 0).cast("int").alias("treated"),
+            (F.col("o_orderdate") >= "1997-01-01").cast("int").alias("post"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            ).alias("cents"),
+        )
+        .withColumn("mean_cents", F.col("cents").cast("double") / F.col("n"))
+    )
+
+    def cell(tr, po):
+        return F.max(
+            F.when(
+                (F.col("treated") == tr) & (F.col("post") == po),
+                F.col("mean_cents"),
+            )
+        )
+
+    return cells.agg(
+        cell(1, 1).alias("t_post"),
+        cell(1, 0).alias("t_pre"),
+        cell(0, 1).alias("c_post"),
+        cell(0, 0).alias("c_pre"),
+        ((cell(1, 1) - cell(1, 0)) - (cell(0, 1) - cell(0, 0))).alias(
+            "did_estimate"
+        ),
+    )
+
+
+@query(
+    "orders_mann_whitney",
+    oracle="""
+    WITH vals AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+             CAST(o_custkey % 2 AS INT) AS grp
+      FROM orders
+    ),
+    ranked AS (
+      -- midranks for ties: average rank = avg of row_numbers over
+      -- equal values, exact as a .5-granular double
+      SELECT grp, v,
+             AVG(rn) OVER (PARTITION BY v) AS midrank
+      FROM (SELECT grp, v,
+                   CAST(row_number() OVER (ORDER BY v) AS DOUBLE) AS rn
+            FROM vals)
+    ),
+    sums AS (
+      SELECT CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             SUM(CASE WHEN grp = 1 THEN midrank ELSE 0 END) AS r1
+      FROM ranked
+    )
+    SELECT n1, n0,
+           CAST(r1 AS DOUBLE) AS rank_sum_1,
+           CAST(r1 AS DOUBLE) - CAST(n1 * (n1 + 1) AS DOUBLE) / 2 AS u_stat,
+           (CAST(r1 AS DOUBLE) - CAST(n1 * (n1 + 1) AS DOUBLE) / 2
+            - CAST(n1 AS DOUBLE) * n0 / 2)
+             / sqrt(CAST(n1 AS DOUBLE) * n0 * (n1 + n0 + 1) / 12) AS z_score
+    FROM sums
+    """,
+)
+def orders_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-WHITNEY U (Wilcoxon rank-sum): do odd- and even-keyed
+    customers draw from the same order-value distribution? The
+    nonparametric complement to the A/B z-test — rank-based, so
+    outliers can't dominate. Midranks resolve ties exactly (averages
+    of consecutive integers are .5-granular, exact in doubles, and
+    their SUM is exact in double below 2^52), the U statistic and
+    normal approximation are fixed-order chains.
+
+    Scale note: the global rank runs over integer cents — at 100 TB
+    replace it with a two-pass value-histogram ranking (group by
+    value, cumulative counts give every midrank without a row-level
+    sort), which the exact integer midrank formula above makes
+    drop-in."""
+    o = t(spark, sf_dir, "orders")
+    vals = o.select(
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("v"),
+        (F.col("o_custkey") % 2).cast("int").alias("grp"),
+    )
+    w_rn = Window.orderBy("v")
+    w_mid = Window.partitionBy("v")
+    ranked = vals.withColumn(
+        "rn", F.row_number().over(w_rn).cast("double")
+    ).withColumn("midrank", F.avg("rn").over(w_mid))
+    sums = ranked.agg(
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("grp") == 1, F.col("midrank")).otherwise(0.0)).alias(
+            "r1"
+        ),
+    )
+    u = F.col("r1").cast("double") - (
+        F.col("n1") * (F.col("n1") + 1)
+    ).cast("double") / 2
+    z = (
+        u - F.col("n1").cast("double") * F.col("n0") / 2
+    ) / F.sqrt(
+        F.col("n1").cast("double") * F.col("n0") * (F.col("n1") + F.col("n0") + 1)
+        / 12
+    )
+    return sums.select(
+        "n1",
+        "n0",
+        F.col("r1").cast("double").alias("rank_sum_1"),
+        u.alias("u_stat"),
+        z.alias("z_score"),
+    )
