@@ -1345,3 +1345,69 @@ def orders_daily_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("n", F.lit(0)) == 0).cast("int").alias("is_gap"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit over quasi-identifiers
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "customers_k_anonymity",
+    oracle="""
+    WITH classes AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_bucket,
+             CAST(COUNT(*) AS BIGINT) AS class_size
+      FROM customer
+      GROUP BY c_nationkey, c_mktsegment, CAST(floor(c_acctbal / 2000) AS BIGINT)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(class_size) AS BIGINT) AS n_rows,
+           CAST(MIN(class_size) AS BIGINT) AS k_anonymity,
+           CAST(SUM(CASE WHEN class_size < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating_classes,
+           CAST(SUM(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+                AS BIGINT) AS n_rows_at_risk,
+           CAST(round(CAST(SUM(CASE WHEN class_size < 5 THEN class_size
+                                    ELSE 0 END) AS DOUBLE)
+                      * 1000000 / SUM(class_size)) AS BIGINT)
+             AS at_risk_ppm
+    FROM classes
+    """,
+)
+def customers_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-ANONYMITY audit: group the table by its quasi-identifiers
+    (nation, segment, coarse balance bucket) and measure the smallest
+    equivalence class — the dataset's k — plus how many rows sit in
+    classes below k=5 (each such row is re-identifiable by joining
+    public attributes). The release-gate metric behind
+    generalize-or-suppress decisions; complements the
+    pseudonymization and RTBF queries: tokens hide direct identifiers,
+    k-anonymity measures the indirect ones.
+
+    Scale shape: one map-side-combined class count, one 6-number
+    rollup."""
+    c = t(spark, sf_dir, "customer")
+    classes = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 2000).cast("long").alias("bal_bucket"),
+    ).agg(F.count(F.lit(1)).alias("class_size"))
+    risk_rows = F.sum(
+        F.when(F.col("class_size") < 5, F.col("class_size")).otherwise(0)
+    )
+    return classes.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum("class_size").alias("n_rows"),
+        F.min("class_size").alias("k_anonymity"),
+        F.sum(F.when(F.col("class_size") < 5, 1).otherwise(0)).alias(
+            "n_violating_classes"
+        ),
+        risk_rows.alias("n_rows_at_risk"),
+        F.round(
+            risk_rows.cast("double") * 1000000 / F.sum("class_size")
+        )
+        .cast("long")
+        .alias("at_risk_ppm"),
+    )
