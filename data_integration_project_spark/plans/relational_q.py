@@ -4369,3 +4369,99 @@ def orders_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         u.alias("u_stat"),
         z.alias("z_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact covariate matching (ATT) and weighted sampling without
+# replacement (Efraimidis-Spirakis exponential clocks)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_matched_att",
+    oracle="""
+    WITH units AS (
+      SELECT o_custkey AS unit,
+             CAST(MAX(c_nationkey % 2 = 0) AS INT) AS treated,
+             c_mktsegment AS seg,
+             CAST(floor(MAX(c_acctbal) / 2000) AS BIGINT) AS bal_bucket,
+             CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS y_cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY o_custkey, c_mktsegment
+    ),
+    cells AS (
+      SELECT seg, bal_bucket,
+             CAST(SUM(treated) AS BIGINT) AS n_t,
+             CAST(SUM(1 - treated) AS BIGINT) AS n_c,
+             CAST(SUM(CASE WHEN treated = 1 THEN y_cents ELSE 0 END)
+                  AS BIGINT) AS y_t,
+             CAST(SUM(CASE WHEN treated = 0 THEN y_cents ELSE 0 END)
+                  AS BIGINT) AS y_c
+      FROM units GROUP BY seg, bal_bucket
+    ),
+    matched AS (SELECT * FROM cells WHERE n_t > 0 AND n_c > 0)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(n_t) AS BIGINT) AS n_treated_matched,
+           CAST(SUM(n_t * CAST(round(
+                    (CAST(y_t AS DOUBLE) / n_t - CAST(y_c AS DOUBLE) / n_c)
+                    * 1000) AS BIGINT)) AS DOUBLE)
+             / (1000.0 * SUM(n_t)) AS att_cents
+    FROM matched
+    """,
+)
+def orders_matched_att(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT COVARIATE MATCHING for the average treatment effect on
+    the treated: units stratify into (segment, balance-bucket) cells,
+    unmatched cells (no treated or no control units) drop, and the ATT
+    is the treated-weighted average of within-cell outcome
+    differences — the nonparametric causal companion to
+    orders_diff_in_diff (which exploits time; this exploits
+    covariate overlap). Dropping unmatched cells IS the common-support
+    restriction.
+
+    Determinism: cell means are single divisions; each cell's MEAN
+    DIFFERENCE rounds to integer milli-cents (small magnitude, far
+    above the double grid — rounding the n_t-weighted ~1e8 term at
+    6 dp sat BELOW double resolution and tied constantly), weights are
+    integer n_t, sums are exact BIGINT, one final division."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    units = (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_custkey", "c_mktsegment")
+        .agg(
+            F.max((F.col("c_nationkey") % 2 == 0).cast("int")).alias("treated"),
+            F.floor(F.max("c_acctbal") / 2000).cast("long").alias("bal_bucket"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            ).alias("y_cents"),
+        )
+        .withColumnRenamed("c_mktsegment", "seg")
+    )
+    cells = units.groupBy("seg", "bal_bucket").agg(
+        F.sum("treated").alias("n_t"),
+        F.sum(1 - F.col("treated")).alias("n_c"),
+        F.sum(F.when(F.col("treated") == 1, F.col("y_cents")).otherwise(0)).alias(
+            "y_t"
+        ),
+        F.sum(F.when(F.col("treated") == 0, F.col("y_cents")).otherwise(0)).alias(
+            "y_c"
+        ),
+    )
+    matched = cells.filter((F.col("n_t") > 0) & (F.col("n_c") > 0))
+    diff_milli = F.round(
+        (
+            F.col("y_t").cast("double") / F.col("n_t")
+            - F.col("y_c").cast("double") / F.col("n_c")
+        )
+        * 1000
+    ).cast("long")
+    return matched.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("n_t").alias("n_treated_matched"),
+        (
+            F.sum(F.col("n_t") * diff_milli).cast("double")
+            / (F.lit(1000.0) * F.sum("n_t"))
+        ).alias("att_cents"),
+    )
