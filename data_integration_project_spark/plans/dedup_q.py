@@ -743,7 +743,9 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a single codegen array_intersect over two ~|doc|-sized arrays —
     # the exploded (doc, token) x (doc, token) verify join this
     # replaces shuffled the whole shingle stream a second time
-    sets = toks.groupBy("doc_id").agg(
+    # reuse the ordered stream (already shuffled onto doc_id for the
+    # window) instead of re-exploding the corpus a second time
+    sets = ordered.groupBy("doc_id").agg(
         F.collect_set("token").alias("toks"), F.count(F.lit(1)).alias("set_size")
     )
     sa = sets.select(
