@@ -1356,3 +1356,124 @@ def doc_dup_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_char_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Heaps'-law vocabulary scaling: V(n) ~ K * n^beta, fitted in-engine
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus_heaps_law",
+    oracle=f"""
+    WITH tok_first AS (
+      SELECT token, MIN(doc_id) AS first_doc
+      FROM (SELECT doc_id, unnest({_TOKENS_SQL}) AS token FROM documents)
+      GROUP BY token
+    ),
+    doc_tokens AS (
+      SELECT doc_id, CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_toks
+      FROM documents
+    ),
+    n_docs AS (SELECT CAST(MAX(doc_id) AS BIGINT) + 1 AS nd FROM documents),
+    deciles AS (
+      SELECT CAST(d AS BIGINT) AS decile,
+             CAST((SELECT nd FROM n_docs) * d / 10 AS BIGINT) AS cutoff
+      FROM (SELECT unnest(range(1, 11)) AS d)
+    ),
+    points AS (
+      SELECT dc.decile,
+             (SELECT CAST(SUM(n_toks) AS BIGINT) FROM doc_tokens
+              WHERE doc_id < dc.cutoff) AS corpus_tokens,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM tok_first
+              WHERE first_doc < dc.cutoff) AS vocab_size
+      FROM deciles dc
+    ),
+    logs AS (
+      SELECT decile, corpus_tokens, vocab_size,
+             CAST(round(ln(CAST(corpus_tokens AS DOUBLE)) * 1000000) AS BIGINT)
+               AS lx,
+             CAST(round(ln(CAST(vocab_size AS DOUBLE)) * 1000000) AS BIGINT)
+               AS ly
+      FROM points
+    ),
+    fit AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(lx) AS BIGINT) AS sx, CAST(SUM(ly) AS BIGINT) AS sy,
+             CAST(SUM(lx * ly) AS BIGINT) AS sxy,
+             CAST(SUM(lx * lx) AS BIGINT) AS sxx
+      FROM logs
+    )
+    SELECT l.decile, l.corpus_tokens, l.vocab_size,
+           CAST(f.n * f.sxy - f.sx * f.sy AS DOUBLE)
+             / CAST(f.n * f.sxx - f.sx * f.sx AS DOUBLE) AS heaps_beta
+    FROM logs l, fit f
+    """,
+)
+def corpus_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEAPS'-LAW scaling fit: vocabulary size as a function of corpus
+    size at ten growth checkpoints, with the scaling exponent beta
+    from a log-log OLS — the corpus-linguistics law (V ~ K*n^beta,
+    beta ~ 0.4-0.6 for natural text) that planners use to forecast
+    vocabulary/embedding-table growth before scaling a corpus 100x.
+    V(n) for EVERY checkpoint comes from one pass: each token's
+    first-occurrence doc (the first-seen trick from the rolling-
+    uniques query), so vocab at cutoff = tokens first seen before it —
+    no per-checkpoint rescans.
+
+    Determinism: checkpoint counts are exact; logs are rounded integer
+    micro-nats; the OLS slope is one division of exact integer
+    moments."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("token"))
+    tok_first = toks.groupBy("token").agg(F.min("doc_id").alias("first_doc"))
+    doc_tokens = d.select(
+        "doc_id", X.token_count(F.col("text")).cast("long").alias("n_toks")
+    )
+    nd = d.agg((F.max("doc_id") + 1).alias("nd")).collect()[0]["nd"]
+    cuts = [(dec, nd * dec // 10) for dec in range(1, 11)]
+    deciles = spark.createDataFrame(cuts, "decile long, cutoff long")
+    points = (
+        deciles.crossJoin(F.broadcast(tok_first))
+        .groupBy("decile", "cutoff")
+        .agg(
+            F.sum(F.when(F.col("first_doc") < F.col("cutoff"), 1).otherwise(0))
+            .alias("vocab_size")
+        )
+        .join(
+            deciles.crossJoin(doc_tokens)
+            .groupBy(F.col("decile").alias("d2"))
+            .agg(
+                F.sum(
+                    F.when(F.col("doc_id") < F.col("cutoff"), F.col("n_toks"))
+                    .otherwise(0)
+                ).alias("corpus_tokens")
+            ),
+            F.col("decile") == F.col("d2"),
+        )
+        .select("decile", "corpus_tokens", "vocab_size")
+    )
+    logs = points.select(
+        "decile",
+        "corpus_tokens",
+        "vocab_size",
+        F.round(F.log(F.col("corpus_tokens").cast("double")) * 1000000)
+        .cast("long")
+        .alias("lx"),
+        F.round(F.log(F.col("vocab_size").cast("double")) * 1000000)
+        .cast("long")
+        .alias("ly"),
+    )
+    fit = logs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+    )
+    beta = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return logs.crossJoin(F.broadcast(fit)).select(
+        "decile", "corpus_tokens", "vocab_size", beta.alias("heaps_beta")
+    )
