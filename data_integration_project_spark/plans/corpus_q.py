@@ -1477,3 +1477,88 @@ def corpus_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     return logs.crossJoin(F.broadcast(fit)).select(
         "decile", "corpus_tokens", "vocab_size", beta.alias("heaps_beta")
     )
+
+
+@query(
+    "corpus_zipf_law",
+    oracle=f"""
+    WITH freq AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS f
+      FROM (SELECT unnest({_TOKENS_SQL}) AS token FROM documents)
+      GROUP BY token
+    ),
+    ranked AS (
+      SELECT token, f,
+             row_number() OVER (ORDER BY f DESC, token) AS r
+      FROM freq
+    ),
+    logs AS (
+      SELECT token, f, CAST(r AS BIGINT) AS r,
+             CAST(round(ln(CAST(r AS DOUBLE)) * 1000000) AS BIGINT) AS lx,
+             CAST(round(ln(CAST(f AS DOUBLE)) * 1000000) AS BIGINT) AS ly
+      FROM ranked WHERE r <= 100
+    ),
+    fit AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(lx) AS BIGINT) AS sx, CAST(SUM(ly) AS BIGINT) AS sy,
+             CAST(SUM(lx * ly) AS BIGINT) AS sxy,
+             CAST(SUM(lx * lx) AS BIGINT) AS sxx
+      FROM logs
+    )
+    SELECT l.r AS rank, l.token, l.f AS frequency,
+           CAST(f.n * f.sxy - f.sx * f.sy AS DOUBLE)
+             / CAST(f.n * f.sxx - f.sx * f.sx AS DOUBLE) AS zipf_slope
+    FROM logs l, fit f
+    WHERE l.r <= 10
+    """,
+)
+def corpus_zipf_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIPF'S-LAW rank-frequency fit, the companion scaling law to
+    corpus_heaps_law: token frequencies ranked (total order: count
+    desc, token asc), the top-100 log-log OLS slope estimates -s in
+    f ~ C/r^s (natural text sits near -1; this synthetic vocabulary's
+    flatness is itself the diagnostic — a corpus whose top ranks are
+    too flat or too steep has boilerplate or coverage problems). Top
+    10 ranks reported with the fitted slope; same micro-nat log +
+    exact-integer-moment discipline as the Heaps fit."""
+    d = t(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(X.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    w = Window.orderBy(F.desc("f"), F.asc("token"))
+    ranked = freq.withColumn("r", F.row_number().over(w).cast("long")).filter(
+        F.col("r") <= 100
+    )
+    logs = ranked.select(
+        "token",
+        "f",
+        "r",
+        F.round(F.log(F.col("r").cast("double")) * 1000000)
+        .cast("long")
+        .alias("lx"),
+        F.round(F.log(F.col("f").cast("double")) * 1000000)
+        .cast("long")
+        .alias("ly"),
+    )
+    fit = logs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return (
+        logs.filter(F.col("r") <= 10)
+        .crossJoin(F.broadcast(fit))
+        .select(
+            F.col("r").alias("rank"),
+            "token",
+            F.col("f").alias("frequency"),
+            slope.alias("zipf_slope"),
+        )
+    )
