@@ -1229,18 +1229,18 @@ def fact_order_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ranked AS (
       SELECT user_id,
-             date_trunc('month', ts) AS month,
+             date_trunc('week', ts) AS week,
              CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
-             row_number() OVER (PARTITION BY user_id, date_trunc('month', ts)
+             row_number() OVER (PARTITION BY user_id, date_trunc('week', ts)
                                 ORDER BY ts DESC, event_id DESC) AS rn
       FROM events
     )
-    SELECT CAST(month AS DATE) AS month,
+    SELECT CAST(week AS DATE) AS week,
            COUNT(*) AS n_users,
            CAST(SUM(cents) AS BIGINT) AS total_period_end_cents,
            CAST(SUM(cents) AS DOUBLE) / COUNT(*) AS avg_period_end_cents
     FROM ranked WHERE rn = 1
-    GROUP BY month
+    GROUP BY week
     """,
 )
 def fact_period_end_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1257,23 +1257,23 @@ def fact_period_end_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort spill), then a map-side-combined month rollup."""
     e = t(spark, sf_dir, "events")
     w = Window.partitionBy(
-        "user_id", F.date_trunc("month", F.col("ts"))
+        "user_id", F.date_trunc("week", F.col("ts"))
     ).orderBy(F.desc("ts"), F.desc("event_id"))
     ranked = e.select(
         "user_id",
-        F.date_trunc("month", F.col("ts")).cast("date").alias("month"),
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
         F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
         F.row_number().over(w).alias("rn"),
     )
     return (
         ranked.filter(F.col("rn") == 1)
-        .groupBy("month")
+        .groupBy("week")
         .agg(
             F.count(F.lit(1)).alias("n_users"),
             F.sum("cents").alias("total_period_end_cents"),
         )
         .select(
-            "month",
+            "week",
             "n_users",
             "total_period_end_cents",
             (

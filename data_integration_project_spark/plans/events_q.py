@@ -2528,7 +2528,7 @@ def events_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY 1, 2
     ),
     split AS (
-      SELECT *, h >= TIMESTAMP '2024-03-01' AS is_eval FROM hourly
+      SELECT *, h >= TIMESTAMP '2024-01-25' AS is_eval FROM hourly
     ),
     baseline AS (
       SELECT how,
@@ -2551,8 +2551,8 @@ def events_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonality-aware anomaly detection: traffic has an hour-of-week
     rhythm, so raw thresholds misfire every weekend — the baseline is
-    the per-hour-of-week mean rate learned from the history before
-    March 2024, and an evaluation hour is anomalous when its count
+    the per-hour-of-week mean rate learned from the first 3.5 weeks of
+    history, and an evaluation hour is anomalous when its count
     exceeds 2x its OWN hour-of-week baseline (integer cross-product
     comparison n*base_hours > 2*base_total — no float rate) with a
     minimum-support floor. The ops-monitoring twin of the PSI drift
@@ -2569,7 +2569,7 @@ def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("h", "how")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    split = hourly.withColumn("is_eval", F.col("h") >= F.lit("2024-03-01").cast("timestamp"))
+    split = hourly.withColumn("is_eval", F.col("h") >= F.lit("2024-01-25").cast("timestamp"))
     baseline = (
         split.filter(~F.col("is_eval"))
         .groupBy("how")
@@ -3049,14 +3049,14 @@ def events_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_cohort_ltv",
     oracle="""
     WITH cohorts AS (
-      SELECT user_id, CAST(date_trunc('month', MIN(ts)) AS DATE) AS cohort
+      SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort
       FROM events GROUP BY user_id
     ),
-    monthly AS (
+    weekly AS (
       SELECT c.cohort,
-             CAST(date_diff('month', c.cohort,
-                            CAST(date_trunc('month', e.ts) AS DATE)) AS BIGINT)
-               AS age_months,
+             CAST(date_diff('day', c.cohort,
+                            CAST(date_trunc('week', e.ts) AS DATE)) // 7
+                  AS BIGINT) AS age_weeks,
              CAST(SUM(CASE WHEN e.event_type = 'purchase'
                            THEN CAST(floor(e.value * 100 + 0.5) AS BIGINT)
                            ELSE 0 END) AS BIGINT) AS rev_cents
@@ -3067,14 +3067,14 @@ def events_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_users
       FROM cohorts GROUP BY cohort
     )
-    SELECT m.cohort, m.age_months, s.cohort_users,
+    SELECT m.cohort, m.age_weeks, s.cohort_users,
            CAST(SUM(m.rev_cents) OVER (PARTITION BY m.cohort
-                                       ORDER BY m.age_months) AS BIGINT)
+                                       ORDER BY m.age_weeks) AS BIGINT)
              AS cum_rev_cents,
            CAST(SUM(m.rev_cents) OVER (PARTITION BY m.cohort
-                                       ORDER BY m.age_months) AS DOUBLE)
+                                       ORDER BY m.age_weeks) AS DOUBLE)
              / s.cohort_users AS ltv_cents_per_user
-    FROM monthly m JOIN sized s USING (cohort)
+    FROM weekly m JOIN sized s USING (cohort)
     """,
 )
 def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3092,20 +3092,21 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the value dimension."""
     e = t(spark, sf_dir, "events")
     cohorts = e.groupBy("user_id").agg(
-        F.date_trunc("month", F.min("ts")).cast("date").alias("cohort")
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort")
     )
-    monthly = (
+    weekly = (
         e.join(cohorts, "user_id")
         .groupBy(
             "cohort",
             (
-                F.months_between(
-                    F.date_trunc("month", F.col("ts")).cast("date"),
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")).cast("date"),
                     F.col("cohort"),
                 )
+                / 7
             )
             .cast("long")
-            .alias("age_months"),
+            .alias("age_weeks"),
         )
         .agg(
             F.sum(
@@ -3117,13 +3118,13 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sized = cohorts.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_users"))
-    w = Window.partitionBy("cohort").orderBy("age_months")
+    w = Window.partitionBy("cohort").orderBy("age_weeks")
     return (
-        monthly.join(F.broadcast(sized), "cohort")
+        weekly.join(F.broadcast(sized), "cohort")
         .withColumn("cum_rev_cents", F.sum("rev_cents").over(w))
         .select(
             "cohort",
-            "age_months",
+            "age_weeks",
             "cohort_users",
             "cum_rev_cents",
             (
@@ -3226,4 +3227,93 @@ def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.exp(F.sum("logterm_unats").over(w_cum).cast("double") / 1000000), 9
         ).alias("survival"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance reduction for experiments
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_cuped_adjustment",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                           THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                           THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS y
+      FROM events GROUP BY user_id
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM per_user
+    )
+    SELECT n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS theta,
+           CAST(n * syy - sy * sy AS DOUBLE) / (CAST(n AS DOUBLE) * n)
+             AS var_y,
+           (CAST(n * syy - sy * sy AS DOUBLE) / (CAST(n AS DOUBLE) * n))
+             * (1.0 - (CAST(n * sxy - sx * sy AS DOUBLE)
+                       * CAST(n * sxy - sx * sy AS DOUBLE))
+                      / (CAST(n * sxx - sx * sx AS DOUBLE)
+                         * CAST(n * syy - sy * sy AS DOUBLE)))
+             AS var_y_cuped,
+           (CAST(n * sxy - sx * sy AS DOUBLE)
+            * CAST(n * sxy - sx * sy AS DOUBLE))
+             / (CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(n * syy - sy * sy AS DOUBLE)) AS variance_reduction
+    FROM m
+    """,
+)
+def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013 — the
+    experimentation-platform staple): each user's PRE-period value
+    (before March 2024) becomes the control covariate for their
+    post-period metric; theta = cov(X,Y)/var(X) gives the adjusted
+    metric Y - theta*(X - mean X) whose variance shrinks by exactly
+    rho^2 — reported here as theta, raw and adjusted metric variance,
+    and the realized reduction (= squared correlation). Smaller
+    variance means the same experiment detects effects with fewer
+    users — the cheapest sensitivity win an A/B platform ships.
+    Everything derives from one pass of exact integer moments; every
+    output is a fixed-order chain over them.
+
+    Completes the experimentation stack: assignment (z-test), variance
+    reduction (here), quasi-experiments (DiD, matching), uncertainty
+    (bootstrap, conformal)."""
+    e = t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cutoff, cents).otherwise(0)).alias("x"),
+        F.sum(F.when(F.col("ts") >= cutoff, cents).otherwise(0)).alias("y"),
+    )
+    m = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    cxy = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    var_y = vy / (F.col("n").cast("double") * F.col("n"))
+    rho2 = (cxy * cxy) / (vx * vy)
+    return m.select(
+        "n",
+        (cxy / vx).alias("theta"),
+        var_y.alias("var_y"),
+        (var_y * (F.lit(1.0) - rho2)).alias("var_y_cuped"),
+        rho2.alias("variance_reduction"),
     )
