@@ -3317,3 +3317,124 @@ def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         (var_y * (F.lit(1.0) - rho2)).alias("var_y_cuped"),
         rho2.alias("variance_reduction"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Process mining: transition durations and CUSUM change-point scan
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_process_durations",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS from_type,
+             lead(event_type) OVER w AS to_type,
+             lead(epoch_ms(ts)) OVER w - epoch_ms(ts) AS dur_ms
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT from_type, to_type,
+           COUNT(*) AS n_transitions,
+           CAST(SUM(dur_ms) AS BIGINT) AS total_ms,
+           CAST(SUM(dur_ms) AS DOUBLE) / COUNT(*) AS mean_ms,
+           CAST(MAX(dur_ms) AS BIGINT) AS max_ms
+    FROM seq WHERE to_type IS NOT NULL
+    GROUP BY from_type, to_type
+    """,
+)
+def events_process_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROCESS MINING bottleneck table: every consecutive activity
+    pair in each user's event log with transition count and duration
+    statistics — the directly-follows graph with timing that process-
+    mining tools build from ERP logs to find where cases stall
+    (complements events_markov_transitions, which has probabilities
+    but no durations). Durations are exact integer milliseconds; the
+    mean is one division.
+
+    Scale shape: one lead() window on the per-user partition, one
+    |activity|^2-group rollup."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    seq = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+        (F.lead(ms).over(w) - ms).alias("dur_ms"),
+    ).filter(F.col("to_type").isNotNull())
+    return seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        F.sum("dur_ms").alias("total_ms"),
+        (F.sum("dur_ms").cast("double") / F.count(F.lit(1))).alias("mean_ms"),
+        F.max("dur_ms").alias("max_ms"),
+    )
+
+
+@query(
+    "events_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events WHERE event_type = 'error' GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS s
+      FROM daily
+    ),
+    cusum AS (
+      -- integer CUSUM scaled by k: k*cum(n) - i*total is exact and
+      -- proportional to cum(n - mean)
+      SELECT day, n,
+             CAST(t.k * SUM(n) OVER (ORDER BY day)
+                  - row_number() OVER (ORDER BY day) * t.s AS BIGINT)
+               AS cusum_scaled
+      FROM daily, tot t
+    )
+    SELECT day, n, cusum_scaled,
+           CAST(CASE WHEN abs(cusum_scaled) =
+                  (SELECT MAX(abs(cusum_scaled)) FROM cusum)
+                THEN 1 ELSE 0 END AS INT) AS is_changepoint
+    FROM cusum
+    """,
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM CHANGE-POINT scan over the daily error-count series: the
+    cumulative sum of deviations from the global mean peaks (in
+    absolute value) at the most likely level-shift day — the classic
+    single-change-point estimator behind 'when did the error rate
+    actually change'. Scaling the statistic by the day count keeps it
+    EXACT integer (k*cum - i*total == k * cum(n - mean)); the argmax
+    marks the candidate change point.
+
+    Scale shape: one date-keyed rollup of the pruned scan, then
+    windows over the |days| series only."""
+    e = t(spark, sf_dir, "events")
+    daily = (
+        e.filter(F.col("event_type") == "error")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("k"), F.sum("n").alias("s")
+    )
+    w = Window.orderBy("day")
+    cusum = (
+        daily.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "cusum_scaled",
+            (
+                F.col("k") * F.sum("n").over(w)
+                - F.row_number().over(w) * F.col("s")
+            ).cast("long"),
+        )
+        .select("day", "n", "cusum_scaled")
+    )
+    peak = cusum.agg(F.max(F.abs("cusum_scaled")).alias("peak"))
+    return cusum.crossJoin(F.broadcast(peak)).select(
+        "day",
+        "n",
+        "cusum_scaled",
+        (F.abs("cusum_scaled") == F.col("peak")).cast("int").alias(
+            "is_changepoint"
+        ),
+    )
