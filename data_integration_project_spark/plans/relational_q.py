@@ -4465,3 +4465,93 @@ def orders_matched_att(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(1000.0) * F.sum("n_t"))
         ).alias("att_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust slope over deterministically sampled pairs
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_theil_sen_slope",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k,
+             CAST(n_lines AS BIGINT) AS x,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS y
+      FROM orders JOIN (
+        SELECT l_orderkey, COUNT(*) AS n_lines FROM lineitem GROUP BY l_orderkey
+      ) ON o_orderkey = l_orderkey
+    ),
+    pairs AS (
+      -- deterministic pairing: unit i partners with the unit whose key
+      -- is the affine-hash jump from it (present-only), giving ~N
+      -- sampled pairs instead of the O(N^2) full Theil-Sen set
+      SELECT a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+      FROM base a JOIN base b
+        ON b.k = (1103515245 * a.k + 12352) % (SELECT MAX(k) + 1 FROM base)
+      WHERE a.x <> b.x
+    ),
+    slopes AS (
+      SELECT CAST(y2 - y1 AS DOUBLE) / CAST(x2 - x1 AS DOUBLE) AS slope
+      FROM pairs
+    ),
+    ranked AS (
+      SELECT slope,
+             row_number() OVER (ORDER BY slope) AS rn,
+             COUNT(*) OVER () AS n
+      FROM slopes
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_pairs,
+           MAX(CASE WHEN 2 * rn <= n + 1 THEN slope END) AS theil_sen_slope
+    FROM ranked
+    """,
+)
+def orders_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THEIL-SEN robust slope of order value vs line count: the median
+    of pairwise slopes, immune to the outliers that pull OLS (contrast
+    with orders_conformal_intervals' OLS fit on the same variables).
+    Full Theil-Sen is O(N^2) pairs; the estimator stays consistent on
+    a sampled pair set, so each unit is paired with ONE deterministic
+    affine-hash partner — N pairs, one equi-join, no quadratic
+    anywhere. Each slope is a single division of exact integers, and
+    the median is the same explicit lower-median rank rule used
+    elsewhere.
+
+    Scale shape: pair generation is a self-equi-join on the hashed
+    key; the median ranks only the |pairs| slope values."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    nl = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_lines"))
+    base = o.join(nl, F.col("o_orderkey") == F.col("l_orderkey")).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("n_lines").cast("long").alias("x"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("y"),
+    )
+    kmax = base.agg((F.max("k") + 1).alias("m")).collect()[0]["m"]
+    a = base.select(
+        F.col("k"), F.col("x").alias("x1"), F.col("y").alias("y1")
+    ).withColumn("pk", (1103515245 * F.col("k") + 12352) % F.lit(kmax))
+    b = base.select(
+        F.col("k").alias("pk"), F.col("x").alias("x2"), F.col("y").alias("y2")
+    )
+    slopes = (
+        a.join(b, "pk")
+        .filter(F.col("x1") != F.col("x2"))
+        .select(
+            (
+                (F.col("y2") - F.col("y1")).cast("double")
+                / (F.col("x2") - F.col("x1")).cast("double")
+            ).alias("slope")
+        )
+    )
+    w = Window.orderBy("slope")
+    ranked = slopes.withColumn("rn", F.row_number().over(w)).crossJoin(
+        F.broadcast(slopes.agg(F.count(F.lit(1)).alias("n")))
+    )
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_pairs"),
+        F.max(
+            F.when(2 * F.col("rn") <= F.col("n") + 1, F.col("slope"))
+        ).alias("theil_sen_slope"),
+    )

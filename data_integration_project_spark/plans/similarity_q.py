@@ -633,3 +633,60 @@ def ann_ivf_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_codes=16,
         pq_iters=2,
     )
+
+
+@query(
+    "embeddings_pq_code_dedup",
+    oracle=f"""
+    WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
+    sdims AS (SELECT unnest(range(1, 17)) AS d),
+    {','.join(_pq_subspace(s, 2) for s in range(4))},
+    codes AS (
+      SELECT e0.vec_id,
+             e0.code AS c0, e1.code AS c1, e2.code AS c2, e3.code AS c3
+      FROM encoded_0 e0
+      JOIN encoded_1 e1 USING (vec_id)
+      JOIN encoded_2 e2 USING (vec_id)
+      JOIN encoded_3 e3 USING (vec_id)
+    ),
+    groups AS (
+      SELECT c0, c1, c2, c3,
+             CAST(COUNT(*) AS BIGINT) AS n_members,
+             CAST(MIN(vec_id) AS BIGINT) AS rep_id,
+             CAST(MAX(vec_id) AS BIGINT) AS max_id
+      FROM codes GROUP BY c0, c1, c2, c3
+      HAVING COUNT(*) >= 2
+    )
+    SELECT * FROM groups
+    """,
+)
+def embeddings_pq_code_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-DUPLICATE candidates from PQ CODES ALONE: vectors sharing
+    all four quantizer codes land in the same 2-byte signature bucket,
+    so exact and near-exact duplicates group with a plain GROUP BY —
+    no pair join, no distance computation, the cheapest first pass of
+    embedding dedup at billion scale (the SRP/crossJoin near-dup
+    queries are the verify stage this feeds). Buckets with >= 2
+    members report size and representative.
+
+    Identical twins are GUARANTEED to share codes (same input, same
+    deterministic argmin), so recall on exact dups is 1 by
+    construction; collisions of genuinely different vectors are what
+    the downstream exact verify removes."""
+    e = t(spark, sf_dir, "embeddings")
+    enc = S.pq_train_encode(e, "vec_id", "embedding", m=4, k=16, n_iters=2)
+    codes = (
+        enc.groupBy("vec_id")
+        .pivot("sub", [0, 1, 2, 3])
+        .agg(F.first("code"))
+        .withColumnsRenamed({"0": "c0", "1": "c1", "2": "c2", "3": "c3"})
+    )
+    return (
+        codes.groupBy("c0", "c1", "c2", "c3")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("vec_id").alias("rep_id"),
+            F.max("vec_id").alias("max_id"),
+        )
+        .filter(F.col("n_members") >= 2)
+    )
