@@ -3438,3 +3438,186 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_changepoint"
         ),
     )
+
+
+@query(
+    "events_segmented_regression",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events WHERE event_type = 'error' GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS s
+      FROM daily
+    ),
+    cusum AS (
+      SELECT day, n,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
+             CAST(t.k * SUM(n) OVER (ORDER BY day)
+                  - row_number() OVER (ORDER BY day) * t.s AS BIGINT)
+               AS cusum_scaled
+      FROM daily, tot t
+    ),
+    bp AS (
+      SELECT MIN(i) AS break_i FROM cusum
+      WHERE abs(cusum_scaled) = (SELECT MAX(abs(cusum_scaled)) FROM cusum)
+    ),
+    seg AS (
+      SELECT CAST(c.i > b.break_i AS INT) AS after_break, c.i AS x, c.n AS y
+      FROM cusum c, bp b
+    ),
+    fits AS (
+      SELECT after_break,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS DOUBLE)
+               / CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DOUBLE)
+               AS slope,
+             CAST(SUM(y) AS DOUBLE) / COUNT(*) AS mean_level
+      FROM seg GROUP BY after_break
+    )
+    SELECT after_break, n_days, slope, mean_level FROM fits
+    """,
+)
+def events_segmented_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEGMENTED (interrupted-time-series) regression: the CUSUM scan's
+    own argmax day (events_cusum_changepoint) splits the daily error
+    series, and each segment gets an exact-moment OLS trend plus its
+    mean level — slope/level changes across the break quantify the
+    regime shift that CUSUM only locates. Breakpoint selection,
+    moments, and the per-segment fits are all exact integer
+    arithmetic; slopes are single divisions.
+
+    Scale shape: everything after the daily rollup operates on the
+    |days| series."""
+    e = t(spark, sf_dir, "events")
+    daily = (
+        e.filter(F.col("event_type") == "error")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = daily.agg(F.count(F.lit(1)).alias("k"), F.sum("n").alias("s"))
+    w = Window.orderBy("day")
+    cusum = daily.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "n",
+        F.row_number().over(w).cast("long").alias("i"),
+        (
+            F.col("k") * F.sum("n").over(w)
+            - F.row_number().over(w) * F.col("s")
+        )
+        .cast("long")
+        .alias("cusum_scaled"),
+    )
+    peak = cusum.agg(F.max(F.abs("cusum_scaled")).alias("peak"))
+    bp = (
+        cusum.crossJoin(F.broadcast(peak))
+        .filter(F.abs("cusum_scaled") == F.col("peak"))
+        .agg(F.min("i").alias("break_i"))
+    )
+    seg = cusum.crossJoin(F.broadcast(bp)).select(
+        (F.col("i") > F.col("break_i")).cast("int").alias("after_break"),
+        F.col("i").alias("x"),
+        F.col("n").alias("y"),
+    )
+    n_ = F.count(F.lit(1))
+    slope = (n_ * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y")).cast(
+        "double"
+    ) / (n_ * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x")).cast(
+        "double"
+    )
+    return seg.groupBy("after_break").agg(
+        n_.alias("n_days"),
+        slope.alias("slope"),
+        (F.sum("y").cast("double") / n_).alias("mean_level"),
+    )
+
+
+@query(
+    "events_pmi_cooccurrence",
+    oracle="""
+    WITH sess AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+      FROM events
+    ),
+    singles AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM sess GROUP BY event_type
+    ),
+    ctx AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_ctx
+            FROM (SELECT DISTINCT user_id, day FROM sess)),
+    co AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM sess a JOIN sess b
+        ON a.user_id = b.user_id AND a.day = b.day
+       AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT c.type_a, c.type_b, c.n_ab, sa.n AS n_a, sb.n AS n_b,
+           CAST(round(ln(CAST(c.n_ab AS DOUBLE) * x.n_ctx
+                         / (CAST(sa.n AS DOUBLE) * sb.n)) * 1000000)
+                AS BIGINT) AS pmi_unats
+    FROM co c
+    JOIN singles sa ON sa.event_type = c.type_a
+    JOIN singles sb ON sb.event_type = c.type_b
+    CROSS JOIN ctx x
+    """,
+)
+def events_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINTWISE MUTUAL INFORMATION between event types co-occurring
+    in the same (user, day) context — the shifted-PMI matrix that
+    word2vec-style embedding training implicitly factorizes, computed
+    explicitly: PMI(a,b) = ln(P(a,b) / P(a)P(b)) over context
+    presence. Positive micro-nat values mean the pair co-occurs more
+    than independence predicts (the association signal); the counts
+    are exact and each PMI is one division + one ln, rounded to
+    integer micro-nats.
+
+    Scale shape: context de-dup then a per-context self-join bounded
+    by |types| per context (5 here — at a 100 TB vocabulary you'd
+    prune singles below a support floor first, the word2vec
+    subsampling analogue)."""
+    e = t(spark, sf_dir, "events")
+    sess = e.select(
+        "user_id", F.col("ts").cast("date").alias("day"), "event_type"
+    ).distinct()
+    singles = sess.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    n_ctx = sess.select("user_id", "day").distinct().agg(
+        F.count(F.lit(1)).alias("n_ctx")
+    )
+    a = sess.select("user_id", "day", F.col("event_type").alias("type_a"))
+    b = sess.select("user_id", "day", F.col("event_type").alias("type_b"))
+    co = (
+        a.join(b, ["user_id", "day"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    sa = singles.select(
+        F.col("event_type").alias("type_a"), F.col("n").alias("n_a")
+    )
+    sb = singles.select(
+        F.col("event_type").alias("type_b"), F.col("n").alias("n_b")
+    )
+    return (
+        co.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(n_ctx))
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.round(
+                F.log(
+                    F.col("n_ab").cast("double") * F.col("n_ctx")
+                    / (F.col("n_a").cast("double") * F.col("n_b"))
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("pmi_unats"),
+        )
+    )

@@ -618,3 +618,164 @@ def doc_nb_lang_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("detected_lang", "labeled_lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@query(
+    "doc_nb_calibration",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang AS labeled_lang, unnest({_TOKENS_SQL}) AS token
+      FROM documents
+    ),
+    counts_tl AS (
+      SELECT labeled_lang AS lang, token, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM toks GROUP BY 1, 2
+    ),
+    tot_l AS (
+      SELECT lang, CAST(SUM(cnt) AS BIGINT) AS tot FROM counts_tl GROUP BY lang
+    ),
+    vocab AS (SELECT DISTINCT token FROM toks),
+    vsize AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+    priors AS (
+      SELECT lang,
+             CAST(round(ln(CAST(n AS DOUBLE) / total) * 1000000) AS BIGINT)
+               AS prior_unats
+      FROM (
+        SELECT labeled_lang AS lang,
+               COUNT(DISTINCT doc_id) AS n,
+               SUM(COUNT(DISTINCT doc_id)) OVER () AS total
+        FROM toks GROUP BY labeled_lang
+      )
+    ),
+    model AS (
+      SELECT v.token, l.lang,
+             CAST(round(ln(
+               CAST(COALESCE(c.cnt, 0) + 1 AS DOUBLE)
+               / (l.tot + (SELECT v FROM vsize))
+             ) * 1000000) AS BIGINT) AS logp_unats
+      FROM vocab v CROSS JOIN tot_l l
+      LEFT JOIN counts_tl c ON c.token = v.token AND c.lang = l.lang
+    ),
+    scored AS (
+      SELECT t.doc_id, t.labeled_lang, m.lang,
+             CAST(SUM(m.logp_unats) AS BIGINT) + ANY_VALUE(p.prior_unats)
+               AS score_unats
+      FROM toks t
+      JOIN model m USING (token)
+      JOIN priors p ON p.lang = m.lang
+      GROUP BY t.doc_id, t.labeled_lang, m.lang
+    ),
+    ranked AS (
+      SELECT doc_id, labeled_lang, lang, score_unats,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score_unats DESC, lang) AS rn
+      FROM scored
+    ),
+    per_doc AS (
+      SELECT a.doc_id,
+             CAST(a.score_unats - b.score_unats AS BIGINT) AS margin_unats,
+             CAST(a.lang = a.labeled_lang AS INT) AS correct
+      FROM ranked a JOIN ranked b
+        ON a.doc_id = b.doc_id AND a.rn = 1 AND b.rn = 2
+    ),
+    binned AS (
+      SELECT ntile(10) OVER (ORDER BY margin_unats, doc_id) AS margin_decile,
+             margin_unats, correct
+      FROM per_doc
+    )
+    SELECT margin_decile,
+           COUNT(*) AS n_docs,
+           CAST(SUM(correct) AS BIGINT) AS n_correct,
+           CAST(round(CAST(SUM(correct) AS DOUBLE) * 1000000 / COUNT(*))
+                AS BIGINT) AS accuracy_ppm,
+           CAST(MIN(margin_unats) AS BIGINT) AS min_margin_unats,
+           CAST(MAX(margin_unats) AS BIGINT) AS max_margin_unats
+    FROM binned GROUP BY margin_decile
+    """,
+)
+def doc_nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALIBRATION curve for the Naive Bayes language classifier: each
+    document's CONFIDENCE is the micro-nat margin between its top and
+    runner-up class scores, and the reliability table buckets margins
+    into deciles against realized accuracy — a well-calibrated
+    classifier's accuracy should rise monotonically with margin,
+    and the low-margin deciles tell you where abstaining beats
+    predicting (the selective-prediction threshold). Margins are
+    exact integer micro-nats; the decile cut uses the total-order
+    ntile tiebreak.
+
+    Scale shape: same broadcast-model scoring pass as
+    doc_nb_lang_classify, plus a rank window per doc and a
+    dimension-sized decile window."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        F.explode(X.tokens(F.col("text"))).alias("token"),
+    )
+    counts_tl = toks.groupBy(
+        F.col("labeled_lang").alias("lang"), "token"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    tot_l = counts_tl.groupBy("lang").agg(F.sum("cnt").alias("tot"))
+    vocab = toks.select("token").distinct()
+    vsize = vocab.agg(F.count(F.lit(1)).alias("v"))
+    pr = toks.groupBy("labeled_lang").agg(F.countDistinct("doc_id").alias("n"))
+    priors = pr.crossJoin(F.broadcast(pr.agg(F.sum("n").alias("total")))).select(
+        F.col("labeled_lang").alias("lang"),
+        F.round(F.log(F.col("n").cast("double") / F.col("total")) * 1000000)
+        .cast("long")
+        .alias("prior_unats"),
+    )
+    model = (
+        vocab.crossJoin(tot_l)
+        .join(counts_tl, ["token", "lang"], "left")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "token",
+            "lang",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("cnt"), F.lit(0)) + 1).cast("double")
+                    / (F.col("tot") + F.col("v"))
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("logp_unats"),
+        )
+    )
+    scored = (
+        toks.join(F.broadcast(model), "token")
+        .join(F.broadcast(priors), "lang")
+        .groupBy("doc_id", "labeled_lang", "lang")
+        .agg((F.sum("logp_unats") + F.first("prior_unats")).alias("score_unats"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_unats"), F.asc("lang"))
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    best = ranked.filter(F.col("rn") == 1).select(
+        "doc_id",
+        "labeled_lang",
+        F.col("lang").alias("lang1"),
+        F.col("score_unats").alias("s1"),
+    )
+    second = ranked.filter(F.col("rn") == 2).select(
+        F.col("doc_id").alias("d2"), F.col("score_unats").alias("s2")
+    )
+    per_doc = best.join(second, F.col("doc_id") == F.col("d2")).select(
+        "doc_id",
+        (F.col("s1") - F.col("s2")).alias("margin_unats"),
+        (F.col("lang1") == F.col("labeled_lang")).cast("int").alias("correct"),
+    )
+    wd = Window.orderBy("margin_unats", "doc_id")
+    binned = per_doc.withColumn("margin_decile", F.ntile(10).over(wd))
+    return binned.groupBy("margin_decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("correct").alias("n_correct"),
+        F.round(
+            F.sum("correct").cast("double") * 1000000 / F.count(F.lit(1))
+        )
+        .cast("long")
+        .alias("accuracy_ppm"),
+        F.min("margin_unats").alias("min_margin_unats"),
+        F.max("margin_unats").alias("max_margin_unats"),
+    )
