@@ -4555,3 +4555,68 @@ def orders_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(2 * F.col("rn") <= F.col("n") + 1, F.col("slope"))
         ).alias("theil_sen_slope"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped regression: log-log price elasticity per brand
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "parts_price_elasticity",
+    oracle="""
+    WITH obs AS (
+      SELECT p_brand,
+             CAST(round(ln(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                           / CAST(floor(l_quantity + 0.5) AS BIGINT))
+                        * 1000) AS BIGINT) AS lp,
+             CAST(round(ln(CAST(floor(l_quantity + 0.5) AS BIGINT)) * 1000)
+                  AS BIGINT) AS lq
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_quantity >= 1
+    )
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_obs,
+           CAST(COUNT(*) * SUM(lp * lq) - SUM(lp) * SUM(lq) AS DOUBLE)
+             / CAST(COUNT(*) * SUM(lp * lp) - SUM(lp) * SUM(lp) AS DOUBLE)
+             AS elasticity
+    FROM obs GROUP BY p_brand
+    """,
+)
+def parts_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED log-log regression — price elasticity of demand per
+    brand: within each brand, regress ln(quantity) on ln(unit price)
+    across line items; the slope is the elasticity (how many percent
+    demand moves per percent of price). One exact-integer moment
+    pass per group — the grouped-OLS pattern that runs thousands of
+    independent regressions in a single aggregate, no per-group
+    iteration (the scale answer to 'fit a model per segment').
+    Logs are integer MILLI-nats (micro-nats overflow int64 in the
+    second-moment products at fact scale) with decimal(38,0) moment
+    sums on the Spark side matching DuckDB's native int128 SUM, so
+    every moment is exact and each slope is one division."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    qty = F.floor(F.col("l_quantity") + 0.5).cast("long")
+    price_cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    obs = (
+        li.filter(F.col("l_quantity") >= 1)
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "p_brand",
+            F.round(F.log(price_cents / qty) * 1000).cast("long").alias("lp"),
+            F.round(F.log(qty) * 1000).cast("long").alias("lq"),
+        )
+    )
+    n_ = F.count(F.lit(1)).cast("decimal(38,0)")
+    dec = lambda c: c.cast("decimal(38,0)")
+    sxy = F.sum(dec(F.col("lp") * F.col("lq")))
+    sxx = F.sum(dec(F.col("lp") * F.col("lp")))
+    sx = F.sum(dec(F.col("lp")))
+    sy = F.sum(dec(F.col("lq")))
+    slope = (n_ * sxy - sx * sy).cast("double") / (
+        n_ * sxx - sx * sx
+    ).cast("double")
+    return obs.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_obs"), slope.alias("elasticity")
+    )
