@@ -1562,3 +1562,129 @@ def corpus_zipf_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             slope.alias("zipf_slope"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Trigram-index substring search (the code-search-engine pattern)
+# ---------------------------------------------------------------------------
+
+_TRIGRAM_QUERIES = [("q1", "key order"), ("q2", "window win"), ("q3", "zzz none")]
+_TRIGRAM_Q_SQL = ", ".join(f"('{n}', '{p}')" for n, p in _TRIGRAM_QUERIES)
+
+
+@query(
+    "doc_trigram_search",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, lower(trim(text)) AS s FROM documents
+    ),
+    postings AS (
+      SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id, substr(s, i, 3) AS g
+        FROM docs, LATERAL (SELECT unnest(range(1, length(s) - 1)) AS i)
+        WHERE length(s) >= 3
+      )
+    ),
+    queries(qname, pat) AS (VALUES {_TRIGRAM_Q_SQL}),
+    qgrams AS (
+      SELECT DISTINCT qname, pat, substr(pat, i, 3) AS g
+      FROM queries, LATERAL (SELECT unnest(range(1, length(pat) - 1)) AS i)
+    ),
+    qsizes AS (
+      SELECT qname, CAST(COUNT(*) AS BIGINT) AS n_qgrams
+      FROM qgrams GROUP BY qname
+    ),
+    cands AS (
+      SELECT q.qname, q.pat, p.doc_id
+      FROM qgrams q JOIN postings p USING (g) JOIN qsizes z USING (qname)
+      GROUP BY q.qname, q.pat, p.doc_id, z.n_qgrams
+      HAVING COUNT(DISTINCT q.g) = z.n_qgrams
+    ),
+    verified AS (
+      SELECT c.qname, c.doc_id
+      FROM cands c JOIN docs d USING (doc_id)
+      WHERE contains(d.s, c.pat)
+    )
+    SELECT q.qname,
+           CAST(COALESCE(cn.n_candidates, 0) AS BIGINT) AS n_candidates,
+           CAST(COALESCE(v.n_matches, 0) AS BIGINT) AS n_matches
+    FROM queries q
+    LEFT JOIN (SELECT qname, COUNT(*) AS n_candidates FROM cands GROUP BY qname)
+      cn USING (qname)
+    LEFT JOIN (SELECT qname, COUNT(*) AS n_matches FROM verified GROUP BY qname)
+      v USING (qname)
+    """,
+)
+def doc_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUBSTRING SEARCH over the corpus through a character-TRIGRAM
+    index (the Google-Code-Search design): every document posts its
+    distinct char 3-grams once; a query pattern becomes its own
+    trigram set, candidates are documents containing ALL query
+    trigrams (postings equi-join + count filter — never a scan of the
+    text column), and only candidates pay the actual substring verify.
+    Three probe queries: a common phrase, a mid-frequency one, and a
+    guaranteed miss (zero candidates — the index proves absence
+    without touching a single document).
+
+    Scale shape: the index build is one explode + distinct (the same
+    shape as the inverted token index); each search touches
+    |pattern-trigram postings| rows only. Candidate counts vs verified
+    counts expose the index's false-candidate rate."""
+    d = t(spark, sf_dir, "documents")
+    s = F.lower(F.trim(F.col("text")))
+    docs = d.select("doc_id", s.alias("s"))
+    postings = (
+        docs.filter(F.length("s") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.length("s") - 2),
+                        lambda i: F.col("s").substr(i, F.lit(3)),
+                    )
+                )
+            ).alias("g"),
+        )
+    )
+    queries = spark.createDataFrame(_TRIGRAM_QUERIES, "qname string, pat string")
+    qgrams = queries.select(
+        "qname",
+        "pat",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("pat") - 2),
+                    lambda i: F.col("pat").substr(i, F.lit(3)),
+                )
+            )
+        ).alias("g"),
+    )
+    qsizes = qgrams.groupBy("qname").agg(
+        F.count(F.lit(1)).cast("long").alias("n_qgrams")
+    )
+    qgrams = qgrams.join(qsizes, "qname")
+    cands = (
+        qgrams.join(postings, "g")
+        .groupBy("qname", "pat", "doc_id", "n_qgrams")
+        .agg(F.countDistinct("g").alias("n_hit"))
+        .filter(F.col("n_hit") == F.col("n_qgrams"))
+    )
+    verified = (
+        cands.join(docs, "doc_id")
+        .filter(F.expr("contains(s, pat)"))
+        .groupBy("qname")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+    )
+    cand_counts = cands.groupBy("qname").agg(
+        F.count(F.lit(1)).alias("n_candidates")
+    )
+    return (
+        queries.join(cand_counts, "qname", "left")
+        .join(verified, "qname", "left")
+        .select(
+            "qname",
+            F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+            F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
+        )
+    )
