@@ -4726,3 +4726,92 @@ def orders_segment_welch_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
         t_stat.alias("welch_t"),
         (F.abs(t_stat) > 2.576).cast("int").alias("significant_bonferroni"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Whole-catalog integrity audit: PK uniqueness + referential legs
+# ---------------------------------------------------------------------------
+
+_RI_LEGS = [
+    ("orders.custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem.orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer.nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+_PK_CHECKS = [
+    ("pk:customer", "customer", "c_custkey"),
+    ("pk:orders", "orders", "o_orderkey"),
+    ("pk:part", "part", "p_partkey"),
+    ("pk:supplier", "supplier", "s_suppkey"),
+    ("pk:events", "events", "event_id"),
+    ("pk:documents", "documents", "doc_id"),
+]
+
+_RI_SQL = "\n    UNION ALL\n".join(
+    f"""    SELECT '{name}' AS check_name,
+           CAST((SELECT COUNT(*) FROM {child}) AS BIGINT) AS n_checked,
+           CAST((SELECT COUNT(*) FROM {child}
+                 WHERE {ck} IS NOT NULL
+                   AND {ck} NOT IN (SELECT {pk} FROM {parent})) AS BIGINT)
+             AS n_bad"""
+    for name, child, ck, parent, pk in _RI_LEGS
+) + "\n    UNION ALL\n" + "\n    UNION ALL\n".join(
+    f"""    SELECT '{name}',
+           CAST((SELECT COUNT(*) FROM {tbl}) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM {tbl}) -
+                (SELECT COUNT(DISTINCT {key}) FROM {tbl}) AS BIGINT)"""
+    for name, tbl, key in _PK_CHECKS
+)
+
+
+@query("catalog_integrity_audit", oracle=_RI_SQL)
+def catalog_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHOLE-CATALOG integrity audit in one report: every referential
+    leg of the star schema (7 FK relationships, orphans counted via
+    anti-join) plus primary-key uniqueness on six tables — the
+    one-stop contract check a pipeline runs after every load, and the
+    relational generalization of the reference's per-entity FK
+    validators (operators/entity_rules.py V4). Everything is
+    count-only: no violating rows materialize unless a count is
+    nonzero and someone drills in.
+
+    Scale shape: each FK leg is one LEFT ANTI join with the parent key
+    side reduced to distinct keys (broadcast for dims); PK checks are
+    map-side-combined count-distincts. All 13 legs share scans where
+    the optimizer can."""
+    tabs = {
+        n: t(spark, sf_dir, n)
+        for n in (
+            "region",
+            "nation",
+            "customer",
+            "supplier",
+            "part",
+            "orders",
+            "lineitem",
+            "events",
+            "documents",
+        )
+    }
+    legs = []
+    for name, child, ck, parent, pk in _RI_LEGS:
+        c = tabs[child]
+        p = tabs[parent].select(F.col(pk).alias("_pk")).distinct()
+        n_checked = c.count()
+        n_bad = (
+            c.filter(F.col(ck).isNotNull())
+            .join(p, F.col(ck) == F.col("_pk"), "left_anti")
+            .count()
+        )
+        legs.append((name, n_checked, n_bad))
+    for name, tbl, key in _PK_CHECKS:
+        df = tabs[tbl]
+        n_rows = df.count()
+        n_dist = df.select(key).distinct().count()
+        legs.append((name, n_rows, n_rows - n_dist))
+    return spark.createDataFrame(
+        legs, "check_name string, n_checked long, n_bad long"
+    )
