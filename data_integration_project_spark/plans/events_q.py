@@ -3621,3 +3621,180 @@ def events_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("pmi_unats"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Forecast backtest, WoW change report, maximum drawdown
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_seasonal_naive_backtest",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    joined AS (
+      SELECT a.h, a.n AS actual, b.n AS forecast
+      FROM hourly a JOIN hourly b ON b.h = a.h - INTERVAL 168 HOUR
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_hours,
+           CAST(SUM(abs(actual - forecast)) AS BIGINT) AS total_abs_err,
+           CAST(SUM(actual) AS BIGINT) AS total_actual,
+           CAST(round(CAST(SUM(abs(actual - forecast)) AS DOUBLE) * 1000000
+                      / SUM(actual)) AS BIGINT) AS wape_ppm
+    FROM joined
+    """,
+)
+def events_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORECAST BACKTEST of the seasonal-naive baseline (predict each
+    hour with the same hour one week earlier — the baseline every
+    fancier model must beat): hourly actual vs lag-168h forecast,
+    scored by WAPE (weighted absolute percentage error — integer-exact
+    numerator and denominator, unlike MAPE which explodes on
+    near-zero hours). If a model can't beat this number, it isn't a
+    model. All errors are exact integer counts; WAPE is one rounded
+    division.
+
+    Scale shape: the hourly rollup is the only fact pass; the
+    forecast join is a self-equi-join on the |hours| series."""
+    e = t(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    a = hourly.select(F.col("h"), F.col("n").alias("actual"))
+    b = hourly.select(
+        (F.col("h") + F.expr("INTERVAL 168 HOURS")).alias("h"),
+        F.col("n").alias("forecast"),
+    )
+    joined = a.join(b, "h")
+    abs_err = F.abs(F.col("actual") - F.col("forecast"))
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum(abs_err).alias("total_abs_err"),
+        F.sum("actual").alias("total_actual"),
+        F.round(
+            F.sum(abs_err).cast("double") * 1000000 / F.sum("actual")
+        )
+        .cast("long")
+        .alias("wape_ppm"),
+    )
+
+
+@query(
+    "events_wow_change_report",
+    oracle="""
+    WITH weekly AS (
+      SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+             event_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT week, event_type, n,
+           lag(n) OVER (PARTITION BY event_type ORDER BY week) AS prev_n,
+           CAST(CASE WHEN lag(n) OVER (PARTITION BY event_type ORDER BY week)
+                          IS NOT NULL
+                     THEN round((CAST(n AS DOUBLE)
+                                 / lag(n) OVER (PARTITION BY event_type
+                                                ORDER BY week) - 1.0) * 1000000)
+                END AS BIGINT) AS wow_change_ppm
+    FROM weekly
+    """,
+)
+def events_wow_change_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEEK-OVER-WEEK change report per event type — the standard BI
+    movement table, with the first week's change NULL rather than a
+    fake zero (the NULL-guard that separates a correct report from a
+    misleading one). Changes are integer ppm of the exact count ratio.
+
+    Scale shape: one weekly rollup, one lag window per type over the
+    |weeks| series."""
+    e = t(spark, sf_dir, "events")
+    weekly = e.groupBy(
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("week")
+    prev = F.lag("n").over(w)
+    return weekly.select(
+        "week",
+        "event_type",
+        "n",
+        prev.alias("prev_n"),
+        F.when(
+            prev.isNotNull(),
+            F.round((F.col("n").cast("double") / prev - 1.0) * 1000000),
+        )
+        .cast("long")
+        .alias("wow_change_ppm"),
+    )
+
+
+@query(
+    "events_max_drawdown",
+    oracle="""
+    WITH flows AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'purchase'
+                  THEN -CAST(floor(value * 100 + 0.5) AS BIGINT)
+                  ELSE CAST(floor(value * 100 + 0.5) AS BIGINT) END AS delta
+      FROM events
+    ),
+    balances AS (
+      SELECT user_id, ts, event_id,
+             SUM(delta) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS balance
+      FROM flows
+    ),
+    equity AS (
+      SELECT user_id, balance,
+             MAX(balance) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+      FROM balances
+    )
+    SELECT user_id,
+           CAST(MAX(peak) AS BIGINT) AS peak_cents,
+           CAST(MAX(peak - balance) AS BIGINT) AS max_drawdown_cents,
+           CAST(MIN(balance) AS BIGINT) AS min_balance_cents
+    FROM equity GROUP BY user_id
+    """,
+)
+def events_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMUM DRAWDOWN per user: purchases debit and other events
+    credit a running balance, and the drawdown is the largest drop
+    from any running PEAK to a later trough — the risk metric that a
+    simple min/max pair cannot express because it is order-dependent
+    (peak must precede trough). Computed as max over time of
+    (running-max(balance) - balance): one cumulative-sum window plus a
+    cumulative-max OVER it, all exact integer cents.
+
+    Scale shape: two stacked windows on the same user partitioning,
+    then a per-user rollup."""
+    e = t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    delta = F.when(F.col("event_type") == "purchase", -cents).otherwise(cents)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    equity = e.select(
+        "user_id", "ts", "event_id", delta.alias("delta")
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum("delta").over(w).alias("balance"),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = equity.withColumn("peak", F.max("balance").over(w2))
+    return staged.groupBy("user_id").agg(
+        F.max("peak").alias("peak_cents"),
+        F.max(F.col("peak") - F.col("balance")).alias("max_drawdown_cents"),
+        F.min("balance").alias("min_balance_cents"),
+    )
