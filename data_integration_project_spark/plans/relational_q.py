@@ -4815,3 +4815,167 @@ def catalog_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         legs, "check_name string, n_checked long, n_bad long"
     )
+
+
+# ---------------------------------------------------------------------------
+# Recommender surfaces: also-bought top-k, decayed popularity, skyline
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "parts_also_bought_topk",
+    oracle="""
+    WITH basket AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE l_partkey % 20 = 0
+    ),
+    co AS (
+      SELECT a.l_partkey AS anchor, b.l_partkey AS also,
+             CAST(COUNT(*) AS BIGINT) AS n_co
+      FROM basket a JOIN basket b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+    ),
+    ranked AS (
+      SELECT anchor, also, n_co,
+             row_number() OVER (PARTITION BY anchor
+                                ORDER BY n_co DESC, also) AS rk
+      FROM co
+    )
+    SELECT anchor, also, n_co, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def parts_also_bought_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'ALSO BOUGHT' top-3 per anchor part — the co-visitation
+    recommender output shape (the serving table behind every
+    'customers also bought' widget): order-level co-occurrence counts
+    for a filtered anchor set, ranked per anchor with a deterministic
+    cut. Builds on parts_market_basket (which scores lift globally)
+    by producing the per-item ranked slate.
+
+    Scale shape: baskets dedupe per (order, part) first; the
+    co-occurrence self-join is bounded by per-order basket sizes; the
+    per-anchor cut is rank-pushdown (WindowGroupLimit) before any full
+    sort."""
+    li = t(spark, sf_dir, "lineitem")
+    basket = (
+        li.filter(F.col("l_partkey") % 20 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = basket.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("anchor")
+    )
+    b = basket.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("also")
+    )
+    co = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("anchor") != F.col("also"))
+        .groupBy("anchor", "also")
+        .agg(F.count(F.lit(1)).alias("n_co"))
+    )
+    w = Window.partitionBy("anchor").orderBy(F.desc("n_co"), F.asc("also"))
+    return (
+        co.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 3)
+        .select("anchor", "also", "n_co", "rk")
+    )
+
+
+@query(
+    "parts_decayed_popularity",
+    oracle="""
+    WITH obs AS (
+      SELECT l_partkey,
+             CAST(round(power(2.0,
+               -CAST(date_diff('day', l_shipdate, DATE '1998-08-02') AS DOUBLE)
+                / 90.0) * 1000000) AS BIGINT) AS w_micro
+      FROM lineitem WHERE l_partkey % 50 = 0
+    )
+    SELECT l_partkey,
+           CAST(COUNT(*) AS BIGINT) AS n_sales,
+           CAST(SUM(w_micro) AS BIGINT) AS decayed_score_micro
+    FROM obs GROUP BY l_partkey
+    ORDER BY decayed_score_micro DESC, l_partkey
+    LIMIT 20
+    """,
+)
+def parts_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECENCY-DECAYED popularity ranking: each sale contributes
+    2^(-age/90d) — a 90-day half-life — so a week-old sale outweighs
+    a year of stale history; the trending-items signal every
+    storefront ranks by. Each row's weight is ONE pow + round to
+    integer micro-units, so per-part scores are exact integer sums
+    (a raw float sum would be partition-order-dependent); top-20 with
+    a total-order cut.
+
+    Scale shape: one scan, one map-side-combined rollup, TakeOrdered."""
+    li = t(spark, sf_dir, "lineitem")
+    age = F.datediff(F.lit("1998-08-02").cast("date"), F.col("l_shipdate"))
+    w_micro = F.round(
+        F.pow(F.lit(2.0), -age.cast("double") / 90.0) * 1000000
+    ).cast("long")
+    return (
+        li.filter(F.col("l_partkey") % 50 == 0)
+        .select("l_partkey", w_micro.alias("w_micro"))
+        .groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_sales"),
+            F.sum("w_micro").alias("decayed_score_micro"),
+        )
+        .orderBy(F.desc("decayed_score_micro"), F.asc("l_partkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "parts_skyline_2d",
+    oracle="""
+    WITH pts AS (
+      SELECT p_partkey, p_size,
+             CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents
+      FROM part
+    ),
+    scanned AS (
+      SELECT *,
+             MAX(p_size) OVER (ORDER BY price_cents, p_partkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS best_cheaper_size
+      FROM pts
+    )
+    SELECT p_partkey, p_size, price_cents
+    FROM scanned
+    WHERE best_cheaper_size IS NULL OR p_size > best_cheaper_size
+    """,
+)
+def parts_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKYLINE (Pareto frontier) over (price down, size up): a part is
+    on the frontier iff nothing cheaper-or-equal has size >= its own —
+    the classic multi-criteria shortlist operator ('show me options
+    not strictly beaten on both axes'). In 2D the O(N^2) domination
+    self-join collapses to ONE window: sort by price and keep points
+    whose size beats the running max of everything cheaper (ties on
+    price resolved by key order, so equal-price-equal-size duplicates
+    keep the first — a deterministic skyline variant).
+
+    Scale note: the sort runs over the part DIMENSION; for a fact-
+    scale skyline, pre-filter with a coarse grid (only cells on the
+    grid frontier can contain skyline points) and window within."""
+    p = t(spark, sf_dir, "part")
+    pts = p.select(
+        "p_partkey",
+        "p_size",
+        F.floor(F.col("p_retailprice") * 100 + 0.5).cast("long").alias(
+            "price_cents"
+        ),
+    )
+    w = Window.orderBy("price_cents", "p_partkey").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    scanned = pts.withColumn("best_cheaper_size", F.max("p_size").over(w))
+    return scanned.filter(
+        F.col("best_cheaper_size").isNull()
+        | (F.col("p_size") > F.col("best_cheaper_size"))
+    ).select("p_partkey", "p_size", "price_cents")
