@@ -4979,3 +4979,130 @@ def parts_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("best_cheaper_size").isNull()
         | (F.col("p_size") > F.col("best_cheaper_size"))
     ).select("p_partkey", "p_size", "price_cents")
+
+
+@query(
+    "parts_recsys_eval",
+    oracle="""
+    WITH train AS (
+      SELECT DISTINCT l_orderkey, l_partkey
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_partkey % 20 = 0 AND o_orderdate < DATE '1997-07-01'
+    ),
+    test AS (
+      SELECT DISTINCT l_orderkey, l_partkey
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_partkey % 20 = 0 AND o_orderdate >= DATE '1997-07-01'
+    ),
+    co AS (
+      SELECT a.l_partkey AS anchor, b.l_partkey AS also,
+             CAST(COUNT(*) AS BIGINT) AS n_co
+      FROM train a JOIN train b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2
+    ),
+    slate AS (
+      SELECT anchor, also, rk FROM (
+        SELECT anchor, also,
+               row_number() OVER (PARTITION BY anchor
+                                  ORDER BY n_co DESC, also) AS rk
+        FROM co
+      ) WHERE rk <= 3
+    ),
+    test_pairs AS (
+      SELECT DISTINCT a.l_partkey AS anchor, b.l_partkey AS actual
+      FROM test a JOIN test b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      WHERE a.l_partkey IN (SELECT DISTINCT anchor FROM slate)
+    ),
+    scored AS (
+      SELECT t.anchor, t.actual,
+             COALESCE(CAST(6 / s.rk AS BIGINT), 0) AS six_over_rank
+      FROM test_pairs t
+      LEFT JOIN slate s ON s.anchor = t.anchor AND s.also = t.actual
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_test_pairs,
+           CAST(SUM(CASE WHEN six_over_rank > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hits,
+           CAST(round(CAST(SUM(CASE WHEN six_over_rank > 0 THEN 1 ELSE 0 END)
+                           AS DOUBLE) * 1000000 / COUNT(*)) AS BIGINT)
+             AS hr_at_3_ppm,
+           CAST(round(CAST(SUM(six_over_rank) AS DOUBLE) * 1000000
+                      / (6 * COUNT(*))) AS BIGINT) AS mrr_ppm
+    FROM scored
+    """,
+)
+def parts_recsys_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECOMMENDER EVALUATION closing the train->serve->eval loop:
+    also-bought slates trained on pre-July-1997 baskets only, then
+    every co-purchase in the HELD-OUT period asks 'was the actually-
+    bought item in the anchor's top-3?' — hit-rate@3 and MRR, the two
+    numbers every recsys iteration is judged by. Temporal splitting
+    (not random) is the part teams get wrong: a random split leaks
+    future co-purchases into training. Reciprocal ranks sum exactly as
+    integers (6/rank in {6,3,2}); both metrics are one rounded
+    division.
+
+    Scale shape: two basket passes (train/test), the train co-count
+    join, a rank-pushdown slate, and a broadcast-friendly slate join
+    onto test pairs."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    base = (
+        li.filter(F.col("l_partkey") % 20 == 0)
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("l_orderkey", "l_partkey", "o_orderdate")
+        .distinct()
+    )
+    train = base.filter(F.col("o_orderdate") < "1997-07-01").select(
+        "l_orderkey", "l_partkey"
+    )
+    test = base.filter(F.col("o_orderdate") >= "1997-07-01").select(
+        "l_orderkey", "l_partkey"
+    )
+
+    def pairs(df, out_a, out_b):
+        a = df.select("l_orderkey", F.col("l_partkey").alias(out_a))
+        b = df.select("l_orderkey", F.col("l_partkey").alias(out_b))
+        return (
+            a.join(b, "l_orderkey")
+            .filter(F.col(out_a) != F.col(out_b))
+        )
+
+    co = pairs(train, "anchor", "also").groupBy("anchor", "also").agg(
+        F.count(F.lit(1)).alias("n_co")
+    )
+    w = Window.partitionBy("anchor").orderBy(F.desc("n_co"), F.asc("also"))
+    slate = (
+        co.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("anchor", "also", "rk")
+    )
+    anchors = slate.select("anchor").distinct()
+    test_pairs = (
+        pairs(test, "anchor", "actual")
+        .select("anchor", "actual")
+        .distinct()
+        .join(anchors, "anchor")
+    )
+    scored = test_pairs.join(
+        slate.withColumnRenamed("also", "actual"), ["anchor", "actual"], "left"
+    ).select(
+        F.coalesce((F.lit(6) / F.col("rk")).cast("long"), F.lit(0)).alias(
+            "six_over_rank"
+        )
+    )
+    hits = F.sum(F.when(F.col("six_over_rank") > 0, 1).otherwise(0))
+    n_ = F.count(F.lit(1))
+    return scored.agg(
+        n_.alias("n_test_pairs"),
+        hits.alias("n_hits"),
+        F.round(hits.cast("double") * 1000000 / n_).cast("long").alias(
+            "hr_at_3_ppm"
+        ),
+        F.round(
+            F.sum("six_over_rank").cast("double") * 1000000 / (6 * n_)
+        )
+        .cast("long")
+        .alias("mrr_ppm"),
+    )
