@@ -779,3 +779,220 @@ def doc_nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("margin_unats").alias("min_margin_unats"),
         F.max("margin_unats").alias("max_margin_unats"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Classifier agreement (Cohen's kappa) and margin ROC-AUC
+# ---------------------------------------------------------------------------
+
+_NB_DETECT_SQL = f"""
+    toks AS (
+      SELECT doc_id, lang AS labeled_lang, unnest({_TOKENS_SQL}) AS token
+      FROM documents
+    ),
+    counts_tl AS (
+      SELECT labeled_lang AS lang, token, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM toks GROUP BY 1, 2
+    ),
+    tot_l AS (
+      SELECT lang, CAST(SUM(cnt) AS BIGINT) AS tot FROM counts_tl GROUP BY lang
+    ),
+    vocab AS (SELECT DISTINCT token FROM toks),
+    vsize AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+    priors AS (
+      SELECT lang,
+             CAST(round(ln(CAST(n AS DOUBLE) / total) * 1000000) AS BIGINT)
+               AS prior_unats
+      FROM (
+        SELECT labeled_lang AS lang,
+               COUNT(DISTINCT doc_id) AS n,
+               SUM(COUNT(DISTINCT doc_id)) OVER () AS total
+        FROM toks GROUP BY labeled_lang
+      )
+    ),
+    model AS (
+      SELECT v.token, l.lang,
+             CAST(round(ln(
+               CAST(COALESCE(c.cnt, 0) + 1 AS DOUBLE)
+               / (l.tot + (SELECT v FROM vsize))
+             ) * 1000000) AS BIGINT) AS logp_unats
+      FROM vocab v CROSS JOIN tot_l l
+      LEFT JOIN counts_tl c ON c.token = v.token AND c.lang = l.lang
+    ),
+    nb_scored AS (
+      SELECT t.doc_id, t.labeled_lang, m.lang,
+             CAST(SUM(m.logp_unats) AS BIGINT) + ANY_VALUE(p.prior_unats)
+               AS score_unats
+      FROM toks t
+      JOIN model m USING (token)
+      JOIN priors p ON p.lang = m.lang
+      GROUP BY t.doc_id, t.labeled_lang, m.lang
+    ),
+    nb_best AS (
+      SELECT doc_id, labeled_lang, lang AS nb_lang
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY score_unats DESC, lang) AS rn
+        FROM nb_scored
+      ) WHERE rn = 1
+    )
+"""
+
+_HEUR_DETECT_SQL = f"""
+    heur_scored AS (
+      SELECT doc_id,
+        CAST({_LANG_SCORE_SQL['de']} AS INT) AS score_de,
+        CAST({_LANG_SCORE_SQL['en']} AS INT) AS score_en,
+        CAST({_LANG_SCORE_SQL['es']} AS INT) AS score_es,
+        CAST({_LANG_SCORE_SQL['fr']} AS INT) AS score_fr,
+        CAST({_LANG_SCORE_SQL['zh']} AS INT) AS score_zh
+      FROM (SELECT doc_id, ' '||lower(text)||' ' AS padded FROM documents)
+    ),
+    heur_best AS (
+      SELECT doc_id,
+        CASE
+          WHEN greatest(score_de, score_en, score_es, score_fr, score_zh) <= 0
+            THEN 'und'
+          WHEN score_de >= greatest(score_en, score_es, score_fr, score_zh)
+            THEN 'de'
+          WHEN score_en >= greatest(score_es, score_fr, score_zh) THEN 'en'
+          WHEN score_es >= greatest(score_fr, score_zh) THEN 'es'
+          WHEN score_fr >= score_zh THEN 'fr'
+          ELSE 'zh' END AS heur_lang
+      FROM heur_scored
+    )
+"""
+
+
+@query(
+    "doc_classifier_kappa",
+    oracle=f"""
+    WITH {_NB_DETECT_SQL},
+    {_HEUR_DETECT_SQL},
+    joined AS (
+      SELECT n.doc_id, n.nb_lang, h.heur_lang
+      FROM nb_best n JOIN heur_best h USING (doc_id)
+    ),
+    marg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN nb_lang = heur_lang THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_agree
+      FROM joined
+    ),
+    pe AS (
+      SELECT CAST(SUM(nh * nb) AS BIGINT) AS pe_num
+      FROM (
+        SELECT COALESCE(h.lab, b.lab) AS lab,
+               COALESCE(nh, 0) AS nh, COALESCE(nb, 0) AS nb
+        FROM (SELECT heur_lang AS lab, COUNT(*) AS nh FROM joined GROUP BY 1) h
+        FULL JOIN (SELECT nb_lang AS lab, COUNT(*) AS nb FROM joined GROUP BY 1) b
+          USING (lab)
+      )
+    )
+    SELECT m.n_docs, m.n_agree,
+           CAST(round(CAST(m.n_agree AS DOUBLE) * 1000000 / m.n_docs)
+                AS BIGINT) AS agreement_ppm,
+           CAST(m.n_agree * m.n_docs - p.pe_num AS DOUBLE)
+             / CAST(m.n_docs * m.n_docs - p.pe_num AS DOUBLE) AS cohens_kappa
+    FROM marg m, pe p
+    """,
+)
+def doc_classifier_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHEN'S KAPPA between the two language classifiers (the marker
+    heuristic and the learned Naive Bayes): raw agreement overstates
+    consensus when labels are imbalanced, so kappa subtracts the
+    chance agreement implied by each classifier's marginal label
+    distribution — the inter-annotator-agreement statistic, applied to
+    model-vs-model audit (low kappa on a slice = route it to review).
+    Formulated fully in integers: kappa = (agree*N - sum(nh*nb)) /
+    (N^2 - sum(nh*nb)) — one exact division, no float marginals.
+
+    Scale shape: both classifiers are single broadcast-scoring passes;
+    the agreement join and marginals operate per doc."""
+    from ..functions.text import lang_id
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        F.explode(X.tokens(F.col("text"))).alias("token"),
+    )
+    counts_tl = toks.groupBy(
+        F.col("labeled_lang").alias("lang"), "token"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    tot_l = counts_tl.groupBy("lang").agg(F.sum("cnt").alias("tot"))
+    vocab = toks.select("token").distinct()
+    vsize = vocab.agg(F.count(F.lit(1)).alias("v"))
+    pr = toks.groupBy("labeled_lang").agg(F.countDistinct("doc_id").alias("n"))
+    priors = pr.crossJoin(F.broadcast(pr.agg(F.sum("n").alias("total")))).select(
+        F.col("labeled_lang").alias("lang"),
+        F.round(F.log(F.col("n").cast("double") / F.col("total")) * 1000000)
+        .cast("long")
+        .alias("prior_unats"),
+    )
+    model = (
+        vocab.crossJoin(tot_l)
+        .join(counts_tl, ["token", "lang"], "left")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "token",
+            "lang",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("cnt"), F.lit(0)) + 1).cast("double")
+                    / (F.col("tot") + F.col("v"))
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("logp_unats"),
+        )
+    )
+    nb_scored = (
+        toks.join(F.broadcast(model), "token")
+        .join(F.broadcast(priors), "lang")
+        .groupBy("doc_id", "lang")
+        .agg((F.sum("logp_unats") + F.first("prior_unats")).alias("score_unats"))
+    )
+    wnb = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_unats"), F.asc("lang")
+    )
+    nb_best = (
+        nb_scored.withColumn("rn", F.row_number().over(wnb))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("lang").alias("nb_lang"))
+    )
+    heur = d.select("doc_id", lang_id(F.col("text")).alias("heur_lang"))
+    joined = nb_best.join(heur, "doc_id")
+    marg = joined.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.col("nb_lang") == F.col("heur_lang"), 1).otherwise(0)
+        ).alias("n_agree"),
+    )
+    h = joined.groupBy(F.col("heur_lang").alias("lab")).agg(
+        F.count(F.lit(1)).alias("nh")
+    )
+    b = joined.groupBy(F.col("nb_lang").alias("lab")).agg(
+        F.count(F.lit(1)).alias("nb")
+    )
+    pe = (
+        h.join(b, "lab", "full_outer")
+        .select(
+            (
+                F.coalesce("nh", F.lit(0)) * F.coalesce("nb", F.lit(0))
+            ).alias("prod")
+        )
+        .agg(F.sum("prod").alias("pe_num"))
+    )
+    return marg.crossJoin(F.broadcast(pe)).select(
+        "n_docs",
+        "n_agree",
+        F.round(F.col("n_agree").cast("double") * 1000000 / F.col("n_docs"))
+        .cast("long")
+        .alias("agreement_ppm"),
+        (
+            (F.col("n_agree") * F.col("n_docs") - F.col("pe_num")).cast("double")
+            / (F.col("n_docs") * F.col("n_docs") - F.col("pe_num")).cast("double")
+        ).alias("cohens_kappa"),
+    )
