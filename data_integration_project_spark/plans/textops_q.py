@@ -996,3 +996,136 @@ def doc_classifier_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_docs") * F.col("n_docs") - F.col("pe_num")).cast("double")
         ).alias("cohens_kappa"),
     )
+
+
+_NB_RANKED_SQL = (
+    _NB_DETECT_SQL.replace("nb_best AS (", "nb_ranked AS (")
+    .replace(
+        "SELECT doc_id, labeled_lang, lang AS nb_lang",
+        "SELECT doc_id, labeled_lang, lang AS nb_lang, score_unats, rn",
+    )
+    .replace("WHERE rn = 1", "WHERE rn <= 2")
+)
+
+
+@query(
+    "doc_nb_margin_auc",
+    oracle=f"""
+    WITH {_NB_RANKED_SQL},
+    per_doc AS (
+      SELECT a.doc_id,
+             CAST(a.score_unats - b.score_unats AS BIGINT) AS margin,
+             CAST(a.nb_lang = a.labeled_lang AS INT) AS is_pos
+      FROM (SELECT * FROM nb_ranked WHERE rn = 1) a
+      JOIN (SELECT * FROM nb_ranked WHERE rn = 2) b USING (doc_id)
+    ),
+    ranked AS (
+      SELECT is_pos,
+             AVG(rn) OVER (PARTITION BY margin) AS midrank
+      FROM (SELECT is_pos, margin,
+                   CAST(row_number() OVER (ORDER BY margin, doc_id) AS DOUBLE)
+                     AS rn
+            FROM per_doc)
+    ),
+    sums AS (
+      SELECT CAST(SUM(is_pos) AS BIGINT) AS n_pos,
+             CAST(SUM(1 - is_pos) AS BIGINT) AS n_neg,
+             SUM(CASE WHEN is_pos = 1 THEN midrank ELSE 0 END) AS r_pos
+      FROM ranked
+    )
+    SELECT n_pos, n_neg,
+           (CAST(r_pos AS DOUBLE) - CAST(n_pos * (n_pos + 1) AS DOUBLE) / 2)
+             / (CAST(n_pos AS DOUBLE) * n_neg) AS auc
+    FROM sums
+    """,
+)
+def doc_nb_margin_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of the Naive Bayes CONFIDENCE MARGIN as a predictor of
+    correctness — the single-number summary of the calibration curve
+    (doc_nb_calibration): AUC is the probability that a correctly
+    classified document outranks a misclassified one on margin,
+    computed exactly via the rank identity AUC = (R+ - n+(n+ + 1)/2) /
+    (n+ * n-) with midranks for ties (the Mann-Whitney relation, no
+    threshold sweep needed). Above 0.5 means the margin carries real
+    selective-prediction signal.
+
+    Determinism: margins are exact micro-nat integers; midranks are
+    .5-granular doubles whose sums are exact; AUC is a fixed chain."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        F.explode(X.tokens(F.col("text"))).alias("token"),
+    )
+    counts_tl = toks.groupBy(
+        F.col("labeled_lang").alias("lang"), "token"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    tot_l = counts_tl.groupBy("lang").agg(F.sum("cnt").alias("tot"))
+    vocab = toks.select("token").distinct()
+    vsize = vocab.agg(F.count(F.lit(1)).alias("v"))
+    pr = toks.groupBy("labeled_lang").agg(F.countDistinct("doc_id").alias("n"))
+    priors = pr.crossJoin(F.broadcast(pr.agg(F.sum("n").alias("total")))).select(
+        F.col("labeled_lang").alias("lang"),
+        F.round(F.log(F.col("n").cast("double") / F.col("total")) * 1000000)
+        .cast("long")
+        .alias("prior_unats"),
+    )
+    model = (
+        vocab.crossJoin(tot_l)
+        .join(counts_tl, ["token", "lang"], "left")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "token",
+            "lang",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("cnt"), F.lit(0)) + 1).cast("double")
+                    / (F.col("tot") + F.col("v"))
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("logp_unats"),
+        )
+    )
+    scored = (
+        toks.join(F.broadcast(model), "token")
+        .join(F.broadcast(priors), "lang")
+        .groupBy("doc_id", "labeled_lang", "lang")
+        .agg((F.sum("logp_unats") + F.first("prior_unats")).alias("score_unats"))
+    )
+    wr = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_unats"), F.asc("lang")
+    )
+    ranked2 = scored.withColumn("rn", F.row_number().over(wr))
+    best = ranked2.filter(F.col("rn") == 1).select(
+        "doc_id",
+        "labeled_lang",
+        F.col("lang").alias("lang1"),
+        F.col("score_unats").alias("s1"),
+    )
+    second = ranked2.filter(F.col("rn") == 2).select(
+        F.col("doc_id").alias("d2"), F.col("score_unats").alias("s2")
+    )
+    per_doc = best.join(second, F.col("doc_id") == F.col("d2")).select(
+        "doc_id",
+        (F.col("s1") - F.col("s2")).alias("margin"),
+        (F.col("lang1") == F.col("labeled_lang")).cast("int").alias("is_pos"),
+    )
+    w_rn = Window.orderBy("margin", "doc_id")
+    w_mid = Window.partitionBy("margin")
+    ranked = per_doc.withColumn(
+        "rn", F.row_number().over(w_rn).cast("double")
+    ).withColumn("midrank", F.avg("rn").over(w_mid))
+    sums = ranked.agg(
+        F.sum("is_pos").alias("n_pos"),
+        F.sum(1 - F.col("is_pos")).alias("n_neg"),
+        F.sum(F.when(F.col("is_pos") == 1, F.col("midrank")).otherwise(0.0)).alias(
+            "r_pos"
+        ),
+    )
+    auc = (
+        F.col("r_pos").cast("double")
+        - (F.col("n_pos") * (F.col("n_pos") + 1)).cast("double") / 2
+    ) / (F.col("n_pos").cast("double") * F.col("n_neg"))
+    return sums.select("n_pos", "n_neg", auc.alias("auc"))
