@@ -97,3 +97,20 @@ def test_prefix_filter_join_no_cartesian(spark, sf_small):
     # candidate generation must be an equi-join on the prefix token
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_skyline_single_window_no_selfjoin(spark, sf_small):
+    plan = _executed_plan(spark, "parts_skyline_2d", sf_small)
+    # the 2D skyline must be the window rewrite, not a domination self-join
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_also_bought_rank_pushdown(spark, sf_small):
+    plan = _executed_plan(spark, "parts_also_bought_topk", sf_small)
+    assert "WindowGroupLimit" in plan, "per-anchor top-3 must prune before sort"
+
+
+def test_integrity_audit_no_cartesian(spark, sf_small):
+    plan_runs = plans.REGISTRY["catalog_integrity_audit"].fn(spark, sf_small)
+    assert plan_runs.count() == 13  # all legs present, driver-assembled
