@@ -5106,3 +5106,152 @@ def parts_recsys_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("mrr_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# FP&A decompositions: change contribution and price/volume/mix
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_change_contribution",
+    oracle="""
+    WITH by_seg AS (
+      SELECT c_mktsegment AS segment,
+             CAST(SUM(CASE WHEN year(o_orderdate) = 1997
+                           THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS rev_1997,
+             CAST(SUM(CASE WHEN year(o_orderdate) = 1998
+                           THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS rev_1998
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE year(o_orderdate) IN (1997, 1998)
+      GROUP BY c_mktsegment
+    ),
+    tot AS (
+      SELECT *, CAST(SUM(rev_1998 - rev_1997) OVER () AS BIGINT) AS total_delta
+      FROM by_seg
+    )
+    SELECT segment, rev_1997, rev_1998,
+           CAST(rev_1998 - rev_1997 AS BIGINT) AS delta_cents,
+           CAST(round(CAST(rev_1998 - rev_1997 AS DOUBLE) * 1000000
+                      / total_delta) AS BIGINT) AS contribution_ppm
+    FROM tot
+    """,
+)
+def orders_change_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE-CONTRIBUTION decomposition: total revenue moved between
+    1997 and 1998 — which segments drove it? Because segment deltas
+    sum EXACTLY to the total delta (additive decomposition, integer
+    cents), each segment's contribution share is well-defined; this is
+    the drill-down every 'why did the number move' review starts
+    with, and the additivity is what percentage-based per-segment
+    growth rates do NOT give you.
+
+    Scale shape: one broadcast dim join + a 2-year conditional rollup
+    per segment; window totals over 5 rows."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    yr = F.year("o_orderdate")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    by_seg = (
+        o.filter(yr.isin(1997, 1998))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.sum(F.when(yr == 1997, cents).otherwise(0)).alias("rev_1997"),
+            F.sum(F.when(yr == 1998, cents).otherwise(0)).alias("rev_1998"),
+        )
+    )
+    tot = by_seg.agg(
+        F.sum(F.col("rev_1998") - F.col("rev_1997")).alias("total_delta")
+    )
+    delta = F.col("rev_1998") - F.col("rev_1997")
+    return by_seg.crossJoin(F.broadcast(tot)).select(
+        "segment",
+        "rev_1997",
+        "rev_1998",
+        delta.alias("delta_cents"),
+        F.round(delta.cast("double") * 1000000 / F.col("total_delta"))
+        .cast("long")
+        .alias("contribution_ppm"),
+    )
+
+
+@query(
+    "parts_price_volume_mix",
+    oracle="""
+    WITH yearly AS (
+      SELECT p_brand,
+             CAST(SUM(CASE WHEN year(l_shipdate) = 1996
+                           THEN CAST(floor(l_quantity + 0.5) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS q0,
+             CAST(SUM(CASE WHEN year(l_shipdate) = 1997
+                           THEN CAST(floor(l_quantity + 0.5) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS q1,
+             CAST(SUM(CASE WHEN year(l_shipdate) = 1996
+                           THEN CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS r0,
+             CAST(SUM(CASE WHEN year(l_shipdate) = 1997
+                           THEN CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS r1
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE year(l_shipdate) IN (1996, 1997)
+      GROUP BY p_brand
+    )
+    SELECT p_brand, q0, q1, r0, r1,
+           CAST(r1 - r0 AS BIGINT) AS delta_rev_cents,
+           -- volume effect at old average price: (q1 - q0) * (r0/q0)
+           CAST(round((q1 - q0) * (CAST(r0 AS DOUBLE) / q0)) AS BIGINT)
+             AS volume_effect_cents,
+           -- price effect at new volume: q1 * (r1/q1 - r0/q0)
+           CAST(round(q1 * (CAST(r1 AS DOUBLE) / q1 - CAST(r0 AS DOUBLE) / q0))
+                AS BIGINT) AS price_effect_cents
+    FROM yearly WHERE q0 > 0 AND q1 > 0
+    """,
+)
+def parts_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRICE/VOLUME decomposition per brand (the FP&A bridge chart):
+    the 1996->1997 revenue change split into the volume effect (change
+    in units at the OLD average price) and the price effect (new
+    volume times the change in average price) — the two reconcile to
+    the total delta up to the rounding shown, answering 'did we sell
+    more, or just at different prices?'. Average prices are single
+    divisions of exact integer revenue/quantity sums; each effect is
+    one fixed-order chain rounded to integer cents.
+
+    Scale shape: one broadcast dim join, one 2-year conditional
+    rollup per brand."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    yr = F.year("l_shipdate")
+    qty = F.floor(F.col("l_quantity") + 0.5).cast("long")
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    yearly = (
+        li.filter(yr.isin(1996, 1997))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.when(yr == 1996, qty).otherwise(0)).alias("q0"),
+            F.sum(F.when(yr == 1997, qty).otherwise(0)).alias("q1"),
+            F.sum(F.when(yr == 1996, cents).otherwise(0)).alias("r0"),
+            F.sum(F.when(yr == 1997, cents).otherwise(0)).alias("r1"),
+        )
+        .filter((F.col("q0") > 0) & (F.col("q1") > 0))
+    )
+    p0 = F.col("r0").cast("double") / F.col("q0")
+    p1 = F.col("r1").cast("double") / F.col("q1")
+    return yearly.select(
+        "p_brand",
+        "q0",
+        "q1",
+        "r0",
+        "r1",
+        (F.col("r1") - F.col("r0")).alias("delta_rev_cents"),
+        F.round((F.col("q1") - F.col("q0")) * p0).cast("long").alias(
+            "volume_effect_cents"
+        ),
+        F.round(F.col("q1") * (p1 - p0)).cast("long").alias(
+            "price_effect_cents"
+        ),
+    )
