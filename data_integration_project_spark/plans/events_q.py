@@ -3798,3 +3798,97 @@ def events_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.col("peak") - F.col("balance")).alias("max_drawdown_cents"),
         F.min("balance").alias("min_balance_cents"),
     )
+
+
+@query(
+    "events_stl_lite_decomposition",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(isodow(ts) AS INT) AS dow,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    trended AS (
+      SELECT day, dow, n,
+             CAST(SUM(n) OVER (ORDER BY day
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS win_sum,
+             CAST(COUNT(*) OVER (ORDER BY day
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS win_n
+      FROM daily
+    ),
+    detrended AS (
+      SELECT *,
+             CAST(round((n - CAST(win_sum AS DOUBLE) / win_n) * 1000) AS BIGINT)
+               AS detrend_milli
+      FROM trended
+    ),
+    dow_effect AS (
+      SELECT dow,
+             CAST(round(CAST(SUM(detrend_milli) AS DOUBLE) / COUNT(*))
+                  AS BIGINT) AS dow_milli
+      FROM detrended GROUP BY dow
+    )
+    SELECT d.day, d.dow, d.n,
+           CAST(round(CAST(d.win_sum AS DOUBLE) * 1000 / d.win_n) AS BIGINT)
+             AS trend_milli,
+           e.dow_milli,
+           CAST(d.n * 1000
+                - CAST(round(CAST(d.win_sum AS DOUBLE) * 1000 / d.win_n)
+                       AS BIGINT)
+                - e.dow_milli AS BIGINT) AS resid_milli
+    FROM detrended d JOIN dow_effect e USING (dow)
+    """,
+)
+def events_stl_lite_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-LITE decomposition of the daily event series into TREND
+    (centered 7-day moving average, shrinking window at the edges) +
+    DAY-OF-WEEK effect (mean detrended value per weekday) + RESIDUAL —
+    the first-cut seasonal decomposition behind every 'is Monday
+    really down, or is that just the trend' question, and the input
+    the anomaly queries would consume at scale. Components are integer
+    milli-counts: trend and weekday effects each round ONE division,
+    and the residual is exact arithmetic on those integers, so the
+    three components re-add to n*1000 exactly.
+
+    Scale shape: a day-keyed rollup, one 7-row window over the |days|
+    series, a 7-group weekday mean."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.col("ts").cast("date").alias("day"),
+        (F.weekday("ts") + 1).cast("int").alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    trended = daily.withColumn("win_sum", F.sum("n").over(w)).withColumn(
+        "win_n", F.count(F.lit(1)).over(w)
+    )
+    trend_milli = F.round(
+        F.col("win_sum").cast("double") * 1000 / F.col("win_n")
+    ).cast("long")
+    detrended = trended.withColumn(
+        "detrend_milli",
+        F.round(
+            (F.col("n") - F.col("win_sum").cast("double") / F.col("win_n"))
+            * 1000
+        ).cast("long"),
+    )
+    dow_effect = detrended.groupBy("dow").agg(
+        F.round(
+            F.sum("detrend_milli").cast("double") / F.count(F.lit(1))
+        )
+        .cast("long")
+        .alias("dow_milli")
+    )
+    return (
+        detrended.join(F.broadcast(dow_effect), "dow")
+        .select(
+            "day",
+            "dow",
+            "n",
+            trend_milli.alias("trend_milli"),
+            "dow_milli",
+            (F.col("n") * 1000 - trend_milli - F.col("dow_milli")).alias(
+                "resid_milli"
+            ),
+        )
+    )

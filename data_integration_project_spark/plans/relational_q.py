@@ -5255,3 +5255,103 @@ def parts_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "price_effect_cents"
         ),
     )
+
+
+@query(
+    "orders_neyman_allocation",
+    oracle="""
+    WITH strata AS (
+      SELECT o_orderpriority AS stratum,
+             CAST(COUNT(*) AS HUGEINT) AS nh,
+             CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS HUGEINT) AS s,
+             SUM(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                      AS HUGEINT)
+                 * CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS ss
+      FROM orders GROUP BY o_orderpriority
+    ),
+    scored AS (
+      SELECT stratum, CAST(nh AS BIGINT) AS n_rows,
+             -- Neyman weight: N_h * sigma_h, in integer milli-units
+             CAST(round(CAST(nh AS DOUBLE)
+                  * sqrt(CAST(nh * ss - s * s AS DOUBLE)
+                         / (CAST(nh AS DOUBLE) * (nh - 1))) / 1000)
+                  AS BIGINT) AS weight_milli
+      FROM strata
+    ),
+    based AS (
+      SELECT *,
+             CAST(SUM(weight_milli) OVER () AS BIGINT) AS total_weight,
+             (weight_milli * 10000) // CAST(SUM(weight_milli) OVER () AS BIGINT)
+               AS floor_alloc,
+             (weight_milli * 10000) % CAST(SUM(weight_milli) OVER () AS BIGINT)
+               AS rem
+      FROM scored
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (ORDER BY rem DESC, stratum) AS rr,
+             CAST(10000 - SUM(floor_alloc) OVER () AS BIGINT) AS leftover
+      FROM based
+    )
+    SELECT stratum, n_rows, weight_milli,
+           CAST(floor_alloc + CASE WHEN rr <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS allocated_samples
+    FROM ranked
+    """,
+)
+def orders_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEYMAN OPTIMAL ALLOCATION of a 10,000-row sample across order-
+    priority strata: sample sizes proportional to N_h * sigma_h (big
+    AND volatile strata deserve more samples — the design that
+    minimizes the stratified estimator's variance, vs proportional
+    allocation which ignores within-stratum spread). Standard
+    deviations come from int128-exact moments; the integer allocations
+    reconcile to EXACTLY 10,000 via the same largest-remainder rule as
+    the rebate proration — a fractional allocation you can't execute
+    is not a design.
+
+    Scale shape: one moment rollup per stratum; everything after is
+    5-row arithmetic."""
+    o = t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    strata = o.groupBy(F.col("o_orderpriority").alias("stratum")).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("nh"),
+        F.sum(cents).cast("decimal(38,0)").alias("s"),
+        F.sum(cents.cast("decimal(38,0)") * cents).alias("ss"),
+    )
+    sigma = F.sqrt(
+        (F.col("nh") * F.col("ss") - F.col("s") * F.col("s")).cast("double")
+        / (F.col("nh").cast("double") * (F.col("nh") - F.lit(1)).cast("double"))
+    )
+    scored = strata.select(
+        "stratum",
+        F.col("nh").cast("long").alias("n_rows"),
+        F.round(F.col("nh").cast("double") * sigma / 1000)
+        .cast("long")
+        .alias("weight_milli"),
+    )
+    tot = scored.agg(F.sum("weight_milli").alias("total_weight"))
+    based = scored.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        "n_rows",
+        "weight_milli",
+        F.expr("(weight_milli * 10000) div total_weight").alias("floor_alloc"),
+        ((F.col("weight_milli") * 10000) % F.col("total_weight")).alias("rem"),
+    )
+    w_all = Window.partitionBy()
+    ranked = based.withColumn(
+        "rr",
+        F.row_number().over(Window.orderBy(F.desc("rem"), F.asc("stratum"))),
+    ).withColumn("leftover", F.lit(10000) - F.sum("floor_alloc").over(w_all))
+    return ranked.select(
+        "stratum",
+        "n_rows",
+        "weight_milli",
+        (
+            F.col("floor_alloc")
+            + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("allocated_samples"),
+    )
