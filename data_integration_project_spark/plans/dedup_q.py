@@ -1059,3 +1059,130 @@ def dedup_clusters_bcubed(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("b3_recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Threshold sweep: dedup precision/recall vs the planted ground truth
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_threshold_sweep",
+    oracle=_CORPUS_SQL
+    + f"""
+    , shingled AS ({_SHINGLES_SQL}),
+    params(hidx, a, b) AS (VALUES {_PARAMS_SQL}),
+    sigs AS (
+      SELECT doc_id, hidx, min((a * shash + b) % 2147483647) AS minhash
+      FROM shingled CROSS JOIN params
+      GROUP BY doc_id, hidx
+    ),
+    buckets AS (
+      SELECT doc_id, hidx // {_ROWS_PER_BAND} AS band,
+             string_agg(minhash, '-' ORDER BY hidx) AS bucket
+      FROM sigs GROUP BY doc_id, hidx // {_ROWS_PER_BAND}
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+      FROM cands c
+      JOIN shingled sa ON sa.doc_id = c.id_a
+      JOIN shingled sb ON sb.doc_id = c.id_b AND sb.shash = sa.shash
+      GROUP BY c.id_a, c.id_b
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingled GROUP BY doc_id),
+    scored AS (
+      SELECT c.id_a, c.id_b,
+             CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+               / (za.sz + zb.sz - COALESCE(i.n_inter, 0)) AS jac,
+             CAST(c.id_b - c.id_a = 100000 AS INT) AS is_planted
+      FROM cands c
+      LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+      JOIN sizes za ON za.doc_id = c.id_a
+      JOIN sizes zb ON zb.doc_id = c.id_b
+    ),
+    n_planted AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS np FROM documents WHERE doc_id % 5 = 0
+    ),
+    thresholds(thr_pct) AS (VALUES (50), (70), (90), (100))
+    SELECT t.thr_pct,
+           CAST(SUM(CASE WHEN s.jac * 100 >= t.thr_pct THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN s.jac * 100 >= t.thr_pct AND s.is_planted = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+           CAST(round(CAST(SUM(CASE WHEN s.jac * 100 >= t.thr_pct
+                                     AND s.is_planted = 1
+                                    THEN 1 ELSE 0 END) AS DOUBLE) * 1000000
+                      / NULLIF(SUM(CASE WHEN s.jac * 100 >= t.thr_pct
+                                        THEN 1 ELSE 0 END), 0)) AS BIGINT)
+             AS precision_ppm,
+           CAST(round(CAST(SUM(CASE WHEN s.jac * 100 >= t.thr_pct
+                                     AND s.is_planted = 1
+                                    THEN 1 ELSE 0 END) AS DOUBLE) * 1000000
+                      / (SELECT np FROM n_planted)) AS BIGINT) AS recall_ppm
+    FROM thresholds t, scored s
+    GROUP BY t.thr_pct
+    """,
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THRESHOLD SWEEP of the MinHash-LSH dedup against the planted
+    ground truth: one pass computes exact Jaccard for every LSH
+    candidate pair, then four verify thresholds are evaluated from the
+    SAME pair set — precision (found pairs that are the planted
+    +100000 twins) and recall (planted twins
+    recovered) per threshold, the operating-point curve that picks the
+    production threshold. Sweeping post-hoc over one candidate set is
+    the cheap way to tune: the expensive LSH stage runs once.
+
+    Planted truth: %10==0 docs get an exact copy, %10==5 a one-token
+    edit — so at threshold 1.0 only exact copies remain (precision
+    stays 1, recall halves): the sweep shows exactly that elbow."""
+    pairs = D.minhash_lsh_dedup(
+        _corpus(spark, sf_dir),
+        "doc_id",
+        "text",
+        shingle_k=3,
+        n_hashes=_N_HASHES,
+        n_bands=_N_BANDS,
+        threshold=0.0,
+    ).select(
+        "_id_a",
+        "_id_b",
+        "jaccard",
+        (F.col("_id_b") - F.col("_id_a") == 100000).cast("int").alias(
+            "is_planted"
+        ),
+    )
+    n_planted = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .count()
+    )
+    thresholds = spark.createDataFrame(
+        [(50,), (70,), (90,), (100,)], "thr_pct int"
+    )
+    hit = F.col("jaccard") * 100 >= F.col("thr_pct")
+    true_hit = hit & (F.col("is_planted") == 1)
+    return (
+        thresholds.crossJoin(pairs)
+        .groupBy("thr_pct")
+        .agg(
+            F.sum(hit.cast("int")).alias("n_pairs"),
+            F.sum(true_hit.cast("int")).alias("n_true"),
+            F.round(
+                F.sum(true_hit.cast("int")).cast("double") * 1000000
+                / F.nullif(F.sum(hit.cast("int")), F.lit(0))
+            )
+            .cast("long")
+            .alias("precision_ppm"),
+            F.round(
+                F.sum(true_hit.cast("int")).cast("double") * 1000000 / n_planted
+            )
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+    )
