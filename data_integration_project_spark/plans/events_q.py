@@ -3892,3 +3892,148 @@ def events_stl_lite_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame
             ),
         )
     )
+
+
+@query(
+    "events_sprt_monitor",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS conv
+      FROM events GROUP BY 1
+    ),
+    llr AS (
+      -- H0: p = 0.18 vs H1: p = 0.22; per-day increment in micro-nats
+      SELECT day, n, conv,
+             conv * CAST(round(ln(0.22 / 0.18) * 1000000) AS BIGINT)
+             + (n - conv) * CAST(round(ln(0.78 / 0.82) * 1000000) AS BIGINT)
+               AS inc_unats
+      FROM daily
+    ),
+    walk AS (
+      SELECT day, n, conv,
+             CAST(SUM(inc_unats) OVER (ORDER BY day) AS BIGINT) AS llr_unats
+      FROM llr
+    )
+    SELECT day, n, conv, llr_unats,
+           CAST(CASE WHEN llr_unats >= CAST(round(ln(19.0) * 1000000) AS BIGINT)
+                     THEN 1
+                WHEN llr_unats <= -CAST(round(ln(19.0) * 1000000) AS BIGINT)
+                     THEN -1
+                ELSE 0 END AS INT) AS decision
+    FROM walk
+    """,
+)
+def events_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WALD'S SPRT (sequential probability ratio test) monitoring the
+    daily purchase rate: the cumulative log-likelihood ratio of
+    H1: p=0.22 against H0: p=0.18 walks day by day, and the test
+    concludes the moment it crosses +/- ln(19) (alpha=beta=0.05) —
+    the always-valid sequential alternative to fixed-horizon tests
+    that lets an experiment stop EARLY without p-hacking (peeking at
+    a fixed-horizon z-test inflates false positives; the SPRT boundary
+    is designed for continuous peeking). Each day's increment is two
+    integer multiples of once-rounded micro-nat log ratios, so the
+    walk is an exact integer cumulative sum.
+
+    Scale shape: daily rollup, then a window over the |days| series."""
+    e = t(spark, sf_dir, "events")
+    import math
+
+    la = int(round(math.log(0.22 / 0.18) * 1000000))
+    lb = int(round(math.log(0.78 / 0.82) * 1000000))
+    bound = int(round(math.log(19.0) * 1000000))
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "conv"
+        ),
+    )
+    w = Window.orderBy("day")
+    walk = daily.withColumn(
+        "llr_unats",
+        F.sum(
+            F.col("conv") * F.lit(la) + (F.col("n") - F.col("conv")) * F.lit(lb)
+        ).over(w),
+    )
+    return walk.select(
+        "day",
+        "n",
+        "conv",
+        "llr_unats",
+        F.when(F.col("llr_unats") >= bound, 1)
+        .when(F.col("llr_unats") <= -bound, -1)
+        .otherwise(0)
+        .cast("int")
+        .alias("decision"),
+    )
+
+
+@query(
+    "events_capture_recapture",
+    oracle="""
+    WITH w1 AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE ts < TIMESTAMP '2024-01-08'
+    ),
+    w2 AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
+    ),
+    m AS (
+      SELECT CAST((SELECT COUNT(*) FROM w1) AS BIGINT) AS n1,
+             CAST((SELECT COUNT(*) FROM w2) AS BIGINT) AS n2,
+             CAST((SELECT COUNT(*) FROM w1 JOIN w2 USING (user_id)) AS BIGINT)
+               AS m12
+    )
+    SELECT n1, n2, m12,
+           CAST((n1 * n2) // m12 AS BIGINT) AS lincoln_petersen_estimate,
+           CAST(((n1 + 1) * (n2 + 1)) // (m12 + 1) - 1 AS BIGINT)
+             AS chapman_estimate
+    FROM m
+    """,
+)
+def events_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPTURE-RECAPTURE population estimation (Lincoln-Petersen and
+    the bias-corrected Chapman form): the users 'captured' in week 1
+    and week 2 overlap in m individuals, so the total population —
+    including users never observed at all — estimates as n1*n2/m.
+    The ecology estimator, used in data work to size what you CANNOT
+    see: total dedup-cluster count from two sampling passes, true
+    error population from two reviewers, coverage of a crawler from
+    two crawls. All integer arithmetic (floor division on both
+    engines).
+
+    Scale shape: two date-pruned distinct sets and one semi-join."""
+    e = t(spark, sf_dir, "events")
+    w1 = (
+        e.filter(F.col("ts") < F.lit("2024-01-08").cast("timestamp"))
+        .select("user_id")
+        .distinct()
+    )
+    w2 = (
+        e.filter(
+            (F.col("ts") >= F.lit("2024-01-08").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-15").cast("timestamp"))
+        )
+        .select("user_id")
+        .distinct()
+    )
+    n1 = w1.count()
+    n2 = w2.count()
+    m12 = w1.join(w2, "user_id").count()
+    return spark.createDataFrame(
+        [
+            (
+                n1,
+                n2,
+                m12,
+                (n1 * n2) // m12,
+                ((n1 + 1) * (n2 + 1)) // (m12 + 1) - 1,
+            )
+        ],
+        "n1 long, n2 long, m12 long, lincoln_petersen_estimate long, "
+        "chapman_estimate long",
+    )
