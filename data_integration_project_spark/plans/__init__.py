@@ -15,5 +15,6 @@ from . import entities_q  # noqa: E402,F401
 from . import relational_q  # noqa: E402,F401
 from . import corpus_q  # noqa: E402,F401
 from . import skew_q  # noqa: E402,F401
+from . import tpch_q  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "query", "queries", "oracle_sql"]
