@@ -29,6 +29,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 @dataclass
@@ -132,3 +133,93 @@ def multipass_quantile(
         }
         for r in ranges
     ]
+
+# ---------------------------------------------------------------------------
+# One-pass MERGEABLE quantile summary (the KLL-style sketch half of the
+# estimator pair; multipass_quantile above is the exact-iterative half).
+# ---------------------------------------------------------------------------
+
+
+def stride_summary(
+    df: DataFrame,
+    value: Column,
+    id_col: Column,
+    n_buckets: int = 64,
+    k: int = 128,
+) -> DataFrame:
+    """One-pass bounded-state quantile summary: deterministic stride
+    sampling by LOCAL rank within ``n_buckets`` hash buckets.
+
+    Each bucket (``pmod(id, n_buckets)`` — a deterministic stand-in for
+    "one summary per partition/executor") keeps every ``step``-th item
+    of its sorted run, ``step = ceil(n_b / k)``, carrying weight
+    ``min(step, n_b - rank + 1)`` so bucket weights sum EXACTLY to
+    ``n_b``. The union of bucket samples is a mergeable summary of
+    ≤ ``n_buckets·k`` weighted rows whose weighted-rank lookup has
+    additive rank error ≤ Σ_b (step_b − 1) ≈ N/k — the classic
+    mergeable-summary ε = 1/k guarantee, but with DETERMINISTIC
+    compaction (rank stride, not KLL's coin-flip), which is what makes
+    it bit-reproducible and oracle-checkable across engines.
+
+    Merging more summaries = unioning more bucket samples — no
+    re-sampling pass — so at 100 TB each executor summarizes its split
+    independently and only ≤ n_buckets·k rows ever move.
+
+    Returns columns ``v`` (value), ``b`` (bucket), ``rn`` (local rank),
+    ``step``, ``w`` (weight).
+    """
+    c = df.select(
+        value.alias("v"),
+        id_col.alias("id"),
+        F.pmod(id_col, F.lit(n_buckets)).alias("b"),
+    )
+    w_rank = Window.partitionBy("b").orderBy("v", "id")
+    w_cnt = Window.partitionBy("b")
+    ranked = c.withColumn("rn", F.row_number().over(w_rank)).withColumn(
+        "n_b", F.count(F.lit(1)).over(w_cnt)
+    )
+    stepped = ranked.withColumn(
+        "step", F.floor((F.col("n_b") + F.lit(k - 1)) / F.lit(k)).cast("long")
+    )
+    return stepped.filter((F.col("rn") - 1) % F.col("step") == 0).select(
+        "v",
+        "b",
+        "rn",
+        "step",
+        F.least(F.col("step"), F.col("n_b") - F.col("rn") + 1).alias("w"),
+    )
+
+
+def summary_quantiles(
+    summary: DataFrame, probs: dict[str, tuple[int, int]]
+) -> DataFrame:
+    """Weighted-rank quantile lookup over a :func:`stride_summary`.
+
+    ``probs`` maps label -> (num, den); the target rank is the exact
+    integer ``ceil(num·N/den)`` where ``N = Σw`` (the summary's weights
+    reconstruct the population count exactly, so no extra scan of the
+    base table is needed). The estimate for a rank is the first summary
+    value whose cumulative weight reaches it, under the total order
+    (v, b, rn). The cumulative window is single-partition by
+    construction — the summary is ≤ n_buckets·k rows of sketch
+    metadata, not data.
+    """
+    spark = summary.sparkSession
+    n = summary.agg(F.sum("w")).collect()[0][0] or 0
+    rows = [
+        (label, num / den, max(1, (num * n + den - 1) // den))
+        for label, (num, den) in sorted(probs.items())
+    ]
+    targets = spark.createDataFrame(
+        rows, schema="label string, prob double, rank bigint"
+    )
+    w_cum = Window.orderBy("v", "b", "rn").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = summary.withColumn("cw", F.sum("w").over(w_cum))
+    return (
+        F.broadcast(targets)
+        .join(cum, F.col("cw") >= F.col("rank"))
+        .groupBy("label", "prob", "rank")
+        .agg(F.min("v").alias("est"))
+    )

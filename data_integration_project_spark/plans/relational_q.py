@@ -5355,3 +5355,117 @@ def orders_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("allocated_samples"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable one-pass quantile SKETCH (operators/quantiles.stride_summary)
+# — the KLL-style bounded-state estimator completing the pair with
+# orders_multipass_quantiles (exact, multi-scan). Deterministic stride
+# compaction instead of KLL's coin-flip keeps it bit-reproducible, so
+# the estimate itself (not just a property of it) is oracle-checked.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_quantile_sketch",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+             o_orderkey AS id, o_orderkey % 64 AS b
+      FROM orders
+    ),
+    rk AS (
+      SELECT v, b,
+             row_number() OVER (PARTITION BY b ORDER BY v, id) AS rn,
+             COUNT(*) OVER (PARTITION BY b) AS n_b
+      FROM c
+    ),
+    samp AS (
+      SELECT v, b, rn, (n_b + 127) // 128 AS step,
+             least((n_b + 127) // 128, n_b - rn + 1) AS w
+      FROM rk WHERE (rn - 1) % ((n_b + 127) // 128) = 0
+    ),
+    n AS (SELECT CAST(SUM(w) AS BIGINT) AS n FROM samp),
+    meta AS (
+      SELECT CAST((SELECT SUM(step - 1)
+                   FROM (SELECT DISTINCT b, step FROM samp)) AS BIGINT)
+               AS err_bound,
+             CAST((SELECT COUNT(*) FROM samp) AS BIGINT) AS summary_rows
+    ),
+    p AS (SELECT * FROM (VALUES ('p25', 1, 4), ('p50', 1, 2),
+                                ('p90', 9, 10), ('p99', 99, 100))
+            AS t(label, num, den)),
+    r AS (SELECT label, CAST(num AS DOUBLE) / den AS prob,
+                 CAST(greatest(1, (num * n + den - 1) // den) AS BIGINT)
+                   AS rank
+          FROM p, n),
+    cum AS (SELECT v, SUM(w) OVER (ORDER BY v, b, rn) AS cw FROM samp),
+    est AS (SELECT r.label, r.prob, r.rank, MIN(cum.v) AS est_cents
+            FROM r JOIN cum ON cum.cw >= r.rank
+            GROUP BY r.label, r.prob, r.rank)
+    SELECT est.label, est.prob, est.rank, est.est_cents,
+           CAST(est.est_cents AS DOUBLE) / 100 AS est_price,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM c
+            WHERE c.v <= est.est_cents) AS true_rank_le,
+           meta.err_bound, meta.summary_rows
+    FROM est, meta
+    """,
+)
+def orders_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPROXIMATE p25/p50/p90/p99 of o_totalprice from a one-pass
+    mergeable summary (operators/quantiles.stride_summary): 64 hash
+    buckets each keep every ceil(n_b/128)-th item of their sorted run
+    with exact complementary weights, so the ≤64·128-row summary
+    reconstructs N exactly and answers any weighted-rank lookup with
+    additive rank error ≤ Σ_b(step_b−1) ≈ N/128. Deterministic stride
+    compaction (not KLL's coin flip) makes the estimate itself
+    bit-reproducible — the oracle replays the identical algorithm and
+    the driver hash-checks the VALUES, not just an error property.
+    The reported true_rank_le column (exact rank of each estimate)
+    exhibits the bound next to the target rank in the output.
+
+    Scale shape: one shuffle on bucket builds all per-bucket runs in
+    parallel; everything after operates on sketch metadata (≤8,192
+    rows — the single-partition cumulative window is over the SUMMARY,
+    never the data). Merging two corpora = unioning their summaries."""
+    from ..operators.quantiles import stride_summary, summary_quantiles
+
+    o = t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    base = o.select(cents.alias("v"))
+    # localCheckpoint (house discipline for reused sketch metadata):
+    # materializes the <=8,192-row summary once and truncates lineage,
+    # so the four consumers below don't each recompute the bucket
+    # windows and nothing stays pinned in the cache after the query.
+    summ = stride_summary(
+        o, cents, F.col("o_orderkey"), n_buckets=64, k=128
+    ).localCheckpoint()
+    est = summary_quantiles(
+        summ, {"p25": (1, 4), "p50": (1, 2), "p90": (9, 10), "p99": (99, 100)}
+    )
+    meta = (
+        summ.select("b", "step")
+        .distinct()
+        .agg(F.sum(F.col("step") - 1).alias("err_bound"))
+        .crossJoin(summ.agg(F.count(F.lit(1)).alias("summary_rows")))
+    )
+    true_rank = (
+        base.join(F.broadcast(est), F.col("v") <= F.col("est"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("true_rank_le"))
+    )
+    out = (
+        est.join(F.broadcast(true_rank), "label")
+        .crossJoin(F.broadcast(meta))
+        .select(
+            "label",
+            "prob",
+            "rank",
+            F.col("est").alias("est_cents"),
+            (F.col("est").cast("double") / 100).alias("est_price"),
+            "true_rank_le",
+            "err_bound",
+            "summary_rows",
+        )
+    )
+    return out
