@@ -44,6 +44,7 @@ def query(name: str, oracle: str | None = None):
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
+        wrapped.__module__ = fn.__module__  # keep the defining plan module
         REGISTRY[name] = QuerySpec(name=name, fn=wrapped, oracle=oracle, doc=fn.__doc__ or "")
         return wrapped
 
