@@ -212,48 +212,67 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_plane_dot(vec: str, table: str, plane: int) -> str:
-    """DuckDB twin of ``srp_bucket``'s per-plane dot product: the
-    hyperplane component for (table, plane, dim=i-1) is the same
-    integer-hash arithmetic as ``_plane_component`` (exact in BIGINT,
-    exact double scaling), and the sum folds left-to-right exactly
-    like Spark's ``F.aggregate`` — bit-identical buckets."""
-    comp = (
-        f"(((({table}*524287 + {plane}*8191) + i) * 2654435761) % 2147483648)"
-        f" / 1073741824.0 - 1.0"
-    )
-    return (
+def _sql_srp_planes_values(n_planes: int, n_tables: int, dim: int = 64) -> str:
+    """VALUES rows (_table, _pw, comps) carrying the md5-derived
+    hyperplane components as literal DOUBLE lists — the DuckDB twin of
+    ``srp_bucket``'s driver-side plane literals. ``repr`` emits the
+    shortest round-trip decimal, which both engines parse to the
+    identical double, so buckets are bit-identical by construction.
+    (The previous affine-arithmetic planes were shifts of one lattice;
+    see operators/similarity.md5_plane_components.)"""
+    from ..operators.similarity import md5_plane_components
+
+    rows = []
+    for table in range(n_tables):
+        for p in range(n_planes):
+            comps = md5_plane_components(table, p)[:dim]
+            lst = "[" + ", ".join(repr(v) for v in comps) + "]"
+            rows.append(f"({table}, {1 << p}, {lst})")
+    return ",\n      ".join(rows)
+
+
+def _sql_srp_buck_cte(src: str, vec: str, n_planes: int, n_tables: int) -> str:
+    """planes/dots/buck CTE fragment: per-(vector, table) SRP bucket id
+    via SUM of power-of-two bits over the plane dots. Fold order and
+    multiplication order match srp_bucket exactly."""
+    dot = (
         f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
-        f"list_transform(range(1, len({vec})+1), "
-        f"i -> CAST({vec}[i] AS DOUBLE) * ({comp}))), (x, y) -> x + y)"
+        f"list_transform(range(1, len(e.{vec})+1), "
+        f"i -> CAST(e.{vec}[i] AS DOUBLE) * p.comps[i])), (x, y) -> x + y)"
     )
-
-
-_SRP_BUCKET_SQL = " + ".join(
-    f"(CASE WHEN {_sql_plane_dot('e.embedding', 't._table', p)} > 0 "
-    f"THEN {1 << p} ELSE 0 END)"
-    for p in range(3)
-)
+    return f"""
+    planes AS (
+      SELECT * FROM (VALUES
+      {_sql_srp_planes_values(n_planes, n_tables)}
+      ) AS p(_table, _pw, comps)
+    ),
+    dots AS (
+      SELECT e.vec_id, p._table, p._pw, {dot} AS dot
+      FROM {src} e CROSS JOIN planes p
+    ),
+    buck AS MATERIALIZED (
+      SELECT vec_id, _table,
+             CAST(SUM(CASE WHEN dot > 0 THEN _pw ELSE 0 END) AS INTEGER)
+               AS _bucket
+      FROM dots GROUP BY vec_id, _table
+    )"""
 
 
 @query(
     "ann_srp_bucketed",
     oracle=f"""
-    WITH buck AS (
-      SELECT e.vec_id, e.embedding, t._table,
-             CAST({_SRP_BUCKET_SQL} AS INTEGER) AS _bucket
-      FROM embeddings e
-      CROSS JOIN (SELECT unnest(range(8)) AS _table) t
-    ),
+    WITH {_sql_srp_buck_cte("embeddings", "embedding", 3, 8)},
     cand AS (
-      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             q.embedding AS qv, c.embedding AS cv
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
       FROM buck q JOIN buck c
         ON q._table = c._table AND q._bucket = c._bucket
       WHERE q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id
     ),
     scored AS (
-      SELECT query_id, neighbor_id, {_cos('qv', 'cv')} AS cos_sim FROM cand
+      SELECT query_id, neighbor_id,
+             {_cos('qe.embedding', 'ce.embedding')} AS cos_sim
+      FROM cand JOIN embeddings qe ON cand.query_id = qe.vec_id
+                JOIN embeddings ce ON cand.neighbor_id = ce.vec_id
     ),
     ranked AS (
       SELECT *, row_number() OVER (PARTITION BY query_id
@@ -265,11 +284,12 @@ _SRP_BUCKET_SQL = " + ".join(
 )
 def ann_srp_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path ANN: signed-random-projection buckets (deterministic
-    hyperplanes), cosine only within the query's bucket. ~2^planes×
-    fewer comparisons; recall vs the exact baseline is asserted in
-    tests/test_dedup_similarity.py. The hyperplanes are pure integer
-    arithmetic, so the DuckDB oracle reproduces every bucket — and
-    therefore the exact candidate set — bit-for-bit."""
+    md5-derived hyperplanes — driver-side literal metadata), cosine
+    only within the query's bucket. ~2^planes× fewer comparisons;
+    recall vs the exact baseline is asserted in
+    tests/test_dedup_similarity.py. The oracle rebuilds the identical
+    plane literals, so buckets — and therefore the exact candidate
+    set — match bit-for-bit."""
     e = t(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") % 100 == 0)
     return S.srp_bucketed_topk(queries, e, "vec_id", "embedding", k=5, n_planes=3, n_tables=8)
@@ -689,4 +709,223 @@ def embeddings_pq_code_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("vec_id").alias("max_id"),
         )
         .filter(F.col("n_members") >= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Density clustering: DBSCAN over the SRP candidate ε-graph
+# (operators/similarity.dbscan_labels). The near-uniform fixture has no
+# native density structure (same-label mean cos ≈ 0.002), so the query
+# plants it: orthogonalized star perturbations around every 10th vector
+# give exact cos(base, arm) = 1/sqrt(1+a²) ≈ 0.876 and
+# cos(arm_i, arm_j) ≈ 1/(1+a²) ≤ 0.76 — a clean ε band at 0.85.
+# ---------------------------------------------------------------------------
+
+_DB_A = "0.55"  # perturbation magnitude; cos(base, arm) = 1/sqrt(1+a²)
+_DB_EPS = 0.85
+_DB_PLANES = 4
+_DB_TABLES = 6
+
+
+def _db_plane(j: str, i: str = "i") -> str:
+    """DuckDB twin of _plane_component(77, j, dim) with 1-based i."""
+    return (
+        f"(((((77*524287 + ({j})*8191) + {i}) * 2654435761) % 2147483648)"
+        f" / 1073741824.0 - 1.0)"
+    )
+
+
+def _db_fold(elem: str, n: str = "len(v)") -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(range(1, {n}+1), i -> {elem})), (x, y) -> x + y)"
+    )
+
+
+def _db_variant_sql(j: int, id_off: int, src: str) -> str:
+    """One orthogonalized variant: v' = v + (a·||v||/||p||)·p with
+    p = c - (c·v / v·v)·v — identical op order to the Spark builder."""
+    c = _db_plane(str(j))
+    p = f"({c} - (dcv / dvv) * v[i])"
+    return f"""
+      SELECT vec_id + {id_off} AS vec_id,
+             list_transform(range(1, len(v)+1),
+               i -> v[i] + ({_DB_A} * sqrt(dvv) / sqrt(dpp)) * {p}) AS v
+      FROM (
+        SELECT vec_id, v, dcv, dvv,
+               {_db_fold(f"{p} * {p}")} AS dpp
+        FROM (
+          SELECT vec_id, v,
+                 {_db_fold(f"v[i] * {c}")} AS dcv,
+                 {_db_fold("v[i] * v[i]")} AS dvv
+          FROM {src}
+        )
+      )
+    """
+
+
+
+
+@query(
+    "embeddings_dbscan",
+    oracle=f"""
+    WITH RECURSIVE base AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE vec_id % 5 = 0
+    ),
+    star_bases AS (SELECT * FROM base WHERE vec_id % 10 = 0),
+    pair_bases AS (SELECT * FROM base WHERE vec_id % 10 = 5),
+    corpus AS MATERIALIZED (
+      SELECT vec_id, v FROM base
+      UNION ALL
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+      FROM embeddings WHERE vec_id % 5 = 1
+      UNION ALL {_db_variant_sql(0, 1000000, "star_bases")}
+      UNION ALL {_db_variant_sql(1, 2000000, "star_bases")}
+      UNION ALL {_db_variant_sql(2, 3000000, "star_bases")}
+      UNION ALL {_db_variant_sql(0, 1000000, "pair_bases")}
+    ),{_sql_srp_buck_cte("corpus", "v", _DB_PLANES, _DB_TABLES)},
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM buck a JOIN buck b
+        ON a._table = b._table AND a._bucket = b._bucket
+      WHERE a.vec_id < b.vec_id
+    ),
+    edges AS MATERIALIZED (
+      SELECT id_a, id_b
+      FROM cand JOIN corpus a ON cand.id_a = a.vec_id
+                JOIN corpus b ON cand.id_b = b.vec_id
+      WHERE {_cos('a.v', 'b.v')} >= {_DB_EPS}
+    ),
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM edges
+      UNION ALL SELECT id_b, id_a FROM edges
+    ),
+    core AS (
+      SELECT src AS node FROM sym GROUP BY src HAVING COUNT(*) >= 3
+    ),
+    core_sym AS (
+      SELECT s.src AS a, s.dst AS b FROM sym s
+      WHERE s.src IN (SELECT node FROM core)
+        AND s.dst IN (SELECT node FROM core)
+    ),
+    walk(node, r) AS (
+      SELECT DISTINCT a, a FROM core_sym
+      UNION
+      SELECT w.node, e.b FROM walk w JOIN core_sym e ON e.a = w.r
+    ),
+    cc AS (SELECT node, MIN(r) AS comp FROM walk GROUP BY node),
+    core_lab AS MATERIALIZED (
+      SELECT node, comp FROM cc
+      UNION ALL
+      SELECT node, node FROM core
+      WHERE node NOT IN (SELECT node FROM cc)
+    ),
+    border_lab AS MATERIALIZED (
+      SELECT s.src AS node, MIN(cl.comp) AS comp
+      FROM sym s JOIN core_lab cl ON s.dst = cl.node
+      WHERE s.src NOT IN (SELECT node FROM core)
+      GROUP BY s.src
+    ),
+    labels AS (
+      SELECT node, comp, 'core' AS role FROM core_lab
+      UNION ALL
+      SELECT node, comp, 'border' FROM border_lab
+      UNION ALL
+      SELECT vec_id, -1, 'noise' FROM corpus
+      WHERE vec_id NOT IN (SELECT node FROM core_lab)
+        AND vec_id NOT IN (SELECT node FROM border_lab)
+    )
+    SELECT comp AS cluster_rep,
+           CAST(SUM(CASE WHEN role = 'core' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_core,
+           CAST(SUM(CASE WHEN role = 'border' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_border,
+           CAST(SUM(CASE WHEN role = 'noise' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_noise
+    FROM labels GROUP BY comp
+    """,
+)
+def embeddings_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN over the SRP ε-graph with planted density structure:
+    every 10th vector becomes a STAR (base + 3 orthogonalized
+    perturbation arms at exact cos 1/sqrt(1+a²) ≈ 0.876, arms mutually
+    ≤ 0.76), every (10k+5)th a PAIR (base + 1 arm — an edge with no
+    core, DBSCAN's subtlest case), and every (5k+1)th an untouched
+    singleton. At eps=0.85, minPts=3: star bases are CORE, their arms
+    BORDER (attached to the min core-neighbor's component — the
+    deterministic resolution of DBSCAN's border ambiguity), pairs and
+    singletons NOISE. Candidates come from the SRP bucket equi-join
+    (never all-pairs); the oracle replays hyperplanes, ε-graph, degree
+    rule, component walk, and border attachment bit-for-bit.
+
+    Scale shape: candidate generation is the bucketed near-dup join;
+    CC runs only on the (tiny) core-core graph; border assignment is
+    one join against core labels. Per-cluster rollup output."""
+    e = t(spark, sf_dir, "embeddings")
+    dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = e.filter(F.col("vec_id") % 5 == 0).select("vec_id", dv.alias("v"))
+    singles = e.filter(F.col("vec_id") % 5 == 1).select(
+        "vec_id", dv.alias("v")
+    )
+    star_bases = base.filter(F.col("vec_id") % 10 == 0)
+    pair_bases = base.filter(F.col("vec_id") % 10 == 5)
+
+    def variant(src: DataFrame, j: int, id_off: int) -> DataFrame:
+        vcol = F.col("v")
+        dims = F.sequence(F.lit(0), F.size(vcol) - 1)
+        cvec = F.transform(dims, lambda d: S._plane_component(77, j, d))
+        dcv = F.aggregate(
+            F.zip_with(vcol, cvec, lambda x, c: x * c),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        dvv = F.aggregate(
+            F.zip_with(vcol, vcol, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        pvec = F.zip_with(cvec, vcol, lambda c, x: c - (dcv / dvv) * x)
+        dpp = F.aggregate(
+            F.zip_with(pvec, pvec, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        scale = F.lit(float(_DB_A)) * F.sqrt(dvv) / F.sqrt(dpp)
+        vnew = F.zip_with(vcol, pvec, lambda x, p: x + scale * p)
+        return src.select(
+            (F.col("vec_id") + id_off).alias("vec_id"), vnew.alias("v")
+        )
+
+    # localCheckpoint: the variant builder is a deeply nested HOF
+    # expression (folds referencing folds); inlining it into the 24
+    # SRP plane folds downstream makes the Catalyst tree explode
+    # multiplicatively. Materializing the (small, planted) corpus cuts
+    # the scaffolding out of the clustering plan — which is also what
+    # a real pipeline does: cluster a stored corpus, not a formula.
+    corpus = (
+        base.unionByName(singles)
+        .unionByName(variant(star_bases, 0, 1000000))
+        .unionByName(variant(star_bases, 1, 2000000))
+        .unionByName(variant(star_bases, 2, 3000000))
+        .unionByName(variant(pair_bases, 0, 1000000))
+        .localCheckpoint()
+    )
+    lab = S.dbscan_labels(
+        corpus,
+        "vec_id",
+        "v",
+        eps_cos=_DB_EPS,
+        min_pts=3,
+        n_planes=_DB_PLANES,
+        n_tables=_DB_TABLES,
+    )
+    return lab.groupBy(F.col("comp").alias("cluster_rep")).agg(
+        F.sum(F.when(F.col("role") == "core", 1).otherwise(0)).alias("n_core"),
+        F.sum(F.when(F.col("role") == "border", 1).otherwise(0)).alias(
+            "n_border"
+        ),
+        F.sum(F.when(F.col("role") == "noise", 1).otherwise(0)).alias(
+            "n_noise"
+        ),
     )
