@@ -5469,3 +5469,88 @@ def orders_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement: priority sampling
+# (operators/sampling.priority_sample) — the corpus-subsampling
+# primitive with calibrated totals.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_priority_sample",
+    oracle="""
+    WITH sc AS (
+      SELECT o_orderkey AS key, o_totalprice AS w,
+             o_totalprice / ((list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(
+                 substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8), ''),
+                 c -> CAST(CASE WHEN ascii(c) >= 97 THEN ascii(c) - 87
+                      ELSE ascii(c) - 48 END AS BIGINT))),
+               (acc, d) -> acc * 16 + d) + 1) / 4294967296.0) AS priority
+      FROM orders
+    ),
+    rk AS (
+      SELECT *, row_number() OVER (ORDER BY priority DESC, key) AS rn
+      FROM sc
+    ),
+    tau AS (SELECT priority AS tau FROM rk WHERE rn = 51),
+    samp AS (SELECT key, w, priority FROM rk WHERE rn <= 50),
+    est AS (
+      SELECT CAST(SUM(CAST(greatest(w, tau) AS DECIMAL(18,4))) AS DOUBLE)
+        AS est_total
+      FROM samp, tau
+    ),
+    tot AS (
+      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        AS true_total
+      FROM orders
+    )
+    SELECT samp.key AS o_orderkey, samp.w, samp.priority,
+           tau.tau, greatest(samp.w, tau.tau) AS w_hat,
+           est.est_total, tot.true_total
+    FROM samp, tau, est, tot
+    """,
+)
+def orders_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRIORITY SAMPLING (Duffield–Lund–Thorup): a 50-row weighted
+    sample of orders by o_totalprice whose per-row estimator
+    max(w, tau) sums to an unbiased estimate of total revenue — the
+    subsample-with-calibrated-totals primitive a corpus pipeline needs
+    when it trains on 1% but reports on 100%. The per-key uniform is
+    the md5 hash (nonlinear — the HLL lattice lesson), priorities are
+    one division, and the selected SET is deterministic, so the oracle
+    reproduces the exact sample, threshold tau, and estimate. est vs
+    true total lands within the O(1/sqrt(k)) bound in the output.
+
+    Scale shape: top-(k+1) priorities via TakeOrderedAndProject (heap
+    per partition, driver merge of 51-row heads) — no global sort, no
+    shuffle of the fact table; estimator arithmetic runs on k rows."""
+    from ..operators.sampling import priority_sample
+
+    o = t(spark, sf_dir, "orders")
+    samp = priority_sample(o, "o_orderkey", F.col("o_totalprice"), k=50)
+    est = samp.agg(
+        F.sum(F.col("w_hat").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("est_total")
+    )
+    tot = o.agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("true_total")
+    )
+    return (
+        samp.crossJoin(F.broadcast(est))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("key").alias("o_orderkey"),
+            "w",
+            "priority",
+            "tau",
+            "w_hat",
+            "est_total",
+            "true_total",
+        )
+    )

@@ -1129,3 +1129,122 @@ def doc_nb_margin_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         - (F.col("n_pos") * (F.col("n_pos") + 1)).cast("double") / 2
     ) / (F.col("n_pos").cast("double") * F.col("n_neg"))
     return sums.select("n_pos", "n_neg", auc.alias("auc"))
+
+
+# ---------------------------------------------------------------------------
+# Hashing-trick featurizer: fixed-width sparse features with NO
+# vocabulary — the feature path that never shuffles a vocab table.
+# ---------------------------------------------------------------------------
+
+_FOLD_TOK_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split(tok, ''), "
+    "c -> CAST(ascii(c) AS BIGINT))), (acc, c) -> (acc*31 + c) % 2147483647)"
+)
+
+
+@query(
+    "doc_hashed_features",
+    oracle=f"""
+    WITH tokpos AS (
+      SELECT doc_id, u.pos, u.tok
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len({_TOKENS_SQL})+1),
+                      i -> struct_pack(pos := i, tok := {_TOKENS_SQL}[i])))
+                 AS u
+        FROM documents
+      )
+    ),
+    dim AS (
+      SELECT tok, {_FOLD_TOK_SQL} AS h
+      FROM (SELECT DISTINCT tok FROM tokpos)
+    ),
+    tp AS (
+      SELECT t.doc_id, t.pos, d.h,
+             lead(d.h) OVER (PARTITION BY t.doc_id ORDER BY t.pos) AS h2
+      FROM tokpos t JOIN dim d USING (tok)
+    ),
+    feats AS (
+      SELECT doc_id, h % 1024 AS bucket FROM tp
+      UNION ALL
+      SELECT doc_id, ((h * 131 + h2) % 2147483647) % 1024
+      FROM tp WHERE h2 IS NOT NULL
+    ),
+    cnt AS (
+      SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS c
+      FROM feats GROUP BY doc_id, bucket
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS nnz,
+           CAST(SUM(c) AS BIGINT) AS total_terms,
+           (min(struct_pack(nc := -c, b := bucket))).b AS top_bucket,
+           CAST(-(min(struct_pack(nc := -c, b := bucket))).nc AS BIGINT)
+             AS top_count,
+           CAST(SUM(bucket * c) % 2147483647 AS BIGINT) AS checksum
+    FROM cnt GROUP BY doc_id
+    """,
+)
+def doc_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASHING-TRICK featurizer (Weinberger et al., ICML'09): unigram +
+    bigram counts hashed into a FIXED 1024-bucket feature space — the
+    text-feature path that needs no vocabulary table, so at 100 TB
+    nothing vocabulary-sized is built, broadcast, or shuffled; feature
+    width is a constant chosen up front and collisions are the
+    accepted trade. Per-token char hashing goes through a DISTINCT-
+    token dim join (the interpreted-HOF lesson: hash each distinct
+    token once, not every occurrence); bigrams come from one lead() over
+    the document's token positions. Output certifies the full sparse
+    vector per doc: nonzero count, total terms, argmax bucket
+    (deterministic (-count, bucket) tiebreak), and an order-free
+    Σ(bucket·count) mod P checksum.
+
+    Scale shape: posexplode → one doc_id-partitioned window (shuffle
+    1) → bucket counts re-use the same doc_id prefix (shuffle 2,
+    AQE-coalesced) → per-doc rollup on the same key. The token dim is
+    broadcast."""
+    d = t(spark, sf_dir, "documents")
+    P, D = 2147483647, 1024
+    tokpos = d.select(
+        "doc_id", F.posexplode(X.tokens(F.col("text"))).alias("pos", "tok")
+    )
+    dim = (
+        tokpos.select("tok")
+        .distinct()
+        .withColumn("h", X.char_fold_hash(F.col("tok")))
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    tp = (
+        tokpos.join(F.broadcast(dim), "tok")
+        .withColumn("h2", F.lead("h").over(w))
+    )
+    uni = tp.select("doc_id", (F.col("h") % D).alias("bucket"))
+    bi = tp.filter(F.col("h2").isNotNull()).select(
+        "doc_id",
+        (((F.col("h") * 131 + F.col("h2")) % P) % D).alias("bucket"),
+    )
+    cnt = (
+        uni.unionByName(bi)
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = F.min(
+        F.struct((-F.col("c")).alias("nc"), F.col("bucket").alias("b"))
+    )
+    return (
+        cnt.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("nnz"),
+            F.sum("c").alias("total_terms"),
+            top.alias("_m"),
+            (F.sum(F.col("bucket") * F.col("c")) % P).alias("checksum"),
+        )
+        .select(
+            "doc_id",
+            "nnz",
+            "total_terms",
+            F.col("_m.b").alias("top_bucket"),
+            (-F.col("_m.nc")).alias("top_count"),
+            "checksum",
+        )
+    )
