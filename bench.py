@@ -75,6 +75,18 @@ HEADLINE = [
     "ann_ivf_pq_adc",
     "dedup_prefix_filter_join",
     "doc_dup_substring_coverage",
+    # round 2 (cont. 4): disjunctive-nation star join (Q8), double
+    # EXISTS/NOT-EXISTS correlation (Q21), mergeable quantile sketch,
+    # vocab-free feature hashing, top-N-over-join (Q10), weighted
+    # priority sampling. (embeddings_dbscan is correctness-gated but
+    # not benched: its cost is ~15 tiny fixed-overhead stages on a
+    # 400-row planted corpus — pure constant cost, no data signal.)
+    "q8_market_share",
+    "q21_waiting_suppliers",
+    "orders_quantile_sketch",
+    "doc_hashed_features",
+    "q10_returned_items",
+    "orders_priority_sample",
 ]
 
 
