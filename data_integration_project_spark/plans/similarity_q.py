@@ -212,6 +212,15 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dlit(v: float) -> str:
+    """DOUBLE literal for DuckDB: repr plus an exponent marker — a bare
+    decimal literal (even inside CAST([...] AS DOUBLE[])) materializes
+    as DECIMAL first and loses the exact round-trip; an 'e'-form
+    literal types as DOUBLE natively."""
+    r = repr(v)
+    return r if "e" in r or "E" in r else r + "e0"
+
+
 def _sql_srp_planes_values(n_planes: int, n_tables: int, dim: int = 64) -> str:
     """VALUES rows (_table, _pw, comps) carrying the md5-derived
     hyperplane components as literal DOUBLE lists — the DuckDB twin of
@@ -226,7 +235,7 @@ def _sql_srp_planes_values(n_planes: int, n_tables: int, dim: int = 64) -> str:
     for table in range(n_tables):
         for p in range(n_planes):
             comps = md5_plane_components(table, p)[:dim]
-            lst = "[" + ", ".join(repr(v) for v in comps) + "]"
+            lst = "[" + ", ".join(_dlit(v) for v in comps) + "]"
             rows.append(f"({table}, {1 << p}, {lst})")
     return ",\n      ".join(rows)
 
@@ -928,4 +937,225 @@ def embeddings_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("role") == "noise", 1).otherwise(0)).alias(
             "n_noise"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar (int8) quantization: 4× smaller embeddings for storage/IO at
+# 100 TB — per-dimension affine codes with certified reconstruction.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embeddings_int8_quantization",
+    oracle="""
+    WITH vals AS (
+      SELECT vec_id, u.pos, CAST(u.val AS DOUBLE) AS x
+      FROM (
+        SELECT vec_id,
+               unnest(list_transform(range(1, len(embedding)+1),
+                      i -> struct_pack(pos := i, val := embedding[i]))) AS u
+        FROM embeddings
+      )
+    ),
+    stats AS (
+      SELECT pos, MIN(x) AS lo, MAX(x) AS hi FROM vals GROUP BY pos
+    ),
+    coded AS (
+      SELECT v.vec_id, v.pos, v.x, s.lo, s.hi,
+             CASE WHEN s.hi = s.lo THEN 0
+                  ELSE CAST(floor((v.x - s.lo) * 255.0 / (s.hi - s.lo) + 0.5)
+                       AS BIGINT) END AS code
+      FROM vals v JOIN stats s USING (pos)
+    ),
+    recon AS (
+      SELECT vec_id, pos, code,
+             abs(x - (lo + code * ((hi - lo) / 255.0))) AS err
+      FROM coded
+    )
+    SELECT vec_id,
+           CAST(SUM(code * pos) % 2147483647 AS BIGINT) AS code_checksum,
+           MAX(err) AS max_abs_err,
+           CAST(SUM(CAST(err * err AS DECIMAL(18,14))) AS DOUBLE) AS sse
+    FROM recon GROUP BY vec_id
+    """,
+)
+def embeddings_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALAR QUANTIZATION: per-dimension affine int8 codes
+    (code = floor((x−lo)·255/(hi−lo) + 0.5), the +0.5 floor matching
+    DuckDB's cast rounding) — the 4× storage/IO reduction applied to
+    embedding columns before they hit 100 TB of parquet, with the
+    dequantization error certified per vector: an order-free
+    Σ code·pos mod P checksum pins every code, max_abs_err bounds the
+    distortion (≤ half a quantization step per dim by construction),
+    and the exact-decimal SSE makes the error itself hash-comparable.
+
+    Scale shape: one 64-group min/max aggregate (map-side partial),
+    broadcast of the 64-row stats table back onto the exploded values,
+    one vec_id rollup — the stats table is sketch metadata, the data
+    never moves twice."""
+    e = t(spark, sf_dir, "embeddings")
+    P = 2147483647
+    vals = e.select(
+        "vec_id",
+        F.posexplode(F.col("embedding")).alias("pos0", "xf"),
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    stats = vals.groupBy("pos").agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi")
+    )
+    coded = vals.join(F.broadcast(stats), "pos").withColumn(
+        "code",
+        F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("long")).otherwise(
+            F.floor(
+                (F.col("x") - F.col("lo"))
+                * 255.0
+                / (F.col("hi") - F.col("lo"))
+                + 0.5
+            ).cast("long")
+        ),
+    )
+    recon = coded.withColumn(
+        "err",
+        F.abs(
+            F.col("x")
+            - (F.col("lo") + F.col("code") * ((F.col("hi") - F.col("lo")) / 255.0))
+        ),
+    )
+    return recon.groupBy("vec_id").agg(
+        (F.sum(F.col("code") * F.col("pos")) % P).alias("code_checksum"),
+        F.max("err").alias("max_abs_err"),
+        F.sum((F.col("err") * F.col("err")).cast("decimal(18,14)"))
+        .cast("double")
+        .alias("sse"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Johnson–Lindenstrauss random projection: 64 → 16 dims with certified
+# distance distortion — the "make ANN 4× cheaper" preprocessing step.
+# ---------------------------------------------------------------------------
+
+_JL_K = 16
+
+
+def _jl_proj_sql(vec: str) -> str:
+    """Projected vector [y_0..y_15]: y_j = v · c_j with the md5 plane
+    literals (table 0, planes 0..15 — the same driver-side metadata
+    recipe as SRP). Left-to-right folds, identical to the Spark
+    builder."""
+    from ..operators.similarity import md5_plane_components
+
+    comps = []
+    for j in range(_JL_K):
+        lst = (
+            "[" + ", ".join(_dlit(v) for v in md5_plane_components(0, j)[:64]) + "]"
+        )
+        comps.append(
+            f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            f"list_transform(range(1, len({vec})+1), "
+            f"i -> CAST({vec}[i] AS DOUBLE) * ({lst})[i])), (x, y) -> x + y)"
+        )
+    return "[" + ", ".join(comps) + "]"
+
+
+_JL_D2F = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "list_transform(range(1, len({a})+1), "
+    "i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) "
+    "* (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)))), (x, y) -> x + y)"
+)
+
+
+@query(
+    "embeddings_jl_projection",
+    oracle=f"""
+    WITH proj AS MATERIALIZED (
+      SELECT vec_id, embedding, {_jl_proj_sql('embedding')} AS y
+      FROM embeddings WHERE vec_id % 25 = 0
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {_JL_D2F.format(a='a.embedding', b='b.embedding')} AS d2_orig,
+             {_JL_D2F.format(a='a.y', b='b.y')} AS d2_proj
+      FROM proj a JOIN proj b ON b.vec_id = a.vec_id + 25
+      WHERE a.vec_id % 50 = 0
+    )
+    SELECT id_a, id_b, d2_orig,
+           3.0 * d2_proj / {_JL_K} AS d2_proj_scaled,
+           (3.0 * d2_proj / {_JL_K}) / d2_orig AS distortion
+    FROM pairs
+    """,
+)
+def embeddings_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOHNSON–LINDENSTRAUSS projection 64 → 16 dims: y_j = v·c_j with
+    the md5-derived plane literals (uniform [-1,1) components, so
+    E[3·|y_a−y_b|²/k] = |a−b|² — the 3/k factor is the variance
+    correction for uniform rather than gaussian entries). Output
+    reports the certified per-pair distortion of the projection on a
+    deterministic pair sample — the preprocessing that makes downstream
+    ANN 4× cheaper in memory/IO while distances survive within the JL
+    bound.
+
+    Scale shape: the projection is 16 codegen-safe folds against
+    literal metadata per row (no shuffle at all); the distortion audit
+    joins a tiny deterministic sample."""
+    from ..operators.similarity import md5_plane_components
+
+    e = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 25 == 0)
+
+    def proj(vcol):
+        cols = []
+        for j in range(_JL_K):
+            comps = F.array(
+                *[F.lit(v) for v in md5_plane_components(0, j)]
+            )
+            cols.append(
+                F.aggregate(
+                    F.zip_with(
+                        vcol,
+                        F.slice(comps, F.lit(1), F.size(vcol)),
+                        lambda x, c: x.cast("double") * c,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            )
+        return F.array(*cols)
+
+    def d2(a, b):
+        return F.aggregate(
+            F.zip_with(
+                a,
+                b,
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    p = e.select("vec_id", "embedding", proj(F.col("embedding")).alias("y")).localCheckpoint()
+    a = p.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        F.col("y").alias("ya"),
+    ).filter(F.col("id_a") % 50 == 0)
+    b = p.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        F.col("y").alias("yb"),
+    )
+    pairs = a.join(b, F.col("id_b") == F.col("id_a") + 25)
+    d2o = d2(F.col("va"), F.col("vb"))
+    d2p = d2(F.col("ya"), F.col("yb"))
+    return pairs.select(
+        "id_a",
+        "id_b",
+        d2o.alias("d2_orig"),
+        (F.lit(3.0) * d2p / _JL_K).alias("d2_proj_scaled"),
+        ((F.lit(3.0) * d2p / _JL_K) / d2o).alias("distortion"),
     )
