@@ -4037,3 +4037,87 @@ def events_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n1 long, n2 long, m12 long, lincoln_petersen_estimate long, "
         "chapman_estimate long",
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval (range) join via time-grain bucketing — the equi-join
+# rewrite that keeps a timestamp-containment join off the O(N·M) path.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_interval_join",
+    oracle="""
+    WITH win AS (
+      SELECT event_id AS window_id, ts AS ws,
+             ts + INTERVAL 10 MINUTE AS we,
+             epoch_ms(ts) // 600000 AS g0
+      FROM events WHERE event_type = 'error'
+    ),
+    wg AS (
+      SELECT window_id, ws, we, unnest([g0, g0 + 1]) AS g FROM win
+    ),
+    eg AS (
+      SELECT ts, event_type, value, epoch_ms(ts) // 600000 AS g
+      FROM events
+    ),
+    j AS (
+      SELECT w.window_id, e.event_type, e.value
+      FROM wg w JOIN eg e
+        ON w.g = e.g AND e.ts >= w.ws AND e.ts < w.we
+    )
+    SELECT window_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM j GROUP BY window_id
+    """,
+)
+def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL JOIN by time-grain bucketing: every error event opens a
+    10-minute incident window; which events fall inside any window?
+    The naive form is a range-predicate theta join (O(events×windows)
+    — Spark would emit BroadcastNestedLoopJoin). Instead both sides
+    key by a 10-minute grain (windows explode to their ≤2 covering
+    grains, events to exactly one), the join becomes an EQUI-join on
+    the grain, and the containment predicate only verifies in-bucket
+    candidates. Grain width == window width bounds the fan-out at 2
+    and guarantees each (window, event) pair meets in exactly one
+    grain — no post-join dedup.
+
+    Scale shape: one shuffle per side on the grain key; candidate
+    volume is |windows|·(2·grain density), independent of total span.
+    The same rewrite handles any bounded-width interval join (session
+    attribution, maintenance windows, outage blame)."""
+    ev = t(spark, sf_dir, "events")
+    grain = lambda c: F.floor(F.unix_millis(c) / 600000).cast("long")
+    win = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("window_id"),
+        F.col("ts").alias("ws"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("we"),
+        grain(F.col("ts")).alias("g0"),
+    )
+    wg = win.select(
+        "window_id",
+        "ws",
+        "we",
+        F.explode(F.array(F.col("g0"), F.col("g0") + 1)).alias("g"),
+    )
+    eg = ev.select(
+        "ts", "event_type", "value", grain(F.col("ts")).alias("g")
+    )
+    j = wg.join(
+        eg,
+        (wg.g == eg.g) & (eg.ts >= wg.ws) & (eg.ts < wg.we),
+    )
+    return j.groupBy("window_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("n_purchases"),
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        ).alias("value_cents"),
+    )
