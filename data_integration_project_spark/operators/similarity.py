@@ -26,8 +26,11 @@ from ..functions.vectors import cosine
 _KNUTH = 2654435761
 
 # widest embedding dimension the precomputed plane literals cover;
-# srp_bucket slices to the actual vector length at runtime
-_SRP_MAX_DIM = 256
+# srp_bucket slices to the actual vector length at runtime. Kept at the
+# fixture's dimension: every literal lands in the serialized plan and
+# in every task's codegen, so 4× headroom here is 4× plan bloat —
+# raise it (or parameterize) when a wider embedding column appears.
+_SRP_MAX_DIM = 64
 
 
 def _plane_component(table: int, plane: int, dim: Column) -> Column:

@@ -1688,3 +1688,147 @@ def doc_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer TRAINING in-engine: three greedy merge rounds over the
+# corpus vocabulary (doc_bpe_pair_counts is one round's counting; this
+# is the full count → argmax → merge → recount loop).
+# ---------------------------------------------------------------------------
+
+_BPE_SEP = "\x1f"
+
+
+def _bpe_merge_sql(vocab: str, best: str) -> str:
+    """Greedy leftmost merge of the round's best pair into every
+    word's separator-joined symbol string. The fold keeps the merged
+    prefix as a STRING and tests whether its SUFFIX is a complete
+    symbol equal to `a` (string boundaries via chr(31)), which is
+    exactly the array-fold semantics: [a,a,a] + (a,a) → [aa,a], never
+    the overlapping [aa,aa←]."""
+    return f"""
+      SELECT list_reduce(list_prepend('', string_split(v.seq, chr(31))),
+               (acc, x) -> CASE
+                 WHEN acc = '' THEN x
+                 WHEN x = b.b AND (acc = b.a
+                                   OR ends_with(acc, chr(31) || b.a))
+                   THEN left(acc, length(acc) - length(b.a)) || b.a || b.b
+                 ELSE acc || chr(31) || x END) AS seq,
+             v.freq
+      FROM {vocab} v CROSS JOIN {best} b"""
+
+
+def _bpe_round_sql(i: int) -> str:
+    return f"""
+    pairs{i} AS (
+      SELECT u.a, u.b, freq FROM (
+        SELECT freq,
+               unnest(list_transform(range(1, len(l)),
+                      j -> struct_pack(a := l[j], b := l[j+1]))) AS u
+        FROM (SELECT string_split(seq, chr(31)) AS l, freq FROM vocab{i})
+        WHERE len(l) >= 2
+      )
+    ),
+    best{i} AS (
+      SELECT a, b, CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM pairs{i} GROUP BY a, b
+      ORDER BY cnt DESC, a, b LIMIT 1
+    ),
+    vocab{i + 1} AS MATERIALIZED ({_bpe_merge_sql(f"vocab{i}", f"best{i}")})"""
+
+
+@query(
+    "doc_bpe_train_merges",
+    oracle=f"""
+    WITH vocab0 AS MATERIALIZED (
+      SELECT array_to_string(string_split(tok, ''), chr(31)) AS seq,
+             CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (
+        SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+        FROM documents
+      ) WHERE tok <> '' GROUP BY tok
+    ),
+    {','.join(_bpe_round_sql(i) for i in range(3))}
+    SELECT CAST(0 AS INT) AS merge_round, a AS sym_a, b AS sym_b,
+           cnt AS pair_count FROM best0
+    UNION ALL
+    SELECT 1, a, b, cnt FROM best1
+    UNION ALL
+    SELECT 2, a, b, cnt FROM best2
+    """,
+)
+def doc_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE TOKENIZER TRAINING (Sennrich et al., ACL'16), three merge
+    rounds fully in-engine: split the corpus VOCABULARY (distinct
+    token → occurrence count — the classic BPE trick: pair statistics
+    over the vocab weighted by frequency, never over raw text) into
+    character symbols, then per round count adjacent symbol pairs,
+    take the global argmax (count desc, pair lexicographic — a total
+    order), and greedily merge it into every word. The merge is a
+    boundary-aware string fold ([a,a,a] + (a,a) → [aa,a], leftmost
+    non-overlapping), identical in both engines.
+
+    Scale shape: the vocab is a distinct-token aggregate (one shuffle
+    of token hashes, map-side combined); each round is one pair-count
+    aggregate over |vocab| rows + a TakeOrdered(1) + one projection —
+    per-round cost scales with vocabulary size, not corpus size, which
+    is what makes BPE trainable on a 100 TB corpus at all. The best
+    pair per round is driver-side metadata (like k-means centroids).
+
+    Output: (merge_round, sym_a, sym_b, pair_count) for rounds 0-2."""
+    from ..functions.text import tokens
+
+    SEP = _BPE_SEP
+    d = t(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.array_join(F.split(F.col("tok"), ""), SEP).alias("seq"),
+            "freq",
+        )
+        .localCheckpoint()
+    )
+    merges = []
+    for rnd in range(3):
+        sym = F.split(F.col("seq"), SEP)
+        pair_structs = F.zip_with(
+            F.slice(sym, 1, F.size(sym) - 1),
+            F.slice(sym, 2, F.size(sym) - 1),
+            lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+        )
+        prs = vocab.filter(F.size(sym) >= 2).select(
+            "freq", F.explode(pair_structs).alias("p")
+        )
+        best = (
+            prs.groupBy(
+                F.col("p.a").alias("a"), F.col("p.b").alias("b")
+            )
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()[0]
+        )
+        merges.append((rnd, best["a"], best["b"], best["cnt"]))
+        a, b = best["a"], best["b"]
+        merged = F.aggregate(
+            F.split(F.col("seq"), SEP),
+            F.lit(""),
+            lambda acc, x: F.when(acc == "", x)
+            .when(
+                (x == b)
+                & ((acc == a) | F.endswith(acc, F.lit(SEP + a))),
+                F.concat(
+                    F.substring(acc, F.lit(1), F.length(acc) - len(a)),
+                    F.lit(a + b),
+                ),
+            )
+            .otherwise(F.concat(acc, F.lit(SEP), x)),
+        )
+        vocab = vocab.select(merged.alias("seq"), "freq").localCheckpoint()
+    return spark.createDataFrame(
+        merges,
+        schema="merge_round int, sym_a string, sym_b string, pair_count bigint",
+    )

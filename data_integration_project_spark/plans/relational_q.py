@@ -5554,3 +5554,51 @@ def orders_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "true_total",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CUBE + GROUPING() — completes the multi-granularity trio with
+# events_multi_rollup (ROLLUP) and orders_grouping_sets (GROUPING SETS).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_cube",
+    oracle=f"""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+           COUNT(*) AS n_orders,
+           {SQL_DSUM('o_totalprice', 'total_value', 2)}
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+)
+def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (priority, status): all four granularities — detail,
+    each single-axis margin, and the grand total — in ONE pass with a
+    grouping-id disambiguator (NULL-as-data vs NULL-as-subtotal is
+    exactly what GROUPING() exists to resolve; both engines emit the
+    same 2-bit mask with the first grouping column as the high bit).
+
+    Scale shape: Catalyst expands CUBE into a 4-way Expand before the
+    aggregate — one shuffle carries |groups| × 4 partial rows, still
+    map-side combined; at 100 TB prefer aggregating the detail level
+    once and re-aggregating margins from it (events_rollup_cascade
+    shows that partial-reaggregation form) when the detail grain is
+    small enough to hold."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "total_value", 2),
+        )
+        .select(
+            "o_orderpriority",
+            "o_orderstatus",
+            F.col("gid").cast("long").alias("gid"),
+            "n_orders",
+            "total_value",
+        )
+    )
