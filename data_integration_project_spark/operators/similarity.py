@@ -66,26 +66,62 @@ def md5_plane_components(table: int, plane: int, dim_count: int = _SRP_MAX_DIM):
     return tuple(out)
 
 
+def srp_plane_dot(vec: Column, table: int, plane: int) -> Column:
+    """v · plane — the signed projection behind one bucket bit."""
+    comps = F.array(
+        *[F.lit(v) for v in md5_plane_components(table, plane)]
+    )
+    return F.aggregate(
+        F.zip_with(
+            vec,
+            F.slice(comps, F.lit(1), F.size(vec)),
+            lambda x, c: x.cast("double") * c,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def srp_bucket(vec: Column, n_planes: int, table: int = 0) -> Column:
     """Signed-random-projection bucket id: bit p = sign(v · plane_p),
     hyperplanes from :func:`md5_plane_components` (literal arrays,
     sliced to the vector's length)."""
-    bits = []
-    for p in range(n_planes):
-        comps = F.array(
-            *[F.lit(v) for v in md5_plane_components(table, p)]
+    bits = [
+        F.when(srp_plane_dot(vec, table, p) > 0, F.lit(1 << p)).otherwise(
+            F.lit(0)
         )
-        dot = F.aggregate(
-            F.zip_with(
-                vec,
-                F.slice(comps, F.lit(1), F.size(vec)),
-                lambda x, c: x.cast("double") * c,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+        for p in range(n_planes)
+    ]
     return sum(bits, start=F.lit(0)).cast("int")
+
+
+def srp_probe_buckets(vec: Column, n_planes: int, table: int) -> Column:
+    """MULTI-PROBE LSH (Lv et al., VLDB'07, reduced to one extra
+    probe): the query probes its own bucket AND the bucket reached by
+    flipping its LEAST-CONFIDENT bit — the plane whose |dot| is
+    smallest is the one a true neighbor most likely lands on the other
+    side of. Near-doubles single-table recall for +1 probe instead of
+    +1 table (probes are extra JOIN KEYS, tables are extra copies of
+    the corpus index — at 100 TB probes are almost free, tables are
+    not). Tie on |dot| breaks by plane weight, matching the oracle's
+    min-struct exactly. Returns [bucket, bucket ⊕ weakest_bit]."""
+    dots = [srp_plane_dot(vec, table, p) for p in range(n_planes)]
+    bucket = sum(
+        (
+            F.when(d > 0, F.lit(1 << p)).otherwise(F.lit(0))
+            for p, d in enumerate(dots)
+        ),
+        start=F.lit(0),
+    ).cast("int")
+    weakest_pw = F.array_min(
+        F.array(
+            *[
+                F.struct(F.abs(d).alias("a"), F.lit(1 << p).alias("pw"))
+                for p, d in enumerate(dots)
+            ]
+        )
+    )["pw"]
+    return F.array(bucket, bucket.bitwiseXOR(weakest_pw).cast("int"))
 
 
 def brute_force_topk(
@@ -839,3 +875,62 @@ def dbscan_labels(
         .withColumn("role", F.lit("noise"))
     )
     return labeled.unionByName(noise)
+
+
+def srp_multiprobe_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_planes: int = 4,
+    n_tables: int = 3,
+) -> DataFrame:
+    """Approximate top-k with multi-probe queries: the corpus is
+    indexed ONCE per table (single bucket), while each query probes
+    its bucket plus the weakest-bit flip (srp_probe_buckets) — the
+    recall of ~2× the tables at the index cost of half. Candidates
+    dedup across (table, probe) before scoring."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    ).withColumn(
+        "_tables",
+        F.array(
+            *[srp_bucket(F.col("_cv"), n_planes, t) for t in range(n_tables)]
+        ),
+    ).select(
+        "neighbor_id", "_cv", F.posexplode("_tables").alias("_table", "_bucket")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    probes = None
+    for t in range(n_tables):
+        leg = q.select(
+            "query_id",
+            "_qv",
+            F.lit(t).alias("_table"),
+            F.explode(
+                srp_probe_buckets(F.col("_qv"), n_planes, t)
+            ).alias("_bucket"),
+        )
+        probes = leg if probes is None else probes.unionByName(leg)
+    scored = (
+        probes.join(c, ["_table", "_bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "_qv", "_cv")
+        .distinct()
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("_qv"), F.col("_cv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

@@ -1159,3 +1159,61 @@ def embeddings_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(3.0) * d2p / _JL_K).alias("d2_proj_scaled"),
         ((F.lit(3.0) * d2p / _JL_K) / d2o).alias("distortion"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-probe LSH: probe the weakest-bit flip instead of adding tables.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ann_multiprobe_topk",
+    oracle=f"""
+    WITH {_sql_srp_buck_cte("embeddings", "embedding", 4, 3)},
+    qb AS (
+      SELECT vec_id, _table,
+             CAST(SUM(CASE WHEN dot > 0 THEN _pw ELSE 0 END) AS INTEGER)
+               AS _bucket,
+             (min(struct_pack(a := abs(dot), pw := _pw))).pw AS wpw
+      FROM dots WHERE vec_id % 100 = 0 GROUP BY vec_id, _table
+    ),
+    qprobes AS (
+      SELECT vec_id, _table, _bucket FROM qb
+      UNION ALL
+      SELECT vec_id, _table, CAST(xor(_bucket, wpw) AS INTEGER) FROM qb
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM qprobes q JOIN buck c
+        ON q._table = c._table AND q._bucket = c._bucket
+      WHERE q.vec_id <> c.vec_id
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             {_cos('qe.embedding', 'ce.embedding')} AS cos_sim
+      FROM cand JOIN embeddings qe ON cand.query_id = qe.vec_id
+                JOIN embeddings ce ON cand.neighbor_id = ce.vec_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-PROBE LSH ANN (Lv et al., VLDB'07): each query probes its
+    own SRP bucket AND the bucket across its least-confident
+    hyperplane (smallest |dot| — where a true neighbor most plausibly
+    fell on the other side). The corpus is indexed once per table;
+    probes add join keys, not index copies — recall comparable to
+    ~2× the tables at half the index build/storage, which is the
+    trade that matters when the corpus is the 100 TB side. Recall vs
+    single-probe is asserted in tests/test_estimators.py; the oracle
+    replays dots, weakest-bit selection, and both probes exactly."""
+    e = t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 100 == 0)
+    return S.srp_multiprobe_topk(
+        queries, e, "vec_id", "embedding", k=5, n_planes=4, n_tables=3
+    )

@@ -124,3 +124,29 @@ def test_interval_join_grain_rewrite_matches_naive_theta_join(spark):
     }
     f_rows = {(r["window_id"], r["n_events"]) for r in fast.collect()}
     assert n_rows == f_rows
+
+
+def test_multiprobe_recall_beats_single_probe(spark):
+    from data_integration_project_spark.operators import similarity as S
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = e.filter("vec_id % 50 = 0")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.brute_force_topk(q, e, "vec_id", "embedding", k=5).collect()
+    }
+    single = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.srp_bucketed_topk(
+            q, e, "vec_id", "embedding", k=5, n_planes=4, n_tables=3
+        ).collect()
+    }
+    multi = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.srp_multiprobe_topk(
+            q, e, "vec_id", "embedding", k=5, n_planes=4, n_tables=3
+        ).collect()
+    }
+    r_single = len(single & exact) / len(exact)
+    r_multi = len(multi & exact) / len(exact)
+    assert r_multi >= r_single, (r_single, r_multi)
