@@ -876,3 +876,239 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("bal_c").alias("totacctbal_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Derived partsupp — the fixture has no partsupp table, so Q2/Q11 run on
+# a DETERMINISTIC derivation from part x supplier: each part gets 4
+# suppliers by the dbgen stride rule (suppkey = (p + i*stride) mod S,
+# stride = S/4 + (p-1)/S), with supply cost / avail qty as fixed integer
+# hashes of (partkey, suppkey). Both engines derive the same rows from
+# the same two dimension tables — no synthesized input files.
+# ---------------------------------------------------------------------------
+
+SQL_PARTSUPP = """
+WITH sc AS (SELECT COUNT(*) AS c FROM supplier),
+partsupp AS (
+  SELECT DISTINCT
+    p_partkey AS ps_partkey,
+    (p_partkey + i.i * (sc.c // 4 + (p_partkey - 1) // sc.c)) % sc.c
+      AS ps_suppkey,
+    ((p_partkey * 7919
+      + ((p_partkey + i.i * (sc.c // 4 + (p_partkey - 1) // sc.c)) % sc.c)
+        * 104729) % 90000) + 10000 AS ps_supplycost_cents,
+    ((p_partkey * 31
+      + ((p_partkey + i.i * (sc.c // 4 + (p_partkey - 1) // sc.c)) % sc.c)
+        * 37) % 9999) + 1 AS ps_availqty
+  FROM part, (VALUES (0), (1), (2), (3)) AS i(i), sc
+)
+"""
+
+
+def derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark twin of ``SQL_PARTSUPP``. ``S`` (supplier count) is a
+    dimension cardinality — a metadata scalar, not a data collect; at
+    100 TB the supplier table is still dimension-sized. The 4-way
+    explode keeps everything a projection over ``part`` (no join), and
+    DISTINCT guards against stride collisions at small S (stride
+    multiples of S/k map two i's to one supplier)."""
+    s_count = int(t(spark, sf_dir, "supplier").count())
+    stride = F.lit(s_count // 4) + F.expr(f"(ps_partkey - 1) div {s_count}")
+    suppkey = (F.col("ps_partkey") + F.col("i") * stride) % s_count
+    return (
+        t(spark, sf_dir, "part")
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            F.explode(F.array(*[F.lit(k) for k in range(4)])).alias("i"),
+        )
+        .select(
+            "ps_partkey",
+            suppkey.alias("ps_suppkey"),
+            (
+                (F.col("ps_partkey") * 7919 + suppkey * 104729) % 90000 + 10000
+            ).alias("ps_supplycost_cents"),
+            ((F.col("ps_partkey") * 31 + suppkey * 37) % 9999 + 1).alias(
+                "ps_availqty"
+            ),
+        )
+        .distinct()
+    )
+
+
+def _region_partsupp(spark: SparkSession, sf_dir: str, r_name: str) -> DataFrame:
+    """partsupp restricted to suppliers in one region — supplier,
+    nation, region are all dimensions, so the whole filter side is one
+    broadcast; partsupp never shuffles to learn its region."""
+    n = t(spark, sf_dir, "nation").join(
+        F.broadcast(
+            t(spark, sf_dir, "region").filter(F.col("r_name") == r_name)
+        ),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    )
+    s = t(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return derived_partsupp(spark, sf_dir).join(
+        F.broadcast(s.select("s_suppkey", "s_name", "s_acctbal", "n_name")),
+        F.col("ps_suppkey") == F.col("s_suppkey"),
+    )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle=SQL_PARTSUPP
+    + """
+    SELECT s.s_acctbal, s.s_name, n.n_name, ps.ps_partkey AS p_partkey,
+           p.p_name,
+           CAST(ps.ps_supplycost_cents AS DOUBLE) / 100.0 AS ps_supplycost
+    FROM partsupp ps
+    JOIN part p ON p.p_partkey = ps.ps_partkey
+               AND p.p_size <= 10 AND p.p_type = 'PROMO'
+    JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'EUROPE'
+    WHERE ps.ps_supplycost_cents = (
+      SELECT MIN(ps2.ps_supplycost_cents) FROM partsupp ps2
+      JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+      JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+      JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+                    AND r2.r_name = 'EUROPE'
+      WHERE ps2.ps_partkey = ps.ps_partkey)
+    ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2: minimum-cost supplier per part within a region, over
+    the derived partsupp (see module note). The classic correlated
+    MIN subquery decorrelates to a per-part MIN aggregate joined back
+    on (partkey, cost) — integer cents make the equality exact.
+
+    Scale shape: supplier/nation/region fold into one broadcast, so
+    regional partsupp is a map-side filter of a projection over part;
+    the MIN aggregate and its join both hash on ps_partkey (one
+    shuffle key, AQE coalesced); the part filter broadcasts. Costs
+    stay integer until the final /100 projection."""
+    psr = _region_partsupp(spark, sf_dir, "EUROPE")
+    min_cost = psr.groupBy(F.col("ps_partkey").alias("mk")).agg(
+        F.min("ps_supplycost_cents").alias("min_cents")
+    )
+    pf = t(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 10) & (F.col("p_type") == "PROMO")
+    )
+    return (
+        psr.join(
+            min_cost,
+            (F.col("ps_partkey") == F.col("mk"))
+            & (F.col("ps_supplycost_cents") == F.col("min_cents")),
+        )
+        .join(F.broadcast(pf), F.col("ps_partkey") == F.col("p_partkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("ps_partkey").alias("p_partkey"),
+            "p_name",
+            (F.col("ps_supplycost_cents").cast("double") / 100.0).alias(
+                "ps_supplycost"
+            ),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+@query(
+    "q11_important_stock",
+    oracle=SQL_PARTSUPP
+    + """
+    , natps AS (
+      SELECT ps.ps_partkey, ps.ps_supplycost_cents * ps.ps_availqty AS v
+      FROM partsupp ps
+      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'EUROPE'
+    )
+    SELECT ps_partkey,
+           CAST(CAST(SUM(v) AS BIGINT) AS DOUBLE) / 100.0 AS stock_value
+    FROM natps
+    GROUP BY ps_partkey
+    HAVING SUM(v) * 1000 > 3 * (SELECT SUM(v) FROM natps)
+    ORDER BY stock_value DESC, ps_partkey
+    LIMIT 100
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11: parts whose regional stock value exceeds a fraction
+    of the region total, on the derived partsupp. The scalar-subquery
+    threshold becomes a broadcast single-row join; the inclusion test
+    is exact integer (``value·1000 > 3·total`` in cents — no float
+    fraction can flip a row between engines).
+
+    Scale shape: one ps_partkey shuffle for the group sums; the grand
+    total is a second pass over the same cached projection reduced to
+    one row (broadcast). Values stay int64 — cents·qty ≤ 1e9/row and
+    the ×1000 guard stays under 2^63 at SF100k."""
+    natps = _region_partsupp(spark, sf_dir, "EUROPE").select(
+        "ps_partkey",
+        (F.col("ps_supplycost_cents") * F.col("ps_availqty")).alias("v"),
+    ).persist()
+    total = natps.agg(F.sum("v").alias("tot"))
+    out = (
+        natps.groupBy("ps_partkey")
+        .agg(F.sum("v").alias("sv"))
+        .join(F.broadcast(total))
+        .filter(F.col("sv") * 1000 > F.lit(3) * F.col("tot"))
+        .select(
+            "ps_partkey",
+            (F.col("sv").cast("double") / 100.0).alias("stock_value"),
+        )
+        .orderBy(F.col("stock_value").desc(), "ps_partkey")
+        .limit(100)
+    )
+    return out
+
+
+@query(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o.o_orderdate < TIMESTAMP '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4: orders per priority that had at least one late line
+    (shipped >90 days after order date — the fixture's lateness
+    signal, as in Q12/Q21). EXISTS decorrelates to a left-semi join
+    whose lateness predicate needs both sides, so it evaluates as a
+    join condition; the quarter filter on orders pushes to the scan.
+
+    Scale shape: semi join hashes on orderkey (semi joins keep only
+    the left row — no fanout from multi-line orders); the ≤5-group
+    count is map-side partial. The orders date filter prunes before
+    the shuffle on both engines."""
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01")
+        & (F.col("o_orderdate") < "1996-10-01")
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
