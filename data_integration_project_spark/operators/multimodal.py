@@ -1,12 +1,13 @@
 """Multimodal column plumbing: images/audio/video as opaque ``binary``
 columns with typed metadata, processed by Arrow-batched Pandas UDFs.
 
-Uncompressed raster formats decode for REAL, dependency-free:
-``decode_image`` parses P6/P3 PPM and 24-bit BI_RGB BMP byte layouts
-directly (header fields, row padding, bottom-up order) and returns
-dimensions + per-channel means. Compressed codecs (JPEG/PNG/audio)
-need libraries not in this container, so those formats remain stubbed
-— ``decode_image_stub`` raises ``NotImplementedError`` unless
+Every format with a tractable byte layout decodes for REAL,
+dependency-free: PPM/BMP/TGA rasters, PNG (CRC-checked chunks, stdlib
+zlib, all five scanline filters), GIF89a (spec-level variable-width
+LZW), WAV and AIFF PCM. Nearest-neighbor resize and frame sampling run
+over the decoded payloads. Entropy-coded formats (JPEG/FLAC) need codec
+libraries not in this container, so those remain stubbed —
+``decode_image_stub`` raises ``NotImplementedError`` unless
 ``fake=True``. Everything around decode is real and tested: the schema
 contract, ``mapInPandas`` batch iteration (bounded memory per batch —
 never a full-partition materialization), and the partitioning story
@@ -94,10 +95,10 @@ def _channel_means(r_sum: int, g_sum: int, b_sum: int, n_pixels: int) -> dict:
     return {"mean_r": r_sum / n, "mean_g": g_sum / n, "mean_b": b_sum / n}
 
 
-def decode_ppm(payload: bytes) -> dict:
-    """P6 (binary) / P3 (ascii) PPM decode: parse the whitespace/comment
-    header grammar, then the RGB raster (short rasters are treated as
-    zero-padded). Pure byte arithmetic."""
+def _ppm_raster(payload: bytes) -> tuple[int, int, bytes]:
+    """P6 (binary) / P3 (ascii) PPM parse: the whitespace/comment header
+    grammar, then the RGB raster bytes. Returns (width, height, raster);
+    short rasters are the caller's zero-padding concern."""
     if payload[:2] not in (b"P6", b"P3"):
         raise ValueError("not a PPM payload")
     binary = payload[:2] == b"P6"
@@ -116,12 +117,18 @@ def decode_ppm(payload: bytes) -> dict:
             j += 1
         tokens.append(payload[i:j])
         i = j
-    width, height, maxval = (int(t) for t in tokens)
+    width, height, _maxval = (int(t) for t in tokens)
     i += 1  # single whitespace after maxval before the raster
     if binary:
         raster = payload[i : i + width * height * 3]
     else:
         raster = bytes(int(v) for v in payload[i:].split())[: width * height * 3]
+    return width, height, raster
+
+
+def decode_ppm(payload: bytes) -> dict:
+    """PPM decode to summary features (see :func:`_ppm_raster`)."""
+    width, height, raster = _ppm_raster(payload)
     return {
         "format": "ppm",
         "width": width,
@@ -945,3 +952,60 @@ def frame_sample(media: DataFrame, n_frames: int = 4) -> DataFrame:
     return media.select("media_id", F.explode(frames).alias("frame")).select(
         "media_id", F.col("frame.frame_idx").alias("frame_idx"), F.col("frame.frame_bytes").alias("frame_bytes")
     )
+
+
+RESIZE_SCHEMA = (
+    "media_id long, out_w int, out_h int, "
+    "mean_r double, mean_g double, mean_b double, resize_checksum long"
+)
+
+
+def resize_image_nn(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
+    """REAL nearest-neighbor image resize over PPM payloads inside
+    ``mapInPandas``: decode the raster, index-map rows/columns with
+    integer floor arithmetic (``src = (dst * src_dim) // dst_dim`` — no
+    float scale factor, so the pixel selection is bit-reproducible in
+    SQL), and emit per-channel means of the resized image plus a
+    position- and channel-weighted checksum that catches transposed or
+    off-by-one index maps the means alone would miss.
+
+    Scale shape: Arrow-batched, hash-partitioned on media_id; peak
+    memory is one batch of payloads. The resize is the downsample step
+    of an image-training pipeline — at 100 TB the same op runs per
+    payload with no shuffle beyond the initial repartition."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"].values, pdf["payload"]):
+                w, h, raster = _ppm_raster(bytes(p))
+                arr = (
+                    np.frombuffer(raster.ljust(w * h * 3, b"\x00"), dtype=np.uint8)
+                    .reshape(h, w, 3)
+                    .astype(np.int64)
+                )
+                ys = (np.arange(out_h) * h) // out_h
+                xs = (np.arange(out_w) * w) // out_w
+                small = arr[ys][:, xs, :]
+                pos_w = np.arange(1, out_h * out_w + 1).reshape(out_h, out_w)
+                chan_w = np.array([1, 2, 3], dtype=np.int64)
+                checksum = int(
+                    (small * pos_w[:, :, None] * chan_w[None, None, :]).sum()
+                )
+                n = out_h * out_w
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "out_w": out_w,
+                        "out_h": out_h,
+                        "mean_r": small[:, :, 0].sum() / n,
+                        "mean_g": small[:, :, 1].sum() / n,
+                        "mean_b": small[:, :, 2].sum() / n,
+                        "resize_checksum": checksum,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.repartition(F.col("media_id")).mapInPandas(op, schema=RESIZE_SCHEMA)

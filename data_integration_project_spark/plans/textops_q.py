@@ -1248,3 +1248,103 @@ def doc_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "checksum",
         )
     )
+
+
+def _RS_IDX(c: int) -> str:
+    """0-based raster byte index of resized pixel p (0..63), channel c:
+    nearest-neighbor maps dst (y,x) -> src ((y*height)//8, 2*x) on the
+    16-wide raster."""
+    return f"3 * (((p // 8) * height) // 8 * 16 + 2 * (p % 8)) + {c}"
+
+
+def _RS_VAL(c: int) -> str:
+    """Byte value at that index — text byte if inside the prefix,
+    zero padding otherwise (ASCII corpus: char position = byte
+    position, as in the decode oracles above)."""
+    return (
+        f"CASE WHEN {_RS_IDX(c)} < n THEN ascii(sp[{_RS_IDX(c)} + 1]) ELSE 0 END"
+    )
+
+
+@query(
+    "multimodal_resize",
+    oracle=f"""
+    WITH dims AS (
+      SELECT CAST(doc_id AS BIGINT) AS media_id,
+             string_split(text, '') AS sp,
+             least(octet_length(encode(text)), 3072) AS n,
+             greatest(1, CAST(ceil(least(octet_length(encode(text)), 3072) / 48.0)
+                              AS INTEGER)) AS height
+      FROM documents
+    )
+    SELECT media_id,
+           CAST(8 AS INTEGER) AS out_w,
+           CAST(8 AS INTEGER) AS out_h,
+           CAST(coalesce(list_sum(list_transform(range(0, 64),
+                 p -> {_RS_VAL(0)})), 0) AS DOUBLE) / 64 AS mean_r,
+           CAST(coalesce(list_sum(list_transform(range(0, 64),
+                 p -> {_RS_VAL(1)})), 0) AS DOUBLE) / 64 AS mean_g,
+           CAST(coalesce(list_sum(list_transform(range(0, 64),
+                 p -> {_RS_VAL(2)})), 0) AS DOUBLE) / 64 AS mean_b,
+           CAST(coalesce(list_sum(list_transform(range(0, 64),
+                 p -> (p + 1) * (1 * ({_RS_VAL(0)})
+                               + 2 * ({_RS_VAL(1)})
+                               + 3 * ({_RS_VAL(2)})))), 0) AS BIGINT)
+             AS resize_checksum
+    FROM dims
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL nearest-neighbor resize of decoded PPM images to 8x8
+    (operators/multimodal.resize_image_nn): integer floor index
+    mapping, exact channel means (sum of 64 bytes over a power of two
+    — the division is exact in doubles on both engines), and a
+    position-and-channel-weighted checksum that fails on any
+    transposed, off-by-one, or wrong-stride index map. The oracle
+    replays the same pixel selection arithmetically from the document
+    byte prefix — no image library on either side."""
+    media = M.documents_as_ppm_media(t(spark, sf_dir, "documents"))
+    return M.resize_image_nn(media, out_w=8, out_h=8)
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH f AS (
+      SELECT CAST(doc_id AS BIGINT) AS media_id, text,
+             greatest(octet_length(encode(text)) // 4, 1) AS step
+      FROM documents
+    )
+    SELECT media_id,
+           CAST(i.i AS INTEGER) AS frame_idx,
+           CAST(length(substring(text, i.i * step + 1, 16)) AS INTEGER)
+             AS frame_len,
+           CAST(coalesce(list_sum(list_transform(
+                 string_split(substring(text, i.i * step + 1, 16), ''),
+                 c -> ascii(c))), 0) AS BIGINT) AS frame_checksum
+    FROM f, (VALUES (0), (1), (2), (3)) AS i(i)
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling plumbing (operators/multimodal.
+    frame_sample): n evenly spaced 16-byte slices per payload via
+    binary ``substring`` — pure built-ins, no UDF; the explode is the
+    only row fanout. Each frame is summarized by its byte length and
+    byte-sum checksum, both recomputed by the oracle from the same
+    ASCII slices. The real keyframe-seeking decoder drops into the
+    same slice contract.
+
+    Scale shape: a projection + explode with constant fanout n — no
+    shuffle at all; at 100 TB frames stream out of the scan."""
+    media = M.documents_as_media(t(spark, sf_dir, "documents"))
+    frames = M.frame_sample(media, n_frames=4)
+    chars = F.split(F.col("frame_bytes").cast("string"), "")
+    checksum = F.aggregate(
+        chars, F.lit(0), lambda a, x: a + F.coalesce(F.ascii(x), F.lit(0))
+    )
+    return frames.select(
+        "media_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.length("frame_bytes").cast("int").alias("frame_len"),
+        checksum.cast("long").alias("frame_checksum"),
+    )
