@@ -229,10 +229,9 @@ def decode_image(payload: bytes) -> dict:
     )
 
 
-def decode_wav(payload: bytes) -> dict:
-    """RIFF/WAVE PCM decode: walk the chunk list (``fmt `` + ``data``),
-    require integer PCM, and compute exact sample statistics from the
-    16-bit little-endian frames. Pure byte arithmetic — no audio libs."""
+def _wav_pcm(payload: bytes) -> tuple[int, int, bytes]:
+    """RIFF/WAVE chunk walk (``fmt `` + ``data``), integer 16-bit PCM
+    only. Returns (sample_rate, n_channels, data_bytes)."""
     import struct
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -253,6 +252,15 @@ def decode_wav(payload: bytes) -> dict:
     (bits,) = struct.unpack_from("<H", fmt, 14)
     if audio_format != 1 or bits != 16:
         raise NotImplementedError("only 16-bit integer PCM supported")
+    return sample_rate, n_channels, data
+
+
+def decode_wav(payload: bytes) -> dict:
+    """RIFF/WAVE PCM decode to exact sample statistics from the 16-bit
+    little-endian frames. Pure byte arithmetic — no audio libs."""
+    import struct
+
+    sample_rate, n_channels, data = _wav_pcm(payload)
     n_vals = len(data) // 2
     vals = struct.unpack_from(f"<{n_vals}h", data, 0)
     n_frames = n_vals // n_channels
@@ -1009,3 +1017,51 @@ def resize_image_nn(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFra
             yield pd.DataFrame(rows)
 
     return media.repartition(F.col("media_id")).mapInPandas(op, schema=RESIZE_SCHEMA)
+
+
+AUDIO_FRAME_SCHEMA = (
+    "media_id long, frame_idx int, n_samples int, sum_abs long, zero_crossings int"
+)
+
+
+def audio_frame_features(media: DataFrame, frame_len: int = 256) -> DataFrame:
+    """REAL framed audio feature extraction over WAV payloads: decode
+    PCM, split into fixed-length frames, and emit per-frame energy
+    (exact integer sum of |sample|) and zero-crossing counts (sign-bit
+    transitions between adjacent samples WITHIN the frame — frame
+    boundaries don't contribute, keeping frames independently
+    computable and hence mergeable). This is the FFT-free half of an
+    audio featurizer: both statistics are exact integers, so the
+    pipeline stays oracle-checkable end to end.
+
+    Scale shape: Arrow-batched mapInPandas, hash-partitioned on
+    media_id; the fanout is |samples|/frame_len rows per payload with
+    no shuffle after the repartition."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"].values, pdf["payload"]):
+                _rate, _ch, data = _wav_pcm(bytes(p))
+                s = np.frombuffer(
+                    data[: (len(data) // 2) * 2], dtype="<i2"
+                ).astype(np.int64)
+                for fi in range(max(1, -(-len(s) // frame_len))):
+                    seg = s[fi * frame_len : (fi + 1) * frame_len]
+                    neg = seg < 0
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "frame_idx": fi,
+                            "n_samples": int(len(seg)),
+                            "sum_abs": int(np.abs(seg).sum()),
+                            "zero_crossings": int((neg[1:] != neg[:-1]).sum()),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.repartition(F.col("media_id")).mapInPandas(
+        op, schema=AUDIO_FRAME_SCHEMA
+    )

@@ -1348,3 +1348,41 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("frame_bytes").cast("int").alias("frame_len"),
         checksum.cast("long").alias("frame_checksum"),
     )
+
+
+@query(
+    "multimodal_audio_frames",
+    oracle=f"""
+    WITH f AS (
+      SELECT CAST(doc_id AS BIGINT) AS media_id,
+             string_split(text, '') AS sp,
+             least(octet_length(encode(text)), 4096) // 2 AS n
+      FROM documents
+    )
+    SELECT media_id,
+           CAST(i.i AS INTEGER) AS frame_idx,
+           CAST(least((i.i + 1) * 256, n) - i.i * 256 AS INTEGER) AS n_samples,
+           CAST(coalesce(list_sum(list_transform(
+                 range(i.i * 256 + 1, least((i.i + 1) * 256, n) + 1),
+                 j -> {_WAV_ABS})), 0) AS BIGINT) AS sum_abs,
+           CAST(coalesce(list_sum(list_transform(
+                 range(i.i * 256 + 1, least((i.i + 1) * 256, n)),
+                 j -> CASE WHEN (ascii(sp[2*j]) >= 128)
+                            <> (ascii(sp[2*j + 2]) >= 128)
+                      THEN 1 ELSE 0 END)), 0) AS INTEGER) AS zero_crossings
+    FROM f CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7),
+                              (8),(9),(10),(11),(12),(13),(14),(15)) AS i(i)
+    WHERE i.i * 256 < n OR i.i = 0
+    """,
+)
+def multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL framed audio features (operators/multimodal.
+    audio_frame_features): WAV PCM decoded and split into 256-sample
+    frames; per frame the exact integer energy (sum |sample|) and the
+    zero-crossing count (sign-bit transitions of the little-endian
+    int16 stream, within-frame pairs only so frames stay mergeable).
+    The oracle replays both from the document byte pairs — sign bit =
+    high byte >= 128 — so any endianness or frame-boundary bug flips
+    the hash."""
+    media = M.documents_as_wav_media(t(spark, sf_dir, "documents"))
+    return M.audio_frame_features(media, frame_len=256)
