@@ -1386,3 +1386,132 @@ def multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hash."""
     media = M.documents_as_wav_media(t(spark, sf_dir, "documents"))
     return M.audio_frame_features(media, frame_len=256)
+
+
+#: char_fold_hash twin over one token (see functions/text.py).
+_TOKHASH_SQL = (
+    "list_transform(regexp_split_to_array(lower(trim(text)), '\\s+'), "
+    "t -> list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))), "
+    "(acc, c) -> (acc * 31 + c) % 2147483647))"
+)
+
+
+@query(
+    "doc_winnowing_fingerprints",
+    oracle=f"""
+    WITH th AS (
+      SELECT doc_id, {_TOKHASH_SQL} AS v FROM documents
+    ),
+    gpos AS (
+      SELECT doc_id, v, len(v) - 2 AS g,
+             unnest(range(1, greatest(len(v) - 1, 1))) AS pos
+      FROM th
+    ),
+    grams AS (
+      SELECT doc_id, pos, g,
+             ((v[pos] * 8191 + v[pos + 1]) % 2147483647 * 8191 + v[pos + 2])
+               % 2147483647 AS h
+      FROM gpos
+    ),
+    starts AS (
+      SELECT doc_id, pos, g,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+      FROM grams
+      QUALIFY pos <= g - 3
+    ),
+    sel AS (
+      SELECT st.doc_id, st.wmin AS h, MAX(gr.pos) AS sel_pos
+      FROM starts st
+      JOIN grams gr ON gr.doc_id = st.doc_id
+                   AND gr.pos BETWEEN st.pos AND st.pos + 3
+                   AND gr.h = st.wmin
+      GROUP BY st.doc_id, st.pos, st.wmin
+    ),
+    uniq AS (SELECT DISTINCT doc_id, sel_pos, h FROM sel)
+    SELECT d.doc_id,
+           CAST(COALESCE(u.cnt, 0) AS BIGINT) AS n_fingerprints,
+           CAST(COALESCE(u.chk, 0) AS BIGINT) AS fp_checksum
+    FROM documents d
+    LEFT JOIN (SELECT doc_id, COUNT(*) AS cnt, SUM(h) AS chk
+               FROM uniq GROUP BY doc_id) u ON u.doc_id = d.doc_id
+    """,
+)
+def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03 —
+    the MOSS algorithm): hash every token 3-gram, slide a window of 4
+    starts, keep the window minimum with the RIGHTMOST position on
+    ties; the selected set guarantees at least one fingerprint per
+    window, making it robust to insertions in a way whole-doc md5
+    (doc_fingerprints) is not. Gram hashes combine token-level
+    char_fold_hash values NUMERICALLY ((h1*8191 + h2) mod P folding —
+    no per-gram text rescan), the window min is one window pass, and
+    the rightmost-argmin is a bounded self-join (each start matches at
+    most 4 gram rows).
+
+    Scale shape: everything partitions by doc_id — the window, the
+    argmin join, and the final rollup share one hash partitioning, so
+    the whole fingerprint pipeline is a single shuffle of gram rows
+    (|tokens| per doc). At 100 TB the fingerprint set is what ships to
+    the cross-doc near-dup join, not the text."""
+    P = 2147483647
+    M = 8191
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", X.token_hash_array(F.col("text")).alias("v")
+    )
+    gram_hashes = F.when(
+        F.size("v") >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size("v") - 2),
+            lambda i: (
+                (
+                    F.get(F.col("v"), i - 1) * M + F.get(F.col("v"), i)
+                ) % P * M
+                + F.get(F.col("v"), i + 1)
+            )
+            % P,
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    grams = (
+        d.select(
+            "doc_id",
+            (F.size("v") - 2).alias("g"),
+            F.posexplode(gram_hashes).alias("p0", "h"),
+        )
+        .select("doc_id", "g", (F.col("p0") + 1).alias("pos"), "h")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    starts = (
+        grams.withColumn("wmin", F.min("h").over(win))
+        .filter(F.col("pos") <= F.col("g") - 3)
+        .select("doc_id", "pos", "wmin")
+    )
+    gr = grams.select(
+        F.col("doc_id").alias("rd"), F.col("pos").alias("rpos"), F.col("h").alias("rh")
+    )
+    sel = (
+        starts.join(
+            gr,
+            (F.col("rd") == F.col("doc_id"))
+            & F.col("rpos").between(F.col("pos"), F.col("pos") + 3)
+            & (F.col("rh") == F.col("wmin")),
+        )
+        .groupBy("doc_id", "pos", "wmin")
+        .agg(F.max("rpos").alias("sel_pos"))
+        .select("doc_id", "sel_pos", F.col("wmin").alias("h"))
+        .distinct()
+    )
+    per_doc = sel.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("h").alias("chk")
+    )
+    return (
+        t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cnt", F.lit(0)).cast("long").alias("n_fingerprints"),
+            F.coalesce("chk", F.lit(0)).cast("long").alias("fp_checksum"),
+        )
+    )
