@@ -5602,3 +5602,55 @@ def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@query(
+    "orders_python_datasink",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS total_value
+    FROM orders
+    WHERE o_orderkey % 10 = 0
+    GROUP BY o_orderstatus
+    """,
+)
+def orders_python_datasink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A CUSTOM SINK via the Spark 4 Python DataSource writer API
+    (sources/pysink.py) — the write-side extension point paired with
+    sensors_python_datasource's reader: executors stream partitions
+    into per-task-attempt JSONL files and the driver publishes ONLY
+    the attempts that reported a commit message (temp+rename two-phase
+    commit, same visibility rule as streaming_manifest_sink). The
+    query round-trips a deterministic orders slice through the sink,
+    reads the published files back, and aggregates — so file
+    visibility, JSON round-trip fidelity (doubles via shortest-repr),
+    and the commit protocol are all on the hash.
+
+    At 100 TB this is how results leave Spark for a non-file system
+    without a driver bottleneck: one writer task per partition, commit
+    metadata (not data) going through the driver."""
+    import os
+    import tempfile
+
+    from ..sources import pysink
+
+    pysink.register(spark)
+    d = tempfile.mkdtemp(prefix="jsonl_sink_")
+    (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .write.format("jsonl_sink")
+        .option("path", d)
+        .mode("append")
+        .save()
+    )
+    back = spark.read.schema(
+        "o_orderkey long, o_orderstatus string, o_totalprice double"
+    ).json(os.path.join(d, "part-*.jsonl"))
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice"), "total_value"),
+    )
