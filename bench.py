@@ -87,6 +87,9 @@ HEADLINE = [
     "doc_hashed_features",
     "q10_returned_items",
     "orders_priority_sample",
+    "q2_min_cost_supplier",
+    "doc_winnowing_fingerprints",
+    "lineitem_zonemap_pruning",
 ]
 
 

@@ -5841,3 +5841,70 @@ def lineitem_zonemap_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cents_direct",
         )
     )
+
+
+@query(
+    "sensors_streaming_sink",
+    oracle=f"""
+    WITH gen AS (
+      SELECT i // 3072 AS micro_batch,
+             ((48271 * i + 11213) % 2147483647) % 1000000 AS micro_value,
+             CASE WHEN ((48271 * i + 11213) % 2147483647) % 97 <> 0
+                  THEN 'ok' ELSE 'fault' END AS status
+      FROM (SELECT unnest(range(0, {_SGS_N})) AS i)
+    )
+    SELECT micro_batch, status,
+           COUNT(*) AS n_readings,
+           CAST(SUM(micro_value) AS BIGINT) AS total_micro
+    FROM gen GROUP BY micro_batch, status
+    """,
+)
+def sensors_streaming_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A custom STREAMING SINK through the Spark 4
+    ``DataSourceStreamWriter`` API (sources/pysink.py): the sensor
+    stream drains micro-batch by micro-batch into batch-scoped JSONL
+    files whose publish (driver-side rename + per-batch manifest) is
+    idempotent on batch replay — the streaming exactly-once contract
+    expressed in the engine's sink API rather than user foreachBatch
+    code. The query reads the PUBLISHED files back and aggregates per
+    (micro-batch, status); offsets make batch boundaries deterministic
+    (batch b = ids [3072·b, 3072·(b+1))), so a dropped, doubled, or
+    misassigned batch fails the hash.
+
+    Scale note: data flows executor→file; only commit metadata crosses
+    the driver — the same topology as the batch writer."""
+    import os
+    import tempfile
+
+    from ..sources import pysink
+    from ..sources.pygen import register as register_source
+
+    register_source(spark)
+    pysink.register(spark)
+    d = tempfile.mkdtemp(prefix="jsonl_stream_sink_")
+    ck = tempfile.mkdtemp(prefix="jsonl_stream_ck_")
+    src = (
+        spark.readStream.format("sensorgen")
+        .option("max_rows", str(_SGS_N))
+        .option("rows_per_batch", "3072")
+        .load()
+    )
+    q = (
+        src.writeStream.format("jsonl_sink")
+        .option("path", d)
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    back = spark.read.schema(
+        "reading_id long, sensor_id long, micro_value long, status string"
+    ).json(os.path.join(d, "batch-*-part-*.jsonl"))
+    return back.groupBy(
+        F.expr("reading_id div 3072").alias("micro_batch"), "status"
+    ).agg(
+        F.count(F.lit(1)).alias("n_readings"),
+        F.sum("micro_value").alias("total_micro"),
+    )

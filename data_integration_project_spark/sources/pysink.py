@@ -30,6 +30,7 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceStreamWriter,
     DataSourceWriter,
     WriterCommitMessage,
 )
@@ -100,6 +101,61 @@ class JsonlSinkDataSource(DataSource):
     def writer(self, schema, overwrite: bool) -> JsonlSinkWriter:
         return JsonlSinkWriter(self.options, overwrite)
 
+    def streamWriter(self, schema, overwrite: bool) -> "JsonlStreamSinkWriter":
+        return JsonlStreamSinkWriter(self.options)
+
 
 def register(spark) -> None:
     spark.dataSource.register(JsonlSinkDataSource)
+
+
+class JsonlStreamSinkWriter(DataSourceStreamWriter):
+    """Streaming leg of the sink (Spark 4 ``DataSourceStreamWriter``):
+    per micro-batch, executors write per-task-attempt temp files and
+    the driver publishes them under batch-scoped final names plus a
+    ``_batch-N.json`` manifest in ``commit(messages, batchId)``. A
+    replayed batch (checkpoint recovery) overwrites the SAME final
+    names and manifest — publish is idempotent on batch replay, which
+    is the streaming exactly-once contract (same rule as
+    ``streaming/manifest.py``'s foreachBatch sink, now behind the
+    engine's sink API instead of user code)."""
+
+    def __init__(self, options: dict) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_sink requires option 'path'")
+
+    def write(self, iterator) -> JsonlCommit:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        tmp_dir = os.path.join(self.path, "_temporary")
+        os.makedirs(tmp_dir, exist_ok=True)
+        tmp = os.path.join(
+            tmp_dir, f"attempt-{ctx.taskAttemptId()}-part-{pid:05d}.jsonl"
+        )
+        n = 0
+        with open(tmp, "w", encoding="utf-8") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict(), sort_keys=True, default=str))
+                f.write("\n")
+                n += 1
+        return JsonlCommit(temp_path=tmp, final_name=f"part-{pid:05d}.jsonl", n_rows=n)
+
+    def commit(self, messages, batchId: int) -> None:
+        total = 0
+        published = []
+        for m in messages:
+            if m is None:
+                continue
+            final = f"batch-{batchId:05d}-{m.final_name}"
+            os.replace(m.temp_path, os.path.join(self.path, final))
+            published.append(final)
+            total += m.n_rows
+        manifest = os.path.join(self.path, f"_batch-{batchId:05d}.json")
+        with open(manifest, "w", encoding="utf-8") as f:
+            json.dump({"batch": batchId, "files": sorted(published), "rows": total}, f)
+
+    def abort(self, messages, batchId: int) -> None:
+        shutil.rmtree(os.path.join(self.path, "_temporary"), ignore_errors=True)
