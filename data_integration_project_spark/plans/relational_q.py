@@ -5908,3 +5908,138 @@ def sensors_streaming_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_readings"),
         F.sum("micro_value").alias("total_micro"),
     )
+
+
+def _ENC_LEG_SQL(col: str, width: int) -> str:
+    return f"""
+    SELECT column_name, layout, n_rows, n_distinct, n_runs, plain_bits,
+           dict_bits, rle_bits,
+           CASE WHEN rle_bits <= dict_bits AND rle_bits <= plain_bits THEN 'rle'
+                WHEN dict_bits <= plain_bits THEN 'dict'
+                ELSE 'plain' END AS recommended
+    FROM (
+      SELECT '{col}' AS column_name, layout,
+             CAST(n_rows AS BIGINT) AS n_rows,
+             CAST(n_distinct AS BIGINT) AS n_distinct,
+             CAST(n_runs AS BIGINT) AS n_runs,
+             CAST(n_rows * {width} * 8 AS BIGINT) AS plain_bits,
+             CAST(n_rows * (CASE WHEN n_distinct <= 1 THEN 0
+                                 ELSE length(bin(n_distinct - 1)) END)
+                  + n_distinct * {width} * 8 AS BIGINT) AS dict_bits,
+             CAST(n_runs * ({width} * 8 + 32) AS BIGINT) AS rle_bits
+      FROM (
+        SELECT 'current' AS layout,
+               COUNT(*) AS n_rows,
+               COUNT(DISTINCT {col}) AS n_distinct,
+               SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS n_runs
+        FROM (
+          SELECT {col},
+                 LAG({col}) OVER (PARTITION BY o_orderkey // 1000
+                                  ORDER BY o_orderkey)
+                   IS DISTINCT FROM {col} AS is_new
+          FROM orders
+        )
+        UNION ALL
+        SELECT 'sorted',
+               (SELECT COUNT(*) FROM orders),
+               (SELECT COUNT(DISTINCT {col}) FROM orders),
+               COUNT(*)
+        FROM (SELECT DISTINCT o_orderkey // 1000 AS blk, {col} FROM orders)
+      )
+    )
+    """
+
+
+@query(
+    "orders_encoding_advisor",
+    oracle="\nUNION ALL\n".join(
+        _ENC_LEG_SQL(c, w)
+        for c, w in [
+            ("o_orderstatus", 1),
+            ("o_orderpriority", 10),
+            ("o_custkey", 8),
+            ("o_orderdate", 8),
+        ]
+    ),
+)
+def orders_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar storage-layout advisor: per column, exact NDV and
+    block-local RLE run counts (runs counted within 1000-key blocks —
+    the block-local form is what executors can compute without a global
+    sort, and it upper-bounds true runs by at most one per block),
+    turned into plain/dictionary/RLE size estimates with integer bit
+    arithmetic (index width = bit-length of NDV-1 — no float log2).
+    The recommendation is the argmin with a fixed tie order. This is
+    the advisory half of what parquet writers decide per rowgroup; at
+    100 TB it runs as one pass per column over the blocks, and the
+    output drives re-encode/re-sort decisions (cf. orders_zorder_layout
+    for the layout half)."""
+    out = None
+    for c, w in [
+        ("o_orderstatus", 1),
+        ("o_orderpriority", 10),
+        ("o_custkey", 8),
+        ("o_orderdate", 8),
+    ]:
+        base = t(spark, sf_dir, "orders").select(
+            F.expr("o_orderkey div 1000").alias("blk"), "o_orderkey", F.col(c).alias("v")
+        )
+        wspec = Window.partitionBy("blk").orderBy("o_orderkey")
+        cur = (
+            base.withColumn(
+                "is_new", ~F.lag("v").over(wspec).eqNullSafe(F.col("v"))
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct("v").alias("n_distinct"),
+                F.sum(F.when(F.col("is_new"), 1).otherwise(0)).alias("n_runs"),
+            )
+            .withColumn("layout", F.lit("current"))
+        )
+        # block-local sort by the column itself: runs collapse to the
+        # number of distinct values present per block
+        srt = (
+            base.groupBy()
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct("v").alias("n_distinct"),
+            )
+            .join(
+                base.select("blk", "v")
+                .distinct()
+                .agg(F.count(F.lit(1)).alias("n_runs"))
+            )
+            .withColumn("layout", F.lit("sorted"))
+        )
+        runs = cur.unionByName(srt)
+        idx_bits = F.when(F.col("n_distinct") <= 1, F.lit(0)).otherwise(
+            F.length(F.bin(F.col("n_distinct") - 1))
+        )
+        leg = (
+            runs.select(
+                F.lit(c).alias("column_name"),
+                "layout",
+                F.col("n_rows").cast("long").alias("n_rows"),
+                F.col("n_distinct").cast("long").alias("n_distinct"),
+                F.col("n_runs").cast("long").alias("n_runs"),
+                (F.col("n_rows") * w * 8).cast("long").alias("plain_bits"),
+                (
+                    F.col("n_rows") * idx_bits + F.col("n_distinct") * w * 8
+                )
+                .cast("long")
+                .alias("dict_bits"),
+                (F.col("n_runs") * (w * 8 + 32)).cast("long").alias("rle_bits"),
+            )
+            .withColumn(
+                "recommended",
+                F.when(
+                    (F.col("rle_bits") <= F.col("dict_bits"))
+                    & (F.col("rle_bits") <= F.col("plain_bits")),
+                    "rle",
+                )
+                .when(F.col("dict_bits") <= F.col("plain_bits"), "dict")
+                .otherwise("plain"),
+            )
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out

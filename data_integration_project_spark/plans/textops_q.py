@@ -1515,3 +1515,54 @@ def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("chk", F.lit(0)).cast("long").alias("fp_checksum"),
         )
     )
+
+
+@query(
+    "doc_phrase_search",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+      FROM documents
+    ),
+    postings AS (
+      SELECT doc_id, unnest(range(1, len(t) + 1)) AS pos, t
+      FROM tk
+    ),
+    px AS (SELECT doc_id, pos, t[pos] AS token FROM postings),
+    t1 AS (SELECT doc_id, pos FROM px WHERE token = 'table'),
+    t2 AS (SELECT doc_id, pos FROM px WHERE token = 'hash')
+    SELECT t1.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_matches,
+           CAST(MIN(t1.pos) AS BIGINT) AS first_pos
+    FROM t1 JOIN t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+    GROUP BY t1.doc_id
+    """,
+)
+def doc_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional-index phrase search ("table hash"): the two query
+    terms' postings lists — (doc, position) pairs — are equi-joined on
+    (doc, adjacent position), the classic inverted-index phrase plan.
+    The term filters sit BELOW the shuffle, so only the two terms'
+    postings move; the full postings list never shuffles and the text
+    is never rescanned. At 100 TB the postings come from the
+    pre-built inverted index (doc_inverted_index) instead of a tokenize
+    pass — the join shape is identical."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.posexplode(X.tokens(F.col("text"))).alias("p0", "token")
+    )
+    px = d.select("doc_id", (F.col("p0") + 1).alias("pos"), "token")
+    t1 = px.filter(F.col("token") == "table").select("doc_id", "pos")
+    t2 = px.filter(F.col("token") == "hash").select(
+        F.col("doc_id").alias("d2"), F.col("pos").alias("pos2")
+    )
+    return (
+        t1.join(
+            t2,
+            (F.col("d2") == F.col("doc_id")) & (F.col("pos2") == F.col("pos") + 1),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.min("pos").cast("long").alias("first_pos"),
+        )
+    )
