@@ -4121,3 +4121,83 @@ def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
         ).alias("value_cents"),
     )
+
+
+@query(
+    "events_holt_forecast",
+    oracle="""
+    WITH RECURSIVE daily AS MATERIALIZED (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    dd AS MATERIALIZED (
+      SELECT event_type, y,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      FROM daily
+    ),
+    fold AS (
+      SELECT event_type, rn, CAST(y * 1000 AS BIGINT) AS l,
+             CAST(0 AS BIGINT) AS b
+      FROM dd WHERE rn = 1
+      UNION ALL
+      SELECT d.event_type, d.rn,
+             CAST(floor((d.y * 1000 + f.l + f.b) / 2.0) AS BIGINT) AS l,
+             CAST(floor((floor((d.y * 1000 + f.l + f.b) / 2.0) - f.l + f.b)
+                        / 2.0) AS BIGINT) AS b
+      FROM fold f JOIN dd d ON d.event_type = f.event_type AND d.rn = f.rn + 1
+    ),
+    fin AS (SELECT event_type, MAX(rn) AS n_days FROM dd GROUP BY 1)
+    SELECT f.event_type,
+           CAST(fin.n_days AS BIGINT) AS n_days,
+           f.l AS level_milli,
+           f.b AS trend_milli,
+           f.l + 7 * f.b AS forecast7_milli
+    FROM fold f JOIN fin ON fin.event_type = f.event_type AND f.rn = fin.n_days
+    """,
+)
+def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend forecasting (double exponential smoothing,
+    alpha = beta = 1/2) over the per-type daily series, in EXACT
+    integer milli-units: each smoothing step is one floor-halving of
+    integer state, so the sequential recurrence is bit-portable (the
+    EWMA lesson — a sequential fold is deterministic only when both
+    engines evaluate the same fold order on the same integers). Spark
+    folds the sorted day array per group with a codegen-side
+    ``aggregate`` (array sizes = days-per-type — bounded metadata, not
+    event volume); the oracle replays the identical recurrence as a
+    recursive CTE. Level+trend extrapolation gives the 7-day-ahead
+    forecast; compare events_seasonal_naive_backtest for the
+    season-aware rival."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    grouped = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "y"))).alias("a"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+
+    def step(acc, x):
+        y_milli = x["y"].cast("long") * 1000
+        new_l = F.floor((y_milli + acc["l"] + acc["b"]) / 2).cast("long")
+        new_b = F.floor((new_l - acc["l"] + acc["b"]) / 2).cast("long")
+        return F.when(
+            acc["l"] < 0,
+            F.struct(y_milli.alias("l"), F.lit(0).cast("long").alias("b")),
+        ).otherwise(F.struct(new_l.alias("l"), new_b.alias("b")))
+
+    init = F.struct(
+        F.lit(-1).cast("long").alias("l"), F.lit(0).cast("long").alias("b")
+    )
+    return grouped.select(
+        "event_type",
+        F.col("n_days").cast("long").alias("n_days"),
+        F.aggregate(F.col("a"), init, step).alias("st"),
+    ).select(
+        "event_type",
+        "n_days",
+        F.col("st.l").alias("level_milli"),
+        F.col("st.b").alias("trend_milli"),
+        (F.col("st.l") + 7 * F.col("st.b")).alias("forecast7_milli"),
+    )

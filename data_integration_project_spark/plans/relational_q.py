@@ -6043,3 +6043,50 @@ def orders_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = leg if out is None else out.unionByName(leg)
     return out
+
+
+@query(
+    "orders_sql_script_cutoff",
+    oracle="""
+    WITH ks AS (SELECT unnest(range(0, 40)) AS k),
+    cs AS (SELECT CAST(CAST(1 AS BIGINT) << k AS BIGINT) AS cutoff FROM ks),
+    tot AS (SELECT COUNT(*) AS n FROM orders),
+    ab AS (SELECT cutoff,
+                  (SELECT COUNT(*) FROM orders WHERE o_totalprice >= cutoff)
+                    AS n_above
+           FROM cs),
+    best AS (SELECT MIN(cutoff) AS cutoff
+             FROM ab, tot WHERE ab.n_above * 10 < tot.n)
+    SELECT best.cutoff AS cutoff,
+           CAST((SELECT n_above FROM ab WHERE ab.cutoff = best.cutoff)
+                AS BIGINT) AS n_above,
+           CAST(tot.n AS BIGINT) AS n_total
+    FROM best, tot
+    """,
+)
+def orders_sql_script_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL SCRIPTING (Spark 4 BEGIN/DECLARE/WHILE): a control-flow
+    doubling search for the smallest power-of-two price cutoff that
+    isolates under 10% of orders — the scripted form of an iterative
+    driver loop, executed entirely inside the SQL engine (each loop
+    iteration is one aggregate query; state lives in a session
+    variable, not in Python). The oracle derandomizes the loop
+    set-based: evaluate every power of two at once and take the
+    minimum satisfying one. Same answer, two execution strategies —
+    at 100 TB the set-based form is one scan instead of ~log(max)
+    scans, which is exactly the trade the docstring wants you to see."""
+    view = "orders_script_v"
+    t(spark, sf_dir, "orders").createOrReplaceTempView(view)
+    return spark.sql(f"""
+    BEGIN
+      DECLARE cutoff BIGINT DEFAULT 1;
+      WHILE (SELECT COUNT(*) FROM {view} WHERE o_totalprice >= cutoff) * 10
+            >= (SELECT COUNT(*) FROM {view}) DO
+        SET cutoff = cutoff * 2;
+      END WHILE;
+      SELECT cutoff AS cutoff,
+             (SELECT COUNT(*) FROM {view} WHERE o_totalprice >= cutoff)
+               AS n_above,
+             (SELECT COUNT(*) FROM {view}) AS n_total;
+    END
+    """)

@@ -1566,3 +1566,28 @@ def doc_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("pos").cast("long").alias("first_pos"),
         )
     )
+
+
+@query(
+    "multimodal_arrow_features",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           CAST(list_sum(list_transform(string_split(text, ''), c -> ascii(c))) AS BIGINT)
+             AS sum_bytes,
+           CAST(list_sum(list_transform(string_split(text, ''), c -> ascii(c))) AS DOUBLE)
+             / octet_length(encode(text)) AS mean_byte,
+           lower(hex(substr(text, 1, 8))) AS head_hex
+    FROM documents
+    """,
+)
+def multimodal_arrow_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``mapInArrow`` twin of multimodal_features (operators/
+    multimodal.extract_features_arrow): identical feature values
+    through the Arrow-NATIVE UDF path — RecordBatches in, RecordBatches
+    out, no pandas materialization on either side of the Python hop.
+    Sharing the oracle with the pandas-path query pins both
+    implementations to the same bytes; at 100 TB the Arrow path is the
+    one to prefer for byte-dense payloads (one fewer copy per batch)."""
+    media = M.documents_as_media(t(spark, sf_dir, "documents"))
+    return M.extract_features_arrow(media)
