@@ -4201,3 +4201,85 @@ def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("st.b").alias("trend_milli"),
         (F.col("st.l") + 7 * F.col("st.b")).alias("forecast7_milli"),
     )
+
+
+@query(
+    "events_debounce",
+    oracle="""
+    WITH RECURSIVE ev AS MATERIALIZED (
+      SELECT user_id, epoch_us(ts) AS us, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_events
+      FROM events
+    ),
+    fold AS (
+      SELECT user_id, rn, us AS last_us, CAST(1 AS BIGINT) AS n_kept,
+             event_id AS chk, n_events
+      FROM ev WHERE rn = 1
+      UNION ALL
+      SELECT e.user_id, e.rn,
+             CASE WHEN e.us >= f.last_us + 21600000000
+                  THEN e.us ELSE f.last_us END,
+             f.n_kept + CASE WHEN e.us >= f.last_us + 21600000000
+                             THEN 1 ELSE 0 END,
+             f.chk + CASE WHEN e.us >= f.last_us + 21600000000
+                          THEN e.event_id ELSE 0 END,
+             e.n_events
+      FROM fold f JOIN ev e ON e.user_id = f.user_id AND e.rn = f.rn + 1
+    )
+    SELECT user_id, CAST(n_events AS BIGINT) AS n_events, n_kept,
+           CAST(chk AS BIGINT) AS kept_checksum
+    FROM fold WHERE rn = n_events
+    """,
+)
+def events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GREEDY debounce/throttling: per user, an event is kept only if
+    at least 6 hours have passed since the last KEPT event — the
+    rate-limit semantics of alerting and notification systems. Unlike
+    a lag()-gap filter (which compares to the previous RAW event,
+    keeping bursts that trail a kept one), the greedy rule is a
+    sequential recurrence, so it folds the per-user sorted event array
+    with exact integer microsecond state (the Holt/EWMA determinism
+    rule). The oracle replays the identical recurrence recursively.
+
+    Scale shape: one shuffle on user_id; the fold is array-local per
+    user, bounded by per-user activity, and the kept-set checksum
+    certifies the SELECTION, not just its size."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us"), "event_id"
+    )
+    grouped = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("us", "event_id"))).alias("a"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    gap = 21_600_000_000  # 6 h in microseconds
+
+    def step(acc, x):
+        keep = x["us"] >= acc["last_us"] + gap
+        return F.struct(
+            F.when(keep, x["us"]).otherwise(acc["last_us"]).alias("last_us"),
+            (acc["n_kept"] + F.when(keep, 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            (acc["chk"] + F.when(keep, x["event_id"]).otherwise(0))
+            .cast("long")
+            .alias("chk"),
+        )
+
+    # the first event is always kept: seed last_us far in the past
+    init = F.struct(
+        F.lit(-(1 << 62)).cast("long").alias("last_us"),
+        F.lit(0).cast("long").alias("n_kept"),
+        F.lit(0).cast("long").alias("chk"),
+    )
+    return grouped.select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.aggregate(F.col("a"), init, step).alias("st"),
+    ).select(
+        "user_id",
+        "n_events",
+        F.col("st.n_kept").alias("n_kept"),
+        F.col("st.chk").alias("kept_checksum"),
+    )

@@ -6090,3 +6090,80 @@ def orders_sql_script_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
              (SELECT COUNT(*) FROM {view}) AS n_total;
     END
     """)
+
+
+@query(
+    "orders_bitmap_index_scan",
+    oracle="""
+    WITH b1 AS (
+      SELECT o_orderkey // 1000 AS blk, list_sort(list(o_orderkey)) AS a1
+      FROM orders WHERE o_orderstatus = 'F' GROUP BY 1
+    ),
+    b2 AS (
+      SELECT o_orderkey // 1000 AS blk, list_sort(list(o_orderkey)) AS a2
+      FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1
+    ),
+    j AS (SELECT list_intersect(a1, a2) AS it FROM b1 JOIN b2 USING (blk)),
+    bm AS (SELECT CAST(COALESCE(SUM(len(it)), 0) AS BIGINT) AS n,
+                  CAST(COALESCE(SUM(list_sum(it)), 0) AS BIGINT) AS chk
+           FROM j),
+    di AS (SELECT COUNT(*) AS n, COALESCE(SUM(o_orderkey), 0) AS chk
+           FROM orders
+           WHERE o_orderstatus = 'F' AND o_orderpriority = '1-URGENT')
+    SELECT bm.n AS n_bitmap, bm.chk AS chk_bitmap,
+           CAST(di.n AS BIGINT) AS n_direct, CAST(di.chk AS BIGINT) AS chk_direct
+    FROM bm, di
+    """,
+)
+def orders_bitmap_index_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-index conjunction, container style: per 1000-key block
+    (the roaring-bitmap container idea — postings bounded by block
+    size, never table size), each predicate value owns a sorted id
+    array; an AND query intersects the two containers block-by-block
+    and only blocks where BOTH values occur are touched. The output
+    carries the bitmap-path count/checksum AND the direct-scan pair,
+    so the hash proves the index answer exact. At 100 TB the
+    containers are the persisted secondary index (built once per
+    partition); conjunctive point queries then never scan the fact —
+    the equi-join on block id is the whole plan."""
+    o = t(spark, sf_dir, "orders").select(
+        F.expr("o_orderkey div 1000").alias("blk"),
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+    )
+    b1 = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .groupBy("blk")
+        .agg(F.sort_array(F.collect_list("o_orderkey")).alias("a1"))
+    )
+    b2 = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("blk")
+        .agg(F.sort_array(F.collect_list("o_orderkey")).alias("a2"))
+    )
+    it = F.array_intersect("a1", "a2")
+    bm = b1.join(b2, "blk").agg(
+        F.coalesce(F.sum(F.size(it)), F.lit(0)).cast("long").alias("n_bitmap"),
+        F.coalesce(
+            F.sum(
+                F.aggregate(
+                    it, F.lit(0).cast("long"), lambda acc, x: acc + x
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("chk_bitmap"),
+    )
+    di = (
+        o.filter(
+            (F.col("o_orderstatus") == "F")
+            & (F.col("o_orderpriority") == "1-URGENT")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_direct"),
+            F.coalesce(F.sum("o_orderkey"), F.lit(0)).cast("long").alias("chk_direct"),
+        )
+    )
+    return bm.join(di)
