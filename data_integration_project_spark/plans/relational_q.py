@@ -6167,3 +6167,68 @@ def orders_bitmap_index_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return bm.join(di)
+
+
+@query(
+    "customers_cogroup_recon",
+    oracle="""
+    SELECT c.c_custkey,
+           CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(COALESCE(SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)),
+                         0) AS BIGINT) AS order_cents,
+           CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT) AS balance_cents
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_acctbal
+    """,
+)
+def customers_cogroup_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COGROUPED ``applyInPandas`` (``groupby().cogroup().
+    applyInPandas``) — the two-sided grouped-map API: each custkey's
+    customer row AND order rows arrive as a pandas frame pair in one
+    UDF call, the shape for per-key reconciliation logic too imperative
+    for a join (ledger matching, per-entity replay). Both engines see
+    the same arithmetic: cents via floor(x*100+0.5) (the house double
+    rule), so the pandas path is hash-identical to the relational
+    LEFT JOIN twin.
+
+    Scale shape: one co-partitioned shuffle on the key for both sides,
+    then embarrassingly parallel per-key calls; per-call memory is one
+    key's rows, not a partition."""
+    import numpy as np
+    import pandas as pd
+
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+
+    def recon(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left):
+            ck = int(left["c_custkey"].iloc[0])
+            bal = int(np.floor(left["c_acctbal"].iloc[0] * 100 + 0.5))
+        else:  # order rows whose customer is missing (none in fixture)
+            ck = int(right["o_custkey"].iloc[0])
+            bal = 0
+        cents = (
+            int(np.floor(right["o_totalprice"].values * 100 + 0.5).astype("int64").sum())
+            if len(right)
+            else 0
+        )
+        return pd.DataFrame(
+            [
+                {
+                    "c_custkey": ck,
+                    "n_orders": int(len(right)),
+                    "order_cents": cents,
+                    "balance_cents": bal,
+                }
+            ]
+        )
+
+    return (
+        c.groupby("c_custkey")
+        .cogroup(o.groupby("o_custkey"))
+        .applyInPandas(
+            recon,
+            schema="c_custkey long, n_orders long, order_cents long, balance_cents long",
+        )
+    )
