@@ -4283,3 +4283,38 @@ def events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("st.n_kept").alias("n_kept"),
         F.col("st.chk").alias("kept_checksum"),
     )
+
+
+@query(
+    "events_local_hour_report",
+    oracle=f"""
+    SELECT CAST(EXTRACT(hour FROM ts + INTERVAL 7 HOUR) AS INTEGER)
+             AS local_hour,
+           COUNT(*) AS n_events,
+           {SQL_DSUM('value', 'total_value')}
+    FROM events
+    GROUP BY 1
+    """,
+)
+def events_local_hour_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timezone-normalized reporting: event timestamps (stored UTC, the
+    engine's pinned session zone) converted to Asia/Ho_Chi_Minh local
+    time through the REAL timezone API (``convert_timezone`` — IANA
+    zone rules, not offset arithmetic) before the hour-of-day rollup —
+    the report the reference's Vietnamese dashboards implicitly assume
+    (coffee_etl_clean/dashboard.py renders created-date stats in local
+    time). The oracle uses +07:00 arithmetic, valid because Vietnam
+    has observed a constant UTC+7 with no DST since 1975 — so any
+    divergence means the engine's zone database, not the query, is
+    wrong (the dim_date_tet_holidays pinning trick applied to zones)."""
+    local_ts = F.convert_timezone(
+        F.lit("UTC"), F.lit("Asia/Ho_Chi_Minh"), F.col("ts")
+    )
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(F.hour(local_ts).alias("local_hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), "total_value"),
+        )
+    )

