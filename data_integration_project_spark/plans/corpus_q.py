@@ -1832,3 +1832,68 @@ def doc_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         merges,
         schema="merge_round int, sym_a string, sym_b string, pair_count bigint",
     )
+
+
+#: 32-bit md5-prefix hash of the doc id (the engine's portable
+#: content-hash pattern — nonlinear, so acceptance is uniform).
+_IMP_U_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), ''), "
+    "c -> CAST(CASE WHEN ascii(c) >= 97 THEN ascii(c) - 87 "
+    "ELSE ascii(c) - 48 END AS BIGINT))), (acc, d) -> acc * 16 + d)"
+)
+
+
+@query(
+    "doc_importance_sample",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, lang, least(n_chars, 2000) AS wt FROM documents
+    ),
+    mx AS (SELECT MAX(wt) AS max_w FROM w),
+    dec AS (
+      SELECT lang, doc_id, wt,
+             CASE WHEN {_IMP_U_SQL} * (SELECT max_w FROM mx)
+                       < wt * 4294967296 THEN 1 ELSE 0 END AS acc
+      FROM w
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(acc) AS BIGINT) AS n_accepted,
+           CAST(SUM(CASE WHEN acc = 1 THEN doc_id ELSE 0 END) AS BIGINT)
+             AS accepted_checksum
+    FROM dec GROUP BY lang
+    """,
+)
+def doc_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic IMPORTANCE SAMPLING for corpus curation: each doc
+    is accepted with probability weight/max_weight (weight = capped
+    length — the slot where a quality or domain-balance score plugs
+    in), decided by comparing a 32-bit md5 hash of the doc id against
+    the weight in EXACT integer arithmetic (``u·max_w < w·2^32`` — no
+    float probability, no RNG). Hash-based acceptance means the chosen
+    set is a pure function of the data: retries, repartitions, and
+    re-runs select identical docs (the corpus_shard_assignment rule),
+    and the oracle certifies the exact accepted set via checksum.
+
+    Scale shape: one scan + one broadcast scalar (max weight); the
+    acceptance test is a codegen projection. This is how you thin a
+    100 TB crawl to a weighted subsample without a shuffle."""
+    w = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.least("n_chars", F.lit(2000)).alias("wt")
+    )
+    mx = w.agg(F.max("wt").alias("max_w"))
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    dec = w.join(F.broadcast(mx)).withColumn(
+        "acc",
+        F.when(u * F.col("max_w") < F.col("wt") * F.lit(4294967296), 1).otherwise(0),
+    )
+    return dec.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("acc").cast("long").alias("n_accepted"),
+        F.sum(F.when(F.col("acc") == 1, F.col("doc_id")).otherwise(0))
+        .cast("long")
+        .alias("accepted_checksum"),
+    )

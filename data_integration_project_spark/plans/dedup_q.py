@@ -1186,3 +1186,103 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall_ppm"),
         )
     )
+
+
+@query(
+    "dedup_keep_best",
+    oracle=_CHAIN_CORPUS_SQL
+    + _PAIRS_BLOCKS_SQL
+    + """
+    , edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    walk(node, r) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT w.node, e.dst FROM walk w JOIN edges e ON e.src = w.r
+    ),
+    labels AS (SELECT node, MIN(r) AS comp FROM walk GROUP BY node),
+    scored AS (
+      SELECT l.comp, l.node, length(c.text) AS quality,
+             ROW_NUMBER() OVER (PARTITION BY l.comp
+                                ORDER BY length(c.text) DESC, l.node) AS rk
+      FROM labels l JOIN corpus c ON c.doc_id = l.node
+    )
+    SELECT comp AS cluster_rep,
+           CAST(MAX(CASE WHEN rk = 1 THEN node END) AS BIGINT) AS kept_doc,
+           CAST(MAX(CASE WHEN rk = 1 THEN quality END) AS BIGINT)
+             AS kept_quality,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_discarded,
+           CAST(SUM(CASE WHEN rk > 1 THEN node ELSE 0 END) AS BIGINT)
+             AS discarded_checksum
+    FROM scored GROUP BY comp
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster SURVIVORSHIP — the step after near-dup clustering that
+    real corpus curation needs: within each duplicate cluster keep the
+    highest-quality member (here: longest text, doc_id tiebreak — the
+    policy slot where a trained quality score plugs in) and discard
+    the rest, with a checksum certifying exactly WHICH docs were
+    dropped. Pipeline: MinHash/LSH pairs → connected components →
+    per-cluster argmax by window rank — the rank partitions by
+    component, so survivorship costs one more component-keyed shuffle
+    after CC, nothing corpus-wide. Compare customer_golden_records for
+    the column-level merge variant on entities."""
+    base = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 10 == 0)
+    )
+
+    def variant(offset: int, suffix: str) -> DataFrame:
+        txt = (
+            F.concat(F.col("text"), F.lit(suffix)) if suffix else F.col("text")
+        )
+        return base.select(
+            (F.col("doc_id") + offset).alias("doc_id"), txt.alias("text")
+        )
+
+    corpus = (
+        base.unionByName(variant(100000, ""))
+        .unionByName(variant(200000, " extra"))
+        .unionByName(variant(300000, " extra extra"))
+    )
+    pairs = D.minhash_lsh_dedup(
+        corpus,
+        "doc_id",
+        "text",
+        shingle_k=3,
+        n_hashes=_N_HASHES,
+        n_bands=_N_BANDS,
+        threshold=0.5,
+    )
+    labels = D.connected_components(pairs)
+    scored = labels.join(
+        corpus.select(
+            F.col("doc_id").alias("node"), F.length("text").alias("quality")
+        ),
+        "node",
+    )
+    w = Window.partitionBy("comp").orderBy(F.col("quality").desc(), "node")
+    ranked = scored.withColumn("rk", F.row_number().over(w))
+    return ranked.groupBy("comp").agg(
+        F.max(F.when(F.col("rk") == 1, F.col("node")))
+        .cast("long")
+        .alias("kept_doc"),
+        F.max(F.when(F.col("rk") == 1, F.col("quality")))
+        .cast("long")
+        .alias("kept_quality"),
+        (F.count(F.lit(1)) - 1).cast("long").alias("n_discarded"),
+        F.sum(F.when(F.col("rk") > 1, F.col("node")).otherwise(0))
+        .cast("long")
+        .alias("discarded_checksum"),
+    ).select(
+        F.col("comp").alias("cluster_rep"),
+        "kept_doc",
+        "kept_quality",
+        "n_discarded",
+        "discarded_checksum",
+    )
