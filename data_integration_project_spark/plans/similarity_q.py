@@ -1217,3 +1217,160 @@ def ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.srp_multiprobe_topk(
         queries, e, "vec_id", "embedding", k=5, n_planes=4, n_tables=3
     )
+
+
+def _mmr_oracle(k: int = 4, n_cand: int = 8) -> str:
+    head = """
+    WITH codes AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS c
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, c AS qc FROM codes WHERE vec_id % 100 = 0),
+    rel AS MATERIALIZED (
+      SELECT q.qid, d.vec_id AS cid,
+             CAST(list_sum(list_transform(range(1, len(d.c) + 1),
+                  i -> q.qc[i] * d.c[i])) AS BIGINT) AS rel
+      FROM q, codes d WHERE d.vec_id <> q.qid
+    ),
+    cand AS MATERIALIZED (
+      SELECT qid, cid, rel FROM rel
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, cid)
+              <= {n_cand}
+    ),
+    sims AS MATERIALIZED (
+      SELECT a.qid, a.cid AS ca, b.cid AS cb,
+             CAST(list_sum(list_transform(range(1, len(x.c) + 1),
+                  i -> x.c[i] * y.c[i])) AS BIGINT) AS d
+      FROM cand a
+      JOIN cand b ON b.qid = a.qid AND b.cid <> a.cid
+      JOIN codes x ON x.vec_id = a.cid
+      JOIN codes y ON y.vec_id = b.cid
+    ),
+    sel1 AS (
+      SELECT qid, cid, rel AS score, CAST(1 AS INTEGER) AS round FROM cand
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, cid) = 1
+    )""".replace("{n_cand}", str(n_cand))
+    rounds = []
+    for r in range(2, k + 1):
+        prev = r - 1
+        rounds.append(f"""
+    pick{r} AS (
+      SELECT qid, cid, score, CAST({r} AS INTEGER) AS round FROM (
+        SELECT c.qid, c.cid, c.rel - MAX(s.d) AS score
+        FROM cand c
+        LEFT JOIN sel{prev} e ON e.qid = c.qid AND e.cid = c.cid
+        JOIN sims s ON s.qid = c.qid AND s.ca = c.cid
+        JOIN sel{prev} sl ON sl.qid = s.qid AND sl.cid = s.cb
+        WHERE e.cid IS NULL
+        GROUP BY c.qid, c.cid, c.rel
+      )
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) = 1
+    ),
+    sel{r} AS (SELECT * FROM sel{prev} UNION ALL SELECT * FROM pick{r})""")
+    tail = f"""
+    SELECT qid, round, cid AS picked, score AS mmr_score FROM sel{k}
+    """
+    return head + "," + ",".join(rounds) + tail
+
+
+@query("embeddings_mmr_rerank", oracle=_mmr_oracle())
+def embeddings_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance reranking (Carbonell & Goldstein '98)
+    — the retrieval-diversification step between ANN and the consumer:
+    from each query's top-8 candidates, greedily pick 4 maximizing
+    relevance MINUS the max similarity to everything already picked.
+    The greedy loop is inherently sequential, so all similarities are
+    EXACT integer dot products over 1e4-scaled quantized codes (the
+    int8-quantization doctrine): every argmax has a total order
+    (score desc, id) and the oracle replays the identical rounds
+    unrolled. Spark runs the loop as k-1 bounded joins over the
+    candidate set — per-query work is O(k·n_cand), never corpus-sized;
+    candidate generation is the ANN index's job at scale
+    (ann_srp_bucketed / ann_ivf_topk feed this directly)."""
+    K, N_CAND = 4, 8
+    emb = t(spark, sf_dir, "embeddings")
+    codes = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 10000 + F.lit(0.5)).cast("long"),
+        ).alias("c"),
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda u, v: u * v),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    qs = codes.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("c").alias("qc")
+    )
+    rel = (
+        qs.crossJoin(codes.select(F.col("vec_id").alias("cid"), "c"))
+        .filter(F.col("cid") != F.col("qid"))
+        .select("qid", "cid", "c", dot(F.col("qc"), F.col("c")).alias("rel"))
+    )
+    from pyspark.sql import Window
+
+    wq = Window.partitionBy("qid").orderBy(F.col("rel").desc(), "cid")
+    cand = (
+        rel.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= N_CAND)
+        .drop("rn")
+        .persist()
+    )
+    sims = (
+        cand.select("qid", F.col("cid").alias("ca"), F.col("c").alias("c1"))
+        .join(
+            cand.select(
+                F.col("qid").alias("q2"), F.col("cid").alias("cb"), F.col("c").alias("c2")
+            ),
+            (F.col("q2") == F.col("qid")) & (F.col("cb") != F.col("ca")),
+        )
+        .select("qid", "ca", "cb", dot(F.col("c1"), F.col("c2")).alias("d"))
+        .persist()
+    )
+    sel = (
+        cand.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") == 1)
+        .select(
+            "qid",
+            "cid",
+            F.col("rel").alias("score"),
+            F.lit(1).cast("int").alias("round"),
+        )
+    )
+    for r in range(2, K + 1):
+        prior = sel.select(F.col("qid").alias("pq"), F.col("cid").alias("pc"))
+        remaining = cand.join(
+            prior,
+            (F.col("pq") == F.col("qid")) & (F.col("pc") == F.col("cid")),
+            "left_anti",
+        )
+        pen = (
+            remaining.join(
+                sims.withColumnRenamed("qid", "sq"),
+                (F.col("sq") == F.col("qid")) & (F.col("ca") == F.col("cid")),
+            )
+            .join(
+                prior,
+                (F.col("pq") == F.col("sq")) & (F.col("pc") == F.col("cb")),
+            )
+            .groupBy("qid", "cid", "rel")
+            .agg(F.max("d").alias("pen"))
+            .select("qid", "cid", (F.col("rel") - F.col("pen")).alias("score"))
+        )
+        ws = Window.partitionBy("qid").orderBy(F.col("score").desc(), "cid")
+        pick = (
+            pen.withColumn("rn", F.row_number().over(ws))
+            .filter(F.col("rn") == 1)
+            .select("qid", "cid", "score", F.lit(r).cast("int").alias("round"))
+        )
+        sel = sel.unionByName(pick)
+    return sel.select(
+        "qid", "round", F.col("cid").alias("picked"), F.col("score").alias("mmr_score")
+    )
