@@ -1286,3 +1286,115 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_discarded",
         "discarded_checksum",
     )
+
+
+@query(
+    "dedup_blocking_quality",
+    oracle=_CHAIN_CORPUS_SQL
+    + _PAIRS_BLOCKS_SQL
+    + """
+    , copairs AS (
+      SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM shingled sa
+      JOIN shingled sb ON sb.shash = sa.shash AND sa.doc_id < sb.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT c.id_a, c.id_b
+      FROM copairs c
+      JOIN sizes za ON za.doc_id = c.id_a
+      JOIN sizes zb ON zb.doc_id = c.id_b
+      WHERE CAST(c.n_inter AS DOUBLE) / (za.sz + zb.sz - c.n_inter) >= 0.5
+    ),
+    m AS (
+      SELECT (SELECT COUNT(*) FROM corpus) AS nd,
+             (SELECT COUNT(*) FROM truth) AS n_true,
+             (SELECT COUNT(*) FROM cands) AS n_cand,
+             (SELECT COUNT(*) FROM cands c
+              JOIN truth t ON t.id_a = c.id_a AND t.id_b = c.id_b) AS n_tp
+    )
+    SELECT CAST(nd AS BIGINT) AS n_docs,
+           CAST(nd * (nd - 1) // 2 AS BIGINT) AS n_all_pairs,
+           CAST(n_true AS BIGINT) AS n_true,
+           CAST(n_cand AS BIGINT) AS n_cand,
+           CAST(n_tp AS BIGINT) AS n_cand_true,
+           CAST(n_tp AS DOUBLE) / n_true AS pair_completeness,
+           CAST(nd * (nd - 1) // 2 - n_cand AS DOUBLE)
+             / (nd * (nd - 1) // 2) AS reduction_ratio
+    FROM m
+    """,
+)
+def dedup_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOCKING-QUALITY evaluation of the LSH banding itself — the two
+    numbers that justify any blocking scheme at 100 TB: pair
+    completeness (what fraction of TRUE near-dup pairs land in some
+    shared bucket — recall of the blocker, before any verify step) and
+    reduction ratio (what fraction of the quadratic pair space the
+    blocker lets you skip). Ground truth is exact shingle-Jaccard ≥0.5
+    over the bounded chain corpus, enumerable through the co-shingle
+    join (a pair with zero shared shingles can't reach the threshold,
+    so the enumeration is complete — no N² scan). Complements
+    dedup_clusters_bcubed, which scores the END clustering; this
+    scores the candidate generator."""
+    base = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 10 == 0)
+    )
+
+    def variant(offset: int, suffix: str) -> DataFrame:
+        txt = (
+            F.concat(F.col("text"), F.lit(suffix)) if suffix else F.col("text")
+        )
+        return base.select(
+            (F.col("doc_id") + offset).alias("doc_id"), txt.alias("text")
+        )
+
+    corpus = (
+        base.unionByName(variant(100000, ""))
+        .unionByName(variant(200000, " extra"))
+        .unionByName(variant(300000, " extra extra"))
+    )
+    sets = D.shingle_sets_with_signatures(
+        corpus, "doc_id", "text", 3, _N_HASHES
+    ).persist()
+    buckets = D.lsh_bucket_rows(sets, "doc_id", _N_BANDS, _ROWS_PER_BAND)
+    cand = D.candidate_pairs(buckets, "doc_id").persist()
+    ex = sets.select("doc_id", F.explode("_shs").alias("h"))
+    copairs = (
+        ex.select(F.col("doc_id").alias("_id_a"), "h")
+        .join(ex.select(F.col("doc_id").alias("_id_b"), "h"), "h")
+        .filter(F.col("_id_a") < F.col("_id_b"))
+        .select("_id_a", "_id_b")
+        .distinct()
+    )
+    truth = (
+        D.jaccard_on_pairs(copairs, sets, "doc_id")
+        .filter(F.col("jaccard") >= 0.5)
+        .select("_id_a", "_id_b")
+        .persist()
+    )
+    nd = corpus.agg(F.count(F.lit(1)).alias("nd"))
+    counts = (
+        nd.join(truth.agg(F.count(F.lit(1)).alias("n_true")))
+        .join(cand.agg(F.count(F.lit(1)).alias("n_cand")))
+        .join(
+            cand.join(truth, ["_id_a", "_id_b"], "left_semi").agg(
+                F.count(F.lit(1)).alias("n_tp")
+            )
+        )
+    )
+    all_pairs = F.expr("nd * (nd - 1) div 2")
+    return counts.select(
+        F.col("nd").cast("long").alias("n_docs"),
+        all_pairs.cast("long").alias("n_all_pairs"),
+        F.col("n_true").cast("long").alias("n_true"),
+        F.col("n_cand").cast("long").alias("n_cand"),
+        F.col("n_tp").cast("long").alias("n_cand_true"),
+        (F.col("n_tp").cast("double") / F.col("n_true")).alias(
+            "pair_completeness"
+        ),
+        (
+            (all_pairs - F.col("n_cand")).cast("double") / all_pairs
+        ).alias("reduction_ratio"),
+    )

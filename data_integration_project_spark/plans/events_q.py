@@ -4318,3 +4318,119 @@ def events_local_hour_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("value"), "total_value"),
         )
     )
+
+
+@query(
+    "events_gap_fill_lerp",
+    oracle="""
+    WITH sparse AS (
+      SELECT user_id, ts, event_id, epoch_ms(ts) AS ms,
+             CASE WHEN event_id % 5 = 0 THEN NULL
+                  ELSE CAST(floor(value * 1000 + 0.5) AS BIGINT) END AS vm
+      FROM events
+    ),
+    ctx AS (
+      SELECT user_id, vm,
+             last_value(vm IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN vm IS NOT NULL THEN ms END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS px,
+             first_value(vm IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN vm IS NOT NULL THEN ms END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nx,
+             ms
+      FROM sparse
+    ),
+    lerped AS (
+      SELECT user_id, vm,
+             CASE WHEN vm IS NOT NULL THEN NULL
+                  WHEN pv IS NULL OR nv IS NULL THEN NULL
+                  WHEN nx > px
+                    THEN CAST(floor(CAST(pv * (nx - ms) + nv * (ms - px)
+                                         AS DOUBLE) / (nx - px)) AS BIGINT)
+                  ELSE pv END AS fill
+      FROM ctx
+    )
+    SELECT user_id,
+           COUNT(*) AS n_readings,
+           CAST(SUM(CASE WHEN vm IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_gaps,
+           CAST(SUM(CASE WHEN fill IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_lerped,
+           CAST(COALESCE(SUM(fill), 0) AS BIGINT) AS lerp_checksum
+    FROM lerped GROUP BY user_id
+    """,
+)
+def events_gap_fill_lerp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation gap repair — the numeric upgrade of LOCF
+    (events_gap_fill_locf): the same deterministic 20% dropout, but
+    each gap takes the time-weighted average of its surrounding
+    readings, computed in EXACT integer milli-value × milli-second
+    arithmetic (one floor division per gap — products stay under 2^52,
+    so the double path is exact on both engines; equal-timestamp
+    neighbors fall back to the previous value to dodge the zero-width
+    segment). Boundary gaps with no neighbor on one side stay NULL.
+
+    Scale shape: two frame-native IGNORE NULLS window passes over the
+    standard per-user ordering — the partitioning every per-user
+    operator shares; no self-join, no spine densification needed."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.unix_millis("ts").alias("ms"),
+        F.when(F.col("event_id") % 5 == 0, F.lit(None)).otherwise(
+            F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long")
+        ).alias("vm"),
+    )
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    ms_if = F.when(F.col("vm").isNotNull(), F.col("ms"))
+    ctx = ev.select(
+        "user_id",
+        "vm",
+        "ms",
+        F.last("vm", ignorenulls=True).over(back).alias("pv"),
+        F.last(ms_if, ignorenulls=True).over(back).alias("px"),
+        F.first("vm", ignorenulls=True).over(fwd).alias("nv"),
+        F.first(ms_if, ignorenulls=True).over(fwd).alias("nx"),
+    )
+    lerp = (
+        F.floor(
+            (
+                F.col("pv") * (F.col("nx") - F.col("ms"))
+                + F.col("nv") * (F.col("ms") - F.col("px"))
+            ).cast("double")
+            / (F.col("nx") - F.col("px"))
+        )
+    ).cast("long")
+    fill = (
+        F.when(F.col("vm").isNotNull(), F.lit(None).cast("long"))
+        .when(F.col("pv").isNull() | F.col("nv").isNull(), F.lit(None).cast("long"))
+        .when(F.col("nx") > F.col("px"), lerp)
+        .otherwise(F.col("pv"))
+    )
+    out = ctx.withColumn("fill", fill)
+    return out.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_readings"),
+        F.sum(F.when(F.col("vm").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_gaps"),
+        F.sum(F.when(F.col("fill").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_lerped"),
+        F.coalesce(F.sum("fill"), F.lit(0)).cast("long").alias("lerp_checksum"),
+    )

@@ -17,7 +17,7 @@ row between engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .catalog import SQL_DSUM, dsum, query, t
@@ -1111,4 +1111,94 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_count"))
         .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "partsupp_fifo_allocation",
+    oracle=SQL_PARTSUPP
+    + """
+    , demand AS (
+      SELECT l_partkey AS pk,
+             SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS d_centi
+      FROM lineitem GROUP BY 1
+    ),
+    lots AS (
+      SELECT ps_partkey, ps_suppkey,
+             ps_availqty * 100 AS q_centi,
+             SUM(ps_availqty * 100) OVER (
+               PARTITION BY ps_partkey ORDER BY ps_suppkey
+               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM partsupp
+    ),
+    alloc AS (
+      SELECT l.ps_partkey, l.ps_suppkey, l.q_centi,
+             greatest(CAST(0 AS BIGINT),
+                      least(l.q_centi, d.d_centi - (l.cum - l.q_centi)))
+               AS a_centi,
+             d.d_centi
+      FROM lots l JOIN demand d ON d.pk = l.ps_partkey
+    )
+    SELECT ps_partkey,
+           CAST(COUNT(*) AS BIGINT) AS n_lots,
+           CAST(SUM(CASE WHEN a_centi > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_lots_touched,
+           CAST(SUM(a_centi) AS BIGINT) AS allocated_centi,
+           CAST(greatest(MAX(d_centi) - SUM(q_centi), 0) AS BIGINT)
+             AS unfilled_centi,
+           CAST(SUM(a_centi * ps_suppkey) AS BIGINT) AS alloc_checksum
+    FROM alloc GROUP BY ps_partkey
+    """,
+)
+def partsupp_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO lot allocation — consuming each part's demand against its
+    supply lots in first-in order (suppkey as the arrival order on the
+    derived partsupp). The sequential-sounding "walk lots until demand
+    is met" is pure window math: lot i absorbs
+    clamp(D − cum_{i−1}, 0, qty_i) — one running sum, no fold, no
+    recursion, which is why it scales as a single partkey-partitioned
+    window pass (the ledger/inventory pattern: FIFO cost basis,
+    warehouse picking, capacity spillover). Integer centi-units
+    throughout; the suppkey-weighted checksum certifies WHICH lots
+    were touched, not just how much."""
+    demand = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_partkey").alias("pk"))
+        .agg(
+            F.sum(
+                F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")
+            ).alias("d_centi")
+        )
+    )
+    w = (
+        Window.partitionBy("ps_partkey")
+        .orderBy("ps_suppkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    lots = derived_partsupp(spark, sf_dir).select(
+        "ps_partkey",
+        "ps_suppkey",
+        (F.col("ps_availqty") * 100).alias("q_centi"),
+    ).withColumn("cum", F.sum("q_centi").over(w))
+    alloc = lots.join(demand, F.col("pk") == F.col("ps_partkey")).withColumn(
+        "a_centi",
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.least(
+                F.col("q_centi"), F.col("d_centi") - (F.col("cum") - F.col("q_centi"))
+            ),
+        ),
+    )
+    return alloc.groupBy("ps_partkey").agg(
+        F.count(F.lit(1)).alias("n_lots"),
+        F.sum(F.when(F.col("a_centi") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_lots_touched"),
+        F.sum("a_centi").cast("long").alias("allocated_centi"),
+        F.greatest(
+            F.max("d_centi") - F.sum("q_centi"), F.lit(0).cast("long")
+        ).alias("unfilled_centi"),
+        F.sum(F.col("a_centi") * F.col("ps_suppkey"))
+        .cast("long")
+        .alias("alloc_checksum"),
     )
