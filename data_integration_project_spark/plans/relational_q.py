@@ -6232,3 +6232,91 @@ def customers_cogroup_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
             schema="c_custkey long, n_orders long, order_cents long, balance_cents long",
         )
     )
+
+
+_ANALYZE_COLS = [
+    ("customer", "c_mktsegment", "str"),
+    ("customer", "c_acctbal", "num"),
+    ("orders", "o_orderstatus", "str"),
+    ("orders", "o_totalprice", "num"),
+    ("part", "p_brand", "str"),
+    ("part", "p_size", "int"),
+]
+
+
+def _ANALYZE_LEG_SQL(tbl: str, col: str, kind: str) -> str:
+    if kind == "str":
+        minmax = f"MIN({col})", f"MAX({col})"
+        avg_len = f"CAST(SUM(length({col})) * 1000 // COUNT({col}) AS BIGINT)"
+    elif kind == "num":
+        c = f"CAST(floor({col} * 100 + 0.5) AS BIGINT)"
+        minmax = f"CAST(MIN({c}) AS VARCHAR)", f"CAST(MAX({c}) AS VARCHAR)"
+        avg_len = "CAST(NULL AS BIGINT)"
+    else:  # int
+        minmax = f"CAST(MIN({col}) AS VARCHAR)", f"CAST(MAX({col}) AS VARCHAR)"
+        avg_len = "CAST(NULL AS BIGINT)"
+    return f"""
+    SELECT '{tbl}' AS table_name, '{col}' AS column_name,
+           COUNT(*) AS n_rows,
+           CAST(COUNT(*) - COUNT({col}) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT {col}) AS BIGINT) AS ndv,
+           {minmax[0]} AS min_val, {minmax[1]} AS max_val,
+           {avg_len} AS avg_len_milli
+    FROM {tbl}
+    """
+
+
+@query(
+    "catalog_analyze_stats",
+    oracle="\nUNION ALL\n".join(
+        _ANALYZE_LEG_SQL(tbl, col, kind) for tbl, col, kind in _ANALYZE_COLS
+    ),
+)
+def catalog_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style statistics collection — the CBO's food: per
+    column, row count, null count, exact NDV, min/max, and average
+    length (integer milli-chars, floor division — no float mean).
+    Numeric min/max travel as integer cents stringified (the monotone
+    floor(x·100+0.5) map commutes with MIN/MAX, dodging float-format
+    divergence between engines). This is what `ANALYZE TABLE ...
+    COMPUTE STATISTICS FOR COLUMNS` persists for join reordering and
+    broadcast decisions; at 100 TB each leg is one map-side-combined
+    aggregate per column — collected incrementally per partition in
+    practice, and exactly the shape monitoring_file_stats extends."""
+    out = None
+    for tbl, col, kind in _ANALYZE_COLS:
+        df = t(spark, sf_dir, tbl)
+        c = F.col(col)
+        if kind == "str":
+            min_v, max_v = F.min(c), F.max(c)
+            avg_len = F.floor(
+                F.sum(F.length(c)) * 1000 / F.count(c)
+            ).cast("long")
+        elif kind == "num":
+            cc = F.floor(c * 100 + F.lit(0.5)).cast("long")
+            min_v = F.min(cc).cast("string")
+            max_v = F.max(cc).cast("string")
+            avg_len = F.lit(None).cast("long")
+        else:
+            min_v = F.min(c).cast("string")
+            max_v = F.max(c).cast("string")
+            avg_len = F.lit(None).cast("long")
+        leg = df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) - F.count(c)).cast("long").alias("n_nulls"),
+            F.countDistinct(c).cast("long").alias("ndv"),
+            min_v.alias("min_val"),
+            max_v.alias("max_val"),
+            avg_len.alias("avg_len_milli"),
+        ).select(
+            F.lit(tbl).alias("table_name"),
+            F.lit(col).alias("column_name"),
+            "n_rows",
+            "n_nulls",
+            "ndv",
+            "min_val",
+            "max_val",
+            "avg_len_milli",
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out
