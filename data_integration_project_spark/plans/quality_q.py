@@ -407,3 +407,91 @@ def customers_pseudonymized(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("name_token").alias("sample_token"),
         )
     )
+
+
+@query(
+    "customer_error_replay",
+    oracle=_DIRTY_SQL_CTE
+    + """
+    , errors AS (
+      SELECT * FROM checked
+      WHERE NOT (ok_name AND ok_acctbal AND ok_segment AND ok_email AND ok_phone)
+    ),
+    relaxed AS (
+      SELECT c_custkey, c_name, c_acctbal, email,
+             CASE WHEN c_mktsegment NOT IN
+                    ('AUTOMOBILE','FURNITURE','MACHINERY','BUILDING','HOUSEHOLD')
+                  THEN 'MACHINERY' ELSE c_mktsegment END AS c_mktsegment,
+             CASE WHEN length(sdt) < 9 THEN lpad(sdt, 9, '0') ELSE sdt END AS sdt
+      FROM errors
+    ),
+    rechecked AS (
+      SELECT c_custkey,
+        (c_acctbal BETWEEN -1000 AND 10000) AS ok_acctbal,
+        (c_mktsegment IN ('AUTOMOBILE','FURNITURE','MACHINERY','BUILDING','HOUSEHOLD'))
+          AS ok_segment,
+        regexp_matches(email, '^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$')
+          AS ok_email,
+        regexp_matches(sdt, '^[0-9]{9,11}$') AS ok_phone,
+        (c_name IS NOT NULL AND trim(c_name) <> '') AS ok_name
+      FROM relaxed
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_quarantined,
+           CAST(SUM(CASE WHEN ok_name AND ok_acctbal AND ok_segment
+                              AND ok_email AND ok_phone
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_recovered,
+           CAST(SUM(CASE WHEN NOT (ok_name AND ok_acctbal AND ok_segment
+                                   AND ok_email AND ok_phone)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_still_bad,
+           CAST(SUM(CASE WHEN ok_name AND ok_acctbal AND ok_segment
+                              AND ok_email AND ok_phone
+                    THEN c_custkey ELSE 0 END) AS BIGINT) AS recovered_checksum
+    FROM rechecked
+    """,
+)
+def customer_error_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUARANTINE REPLAY — the operational second half of the
+    clean/error split (V3): rows the strict pass rejected get a second
+    pass with remediation fixes an operator signed off on (default the
+    unknown segment, zero-pad short phone numbers) and the SAME strict
+    validation; what now passes is released, the rest stays
+    quarantined. Two RuleSet applications, no new machinery — the
+    engine's fix→validate loop composes. The recovered-set checksum
+    certifies exactly WHICH rows were released (the release list is an
+    audit artifact). Unfixable injections (out-of-range balances,
+    truncated emails) must stay quarantined — if the relaxation
+    accidentally waives them, counts move and the hash fails."""
+    strict = customer_ruleset()
+    validated = strict.validate(_dirty_customers(spark, sf_dir))
+    errors = validated.filter(~F.col("_is_valid")).drop("_errors", "_is_valid")
+    replay = Q.RuleSet("customer_replay")
+    replay.fix(
+        "c_mktsegment",
+        F.when(
+            ~F.col("c_mktsegment").isin(_SEGMENTS), F.lit("MACHINERY")
+        ).otherwise(F.col("c_mktsegment")),
+    )
+    replay.fix(
+        "sdt",
+        F.when(F.length("sdt") < 9, F.lpad("sdt", 9, "0")).otherwise(
+            F.col("sdt")
+        ),
+    )
+    for name, rule in [
+        ("name_not_blank", Q.not_blank("c_name")),
+        ("acctbal_range", Q.in_range("c_acctbal", -1000, 10000)),
+        ("segment_domain", Q.in_domain("c_mktsegment", _SEGMENTS)),
+        ("email_format", Q.valid_email("email")),
+        ("phone_format", Q.matches("sdt", "^[0-9]{9,11}$")),
+    ]:
+        replay.rule(name, rule, name)
+    re_validated = replay.validate(errors)
+    ok = F.col("_is_valid")
+    return re_validated.agg(
+        F.count(F.lit(1)).cast("long").alias("n_quarantined"),
+        F.sum(F.when(ok, 1).otherwise(0)).cast("long").alias("n_recovered"),
+        F.sum(F.when(~ok, 1).otherwise(0)).cast("long").alias("n_still_bad"),
+        F.sum(F.when(ok, F.col("c_custkey")).otherwise(0))
+        .cast("long")
+        .alias("recovered_checksum"),
+    )
