@@ -4434,3 +4434,85 @@ def events_gap_fill_lerp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_lerped"),
         F.coalesce(F.sum("fill"), F.lit(0)).cast("long").alias("lerp_checksum"),
     )
+
+
+@query(
+    "events_viterbi_decode",
+    oracle="""
+    WITH RECURSIVE ev AS MATERIALIZED (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_events,
+             ascii(substr(event_type, 1, 1)) % 50 AS ea,
+             (ascii(substr(event_type, 1, 1)) * 7) % 50 AS eb
+      FROM events
+    ),
+    fold AS (
+      SELECT user_id, rn, n_events,
+             CAST(ea AS BIGINT) AS sa, CAST(eb AS BIGINT) AS sb
+      FROM ev WHERE rn = 1
+      UNION ALL
+      SELECT e.user_id, e.rn, e.n_events,
+             least(f.sa + 5, f.sb + 20) + e.ea,
+             least(f.sa + 20, f.sb + 5) + e.eb
+      FROM fold f JOIN ev e ON e.user_id = f.user_id AND e.rn = f.rn + 1
+    )
+    SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+           least(sa, sb) AS best_cost,
+           CASE WHEN sa <= sb THEN 'A' ELSE 'B' END AS best_state
+    FROM fold WHERE rn = n_events
+    """,
+)
+def events_viterbi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VITERBI DECODING — in-engine HMM inference: per user, the
+    min-cost hidden-state path over the event sequence for a fixed
+    2-state model (sticky transitions 5/20, emission costs derived
+    from the event type), tracked as the classic two-register dynamic
+    program. All costs are integers, so the sequential DP folds the
+    per-user sorted event array exactly like the Holt/debounce family
+    and the oracle replays it recursively. This is the shape of
+    segmentation models (session intent, bot-vs-human, sensor regime
+    detection) run AS A QUERY: one shuffle on user_id, per-user state
+    = two integers regardless of sequence length."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.struct("ts", "event_id", "event_type").alias("s")
+    )
+    grouped = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list("s")).alias("a"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+    def em_a(x):
+        return (F.ascii(F.substring(x["event_type"], 1, 1)) % 50).cast("long")
+
+    def em_b(x):
+        return ((F.ascii(F.substring(x["event_type"], 1, 1)) * 7) % 50).cast(
+            "long"
+        )
+
+    def step(acc, x):
+        first = acc["sa"] < 0
+        sa0 = F.when(first, em_a(x)).otherwise(
+            F.least(acc["sa"] + 5, acc["sb"] + 20) + em_a(x)
+        )
+        sb0 = F.when(first, em_b(x)).otherwise(
+            F.least(acc["sa"] + 20, acc["sb"] + 5) + em_b(x)
+        )
+        return F.struct(sa0.alias("sa"), sb0.alias("sb"))
+
+    init = F.struct(
+        F.lit(-1).cast("long").alias("sa"), F.lit(-1).cast("long").alias("sb")
+    )
+    return grouped.select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.aggregate(F.col("a"), init, step).alias("st"),
+    ).select(
+        "user_id",
+        "n_events",
+        F.least(F.col("st.sa"), F.col("st.sb")).alias("best_cost"),
+        F.when(F.col("st.sa") <= F.col("st.sb"), "A")
+        .otherwise("B")
+        .alias("best_state"),
+    )
