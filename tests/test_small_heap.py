@@ -23,7 +23,8 @@ import __spark_entry__ as e
 qs = e.queries()
 for name in ["customer_golden_records", "dedup_clusters_largestar",
              "dedup_minhash_lsh", "parts_market_basket",
-             "dedup_clusters_bcubed", "ann_ivf_pq_adc"]:
+             "dedup_clusters_bcubed", "ann_ivf_pq_adc",
+             "dedup_keep_best", "dedup_blocking_quality"]:
     n = qs[name](spark, "/root/testdata/sf0.01").count()
     print("HEAPCANARY", name, n, flush=True)
 print("HEAPCANARY ALL_OK", flush=True)
