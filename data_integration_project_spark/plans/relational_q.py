@@ -6320,3 +6320,88 @@ def catalog_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = leg if out is None else out.unionByName(leg)
     return out
+
+
+@query(
+    "orders_orc_roundtrip",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS total_value
+    FROM orders
+    WHERE o_orderkey % 7 = 0
+    GROUP BY o_orderstatus
+    """,
+)
+def orders_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC interop: a deterministic orders slice written to ORC and
+    read back before aggregating — the engine's second columnar format
+    (the reference speaks only CSV/JDBC/queue; a Spark-first engine
+    speaks parquet AND ORC natively, which is what interop with Hive
+    warehouses requires). Doubles survive ORC bit-exactly, so the
+    exact-decimal sum over the round-tripped column must equal the
+    source-side oracle."""
+    import os
+    import tempfile
+
+    d = os.path.join(tempfile.mkdtemp(prefix="orc_rt_"), "orders")
+    (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 7 == 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .write.mode("overwrite")
+        .orc(d)
+    )
+    back = spark.read.orc(d)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice"), "total_value"),
+    )
+
+
+@query(
+    "customer_csv_roundtrip",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+           CAST(SUM(length(c_name) + 6 + length(c_mktsegment)) AS BIGINT)
+             AS note_len_sum
+    FROM customer
+    """,
+)
+def customer_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV escaping fidelity under HOSTILE content: every row gets a
+    synthesized note containing a comma, a double-quoted token, and an
+    embedded NEWLINE — the three things that break naive CSV handling
+    — then the frame round-trips through the engine's CSV writer and
+    a ``multiLine`` read with an explicit schema. The oracle computes
+    the same aggregates from the base table, so one mis-quoted or
+    mis-split row (the classic off-by-one-line corruption) changes
+    the counts and fails the hash. The reference's entire ingest is
+    CSV (S1-S3); this pins the write side of that contract too."""
+    import os
+    import tempfile
+
+    note = F.concat(
+        F.col("c_name"), F.lit(', "x"\n'), F.col("c_mktsegment")
+    )
+    d = os.path.join(tempfile.mkdtemp(prefix="csv_rt_"), "customer")
+    (
+        t(spark, sf_dir, "customer")
+        .select("c_custkey", note.alias("note"))
+        .write.mode("overwrite")
+        .option("header", "true")
+        .csv(d)
+    )
+    back = (
+        spark.read.schema("c_custkey long, note string")
+        .option("header", "true")
+        .option("multiLine", "true")
+        .csv(d)
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("c_custkey").cast("long").alias("key_sum"),
+        F.sum(F.length("note")).cast("long").alias("note_len_sum"),
+    )
