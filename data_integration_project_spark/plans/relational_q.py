@@ -6405,3 +6405,72 @@ def customer_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c_custkey").cast("long").alias("key_sum"),
         F.sum(F.length("note")).cast("long").alias("note_len_sum"),
     )
+
+
+@query(
+    "orders_sqlite_roundtrip",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS total_value
+    FROM orders
+    WHERE o_orderkey % 3 = 0
+      AND o_orderstatus = 'F'
+      AND o_totalprice > 1000.0
+    GROUP BY o_orderpriority
+    """,
+)
+def orders_sqlite_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTED RDBMS legs (sources/pydb.py) — the reference's staging
+    database contract actually run against a real SQL engine (stdlib
+    SQLite behind the Python DataSource API, since no JDBC driver jar
+    ships in this container): idempotent DDL bootstrap (K7), truncate
+    (K6), per-task shard writes merged by the driver with BATCHED
+    ``executemany`` inserts (K4's batch semantics,
+    sql_client.py:118-194), then a PARTITION-PLANNED read back (one
+    rowid range per task, the partitioned-JDBC-scan pattern) with the
+    status equality and price range predicates PUSHED into the
+    database's WHERE clause. The oracle computes the same aggregate
+    from the source table, so a lost batch, duplicated shard, or
+    mis-pushed predicate all fail the hash."""
+    import tempfile
+
+    from ..sources import pydb
+
+    pydb.register(spark)
+    db = tempfile.mkstemp(prefix="orders_rt_", suffix=".db")[1]
+    cols = "o_orderkey long, o_custkey long, o_orderstatus string, o_orderpriority string, o_totalprice double"
+    (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 3 == 0)
+        .select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+        )
+        .write.format("sqlite")
+        .option("path", db)
+        .option("table", "orders_stg")
+        .option("batch_size", "500")
+        .option("truncate", "true")
+        .mode("append")
+        .save()
+    )
+    back = (
+        spark.read.format("sqlite")
+        .schema(cols)
+        .option("path", db)
+        .option("table", "orders_stg")
+        .option("n_partitions", "4")
+        .load()
+        .filter(
+            (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 1000.0)
+        )
+    )
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "> 1000.0" not in plan, (
+        "price range was NOT pushed into the sqlite WHERE clause:\n" + plan[:500]
+    )
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice"), "total_value"),
+    )

@@ -1,0 +1,226 @@
+"""EXECUTED database legs via stdlib ``sqlite3`` behind the Spark 4
+Python DataSource API — the engine's RDBMS story made runnable in this
+container (no JDBC driver jars ship here, so the JDBC plans in
+``sources/jdbc.py`` stay construction-tested; THIS module executes the
+same operator semantics against a real SQL database).
+
+Reference parity (coffee_etl_clean):
+* batched bulk insert — ``etl/db/sql_client.py:118-194`` does
+  ``executemany`` over explicit batches into staging; the writer here
+  batches ``executemany`` the same way (``batch_size`` option), one
+  shard database per task.
+* DDL bootstrap / truncate — ``main.py`` creates tables idempotently
+  and truncates staging before a load; ``commit()`` runs
+  ``CREATE TABLE IF NOT EXISTS`` and honors ``truncate=true``.
+* SQL passthrough + table scan — the reader accepts either
+  ``table`` or an arbitrary ``query``; equality/range predicates are
+  PUSHED into the database's WHERE clause (``pushFilters``), which is
+  exactly what the JDBC source would do.
+
+Scale shape: the reader plans one partition per rowid range — each
+task opens its own connection and scans only its slice (the
+partitioned-JDBC-scan pattern from ``sources/jdbc.read_table``); the
+writer lands one shard per task, and only the driver's commit merges
+shards into the target (SQLite's single-writer lock makes the merge
+driver-side; a server RDBMS would commit per-task transactions
+instead — the class structure is the same).
+"""
+
+from __future__ import annotations
+
+import os
+import sqlite3
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+    WriterCommitMessage,
+)
+
+
+@dataclass
+class _RowidRange(InputPartition):
+    lo: int
+    hi: int  # inclusive
+
+
+def _quote(v) -> str:
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return repr(v)
+
+
+class SqliteReader(DataSourceReader):
+    def __init__(self, schema, options) -> None:
+        self.path = options["path"]
+        self.table = options.get("table")
+        self.query = options.get("query")
+        if not self.table and not self.query:
+            raise ValueError("sqlite source needs 'table' or 'query'")
+        self.n_parts = int(options.get("n_partitions", 4))
+        self.cols = [f.name for f in schema.fields]
+        self.pushed: list[str] = []
+
+    def pushFilters(self, filters):
+        """Absorb equality/range predicates into the database WHERE
+        clause (the JDBC-source contract); anything else is returned
+        for Spark to evaluate post-scan."""
+        ops = {
+            EqualTo: "=",
+            GreaterThan: ">",
+            GreaterThanOrEqual: ">=",
+            LessThan: "<",
+            LessThanOrEqual: "<=",
+        }
+        for f in filters:
+            op = ops.get(type(f))
+            if (
+                op is not None
+                and len(f.attribute) == 1
+                and isinstance(f.value, (int, float, str))
+            ):
+                self.pushed.append(f"{f.attribute[0]} {op} {_quote(f.value)}")
+            else:
+                yield f
+
+    def _source_sql(self) -> str:
+        return self.table if self.table else f"({self.query})"
+
+    def partitions(self):
+        # driver-side planning query: rowid bounds → one range per task
+        con = sqlite3.connect(self.path)
+        try:
+            if self.table:
+                lo, hi = con.execute(
+                    f"SELECT MIN(rowid), MAX(rowid) FROM {self.table}"
+                ).fetchone()
+            else:  # passthrough query: no rowid — single partition
+                return [_RowidRange(0, 0)]
+        finally:
+            con.close()
+        if lo is None:
+            return [_RowidRange(1, 0)]  # empty table
+        step = -(-(hi - lo + 1) // self.n_parts)
+        return [
+            _RowidRange(a, min(a + step - 1, hi))
+            for a in range(lo, hi + 1, step)
+        ]
+
+    def read(self, part: _RowidRange):
+        con = sqlite3.connect(self.path)
+        try:
+            where = list(self.pushed)
+            if self.table:
+                where.append(f"rowid BETWEEN {part.lo} AND {part.hi}")
+            clause = (" WHERE " + " AND ".join(where)) if where else ""
+            sql = f"SELECT {', '.join(self.cols)} FROM {self._source_sql()}{clause}"
+            yield from con.execute(sql)
+        finally:
+            con.close()
+
+
+@dataclass
+class SqliteCommit(WriterCommitMessage):
+    shard_path: str
+    n_rows: int
+
+
+class SqliteWriter(DataSourceWriter):
+    def __init__(self, schema, options, overwrite: bool) -> None:
+        self.path = options["path"]
+        self.table = options["table"]
+        self.batch_size = int(options.get("batch_size", 500))
+        self.truncate = options.get("truncate", "false").lower() == "true"
+        self.cols = [f.name for f in schema.fields]
+        self.overwrite = overwrite
+
+    def _ddl(self) -> str:
+        return (
+            f"CREATE TABLE IF NOT EXISTS {self.table} "
+            f"({', '.join(self.cols)})"
+        )
+
+    # executor side: one shard database per task, batched executemany
+    def write(self, iterator) -> SqliteCommit:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        shard = f"{self.path}.shard-{ctx.taskAttemptId()}"
+        con = sqlite3.connect(shard)
+        n = 0
+        try:
+            con.execute(self._ddl())
+            ph = ", ".join("?" for _ in self.cols)
+            ins = f"INSERT INTO {self.table} VALUES ({ph})"
+            batch = []
+            for row in iterator:
+                batch.append(tuple(row))
+                if len(batch) >= self.batch_size:
+                    con.executemany(ins, batch)  # K4 batched bulk insert
+                    n += len(batch)
+                    batch = []
+            if batch:
+                con.executemany(ins, batch)
+                n += len(batch)
+            con.commit()
+        finally:
+            con.close()
+        return SqliteCommit(shard_path=shard, n_rows=n)
+
+    # driver side: DDL bootstrap + optional truncate, then shard merge
+    def commit(self, messages) -> None:
+        con = sqlite3.connect(self.path)
+        try:
+            con.execute(self._ddl())  # K7 idempotent bootstrap
+            if self.truncate or self.overwrite:
+                con.execute(f"DELETE FROM {self.table}")  # K6 truncate
+            for m in messages:
+                if m is None:
+                    continue
+                con.execute("ATTACH DATABASE ? AS shard", (m.shard_path,))
+                con.execute(
+                    f"INSERT INTO {self.table} SELECT * FROM shard.{self.table}"
+                )
+                con.commit()
+                con.execute("DETACH DATABASE shard")
+            con.commit()
+        finally:
+            con.close()
+        for m in messages:
+            if m is not None and os.path.exists(m.shard_path):
+                os.remove(m.shard_path)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.shard_path):
+                os.remove(m.shard_path)
+
+
+class SqliteDataSource(DataSource):
+    """``spark.read.format("sqlite").option("path", db).option("table", t)``
+    and the matching ``df.write.format("sqlite")`` leg."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "sqlite"
+
+    def schema(self):
+        raise NotImplementedError("pass an explicit schema")
+
+    def reader(self, schema) -> SqliteReader:
+        return SqliteReader(schema, self.options)
+
+    def writer(self, schema, overwrite: bool) -> SqliteWriter:
+        return SqliteWriter(schema, self.options, overwrite)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(SqliteDataSource)
