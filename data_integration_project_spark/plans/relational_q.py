@@ -6474,3 +6474,73 @@ def orders_sqlite_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dsum(F.col("o_totalprice"), "total_value"),
     )
+
+
+@query(
+    "sensors_sqlite_stream_sink",
+    oracle=f"""
+    WITH gen AS (
+      SELECT CAST(i % 50 AS INTEGER) % 10 AS sensor_bucket,
+             ((48271 * i + 11213) % 2147483647) % 1000000 AS micro_value,
+             CASE WHEN ((48271 * i + 11213) % 2147483647) % 97 <> 0
+                  THEN 'ok' ELSE 'fault' END AS status
+      FROM (SELECT unnest(range(0, {_SGS_N})) AS i)
+    )
+    SELECT sensor_bucket, status,
+           COUNT(*) AS n_readings,
+           CAST(SUM(micro_value) AS BIGINT) AS total_micro
+    FROM gen GROUP BY sensor_bucket, status
+    """,
+)
+def sensors_sqlite_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EXACTLY-ONCE into a real SQL database
+    (sources/pydb.SqliteStreamWriter): each micro-batch's shards merge
+    into the table and the batch id lands in ``_batch_log`` in the
+    same transaction, so a replayed batch finds its id and skips —
+    the transactional-sink idempotence recipe of every
+    stream→warehouse pipeline, here EXECUTED against SQLite rather
+    than mocked. After the drain the table is read back through the
+    partitioned sqlite scan and aggregated; one doubled or dropped
+    micro-batch changes every count. (test_pydb.py additionally
+    replays a commit directly and asserts the no-op.)"""
+    import tempfile
+
+    from ..sources import pydb
+    from ..sources.pygen import register as register_source
+
+    register_source(spark)
+    pydb.register(spark)
+    db = tempfile.mkstemp(prefix="sensors_stream_", suffix=".db")[1]
+    ck = tempfile.mkdtemp(prefix="sensors_stream_ck_")
+    src = (
+        spark.readStream.format("sensorgen")
+        .option("max_rows", str(_SGS_N))
+        .option("rows_per_batch", "3072")
+        .load()
+    )
+    q = (
+        src.writeStream.format("sqlite")
+        .option("path", db)
+        .option("table", "readings")
+        .option("batch_size", "500")
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    back = (
+        spark.read.format("sqlite")
+        .schema("reading_id long, sensor_id long, micro_value long, status string")
+        .option("path", db)
+        .option("table", "readings")
+        .option("n_partitions", "4")
+        .load()
+    )
+    return back.groupBy(
+        (F.col("sensor_id") % 10).cast("int").alias("sensor_bucket"), "status"
+    ).agg(
+        F.count(F.lit(1)).alias("n_readings"),
+        F.sum("micro_value").alias("total_micro"),
+    )

@@ -35,6 +35,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     EqualTo,
     GreaterThan,
@@ -221,6 +222,57 @@ class SqliteDataSource(DataSource):
     def writer(self, schema, overwrite: bool) -> SqliteWriter:
         return SqliteWriter(schema, self.options, overwrite)
 
+    def streamWriter(self, schema, overwrite: bool) -> "SqliteStreamWriter":
+        return SqliteStreamWriter(schema, self.options)
+
 
 def register(spark) -> None:
     spark.dataSource.register(SqliteDataSource)
+
+
+class SqliteStreamWriter(SqliteWriter, DataSourceStreamWriter):
+    """Streaming leg: EXACTLY-ONCE into the database via a batch log.
+    ``commit(messages, batchId)`` merges the batch's shards and records
+    the batch id in ``_batch_log`` in the SAME transaction; a replayed
+    batch (checkpoint recovery) finds its id already logged and skips —
+    the transactional-sink idempotence recipe every
+    Kafka→Spark→RDBMS pipeline uses (cf. streaming/manifest.py for the
+    file-sink form of the same rule)."""
+
+    def __init__(self, schema, options) -> None:
+        super().__init__(schema, options, overwrite=False)
+
+    def commit(self, messages, batchId: int) -> None:  # type: ignore[override]
+        con = sqlite3.connect(self.path)
+        try:
+            con.execute(self._ddl())
+            con.execute(
+                "CREATE TABLE IF NOT EXISTS _batch_log (batch_id INTEGER PRIMARY KEY)"
+            )
+            already = con.execute(
+                "SELECT 1 FROM _batch_log WHERE batch_id = ?", (batchId,)
+            ).fetchone()
+            if already is None:
+                for m in messages:
+                    if m is None:
+                        continue
+                    con.execute("ATTACH DATABASE ? AS shard", (m.shard_path,))
+                    con.execute(
+                        f"INSERT INTO {self.table} SELECT * FROM shard.{self.table}"
+                    )
+                    con.commit()
+                    con.execute("DETACH DATABASE shard")
+                con.execute(
+                    "INSERT INTO _batch_log (batch_id) VALUES (?)", (batchId,)
+                )
+                con.commit()
+        finally:
+            con.close()
+        for m in messages:
+            if m is not None and os.path.exists(m.shard_path):
+                os.remove(m.shard_path)
+
+    def abort(self, messages, batchId: int) -> None:  # type: ignore[override]
+        for m in messages:
+            if m is not None and os.path.exists(m.shard_path):
+                os.remove(m.shard_path)

@@ -1,0 +1,66 @@
+"""Executed-database sink invariants (sources/pydb.py), tested without
+a Spark session: the streaming batch-log commit must be IDEMPOTENT on
+replay — a re-delivered batch id is a no-op even if the replayed shard
+contains different bytes — and a new batch id must apply. This is the
+contract that makes the sqlite stream sink exactly-once under
+checkpoint recovery (sensors_sqlite_stream_sink exercises the live
+path; this pins the replay branch the live path can't force).
+"""
+
+from __future__ import annotations
+
+import sqlite3
+
+from pyspark.sql import types as T
+
+from data_integration_project_spark.sources.pydb import (
+    SqliteCommit,
+    SqliteStreamWriter,
+)
+
+_SCHEMA = T.StructType(
+    [T.StructField("a", T.LongType()), T.StructField("b", T.StringType())]
+)
+
+
+def _shard(path, rows):
+    con = sqlite3.connect(path)
+    con.execute("CREATE TABLE t (a, b)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    con.commit()
+    con.close()
+    return str(path)
+
+
+def _count(db):
+    con = sqlite3.connect(db)
+    try:
+        return con.execute("SELECT COUNT(*), COALESCE(SUM(a), 0) FROM t").fetchone()
+    finally:
+        con.close()
+
+
+def test_stream_commit_replay_is_noop(tmp_path):
+    db = str(tmp_path / "main.db")
+    w = SqliteStreamWriter(_SCHEMA, {"path": db, "table": "t"})
+
+    s1 = _shard(tmp_path / "main.db.shard-1", [(1, "x"), (2, "y")])
+    w.commit([SqliteCommit(s1, 2)], 7)
+    assert _count(db) == (2, 3)
+
+    # replay of batch 7 with DIFFERENT content must be skipped entirely
+    s2 = _shard(tmp_path / "main.db.shard-2", [(100, "z")])
+    w.commit([SqliteCommit(s2, 1)], 7)
+    assert _count(db) == (2, 3), "replayed batch was applied twice"
+
+    # a genuinely new batch id applies
+    s3 = _shard(tmp_path / "main.db.shard-3", [(10, "w")])
+    w.commit([SqliteCommit(s3, 1)], 8)
+    assert _count(db) == (3, 13)
+
+    con = sqlite3.connect(db)
+    logged = sorted(
+        r[0] for r in con.execute("SELECT batch_id FROM _batch_log").fetchall()
+    )
+    con.close()
+    assert logged == [7, 8]
