@@ -6544,3 +6544,54 @@ def sensors_sqlite_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_readings"),
         F.sum("micro_value").alias("total_micro"),
     )
+
+
+@query(
+    "sqlite_catalog_discovery",
+    oracle="""
+    SELECT 'customers_stg' AS table_name, CAST(1 AS BIGINT) AS n_found
+    UNION ALL
+    SELECT 'orders_stg', CAST(1 AS BIGINT)
+    """,
+)
+def sqlite_catalog_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTED catalog discovery (S5): after loading two staging
+    tables into the database through the engine's sqlite sink, the
+    catalog is enumerated by reading the database's own metadata table
+    (``sqlite_master``) through the SQL-passthrough leg (S8's
+    ``query`` option) — the same introspection ``sources/jdbc.
+    list_tables`` issues against a server RDBMS
+    (information_schema.tables), run for real in-container. The
+    whole-DB-scan pattern (S7) is this list fed back into per-table
+    reads."""
+    import tempfile
+
+    from ..sources import pydb
+
+    pydb.register(spark)
+    db = tempfile.mkstemp(prefix="catalog_disc_", suffix=".db")[1]
+    for tbl, src, cols in [
+        ("orders_stg", "orders", ["o_orderkey", "o_orderstatus"]),
+        ("customers_stg", "customer", ["c_custkey", "c_mktsegment"]),
+    ]:
+        (
+            t(spark, sf_dir, src)
+            .select(*cols)
+            .limit(100)
+            .write.format("sqlite")
+            .option("path", db)
+            .option("table", tbl)
+            .mode("append")
+            .save()
+        )
+    names = (
+        spark.read.format("sqlite")
+        .schema("table_name string")
+        .option("path", db)
+        .option(
+            "query",
+            "SELECT name AS table_name FROM sqlite_master WHERE type = 'table'",
+        )
+        .load()
+    )
+    return names.groupBy("table_name").agg(F.count(F.lit(1)).alias("n_found"))
