@@ -578,3 +578,95 @@ def connected_components_star(
     )
     labels = e.select(F.col("u").alias("node"), F.col("v").alias("comp"))
     return labels.unionByName(roots)
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC)
+# ---------------------------------------------------------------------------
+
+
+def cdc_chunk_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 16,
+    divisor: int = 32,
+) -> DataFrame:
+    """(id, _chunk_fp, _chunk_len) rows via content-defined chunking.
+
+    A chunk boundary is declared after position ``i`` (1-based) whenever
+    the hash of the ``window`` characters ending at ``i`` is 0 mod
+    ``divisor`` — the FastCDC/LBFS boundary rule. Because the rule
+    depends only on LOCAL content, an insertion near the start of a
+    document re-aligns within one window and the remaining chunks keep
+    their fingerprints — the property fixed-size chunking lacks, and
+    the reason storage/corpus dedup uses CDC (Muthitacharoen et al.,
+    LBFS, SOSP'01).
+
+    Plan shape: one ``explode(sequence(...))`` over character positions
+    (pipelined, no shuffle), boundary test as a codegen md5-prefix
+    expression, one ``groupBy(id)`` to assemble the per-doc boundary
+    list, a co-partitioned join back, and a chunk-level explode. The
+    per-position window hash costs O(n·window) md5 bytes; at 100 TB the
+    drop-in replacement is a Gear rolling hash in ``mapInPandas``
+    (O(n), numpy), with identical boundaries supplied by a different
+    hash constant — the surrounding plan is unchanged. Here the
+    window-hash form keeps the whole operator in JVM codegen and makes
+    the DuckDB oracle an exact twin.
+
+    Expected chunk length is ``divisor`` characters; ``window`` bounds
+    the re-synchronization distance after an edit.
+    """
+    w1 = window - 1
+    c = df.select(
+        F.col(id_col), F.col(text_col).alias("_t"), F.length(text_col).alias("_n")
+    )
+    pos = c.select(
+        id_col,
+        "_t",
+        "_n",
+        F.explode(
+            F.when(
+                F.col("_n") >= window, F.sequence(F.lit(window), F.col("_n"))
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("_i"),
+    )
+    win = F.col("_t").substr(F.col("_i") - w1, F.lit(window))
+    is_bnd = (
+        F.conv(F.substring(F.md5(win), 1, 8), 16, 10).cast("long") % divisor == 0
+    )
+    bnds = (
+        pos.filter(is_bnd)
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("_i")).alias("_bnds"))
+    )
+    doc = (
+        c.join(bnds, id_col, "left")
+        .withColumn("_bnds", F.coalesce("_bnds", F.array().cast("array<int>")))
+        .withColumn(
+            "_ends",
+            F.when(
+                (F.size("_bnds") > 0)
+                & (F.element_at("_bnds", -1) == F.col("_n")),
+                F.col("_bnds"),
+            ).otherwise(F.concat("_bnds", F.array(F.col("_n")))),
+        )
+        .withColumn(
+            "_starts",
+            F.concat(
+                F.array(F.lit(0)),
+                F.slice(F.col("_ends"), F.lit(1), F.greatest(F.size("_ends") - 1, F.lit(0))),
+            ),
+        )
+    )
+    p = F.explode(F.arrays_zip("_starts", "_ends")).alias("_p")
+    chunks = doc.select(id_col, "_t", p).select(
+        id_col,
+        F.md5(
+            F.col("_t").substr(
+                F.col("_p._starts") + 1, F.col("_p._ends") - F.col("_p._starts")
+            )
+        ).alias("_chunk_fp"),
+        (F.col("_p._ends") - F.col("_p._starts")).cast("long").alias("_chunk_len"),
+    )
+    return chunks

@@ -1398,3 +1398,134 @@ def dedup_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             (all_pairs - F.col("n_cand")).cast("double") / all_pairs
         ).alias("reduction_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking dedup (FastCDC/LBFS boundary rule)
+# ---------------------------------------------------------------------------
+
+#: CDC corpus adds a PREFIX-shifted near-duplicate — the case that
+#: defeats fixed-size chunking but not content-defined boundaries.
+_CDC_CORPUS_SQL = """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 100000, text || ' extra' FROM documents WHERE doc_id % 10 = 5
+      UNION ALL
+      SELECT doc_id + 200000, 'early preamble ' || text
+      FROM documents WHERE doc_id % 10 = 3
+    )
+"""
+
+_CDC_W, _CDC_D = 16, 32
+
+
+def _cdc_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    suffix = d.filter(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+    )
+    prefix = d.filter(F.col("doc_id") % 10 == 3).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.lit("early preamble "), F.col("text")).alias("text"),
+    )
+    return d.unionByName(exact).unionByName(suffix).unionByName(prefix)
+
+
+@query(
+    "doc_cdc_chunk_dedup",
+    oracle=f"""
+    {_CDC_CORPUS_SQL},
+    pos AS (
+      SELECT doc_id, text, length(text) AS n,
+             unnest(range({_CDC_W}, length(text)+1)) AS i
+      FROM corpus
+    ),
+    bnd AS (
+      SELECT doc_id, list_sort(list(i)) AS bnds
+      FROM pos
+      WHERE ('0x'||substr(md5(substr(text, i-{_CDC_W - 1}, {_CDC_W})),1,8))::BIGINT
+            % {_CDC_D} = 0
+      GROUP BY doc_id
+    ),
+    spans AS (
+      SELECT c.doc_id, c.text,
+             list_zip(list_prepend(0, ends), ends) AS pairs
+      FROM (
+        SELECT c.doc_id, c.text,
+               CASE WHEN len(bnds) > 0 AND bnds[-1] = length(c.text) THEN bnds
+                    ELSE list_append(bnds, length(c.text)) END AS ends
+        FROM corpus c
+        LEFT JOIN bnd USING (doc_id)
+      ) c
+    ),
+    chunks AS (
+      SELECT doc_id,
+             md5(substr(text, p[1]+1, p[2]-p[1])) AS fp,
+             CAST(p[2]-p[1] AS BIGINT) AS clen
+      FROM (SELECT doc_id, text, unnest(pairs) AS p FROM spans)
+      WHERE p[2] IS NOT NULL
+    ),
+    perfp AS (
+      SELECT fp, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS ndoc, MIN(clen) AS clen
+      FROM chunks GROUP BY fp
+    )
+    SELECT
+      (SELECT COUNT(*) FROM corpus) AS n_docs,
+      CAST(SUM(cnt) AS BIGINT) AS total_chunks,
+      CAST(COUNT(*) AS BIGINT) AS distinct_chunks,
+      CAST(SUM(CASE WHEN ndoc > 1 THEN 1 ELSE 0 END) AS BIGINT) AS cross_doc_chunks,
+      CAST(SUM(cnt * clen) AS BIGINT) AS total_bytes,
+      CAST(SUM(clen) AS BIGINT) AS unique_bytes,
+      CAST(SUM(clen) AS DOUBLE) / SUM(cnt * clen) AS dedup_ratio
+    FROM perfp
+    """,
+)
+def doc_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup over a corpus with exact,
+    suffix-edited, and PREFIX-shifted injected duplicates.
+
+    The boundary rule (hash of the trailing 16-char window ≡ 0 mod 32)
+    depends only on local content, so the prefix-shifted copies —
+    which break every fixed-offset scheme — re-synchronize within one
+    window and share almost all chunk fingerprints with their
+    originals; ``cross_doc_chunks`` and ``dedup_ratio`` quantify the
+    byte-level savings chunk-store dedup would realize.
+
+    Extension beyond the reference (its dedup is whole-row id checks,
+    main.py:663-700); this is the storage/corpus-layer granularity.
+    """
+    from ..operators.dedup import cdc_chunk_rows
+
+    corpus = _cdc_corpus(spark, sf_dir)
+    chunks = cdc_chunk_rows(corpus, "doc_id", "text", _CDC_W, _CDC_D)
+    perfp = chunks.groupBy("_chunk_fp").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.countDistinct("doc_id").alias("ndoc"),
+        F.min("_chunk_len").alias("clen"),
+    )
+    nd = corpus.agg(F.count(F.lit(1)).alias("n_docs"))
+    agg = perfp.agg(
+        F.sum("cnt").cast("long").alias("total_chunks"),
+        F.count(F.lit(1)).cast("long").alias("distinct_chunks"),
+        F.sum((F.col("ndoc") > 1).cast("int")).cast("long").alias("cross_doc_chunks"),
+        F.sum(F.col("cnt") * F.col("clen")).cast("long").alias("total_bytes"),
+        F.sum("clen").cast("long").alias("unique_bytes"),
+    )
+    return nd.join(agg).select(
+        "n_docs",
+        "total_chunks",
+        "distinct_chunks",
+        "cross_doc_chunks",
+        "total_bytes",
+        "unique_bytes",
+        (F.col("unique_bytes").cast("double") / F.col("total_bytes")).alias(
+            "dedup_ratio"
+        ),
+    )
