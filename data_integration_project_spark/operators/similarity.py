@@ -934,3 +934,78 @@ def srp_multiprobe_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def kmeans_assign(
+    df: DataFrame, id_col: str, vec_col: str, centroids: "object"
+) -> DataFrame:
+    """Nearest-centroid assignment (broadcast k×d matrix, one numpy
+    matmul per Arrow batch). Distances are rounded to 6 dp with ties
+    to the lowest cluster id — the same contract as
+    :func:`kmeans_centroids`, so a SQL twin reproduces every label."""
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(centroids)
+
+    def assign(batches):
+        cents = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+            d2 = np.round(((v[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2), 6)
+            out = pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "_cluster": d2.argmin(axis=1).astype("int32"),
+                }
+            )
+            out[vec_col] = list(pdf[vec_col])
+            yield out
+
+    return df.select(id_col, vec_col).mapInPandas(
+        assign, schema=f"{id_col} long, _cluster int, {vec_col} array<float>"
+    )
+
+
+def semdedup_flags(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    *,
+    n_clusters: int = 16,
+    n_iters: int = 3,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023): k-means the embedding space, then
+    inside each cluster drop every vector that has a LOWER-id neighbor
+    with cosine ≥ ``threshold``. Returns (id, _cluster, _dropped).
+
+    Scale shape: the quadratic is confined to clusters — the paper's
+    own trick — so cost is Σ|c|² with k chosen ∝ corpus size; the
+    cluster id is the one shuffle/join key, the centroid table stays
+    k×d broadcast metadata, and the keep/drop rule is a bounded
+    self-join plus a distinct, never a global sort."""
+    cents = kmeans_centroids(corpus, id_col, vec_col, n_clusters, n_iters=n_iters)
+    assigned = kmeans_assign(corpus, id_col, vec_col, cents)
+    a = assigned.select(
+        F.col(id_col).alias("_id_a"), F.col(vec_col).alias("_va"), "_cluster"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("_id_b"), F.col(vec_col).alias("_vb"), "_cluster"
+    )
+    dropped = (
+        a.join(b, "_cluster")
+        .filter(F.col("_id_a") < F.col("_id_b"))
+        .filter(cosine(F.col("_va"), F.col("_vb")) >= threshold)
+        .select(F.col("_id_b").alias(id_col))
+        .distinct()
+        .withColumn("_dropped", F.lit(1))
+    )
+    return (
+        assigned.join(dropped, id_col, "left")
+        .withColumn("_dropped", F.coalesce("_dropped", F.lit(0)))
+        .select(id_col, "_cluster", "_dropped")
+    )

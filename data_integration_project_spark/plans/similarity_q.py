@@ -1374,3 +1374,97 @@ def embeddings_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sel.select(
         "qid", "round", F.col("cid").alias("picked"), F.col("score").alias("mmr_score")
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup via k-means + in-cluster cosine pruning
+# ---------------------------------------------------------------------------
+
+_SEM_CORPUS = """
+    corpus AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 10 = 0
+    )
+"""
+
+_SEM_ORACLE = f"""
+    WITH {_SEM_CORPUS},
+    dims AS (
+      SELECT unnest(range(1, len(embedding) + 1)) AS d
+      FROM (SELECT embedding FROM embeddings LIMIT 1)
+    ),
+    cents0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
+      FROM corpus
+      WHERE vec_id % (SELECT greatest(count(*) // 16, 1) FROM corpus) = 0
+      ORDER BY vec_id LIMIT 16
+    ),
+    {','.join(_ivf_iteration(i) for i in range(3))},
+    final_assign AS (
+      SELECT vec_id, embedding, cluster,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY {_IVF_D2}, cluster) AS rn
+      FROM corpus CROSS JOIN cents3
+    ),
+    labeled AS (
+      SELECT vec_id, embedding, cluster FROM final_assign WHERE rn = 1
+    ),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM labeled a JOIN labeled b USING (cluster)
+      WHERE a.vec_id < b.vec_id
+        AND {_cos('a.embedding', 'b.embedding')} >= 0.99
+    )
+    SELECT CAST(cluster AS BIGINT) AS cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
+           CAST(SUM(CASE WHEN d.vec_id IS NOT NULL THEN l.vec_id ELSE 0 END)
+                AS BIGINT) AS dropped_id_sum
+    FROM labeled l LEFT JOIN dropped d ON l.vec_id = d.vec_id
+    GROUP BY cluster
+    ORDER BY cluster
+"""
+
+
+@query("corpus_semdedup", oracle=_SEM_ORACLE)
+def corpus_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al., arXiv:2303.09540) over the embedding
+    table with injected exact copies: k-means (deterministic seeds, 3
+    unrolled iterations) partitions the space; within each cluster any
+    vector with a lower-id neighbor at cosine ≥ 0.99 is dropped.
+
+    The per-cluster report (size, drops, dropped-id checksum) pins
+    every k-means label AND every keep/drop decision — the oracle
+    replays the identical centroid arithmetic in SQL. Injected copies
+    land in their original's cluster (identical vectors, identical
+    rounded distances) and are always dropped.
+
+    Extension beyond the reference: the embedding-space analogue of
+    its id-equality dedup (main.py:663-700), the form used to thin
+    pretraining corpora."""
+    e = t(spark, sf_dir, "embeddings")
+    copies = e.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    corpus = e.select("vec_id", "embedding").unionByName(copies)
+    flags = S.semdedup_flags(corpus, "vec_id", "embedding", 0.99)
+    return (
+        flags.groupBy("_cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum("_dropped").cast("long").alias("n_dropped"),
+            F.sum(F.when(F.col("_dropped") == 1, F.col("vec_id")).otherwise(0))
+            .cast("long")
+            .alias("dropped_id_sum"),
+        )
+        .select(
+            F.col("_cluster").cast("long").alias("cluster"),
+            "n_vecs",
+            "n_dropped",
+            "dropped_id_sum",
+        )
+        .orderBy("cluster")
+    )
