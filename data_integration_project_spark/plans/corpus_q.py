@@ -1897,3 +1897,142 @@ def doc_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("accepted_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR: data selection via importance resampling (hashed n-gram LM ratio)
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 64
+_DSIR_TOKH = (
+    "list_transform(" + _TOKENS_SQL + ", tok -> " + _CHARFOLD_SQL + ")"
+)
+
+
+@query(
+    "corpus_dsir_weights",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, {_DSIR_TOKH} AS th FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, lang,
+             unnest(list_concat(
+               th,
+               list_transform(range(1, len(th)),
+                              i -> (th[i]*131 + th[i+1]) % 2147483647)
+             )) % {_DSIR_B} AS b
+      FROM toks
+    ),
+    cnts AS (
+      SELECT b, COUNT(*) AS cr,
+             SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+      FROM feats GROUP BY b
+    ),
+    bt AS (
+      SELECT r.b, coalesce(c.cr, 0) AS cr, coalesce(c.ct, 0) AS ct
+      FROM (SELECT unnest(range(0, {_DSIR_B})) AS b) r
+      LEFT JOIN cnts c USING (b)
+    ),
+    tot AS (SELECT CAST(SUM(cr) AS BIGINT) AS tr, CAST(SUM(ct) AS BIGINT) AS tt
+            FROM bt),
+    lr AS (
+      SELECT b,
+             CAST(round(ln(
+               CAST((ct + 1) * (tr + {_DSIR_B}) AS DOUBLE)
+               / CAST((cr + 1) * (tt + {_DSIR_B}) AS DOUBLE)
+             ) * 1000000) AS BIGINT) AS lrw
+      FROM bt CROSS JOIN tot
+    ),
+    scored AS (
+      SELECT f.doc_id, any_value(f.lang) AS lang,
+             CAST(COUNT(*) AS BIGINT) AS n_features,
+             CAST(SUM(l.lrw) AS BIGINT) AS dsir_micro_nats
+      FROM feats f JOIN lr l USING (b)
+      GROUP BY f.doc_id
+    )
+    SELECT doc_id, lang, n_features, dsir_micro_nats,
+           CAST(dsir_micro_nats AS DOUBLE) / n_features AS per_feature
+    FROM scored
+    ORDER BY dsir_micro_nats DESC, doc_id
+    LIMIT 20
+    """,
+)
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al., arXiv:2302.03169): score
+    every document by the log-likelihood ratio of a hashed-n-gram
+    bag-of-words model of the TARGET distribution (here: the English
+    slice) against the RAW corpus, then keep the top-weighted docs —
+    the standard recipe for steering a web-scale corpus toward a
+    target domain without training a classifier.
+
+    Features are unigram + bigram token hashes folded into 64 buckets;
+    bucket log-ratios (Laplace-smoothed) are computed ONCE each and
+    rounded to integer micro-nats, so per-doc totals are exact BIGINT
+    sums (the charlm determinism pattern — no float-order hazard).
+    Scale: the 64-row ratio table is broadcast; the corpus side is one
+    explode + one groupBy(doc) — map-side combined, single shuffle.
+    """
+    from ..functions.text import HASH_P as P
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    th = X.token_hash_array(F.col("text"))
+    bigrams = F.zip_with(
+        F.slice(th, 1, F.greatest(F.size(th) - 1, F.lit(0))),
+        F.slice(th, 2, F.greatest(F.size(th) - 1, F.lit(0))),
+        lambda a, b: (a * 131 + b) % P,
+    )
+    feats = d.select(
+        "doc_id", "lang", F.explode(F.concat(th, bigrams)).alias("h")
+    ).select("doc_id", "lang", (F.col("h") % _DSIR_B).alias("b"))
+    cnts = feats.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("ct"),
+    )
+    bt = (
+        spark.range(_DSIR_B)
+        .select(F.col("id").cast("long").alias("b"))
+        .join(cnts, "b", "left")
+        .select(
+            "b",
+            F.coalesce("cr", F.lit(0)).alias("cr"),
+            F.coalesce("ct", F.lit(0)).alias("ct"),
+        )
+    )
+    tot = bt.agg(
+        F.sum("cr").cast("long").alias("tr"), F.sum("ct").cast("long").alias("tt")
+    )
+    lr = bt.join(F.broadcast(tot)).select(
+        "b",
+        F.round(
+            F.log(
+                ((F.col("ct") + 1) * (F.col("tr") + _DSIR_B)).cast("double")
+                / ((F.col("cr") + 1) * (F.col("tt") + _DSIR_B)).cast("double")
+            )
+            * 1000000
+        )
+        .cast("long")
+        .alias("lrw"),
+    )
+    scored = (
+        feats.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.first("lang").alias("lang"),
+            F.count(F.lit(1)).cast("long").alias("n_features"),
+            F.sum("lrw").cast("long").alias("dsir_micro_nats"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "lang",
+            "n_features",
+            "dsir_micro_nats",
+            (F.col("dsir_micro_nats").cast("double") / F.col("n_features")).alias(
+                "per_feature"
+            ),
+        )
+        .orderBy(F.col("dsir_micro_nats").desc(), "doc_id")
+        .limit(20)
+    )
