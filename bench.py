@@ -90,6 +90,9 @@ HEADLINE = [
     "q2_min_cost_supplier",
     "doc_winnowing_fingerprints",
     "lineitem_zonemap_pruning",
+    "doc_cdc_chunk_dedup",
+    "corpus_semdedup",
+    "corpus_dsir_weights",
 ]
 
 

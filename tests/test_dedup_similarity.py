@@ -531,3 +531,46 @@ def test_kmv_set_algebra_accuracy(spark):
     exact_i, exact_u = 2000, 12000
     assert abs(row["est_intersection"] - exact_i) / exact_i < 0.35
     assert abs(row["est_union"] - exact_u) / exact_u < 0.2
+
+
+def test_cdc_prefix_shift_preserves_chunks(spark, sf_small):
+    """CDC's point: a prefix insertion re-aligns within one window, so
+    the shifted copy shares the vast majority of chunk fingerprints
+    with its original (fixed-offset chunking would share ~none)."""
+    from pyspark.sql import functions as F
+
+    from data_integration_project_spark.operators.dedup import cdc_chunk_rows
+    from data_integration_project_spark.plans.catalog import t
+
+    d = t(spark, sf_small, "documents").select("doc_id", "text").limit(50)
+    shifted = d.select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat(F.lit("XYZ prefix shim "), F.col("text")).alias("text"),
+    )
+    chunks = cdc_chunk_rows(d.unionByName(shifted), "doc_id", "text")
+    orig = chunks.filter(F.col("doc_id") < 500000).select("_chunk_fp").distinct()
+    shif = chunks.filter(F.col("doc_id") >= 500000).select("_chunk_fp").distinct()
+    n_shif = shif.count()
+    n_shared = shif.join(orig, "_chunk_fp", "left_semi").count()
+    assert n_shared / n_shif > 0.7, (n_shared, n_shif)
+
+
+def test_semdedup_drops_every_injected_copy(spark, sf_small):
+    """Identical vectors share rounded distances and therefore the
+    cluster; each injected copy must be flagged dropped."""
+    from pyspark.sql import functions as F
+
+    from data_integration_project_spark.operators.similarity import semdedup_flags
+    from data_integration_project_spark.plans.catalog import t
+
+    e = t(spark, sf_small, "embeddings")
+    copies = e.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    corpus = e.select("vec_id", "embedding").unionByName(copies)
+    flags = semdedup_flags(corpus, "vec_id", "embedding", 0.99)
+    n_copies = copies.count()
+    n_copy_dropped = flags.filter(
+        (F.col("vec_id") >= 1000000) & (F.col("_dropped") == 1)
+    ).count()
+    assert n_copy_dropped == n_copies

@@ -143,3 +143,27 @@ def test_zonemap_partial_scan_broadcasts_block_list(spark, sf_small):
     plan = _executed_plan(spark, "lineitem_zonemap_pruning", sf_small)
     # the partial-block list is dimension-sized metadata: broadcast it
     assert "BroadcastHashJoin" in plan
+
+
+def test_cdc_chunking_no_cartesian_one_doc_shuffle(spark, sf_small):
+    plan = _executed_plan(spark, "doc_cdc_chunk_dedup", sf_small)
+    # boundary assembly is a doc-keyed groupBy + equi-join back; never a
+    # cross join. (The final single-row summary join of the two 1-row
+    # aggregates is legitimately a nested loop over 1x1 rows.)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_semdedup_pairs_equijoin_on_cluster(spark, sf_small):
+    plan = _executed_plan(spark, "corpus_semdedup", sf_small)
+    # the quadratic must be confined to clusters: an equi-join on
+    # _cluster, never an all-pairs scan
+    assert "CartesianProduct" not in plan
+
+
+def test_dsir_ratio_table_broadcast(spark, sf_small):
+    plan = _executed_plan(spark, "corpus_dsir_weights", sf_small)
+    # the 64-row bucket log-ratio table joins the corpus side as a
+    # broadcast — the feature stream must not shuffle on the bucket key
+    assert "BroadcastHashJoin" in plan
