@@ -2036,3 +2036,246 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("dsir_micro_nats").desc(), "doc_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval + reciprocal-rank-fusion hybrid search
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "merge")
+_BM25_TERMS_SQL = "('spark', 'merge')"
+
+#: shared CTE chain: per-doc term frequencies for the query terms, doc
+#: lengths, corpus stats, micro-nat idf, and the BM25 per-term partial.
+#: k1=1.2, b=0.75 appear as the SAME literals and parenthesization on
+#: both engines so every float op replays identically.
+_BM25_CTES = f"""
+    docs AS (
+      SELECT doc_id, len({_TOKENS_SQL}) AS dl FROM documents
+    ),
+    occ AS (
+      SELECT doc_id, tok
+      FROM (SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents)
+      WHERE tok IN {_BM25_TERMS_SQL}
+    ),
+    tf AS (
+      SELECT o.doc_id, o.tok, COUNT(*) AS tf, any_value(d.dl) AS dl
+      FROM occ o JOIN docs d USING (doc_id)
+      GROUP BY o.doc_id, o.tok
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM docs
+    ),
+    dfreq AS (
+      SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+    ),
+    idf AS (
+      SELECT tok,
+             CAST(round(ln((n_docs - df + 0.5) / (df + 0.5)) * 1000000)
+                  AS BIGINT) AS idf_micro
+      FROM dfreq CROSS JOIN stats
+    ),
+    partials AS (
+      SELECT t.doc_id, t.tok,
+             CAST(round(
+               i.idf_micro * ((t.tf * 2.2)
+                 / (t.tf + (1.2 * (0.25 + ((0.75 * t.dl) / s.avgdl)))))
+             ) AS BIGINT) AS score_micro
+      FROM tf t JOIN idf i USING (tok) CROSS JOIN stats s
+    ),
+    bm25 AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_terms,
+             CAST(SUM(score_micro) AS BIGINT) AS bm25_micro
+      FROM partials GROUP BY doc_id
+    )
+"""
+
+
+def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_terms, bm25_micro) for the fixed 2-term query —
+    the Spark twin of the ``_BM25_CTES`` chain."""
+    d = t(spark, sf_dir, "documents")
+    docs = d.select("doc_id", F.size(X.tokens(F.col("text"))).alias("dl"))
+    occ = (
+        d.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("tok"))
+        .filter(F.col("tok").isin(*_BM25_TERMS))
+    )
+    tf = (
+        occ.join(docs, "doc_id")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = dfreq.join(F.broadcast(stats)).select(
+        "tok",
+        F.round(
+            F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            * 1000000
+        )
+        .cast("long")
+        .alias("idf_micro"),
+    )
+    partials = (
+        tf.join(F.broadcast(idf), "tok")
+        .join(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("idf_micro")
+                * (
+                    (F.col("tf") * 2.2)
+                    / (
+                        F.col("tf")
+                        + (1.2 * (0.25 + ((0.75 * F.col("dl")) / F.col("avgdl"))))
+                    )
+                )
+            )
+            .cast("long")
+            .alias("score_micro"),
+        )
+    )
+    return partials.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("score_micro").cast("long").alias("bm25_micro"),
+    )
+
+
+@query(
+    "doc_bm25_search",
+    oracle=f"""
+    WITH {_BM25_CTES}
+    SELECT doc_id, n_terms, bm25_micro
+    FROM bm25
+    ORDER BY bm25_micro DESC, doc_id
+    LIMIT 10
+    """,
+)
+def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson/Spärck Jones; k1=1.2, b=0.75)
+    for a fixed two-term query over the documents table.
+
+    Determinism: idf is one ln per TERM rounded to integer micro-nats;
+    each (doc, term) partial is a single literal-parenthesized float
+    expression rounded to BIGINT, so the per-doc total is an exact
+    integer sum — no float-order hazard anywhere. Scale shape: the
+    term filter prunes the posting stream at the scan, the idf/stats
+    tables are broadcast dims, and the only shuffles are the two
+    doc-keyed aggregates. Retrieval-layer extension beyond the
+    reference's LIKE-based lookups (dashboard.py query endpoints).
+    """
+    return (
+        _bm25_scores(spark, sf_dir)
+        .orderBy(F.col("bm25_micro").desc(), "doc_id")
+        .limit(10)
+    )
+
+
+_DOT_EQ = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "list_transform(range(1, len({a})+1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), (x, y) -> x + y)"
+)
+#: fold-based cosine(embedding, q) — bit-equal twin of functions.vectors.cosine
+_cos_embed = (
+    f"{_DOT_EQ.format(a='embedding', b='q')} / "
+    f"(sqrt({_DOT_EQ.format(a='embedding', b='embedding')}) "
+    f"* sqrt({_DOT_EQ.format(a='q', b='q')}))"
+)
+
+
+@query(
+    "doc_hybrid_rrf",
+    oracle=f"""
+    WITH {_BM25_CTES},
+    lex AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY bm25_micro DESC, doc_id) AS r_lex
+      FROM bm25
+      ORDER BY r_lex LIMIT 20
+    ),
+    qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+    sem AS (
+      SELECT vec_id AS doc_id,
+             row_number() OVER (
+               ORDER BY {_cos_embed} DESC, vec_id) AS r_sem
+      FROM embeddings CROSS JOIN qv
+      WHERE vec_id <> 0
+      ORDER BY r_sem LIMIT 20
+    ),
+    fused AS (
+      SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+             l.r_lex, s.r_sem,
+             (CASE WHEN l.r_lex IS NULL THEN 0.0
+                   ELSE 1.0 / (60 + l.r_lex) END
+              + CASE WHEN s.r_sem IS NULL THEN 0.0
+                     ELSE 1.0 / (60 + s.r_sem) END) AS rrf
+      FROM lex l FULL JOIN sem s ON l.doc_id = s.doc_id
+    )
+    SELECT doc_id, r_lex, r_sem, rrf
+    FROM fused
+    ORDER BY rrf DESC, doc_id
+    LIMIT 10
+    """,
+)
+def doc_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: BM25 lexical ranks fused with embedding-cosine
+    semantic ranks by Reciprocal Rank Fusion (Cormack et al., SIGIR'09;
+    rrf = Σ 1/(60+rank)). Top-20 of each leg feed the fusion, a full
+    outer join on doc id; a doc missing from one leg contributes 0
+    from it. The fused score is a fixed-order two-term sum — exact
+    replay on both engines.
+
+    Scale: each leg is already bounded (top-k per retriever), so the
+    fusion join touches ≤40 rows regardless of corpus size; the legs
+    themselves keep their own scale shapes (BM25 above; the semantic
+    leg swaps in any ANN variant unchanged)."""
+    from ..functions.vectors import cosine
+
+    bm25 = _bm25_scores(spark, sf_dir)
+    w_lex = Window.orderBy(F.col("bm25_micro").desc(), "doc_id")
+    lex = (
+        bm25.withColumn("r_lex", F.row_number().over(w_lex))
+        .orderBy("r_lex")
+        .limit(20)
+        .select("doc_id", "r_lex")
+    )
+    e = t(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    w_sem = Window.orderBy(F.col("_cos").desc(), "doc_id")
+    sem = (
+        e.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine(F.col("embedding"), F.col("q")).alias("_cos"),
+        )
+        .withColumn("r_sem", F.row_number().over(w_sem))
+        .orderBy("r_sem")
+        .limit(20)
+        .select("doc_id", "r_sem")
+    )
+    fused = (
+        lex.join(sem, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "r_lex",
+            "r_sem",
+            (
+                F.when(F.col("r_lex").isNull(), 0.0).otherwise(
+                    1.0 / (60 + F.col("r_lex"))
+                )
+                + F.when(F.col("r_sem").isNull(), 0.0).otherwise(
+                    1.0 / (60 + F.col("r_sem"))
+                )
+            ).alias("rrf"),
+        )
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(10)
