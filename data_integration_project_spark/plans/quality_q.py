@@ -495,3 +495,114 @@ def customer_error_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("recovered_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Declarative constraint suite (Deequ-style, single-pass metrics)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_constraint_suite",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(o_custkey) AS BIGINT) AS n_custkey,
+             CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct_key,
+             CAST(SUM(CASE WHEN o_totalprice >= 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_nonneg,
+             CAST(SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_domain,
+             CAST(SUM(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_pattern
+      FROM orders
+    ),
+    r AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_matched
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    )
+    SELECT check_name, metric,
+           CAST(CASE WHEN metric >= threshold THEN 1 ELSE 0 END AS BIGINT)
+             AS passed
+    FROM (
+      SELECT 'completeness_custkey' AS check_name,
+             CAST(n_custkey AS DOUBLE) / n AS metric, 1.0 AS threshold FROM m
+      UNION ALL
+      SELECT 'uniqueness_orderkey',
+             CAST(n_distinct_key AS DOUBLE) / n, 1.0 FROM m
+      UNION ALL
+      SELECT 'non_negative_totalprice',
+             CAST(n_nonneg AS DOUBLE) / n, 1.0 FROM m
+      UNION ALL
+      SELECT 'domain_orderstatus',
+             CAST(n_domain AS DOUBLE) / n, 1.0 FROM m
+      UNION ALL
+      SELECT 'pattern_orderpriority',
+             CAST(n_pattern AS DOUBLE) / n, 1.0 FROM m
+      UNION ALL
+      SELECT 'referential_custkey',
+             CAST(n_matched AS DOUBLE) / n, 1.0 FROM m CROSS JOIN r
+      UNION ALL
+      SELECT 'min_size_1000',
+             CAST(n AS DOUBLE), 1000.0 FROM m
+    )
+    ORDER BY check_name
+    """,
+)
+def orders_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality constraint suite (the Deequ pattern,
+    Schelter et al., VLDB'18): seven constraints — completeness,
+    key uniqueness, range, value domain, regex pattern, referential
+    integrity, minimum size — evaluated as ONE metrics pass over the
+    fact table plus one key-matched join for the referential leg, then
+    unpivoted into (constraint, metric, passed) rows.
+
+    This is the engine-side generalization of the reference's
+    per-entity rule lists (etl/validate.py): instead of row-at-a-time
+    fix/validate, the suite computes table-level metrics in a single
+    map-side-combined aggregate — the shape that still works when the
+    table is 100 TB (metrics are one row; the referential join
+    shuffles on the key or broadcasts the dim).
+    """
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    m = o.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count("o_custkey").cast("long").alias("n_custkey"),
+        F.countDistinct("o_orderkey").cast("long").alias("n_distinct_key"),
+        F.sum(F.when(F.col("o_totalprice") >= 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_nonneg"),
+        F.sum(F.when(F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_domain"),
+        F.sum(
+            F.when(F.col("o_orderpriority").rlike("^[1-5]-"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_pattern"),
+    )
+    r = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_matched"))
+    )
+    base = m.join(r)
+    rows = base.selectExpr(
+        """stack(7,
+             'completeness_custkey', CAST(n_custkey AS DOUBLE) / n, 1.0D,
+             'uniqueness_orderkey', CAST(n_distinct_key AS DOUBLE) / n, 1.0D,
+             'non_negative_totalprice', CAST(n_nonneg AS DOUBLE) / n, 1.0D,
+             'domain_orderstatus', CAST(n_domain AS DOUBLE) / n, 1.0D,
+             'pattern_orderpriority', CAST(n_pattern AS DOUBLE) / n, 1.0D,
+             'referential_custkey', CAST(n_matched AS DOUBLE) / n, 1.0D,
+             'min_size_1000', CAST(n AS DOUBLE), 1000.0D
+           ) AS (check_name, metric, threshold)"""
+    )
+    return rows.select(
+        "check_name",
+        "metric",
+        F.when(F.col("metric") >= F.col("threshold"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("passed"),
+    ).orderBy("check_name")
