@@ -1107,3 +1107,61 @@ def extract_features_arrow(media: DataFrame) -> DataFrame:
     return media.repartition(F.col("media_id")).select(
         "media_id", "payload"
     ).mapInArrow(op, schema=FEATURE_SCHEMA)
+
+
+AUDIO_RESAMPLE_SCHEMA = (
+    "media_id long, n_frames_in long, n_frames_out long, "
+    "sum_abs_out long, peak_abs_out long"
+)
+
+
+def resample_audio_2x(media: DataFrame) -> DataFrame:
+    """2× audio upsample with midpoint linear interpolation: output
+    frame 2j is input frame j, frame 2j+1 is the floor-midpoint of
+    frames j and j+1 — the integer-exact core of a LERP resampler (the
+    fractional-ratio generalization changes only the index arithmetic).
+    Real RIFF decode, numpy vectorized, inside ``mapInPandas``; no
+    audio libraries. Emits per-media frame counts and exact output
+    sample statistics so a SQL twin can replay the arithmetic."""
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid_, p in zip(pdf["media_id"], pdf["payload"]):
+                _, _, data = _wav_pcm(bytes(p))
+                v = np.frombuffer(
+                    data[: len(data) // 2 * 2], dtype="<i2"
+                ).astype(np.int64)
+                n = len(v)
+                if n == 0:
+                    out = v
+                elif n == 1:
+                    out = v
+                else:
+                    # arithmetic right shift == floor((a+b)/2), negatives included
+                    mids = (v[:-1] + v[1:]) >> 1
+                    out = np.empty(2 * n - 1, dtype=np.int64)
+                    out[0::2] = v
+                    out[1::2] = mids
+                rows.append(
+                    {
+                        "media_id": int(mid_),
+                        "n_frames_in": n,
+                        "n_frames_out": len(out),
+                        "sum_abs_out": int(np.abs(out).sum()) if len(out) else 0,
+                        "peak_abs_out": int(np.abs(out).max()) if len(out) else 0,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "n_frames_in",
+                    "n_frames_out",
+                    "sum_abs_out",
+                    "peak_abs_out",
+                ],
+            )
+
+    return media.mapInPandas(op, schema=AUDIO_RESAMPLE_SCHEMA)

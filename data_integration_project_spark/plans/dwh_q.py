@@ -1411,3 +1411,74 @@ def customers_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("at_risk_ppm"),
     )
+
+
+@query(
+    "customers_l_diversity",
+    oracle="""
+    WITH classes AS (
+      SELECT c_nationkey,
+             CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_bucket,
+             CAST(COUNT(*) AS BIGINT) AS class_size,
+             CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS l_distinct,
+             CAST(MAX(seg_n) AS BIGINT) AS max_seg_n
+      FROM (
+        SELECT c_nationkey, c_acctbal, c_mktsegment,
+               COUNT(*) OVER (
+                 PARTITION BY c_nationkey,
+                              CAST(floor(c_acctbal / 2000) AS BIGINT),
+                              c_mktsegment) AS seg_n
+        FROM customer
+      )
+      GROUP BY c_nationkey, CAST(floor(c_acctbal / 2000) AS BIGINT)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(MIN(l_distinct) AS BIGINT) AS l_diversity,
+           CAST(SUM(CASE WHEN l_distinct < 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_low_diversity_classes,
+           CAST(SUM(CASE WHEN max_seg_n * 2 > class_size THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_majority_disclosed_classes,
+           CAST(SUM(CASE WHEN l_distinct < 3 THEN class_size ELSE 0 END)
+                AS BIGINT) AS n_rows_at_risk
+    FROM classes
+    """,
+)
+def customers_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L-DIVERSITY audit (Machanavajjhala et al., ICDE'06): k-anonymity
+    alone fails when an equivalence class, however large, is
+    homogeneous in the SENSITIVE attribute — every member's secret
+    leaks without re-identification. Per quasi-identifier class
+    (nation × balance bucket) this measures the number of distinct
+    sensitive values (market segment standing in) and how often one
+    value holds an outright majority (the precursor to a
+    t-closeness/skew attack); the dataset's l is the minimum.
+
+    Scale shape: one window count + one two-level aggregate, all
+    map-side-combined; no joins. Complements [[customers_k_anonymity]]
+    — same release gate, orthogonal failure mode."""
+    c = t(spark, sf_dir, "customer")
+    bb = F.floor(F.col("c_acctbal") / 2000).cast("long").alias("bal_bucket")
+    w = Window.partitionBy("c_nationkey", "bal_bucket", "c_mktsegment")
+    rows = c.select("c_nationkey", bb, "c_mktsegment").withColumn(
+        "seg_n", F.count(F.lit(1)).over(w)
+    )
+    classes = rows.groupBy("c_nationkey", "bal_bucket").agg(
+        F.count(F.lit(1)).alias("class_size"),
+        F.countDistinct("c_mktsegment").alias("l_distinct"),
+        F.max("seg_n").alias("max_seg_n"),
+    )
+    return classes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.min("l_distinct").cast("long").alias("l_diversity"),
+        F.sum(F.when(F.col("l_distinct") < 3, 1).otherwise(0))
+        .cast("long")
+        .alias("n_low_diversity_classes"),
+        F.sum(
+            F.when(F.col("max_seg_n") * 2 > F.col("class_size"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_majority_disclosed_classes"),
+        F.sum(F.when(F.col("l_distinct") < 3, F.col("class_size")).otherwise(0))
+        .cast("long")
+        .alias("n_rows_at_risk"),
+    )

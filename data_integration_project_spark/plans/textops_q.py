@@ -1591,3 +1591,50 @@ def multimodal_arrow_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     one to prefer for byte-dense payloads (one fewer copy per batch)."""
     media = M.documents_as_media(t(spark, sf_dir, "documents"))
     return M.extract_features_arrow(media)
+
+
+def _WAV_S(j: str) -> str:
+    """Signed int16 sample at 1-based sample index ``j`` of the text's
+    little-endian byte-pair stream (the encode_wav payload)."""
+    return (
+        f"(ascii(sp[2*({j}) - 1]) + 256 * ascii(sp[2*({j})]) "
+        f"- CASE WHEN ascii(sp[2*({j})]) >= 128 THEN 65536 ELSE 0 END)"
+    )
+
+
+_RS_OUT = (
+    f"CASE WHEN k % 2 = 1 THEN {_WAV_S('(k+1)//2')} "
+    f"ELSE CAST(floor(({_WAV_S('k//2')} + {_WAV_S('k//2+1')}) / 2.0) AS BIGINT) END"
+)
+
+
+@query(
+    "multimodal_audio_resample",
+    oracle=f"""
+    WITH dims AS (
+      SELECT CAST(doc_id AS BIGINT) AS media_id,
+             string_split(text, '') AS sp,
+             least(octet_length(encode(text)), 4096) // 2 AS n
+      FROM documents
+    )
+    SELECT media_id,
+           CAST(n AS BIGINT) AS n_frames_in,
+           CAST(CASE WHEN n = 0 THEN 0 ELSE 2*n - 1 END AS BIGINT) AS n_frames_out,
+           CAST(coalesce(list_sum(list_transform(range(1, greatest(2*n, 1)),
+                 k -> abs({_RS_OUT}))), 0) AS BIGINT) AS sum_abs_out,
+           CAST(coalesce(list_max(list_transform(range(1, greatest(2*n, 1)),
+                 k -> abs({_RS_OUT}))), 0) AS BIGINT) AS peak_abs_out
+    FROM dims
+    """,
+)
+def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2× LERP audio upsample over real RIFF/WAVE payloads: every
+    document renders to a valid mono 16-bit PCM WAV, the resampler
+    decodes the chunk list and emits original frames interleaved with
+    floor-midpoints (numpy, Arrow-batched). The oracle replays the
+    same integer arithmetic over the text's byte-pair sample stream —
+    exact sums, no float-audio ambiguity. The missing-codec boundary
+    stays explicit: compressed formats would slot into the same
+    operator behind the decode dispatch."""
+    media = M.documents_as_wav_media(t(spark, sf_dir, "documents"))
+    return M.resample_audio_2x(media)
