@@ -1165,3 +1165,414 @@ def resample_audio_2x(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(op, schema=AUDIO_RESAMPLE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# FLAC subset: real entropy-coded lossless audio (Rice + fixed predictors).
+#
+# The reference ETL treats media as opaque blobs; this engine decodes them
+# in-engine (SURVEY §2 multimodal). FLAC is the one compressed audio format
+# tractable without codec libraries because it is LOSSLESS integer
+# arithmetic end-to-end: fixed linear predictors over int16 samples and
+# Rice/Golomb entropy coding of the residuals (RFC 9639 §9). The decoder
+# below is a genuine subset decoder — MSB-first bit reader, UTF-8-coded
+# frame numbers, CRC-8 header and CRC-16 frame verification, CONSTANT /
+# VERBATIM / FIXED(0-4) subframes, 4-bit Rice parameters with partition
+# order 0 — and it verifies the STREAMINFO MD5 of the reconstructed PCM,
+# which proves in-engine that the round trip is bit-lossless.
+# ---------------------------------------------------------------------------
+
+
+def _flac_crc8(data: bytes) -> int:
+    """CRC-8, polynomial x^8+x^2+x+1 (0x07), init 0 — FLAC frame header."""
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _flac_crc16(data: bytes) -> int:
+    """CRC-16, polynomial x^16+x^15+x^2+1 (0x8005), init 0 — FLAC frame."""
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+    return crc
+
+
+class _BitWriter:
+    """MSB-first bit accumulator (FLAC is big-endian throughout)."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, width: int) -> None:
+        self.acc = (self.acc << width) | (value & ((1 << width) - 1))
+        self.nbits += width
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.buf.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def write_unary(self, q: int) -> None:
+        """FLAC unary: q zero bits terminated by a one bit."""
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)
+
+    def align(self) -> None:
+        if self.nbits:
+            self.write(0, 8 - self.nbits)
+
+    def getvalue(self) -> bytes:
+        return bytes(self.buf)
+
+
+class _BitReader:
+    """MSB-first bit reader over a byte string."""
+
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.byte = pos
+        self.bit = 0
+
+    def read(self, width: int) -> int:
+        v = 0
+        while width > 0:
+            if self.byte >= len(self.data):
+                raise ValueError("flac: bitstream exhausted")
+            avail = 8 - self.bit
+            take = min(width, avail)
+            cur = self.data[self.byte]
+            v = (v << take) | ((cur >> (avail - take)) & ((1 << take) - 1))
+            self.bit += take
+            if self.bit == 8:
+                self.bit = 0
+                self.byte += 1
+            width -= take
+        return v
+
+    def read_signed(self, width: int) -> int:
+        v = self.read(width)
+        return v - (1 << width) if v & (1 << (width - 1)) else v
+
+    def read_unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+        return q
+
+    def align(self) -> None:
+        if self.bit:
+            self.bit = 0
+            self.byte += 1
+
+
+_FLAC_FIXED_COEFS = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+
+def _flac_fixed_residual(samples: list[int], order: int) -> list[int]:
+    coefs = _FLAC_FIXED_COEFS[order]
+    return [
+        samples[i] - sum(c * samples[i - 1 - j] for j, c in enumerate(coefs))
+        for i in range(order, len(samples))
+    ]
+
+
+def _rice_best_k(residuals: list[int]) -> int:
+    """Smallest total-bit Rice parameter in [0, 14] (15 = escape, unused)."""
+    if not residuals:
+        return 0
+    zig = [(r << 1) if r >= 0 else (-r << 1) - 1 for r in residuals]
+    best_k, best_bits = 0, None
+    for k in range(15):
+        bits = sum(u >> k for u in zig) + len(zig) * (k + 1)
+        if best_bits is None or bits < best_bits:
+            best_k, best_bits = k, bits
+    return best_k
+
+
+def encode_flac(
+    raw: bytes, sample_rate: int = WAV_RATE, max_bytes: int = WAV_MAX_BYTES
+) -> bytes:
+    """Render raw bytes into a VALID FLAC stream: byte pairs become
+    little-endian int16 samples (the same PCM the WAV adapter emits), one
+    frame, one FIXED-predictor subframe of order ``n_samples % 3`` with
+    partition-order-0 Rice-coded residuals. STREAMINFO carries the true
+    MD5 of the PCM so any decoder can certify losslessness."""
+    import hashlib
+    import struct
+
+    data = raw[: max_bytes - (max_bytes & 1)]
+    data = data[: len(data) - (len(data) & 1)]
+    n = len(data) // 2
+    samples = list(struct.unpack(f"<{n}h", data))
+    md5 = hashlib.md5(data).digest()
+
+    # STREAMINFO (34 bytes), the mandatory first metadata block.
+    si = _BitWriter()
+    si.write(n, 16)            # min block size (one frame: the whole stream)
+    si.write(n, 16)            # max block size
+    si.write(0, 24)            # min frame size (unknown)
+    si.write(0, 24)            # max frame size (unknown)
+    si.write(sample_rate, 20)
+    si.write(0, 3)             # channels - 1
+    si.write(15, 5)            # bits per sample - 1
+    si.write(n, 36)            # total samples
+    out = bytearray(b"fLaC")
+    out += bytes([0x80]) + (34).to_bytes(3, "big") + si.getvalue() + md5
+
+    if n == 0:
+        return bytes(out)
+
+    order = n % 3
+    # Frame header: sync 0b11111111111110, fixed-blocksize strategy.
+    hdr = _BitWriter()
+    hdr.write(0x3FFE, 14)
+    hdr.write(0, 1)            # mandatory zero
+    hdr.write(0, 1)            # fixed-blocksize stream
+    hdr.write(0b0111, 4)       # block size: 16-bit value at end of header
+    hdr.write(0b0100, 4)       # sample rate: 8 kHz from the code table
+    hdr.write(0b0000, 4)       # channel assignment: mono
+    hdr.write(0b100, 3)        # sample size: 16 bits
+    hdr.write(0, 1)            # reserved
+    hdr.write(0, 8)            # frame number 0, UTF-8 coded
+    hdr.write(n - 1, 16)       # block size - 1
+    hdr_bytes = hdr.getvalue()
+    hdr_bytes += bytes([_flac_crc8(hdr_bytes)])
+
+    body = _BitWriter()
+    body.write(0, 1)                   # subframe header padding bit
+    body.write(0b001000 | order, 6)    # FIXED subframe, given order
+    body.write(0, 1)                   # no wasted bits
+    for s in samples[:order]:          # warm-up samples, plain 16-bit
+        body.write(s & 0xFFFF, 16)
+    residuals = _flac_fixed_residual(samples, order)
+    body.write(0b00, 2)                # residual coding: 4-bit Rice params
+    body.write(0, 4)                   # partition order 0
+    k = _rice_best_k(residuals)
+    body.write(k, 4)
+    for r in residuals:
+        u = (r << 1) if r >= 0 else (-r << 1) - 1
+        body.write_unary(u >> k)
+        body.write(u & ((1 << k) - 1), k)
+    body.align()
+
+    frame = hdr_bytes + body.getvalue()
+    out += frame + _flac_crc16(frame).to_bytes(2, "big")
+    return bytes(out)
+
+
+def decode_flac(payload: bytes) -> dict:
+    """FLAC subset decoder (RFC 9639 §9): metadata walk, frame sync with
+    CRC-8/CRC-16 verification, UTF-8-coded frame numbers, CONSTANT /
+    VERBATIM / FIXED subframes, partitioned Rice residuals, and an MD5
+    check of the reconstructed PCM against STREAMINFO. Raises on any
+    integrity failure — a silent bit error cannot produce output."""
+    import hashlib
+    import struct
+
+    if payload[:4] != b"fLaC":
+        raise ValueError("not a FLAC payload")
+    pos, streaminfo, md5_expect = 4, None, None
+    while True:
+        flags = payload[pos]
+        btype, last = flags & 0x7F, bool(flags & 0x80)
+        blen = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+        if btype == 0:
+            body = _BitReader(payload, pos + 4)
+            body.read(16); body.read(16); body.read(24); body.read(24)
+            sample_rate = body.read(20)
+            n_channels = body.read(3) + 1
+            bps = body.read(5) + 1
+            total = body.read(36)
+            md5_expect = payload[pos + 4 + 18 : pos + 4 + 34]
+            streaminfo = (sample_rate, n_channels, bps, total)
+        pos += 4 + blen
+        if last:
+            break
+    if streaminfo is None:
+        raise ValueError("flac: missing STREAMINFO")
+    sample_rate, n_channels, bps, total = streaminfo
+    if n_channels != 1 or bps != 16:
+        raise NotImplementedError("flac subset: mono 16-bit only")
+
+    samples: list[int] = []
+    max_order_seen = -1
+    while pos < len(payload):
+        frame_start = pos
+        r = _BitReader(payload, pos)
+        if r.read(14) != 0x3FFE:
+            raise ValueError("flac: lost frame sync")
+        r.read(1)
+        r.read(1)                      # blocking strategy (frame vs sample no.)
+        bs_code = r.read(4)
+        sr_code = r.read(4)
+        chan = r.read(4)
+        ss_code = r.read(3)
+        r.read(1)
+        if chan != 0 or ss_code != 0b100:
+            raise NotImplementedError("flac subset: mono 16-bit frames only")
+        first = r.read(8)              # UTF-8-coded frame/sample number
+        if first >= 0xC0:
+            extra = 1
+            while first & (0x40 >> extra):
+                extra += 1
+            for _ in range(extra):
+                if r.read(8) & 0xC0 != 0x80:
+                    raise ValueError("flac: bad UTF-8 frame number")
+        if bs_code == 0b0110:
+            blocksize = r.read(8) + 1
+        elif bs_code == 0b0111:
+            blocksize = r.read(16) + 1
+        elif bs_code == 0b0001:
+            blocksize = 192
+        elif 0b0010 <= bs_code <= 0b0101:
+            blocksize = 576 << (bs_code - 2)
+        elif bs_code >= 0b1000:
+            blocksize = 256 << (bs_code - 8)
+        else:
+            raise ValueError("flac: reserved block size code")
+        if sr_code == 0b0100 and sample_rate != 8000:
+            raise ValueError("flac: frame/STREAMINFO sample rate mismatch")
+        r.align()
+        hdr_len = r.byte - frame_start
+        if _flac_crc8(payload[frame_start : frame_start + hdr_len]) != payload[
+            frame_start + hdr_len
+        ]:
+            raise ValueError("flac: frame header CRC-8 mismatch")
+        r.read(8)                      # consume the CRC-8 byte
+
+        if r.read(1) != 0:
+            raise ValueError("flac: subframe padding bit set")
+        stype = r.read(6)
+        if r.read(1) != 0:
+            raise NotImplementedError("flac subset: wasted bits unsupported")
+        if stype == 0:                 # CONSTANT
+            v = r.read_signed(16)
+            frame_samples = [v] * blocksize
+            order = 0
+        elif stype == 1:               # VERBATIM
+            frame_samples = [r.read_signed(16) for _ in range(blocksize)]
+            order = 0
+        elif 0b001000 <= stype <= 0b001100:   # FIXED, order 0-4
+            order = stype & 0x07
+            warm = [r.read_signed(16) for _ in range(order)]
+            if r.read(2) != 0:
+                raise NotImplementedError("flac subset: 5-bit Rice unsupported")
+            part_order = r.read(4)
+            residuals: list[int] = []
+            n_parts = 1 << part_order
+            for p in range(n_parts):
+                k = r.read(4)
+                if k == 15:
+                    raise NotImplementedError("flac subset: escape code")
+                count = blocksize >> part_order
+                if p == 0:
+                    count -= order
+                for _ in range(count):
+                    q = r.read_unary()
+                    u = (q << k) | r.read(k)
+                    residuals.append((u >> 1) ^ -(u & 1))
+            coefs = _FLAC_FIXED_COEFS[order]
+            frame_samples = list(warm)
+            for res in residuals:
+                pred = sum(
+                    c * frame_samples[len(frame_samples) - 1 - j]
+                    for j, c in enumerate(coefs)
+                )
+                frame_samples.append(res + pred)
+        else:
+            raise NotImplementedError("flac subset: LPC subframes unsupported")
+        r.align()
+        crc16 = int.from_bytes(payload[r.byte : r.byte + 2], "big")
+        if _flac_crc16(payload[frame_start : r.byte]) != crc16:
+            raise ValueError("flac: frame CRC-16 mismatch")
+        pos = r.byte + 2
+        samples.extend(frame_samples)
+        max_order_seen = max(max_order_seen, order)
+
+    if total and len(samples) != total:
+        raise ValueError("flac: sample count disagrees with STREAMINFO")
+    pcm = struct.pack(f"<{len(samples)}h", *samples)
+    md5_ok = hashlib.md5(pcm).digest() == md5_expect
+    if not md5_ok:
+        raise ValueError("flac: PCM MD5 mismatch — stream is not lossless")
+    return {
+        "format": "flac",
+        "sample_rate": sample_rate,
+        "n_channels": n_channels,
+        "n_frames": len(samples),
+        "duration_ms": len(samples) * 1000 // sample_rate if sample_rate else 0,
+        "sum_abs": sum(abs(v) for v in samples),
+        "peak_abs": max((abs(v) for v in samples), default=0),
+        "fixed_order": max_order_seen,
+        "crc_ok": 1,
+        "md5_ok": 1,
+    }
+
+
+def documents_as_flac_media(docs: DataFrame) -> DataFrame:
+    """Adapter producing REAL compressed audio payloads: each document's
+    text bytes rendered into a valid Rice-coded FLAC stream."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].values,
+                    "payload": [encode_flac(t.encode("utf-8")) for t in pdf["text"]],
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        op, schema="media_id long, payload binary"
+    )
+
+
+FLAC_FEATURE_SCHEMA = (
+    "media_id long, format string, sample_rate int, n_frames long, "
+    "sum_abs long, peak_abs long, fixed_order int, crc_ok int, md5_ok int"
+)
+
+
+def decode_flac_features(media: DataFrame) -> DataFrame:
+    """FLAC decode + integrity certification inside ``mapInPandas``:
+    surfaces the predictor order the decoder actually walked and the
+    CRC/MD5 verdicts alongside exact sample statistics."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid_, p in zip(pdf["media_id"], pdf["payload"]):
+                d = decode_flac(bytes(p))
+                rows.append(
+                    {
+                        "media_id": int(mid_),
+                        "format": d["format"],
+                        "sample_rate": d["sample_rate"],
+                        "n_frames": d["n_frames"],
+                        "sum_abs": d["sum_abs"],
+                        "peak_abs": d["peak_abs"],
+                        "fixed_order": d["fixed_order"],
+                        "crc_ok": d["crc_ok"],
+                        "md5_ok": d["md5_ok"],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.repartition(F.col("media_id")).mapInPandas(
+        op, schema=FLAC_FEATURE_SCHEMA
+    )

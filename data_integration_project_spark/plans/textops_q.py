@@ -1638,3 +1638,43 @@ def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator behind the decode dispatch."""
     media = M.documents_as_wav_media(t(spark, sf_dir, "documents"))
     return M.resample_audio_2x(media)
+
+
+@query(
+    "multimodal_flac_decode",
+    oracle=f"""
+    WITH dims AS (
+      SELECT CAST(doc_id AS BIGINT) AS media_id,
+             string_split(text, '') AS sp,
+             least(octet_length(encode(text)), 4096) // 2 AS n
+      FROM documents
+    )
+    SELECT media_id,
+           'flac' AS format,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(n AS BIGINT) AS n_frames,
+           CAST(coalesce(list_sum(list_transform(range(1, n + 1),
+                 j -> abs({_WAV_S('j')}))), 0) AS BIGINT) AS sum_abs,
+           CAST(coalesce(list_max(list_transform(range(1, n + 1),
+                 j -> abs({_WAV_S('j')}))), 0) AS BIGINT) AS peak_abs,
+           CAST(CASE WHEN n = 0 THEN -1 ELSE n % 3 END AS INTEGER) AS fixed_order,
+           CAST(1 AS INTEGER) AS crc_ok,
+           CAST(1 AS INTEGER) AS md5_ok
+    FROM dims
+    """,
+)
+def multimodal_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-audio decode, no codec libraries: documents render
+    into valid FLAC streams (fixed linear predictors + Rice-coded
+    residuals, RFC 9639 subset) and decode_flac walks the bitstream —
+    MSB-first bit reader, CRC-8 header and CRC-16 frame checks, zigzag
+    Rice decode, predictor reconstruction — then certifies losslessness
+    by matching the STREAMINFO MD5 of the reconstructed PCM. Because
+    FLAC is lossless integer arithmetic, the oracle can replay the EXACT
+    sample statistics from the text's byte-pair stream in SQL; a decoder
+    that dropped or mis-signed one residual would hash-mismatch. Closes
+    the last 'compressed codecs need libraries' gap for audio (JPEG
+    remains the entropy-coded image case, see [[multimodal_jpeg_decode]]).
+    Scale shape: embarrassingly parallel mapInPandas per media row."""
+    media = M.documents_as_flac_media(t(spark, sf_dir, "documents"))
+    return M.decode_flac_features(media)

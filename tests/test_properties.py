@@ -159,3 +159,43 @@ def test_gif_lzw_roundtrip_property(raw):
     padded = raw[:n] + b"\x00" * (16 * height - n)
     assert (d["width"], d["height"]) == (16, height)
     assert d["mean_r"] == d["mean_g"] == d["mean_b"] == sum(padded) / (16 * height)
+
+
+@settings(max_examples=40, deadline=None)
+@given(_BYTES)
+def test_flac_roundtrip_property(raw):
+    """Every byte string survives FLAC encode->decode bit-exactly (the
+    MD5 check inside decode_flac enforces it; the stats re-derive it)."""
+    import struct
+
+    from data_integration_project_spark.operators.multimodal import (
+        decode_flac,
+        encode_flac,
+    )
+
+    d = decode_flac(encode_flac(raw))
+    data = raw[:4096]
+    data = data[: len(data) - (len(data) & 1)]
+    vals = struct.unpack(f"<{len(data) // 2}h", data)
+    assert d["n_frames"] == len(vals)
+    assert d["sum_abs"] == sum(abs(v) for v in vals)
+    assert d["peak_abs"] == max((abs(v) for v in vals), default=0)
+    assert d["md5_ok"] == 1
+
+
+def test_flac_rejects_corruption():
+    """A single flipped bit anywhere in a frame must fail CRC/MD5 — the
+    decoder cannot emit silently wrong samples."""
+    import pytest as _pytest
+
+    from data_integration_project_spark.operators.multimodal import (
+        decode_flac,
+        encode_flac,
+    )
+
+    enc = encode_flac(bytes(range(256)) * 4)
+    for where in (50, len(enc) // 2, len(enc) - 3):
+        bad = bytearray(enc)
+        bad[where] ^= 0x04
+        with _pytest.raises((ValueError, NotImplementedError)):
+            decode_flac(bytes(bad))
