@@ -1678,3 +1678,45 @@ def multimodal_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: embarrassingly parallel mapInPandas per media row."""
     media = M.documents_as_flac_media(t(spark, sf_dir, "documents"))
     return M.decode_flac_features(media)
+
+
+@query(
+    "multimodal_jpeg_decode",
+    oracle="""
+    WITH dims AS (
+      SELECT CAST(doc_id AS BIGINT) AS media_id,
+             string_split(text, '') AS sp,
+             least(octet_length(encode(text)), 1024) AS n
+      FROM documents
+    )
+    SELECT media_id,
+           'jpeg' AS format,
+           CAST(8 AS INTEGER) AS width,
+           CAST(8 * greatest(n, 1) AS INTEGER) AS height,
+           CAST(greatest(n, 1) AS BIGINT) AS n_blocks,
+           CAST(coalesce(list_sum(list_transform(range(1, n + 1),
+                 j -> 64 * ascii(sp[j]))), 0) AS BIGINT) AS sum_pixels,
+           CAST(coalesce(list_sum(list_transform(range(1, n + 1),
+                 j -> j * ascii(sp[j]))), 0) AS BIGINT) AS dc_checksum,
+           CAST((greatest(n, 1) - 1) // 4 AS INTEGER) AS n_restarts
+    FROM dims
+    """,
+)
+def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL entropy-coded image decode, no codec libraries: documents
+    render into valid baseline JPEGs (Annex K Huffman tables, DPCM DC
+    with magnitude-category extend bits, 0xFF00 byte stuffing, DRI=4
+    restart markers) and decode_jpeg walks the full T.81 pipeline —
+    marker segments, canonical Huffman decode, zigzag dequantization,
+    IDCT, level shift. The adapter emits one constant 8x8 block per
+    text byte with a flat quantization step of 8, the one configuration
+    where lossy JPEG is provably bit-lossless (DC = 8*(v-128) quantizes
+    and reconstructs exactly), so the oracle replays exact pixel sums,
+    an order-weighted DC checksum, and the restart-marker count from the
+    text bytes in SQL. The general lossy path (forward DCT + run/size AC
+    coding incl. ZRL) is exercised coefficient-exactly in
+    tests/test_properties.py. Companion to [[multimodal_flac_decode]] —
+    together they close the entropy-coded codec gap.
+    Scale shape: embarrassingly parallel mapInPandas per media row."""
+    media = M.documents_as_jpeg_media(t(spark, sf_dir, "documents"))
+    return M.decode_jpeg_features(media)

@@ -199,3 +199,69 @@ def test_flac_rejects_corruption():
         bad[where] ^= 0x04
         with _pytest.raises((ValueError, NotImplementedError)):
             decode_flac(bytes(bad))
+
+
+@settings(max_examples=40, deadline=None)
+@given(_BYTES)
+def test_jpeg_roundtrip_property(raw):
+    """Constant-block JPEG (flat q=8) is bit-lossless: exact pixel sums
+    and order-weighted checksums for every byte string."""
+    from data_integration_project_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    d = decode_jpeg(encode_jpeg(raw))
+    data = raw[:1024] or b"\x00"
+    assert d["n_blocks"] == len(data)
+    assert d["sum_pixels"] == 64 * sum(data)
+    assert d["dc_checksum"] == sum((i + 1) * b for i, b in enumerate(data))
+    assert d["n_restarts"] == (len(data) - 1) // 4
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.integers(0, 255), min_size=256, max_size=256))
+def test_jpeg_entropy_layer_exact(pixels):
+    """The general lossy path: forward DCT + quantize + full run/size AC
+    entropy coding. The entropy layer must be EXACTLY invertible — the
+    decoder's quantized coefficient blocks equal the encoder's."""
+    from data_integration_project_spark.operators.multimodal import (
+        _decode_jpeg_blocks,
+        _jpeg_fdct_block,
+        _JPEG_ZIGZAG,
+        encode_jpeg_raster,
+    )
+
+    W, H = 16, 16
+    payload = encode_jpeg_raster(pixels, W)
+    _, blocks, _ = _decode_jpeg_blocks(payload)
+    exp = []
+    for by in range(H // 8):
+        for bx in range(W // 8):
+            block = [pixels[(by * 8 + y) * W + bx * 8 + x] for y in range(8) for x in range(8)]
+            coef = _jpeg_fdct_block(block)
+            exp.append(
+                [
+                    (c + 4) // 8 if c >= 0 else -((-c + 4) // 8)
+                    for c in (coef[_JPEG_ZIGZAG[k]] for k in range(64))
+                ]
+            )
+    assert blocks == exp
+
+
+def test_jpeg_rejects_structural_damage():
+    """Truncation and marker corruption must raise, not emit pixels."""
+    import pytest as _pytest
+
+    from data_integration_project_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    enc = encode_jpeg(bytes(range(200)))
+    with _pytest.raises((ValueError, IndexError)):
+        decode_jpeg(enc[: len(enc) // 2])
+    bad = bytearray(enc)
+    bad[0] = 0x00
+    with _pytest.raises(ValueError):
+        decode_jpeg(bytes(bad))
