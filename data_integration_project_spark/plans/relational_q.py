@@ -6595,3 +6595,76 @@ def sqlite_catalog_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
     )
     return names.groupBy("table_name").agg(F.count(F.lit(1)).alias("n_found"))
+
+
+@query(
+    "orders_avro_roundtrip",
+    oracle=f"""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null_prio,
+           CAST(MIN(CAST(o_orderdate AS DATE)) AS DATE) AS first_date,
+           CAST(MAX(CAST(o_orderdate AS DATE)) AS DATE) AS last_date,
+           {SQL_DSUM('o_totalprice', 'total_value', 2)}
+    FROM orders
+    WHERE o_orderkey % 7 = 0
+    GROUP BY o_orderstatus
+    """,
+)
+def orders_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVRO as a first-class source/sink with NO connector jar: a
+    pure-Python Object Container File codec (sources/pyavro.py) behind
+    the Spark 4 DataSource API. The write leg serializes a
+    deterministic orders slice — zigzag varints, IEEE doubles, logical
+    date, ['null',string] unions with real NULLs, raw-deflate blocks,
+    per-file sync markers — through the temp+rename commit protocol;
+    the read leg plans BYTE-RANGE splits blind to block boundaries and
+    each task resynchronizes at the first sync marker in its range (the
+    Hadoop AvroRecordReader contract), here forced to multiple splits
+    per file with a small split_size. Schema comes from the file header
+    (inference), not from the caller. Every value class is on the hash:
+    longs, doubles (bit-exact through the binary codec), dates across
+    the union's null branch, and the null count itself.
+
+    At 100 TB: split planning is O(files) driver metadata; block decode
+    is embarrassingly parallel; a block belongs to exactly one split so
+    re-reads are exactly-once without coordination."""
+    import tempfile
+
+    from ..sources import pyavro
+
+    pyavro.register(spark)
+    d = tempfile.mkdtemp(prefix="pyavro_")
+    (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 7 == 0)
+        .select(
+            "o_orderkey",
+            F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias("prio"),
+            "o_orderstatus",
+            "o_totalprice",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        )
+        .repartition(2)
+        .write.format("pyavro")
+        .option("path", d)
+        .option("block_rows", "100")
+        .mode("append")
+        .save()
+    )
+    back = (
+        spark.read.format("pyavro")
+        .option("path", d)
+        .option("split_size", str(16 * 1024))
+        .load()
+    )
+    # the split planner must actually fan out (several byte ranges/file)
+    assert back.rdd.getNumPartitions() >= 2, "avro reader did not split"
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count(F.when(F.col("prio").isNull(), 1)).alias("n_null_prio"),
+        F.min("o_orderdate").alias("first_date"),
+        F.max("o_orderdate").alias("last_date"),
+        dsum(F.col("o_totalprice"), "total_value"),
+    )
