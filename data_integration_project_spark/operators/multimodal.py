@@ -2070,3 +2070,209 @@ def decode_jpeg_features(media: DataFrame) -> DataFrame:
     return media.repartition(F.col("media_id")).mapInPandas(
         op, schema=JPEG_FEATURE_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# AVI (RIFF) video container: real chunk walk + idx1 keyframe seeking.
+#
+# The video half of the multimodal brief's decode / frame-sample verbs
+# on a REAL container format (Microsoft AVI RIFF spec): LIST hdrl with
+# avih/strh/strf headers, LIST movi holding uncompressed 24-bit DIB
+# frames ('00db', bottom-up BGR rows like BMP), and the idx1 index
+# whose AVIIF_KEYFRAME entries are what a player seeks with. The
+# sampler decodes ONLY the sampled frames — it jumps through idx1
+# offsets, never scanning the movi list — which is the keyframe-seek
+# access pattern frame_sample's byte-slice plumbing stands in for.
+# ---------------------------------------------------------------------------
+
+_AVI_W = 8
+_AVI_H = 8
+_AVI_FRAME_BYTES = _AVI_W * 3 * _AVI_H  # 24-byte rows are already 4-aligned
+AVI_MAX_BYTES = 2048
+_AVIIF_KEYFRAME = 0x10
+
+
+def _riff_chunk(fourcc: bytes, body: bytes) -> bytes:
+    pad = b"\x00" if len(body) & 1 else b""
+    return fourcc + len(body).to_bytes(4, "little") + body + pad
+
+
+def _riff_list(listtype: bytes, body: bytes) -> bytes:
+    return _riff_chunk(b"LIST", listtype + body)
+
+
+def encode_avi(raw: bytes, max_bytes: int = AVI_MAX_BYTES) -> bytes:
+    """Render raw bytes into a VALID AVI: frame f's IMAGE row r is the
+    constant gray byte raw[8f + r] (0 past the end), stored bottom-up in
+    BGR as DIB requires, one '00db' chunk per frame, every frame indexed
+    as a keyframe in idx1. ceil(n/8) frames, at least one."""
+    import struct
+
+    data = raw[:max_bytes]
+    n_frames = max(1, (len(data) + 7) // 8)
+    frames = []
+    for f in range(n_frames):
+        rows = []
+        for r in range(_AVI_H):  # image order, top row first
+            k = 8 * f + r
+            v = data[k] if k < len(data) else 0
+            rows.append(bytes([v, v, v]) * _AVI_W)
+        frames.append(b"".join(reversed(rows)))  # bottom-up storage
+
+    avih = struct.pack(
+        "<10I4I",
+        100_000,              # dwMicroSecPerFrame (10 fps)
+        _AVI_FRAME_BYTES * 10,
+        0,
+        0x10,                 # AVIF_HASINDEX
+        n_frames,
+        0,
+        1,                    # one stream
+        _AVI_FRAME_BYTES,
+        _AVI_W,
+        _AVI_H,
+        0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"DIB ",
+        0, 0, 0, 0,
+        1, 10,                # scale/rate = 10 fps
+        0, n_frames,
+        _AVI_FRAME_BYTES, 0, 0,
+        0, 0, _AVI_W, _AVI_H,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII",
+        40, _AVI_W, _AVI_H,   # positive height = bottom-up
+        1, 24, 0,             # BI_RGB
+        _AVI_FRAME_BYTES, 0, 0, 0, 0,
+    )
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)),
+    )
+
+    movi_body = bytearray()
+    offsets = []  # offset of each ckid relative to the 'movi' fourcc
+    for fr in frames:
+        offsets.append(4 + len(movi_body))
+        movi_body += _riff_chunk(b"00db", fr)
+    movi = _riff_list(b"movi", bytes(movi_body))
+
+    idx = bytearray()
+    for off in offsets:
+        idx += struct.pack("<4sIII", b"00db", _AVIIF_KEYFRAME, off, _AVI_FRAME_BYTES)
+    body = b"AVI " + hdrl + movi + _riff_chunk(b"idx1", bytes(idx))
+    return _riff_chunk(b"RIFF", body)
+
+
+def decode_avi_samples(payload: bytes, n_samples: int = 4) -> list[dict]:
+    """Sample min(n_samples, n_frames) evenly spaced keyframes by
+    SEEKING through idx1 — only the sampled '00db' chunks are read and
+    decoded (bottom-up BGR -> image order). Returns one dict per sample
+    with the exact pixel sum and an image-row-weighted checksum that a
+    decoder ignoring the bottom-up rule would get wrong."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    pos, end = 12, 8 + int.from_bytes(payload[4:8], "little")
+    movi_fourcc_pos = None
+    idx_entries = None
+    n_frames = width = height = None
+    while pos < end:
+        fourcc = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body_at = pos + 8
+        if fourcc == b"LIST":
+            ltype = payload[body_at : body_at + 4]
+            if ltype == b"movi":
+                movi_fourcc_pos = body_at
+            elif ltype == b"hdrl":
+                # walk in: avih is the first chunk of hdrl
+                avih_at = body_at + 4
+                if payload[avih_at : avih_at + 4] != b"avih":
+                    raise ValueError("avi: missing avih")
+                a = struct.unpack("<10I", payload[avih_at + 8 : avih_at + 48])
+                n_frames, width, height = a[4], a[8], a[9]
+        elif fourcc == b"idx1":
+            raw = payload[body_at : body_at + size]
+            idx_entries = [
+                struct.unpack("<4sIII", raw[o : o + 16]) for o in range(0, size, 16)
+            ]
+        pos = body_at + size + (size & 1)
+    if movi_fourcc_pos is None or idx_entries is None or n_frames is None:
+        raise ValueError("avi: missing movi/idx1/avih")
+    if (width, height) != (_AVI_W, _AVI_H):
+        raise NotImplementedError("avi subset: 8x8 frames only")
+    if len(idx_entries) != n_frames:
+        raise ValueError("avi: index length disagrees with avih frame count")
+
+    k = min(n_samples, n_frames)
+    out = []
+    for s in range(k):
+        fidx = (s * n_frames) // k
+        ckid, flags, off, clen = idx_entries[fidx]
+        if ckid != b"00db" or not flags & _AVIIF_KEYFRAME:
+            raise ValueError("avi: sampled entry is not a DIB keyframe")
+        at = movi_fourcc_pos + off
+        if payload[at : at + 4] != b"00db":
+            raise ValueError("avi: idx1 offset does not land on its chunk")
+        frame = payload[at + 8 : at + 8 + clen]
+        rowlen = _AVI_W * 3
+        frame_sum = 0
+        row_checksum = 0
+        for r in range(_AVI_H):  # image order: last stored row first
+            row = frame[(_AVI_H - 1 - r) * rowlen : (_AVI_H - r) * rowlen]
+            rs = sum(row)
+            frame_sum += rs
+            row_checksum += (r + 1) * (rs // rowlen)
+        out.append(
+            {
+                "slot": s,
+                "frame_idx": fidx,
+                "frame_sum": frame_sum,
+                "row_checksum": row_checksum,
+            }
+        )
+    return out
+
+
+def documents_as_avi_media(docs: DataFrame) -> DataFrame:
+    """Adapter producing REAL video containers from document bytes."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].values,
+                    "payload": [encode_avi(t.encode("utf-8")) for t in pdf["text"]],
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        op, schema="media_id long, payload binary"
+    )
+
+
+AVI_SAMPLE_SCHEMA = (
+    "media_id long, slot int, frame_idx int, frame_sum long, row_checksum long"
+)
+
+
+def sample_avi_keyframes(media: DataFrame, n_samples: int = 4) -> DataFrame:
+    """Index-seeking keyframe sampling inside ``mapInPandas``."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid_, p in zip(pdf["media_id"], pdf["payload"]):
+                for d in decode_avi_samples(bytes(p), n_samples):
+                    rows.append({"media_id": int(mid_), **d})
+            yield pd.DataFrame(rows)
+
+    return media.repartition(F.col("media_id")).mapInPandas(
+        op, schema=AVI_SAMPLE_SCHEMA
+    )

@@ -1720,3 +1720,60 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: embarrassingly parallel mapInPandas per media row."""
     media = M.documents_as_jpeg_media(t(spark, sf_dir, "documents"))
     return M.decode_jpeg_features(media)
+
+
+@query(
+    "multimodal_avi_keyframes",
+    oracle="""
+    WITH dims AS (
+      SELECT CAST(doc_id AS BIGINT) AS media_id,
+             string_split(text, '') AS sp,
+             least(octet_length(encode(text)), 2048) AS n,
+             greatest(1, (least(octet_length(encode(text)), 2048) + 7) // 8)
+               AS n_frames
+      FROM documents
+    ),
+    slots AS (
+      SELECT media_id, sp, n, n_frames,
+             least(4, n_frames) AS k,
+             unnest(range(0, least(4, n_frames))) AS slot
+      FROM dims
+    ),
+    picked AS (
+      SELECT media_id, sp, n, slot,
+             (slot * n_frames) // k AS fidx
+      FROM slots
+    )
+    SELECT media_id,
+           CAST(slot AS INTEGER) AS slot,
+           CAST(fidx AS INTEGER) AS frame_idx,
+           CAST(24 * list_sum(list_transform(range(0, 8),
+                 r -> CASE WHEN 8 * fidx + r < n
+                      THEN ascii(sp[8 * fidx + r + 1]) ELSE 0 END))
+                AS BIGINT) AS frame_sum,
+           CAST(list_sum(list_transform(range(0, 8),
+                 r -> (r + 1) * CASE WHEN 8 * fidx + r < n
+                      THEN ascii(sp[8 * fidx + r + 1]) ELSE 0 END))
+                AS BIGINT) AS row_checksum
+    FROM picked
+    """,
+)
+def multimodal_avi_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container frame sampling: documents render into valid
+    AVI files (RIFF hdrl/avih/strh/strf headers, uncompressed bottom-up
+    BGR DIB frames in LIST movi, AVIIF_KEYFRAME-flagged idx1 index) and
+    the sampler SEEKS — it reads idx1, picks min(4, n_frames) evenly
+    spaced keyframes, and decodes only those chunks via their index
+    offsets, never scanning the movi list. That is the keyframe-seek
+    access pattern [[multimodal_frame_sample]]'s byte-slice plumbing
+    stands in for, now on a real container. The image-row-weighted
+    checksum fails if the decoder ignores DIB's bottom-up row order,
+    and the idx1 offset / avih frame-count cross-checks fail on any
+    framing error. The oracle replays sampled frame indices and exact
+    pixel sums from the text bytes in SQL.
+
+    Scale shape: embarrassingly parallel mapInPandas; per-row work is
+    O(index + sampled frames), not O(container size) — the property
+    that matters when frames are large."""
+    media = M.documents_as_avi_media(t(spark, sf_dir, "documents"))
+    return M.sample_avi_keyframes(media, n_samples=4)

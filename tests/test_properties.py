@@ -265,3 +265,46 @@ def test_jpeg_rejects_structural_damage():
     bad[0] = 0x00
     with _pytest.raises(ValueError):
         decode_jpeg(bytes(bad))
+
+
+@settings(max_examples=40, deadline=None)
+@given(_BYTES)
+def test_avi_keyframe_sampling_property(raw):
+    """Index-seeked AVI samples match the direct byte formula for every
+    input: frame f's image row r is byte[8f+r] (0 past end)."""
+    from data_integration_project_spark.operators.multimodal import (
+        decode_avi_samples,
+        encode_avi,
+    )
+
+    data = raw[:2048]
+    n = len(data)
+    n_frames = max(1, (n + 7) // 8)
+    k = min(4, n_frames)
+    out = decode_avi_samples(encode_avi(raw))
+    assert [d["slot"] for d in out] == list(range(k))
+    for d in out:
+        f = d["frame_idx"]
+        assert f == (d["slot"] * n_frames) // k
+        vals = [data[8 * f + r] if 8 * f + r < n else 0 for r in range(8)]
+        assert d["frame_sum"] == 24 * sum(vals)
+        assert d["row_checksum"] == sum((r + 1) * v for r, v in enumerate(vals))
+
+
+def test_avi_rejects_broken_index():
+    """A corrupted idx1 offset must raise — seeks cannot silently read
+    the wrong chunk."""
+    import pytest as _pytest
+
+    from data_integration_project_spark.operators.multimodal import (
+        decode_avi_samples,
+        encode_avi,
+    )
+
+    enc = bytearray(encode_avi(bytes(range(100))))
+    at = bytes(enc).rfind(b"idx1")
+    # entry 0's dwChunkOffset field (ckid 4 + flags 4 bytes in)
+    off_pos = at + 8 + 8
+    enc[off_pos] ^= 0xFF
+    with _pytest.raises(ValueError):
+        decode_avi_samples(bytes(enc))
