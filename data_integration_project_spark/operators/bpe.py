@@ -1,0 +1,118 @@
+"""Full BPE tokenizer training (Sennrich et al. 2016) as a Spark loop.
+
+``doc_bpe_pair_counts`` ranks merge candidates for ONE round; this
+operator runs the whole training loop. The scale architecture is the
+one production tokenizer trainers use on large corpora:
+
+1. ONE pass over the corpus builds the distinct-word histogram
+   (``word -> count``) — the only shuffle that touches corpus-sized
+   data. Everything after runs on the histogram, whose size is the
+   vocabulary (thousands), not the corpus (billions).
+2. Each round counts adjacent symbol pairs WEIGHTED by word count,
+   picks the argmax under a total order (count desc, pair asc), and
+   applies the merge greedily left-to-right within each word.
+3. The learned merge table is driver-side metadata (like k-means
+   centroids in operators/similarity.py) — at apply time it is
+   broadcast and replayed per document.
+
+The merge application is a sequential fold per word (greedy
+non-overlapping: in ``aaa`` the rule ``(a,a)`` merges positions 1-2,
+not 2-3), expressed with ``F.aggregate`` over the symbol array. The
+interpreted-lambda cost sits on |vocab| rows per round — the documented
+exception to the "no interpreted HOFs" rule (see operators/dedup.py:
+the histogram IS the small dim table).
+
+Per-round ``localCheckpoint`` truncates lineage — the iterative-plan
+lesson from connected components (ROADMAP: Catalyst re-analysis of
+self-referential plans grows superlinearly without it).
+
+Reference parity: the reference has no tokenizer training; this is
+part of the LLM-data-pipeline surface the brief adds on top
+(SURVEY §2 extension set).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def word_histogram(docs: DataFrame, tokens_col) -> DataFrame:
+    """The single corpus-wide pass: distinct words with counts."""
+    return (
+        docs.select(F.explode(tokens_col).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _apply_merge(syms_col, left: str, right: str):
+    """Greedy left-to-right non-overlapping merge of adjacent
+    (left, right) into left||right, as an array fold."""
+    merged = left + right
+    return F.aggregate(
+        syms_col,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def train_bpe(
+    spark: SparkSession, words: DataFrame, n_merges: int
+) -> DataFrame:
+    """Run ``n_merges`` BPE rounds over a (word, cnt) histogram and
+    return the merge table: one row per round with the chosen pair, its
+    weighted count, the merged symbol, and the corpus-weighted symbol
+    total AFTER applying the merge (which certifies the merge was
+    applied, not just selected)."""
+    cur = words.select(
+        "word", "cnt", F.split(F.col("word"), "").alias("syms")
+    ).localCheckpoint(eager=True)
+    out = []
+    for rnd in range(1, n_merges + 1):
+        pairs = (
+            cur.filter(F.size("syms") >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("syms") - 2),
+                        lambda i: F.struct(
+                            F.col("syms")[i].alias("a"),
+                            F.col("syms")[i + 1].alias("b"),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not pairs:
+            break
+        left, right, n = pairs[0]["a"], pairs[0]["b"], int(pairs[0]["n"])
+        nxt = cur.select(
+            "word", "cnt", _apply_merge(F.col("syms"), left, right).alias("syms")
+        ).localCheckpoint(eager=True)
+        cur.unpersist()
+        cur = nxt
+        symbols_after = int(
+            cur.select(F.sum(F.col("cnt") * F.size("syms"))).collect()[0][0]
+        )
+        out.append((rnd, left, right, n, left + right, symbols_after))
+    cur.unpersist()
+    return spark.createDataFrame(
+        out,
+        "round int, left_sym string, right_sym string, "
+        "pair_count long, merged string, symbols_after long",
+    )

@@ -2279,3 +2279,103 @@ def doc_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(10)
+
+
+def _bpe_oracle_sql(n_merges: int) -> str:
+    """Unroll the BPE training loop into chained MATERIALIZED CTEs —
+    one (pairs, best, cand, taken, words) block per round. Greedy
+    non-overlapping application is relational: candidate positions form
+    runs of consecutive indices; within a run every other position
+    starting at the run head is taken (a candidate conflicts only with
+    its immediate neighbor, since positions i and i+1 share a symbol).
+    MATERIALIZED is load-bearing: DuckDB inlines CTEs, and words_{r-1}
+    is referenced three times per round — un-materialized, the chain
+    re-evaluates 3^r times (the embeddings_dbscan lesson)."""
+    parts = [
+        f"""words_0 AS MATERIALIZED (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,
+             string_split(word, '') AS syms
+      FROM (SELECT unnest({_TOKENS_SQL}) AS word FROM documents)
+      WHERE word <> ''
+      GROUP BY word
+    )"""
+    ]
+    for r in range(1, n_merges + 1):
+        p = r - 1
+        parts.append(
+            f"""pairs_{r} AS (
+      SELECT u.a AS a, u.b AS b, SUM(cnt) AS n FROM (
+        SELECT cnt, unnest(list_transform(range(1, len(syms)),
+                    i -> struct_pack(a := syms[i], b := syms[i + 1]))) AS u
+        FROM words_{p} WHERE len(syms) >= 2)
+      GROUP BY 1, 2
+    ),
+    best_{r} AS MATERIALIZED (
+      SELECT a, b, n FROM pairs_{r} ORDER BY n DESC, a, b LIMIT 1
+    ),
+    cand_{r} AS (
+      SELECT word, i FROM (
+        SELECT w.word, unnest(range(1, len(w.syms))) AS i, w.syms, x.a, x.b
+        FROM words_{p} w CROSS JOIN best_{r} x)
+      WHERE syms[i] = a AND syms[i + 1] = b
+    ),
+    taken_{r} AS (
+      SELECT word, list(i) AS taken FROM (
+        SELECT word, i, grp, MIN(i) OVER (PARTITION BY word, grp) AS run_start
+        FROM (SELECT word, i,
+                     i - ROW_NUMBER() OVER (PARTITION BY word ORDER BY i) AS grp
+              FROM cand_{r}))
+      WHERE (i - run_start) % 2 = 0
+      GROUP BY word
+    ),
+    words_{r} AS MATERIALIZED (
+      SELECT w.word, w.cnt,
+             CASE WHEN t.taken IS NULL THEN w.syms ELSE
+               list_filter(list_transform(range(1, len(w.syms) + 1),
+                 i -> CASE WHEN list_contains(t.taken, i)
+                             THEN w.syms[i] || w.syms[i + 1]
+                           WHEN list_contains(t.taken, i - 1) THEN NULL
+                           ELSE w.syms[i] END),
+                 x -> x IS NOT NULL) END AS syms
+      FROM words_{p} w LEFT JOIN taken_{r} t USING (word)
+    )"""
+        )
+    selects = [
+        f"""SELECT CAST({r} AS INTEGER) AS round, a AS left_sym, b AS right_sym,
+           CAST(n AS BIGINT) AS pair_count, a || b AS merged,
+           (SELECT CAST(SUM(cnt * len(syms)) AS BIGINT) FROM words_{r})
+             AS symbols_after
+    FROM best_{r}"""
+        for r in range(1, n_merges + 1)
+    ]
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + "\n    "
+        + "\n    UNION ALL\n    ".join(selects)
+    )
+
+
+@query("doc_bpe_train", oracle=_bpe_oracle_sql(6))
+def doc_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL BPE tokenizer training (operators/bpe.py), six merge
+    rounds: one corpus pass builds the word histogram, then every round
+    counts weighted adjacent symbol pairs, argmaxes under a total order
+    (count desc, pair asc), and applies the merge greedily
+    left-to-right within each word. ``symbols_after`` — the
+    corpus-weighted symbol total after each round — certifies the merge
+    was APPLIED (a trainer that picks the right pair but rewrites words
+    wrong diverges immediately). The oracle unrolls all six rounds as
+    chained materialized CTEs with the run-parity relational form of
+    greedy non-overlapping matching, so two independent algorithm
+    shapes (sequential fold vs. runs-and-parity) must agree exactly.
+
+    Scale shape: the corpus shuffle happens once (word histogram);
+    rounds run on |vocab| rows; merge rules come to the driver as
+    k-row metadata and would be broadcast at apply time
+    ([[doc_vocab_encode]] is the apply side)."""
+    from ..operators.bpe import train_bpe, word_histogram
+
+    d = t(spark, sf_dir, "documents")
+    words = word_histogram(d, X.tokens(F.col("text")))
+    return train_bpe(spark, words, n_merges=6)
