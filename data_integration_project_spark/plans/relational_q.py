@@ -6668,3 +6668,145 @@ def orders_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_orderdate").alias("last_date"),
         dsum(F.col("o_totalprice"), "total_value"),
     )
+
+
+def _logreg_oracle_sql(n_iters: int) -> str:
+    """Unroll hard-sigmoid logistic GD into materialized CTEs: one
+    (scored, weight-update, accuracy) block per iteration. All state is
+    integer micro-units; the only floating step is one IEEE division
+    per aggregate, floored — identical in both engines."""
+    feats = """feats AS MATERIALIZED (
+      SELECT o_custkey,
+             least(COUNT(*), 20) - 5 AS x1,
+             least(CAST(floor(AVG(o_totalprice) / 10000.0) AS BIGINT), 50) - 30
+               AS x2,
+             CASE WHEN CAST(floor(AVG(o_totalprice) / 10000.0) AS BIGINT)
+                       + COUNT(*) >= 35
+                  THEN 1 ELSE 0 END AS y
+      FROM orders GROUP BY o_custkey
+    ),
+    it0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+                   CAST(0 AS BIGINT) AS w2)"""
+    parts = [feats]
+    for r in range(1, n_iters + 1):
+        p = r - 1
+        s = (
+            f"least(greatest(CAST(floor((w.w0 + w.w1 * f.x1 + w.w2 * f.x2)"
+            f" / 4.0) AS BIGINT) + 500000, 0), 1000000)"
+        )
+        parts.append(
+            f"""it{r} AS MATERIALIZED (
+      SELECT
+        w.w0 - CAST(floor(SUM(({s}) - f.y * 1000000) / (32.0 * COUNT(*))) AS BIGINT) AS w0,
+        w.w1 - CAST(floor(SUM(f.x1 * (({s}) - f.y * 1000000)) / (32.0 * COUNT(*))) AS BIGINT) AS w1,
+        w.w2 - CAST(floor(SUM(f.x2 * (({s}) - f.y * 1000000)) / (32.0 * COUNT(*))) AS BIGINT) AS w2
+      FROM feats f CROSS JOIN it{p} w
+      GROUP BY w.w0, w.w1, w.w2
+    )"""
+        )
+    selects = []
+    for r in range(1, n_iters + 1):
+        s = (
+            f"least(greatest(CAST(floor((w.w0 + w.w1 * f.x1 + w.w2 * f.x2)"
+            f" / 4.0) AS BIGINT) + 500000, 0), 1000000)"
+        )
+        selects.append(
+            f"""SELECT CAST({r} AS INTEGER) AS iter, w.w0 AS w0, w.w1 AS w1, w.w2 AS w2,
+           CAST(SUM(CASE WHEN ({s}) >= 500000 THEN f.y ELSE 1 - f.y END) AS BIGINT)
+             AS n_correct,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM feats f CROSS JOIN it{r} w GROUP BY w.w0, w.w1, w.w2"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + "\n    "
+        + "\n    UNION ALL\n    ".join(selects)
+    )
+
+
+@query("customers_logreg_gd", oracle=_logreg_oracle_sql(8))
+def customers_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-ENGINE logistic-regression TRAINING by batch gradient
+    descent, bit-reproducible: the model state lives in integer
+    micro-units, the activation is the hard sigmoid
+    ``clamp(z/4 + 1/2, 0, 1)`` (piecewise-linear, so it needs no
+    transcendental whose last ulp differs between libms), gradients
+    are exact integer sums, and each update divides once in IEEE
+    double and floors — deterministic on any engine. Eight unrolled
+    iterations; every iteration's weights AND its training accuracy
+    are on the hash, so a trainer that diverges in any pass fails.
+
+    Complements the closed-form [[lineitem_ols_regression]]: this is
+    the ITERATIVE template (the shape logistic/Poisson/softmax all
+    need) — K distributed passes over a cached feature table with
+    map-side-combined integer gradient sums; the weight vector rides
+    the driver between passes exactly like BPE merge rules and k-means
+    centroids. At 100 TB each pass is one scan, no shuffle beyond the
+    3-value aggregate."""
+    feats = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            (F.least(F.count(F.lit(1)), F.lit(20)) - 5).alias("x1"),
+            (
+                F.least(
+                    F.floor(F.avg("o_totalprice") / 10000.0).cast("long"),
+                    F.lit(50),
+                )
+                - 30
+            ).alias("x2"),
+            F.when(
+                F.floor(F.avg("o_totalprice") / 10000.0).cast("long")
+                + F.count(F.lit(1))
+                >= 35,
+                1,
+            )
+            .otherwise(0)
+            .alias("y"),
+        )
+        .persist()
+    )
+    try:
+        n = feats.count()
+        w = [0, 0, 0]
+        rows = []
+        for it in range(1, 9):
+            z = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
+            s = F.least(
+                F.greatest(
+                    F.floor(z / 4.0).cast("long") + F.lit(500000), F.lit(0)
+                ),
+                F.lit(1000000),
+            )
+            err = s - F.col("y") * F.lit(1000000)
+            g = feats.select(
+                F.sum(err).alias("g0"),
+                F.sum(F.col("x1") * err).alias("g1"),
+                F.sum(F.col("x2") * err).alias("g2"),
+            ).collect()[0]
+            import math
+
+            w = [
+                w[j] - int(math.floor(float(g[j]) / (32.0 * n)))
+                for j in range(3)
+            ]
+            z2 = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
+            s2 = F.least(
+                F.greatest(
+                    F.floor(z2 / 4.0).cast("long") + F.lit(500000), F.lit(0)
+                ),
+                F.lit(1000000),
+            )
+            correct = feats.select(
+                F.sum(
+                    F.when(s2 >= 500000, F.col("y")).otherwise(1 - F.col("y"))
+                ).alias("c")
+            ).collect()[0]["c"]
+            rows.append((it, w[0], w[1], w[2], int(correct), n))
+    finally:
+        feats.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "iter int, w0 long, w1 long, w2 long, n_correct long, n_rows long",
+    )
