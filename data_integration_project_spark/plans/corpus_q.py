@@ -2379,3 +2379,168 @@ def doc_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     words = word_histogram(d, X.tokens(F.col("text")))
     return train_bpe(spark, words, n_merges=6)
+
+
+def _lp_oracle_sql(n_rounds: int) -> str:
+    """Unrolled synchronous label propagation over the rare-shingle
+    blocking graph. MATERIALIZED on every round's label table — each is
+    referenced by the next round's votes AND the final histogram."""
+    head = f"""WITH th AS (
+      SELECT doc_id,
+             list_transform(regexp_split_to_array(lower(trim(text)), '\\s+'),
+               t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      list_transform(string_split(t, ''),
+                                     c -> CAST(ascii(c) AS BIGINT))),
+                      (acc, c) -> (acc * 31 + c) % 2147483647)) AS th,
+             len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tok
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(th) - 2, 0)),
+               i -> ((((th[i] * 1000003 + th[i + 1]) % 2147483647)
+                      * 1000003 + th[i + 2]) % 2147483647))) AS shash
+      FROM th
+    ),
+    rare AS (SELECT shash FROM sh GROUP BY shash HAVING COUNT(*) BETWEEN 2 AND 8),
+    edges AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+      FROM sh a JOIN rare USING (shash) JOIN sh b USING (shash)
+      WHERE a.doc_id <> b.doc_id
+    ),
+    seeds AS (
+      SELECT doc_id, least(2, n_tok // 40) AS label
+      FROM th WHERE doc_id % 4 = 0
+    ),
+    labels_0 AS MATERIALIZED (
+      SELECT t2.doc_id, s.label
+      FROM th t2 LEFT JOIN seeds s USING (doc_id)
+    )"""
+    parts = [head]
+    for r in range(1, n_rounds + 1):
+        p = r - 1
+        parts.append(
+            f""",
+    votes_{r} AS (
+      SELECT e.dst AS doc_id, l.label, COUNT(*) AS n
+      FROM edges e JOIN labels_{p} l ON l.doc_id = e.src
+      WHERE l.label IS NOT NULL
+      GROUP BY e.dst, l.label
+    ),
+    pick_{r} AS (
+      SELECT doc_id, label FROM (
+        SELECT doc_id, label,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n DESC, label)
+                 AS rk
+        FROM votes_{r}) WHERE rk = 1
+    ),
+    labels_{r} AS MATERIALIZED (
+      SELECT t2.doc_id, COALESCE(s.label, p2.label) AS label
+      FROM th t2
+      LEFT JOIN seeds s USING (doc_id)
+      LEFT JOIN pick_{r} p2 USING (doc_id)
+    )"""
+        )
+    selects = [
+        f"""SELECT CAST({r} AS INTEGER) AS round, CAST(label AS INTEGER) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM labels_{r} GROUP BY label"""
+        for r in range(1, n_rounds + 1)
+    ]
+    return "".join(parts) + "\n    " + "\n    UNION ALL\n    ".join(selects)
+
+
+@query("doc_label_propagation", oracle=_lp_oracle_sql(3))
+def doc_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised LABEL PROPAGATION through a document similarity
+    graph — the mechanism that spreads sparse human quality labels
+    across an unlabeled corpus. Edges come from rare-shingle blocking
+    (two docs share a 3-token shingle that appears in 2-8 docs — the
+    same bounded-block discipline as [[customer_fuzzy_match]]: frequent
+    shingles would create quadratic blocks and are excluded). 25% of
+    docs are seeds with a fixed 3-class label; three synchronous rounds
+    give every node the majority label of its labeled neighbors
+    (deterministic tie-break: count desc, label asc; seeds never
+    change). Per-round class histograms are on the hash, so a
+    propagation that mis-votes any round fails.
+
+    Scale shape: the vote is one shuffle per round on the edge list
+    (groupBy dst,label with map-side combine); per-round
+    localCheckpoint truncates the iterative lineage (the connected-
+    components lesson). The rare-shingle filter bounds block sizes, so
+    |edges| = sum of small block squares, never corpus-quadratic."""
+    from ..operators.dedup import shingle_rows
+
+    d = t(spark, sf_dir, "documents")
+    th = d.select(
+        "doc_id", "text", F.size(X.tokens(F.col("text"))).alias("n_tok")
+    )
+    sh = shingle_rows(th, "doc_id", "text", 3).distinct()
+    rare = (
+        sh.groupBy("_shash")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df").between(2, 8))
+        .select("_shash")
+    )
+    blocked = sh.join(rare, "_shash")
+    edges = (
+        blocked.alias("a")
+        .join(blocked.alias("b"), "_shash")
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst")
+        )
+        .distinct()
+        .persist()
+    )
+    seeds = th.filter(F.col("doc_id") % 4 == 0).select(
+        "doc_id", F.least(F.lit(2), (F.col("n_tok") / 40).cast("int")).alias("label")
+    )
+    nodes = th.select("doc_id")
+    labels = nodes.join(seeds, "doc_id", "left").localCheckpoint(eager=True)
+    out = []
+    try:
+        for rnd in range(1, 4):
+            votes = (
+                edges.join(
+                    labels.filter(F.col("label").isNotNull()).withColumnRenamed(
+                        "doc_id", "src"
+                    ),
+                    "src",
+                )
+                .groupBy("dst", "label")
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            from pyspark.sql import Window as W
+
+            pick = (
+                votes.withColumn(
+                    "rk",
+                    F.row_number().over(
+                        W.partitionBy("dst").orderBy(
+                            F.desc("n"), F.asc("label")
+                        )
+                    ),
+                )
+                .filter(F.col("rk") == 1)
+                .select(F.col("dst").alias("doc_id"), F.col("label").alias("voted"))
+            )
+            nxt = (
+                nodes.join(seeds.withColumnRenamed("label", "seeded"), "doc_id", "left")
+                .join(pick, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.coalesce("seeded", "voted").alias("label"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            labels.unpersist()
+            labels = nxt
+            for row in labels.groupBy("label").agg(F.count(F.lit(1)).alias("n")).collect():
+                out.append(
+                    (rnd, None if row["label"] is None else int(row["label"]), int(row["n"]))
+                )
+    finally:
+        edges.unpersist()
+        labels.unpersist()
+    return spark.createDataFrame(out, "round int, label int, n_nodes long")

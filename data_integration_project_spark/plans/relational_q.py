@@ -6810,3 +6810,67 @@ def customers_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "iter int, w0 long, w1 long, w2 long, n_correct long, n_rows long",
     )
+
+
+@query(
+    "orders_xml_roundtrip",
+    oracle=f"""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(CAST(o_orderdate AS DATE)) AS DATE) AS first_date,
+           CAST(MAX(CAST(o_orderdate AS DATE)) AS DATE) AS last_date,
+           {SQL_DSUM('o_totalprice', 'total_value', 2)}
+    FROM orders
+    WHERE o_orderkey % 11 = 0
+    GROUP BY o_orderstatus
+    """,
+)
+def orders_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML as a source/sink format (Spark 4 native XML — no external
+    spark-xml package): a deterministic orders slice writes out as
+    element-per-row XML documents (rowTag/rootTag), reads back with an
+    explicit schema, and aggregates. Strings, longs, doubles (shortest
+    round-trip repr — bit-exact back through the XML text), and dates
+    all cross the text format and land on the hash.
+
+    The reference ingests CSV exports from office tooling
+    (coffee_etl_clean/etl/extract/file_source.py); XML is the sibling
+    interchange format on the same §2.1 source surface (alongside
+    parquet/ORC/CSV/JSON/Avro/SQLite). Scale shape: XML files split per
+    file (not per block — rowTag scanning is sequential within a file),
+    so the writer's one-file-per-partition layout IS the read
+    parallelism; schema is explicit to skip the inference scan."""
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="xml_rt_")
+    path = os.path.join(d, "orders_xml")
+    (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 11 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        )
+        .write.format("xml")
+        .option("rootTag", "orders")
+        .option("rowTag", "order")
+        .save(path)
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "order")
+        .schema(
+            "o_orderkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate date"
+        )
+        .load(path)
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_orderdate").alias("first_date"),
+        F.max("o_orderdate").alias("last_date"),
+        dsum(F.col("o_totalprice"), "total_value"),
+    )
