@@ -6874,3 +6874,182 @@ def orders_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_orderdate").alias("last_date"),
         dsum(F.col("o_totalprice"), "total_value"),
     )
+
+
+_TREE_FEATS_SQL = """feats AS MATERIALIZED (
+      SELECT least(COUNT(*), 20) - 5 AS x1,
+             least(CAST(floor(AVG(o_totalprice) / 10000.0) AS BIGINT), 50) - 30
+               AS x2,
+             CASE WHEN CAST(floor(AVG(o_totalprice) / 10000.0) AS BIGINT)
+                       + COUNT(*) >= 35
+                  THEN 1 ELSE 0 END AS y
+      FROM orders GROUP BY o_custkey
+    )"""
+
+_TREE_SCORE_SQL = (
+    "CAST((pl*pl + (nl-pl)*(nl-pl)) * (n-nl)"
+    " + ((pos-pl)*(pos-pl) + ((n-nl)-(pos-pl))*((n-nl)-(pos-pl))) * nl"
+    " AS DOUBLE) / (nl * (n - nl))"
+)
+
+
+def _tree_split_sql(src: str, name: str) -> str:
+    """One histogram-trick split search over CTE ``src``: per-feature
+    value histograms, cumulative left-side counts by window, exact
+    integer score numerator/denominator, one IEEE division for the
+    argmax ordering (both engines round it identically), tie-break
+    (feature, value)."""
+    return f"""h_{name} AS (
+      SELECT f, v, COUNT(*) AS n_all, CAST(SUM(y) AS BIGINT) AS n_pos
+      FROM (SELECT 'x1' AS f, x1 AS v, y FROM {src}
+            UNION ALL SELECT 'x2', x2, y FROM {src})
+      GROUP BY f, v
+    ),
+    c_{name} AS (
+      SELECT f, v,
+             SUM(n_all) OVER (PARTITION BY f ORDER BY v) AS nl,
+             SUM(n_pos) OVER (PARTITION BY f ORDER BY v) AS pl,
+             SUM(n_all) OVER (PARTITION BY f) AS n,
+             SUM(n_pos) OVER (PARTITION BY f) AS pos,
+             MAX(v) OVER (PARTITION BY f) AS vmax
+      FROM h_{name}
+    ),
+    split_{name} AS MATERIALIZED (
+      SELECT f, v, nl, pl, n - nl AS nr, pos - pl AS pr, n, pos
+      FROM c_{name} WHERE v < vmax AND nl > 0 AND nl < n
+      ORDER BY {_TREE_SCORE_SQL} DESC, f, v
+      LIMIT 1
+    )"""
+
+
+_TREE_ORACLE = (
+    "WITH "
+    + _TREE_FEATS_SQL
+    + ",\n    "
+    + _tree_split_sql("feats", "root")
+    + """,
+    feats_l AS MATERIALIZED (
+      SELECT feats.* FROM feats CROSS JOIN split_root r
+      WHERE (r.f = 'x1' AND x1 <= r.v) OR (r.f = 'x2' AND x2 <= r.v)
+    ),
+    feats_r AS MATERIALIZED (
+      SELECT feats.* FROM feats CROSS JOIN split_root r
+      WHERE (r.f = 'x1' AND x1 > r.v) OR (r.f = 'x2' AND x2 > r.v)
+    ),
+    """
+    + _tree_split_sql("feats_l", "l")
+    + ",\n    "
+    + _tree_split_sql("feats_r", "r")
+    + """
+    SELECT 'root' AS node, f AS feature, CAST(v AS BIGINT) AS threshold,
+           CAST(n AS BIGINT) AS n_node, pos AS n_pos FROM split_root
+    UNION ALL
+    SELECT 'L', f, CAST(v AS BIGINT), CAST(n AS BIGINT), pos FROM split_l
+    UNION ALL
+    SELECT 'R', f, CAST(v AS BIGINT), CAST(n AS BIGINT), pos FROM split_r
+    UNION ALL
+    SELECT 'LL', NULL, NULL, CAST(nl AS BIGINT), pl FROM split_l
+    UNION ALL
+    SELECT 'LR', NULL, NULL, CAST(nr AS BIGINT), pr FROM split_l
+    UNION ALL
+    SELECT 'RL', NULL, NULL, CAST(nl AS BIGINT), pl FROM split_r
+    UNION ALL
+    SELECT 'RR', NULL, NULL, CAST(nr AS BIGINT), pr FROM split_r
+    """
+)
+
+
+@query("customers_decision_tree", oracle=_TREE_ORACLE)
+def customers_decision_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a DEPTH-2 DECISION TREE in the engine — the recursive form
+    of [[orders_decision_stump]]'s histogram trick, on the same
+    centered feature table as [[customers_logreg_gd]]. Each node's
+    split search is ONE aggregate over its partition of the data:
+    per-feature value histograms (map-side combined; |distinct values|
+    rows), cumulative left-side counts, and an argmax whose score is
+    exact-integer sums-of-squares with a single IEEE division (both
+    engines round one division identically; ties break on feature then
+    value). Split rows come to the driver as tree metadata — exactly
+    how distributed GBDT learners (XGBoost histogram mode, LightGBM)
+    structure a level: one data pass per tree level regardless of how
+    many candidate thresholds.
+
+    The output is the whole tree: three split nodes (chosen feature,
+    threshold, node population) and the four leaf populations with
+    their positive counts — so a learner that mis-buckets a single row
+    or breaks a tie differently fails the hash."""
+    feats = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            (F.least(F.count(F.lit(1)), F.lit(20)) - 5).alias("x1"),
+            (
+                F.least(
+                    F.floor(F.avg("o_totalprice") / 10000.0).cast("long"),
+                    F.lit(50),
+                )
+                - 30
+            ).alias("x2"),
+            F.when(
+                F.floor(F.avg("o_totalprice") / 10000.0).cast("long")
+                + F.count(F.lit(1))
+                >= 35,
+                1,
+            )
+            .otherwise(0)
+            .alias("y"),
+        )
+        .persist()
+    )
+
+    def best_split(df):
+        best = None
+        for feat in ("x1", "x2"):
+            h = sorted(
+                (int(r["v"]), int(r["n_all"]), int(r["n_pos"]))
+                for r in df.groupBy(F.col(feat).alias("v"))
+                .agg(
+                    F.count(F.lit(1)).alias("n_all"),
+                    F.sum("y").alias("n_pos"),
+                )
+                .collect()
+            )
+            n = sum(a for _, a, _ in h)
+            pos = sum(p for _, _, p in h)
+            nl = pl = 0
+            for v, a, p in h[:-1]:
+                nl += a
+                pl += p
+                nr, pr = n - nl, pos - pl
+                if nl == 0 or nr == 0:
+                    continue
+                num = (pl * pl + (nl - pl) ** 2) * nr + (
+                    pr * pr + (nr - pr) ** 2
+                ) * nl
+                key = (-(num / (nl * nr)), feat, v)
+                if best is None or key < best[:3]:
+                    best = (key[0], feat, v, nl, pl, nr, pr, n, pos)
+        return best
+
+    try:
+        rows = []
+        root = best_split(feats)
+        if root is not None:
+            _, f, v, nl, pl, nr, pr, n, pos = root
+            rows.append(("root", f, v, n, pos))
+            left = feats.filter(F.col(f) <= v)
+            right = feats.filter(F.col(f) > v)
+            for tag, child in (("L", left), ("R", right)):
+                s = best_split(child)
+                if s is None:
+                    continue
+                _, cf, cv, cnl, cpl, cnr, cpr, cn, cpos = s
+                rows.append((tag, cf, cv, cn, cpos))
+                rows.append((tag + "L", None, None, cnl, cpl))
+                rows.append((tag + "R", None, None, cnr, cpr))
+    finally:
+        feats.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "node string, feature string, threshold long, n_node long, n_pos long",
+    )
