@@ -7053,3 +7053,263 @@ def customers_decision_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "node string, feature string, threshold long, n_node long, n_pos long",
     )
+
+
+@query(
+    "orders_protobuf_roundtrip",
+    oracle=f"""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                    - 20000000) AS BIGINT) AS cents_delta_sum,
+           CAST(SUM(date_diff('day', DATE '1970-01-01',
+                              CAST(o_orderdate AS DATE))) AS BIGINT) AS days_sum,
+           CAST(COUNT(*) AS BIGINT) AS n_skipped,
+           {SQL_DSUM('o_totalprice', 'total_value', 2)}
+    FROM orders
+    WHERE o_orderkey % 13 = 0
+    GROUP BY o_orderstatus
+    """,
+)
+def orders_protobuf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROTOBUF wire format as a value codec (operators/protowire.py)
+    — the binary-message-column case (Kafka payloads) without the
+    protobuf-java jar or compiled descriptors. Each order serializes to
+    a proto3 message: varint key, length-delimited status, fixed64
+    double price, ZIGZAG sint for a signed cents delta (negative for
+    most rows — the two's-complement-free encoding is on the hash), a
+    varint day number, and an UNKNOWN field #99 the decoder must skip
+    by wire type (forward compatibility — n_skipped counts the skips).
+    proto3 default omission is live too: zero deltas vanish from the
+    wire and the decoder re-materializes defaults. The oracle computes
+    the same aggregates straight from orders, so any bit error in
+    varint/zigzag/fixed64 framing diverges.
+
+    Scale shape: per-row byte work in Arrow-batched mapInPandas, no
+    shuffle before the final aggregate."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..operators.protowire import decode_message, encode_message
+
+    EPOCH = "1970-01-01"
+    src = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 13 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit(EPOCH).cast("date")
+            ).alias("days"),
+        )
+    )
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import math
+
+        for pdf in batches:
+            payloads = []
+            for k, s, p, d in zip(
+                pdf["o_orderkey"], pdf["o_orderstatus"],
+                pdf["o_totalprice"], pdf["days"],
+            ):
+                cents = int(math.floor(p * 100 + 0.5))
+                payloads.append(
+                    encode_message(
+                        {
+                            1: ("int", int(k)),
+                            2: ("string", str(s)),
+                            3: ("double", float(p)),
+                            4: ("sint", cents - 20_000_000),
+                            5: ("int", int(d)),
+                            99: ("bytes", hashlib.md5(str(k).encode()).digest()),
+                        }
+                    )
+                )
+            yield pd.DataFrame({"payload": payloads})
+
+    SCHEMA = {
+        1: ("o_orderkey", "int"),
+        2: ("o_orderstatus", "string"),
+        3: ("o_totalprice", "double"),
+        4: ("cents_delta", "sint"),
+        5: ("days", "int"),
+    }
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for p in pdf["payload"]:
+                rec, skipped = decode_message(bytes(p), SCHEMA)
+                rec["n_skipped"] = skipped
+                rows.append(rec)
+            yield pd.DataFrame(rows)
+
+    wire = src.mapInPandas(enc, schema="payload binary")
+    back = wire.mapInPandas(
+        dec,
+        schema=(
+            "o_orderkey long, o_orderstatus string, o_totalprice double, "
+            "cents_delta long, days long, n_skipped long"
+        ),
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_orderkey").alias("key_sum"),
+        F.sum("cents_delta").alias("cents_delta_sum"),
+        F.sum("days").alias("days_sum"),
+        F.sum("n_skipped").alias("n_skipped"),
+        dsum(F.col("o_totalprice"), "total_value"),
+    )
+
+
+def _cv_oracle_sql() -> str:
+    """Three generated (split, eval) blocks — train on folds != f via
+    the histogram-trick split search, evaluate on fold = f with
+    majority-label leaves (tie predicts 0)."""
+    feats = """feats AS MATERIALIZED (
+      SELECT least(COUNT(*), 20) - 5 AS x1,
+             least(CAST(floor(AVG(o_totalprice) / 10000.0) AS BIGINT), 50) - 30
+               AS x2,
+             CASE WHEN CAST(floor(AVG(o_totalprice) / 10000.0) AS BIGINT)
+                       + COUNT(*) >= 35
+                  THEN 1 ELSE 0 END AS y,
+             CAST(o_custkey % 3 AS INTEGER) AS fold
+      FROM orders GROUP BY o_custkey
+    )"""
+    parts = [feats]
+    selects = []
+    for f in range(3):
+        parts.append(
+            _tree_split_sql(f"(SELECT * FROM feats WHERE fold <> {f}) tr{f}", f"f{f}")
+        )
+        parts.append(
+            f"""eval_f{f} AS (
+      SELECT COUNT(*) AS n_test,
+             CAST(SUM(CASE WHEN (CASE WHEN (s.f = 'x1' AND t.x1 <= s.v)
+                                        OR (s.f = 'x2' AND t.x2 <= s.v)
+                                 THEN CASE WHEN 2 * s.pl > s.nl THEN 1 ELSE 0 END
+                                 ELSE CASE WHEN 2 * s.pr > s.nr THEN 1 ELSE 0 END
+                            END) = t.y THEN 1 ELSE 0 END) AS BIGINT) AS test_correct
+      FROM feats t CROSS JOIN split_f{f} s WHERE t.fold = {f}
+    )"""
+        )
+        selects.append(
+            f"""SELECT CAST({f} AS INTEGER) AS fold, s.f AS feature,
+           CAST(s.v AS BIGINT) AS threshold, CAST(s.n AS BIGINT) AS n_train,
+           CAST(e.n_test AS BIGINT) AS n_test, e.test_correct
+    FROM split_f{f} s CROSS JOIN eval_f{f} e"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + "\n    "
+        + "\n    UNION ALL\n    ".join(selects)
+    )
+
+
+@query("customers_cv_stump", oracle=_cv_oracle_sql())
+def customers_cv_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-FOLD CROSS-VALIDATION — the model-selection loop around the
+    in-engine trainers: deterministic fold assignment by key hash
+    (``o_custkey % 3``), a histogram-trick stump trained on each 2/3
+    train split, and held-out evaluation with majority-label leaves
+    (ties predict 0). Chosen split, train size, and held-out accuracy
+    for every fold are all on the hash — so fold leakage (a single test
+    row in training), a different argmax, or a flipped leaf majority
+    each fails.
+
+    Scale shape: per fold, training is ONE histogram aggregate over the
+    train partition and evaluation is one pass over the test partition;
+    K folds = K passes, no shuffle beyond the tiny histograms. The same
+    harness wraps any of the trainer queries
+    ([[customers_decision_tree]], [[customers_logreg_gd]])."""
+    feats = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            (F.least(F.count(F.lit(1)), F.lit(20)) - 5).alias("x1"),
+            (
+                F.least(
+                    F.floor(F.avg("o_totalprice") / 10000.0).cast("long"),
+                    F.lit(50),
+                )
+                - 30
+            ).alias("x2"),
+            F.when(
+                F.floor(F.avg("o_totalprice") / 10000.0).cast("long")
+                + F.count(F.lit(1))
+                >= 35,
+                1,
+            )
+            .otherwise(0)
+            .alias("y"),
+            (F.col("o_custkey") % 3).cast("int").alias("fold"),
+        )
+        .persist()
+    )
+
+    def best_split(df):
+        best = None
+        for feat in ("x1", "x2"):
+            h = sorted(
+                (int(r["v"]), int(r["n_all"]), int(r["n_pos"]))
+                for r in df.groupBy(F.col(feat).alias("v"))
+                .agg(
+                    F.count(F.lit(1)).alias("n_all"),
+                    F.sum("y").alias("n_pos"),
+                )
+                .collect()
+            )
+            n = sum(a for _, a, _ in h)
+            pos = sum(p for _, _, p in h)
+            nl = pl = 0
+            for v, a, p in h[:-1]:
+                nl += a
+                pl += p
+                nr, pr = n - nl, pos - pl
+                if nl == 0 or nr == 0:
+                    continue
+                num = (pl * pl + (nl - pl) ** 2) * nr + (
+                    pr * pr + (nr - pr) ** 2
+                ) * nl
+                key = (-(num / (nl * nr)), feat, v)
+                if best is None or key < best[:3]:
+                    best = (key[0], feat, v, nl, pl, nr, pr, n, pos)
+        return best
+
+    rows = []
+    try:
+        for fold in range(3):
+            train = feats.filter(F.col("fold") != fold)
+            test = feats.filter(F.col("fold") == fold)
+            s = best_split(train)
+            if s is None:
+                continue
+            _, f, v, nl, pl, nr, pr, n, pos = s
+            left_lbl = 1 if 2 * pl > nl else 0
+            right_lbl = 1 if 2 * pr > nr else 0
+            pred = F.when(F.col(f) <= v, F.lit(left_lbl)).otherwise(
+                F.lit(right_lbl)
+            )
+            ev = test.agg(
+                F.count(F.lit(1)).alias("n_test"),
+                F.sum(
+                    F.when(pred == F.col("y"), 1).otherwise(0)
+                ).alias("test_correct"),
+            ).collect()[0]
+            rows.append(
+                (fold, f, v, n, int(ev["n_test"]), int(ev["test_correct"]))
+            )
+    finally:
+        feats.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "fold int, feature string, threshold long, n_train long, "
+        "n_test long, test_correct long",
+    )

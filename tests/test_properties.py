@@ -308,3 +308,59 @@ def test_avi_rejects_broken_index():
     enc[off_pos] ^= 0xFF
     with _pytest.raises(ValueError):
         decode_avi_samples(bytes(enc))
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(0, 2**63 - 1),
+    st.text(max_size=40),
+    st.floats(allow_nan=False, allow_infinity=False),
+    st.integers(-(2**62), 2**62),
+    st.binary(max_size=32),
+)
+def test_protowire_roundtrip_property(i, s, d, z, b):
+    """Every (varint, string, fixed64, zigzag, bytes) tuple round-trips
+    the proto3 wire format exactly, including default omission."""
+    from data_integration_project_spark.operators.protowire import (
+        decode_message,
+        encode_message,
+    )
+
+    msg = encode_message(
+        {1: ("int", i), 2: ("string", s), 3: ("double", d), 4: ("sint", z), 6: ("bytes", b)}
+    )
+    schema = {
+        1: ("i", "int"), 2: ("s", "string"), 3: ("d", "double"),
+        4: ("z", "sint"), 6: ("b", "bytes"),
+    }
+    rec, skipped = decode_message(msg, schema)
+    assert skipped == 0
+    assert rec["i"] == i and rec["s"] == s and rec["z"] == z and rec["b"] == b
+    # 0.0 and -0.0 both omit (proto3 default); else bit-exact
+    if d == 0.0:
+        assert rec["d"] == 0.0
+    else:
+        import struct as _st
+
+        assert _st.pack("<d", rec["d"]) == _st.pack("<d", d)
+
+
+def test_protowire_truncation_raises():
+    import pytest as _pytest
+
+    from data_integration_project_spark.operators.protowire import (
+        decode_message,
+        encode_message,
+    )
+
+    msg = encode_message({1: ("int", 300), 2: ("string", "hello"), 3: ("double", 1.5)})
+    schema = {1: ("i", "int"), 2: ("s", "string"), 3: ("d", "double")}
+    for cut in range(1, len(msg)):
+        try:
+            decode_message(msg[:cut], schema)
+        except ValueError:
+            continue  # truncation detected — good
+        rec, _ = decode_message(msg[:cut], schema)  # or decoded a clean prefix
+        assert rec["i"] in (0, 300)
+    with _pytest.raises(ValueError):
+        decode_message(b"\x07", schema)  # reserved wire type 7
