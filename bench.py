@@ -93,6 +93,15 @@ HEADLINE = [
     "doc_cdc_chunk_dedup",
     "corpus_semdedup",
     "corpus_dsir_weights",
+    # round 2 (final stretch): entropy-coded codec decode (Huffman/Rice
+    # bit walks in mapInPandas), custom-DataSource Avro round trip with
+    # byte-range splits, iterative driver-metadata trainers (BPE merge
+    # rounds, fixed-point GD), and a 3-round graph propagation
+    "multimodal_jpeg_decode",
+    "orders_avro_roundtrip",
+    "doc_bpe_train",
+    "customers_logreg_gd",
+    "doc_label_propagation",
 ]
 
 
