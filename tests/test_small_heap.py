@@ -24,7 +24,8 @@ qs = e.queries()
 for name in ["customer_golden_records", "dedup_clusters_largestar",
              "dedup_minhash_lsh", "parts_market_basket",
              "dedup_clusters_bcubed", "ann_ivf_pq_adc",
-             "dedup_keep_best", "dedup_blocking_quality"]:
+             "dedup_keep_best", "dedup_blocking_quality",
+             "doc_label_propagation", "doc_bpe_train"]:
     n = qs[name](spark, "/root/testdata/sf0.01").count()
     print("HEAPCANARY", name, n, flush=True)
 print("HEAPCANARY ALL_OK", flush=True)
