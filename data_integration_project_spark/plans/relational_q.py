@@ -7313,3 +7313,257 @@ def customers_cv_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fold int, feature string, threshold long, n_train long, "
         "n_test long, test_correct long",
     )
+
+
+_BF_INF = 10**15
+_BF_ITERS = 5
+
+
+def _bf_round_sql(prev: str, rnd: int) -> str:
+    """One unrolled Bellman-Ford relaxation in engine-neutral SQL."""
+    return f"""
+    d{rnd} AS (
+      SELECT n.node,
+             least(p0.dist, COALESCE(s.best, {_BF_INF})) AS dist
+      FROM nodes n
+      JOIN {prev} p0 ON p0.node = n.node
+      LEFT JOIN (
+        SELECT e.dst AS node, MIN(p.dist + e.w) AS best
+        FROM edges e JOIN {prev} p ON p.node = e.src
+        WHERE p.dist < {_BF_INF}
+        GROUP BY e.dst
+      ) s ON s.node = n.node
+    )"""
+
+
+@query(
+    "nations_shortest_paths",
+    oracle=f"""
+    WITH pair_counts AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS cnt
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey
+      GROUP BY 1, 2
+    ),
+    edges AS MATERIALIZED (
+      SELECT src, dst, greatest(1, 8 - cnt // 100) AS w FROM pair_counts
+    ),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    d0 AS (SELECT node, CASE WHEN node = 0 THEN 0
+                             ELSE CAST({_BF_INF} AS BIGINT) END AS dist
+           FROM nodes)
+    {"".join("," + _bf_round_sql(f"d{i}", i + 1) for i in range(_BF_ITERS))}
+    SELECT d.node AS nationkey, n.n_name AS nation_name,
+           CAST(d.dist AS BIGINT) AS dist
+    FROM d{_BF_ITERS} d JOIN nation n ON n.n_nationkey = d.node
+    """,
+)
+def nations_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source SHORTEST PATHS by Bellman-Ford relaxation over the
+    weighted trade graph — the iterative-relaxation template
+    [[customers_recursive_root_path]]'s tree walk cannot express (cycles,
+    multiple paths). Edge weight derives from data: heavily traded
+    nation pairs are cheaper (``max(1, 8 - cnt/100)``), all integer, so
+    every round's frontier is exact and 5 unrolled rounds (≥ graph
+    diameter) fix the answer bit-identically in both engines.
+
+    Scale shape per round: one equi-join of the edge list to current
+    distances on src + one map-side-combined MIN on dst — the same
+    Pregel-style two-shuffle round as [[nations_trade_pagerank]], with
+    localCheckpoint truncating the loop lineage. INF stays a sentinel
+    (1e15) rather than NULL so MIN and the hash treat unreachable nodes
+    deterministically."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").cast("long").alias("src"),
+            F.col("s_nationkey").cast("long").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "src",
+            "dst",
+            F.greatest(F.lit(1), F.lit(8) - F.expr("cnt div 100")).alias("w"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    dist = nodes.select(
+        "node",
+        F.when(F.col("node") == 0, F.lit(0))
+        .otherwise(F.lit(_BF_INF))
+        .cast("long")
+        .alias("dist"),
+    ).localCheckpoint(eager=True)
+    for _ in range(_BF_ITERS):
+        best = (
+            edges.join(dist.withColumnRenamed("node", "src"), "src")
+            .filter(F.col("dist") < _BF_INF)
+            .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("cand"))
+            .groupBy("node")
+            .agg(F.min("cand").alias("best"))
+        )
+        nxt = (
+            dist.join(best, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("dist"), F.coalesce(F.col("best"), F.lit(_BF_INF))
+                ).alias("dist"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        dist.unpersist()
+        dist = nxt
+    return dist.join(F.broadcast(n), dist["node"] == n["n_nationkey"]).select(
+        F.col("node").alias("nationkey"),
+        F.col("n_name").alias("nation_name"),
+        F.col("dist").cast("long").alias("dist"),
+    )
+
+
+_DTW_INF = 1 << 40
+_DTW_SERIES_SQL = """
+      SELECT c_nationkey AS nationkey,
+             {cols} AS s
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE CAST(strftime(o_orderdate, '%Y') AS INTEGER) = 1995
+      GROUP BY c_nationkey
+""".format(
+    cols="["
+    + ", ".join(
+        f"CAST(SUM(CASE WHEN CAST(strftime(o_orderdate, '%m') AS INTEGER)"
+        f" = {m} THEN 1 ELSE 0 END) AS BIGINT)"
+        for m in range(1, 13)
+    )
+    + "]"
+)
+
+
+@query(
+    "nations_dtw_profiles",
+    oracle=f"""
+    WITH RECURSIVE series AS MATERIALIZED ({_DTW_SERIES_SQL}),
+    ref AS (SELECT s AS r FROM series WHERE nationkey = 0),
+    joined AS (SELECT nationkey, s, r FROM series CROSS JOIN ref),
+    dp AS (
+      SELECT nationkey, s, r, 0 AS k, CAST([] AS BIGINT[]) AS acc
+      FROM joined
+      UNION ALL
+      SELECT nationkey, s, r, k + 1,
+             list_append(acc,
+               abs(s[k // 12 + 1] - r[k % 12 + 1])
+               + CASE WHEN k = 0 THEN 0 ELSE least(
+                   CASE WHEN k % 12 = 0 THEN {_DTW_INF} ELSE acc[k] END,
+                   CASE WHEN k >= 12 THEN acc[k - 11] ELSE {_DTW_INF} END,
+                   CASE WHEN k >= 12 AND k % 12 > 0 THEN acc[k - 12]
+                        ELSE {_DTW_INF} END) END)
+      FROM dp WHERE k < 144
+    )
+    SELECT d.nationkey, n.n_name AS nation_name,
+           CAST(d.acc[144] AS BIGINT) AS dtw_dist,
+           CAST(list_sum(list_transform(range(1, 13),
+                m -> abs(d.s[m] - d.r[m]))) AS BIGINT) AS l1_dist
+    FROM dp d JOIN nation n ON n.n_nationkey = d.nationkey
+    WHERE d.k = 144
+    """,
+)
+def nations_dtw_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC TIME WARPING distance between every nation's 1995
+    monthly order profile and the reference nation's (nation 0) — the
+    alignment-tolerant series similarity an alignment-free L1 cannot
+    give (DTW ≤ L1 on every row is the built-in sanity invariant; a
+    shifted-but-identical profile scores near zero under DTW and large
+    under L1). All-integer |a-b| costs make the 12x12 DP exact; the
+    oracle replays it cell-by-cell in row-major order with a
+    144-step recursive CTE whose state is the growing DP list (left
+    neighbor = last element, up = 12 back, diagonal = 13 back, with
+    sentinel INF on the borders) — a genuinely different evaluation
+    shape (recursion) that must agree with the vectorized DP.
+
+    Scale shape: series build is one conditional-sum aggregate (12
+    codegen counters) per nation; the reference row is driver metadata;
+    the DP runs per-series inside Arrow-batched mapInPandas — at 100 TB
+    (per-user profiles instead of per-nation) the same plan partitions
+    by series key with no extra shuffle."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation")
+    month = F.month("o_orderdate")
+    series = (
+        o.filter(F.year("o_orderdate") == 1995)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.array(
+                *[
+                    F.sum(F.when(month == m, 1).otherwise(0)).cast("long")
+                    for m in range(1, 13)
+                ]
+            ).alias("s")
+        )
+    )
+    ref = series.filter(F.col("nationkey") == 0).collect()[0]["s"]
+
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def dtw(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        r = list(ref)
+
+        def dist(s):
+            INF = _DTW_INF
+            prev = None
+            for i in range(12):
+                cur = []
+                for j in range(12):
+                    cost = abs(int(s[i]) - int(r[j]))
+                    if i == 0 and j == 0:
+                        cur.append(cost)
+                        continue
+                    left = cur[j - 1] if j > 0 else INF
+                    up = prev[j] if i > 0 else INF
+                    diag = prev[j - 1] if (i > 0 and j > 0) else INF
+                    cur.append(cost + min(left, up, diag))
+                prev = cur
+            return prev[11]
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "nationkey": pdf["nationkey"].values,
+                    "dtw_dist": [dist(s) for s in pdf["s"]],
+                    "l1_dist": [
+                        sum(abs(int(a) - int(b)) for a, b in zip(s, ref))
+                        for s in pdf["s"]
+                    ],
+                }
+            )
+
+    out = series.mapInPandas(
+        dtw, schema="nationkey long, dtw_dist long, l1_dist long"
+    )
+    return out.join(
+        F.broadcast(n), out["nationkey"] == n["n_nationkey"]
+    ).select(
+        "nationkey",
+        F.col("n_name").alias("nation_name"),
+        "dtw_dist",
+        "l1_dist",
+    )
