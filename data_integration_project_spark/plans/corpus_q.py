@@ -2544,3 +2544,140 @@ def doc_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.unpersist()
         labels.unpersist()
     return spark.createDataFrame(out, "round int, label int, n_nodes long")
+
+
+@query(
+    "doc_kneser_ney_lm",
+    oracle=f"""
+    WITH toks AS (
+      SELECT {_TOKENS_SQL} AS tk FROM documents
+    ),
+    bigrams AS (
+      SELECT u.a AS v, u.b AS w, COUNT(*) AS c FROM (
+        SELECT unnest(list_transform(range(1, len(tk)),
+                      i -> struct_pack(a := tk[i], b := tk[i + 1]))) AS u
+        FROM toks WHERE len(tk) >= 2)
+      GROUP BY 1, 2
+    ),
+    ctx AS (
+      SELECT v, SUM(c) AS cv, COUNT(*) AS n1v FROM bigrams GROUP BY v
+    ),
+    cont AS (
+      SELECT w, COUNT(*) AS contw FROM bigrams GROUP BY w
+    ),
+    n1all AS (SELECT COUNT(*) AS n1a FROM bigrams),
+    top_ctx AS (
+      SELECT v, cv, n1v FROM ctx
+      ORDER BY cv DESC, v LIMIT 5
+    ),
+    scored AS (
+      SELECT t.v, b.w,
+             ((4 * b.c - 3) * x.n1a + 3 * t.n1v * co.contw) * 1000000
+               // (4 * t.cv * x.n1a) AS score_micro
+      FROM top_ctx t
+      JOIN bigrams b ON b.v = t.v
+      JOIN cont co ON co.w = b.w
+      CROSS JOIN n1all x
+    )
+    SELECT v AS context_word, w AS next_word,
+           CAST(score_micro AS BIGINT) AS score_micro,
+           CAST(rk AS INTEGER) AS rk
+    FROM (
+      SELECT v, w, score_micro,
+             ROW_NUMBER() OVER (PARTITION BY v
+                                ORDER BY score_micro DESC, w) AS rk
+      FROM scored)
+    WHERE rk <= 3
+    """,
+)
+def doc_kneser_ney_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a KNESER-NEY smoothed bigram language model in-engine and
+    read out its top-3 next-word predictions for the five most frequent
+    context words. The classic formulation
+    ``P(w|v) = max(c(v,w)-d, 0)/c(v) + d·N1+(v,·)/c(v) · N1+(·,w)/N1+(··)``
+    with d = 3/4 collapses to ONE exact rational
+    ``[(4c-3)·N1a + 3·N1v·contw] / (4·cv·N1a)`` — so the whole model
+    (absolute discounting AND the continuation-probability backoff that
+    distinguishes KN from plain discounting) is integer arithmetic,
+    floored to micro-units identically in both engines. Extends
+    [[doc_charlm_score]] (char-bigram scorer) to word-level TRAINING
+    with the smoothing real LM pipelines used pre-neural — and the
+    continuation counts are the same corpus statistics DSIR-style
+    selection reuses.
+
+    Scale shape: bigram counts build in one codegen projection + one
+    map-side-combined shuffle on the pair (|bigram vocab| rows out);
+    context/continuation marginals are two tiny reaggregations of that
+    table; scoring touches only the 5 chosen contexts' rows. Nothing
+    rescans the corpus."""
+    d = t(spark, sf_dir, "documents")
+    tk = X.tokens(F.col("text"))
+    bigrams = (
+        d.select(tk.alias("tk"))
+        .filter(F.size("tk") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("tk") - 2),
+                    lambda i: F.struct(
+                        F.col("tk")[i].alias("v"),
+                        F.col("tk")[i + 1].alias("w"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .groupBy("p.v", "p.w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    try:
+        ctx = bigrams.groupBy("v").agg(
+            F.sum("c").alias("cv"), F.count(F.lit(1)).alias("n1v")
+        )
+        cont = bigrams.groupBy("w").agg(F.count(F.lit(1)).alias("contw"))
+        n1a = bigrams.count()
+        top_ctx = ctx.orderBy(F.desc("cv"), F.asc("v")).limit(5)
+        scored = (
+            F.broadcast(top_ctx)
+            .join(bigrams, "v")
+            .join(cont, "w")
+            .select(
+                "v",
+                "w",
+                (
+                    (
+                        (4 * F.col("c") - 3) * F.lit(n1a)
+                        + 3 * F.col("n1v") * F.col("contw")
+                    )
+                    * F.lit(1000000)
+                ).cast("long")
+                .alias("num"),
+                (4 * F.col("cv") * F.lit(n1a)).cast("long").alias("den"),
+            )
+            .select(
+                "v", "w", F.expr("num div den").alias("score_micro")
+            )
+        )
+        from pyspark.sql import Window as W
+
+        out = (
+            scored.withColumn(
+                "rk",
+                F.row_number().over(
+                    W.partitionBy("v").orderBy(
+                        F.desc("score_micro"), F.asc("w")
+                    )
+                ),
+            )
+            .filter(F.col("rk") <= 3)
+            .select(
+                F.col("v").alias("context_word"),
+                F.col("w").alias("next_word"),
+                "score_micro",
+                F.col("rk").cast("int").alias("rk"),
+            )
+        )
+        out = out.localCheckpoint(eager=True)
+    finally:
+        bigrams.unpersist()
+    return out
