@@ -1777,3 +1777,75 @@ def multimodal_avi_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
     that matters when frames are large."""
     media = M.documents_as_avi_media(t(spark, sf_dir, "documents"))
     return M.sample_avi_keyframes(media, n_samples=4)
+
+
+@query(
+    "doc_unicode_nfc",
+    oracle="""
+    WITH dec AS (
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             replace(replace(text, 'a', 'a' || chr(769)),
+                     'o', 'o' || chr(776)) AS s
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(s) AS BIGINT) AS n_chars_decomposed,
+           CAST(length(nfc_normalize(s)) AS BIGINT) AS n_chars_nfc,
+           md5(nfc_normalize(s)) AS nfc_fp
+    FROM dec
+    """,
+)
+def doc_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNICODE NFC NORMALIZATION — the i18n cleaning step multilingual
+    corpus pipelines run before hashing/dedup, since visually identical
+    text arrives in mixed composed/decomposed forms and splits every
+    downstream fingerprint. The ASCII fixture is made genuinely
+    multi-codepoint on BOTH engines by the same deterministic rewrite
+    (``a`` -> ``a``+U+0301 combining acute, ``o`` -> ``o``+U+0308
+    combining diaeresis); normalization must then compose the pairs
+    back to single codepoints. Spark runs Python's unicodedata (UAX#15
+    via the UCD) inside mapInPandas; the oracle runs DuckDB's
+    utf8proc-backed ``nfc_normalize`` — two INDEPENDENT Unicode
+    implementations whose codepoint counts and the md5 of the composed
+    text must agree exactly, which is the strongest available check
+    that the normalizer follows the standard rather than approximating
+    it.
+
+    Scale shape: per-row string work, Arrow-batched, no shuffle."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.replace(
+            F.replace(F.col("text"), F.lit("a"), F.lit("a\u0301")),
+            F.lit("o"),
+            F.lit("o\u0308"),
+        ).alias("s"),
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import unicodedata
+
+        for pdf in batches:
+            nfc = [unicodedata.normalize("NFC", s) for s in pdf["s"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "n_chars_decomposed": [len(s) for s in pdf["s"]],
+                    "n_chars_nfc": [len(s) for s in nfc],
+                    "nfc_fp": [
+                        hashlib.md5(s.encode("utf-8")).hexdigest() for s in nfc
+                    ],
+                }
+            )
+
+    return d.mapInPandas(
+        op,
+        schema=(
+            "doc_id long, n_chars_decomposed long, n_chars_nfc long, "
+            "nfc_fp string"
+        ),
+    )
