@@ -606,3 +606,103 @@ def orders_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("passed"),
     ).orderBy("check_name")
+
+
+@query(
+    "orders_fd_discovery",
+    oracle="""
+    WITH wide AS (
+      SELECT o.o_custkey, c.c_nationkey, o.o_orderstatus, o.o_orderpriority,
+             CAST(strftime(o.o_orderdate, '%Y') AS INTEGER) AS order_year
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    pairs AS (
+      SELECT 'o_custkey->c_nationkey' AS fd, CAST(o_custkey AS VARCHAR) AS lhs,
+             CAST(c_nationkey AS VARCHAR) AS rhs FROM wide
+      UNION ALL
+      SELECT 'o_orderstatus->o_orderpriority', o_orderstatus, o_orderpriority
+      FROM wide
+      UNION ALL
+      SELECT 'o_orderstatus->order_year', o_orderstatus,
+             CAST(order_year AS VARCHAR) FROM wide
+      UNION ALL
+      SELECT 'o_orderpriority->o_orderstatus', o_orderpriority, o_orderstatus
+      FROM wide
+    ),
+    per_lhs AS (
+      SELECT fd, lhs, SUM(cnt) AS n_rows, COUNT(*) AS n_rhs,
+             MAX(cnt) AS max_rhs_rows
+      FROM (SELECT fd, lhs, rhs, COUNT(*) AS cnt
+            FROM pairs GROUP BY fd, lhs, rhs)
+      GROUP BY fd, lhs
+    )
+    SELECT fd,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS violating_groups,
+           CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+           CAST(SUM(n_rows - max_rhs_rows) AS BIGINT) AS min_repairs,
+           CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS violation_rate
+    FROM per_lhs GROUP BY fd
+    """,
+)
+def orders_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUNCTIONAL-DEPENDENCY DISCOVERY (Metanome/Holoclean-style data
+    profiling): for candidate A->B dependencies over the denormalized
+    order stream, measure how functional each really is — groups where
+    one determinant value maps to multiple dependent values are
+    violations, and ``min_repairs`` (rows minus the majority value per
+    group) is the minimum-change repair cost a Holoclean-style cleaner
+    would pay. ``o_custkey->c_nationkey`` must come out EXACTLY
+    functional (it is a real FK-implied FD — violation_rate 0) while
+    the status/priority pairs quantify near-dependencies; asserting a
+    known-true FD and known-false ones in one report is how profilers
+    are validated.
+
+    Scale shape: one union-of-projections pass, then two stacked
+    map-side-combined aggregates — (fd, lhs, rhs) counts, reaggregated
+    to (fd, lhs), then (fd). The widest shuffle carries the distinct
+    (fd, lhs, rhs) triple count, not the row count."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    wide = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "o_custkey",
+        "c_nationkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.year("o_orderdate").alias("order_year"),
+    )
+    pairs = None
+    for fd, lhs, rhs in [
+        ("o_custkey->c_nationkey", "o_custkey", "c_nationkey"),
+        ("o_orderstatus->o_orderpriority", "o_orderstatus", "o_orderpriority"),
+        ("o_orderstatus->order_year", "o_orderstatus", "order_year"),
+        ("o_orderpriority->o_orderstatus", "o_orderpriority", "o_orderstatus"),
+    ]:
+        p = wide.select(
+            F.lit(fd).alias("fd"),
+            F.col(lhs).cast("string").alias("lhs"),
+            F.col(rhs).cast("string").alias("rhs"),
+        )
+        pairs = p if pairs is None else pairs.unionAll(p)
+    per_value = pairs.groupBy("fd", "lhs", "rhs").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    per_lhs = per_value.groupBy("fd", "lhs").agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_rhs"),
+        F.max("cnt").alias("max_rhs_rows"),
+    )
+    return per_lhs.groupBy("fd").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0)).alias(
+            "violating_groups"
+        ),
+        F.sum("n_rows").alias("n_rows"),
+        F.sum(F.col("n_rows") - F.col("max_rhs_rows")).alias("min_repairs"),
+        (
+            F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("violation_rate"),
+    )
