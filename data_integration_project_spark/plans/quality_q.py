@@ -706,3 +706,130 @@ def orders_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("violation_rate"),
     )
+
+
+@query(
+    "customer_jaro_winkler_match",
+    oracle="""
+    WITH blocked AS (
+      SELECT c_custkey, c_name, c_nationkey,
+             substr(c_name, 1, 16) AS blk
+      FROM customer
+    )
+    SELECT key_a, key_b, name_a, name_b, jw_micro FROM (
+      SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+             a.c_name AS name_a, b.c_name AS name_b,
+             CAST(floor(jaro_winkler_similarity(a.c_name, b.c_name) * 1000000
+                        + 0.5) AS BIGINT) AS jw_micro
+      FROM blocked a JOIN blocked b
+        ON a.c_nationkey = b.c_nationkey AND a.blk = b.blk
+       AND a.c_custkey < b.c_custkey)
+    WHERE jw_micro >= 960000
+    """,
+)
+def customer_jaro_winkler_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JARO-WINKLER entity resolution on the same (nation, name-prefix)
+    blocks as [[customer_fuzzy_match]] — the similarity measure record-
+    linkage practice actually prefers over edit distance for names,
+    because transpositions and shared prefixes score the way human
+    name variants behave (Winkler's prefix boost, p=0.1 over the first
+    4 chars, above the 0.7 threshold). Spark computes it in an
+    Arrow-batched pandas stage over the blocked candidate pairs with a
+    from-spec implementation (match window max(|a|,|b|)/2-1,
+    transposition halving); the oracle uses DuckDB's independent
+    built-in — both rounded half-away to integer micro-units, so the
+    two implementations must agree to 1e-6 on every pair that clears
+    the 0.96 gate.
+
+    Scale shape: identical to the levenshtein variant — blocking turns
+    O(N²) into Σ|block|² inside an equi-join; the Python stage sees
+    only surviving candidate pairs."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    cust = t(spark, sf_dir, "customer")
+    blocked = cust.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.substring("c_name", 1, 16).alias("blk"),
+    )
+    a = blocked.select(
+        F.col("c_custkey").alias("key_a"),
+        F.col("c_name").alias("name_a"),
+        "c_nationkey",
+        "blk",
+    )
+    b = blocked.select(
+        F.col("c_custkey").alias("key_b"),
+        F.col("c_name").alias("name_b"),
+        "c_nationkey",
+        "blk",
+    )
+    pairs = (
+        a.join(b, ["c_nationkey", "blk"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b", "name_a", "name_b")
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        def jaro(s1: str, s2: str) -> float:
+            if s1 == s2:
+                return 1.0
+            l1, l2 = len(s1), len(s2)
+            if not l1 or not l2:
+                return 0.0
+            window = max(max(l1, l2) // 2 - 1, 0)
+            m1 = [False] * l1
+            m2 = [False] * l2
+            matches = 0
+            for i in range(l1):
+                for j in range(max(0, i - window), min(l2, i + window + 1)):
+                    if not m2[j] and s1[i] == s2[j]:
+                        m1[i] = m2[j] = True
+                        matches += 1
+                        break
+            if matches == 0:
+                return 0.0
+            t_half = 0
+            k = 0
+            for i in range(l1):
+                if m1[i]:
+                    while not m2[k]:
+                        k += 1
+                    if s1[i] != s2[k]:
+                        t_half += 1
+                    k += 1
+            t = t_half // 2
+            return (
+                matches / l1 + matches / l2 + (matches - t) / matches
+            ) / 3
+
+        def jw_micro(s1: str, s2: str) -> int:
+            j = jaro(s1, s2)
+            if j > 0.7:
+                pre = 0
+                for x, y in zip(s1[:4], s2[:4]):
+                    if x != y:
+                        break
+                    pre += 1
+                j += pre * 0.1 * (1 - j)
+            return int(math.floor(j * 1000000 + 0.5))
+
+        for pdf in batches:
+            out = pdf.copy()
+            out["jw_micro"] = [
+                jw_micro(x, y) for x, y in zip(pdf["name_a"], pdf["name_b"])
+            ]
+            yield out
+
+    return pairs.mapInPandas(
+        op,
+        schema=(
+            "key_a long, key_b long, name_a string, name_b string, "
+            "jw_micro long"
+        ),
+    ).filter(F.col("jw_micro") >= 960000)
