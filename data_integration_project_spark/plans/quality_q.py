@@ -833,3 +833,69 @@ def customer_jaro_winkler_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jw_micro long"
         ),
     ).filter(F.col("jw_micro") >= 960000)
+
+
+@query(
+    "customers_aes_envelope",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_roundtrip_ok,
+           CAST(COUNT(DISTINCT c_name) AS BIGINT) AS n_distinct_ct,
+           CAST(COUNT(*) AS BIGINT) AS n_rotated_ok
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def customers_aes_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN-LEVEL ENCRYPTION envelope for PII at rest — Spark's
+    JVM-side ``aes_encrypt``/``aes_decrypt`` (codegen, no Python in the
+    path) in deterministic ECB mode so equality survives encryption
+    (the property that lets encrypted keys still JOIN and GROUP — the
+    trade a real deployment makes consciously vs randomized GCM). The
+    query encrypts ``c_name`` under a data-encryption key, proves three
+    envelope invariants per segment and puts them on the hash:
+    round-trip fidelity (decrypt(encrypt(x)) = x for every row),
+    determinism (distinct ciphertexts = distinct plaintexts), and KEY
+    ROTATION (decrypt-with-old + re-encrypt-with-new + decrypt-with-new
+    = identity) — the rotate path touching only ciphertext columns, no
+    plaintext materialized between keys.
+
+    Scale shape: pure projection chain inside whole-stage codegen +
+    one aggregate; nothing leaves the JVM."""
+    OLD_KEY, NEW_KEY = "0123456789abcdef", "fedcba9876543210"
+    c = t(spark, sf_dir, "customer")
+    enc = c.select(
+        "c_mktsegment",
+        "c_name",
+        F.aes_encrypt(F.col("c_name"), F.lit(OLD_KEY), F.lit("ECB")).alias("ct"),
+    )
+    rotated = enc.withColumn(
+        "ct2",
+        F.aes_encrypt(
+            F.aes_decrypt(F.col("ct"), F.lit(OLD_KEY), F.lit("ECB")).cast(
+                "string"
+            ),
+            F.lit(NEW_KEY),
+            F.lit("ECB"),
+        ),
+    )
+    checked = rotated.select(
+        "c_mktsegment",
+        "c_name",
+        "ct",
+        (
+            F.aes_decrypt(F.col("ct"), F.lit(OLD_KEY), F.lit("ECB")).cast("string")
+            == F.col("c_name")
+        ).alias("rt_ok"),
+        (
+            F.aes_decrypt(F.col("ct2"), F.lit(NEW_KEY), F.lit("ECB")).cast("string")
+            == F.col("c_name")
+        ).alias("rot_ok"),
+    )
+    return checked.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("rt_ok"), 1).otherwise(0)).alias("n_roundtrip_ok"),
+        F.countDistinct("ct").alias("n_distinct_ct"),
+        F.sum(F.when(F.col("rot_ok"), 1).otherwise(0)).alias("n_rotated_ok"),
+    )
