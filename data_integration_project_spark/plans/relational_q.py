@@ -7567,3 +7567,196 @@ def nations_dtw_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dtw_dist",
         "l1_dist",
     )
+
+
+_ALS_LAM = 10_000     # ridge term, in centi^2 factor units
+_ALS_CLAMP = 500      # |factor| <= 5.0 in centi-units — keeps det < 2^63
+
+
+def _als_solve_sql(out: str, self_key: str, other_key: str, fsrc: str) -> str:
+    """One ALS half-step in SQL: per ``self_key``, accumulate the 2x2
+    normal-equation sums against the other side's factors, solve by
+    exact integer 2x2 inversion (truncating division — identical in
+    both engines), clamp."""
+    return f"""{out} AS MATERIALIZED (
+      SELECT k AS {self_key},
+             least(greatest((m22 * v1 - m12 * v2) // (m11 * m22 - m12 * m12),
+                            -{_ALS_CLAMP}), {_ALS_CLAMP}) AS f1,
+             least(greatest((m11 * v2 - m12 * v1) // (m11 * m22 - m12 * m12),
+                            -{_ALS_CLAMP}), {_ALS_CLAMP}) AS f2
+      FROM (
+        SELECT r.{self_key} AS k,
+               SUM(f.f1 * f.f1) + {_ALS_LAM} AS m11,
+               SUM(f.f1 * f.f2) AS m12,
+               SUM(f.f2 * f.f2) + {_ALS_LAM} AS m22,
+               SUM(f.f1 * r.r * 10000) AS v1,
+               SUM(f.f2 * r.r * 10000) AS v2
+        FROM r JOIN {fsrc} f ON f.{other_key} = r.{other_key}
+        GROUP BY r.{self_key})
+    )"""
+
+
+@query(
+    "lineitem_als_recommend",
+    oracle=f"""
+    WITH r AS MATERIALIZED (
+      SELECT c.c_custkey AS u, l.l_partkey AS i,
+             1 + (CAST(SUM(l.l_quantity) AS BIGINT) % 5) AS r
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    q0 AS MATERIALIZED (
+      SELECT i, 80 + (i % 7) * 10 AS f1, 60 + (i % 11) * 10 AS f2
+      FROM (SELECT DISTINCT i FROM r)
+    ),
+    {_als_solve_sql("p1", "u", "i", "q0")},
+    {_als_solve_sql("q1", "i", "u", "p1")},
+    {_als_solve_sql("p2", "u", "i", "q1")},
+    {_als_solve_sql("q2", "i", "u", "p2")},
+    err AS (
+      SELECT CAST(SUM(ABS(r.r * 10000 - (p.f1 * q.f1 + p.f2 * q.f2)))
+                  AS BIGINT) AS train_abs_err
+      FROM r JOIN p2 p ON p.u = r.u JOIN q2 q ON q.i = r.i
+    ),
+    pick AS (SELECT u FROM (SELECT DISTINCT u FROM r) ORDER BY u LIMIT 3),
+    cand AS (
+      SELECT p.u, q.i, pp.f1 * q.f1 + pp.f2 * q.f2 AS score
+      FROM pick p
+      JOIN p2 pp ON pp.u = p.u
+      CROSS JOIN q2 q
+      LEFT JOIN r ON r.u = p.u AND r.i = q.i
+      WHERE r.u IS NULL
+    )
+    SELECT CAST(u AS BIGINT) AS u, CAST(rk AS INTEGER) AS rec_rank,
+           CAST(i AS BIGINT) AS i, CAST(score AS BIGINT) AS score,
+           (SELECT train_abs_err FROM err) AS train_abs_err
+    FROM (SELECT u, i, score,
+                 ROW_NUMBER() OVER (PARTITION BY u
+                                    ORDER BY score DESC, i) AS rk
+          FROM cand)
+    WHERE rk <= 5
+    """,
+)
+def lineitem_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATRIX FACTORIZATION by ALS, trained in-engine and bit-exact:
+    implicit ratings (quantity-derived, 1-5) factorize into rank-2
+    user/item embeddings over two full alternations. Each half-step is
+    the real ALS update — per entity, accumulate the 2x2 ridge normal
+    equations against the fixed other side and solve — but the solve is
+    EXACT integer arithmetic: the 2x2 inverse is a determinant formula,
+    both engines truncate the single division identically, and factors
+    clamp to ±5.0 (milli-units) so every product stays inside int64
+    (bounds derived in-line; ratings-per-entity is SF-invariant, so
+    they hold at 100 TB too). Output: top-5 unseen-item
+    recommendations for the three smallest users (total order: score
+    desc, item asc) plus the global L1 training error, which certifies
+    BOTH alternations actually fit the data.
+
+    Scale shape: each half-step is one equi-join of the ratings table
+    to the (tiny) other-side factor table + one map-side-combined
+    aggregate — the classic distributed-ALS round. No driver-side
+    state at all: factors live as DataFrames end to end, with
+    localCheckpoint truncating the 4-stage lineage. Recommendation
+    scoring anti-joins out the training pairs (real top-N serving)."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    r = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_custkey").alias("u"), F.col("l_partkey").alias("i")
+        )
+        .agg(
+            (1 + (F.sum("l_quantity").cast("long") % 5)).alias("r")
+        )
+        .localCheckpoint(eager=True)
+    )
+    q = r.select("i").distinct().select(
+        "i",
+        (80 + (F.col("i") % 7) * 10).cast("long").alias("f1"),
+        (60 + (F.col("i") % 11) * 10).cast("long").alias("f2"),
+    ).localCheckpoint(eager=True)
+
+    # exact truncating division via SQL `div` (matches DuckDB `//`)
+    def solve(self_key: str, other_key: str, fac: DataFrame) -> DataFrame:
+        m = (
+            r.join(fac, other_key)
+            .groupBy(self_key)
+            .agg(
+                (F.sum(F.col("f1") * F.col("f1")) + _ALS_LAM).alias("m11"),
+                F.sum(F.col("f1") * F.col("f2")).alias("m12"),
+                (F.sum(F.col("f2") * F.col("f2")) + _ALS_LAM).alias("m22"),
+                F.sum(F.col("f1") * F.col("r") * 10000).alias("v1"),
+                F.sum(F.col("f2") * F.col("r") * 10000).alias("v2"),
+            )
+        )
+        return m.selectExpr(
+            self_key,
+            f"least(greatest((m22 * v1 - m12 * v2) div (m11 * m22 - m12 * m12),"
+            f" {-_ALS_CLAMP}L), {_ALS_CLAMP}L) AS f1",
+            f"least(greatest((m11 * v2 - m12 * v1) div (m11 * m22 - m12 * m12),"
+            f" {-_ALS_CLAMP}L), {_ALS_CLAMP}L) AS f2",
+        ).localCheckpoint(eager=True)
+
+    p = solve("u", "i", q)
+    q = solve("i", "u", p)
+    p = solve("u", "i", q)
+    q = solve("i", "u", p)
+
+    err = (
+        r.join(p, "u")
+        .join(
+            q.withColumnRenamed("f1", "g1").withColumnRenamed("f2", "g2"), "i"
+        )
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("r") * 10000
+                    - (
+                        F.col("f1") * F.col("g1")
+                        + F.col("f2") * F.col("g2")
+                    )
+                )
+            )
+            .cast("long")
+            .alias("train_abs_err")
+        )
+    )
+    pick = r.select("u").distinct().orderBy("u").limit(3)
+    cand = (
+        pick.join(p, "u")
+        .crossJoin(
+            q.withColumnRenamed("f1", "g1").withColumnRenamed("f2", "g2")
+        )
+        .join(r.select("u", "i", F.lit(1).alias("seen")), ["u", "i"], "left")
+        .filter(F.col("seen").isNull())
+        .select(
+            "u",
+            "i",
+            (
+                F.col("f1") * F.col("g1") + F.col("f2") * F.col("g2")
+            ).alias("score"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    return (
+        cand.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("u").orderBy(F.desc("score"), F.asc("i"))
+            ),
+        )
+        .filter(F.col("rk") <= 5)
+        .crossJoin(F.broadcast(err))
+        .select(
+            F.col("u").cast("long"),
+            F.col("rk").cast("int").alias("rec_rank"),
+            F.col("i").cast("long"),
+            F.col("score").cast("long"),
+            "train_abs_err",
+        )
+    )
