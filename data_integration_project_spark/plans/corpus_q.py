@@ -2681,3 +2681,123 @@ def doc_kneser_ney_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         bigrams.unpersist()
     return out
+
+
+def _eig_oracle_sql(n_iters: int) -> str:
+    """Unrolled integer power iteration on the symmetrized bigram
+    count matrix; sup-norm normalization by truncating division."""
+    head = f"""WITH toks AS (
+      SELECT {_TOKENS_SQL} AS tk FROM documents
+    ),
+    bi AS (
+      SELECT u.a AS v, u.b AS w, COUNT(*) AS c FROM (
+        SELECT unnest(list_transform(range(1, len(tk)),
+                      i -> struct_pack(a := tk[i], b := tk[i + 1]))) AS u
+        FROM toks WHERE len(tk) >= 2)
+      GROUP BY 1, 2
+    ),
+    m AS MATERIALIZED (
+      SELECT v, w, SUM(c) AS c FROM (
+        SELECT v, w, c FROM bi
+        UNION ALL
+        SELECT w, v, c FROM bi)
+      GROUP BY v, w
+    ),
+    x0 AS (SELECT DISTINCT v AS w, CAST(10000 AS BIGINT) AS x FROM m)"""
+    parts = [head]
+    for r in range(1, n_iters + 1):
+        p = r - 1
+        parts.append(
+            f""",
+    y{r} AS (
+      SELECT m.v AS w, SUM(m.c * x.x) AS y
+      FROM m JOIN x{p} x ON x.w = m.w
+      GROUP BY m.v
+    ),
+    x{r} AS MATERIALIZED (
+      SELECT w, y * 10000 // (SELECT MAX(ABS(y)) FROM y{r}) AS x FROM y{r}
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT w AS word, CAST(x AS BIGINT) AS centrality_scaled,
+           CAST(rk AS INTEGER) AS rk
+    FROM (SELECT w, x, ROW_NUMBER() OVER (ORDER BY x DESC, w) AS rk
+          FROM x{n_iters})
+    WHERE rk <= 10"""
+    )
+    return "".join(parts)
+
+
+@query("doc_word_eigencentrality", oracle=_eig_oracle_sql(4))
+def doc_word_eigencentrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EIGENVECTOR CENTRALITY of the word co-occurrence graph — the
+    spectral complement to [[nations_trade_pagerank]]: four rounds of
+    power iteration on the symmetrized bigram count matrix, entirely in
+    integers (matrix-vector product = one join + map-side-combined sum;
+    sup-norm normalization = multiply by 1e4 then truncating-divide by
+    the round's max|y|, identical in both engines). The top-10
+    components after four rounds are on the hash — power iteration
+    converges fast on a graph with a dominant hub, so round-4 already
+    separates the head decisively; this is the dominant direction of
+    the same co-occurrence statistics [[doc_pmi_cooccurrence]] reads
+    pairwise.
+
+    Scale shape: the matrix lives as (v, w, c) triples — each round is
+    one equi-join of the triple table to the |vocab|-sized vector and
+    one grouped sum, the standard distributed SpMV; the global MAX is
+    a 1-row broadcast. No driver state beyond the loop counter."""
+    d = t(spark, sf_dir, "documents")
+    tk = X.tokens(F.col("text"))
+    bi = (
+        d.select(tk.alias("tk"))
+        .filter(F.size("tk") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("tk") - 2),
+                    lambda i: F.struct(
+                        F.col("tk")[i].alias("v"),
+                        F.col("tk")[i + 1].alias("w"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .groupBy("p.v", "p.w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    m = (
+        bi.select("v", "w", "c")
+        .unionAll(bi.select(F.col("w").alias("v"), F.col("v").alias("w"), "c"))
+        .groupBy("v", "w")
+        .agg(F.sum("c").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    x = m.select("w").distinct().select(
+        "w", F.lit(10000).cast("long").alias("x")
+    ).localCheckpoint(eager=True)
+    for _ in range(4):
+        y = (
+            m.join(x, "w")
+            .groupBy(F.col("v").alias("w"))
+            .agg(F.sum(F.col("c") * F.col("x")).alias("y"))
+        )
+        mx = y.agg(F.max(F.abs(F.col("y"))).alias("mx"))
+        x = (
+            y.crossJoin(F.broadcast(mx))
+            .selectExpr("w", "y * 10000 div mx AS x")
+            .localCheckpoint(eager=True)
+        )
+    from pyspark.sql import Window as W
+
+    return (
+        x.withColumn(
+            "rk", F.row_number().over(W.orderBy(F.desc("x"), F.asc("w")))
+        )
+        .filter(F.col("rk") <= 10)
+        .select(
+            F.col("w").alias("word"),
+            F.col("x").cast("long").alias("centrality_scaled"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )

@@ -7760,3 +7760,94 @@ def lineitem_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "train_abs_err",
         )
     )
+
+
+@query(
+    "orders_isotonic_calibration",
+    oracle="""
+    WITH ranked AS (
+      SELECT (o_orderstatus = 'F') AS y,
+             ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+             COUNT(*) OVER () AS n
+      FROM orders
+    ),
+    bins AS MATERIALIZED (
+      SELECT 1 + ((rn - 1) * 10) // n AS b,
+             COUNT(*) AS nb,
+             CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS sb
+      FROM ranked GROUP BY 1
+    ),
+    grid AS (
+      SELECT i.b AS i, j.b AS j, k.b AS k,
+             (SUM(m.sb) * 1000000) // SUM(m.nb) AS a
+      FROM bins i
+      JOIN bins j ON j.b <= i.b
+      JOIN bins k ON k.b >= i.b
+      JOIN bins m ON m.b BETWEEN j.b AND k.b
+      GROUP BY 1, 2, 3
+    ),
+    mins AS (SELECT i, j, MIN(a) AS am FROM grid GROUP BY i, j)
+    SELECT CAST(b.b AS INTEGER) AS decile,
+           CAST(b.nb AS BIGINT) AS n_orders,
+           CAST(b.sb AS BIGINT) AS n_events,
+           CAST((b.sb * 1000000) // b.nb AS BIGINT) AS raw_rate_micro,
+           CAST(iso.v AS BIGINT) AS iso_rate_micro
+    FROM bins b
+    JOIN (SELECT i, MAX(am) AS v FROM mins GROUP BY i) iso ON iso.i = b.b
+    """,
+)
+def orders_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISOTONIC REGRESSION (the PAVA fit, via its exact minimax
+    characterization) calibrating finished-order rate against price
+    decile: ``iso_i = max_{j<=i} min_{k>=i} mean(y[j..k])`` — the
+    closed form whose output equals pool-adjacent-violators without
+    the sequential pooling loop, so it is expressible as three joins
+    over the 10-bin summary and an exact max-of-min in integer
+    micro-units (one truncating division per segment). Isotonic is the
+    standard nonparametric calibrator (sklearn's
+    ``IsotonicRegression`` behind ``CalibratedClassifierCV``); the
+    fitted curve here is monotone by construction while the raw decile
+    rates are not — both are on the hash.
+
+    Scale shape: the corpus-sized work is one total-ordered decile
+    bucketing (the [[orders_quantile_buckets]] pattern) + one grouped
+    count; the minimax runs on the 10-row summary (10^3 grid) — at
+    100 TB the calibration cost is constant once the histogram
+    exists."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    ranked = o.select(
+        (F.col("o_orderstatus") == "F").alias("y"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    bins = (
+        ranked.groupBy(
+            (1 + ((F.col("rn") - 1) * 10) / F.col("n")).cast("long").alias("b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("nb"),
+            F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("sb"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    i = bins.select(F.col("b").alias("i"))
+    j = bins.select(F.col("b").alias("j"))
+    k = bins.select(F.col("b").alias("k"))
+    m = bins.select(F.col("b").alias("mb"), "nb", "sb")
+    grid = (
+        i.join(j, F.col("j") <= F.col("i"))
+        .join(k, F.col("k") >= F.col("i"))
+        .join(m, (F.col("mb") >= F.col("j")) & (F.col("mb") <= F.col("k")))
+        .groupBy("i", "j", "k")
+        .agg(F.expr("(sum(sb) * 1000000) div sum(nb)").alias("a"))
+    )
+    mins = grid.groupBy("i", "j").agg(F.min("a").alias("am"))
+    iso = mins.groupBy("i").agg(F.max("am").alias("v"))
+    return bins.join(iso, bins["b"] == iso["i"]).select(
+        F.col("b").cast("int").alias("decile"),
+        F.col("nb").cast("long").alias("n_orders"),
+        F.col("sb").cast("long").alias("n_events"),
+        F.expr("(sb * 1000000) div nb").cast("long").alias("raw_rate_micro"),
+        F.col("v").cast("long").alias("iso_rate_micro"),
+    )
