@@ -4516,3 +4516,54 @@ def events_viterbi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("B")
         .alias("best_state"),
     )
+
+
+@query(
+    "orders_dynamic_partition_pruning",
+    oracle="""
+    SELECT CAST(strftime(o_orderdate, '%m') AS INTEGER) AS o_month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders
+    WHERE CAST(strftime(o_orderdate, '%m') AS INTEGER) BETWEEN 4 AND 6
+    GROUP BY 1
+    """,
+)
+def orders_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning — the runtime sibling of
+    [[events_partition_pruned_scan]]'s static pruning, and the
+    optimization star-schema scans live on at 100 TB: the filter sits
+    on the DIMENSION (quarter = 2), not the fact, so no static pruning
+    is possible; Catalyst must inject the broadcast dim's month set
+    into the fact scan at runtime
+    (``dynamicpruningexpression(o_month IN dynamicpruning#N)``), which
+    the plan ASSERTS. Without DPP the fact side reads all 12 month
+    partitions to join-then-discard 9 of them; with it, a dimension
+    predicate prunes a fact lake it never mentions.
+
+    The oracle is the statically-equivalent month-range query over the
+    flat fixture — layout and pruning strategy must not change a
+    value."""
+    import tempfile
+
+    o = t(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="orders_dpp_") + "/orders"
+    o.withColumn("o_month", F.month("o_orderdate")).write.partitionBy(
+        "o_month"
+    ).parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.range(1, 13).select(
+        F.col("id").cast("int").alias("m"),
+        ((F.col("id") - 1) / 3 + 1).cast("int").alias("q"),
+    )
+    j = fact.join(F.broadcast(dim), fact["o_month"] == dim["m"]).filter(
+        F.col("q") == 2
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan.lower(), (
+        "dimension filter did not trigger DPP:\n" + plan[:800]
+    )
+    return j.groupBy(F.col("o_month").cast("int").alias("o_month")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_orderkey").alias("key_sum"),
+    )
