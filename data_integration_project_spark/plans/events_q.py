@@ -4567,3 +4567,115 @@ def orders_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFr
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("o_orderkey").alias("key_sum"),
     )
+
+
+@query(
+    "events_stream_stream_full_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           COALESCE(p.user_id, c.user_id) AS user_id,
+           p.ts AS purchase_ts, c.ts AS click_ts,
+           CASE WHEN c.event_id IS NULL THEN 'unattributed'
+                WHEN p.event_id IS NULL THEN 'unconverted'
+                ELSE 'attributed' END AS attribution
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE
+    """,
+)
+def events_stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-OUTER stream-stream join, completing the inner/left/full
+    attribution family: clickless purchases AND purchase-less clicks
+    both surface with nulls on the missing side (the 'unconverted'
+    funnel tail a left join drops). Both sides now owe null emissions,
+    so BOTH watermarks must pass a row before its null can flush —
+    which is why the fixture's heartbeat sentinels (one per side,
+    streamed from a symlinked temp dir) matter doubly here, and why
+    the sentinel-excluding filter must stay on the SINK side of the
+    materialized result (inside the streaming plan it would be pushed
+    below EventTimeWatermark and prune the heartbeat at the scan — the
+    left-join lesson). State and eviction are identical to the inner
+    variant: watermark + the 30-minute range bound let both sides
+    expire; full-outer only adds the matched bit per evicted row.
+
+    Oracle: the batch FULL JOIN — bounded replay + heartbeat flush
+    make the streaming result equal it exactly."""
+    import datetime
+    import os
+    import tempfile
+    import uuid
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    max_ts = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .agg(F.max("ts").alias("m"))
+        .collect()[0]["m"]
+    )
+    far = max_ts + datetime.timedelta(days=30)
+    stream_dir = tempfile.mkdtemp(prefix="strfjoin_src_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(stream_dir, "events.parquet"),
+    )
+    sentinel = spark.createDataFrame(
+        [
+            (-1, far, -1, "purchase", 0.0, "{}"),
+            (-2, far + datetime.timedelta(days=1), -2, "click", 0.0, "{}"),
+        ],
+        schema,
+    )
+    sentinel.coalesce(1).write.parquet(os.path.join(stream_dir, "sentinel.parquet"))
+    src = spark.readStream.schema(schema).option(
+        "recursiveFileLookup", "true"
+    ).parquet(stream_dir)
+    purchases = (
+        src.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").cast("timestamp").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    clicks = (
+        src.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").cast("timestamp").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES")
+        ),
+        "full_outer",
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.coalesce(F.col("user_id"), F.col("c_user_id")).alias("user_id"),
+        "purchase_ts",
+        "click_ts",
+        F.when(F.col("click_id").isNull(), F.lit("unattributed"))
+        .when(F.col("purchase_id").isNull(), F.lit("unconverted"))
+        .otherwise(F.lit("attributed"))
+        .alias("attribution"),
+    )
+    name = "strfjoin_" + uuid.uuid4().hex[:8]
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="strfjoin_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).filter(F.col("user_id") >= 0)
