@@ -167,3 +167,44 @@ def test_dsir_ratio_table_broadcast(spark, sf_small):
     # the 64-row bucket log-ratio table joins the corpus side as a
     # broadcast — the feature stream must not shuffle on the bucket key
     assert "BroadcastHashJoin" in plan
+
+
+def test_kneser_ney_no_corpus_rescan(spark, sf_small):
+    """The bigram table is built once and persisted; marginals and
+    scoring reuse it — the documents scan appears at most twice in the
+    executed plan (persist materialization path), never once per
+    marginal."""
+    plan = _executed_plan(spark, "doc_kneser_ney_lm", sf_small)
+    assert plan.count("InMemoryTableScan") >= 1 or plan.count("Scan parquet") <= 2
+
+
+def test_dtw_reference_is_broadcast_free_mapinpandas(spark, sf_small):
+    """DTW runs per-series inside one Python stage; there must be no
+    cartesian/cross join anywhere (the reference series is driver
+    metadata, not a joined table)."""
+    plan = _executed_plan(spark, "nations_dtw_profiles", sf_small)
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+
+
+def test_fd_discovery_stacked_reaggregation(spark, sf_small):
+    """Three stacked aggregates: (fd,lhs,rhs) -> (fd,lhs) -> (fd); the
+    customer dim is broadcast into the row-stream join."""
+    plan = _executed_plan(spark, "orders_fd_discovery", sf_small)
+    assert plan.count("HashAggregate") >= 4  # partial+final at two levels
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_isotonic_minimax_runs_on_summary(spark, sf_small):
+    """The 10^3 grid must be built from the 10-row bin summary — every
+    join in the plan is a broadcast join over tiny inputs."""
+    plan = _executed_plan(spark, "orders_isotonic_calibration", sf_small)
+    assert "SortMergeJoin" not in plan
+
+
+def test_eigencentrality_is_join_plus_sum(spark, sf_small):
+    """Each SpMV round is an equi-join + grouped sum; nothing may
+    degenerate into a cartesian product."""
+    plan = _executed_plan(spark, "doc_word_eigencentrality", sf_small)
+    assert "CartesianProduct" not in plan
