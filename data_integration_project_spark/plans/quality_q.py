@@ -899,3 +899,157 @@ def customers_aes_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("ct").alias("n_distinct_ct"),
         F.sum(F.when(F.col("rot_ok"), 1).otherwise(0)).alias("n_rotated_ok"),
     )
+
+
+def _matching_round_sql(prev_edges: str, rnd: int) -> str:
+    """One parallel greedy maximal-matching round: an edge is selected
+    iff it is the best remaining edge (dist asc, pair asc) for BOTH of
+    its endpoints; matched nodes leave the pool."""
+    return f""",
+    incid_{rnd} AS (
+      SELECT a AS node, a, b, d FROM {prev_edges}
+      UNION ALL
+      SELECT b AS node, a, b, d FROM {prev_edges}
+    ),
+    best_{rnd} AS (
+      SELECT node, a, b FROM (
+        SELECT node, a, b,
+               ROW_NUMBER() OVER (PARTITION BY node ORDER BY d, a, b) AS rk
+        FROM incid_{rnd}) WHERE rk = 1
+    ),
+    sel_{rnd} AS MATERIALIZED (
+      SELECT e.a, e.b, e.d FROM {prev_edges} e
+      JOIN best_{rnd} x ON x.node = e.a AND x.a = e.a AND x.b = e.b
+      JOIN best_{rnd} y ON y.node = e.b AND y.a = e.a AND y.b = e.b
+    ),
+    edges_{rnd} AS MATERIALIZED (
+      SELECT e.a, e.b, e.d FROM {prev_edges} e
+      WHERE NOT EXISTS (SELECT 1 FROM sel_{rnd} s
+                        WHERE s.a IN (e.a, e.b) OR s.b IN (e.a, e.b))
+    )"""
+
+
+@query(
+    "customer_one_to_one_linkage",
+    oracle=f"""
+    WITH blocked AS (
+      SELECT c_custkey, c_name, c_nationkey,
+             substr(c_name, 1, 16) AS blk
+      FROM customer
+    ),
+    edges_0 AS MATERIALIZED (
+      SELECT a.c_custkey AS a, b.c_custkey AS b,
+             levenshtein(a.c_name, b.c_name) AS d
+      FROM blocked a JOIN blocked b
+        ON a.c_nationkey = b.c_nationkey AND a.blk = b.blk
+       AND a.c_custkey < b.c_custkey
+      WHERE levenshtein(a.c_name, b.c_name) <= 2
+    ){_matching_round_sql("edges_0", 1)}{_matching_round_sql("edges_1", 2)}{_matching_round_sql("edges_2", 3)}
+    SELECT CAST(a AS BIGINT) AS key_a, CAST(b AS BIGINT) AS key_b,
+           CAST(d AS INTEGER) AS edit_dist, CAST(rnd AS INTEGER) AS round
+    FROM (
+      SELECT a, b, d, 1 AS rnd FROM sel_1
+      UNION ALL SELECT a, b, d, 2 FROM sel_2
+      UNION ALL SELECT a, b, d, 3 FROM sel_3)
+    """,
+)
+def customer_one_to_one_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-TO-ONE record linkage — the assignment step that turns
+    scored candidate pairs ([[customer_fuzzy_match]],
+    [[customer_jaro_winkler_match]]) into an actual deduplication
+    decision where each record merges with AT MOST one partner.
+    Greedy maximal matching by (edit distance asc, pair asc), run as
+    PARALLEL handshake rounds: an edge is selected iff it is the best
+    remaining edge for BOTH endpoints (locally checkable — no
+    sequential scan over a global edge order), selected nodes leave
+    the pool, three rounds saturate the blocked graph. This is the
+    distributed form of the classic greedy matching (each round is a
+    per-node argmin + a double semi-join), and its determinism comes
+    from the same total order on edges both engines apply.
+
+    Scale shape per round: the argmin is one shuffle of the edge list
+    on node; the both-endpoints check is two equi-joins; survivors
+    filter via an anti-join on matched nodes. Round count is
+    O(log n) in theory, 3 in practice on blocked ER graphs."""
+    cust = t(spark, sf_dir, "customer")
+    blocked = cust.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.substring("c_name", 1, 16).alias("blk"),
+    )
+    a = blocked.select(
+        F.col("c_custkey").alias("a"),
+        F.col("c_name").alias("name_a"),
+        "c_nationkey",
+        "blk",
+    )
+    b = blocked.select(
+        F.col("c_custkey").alias("b"),
+        F.col("c_name").alias("name_b"),
+        "c_nationkey",
+        "blk",
+    )
+    edges = (
+        a.join(b, ["c_nationkey", "blk"])
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a", "b", F.levenshtein("name_a", "name_b").alias("d")
+        )
+        .filter(F.col("d") <= 2)
+        .localCheckpoint(eager=True)
+    )
+    from pyspark.sql import Window as W
+
+    out = []
+    for rnd in range(1, 4):
+        incid = edges.select(F.col("a").alias("node"), "a", "b", "d").unionAll(
+            edges.select(F.col("b").alias("node"), "a", "b", "d")
+        )
+        best = (
+            incid.withColumn(
+                "rk",
+                F.row_number().over(
+                    W.partitionBy("node").orderBy("d", "a", "b")
+                ),
+            )
+            .filter(F.col("rk") == 1)
+            .select("node", F.col("a").alias("ba"), F.col("b").alias("bb"))
+        )
+        sel = (
+            edges.join(
+                best,
+                (best["node"] == edges["a"])
+                & (best["ba"] == edges["a"])
+                & (best["bb"] == edges["b"]),
+            )
+            .select("a", "b", "d")
+            .join(
+                best.withColumnRenamed("node", "node2")
+                .withColumnRenamed("ba", "ba2")
+                .withColumnRenamed("bb", "bb2"),
+                (F.col("node2") == F.col("b"))
+                & (F.col("ba2") == F.col("a"))
+                & (F.col("bb2") == F.col("b")),
+            )
+            .select("a", "b", "d")
+            .localCheckpoint(eager=True)
+        )
+        out.append(sel.withColumn("round", F.lit(rnd)))
+        matched = sel.select(F.col("a").alias("m")).unionAll(
+            sel.select(F.col("b").alias("m"))
+        )
+        edges = (
+            edges.join(matched, edges["a"] == matched["m"], "left_anti")
+            .join(matched, edges["b"] == matched["m"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionAll(o)
+    return res.select(
+        F.col("a").cast("long").alias("key_a"),
+        F.col("b").cast("long").alias("key_b"),
+        F.col("d").cast("int").alias("edit_dist"),
+        F.col("round").cast("int").alias("round"),
+    )
