@@ -7851,3 +7851,68 @@ def orders_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(sb * 1000000) div nb").cast("long").alias("raw_rate_micro"),
         F.col("v").cast("long").alias("iso_rate_micro"),
     )
+
+
+_PIP_POLY = [(100, 100), (900, 200), (800, 800), (500, 950), (200, 700), (150, 300)]
+
+
+def _pip_crossings_expr() -> str:
+    """Even-odd ray-casting crossing count for integer point (px, py)
+    against the fixed polygon — exact integer arithmetic (the rational
+    x-intersection comparison is cross-multiplied, sign-corrected by
+    edge direction), emitted as ONE SQL expression string shared
+    verbatim by Spark and DuckDB."""
+    terms = []
+    n = len(_PIP_POLY)
+    for e in range(n):
+        x1, y1 = _PIP_POLY[e]
+        x2, y2 = _PIP_POLY[(e + 1) % n]
+        t = f"(({x2} - {x1}) * (py - {y1}) - (px - {x1}) * ({y2} - {y1}))"
+        cond = f"((({y1} > py) <> ({y2} > py)) AND {t} {'>' if y2 > y1 else '<'} 0)"
+        terms.append(f"CASE WHEN {cond} THEN 1 ELSE 0 END")
+    return " + ".join(terms)
+
+
+@query(
+    "orders_point_in_polygon",
+    oracle=f"""
+    WITH pts AS (
+      SELECT o_custkey % 1000 AS px,
+             CAST(floor(o_totalprice) AS BIGINT) % 1000 AS py,
+             o_orderkey
+      FROM orders
+    )
+    SELECT (({_pip_crossings_expr()}) % 2 = 1) AS inside,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM pts GROUP BY 1
+    """,
+)
+def orders_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-POLYGON (the ST_Contains primitive) with no GIS
+    library: even-odd ray casting against a fixed hexagon, the
+    rational ray/edge intersection comparison cross-multiplied into
+    EXACT integer arithmetic (sign-corrected by edge direction), so
+    containment is bit-deterministic — no epsilon, no float slope.
+    The crossing-count expression is generated ONCE and passed
+    verbatim to both engines, the strongest possible parity (identical
+    text, not merely equivalent logic). Complements the grid-binned
+    proximity join: binning answers "near", this answers "within".
+
+    Scale shape: pure codegen projection (6 integer CASE terms) + one
+    2-group aggregate — zero joins, zero Python; a 100 TB geofence
+    pass streams out of the scan."""
+    expr = _pip_crossings_expr()
+    pts = t(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 1000).alias("px"),
+        (F.floor(F.col("o_totalprice")).cast("long") % 1000).alias("py"),
+        "o_orderkey",
+    )
+    return (
+        pts.withColumn("crossings", F.expr(expr))
+        .groupBy((F.col("crossings") % 2 == 1).alias("inside"))
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum("o_orderkey").alias("key_sum"),
+        )
+    )
