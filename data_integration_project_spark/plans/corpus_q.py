@@ -2801,3 +2801,167 @@ def doc_word_eigencentrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("int").alias("rk"),
         )
     )
+
+
+_MIS_HASH_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split(substr(md5({col}), 1, 8), ''), "
+    "c -> CAST(CASE WHEN ascii(c) >= 97 THEN ascii(c) - 87 "
+    "ELSE ascii(c) - 48 END AS BIGINT))), (acc, d) -> acc * 16 + d)"
+)
+
+
+def _mis_oracle_sql(n_rounds: int) -> str:
+    """Unrolled deterministic-Luby MIS over the rare-shingle graph:
+    per round, an active node enters the set iff its md5 round
+    priority beats every ACTIVE neighbor's; winners and their
+    neighbors deactivate."""
+    head = f"""WITH th AS (
+      SELECT doc_id,
+             list_transform(regexp_split_to_array(lower(trim(text)), '\\s+'),
+               t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      list_transform(string_split(t, ''),
+                                     c -> CAST(ascii(c) AS BIGINT))),
+                      (acc, c) -> (acc * 31 + c) % 2147483647)) AS th
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(th) - 2, 0)),
+               i -> ((((th[i] * 1000003 + th[i + 1]) % 2147483647)
+                      * 1000003 + th[i + 2]) % 2147483647))) AS shash
+      FROM th
+    ),
+    rare AS (SELECT shash FROM sh GROUP BY shash HAVING COUNT(*) BETWEEN 2 AND 8),
+    edges AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+      FROM sh a JOIN rare USING (shash) JOIN sh b USING (shash)
+      WHERE a.doc_id <> b.doc_id
+    ),
+    act_0 AS (SELECT doc_id FROM th)"""
+    parts = [head]
+    for r in range(1, n_rounds + 1):
+        p = r - 1
+        pri = _MIS_HASH_SQL.format(
+            col=f"CAST(doc_id AS VARCHAR) || ':{r}'"
+        )
+        parts.append(
+            f""",
+    pri_{r} AS MATERIALIZED (
+      SELECT doc_id, {pri} AS p FROM act_{p}
+    ),
+    nbr_{r} AS (
+      SELECT e.src AS doc_id, MIN(q.p) AS mn
+      FROM edges e
+      JOIN pri_{r} q ON q.doc_id = e.dst
+      JOIN pri_{r} s ON s.doc_id = e.src
+      GROUP BY e.src
+    ),
+    add_{r} AS MATERIALIZED (
+      SELECT p2.doc_id FROM pri_{r} p2 LEFT JOIN nbr_{r} n USING (doc_id)
+      WHERE n.mn IS NULL OR p2.p < n.mn
+    ),
+    act_{r} AS MATERIALIZED (
+      SELECT a.doc_id FROM act_{p} a
+      WHERE NOT EXISTS (SELECT 1 FROM add_{r} m WHERE m.doc_id = a.doc_id)
+        AND NOT EXISTS (SELECT 1 FROM edges e JOIN add_{r} m ON m.doc_id = e.src
+                        WHERE e.dst = a.doc_id)
+    )"""
+        )
+    selects = [
+        f"""SELECT CAST({r} AS INTEGER) AS round,
+           CAST(COUNT(*) AS BIGINT) AS n_added,
+           CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) AS id_sum
+    FROM add_{r}"""
+        for r in range(1, n_rounds + 1)
+    ]
+    return "".join(parts) + "\n    " + "\n    UNION ALL\n    ".join(selects)
+
+
+@query("doc_diverse_subset_mis", oracle=_mis_oracle_sql(4))
+def doc_diverse_subset_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIVERSITY-MAXIMAL SUBSET SELECTION as a maximal independent set
+    on the near-duplicate graph — pick documents such that NO TWO
+    selected docs share a rare shingle, and no further doc can be
+    added: the corpus-curation dual of dedup clustering (keep one of
+    everything, maximally). Computed with Luby's parallel MIS made
+    DETERMINISTIC: round priorities are md5(doc_id:round) (the
+    affine-hash lesson — arithmetic priorities correlate across
+    rounds), a node joins when it beats every ACTIVE neighbor, winners
+    + neighbors deactivate. Per-round additions and their id-sums are
+    on the hash, so both engines must select the identical set in the
+    identical rounds.
+
+    Scale shape per round: priority assignment is a projection; the
+    neighbor-min is one shuffle of the edge list; deactivation is two
+    anti-joins. O(log n) rounds with high probability — four saturate
+    this graph; localCheckpoint truncates the loop lineage."""
+    from ..operators.dedup import shingle_rows
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = shingle_rows(d, "doc_id", "text", 3).distinct()
+    rare = (
+        sh.groupBy("_shash")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df").between(2, 8))
+        .select("_shash")
+    )
+    blocked = sh.join(rare, "_shash")
+    edges = (
+        blocked.alias("a")
+        .join(blocked.alias("b"), "_shash")
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    act = d.select("doc_id").localCheckpoint(eager=True)
+    rows = []
+    for rnd in range(1, 5):
+        pri = act.select(
+            "doc_id",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("doc_id").cast("string"), F.lit(f":{rnd}")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("p"),
+        ).localCheckpoint(eager=True)
+        nbr = (
+            edges.join(
+                pri.withColumnRenamed("doc_id", "dst").withColumnRenamed(
+                    "p", "pd"
+                ),
+                "dst",
+            )
+            .join(pri.withColumnRenamed("doc_id", "src").select("src"), "src")
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("pd").alias("mn"))
+        )
+        add = (
+            pri.join(nbr, "doc_id", "left")
+            .filter(F.col("mn").isNull() | (F.col("p") < F.col("mn")))
+            .select("doc_id")
+            .localCheckpoint(eager=True)
+        )
+        stat = add.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("doc_id"), F.lit(0)).alias("s"),
+        ).collect()[0]
+        rows.append((rnd, int(stat["n"]), int(stat["s"])))
+        kill = add.unionAll(
+            edges.join(add.withColumnRenamed("doc_id", "src"), "src").select(
+                F.col("dst").alias("doc_id")
+            )
+        ).distinct()
+        act = act.join(kill, "doc_id", "left_anti").localCheckpoint(eager=True)
+    return spark.createDataFrame(rows, "round int, n_added long, id_sum long")
