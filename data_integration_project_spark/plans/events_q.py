@@ -4679,3 +4679,98 @@ def events_stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFram
     )
     q.awaitTermination()
     return spark.table(name).filter(F.col("user_id") >= 0)
+
+
+@query(
+    "events_json_corrupt_capture",
+    oracle="""
+    SELECT CASE WHEN event_id % 17 = 3 THEN 'corrupt' ELSE 'clean' END
+             AS record_class,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN event_id % 17 = 3 THEN 0 ELSE event_id END)
+                AS BIGINT) AS id_sum,
+           CAST(SUM(CASE WHEN event_id % 17 = 3
+                         THEN length(event_type) ELSE 0 END)
+                AS BIGINT) AS corrupt_payload_chars
+    FROM events
+    GROUP BY 1
+    """,
+)
+def events_json_corrupt_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORRUPT-RECORD CAPTURE on JSON ingestion — the JSON twin of the
+    permissive hostile-CSV scan (S1's error-tolerance contract): a
+    JSONL export where every 17th record (event_id % 17 = 3) is
+    deterministically mangled (truncated mid-object — unparseable)
+    must load WITHOUT failing the job, parse every clean record
+    intact, and capture each corrupt line verbatim in
+    ``_corrupt_record`` for the error zone. PERMISSIVE mode +
+    columnNameOfCorruptRecord is the Spark contract; the query proves
+    no row is lost (clean + corrupt = all), clean ids are exact, and
+    the captured raw text has the expected size — so corruption is
+    quarantined, never silently dropped.
+
+    Caveat pinned here: Spark requires the corrupt-record column to be
+    selected WITH the data columns from the raw scan (a cache/count of
+    only the corrupt column is documented as unsupported); the query
+    materializes both together, which is also the error-zone shape.
+
+    Scale shape: line-splittable JSONL scan, per-row parse, one
+    aggregate — the permissive path costs nothing extra on clean
+    data."""
+    import os
+    import tempfile
+
+    e = t(spark, sf_dir, "events").select("event_id", "event_type", "user_id")
+    d = tempfile.mkdtemp(prefix="json_corrupt_")
+    path = os.path.join(d, "events_jsonl")
+    # export clean JSONL, then mangle every 17th record: drop the
+    # closing brace and trailing fields — guaranteed unparseable
+    clean_json = F.to_json(F.struct("event_id", "event_type", "user_id"))
+    (
+        e.select(
+            F.when(
+                F.col("event_id") % 17 == 3,
+                F.concat(
+                    F.lit('{"event_id": '),
+                    F.col("event_id").cast("string"),
+                    F.lit(', "event_type": "'),
+                    F.col("event_type"),
+                ),
+            )
+            .otherwise(clean_json)
+            .alias("value")
+        )
+        .write.mode("overwrite")
+        .text(path)
+    )
+    back = (
+        spark.read.schema(
+            "event_id long, event_type string, user_id long, _bad string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .json(path)
+    )
+    classified = back.select(
+        F.when(F.col("_bad").isNotNull(), F.lit("corrupt"))
+        .otherwise(F.lit("clean"))
+        .alias("record_class"),
+        F.coalesce(F.col("event_id"), F.lit(0)).alias("event_id_c"),
+        F.coalesce(F.length(F.col("_bad")), F.lit(0)).alias("bad_len"),
+        F.length(
+            F.regexp_extract(F.coalesce(F.col("_bad"), F.lit("")), '"event_id": ([0-9]+)', 1)
+        ).alias("id_digits"),
+    )
+    # corrupt line text = '{"event_id": ' (13) + id digits +
+    # ', "event_type": "' (17) + type — report just the event_type
+    # characters: total captured minus frame minus the id digits
+    return classified.groupBy("record_class").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("record_class") == "clean", F.col("event_id_c")).otherwise(0)).alias("id_sum"),
+        F.sum(
+            F.when(
+                F.col("record_class") == "corrupt",
+                F.col("bad_len") - 30 - F.col("id_digits"),
+            ).otherwise(0)
+        ).alias("corrupt_payload_chars"),
+    )
