@@ -4751,6 +4751,10 @@ def events_json_corrupt_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("columnNameOfCorruptRecord", "_bad")
         .json(path)
     )
+    # materialize the parse before any downstream column pruning: a
+    # consumer that prunes to only _bad (e.g. a bare count) would trip
+    # Spark's corrupt-column-only restriction on the raw JSON scan
+    back = back.localCheckpoint(eager=True)
     classified = back.select(
         F.when(F.col("_bad").isNotNull(), F.lit("corrupt"))
         .otherwise(F.lit("clean"))
