@@ -1,14 +1,19 @@
 """Multimodal column plumbing: images/audio/video as opaque ``binary``
 columns with typed metadata, processed by Arrow-batched Pandas UDFs.
 
-Every format with a tractable byte layout decodes for REAL,
-dependency-free: PPM/BMP/TGA rasters, PNG (CRC-checked chunks, stdlib
-zlib, all five scanline filters), GIF89a (spec-level variable-width
-LZW), WAV and AIFF PCM. Nearest-neighbor resize and frame sampling run
-over the decoded payloads. Entropy-coded formats (JPEG/FLAC) need codec
-libraries not in this container, so those remain stubbed —
-``decode_image_stub`` raises ``NotImplementedError`` unless
-``fake=True``. Everything around decode is real and tested: the schema
+Every format decodes for REAL, dependency-free — including the
+entropy-coded ones: PPM/BMP/TGA rasters, PNG (CRC-checked chunks,
+stdlib zlib, all five scanline filters), GIF89a (spec-level
+variable-width LZW), WAV and AIFF PCM, FLAC (Rice-coded fixed
+predictors, CRC-8/16, STREAMINFO MD5 losslessness proof), baseline
+JPEG (Annex K Huffman, DPCM DC, restart markers — bit-lossless on
+constant blocks with the flat q=8 table), and AVI video with genuine
+idx1 keyframe seeking. Nearest-neighbor resize and frame sampling run
+over the decoded payloads. ``decode_image_stub`` remains only as the
+OPAQUE-payload featurizer (content-hash features over bytes with no
+declared format — ``fake=True``); it raises otherwise, so nothing can
+silently treat undecodable bytes as decoded. Everything around decode
+is real and tested: the schema
 contract, ``mapInPandas`` batch iteration (bounded memory per batch —
 never a full-partition materialization), and the partitioning story
 (binary payloads hash-partition on the id, metadata joins broadcast).
