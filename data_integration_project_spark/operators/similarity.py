@@ -138,12 +138,15 @@ def brute_force_topk(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     )
     # spread the O(|Q|·|C|) cosine work: partition the query side so the
-    # cross join fans out even when both inputs are single files
+    # cross join fans out even when both inputs are single files; the
+    # count is pinned because byte-based AQE would coalesce the small-
+    # bytes/high-CPU exchange back to one task (the JPEG-decode lesson)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
     )
+    n_parts = queries.sparkSession.sparkContext.defaultParallelism
     scored = (
-        q.repartition(F.col("query_id"))
+        q.repartition(n_parts, F.col("query_id"))
         .crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
