@@ -313,8 +313,11 @@ def documents_as_wav_media(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id", "text").mapInPandas(
-        op, schema="media_id long, payload binary"
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        docs.select("doc_id", "text")
+        .repartition(n_parts, F.col("doc_id"))
+        .mapInPandas(op, schema="media_id long, payload binary")
     )
 
 
@@ -447,8 +450,11 @@ def documents_as_aiff_media(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id", "text").mapInPandas(
-        op, schema="media_id long, payload binary"
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        docs.select("doc_id", "text")
+        .repartition(n_parts, F.col("doc_id"))
+        .mapInPandas(op, schema="media_id long, payload binary")
     )
 
 
@@ -484,8 +490,11 @@ def documents_as_ppm_media(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id", "text").mapInPandas(
-        op, schema="media_id long, payload binary"
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        docs.select("doc_id", "text")
+        .repartition(n_parts, F.col("doc_id"))
+        .mapInPandas(op, schema="media_id long, payload binary")
     )
 
 
@@ -848,8 +857,11 @@ def documents_as_gif_media(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id", "text").mapInPandas(
-        op, schema="media_id long, payload binary"
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        docs.select("doc_id", "text")
+        .repartition(n_parts, F.col("doc_id"))
+        .mapInPandas(op, schema="media_id long, payload binary")
     )
 
 
@@ -868,8 +880,11 @@ def documents_as_png_media(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id", "text").mapInPandas(
-        op, schema="media_id long, payload binary"
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        docs.select("doc_id", "text")
+        .repartition(n_parts, F.col("doc_id"))
+        .mapInPandas(op, schema="media_id long, payload binary")
     )
 
 
@@ -903,8 +918,11 @@ def documents_as_tga_media(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id", "text").mapInPandas(
-        op, schema="media_id long, payload binary"
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        docs.select("doc_id", "text")
+        .repartition(n_parts, F.col("doc_id"))
+        .mapInPandas(op, schema="media_id long, payload binary")
     )
 
 
@@ -1548,8 +1566,11 @@ def documents_as_flac_media(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id", "text").mapInPandas(
-        op, schema="media_id long, payload binary"
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        docs.select("doc_id", "text")
+        .repartition(n_parts, F.col("doc_id"))
+        .mapInPandas(op, schema="media_id long, payload binary")
     )
 
 
@@ -2291,8 +2312,11 @@ def documents_as_avi_media(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id", "text").mapInPandas(
-        op, schema="media_id long, payload binary"
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        docs.select("doc_id", "text")
+        .repartition(n_parts, F.col("doc_id"))
+        .mapInPandas(op, schema="media_id long, payload binary")
     )
 
 
