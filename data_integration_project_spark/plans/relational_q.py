@@ -7916,3 +7916,74 @@ def orders_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("o_orderkey").alias("key_sum"),
         )
     )
+
+
+@query(
+    "orders_avro_schema_evolution",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(COUNT(*) AS BIGINT) AS n_default_region
+    FROM orders
+    WHERE o_orderkey % 9 = 0
+    GROUP BY o_orderstatus
+    """,
+)
+def orders_avro_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVRO SCHEMA RESOLUTION (spec "Schema Resolution") — the
+    mechanism that keeps years of old files readable as the schema
+    evolves, without rewriting a byte: v1 files carry
+    (o_orderkey, o_orderstatus, o_totalprice); the v2 READER schema
+    drops o_totalprice (skipped on the wire, never materialized), adds
+    ``region`` with default 'UNKNOWN' (filled for every v1 row), and
+    reorders fields. Field matching is by NAME against each file's
+    embedded writer schema, so a lake with mixed generations reads
+    under one reader schema. ``n_default_region`` counts rows whose
+    region equals the default — all of them, proving defaults (not
+    nulls) materialize.
+
+    Scale shape: identical to [[orders_avro_roundtrip]] — byte-range
+    splits at sync markers; resolution adds only a per-field
+    dispatch table built once per task from the two schemas."""
+    import json as _json
+    import tempfile
+
+    from ..sources import pyavro
+
+    pyavro.register(spark)
+    d = tempfile.mkdtemp(prefix="pyavro_evo_")
+    (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 9 == 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .repartition(2)
+        .write.format("pyavro")
+        .option("path", d)
+        .option("block_rows", "128")
+        .mode("append")
+        .save()
+    )
+    reader_schema = {
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {"name": "region", "type": ["null", "string"], "default": "UNKNOWN"},
+            {"name": "o_orderstatus", "type": ["null", "string"]},
+            {"name": "o_orderkey", "type": ["null", "long"]},
+        ],
+    }
+    back = (
+        spark.read.format("pyavro")
+        .option("path", d)
+        .option("split_size", str(16 * 1024))
+        .option("reader_schema", _json.dumps(reader_schema))
+        .load()
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_orderkey").alias("key_sum"),
+        F.sum(F.when(F.col("region") == "UNKNOWN", 1).otherwise(0)).alias(
+            "n_default_region"
+        ),
+    )

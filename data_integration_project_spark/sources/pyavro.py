@@ -207,6 +207,24 @@ def _decode_value(kind: str, buf: bytes, pos: int):
     raise NotImplementedError(f"pyavro: decode {kind}")
 
 
+def _skip_value(kind: str, buf: bytes, pos: int) -> int:
+    """Advance past one value without materializing it — the reader-
+    schema resolution path for writer fields the reader dropped."""
+    if kind in ("long", "int", "date", "timestamp-micros"):
+        _, pos = _zigzag_decode(buf, pos)
+        return pos
+    if kind == "double":
+        return pos + 8
+    if kind == "float":
+        return pos + 4
+    if kind in ("string", "bytes"):
+        n, pos = _zigzag_decode(buf, pos)
+        return pos + n
+    if kind == "boolean":
+        return pos + 1
+    raise NotImplementedError(f"pyavro: skip {kind}")
+
+
 # ---------------------------------------------------------------------------
 # Container framing
 # ---------------------------------------------------------------------------
@@ -301,14 +319,30 @@ def read_header(path: str) -> tuple[dict, str, bytes, int]:
     return schema, codec, sync, pos + 16
 
 
-def read_blocks(path: str, start: int, end: int):
+def read_blocks(path: str, start: int, end: int, reader_schema: dict | None = None):
     """Yield decoded rows from every block that BEGINS in [start, end) —
     the Hadoop split contract. Seeks to ``start``, scans to the first
     sync marker at or after it (the header end counts as a boundary),
     then walks block frames until the next block would begin past
-    ``end``."""
+    ``end``.
+
+    With ``reader_schema``, Avro SCHEMA RESOLUTION applies (spec
+    "Schema Resolution"): fields are matched by NAME — writer fields
+    the reader dropped are skipped on the wire without materializing;
+    reader fields the writer never wrote fill from their declared
+    ``default``. Rows come out in READER field order, which is how old
+    files stay readable under an evolved schema with no rewrite."""
     schema, codec, sync, header_len = read_header(path)
     field_kinds = [_avro_field_kind(f["type"]) for f in schema["fields"]]
+    plan = None
+    if reader_schema is not None:
+        writer_names = [f["name"] for f in schema["fields"]]
+        reader_fields = reader_schema["fields"]
+        reader_pos = {f["name"]: i for i, f in enumerate(reader_fields)}
+        # per writer field: output slot or None (skip)
+        plan = [reader_pos.get(n) for n in writer_names]
+        defaults = [f.get("default") for f in reader_fields]
+        n_out = len(reader_fields)
     size = os.path.getsize(path)
     with open(path, "rb") as f:
         if start <= header_len:
@@ -339,16 +373,31 @@ def read_blocks(path: str, start: int, end: int):
                 raise NotImplementedError(f"pyavro: codec {codec}")
             dpos = 0
             for _ in range(n_rows):
-                row = []
-                for kind, nullable in field_kinds:
+                if plan is None:
+                    row = []
+                    for kind, nullable in field_kinds:
+                        if nullable:
+                            branch, dpos = _zigzag_decode(data, dpos)
+                            if branch == 0:
+                                row.append(None)
+                                continue
+                        v, dpos = _decode_value(kind, data, dpos)
+                        row.append(v)
+                    yield tuple(row)
+                    continue
+                out = list(defaults)
+                for slot, (kind, nullable) in zip(plan, field_kinds):
                     if nullable:
                         branch, dpos = _zigzag_decode(data, dpos)
                         if branch == 0:
-                            row.append(None)
+                            if slot is not None:
+                                out[slot] = None
                             continue
-                    v, dpos = _decode_value(kind, data, dpos)
-                    row.append(v)
-                yield tuple(row)
+                    if slot is None:
+                        dpos = _skip_value(kind, data, dpos)
+                    else:
+                        out[slot], dpos = _decode_value(kind, data, dpos)
+                yield tuple(out)
             pos = pos + p + n_bytes + 16  # skip trailing sync
 
 
@@ -370,6 +419,8 @@ class AvroReader(DataSourceReader):
         if not self.path:
             raise ValueError("pyavro requires option 'path'")
         self.split_size = int(options.get("split_size", 128 * 1024 * 1024))
+        rs = options.get("reader_schema")
+        self.reader_schema = json.loads(rs) if rs else None
 
     def _files(self) -> list[str]:
         if os.path.isdir(self.path):
@@ -391,7 +442,9 @@ class AvroReader(DataSourceReader):
         return splits or [_AvroSplit(self.path, 0, 0)]
 
     def read(self, split: _AvroSplit):
-        yield from read_blocks(split.path, split.start, split.end)
+        yield from read_blocks(
+            split.path, split.start, split.end, self.reader_schema
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -465,6 +518,8 @@ class AvroDataSource(DataSource):
 
     def schema(self) -> str:
         reader = AvroReader(self.options)
+        if reader.reader_schema is not None:
+            return spark_ddl_for(reader.reader_schema)
         files = reader._files()
         if not files or not os.path.exists(files[0]):
             raise ValueError("pyavro: cannot infer schema from empty path")

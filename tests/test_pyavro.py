@@ -98,3 +98,26 @@ def test_rejects_non_avro():
             f.write(b"PAR1notavro")
         with pytest.raises(ValueError):
             pyavro.read_header(p)
+
+
+def test_schema_resolution_drop_add_reorder():
+    """Reader schema drops 'score', adds 'tag' with a default, and
+    reorders — old files resolve by name with wire-level skipping."""
+    reader_schema = {
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {"name": "day", "type": ["null", {"type": "int", "logicalType": "date"}]},
+            {"name": "id", "type": ["null", "long"]},
+            {"name": "tag", "type": ["null", "string"], "default": "none"},
+        ],
+    }
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "a.avro")
+        _write(p, 200, block_rows=64)
+        got = list(
+            pyavro.read_blocks(p, 0, os.path.getsize(p), reader_schema)
+        )
+        exp = [(r[3], r[0], "none") for r in _rows(200)]
+        assert got == exp
+        assert pyavro.spark_ddl_for(reader_schema) == "day date, id bigint, tag string"
