@@ -4778,3 +4778,128 @@ def events_json_corrupt_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).alias("corrupt_payload_chars"),
     )
+
+
+@query(
+    "events_holt_winters_forecast",
+    oracle="""
+    WITH RECURSIVE daily AS MATERIALIZED (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    dd AS MATERIALIZED (
+      SELECT event_type, y,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      FROM daily
+    ),
+    fold AS (
+      SELECT event_type, rn, CAST(y * 1000 AS BIGINT) AS l,
+             CAST(0 AS BIGINT) AS b,
+             CAST([0, 0, 0, 0, 0, 0, 0] AS BIGINT[]) AS s
+      FROM dd WHERE rn = 1
+      UNION ALL
+      SELECT d.event_type, d.rn, u.new_l, u.new_b,
+             list_transform(range(1, 8),
+               j -> CASE WHEN j = ((d.rn - 1) % 7) + 1 THEN u.new_s
+                         ELSE f.s[j] END)
+      FROM fold f
+      JOIN dd d ON d.event_type = f.event_type AND d.rn = f.rn + 1
+      CROSS JOIN LATERAL (
+        SELECT new_l,
+               CAST(floor((new_l - f.l + f.b) / 2.0) AS BIGINT) AS new_b,
+               CAST(floor((d.y * 1000 - new_l
+                           + f.s[((d.rn - 1) % 7) + 1]) / 2.0) AS BIGINT)
+                 AS new_s
+        FROM (SELECT CAST(floor((d.y * 1000 - f.s[((d.rn - 1) % 7) + 1]
+                                 + f.l + f.b) / 2.0) AS BIGINT) AS new_l)
+      ) u
+    ),
+    fin AS (SELECT event_type, MAX(rn) AS n_days FROM dd GROUP BY 1)
+    SELECT f.event_type,
+           CAST(fin.n_days AS BIGINT) AS n_days,
+           f.l AS level_milli,
+           f.b AS trend_milli,
+           f.s[((fin.n_days - 1) % 7) + 1] AS season_milli,
+           f.l + 7 * f.b + f.s[((fin.n_days - 1) % 7) + 1] AS forecast7_milli
+    FROM fold f JOIN fin ON fin.event_type = f.event_type AND f.rn = fin.n_days
+    """,
+)
+def events_holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOLT-WINTERS additive triple exponential smoothing (level +
+    trend + weekly seasonality, alpha = beta = gamma = 1/2) — the
+    season-aware extension of [[events_holt_forecast]], in the same
+    exact integer milli-units: every smoothing step is a floor-halving
+    over integers, and the 7-slot seasonal state rides the fold as an
+    integer array updated in place at slot (day-1) mod 7. Seasonals
+    init to zero (they converge within two seasons under gamma = 1/2),
+    so the whole recurrence is a pure function of the daily counts.
+    The 7-day-ahead forecast reads level + 7·trend + the seasonal slot
+    of the target weekday. The oracle replays the identical recurrence
+    recursively (the seasonal array via list_transform — DuckDB's
+    slicing semantics never enter).
+
+    Scale shape: one shuffle to daily counts per type; the fold runs
+    on a days-per-type array (bounded metadata) inside codegen
+    ``aggregate`` — event volume never touches the sequential path."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    grouped = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "y"))).alias("a"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+
+    def step(acc, x):
+        y = x["y"].cast("long") * 1000
+        idx = (acc["t"] % 7) + 1  # 1-based seasonal slot of THIS element
+        sold = F.element_at(acc["s"], idx)
+        new_l = F.floor((y - sold + acc["l"] + acc["b"]) / 2).cast("long")
+        new_b = F.floor((new_l - acc["l"] + acc["b"]) / 2).cast("long")
+        new_s = F.floor((y - new_l + sold) / 2).cast("long")
+        upd = F.transform(
+            F.sequence(F.lit(1), F.lit(7)),
+            lambda j: F.when(j == idx, new_s).otherwise(
+                F.element_at(acc["s"], j)
+            ),
+        )
+        return F.when(
+            acc["t"] == 0,
+            F.struct(
+                y.alias("l"),
+                F.lit(0).cast("long").alias("b"),
+                acc["s"].alias("s"),
+                (acc["t"] + 1).alias("t"),
+            ),
+        ).otherwise(
+            F.struct(
+                new_l.alias("l"),
+                new_b.alias("b"),
+                upd.alias("s"),
+                (acc["t"] + 1).alias("t"),
+            )
+        )
+
+    init = F.struct(
+        F.lit(0).cast("long").alias("l"),
+        F.lit(0).cast("long").alias("b"),
+        F.array_repeat(F.lit(0).cast("long"), 7).alias("s"),
+        F.lit(0).cast("int").alias("t"),
+    )
+    st = grouped.select(
+        "event_type",
+        F.col("n_days").cast("long").alias("n_days"),
+        F.aggregate(F.col("a"), init, step).alias("st"),
+    )
+    season = F.element_at(
+        F.col("st.s"), ((F.col("n_days") - 1) % 7 + 1).cast("int")
+    )
+    return st.select(
+        "event_type",
+        "n_days",
+        F.col("st.l").alias("level_milli"),
+        F.col("st.b").alias("trend_milli"),
+        season.alias("season_milli"),
+        (F.col("st.l") + 7 * F.col("st.b") + season).alias("forecast7_milli"),
+    )
