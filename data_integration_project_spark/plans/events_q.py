@@ -4903,3 +4903,123 @@ def events_holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         season.alias("season_milli"),
         (F.col("st.l") + 7 * F.col("st.b") + season).alias("forecast7_milli"),
     )
+
+
+@query(
+    "events_sprt_sequential_test",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id % 2 AS arm, CAST(ts AS DATE) AS day,
+             COUNT(*) AS n,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS conv
+      FROM events GROUP BY 1, 2
+    ),
+    llr AS (
+      SELECT arm, day,
+             SUM(conv * 191 + (n - conv) * (-51)) OVER (
+               PARTITION BY arm ORDER BY day) AS cum_llr,
+             ROW_NUMBER() OVER (PARTITION BY arm ORDER BY day) AS rn
+      FROM daily
+    ),
+    crossed AS (
+      SELECT arm, rn, cum_llr,
+             CASE WHEN cum_llr >= 2944 THEN 'reject_h0'
+                  WHEN cum_llr <= -2944 THEN 'accept_h0' END AS hit
+      FROM llr
+    ),
+    first_hit AS (
+      SELECT arm, MIN(rn) AS decision_day FROM crossed
+      WHERE hit IS NOT NULL GROUP BY arm
+    ),
+    final AS (
+      SELECT arm, MAX(rn) AS n_days FROM llr GROUP BY arm
+    )
+    SELECT CAST(f.arm AS INTEGER) AS arm,
+           CAST(f.n_days AS BIGINT) AS n_days,
+           CAST(COALESCE(fh.decision_day, 0) AS BIGINT) AS decision_day,
+           COALESCE((SELECT c.hit FROM crossed c
+                     WHERE c.arm = f.arm AND c.rn = fh.decision_day),
+                    'continue') AS decision,
+           (SELECT l.cum_llr FROM llr l
+            WHERE l.arm = f.arm AND l.rn = f.n_days) AS final_llr_milli
+    FROM final f LEFT JOIN first_hit fh ON fh.arm = f.arm
+    """,
+)
+def events_sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENTIAL A/B TESTING by Wald's SPRT — the early-stopping
+    experiment monitor that fixed-horizon tests
+    ([[events_ab_test_ztest]]) cannot be: each arm's daily purchase
+    conversions accumulate a log-likelihood ratio for H1 (p=0.23) vs
+    H0 (p=0.19), and the experiment DECIDES the first day the ratio
+    crosses ±ln(19) (alpha = beta = 0.05). The log terms are
+    precomputed integer milli-nat literals (191 per conversion, -51
+    per non-conversion — the charlm lesson: transcendentals become
+    shared integer constants, never runtime libm calls), so the
+    cumulative LLR is an exact integer running sum and the crossing
+    day is deterministic. Output per arm: sample size, decision day
+    (0 = never crossed), the decision, and the final LLR.
+
+    Scale shape: one shuffle to per-arm daily counts, one window
+    cumulative sum over |days| rows per arm — peeking-proof sequential
+    monitoring at any event volume."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            (F.col("user_id") % 2).cast("int").alias("arm"),
+            F.to_date("ts").alias("day"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("conv"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("arm").orderBy("day")
+    llr = daily.select(
+        "arm",
+        F.sum(F.col("conv") * 191 + (F.col("n") - F.col("conv")) * (-51))
+        .over(w)
+        .alias("cum_llr"),
+        F.row_number().over(w).alias("rn"),
+    )
+    crossed = llr.withColumn(
+        "hit",
+        F.when(F.col("cum_llr") >= 2944, "reject_h0").when(
+            F.col("cum_llr") <= -2944, "accept_h0"
+        ),
+    ).localCheckpoint(eager=True)
+    first_hit = (
+        crossed.filter(F.col("hit").isNotNull())
+        .groupBy("arm")
+        .agg(F.min("rn").alias("decision_day"))
+    )
+    final = crossed.groupBy("arm").agg(F.max("rn").alias("n_days"))
+    decision = (
+        first_hit.join(
+            crossed.select("arm", "rn", "hit"),
+            (first_hit["decision_day"] == F.col("rn"))
+            & (first_hit["arm"] == crossed["arm"]),
+        )
+        .select(first_hit["arm"].alias("d_arm"), "decision_day", "hit")
+    )
+    final_llr = crossed.alias("c").join(
+        final.alias("f2"),
+        (F.col("c.arm") == F.col("f2.arm")) & (F.col("c.rn") == F.col("f2.n_days")),
+    ).select(F.col("c.arm").alias("l_arm"), F.col("c.cum_llr").alias("final_llr_milli"))
+    return (
+        final.join(decision, final["arm"] == decision["d_arm"], "left")
+        .join(final_llr, final["arm"] == final_llr["l_arm"])
+        .select(
+            final["arm"].cast("int").alias("arm"),
+            F.col("n_days").cast("long").alias("n_days"),
+            F.coalesce(F.col("decision_day"), F.lit(0)).cast("long").alias(
+                "decision_day"
+            ),
+            F.coalesce(F.col("hit"), F.lit("continue")).alias("decision"),
+            "final_llr_milli",
+        )
+    )
