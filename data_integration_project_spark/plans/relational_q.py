@@ -7987,3 +7987,168 @@ def orders_avro_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_default_region"
         ),
     )
+
+
+def _ipw_oracle_sql(n_iters: int) -> str:
+    """Propensity model (hard-sigmoid GD on treatment) unrolled, then
+    Horvitz-Thompson inverse-propensity means in exact integers."""
+    parts = [
+        """feats AS MATERIALIZED (
+      SELECT least(COUNT(*), 20) - 5 AS x1,
+             least(CAST(floor(AVG(o_totalprice) / 10000.0) AS BIGINT), 50) - 30
+               AS x2,
+             MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS tr,
+             CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS y_cents
+      FROM orders GROUP BY o_custkey
+    ),
+    it0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+                   CAST(0 AS BIGINT) AS w2)"""
+    ]
+    s = (
+        "least(greatest(CAST(floor((w.w0 + w.w1 * f.x1 + w.w2 * f.x2)"
+        " / 4.0) AS BIGINT) + 500000, 0), 1000000)"
+    )
+    for r in range(1, n_iters + 1):
+        parts.append(
+            f"""it{r} AS MATERIALIZED (
+      SELECT
+        w.w0 - CAST(floor(SUM(({s}) - f.tr * 1000000) / (32.0 * COUNT(*))) AS BIGINT) AS w0,
+        w.w1 - CAST(floor(SUM(f.x1 * (({s}) - f.tr * 1000000)) / (32.0 * COUNT(*))) AS BIGINT) AS w1,
+        w.w2 - CAST(floor(SUM(f.x2 * (({s}) - f.tr * 1000000)) / (32.0 * COUNT(*))) AS BIGINT) AS w2
+      FROM feats f CROSS JOIN it{r - 1} w
+      GROUP BY w.w0, w.w1, w.w2
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f""",
+    scored AS (
+      SELECT f.tr, f.y_cents,
+             least(greatest({s}, 10000), 990000) AS p
+      FROM feats f CROSS JOIN it{n_iters} w
+    ),
+    sums AS (
+      SELECT
+        CAST(SUM(CASE WHEN tr = 1 THEN y_cents * (1000000000000 // p)
+                      ELSE 0 END) AS HUGEINT) AS ty,
+        CAST(SUM(CASE WHEN tr = 1 THEN 1000000000000 // p ELSE 0 END)
+             AS HUGEINT) AS tw,
+        CAST(SUM(CASE WHEN tr = 0 THEN y_cents * (1000000000000 // (1000000 - p))
+                      ELSE 0 END) AS HUGEINT) AS cy,
+        CAST(SUM(CASE WHEN tr = 0 THEN 1000000000000 // (1000000 - p) ELSE 0 END)
+             AS HUGEINT) AS cw,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(tr) AS BIGINT) AS n_treated
+      FROM scored
+    )
+    SELECT n, n_treated,
+           CAST(ty // tw AS BIGINT) AS mu_treated_cents,
+           CAST(cy // cw AS BIGINT) AS mu_control_cents,
+           CAST(ty // tw - cy // cw AS BIGINT) AS ate_cents
+    FROM sums"""
+    )
+
+
+@query("customers_ipw_ate", oracle=_ipw_oracle_sql(3))
+def customers_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INVERSE-PROPENSITY-WEIGHTED treatment-effect estimation — the
+    model-based causal estimator completing the family
+    ([[orders_exact_matching_att]] stratifies, [[events_did_analysis]]
+    differences, [[orders_cuped_variance_reduction]] adjusts): the
+    propensity P(urgent-priority customer | activity, spend band)
+    comes from the SAME bit-exact hard-sigmoid GD trainer as
+    [[customers_logreg_gd]] (three unrolled iterations on the
+    treatment label), propensities clamp to [0.01, 0.99] (the standard
+    overlap trim), and Horvitz-Thompson weights are exact integer
+    reciprocals (1e12 // p_micro) so the weighted outcome means are
+    ratios of exact integer sums — the weighted sums exceed int64 and
+    accumulate in decimal/HUGEINT (the overflow case law), with one
+    floored division each at the end.
+
+    Scale shape: training = 3 scans with 3-value aggregates; scoring +
+    the two weighted means = one more scan. No shuffle wider than the
+    per-customer groupBy that builds the feature table."""
+    import math
+
+    feats = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            (F.least(F.count(F.lit(1)), F.lit(20)) - 5).alias("x1"),
+            (
+                F.least(
+                    F.floor(F.avg("o_totalprice") / 10000.0).cast("long"),
+                    F.lit(50),
+                )
+                - 30
+            ).alias("x2"),
+            F.max(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            ).alias("tr"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            ).alias("y_cents"),
+        )
+        .persist()
+    )
+    try:
+        n = feats.count()
+        w = [0, 0, 0]
+        for _ in range(3):
+            z = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
+            sgm = F.least(
+                F.greatest(
+                    F.floor(z / 4.0).cast("long") + F.lit(500000), F.lit(0)
+                ),
+                F.lit(1000000),
+            )
+            err = sgm - F.col("tr") * F.lit(1000000)
+            g = feats.select(
+                F.sum(err).alias("g0"),
+                F.sum(F.col("x1") * err).alias("g1"),
+                F.sum(F.col("x2") * err).alias("g2"),
+            ).collect()[0]
+            w = [w[j] - int(math.floor(float(g[j]) / (32.0 * n))) for j in range(3)]
+        z = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
+        p = F.least(
+            F.greatest(
+                F.floor(z / 4.0).cast("long") + F.lit(500000), F.lit(10000)
+            ),
+            F.lit(990000),
+        )
+        scored = feats.select(
+            "tr",
+            "y_cents",
+            p.alias("p"),
+        ).select(
+            "tr",
+            "y_cents",
+            F.expr("1000000000000 div p").alias("w_t"),
+            F.expr("1000000000000 div (1000000 - p)").alias("w_c"),
+        )
+        sums = scored.agg(
+            F.sum(
+                F.when(F.col("tr") == 1, F.col("y_cents").cast("decimal(38,0)") * F.col("w_t")).otherwise(F.lit(0))
+            ).alias("ty"),
+            F.sum(F.when(F.col("tr") == 1, F.col("w_t")).otherwise(0)).cast("decimal(38,0)").alias("tw"),
+            F.sum(
+                F.when(F.col("tr") == 0, F.col("y_cents").cast("decimal(38,0)") * F.col("w_c")).otherwise(F.lit(0))
+            ).alias("cy"),
+            F.sum(F.when(F.col("tr") == 0, F.col("w_c")).otherwise(0)).cast("decimal(38,0)").alias("cw"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("tr").alias("n_treated"),
+        )
+        out = sums.select(
+            F.col("n").cast("long").alias("n"),
+            F.col("n_treated").cast("long").alias("n_treated"),
+            F.floor(F.col("ty") / F.col("tw")).cast("long").alias("mu_treated_cents"),
+            F.floor(F.col("cy") / F.col("cw")).cast("long").alias("mu_control_cents"),
+            (
+                F.floor(F.col("ty") / F.col("tw")) - F.floor(F.col("cy") / F.col("cw"))
+            ).cast("long").alias("ate_cents"),
+        ).localCheckpoint(eager=True)
+    finally:
+        feats.unpersist()
+    return out
