@@ -5023,3 +5023,141 @@ def events_sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "final_llr_milli",
         )
     )
+
+
+def _online_logreg_oracle_sql(n_batches: int) -> str:
+    """Unrolled ONLINE gradient descent: batch i = customers with
+    custkey % n == i, updated with the weights left by batch i-1."""
+    parts = [
+        f"""feats AS MATERIALIZED (
+      SELECT o_custkey % {n_batches} AS batch,
+             least(COUNT(*), 20) - 5 AS x1,
+             least(CAST(floor(AVG(o_totalprice) / 10000.0) AS BIGINT), 50) - 30
+               AS x2,
+             CASE WHEN CAST(floor(AVG(o_totalprice) / 10000.0) AS BIGINT)
+                       + COUNT(*) >= 35
+                  THEN 1 ELSE 0 END AS y
+      FROM orders GROUP BY o_custkey
+    ),
+    it0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+                   CAST(0 AS BIGINT) AS w2)"""
+    ]
+    s = (
+        "least(greatest(CAST(floor((w.w0 + w.w1 * f.x1 + w.w2 * f.x2)"
+        " / 4.0) AS BIGINT) + 500000, 0), 1000000)"
+    )
+    for r in range(1, n_batches + 1):
+        parts.append(
+            f"""it{r} AS MATERIALIZED (
+      SELECT
+        w.w0 - CAST(floor(SUM(({s}) - f.y * 1000000) / (8.0 * COUNT(*))) AS BIGINT) AS w0,
+        w.w1 - CAST(floor(SUM(f.x1 * (({s}) - f.y * 1000000)) / (8.0 * COUNT(*))) AS BIGINT) AS w1,
+        w.w2 - CAST(floor(SUM(f.x2 * (({s}) - f.y * 1000000)) / (8.0 * COUNT(*))) AS BIGINT) AS w2
+      FROM feats f CROSS JOIN it{r - 1} w
+      WHERE f.batch = {r - 1}
+      GROUP BY w.w0, w.w1, w.w2
+    )"""
+        )
+    selects = [
+        f"SELECT CAST({r - 1} AS BIGINT) AS batch_id, w0, w1, w2 FROM it{r}"
+        for r in range(1, n_batches + 1)
+    ]
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + "\n    "
+        + "\n    UNION ALL\n    ".join(selects)
+    )
+
+
+@query("orders_streaming_online_logreg", oracle=_online_logreg_oracle_sql(5))
+def orders_streaming_online_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE LEARNING inside Structured Streaming — the trainer suite
+    meets the streaming engine: the customer feature table is split
+    into five numbered parquet files, streamed one file per trigger
+    (maxFilesPerTrigger=1 under AvailableNow), and ``foreachBatch``
+    takes ONE hard-sigmoid gradient step per micro-batch, carrying the
+    integer micro-unit weight vector across batches in driver state —
+    exactly how a production streaming scorer warm-updates a model as
+    data lands. The full weight TRAJECTORY (after each of the five
+    batches) is on the hash, so batch ordering, batch composition, and
+    every update must all be exact; the oracle unrolls the same five
+    sequential updates over the same modulo partition.
+
+    Scale shape: each step is one aggregate over one micro-batch; the
+    model is 3 integers of driver state (checkpointable alongside the
+    stream for restart-safe training)."""
+    import math
+    import os
+    import tempfile
+    import uuid
+
+    feats = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            (F.least(F.count(F.lit(1)), F.lit(20)) - 5).alias("x1"),
+            (
+                F.least(
+                    F.floor(F.avg("o_totalprice") / 10000.0).cast("long"),
+                    F.lit(50),
+                )
+                - 30
+            ).alias("x2"),
+            F.when(
+                F.floor(F.avg("o_totalprice") / 10000.0).cast("long")
+                + F.count(F.lit(1))
+                >= 35,
+                1,
+            )
+            .otherwise(0)
+            .alias("y"),
+        )
+        .withColumn("batch", (F.col("o_custkey") % 5).cast("int"))
+    )
+    d = tempfile.mkdtemp(prefix="online_lr_")
+    src_dir = os.path.join(d, "stream")
+    os.makedirs(src_dir)
+    for i in range(5):  # sequential writes -> increasing mtimes
+        feats.filter(F.col("batch") == i).coalesce(1).write.parquet(
+            os.path.join(src_dir, f"b{i}")
+        )
+    schema = "o_custkey long, x1 long, x2 long, y int, batch int"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src_dir)
+    )
+    state = {"w": [0, 0, 0], "rows": []}
+
+    def train_batch(bdf, batch_id):
+        w = state["w"]
+        z = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
+        sgm = F.least(
+            F.greatest(F.floor(z / 4.0).cast("long") + F.lit(500000), F.lit(0)),
+            F.lit(1000000),
+        )
+        err = sgm - F.col("y") * F.lit(1000000)
+        g = bdf.select(
+            F.sum(err).alias("g0"),
+            F.sum(F.col("x1") * err).alias("g1"),
+            F.sum(F.col("x2") * err).alias("g2"),
+            F.count(F.lit(1)).alias("n"),
+            F.min("batch").alias("b"),
+        ).collect()[0]
+        n = int(g["n"])
+        w2 = [w[j] - int(math.floor(float(g[f"g{j}"]) / (8.0 * n))) for j in range(3)]
+        state["w"] = w2
+        state["rows"].append((int(g["b"]), w2[0], w2[1], w2[2]))
+
+    q = (
+        stream.writeStream.foreachBatch(train_batch)
+        .option("checkpointLocation", os.path.join(d, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.createDataFrame(
+        state["rows"], "batch_id long, w0 long, w1 long, w2 long"
+    )
