@@ -5161,3 +5161,97 @@ def orders_streaming_online_logreg(spark: SparkSession, sf_dir: str) -> DataFram
     return spark.createDataFrame(
         state["rows"], "batch_id long, w0 long, w1 long, w2 long"
     )
+
+
+@query(
+    "events_ks_two_sample",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS grp
+      FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    sizes AS (
+      SELECT SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS n1,
+             SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS n2
+      FROM s
+    ),
+    cdf AS (
+      SELECT v,
+             SUM(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END))
+               OVER (ORDER BY v) AS c1,
+             SUM(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END))
+               OVER (ORDER BY v) AS c2
+      FROM s GROUP BY v
+    ),
+    diffs AS (
+      SELECT v, ABS(c1 * z.n2 - c2 * z.n1) AS d, z.n1, z.n2
+      FROM cdf CROSS JOIN sizes z
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(MAX(d) AS BIGINT) AS ks_numerator,
+           CAST(n1 * n2 AS BIGINT) AS ks_denominator,
+           CAST(MIN(CASE WHEN d = (SELECT MAX(d) FROM diffs) THEN v END)
+                AS BIGINT) AS argmax_value_cents
+    FROM diffs GROUP BY n1, n2
+    """,
+)
+def events_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-SAMPLE KOLMOGOROV-SMIRNOV statistic — the distribution-drift
+    test PSI ([[events_psi_drift]]) approximates with bins, computed
+    EXACTLY: both empirical CDFs evaluate at every pooled distinct
+    value (cent-quantized), and the sup-distance compares as the
+    integer cross-product ``|c1·n2 - c2·n1|`` — no division until the
+    caller wants the ratio, so the max and its arg (smallest attaining
+    value) are exact. D = ks_numerator / ks_denominator.
+
+    Scale shape: one groupBy to distinct values with two conditional
+    counts, one ordered window for the CDFs (|distinct values| rows),
+    one max — the same shape at any event volume."""
+    s = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "view"))
+        .select(
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("grp"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    per_v = s.groupBy("v").agg(
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("a1"),
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("a2"),
+    )
+    cdf = per_v.select(
+        "v",
+        F.sum("a1").over(W.orderBy("v")).alias("c1"),
+        F.sum("a2").over(W.orderBy("v")).alias("c2"),
+    )
+    sizes = s.agg(
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("n2"),
+    )
+    diffs = cdf.crossJoin(F.broadcast(sizes)).select(
+        "v",
+        "n1",
+        "n2",
+        F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1")).alias("d"),
+    ).localCheckpoint(eager=True)
+    mx = diffs.agg(F.max("d").alias("mx"))
+    return (
+        diffs.crossJoin(F.broadcast(mx))
+        .groupBy("n1", "n2")
+        .agg(
+            F.max("d").alias("ks_numerator"),
+            F.min(F.when(F.col("d") == F.col("mx"), F.col("v"))).alias(
+                "argmax_value_cents"
+            ),
+        )
+        .select(
+            F.col("n1").cast("long").alias("n1"),
+            F.col("n2").cast("long").alias("n2"),
+            F.col("ks_numerator").cast("long").alias("ks_numerator"),
+            (F.col("n1") * F.col("n2")).cast("long").alias("ks_denominator"),
+            F.col("argmax_value_cents").cast("long").alias("argmax_value_cents"),
+        )
+    )
