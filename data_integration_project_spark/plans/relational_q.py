@@ -8317,3 +8317,188 @@ def customers_gains_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         feats.unpersist()
     return out
+
+
+def _brier_oracle_sql() -> str:
+    """Train 3 logreg iterations, bin raw scores into deciles, fit
+    isotonic (minimax) over the bins, and compare Brier sums."""
+    parts = [
+        """feats AS MATERIALIZED (
+      SELECT least(COUNT(*), 20) - 5 AS x1,
+             least(CAST(floor(AVG(o_totalprice) / 10000.0) AS BIGINT), 50) - 30
+               AS x2,
+             CASE WHEN CAST(floor(AVG(o_totalprice) / 10000.0) AS BIGINT)
+                       + COUNT(*) >= 35
+                  THEN 1 ELSE 0 END AS y
+      FROM orders GROUP BY o_custkey
+    ),
+    it0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+                   CAST(0 AS BIGINT) AS w2)"""
+    ]
+    s = (
+        "least(greatest(CAST(floor((w.w0 + w.w1 * f.x1 + w.w2 * f.x2)"
+        " / 4.0) AS BIGINT) + 500000, 0), 1000000)"
+    )
+    for r in range(1, 4):
+        parts.append(
+            f"""it{r} AS MATERIALIZED (
+      SELECT
+        w.w0 - CAST(floor(SUM(({s}) - f.y * 1000000) / (32.0 * COUNT(*))) AS BIGINT) AS w0,
+        w.w1 - CAST(floor(SUM(f.x1 * (({s}) - f.y * 1000000)) / (32.0 * COUNT(*))) AS BIGINT) AS w1,
+        w.w2 - CAST(floor(SUM(f.x2 * (({s}) - f.y * 1000000)) / (32.0 * COUNT(*))) AS BIGINT) AS w2
+      FROM feats f CROSS JOIN it{r - 1} w
+      GROUP BY w.w0, w.w1, w.w2
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f""",
+    scored AS MATERIALIZED (
+      SELECT f.y, ({s}) AS p,
+             ROW_NUMBER() OVER (ORDER BY ({s}), f.x1, f.x2, f.y) AS rn,
+             COUNT(*) OVER () AS n
+      FROM feats f CROSS JOIN it3 w
+    ),
+    bins AS MATERIALIZED (
+      SELECT 1 + ((rn - 1) * 10) // n AS b, COUNT(*) AS nb,
+             CAST(SUM(y) AS BIGINT) AS sb
+      FROM scored GROUP BY 1
+    ),
+    grid AS (
+      SELECT i.b AS i, (SUM(m.sb) * 1000000) // SUM(m.nb) AS a, j.b AS j, k.b AS k
+      FROM bins i
+      JOIN bins j ON j.b <= i.b
+      JOIN bins k ON k.b >= i.b
+      JOIN bins m ON m.b BETWEEN j.b AND k.b
+      GROUP BY i.b, j.b, k.b
+    ),
+    iso AS MATERIALIZED (
+      SELECT i AS b, MAX(am) AS iso_p FROM (
+        SELECT i, j, MIN(a) AS am FROM grid GROUP BY i, j)
+      GROUP BY i
+    )
+    SELECT CAST(MAX(s2.n) AS BIGINT) AS n,
+           CAST(SUM((s2.p - s2.y * 1000000) * (s2.p - s2.y * 1000000))
+                AS BIGINT) AS brier_raw_sum,
+           CAST(SUM((iso.iso_p - s2.y * 1000000) * (iso.iso_p - s2.y * 1000000))
+                AS BIGINT) AS brier_cal_sum
+    FROM (SELECT y, p, n, 1 + ((rn - 1) * 10) // n AS b FROM scored) s2
+    JOIN iso ON iso.b = s2.b
+    """
+    )
+
+
+@query("customers_brier_calibration", oracle=_brier_oracle_sql())
+def customers_brier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BRIER SCORE before and after ISOTONIC CALIBRATION — closing the
+    probability-quality loop: the hard-sigmoid model's raw outputs are
+    scores, not calibrated probabilities; binning them into score
+    deciles and fitting the minimax-PAVA isotonic map
+    ([[orders_isotonic_calibration]]'s machinery) replaces each raw
+    score with the monotone-fitted event rate of its bin, and the two
+    exact integer micro^2 Brier sums quantify the improvement — for a
+    mis-scaled scorer the calibrated sum is dramatically smaller,
+    which the hash pins (not just asserts). This is the
+    CalibratedClassifierCV pattern: model -> reliability bins ->
+    isotonic -> proper scoring rule.
+
+    Scale shape: training is 3 scans; scoring + binning is one
+    total-order rank; the isotonic fit runs on the 10-row bin summary;
+    the Brier sums are one joined aggregate."""
+    import math
+
+    feats = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            (F.least(F.count(F.lit(1)), F.lit(20)) - 5).alias("x1"),
+            (
+                F.least(
+                    F.floor(F.avg("o_totalprice") / 10000.0).cast("long"),
+                    F.lit(50),
+                )
+                - 30
+            ).alias("x2"),
+            F.when(
+                F.floor(F.avg("o_totalprice") / 10000.0).cast("long")
+                + F.count(F.lit(1))
+                >= 35,
+                1,
+            )
+            .otherwise(0)
+            .alias("y"),
+        )
+        .persist()
+    )
+    try:
+        n = feats.count()
+        w = [0, 0, 0]
+        for _ in range(3):
+            z = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
+            sgm = F.least(
+                F.greatest(
+                    F.floor(z / 4.0).cast("long") + F.lit(500000), F.lit(0)
+                ),
+                F.lit(1000000),
+            )
+            err = sgm - F.col("y") * F.lit(1000000)
+            g = feats.select(
+                F.sum(err).alias("g0"),
+                F.sum(F.col("x1") * err).alias("g1"),
+                F.sum(F.col("x2") * err).alias("g2"),
+            ).collect()[0]
+            w = [w[j] - int(math.floor(float(g[j]) / (32.0 * n))) for j in range(3)]
+        from pyspark.sql import Window as W
+
+        z = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
+        p = F.least(
+            F.greatest(F.floor(z / 4.0).cast("long") + F.lit(500000), F.lit(0)),
+            F.lit(1000000),
+        )
+        scored = feats.select(
+            "y",
+            p.alias("p"),
+            F.row_number().over(W.orderBy(p, "x1", "x2", "y")).alias("rn"),
+            F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+        ).withColumn(
+            "b", (1 + ((F.col("rn") - 1) * 10) / F.col("n")).cast("long")
+        ).localCheckpoint(eager=True)
+        bins = scored.groupBy("b").agg(
+            F.count(F.lit(1)).alias("nb"), F.sum("y").alias("sb")
+        )
+        i = bins.select(F.col("b").alias("i"))
+        jj = bins.select(F.col("b").alias("j"))
+        k = bins.select(F.col("b").alias("k"))
+        m = bins.select(F.col("b").alias("mb"), "nb", "sb")
+        grid = (
+            i.join(jj, F.col("j") <= F.col("i"))
+            .join(k, F.col("k") >= F.col("i"))
+            .join(m, (F.col("mb") >= F.col("j")) & (F.col("mb") <= F.col("k")))
+            .groupBy("i", "j", "k")
+            .agg(F.expr("(sum(sb) * 1000000) div sum(nb)").alias("a"))
+        )
+        iso = (
+            grid.groupBy("i", "j")
+            .agg(F.min("a").alias("am"))
+            .groupBy("i")
+            .agg(F.max("am").alias("iso_p"))
+        )
+        out = (
+            scored.join(iso, scored["b"] == iso["i"])
+            .agg(
+                F.max("n").cast("long").alias("n"),
+                F.sum(
+                    (F.col("p") - F.col("y") * 1000000)
+                    * (F.col("p") - F.col("y") * 1000000)
+                ).cast("long").alias("brier_raw_sum"),
+                F.sum(
+                    (F.col("iso_p") - F.col("y") * 1000000)
+                    * (F.col("iso_p") - F.col("y") * 1000000)
+                ).cast("long").alias("brier_cal_sum"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        feats.unpersist()
+    return out
