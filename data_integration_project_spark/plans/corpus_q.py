@@ -2965,3 +2965,115 @@ def doc_diverse_subset_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).distinct()
         act = act.join(kill, "doc_id", "left_anti").localCheckpoint(eager=True)
     return spark.createDataFrame(rows, "round int, n_added long, id_sum long")
+
+
+def _kcore_oracle_sql(k: int, n_rounds: int) -> str:
+    """Unrolled k-core peeling over the rare-shingle graph: each round
+    drops nodes whose degree among SURVIVORS is < k."""
+    head = f"""WITH th AS (
+      SELECT doc_id,
+             list_transform(regexp_split_to_array(lower(trim(text)), '\\s+'),
+               t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      list_transform(string_split(t, ''),
+                                     c -> CAST(ascii(c) AS BIGINT))),
+                      (acc, c) -> (acc * 31 + c) % 2147483647)) AS th
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(th) - 2, 0)),
+               i -> ((((th[i] * 1000003 + th[i + 1]) % 2147483647)
+                      * 1000003 + th[i + 2]) % 2147483647))) AS shash
+      FROM th
+    ),
+    rare AS (SELECT shash FROM sh GROUP BY shash HAVING COUNT(*) BETWEEN 2 AND 8),
+    edges AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+      FROM sh a JOIN rare USING (shash) JOIN sh b USING (shash)
+      WHERE a.doc_id <> b.doc_id
+    ),
+    alive_0 AS (SELECT DISTINCT src AS doc_id FROM edges)"""
+    parts = [head]
+    for r in range(1, n_rounds + 1):
+        p = r - 1
+        parts.append(
+            f""",
+    alive_{r} AS MATERIALIZED (
+      SELECT e.src AS doc_id
+      FROM edges e
+      JOIN alive_{p} a ON a.doc_id = e.src
+      JOIN alive_{p} b ON b.doc_id = e.dst
+      GROUP BY e.src
+      HAVING COUNT(*) >= {k}
+    )"""
+        )
+    selects = [
+        f"""SELECT CAST({r} AS INTEGER) AS round,
+           CAST(COUNT(*) AS BIGINT) AS n_alive,
+           CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) AS id_sum
+    FROM alive_{r}"""
+        for r in range(1, n_rounds + 1)
+    ]
+    return "".join(parts) + "\n    " + "\n    UNION ALL\n    ".join(selects)
+
+
+@query("doc_kcore_decomposition", oracle=_kcore_oracle_sql(30, 5))
+def doc_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-CORE DECOMPOSITION (k=30) of the document similarity graph —
+    the dense-subgraph detector behind spam-farm and boilerplate-
+    cluster discovery: iteratively peel every node with fewer than 12
+    surviving neighbors until the remainder stabilizes; what survives
+    is the maximal subgraph of minimum degree 12, i.e. the tightly
+    inter-duplicated core the curation pipeline should inspect as a
+    group rather than pairwise. Four unrolled peeling rounds (this
+    graph stabilizes in three); per-round survivor counts and id-sums
+    are on the hash, so the exact peel ORDER-INDEPENDENCE property of
+    k-core (unlike greedy matching, the result is unique regardless of
+    peel order) is what makes it oracle-checkable at all.
+
+    Scale shape per round: one self-restricted degree count (edge list
+    joined to the survivor set on both endpoints, map-side-combined
+    HAVING) — the standard distributed peel; localCheckpoint truncates
+    the loop."""
+    from ..operators.dedup import shingle_rows
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = shingle_rows(d, "doc_id", "text", 3).distinct()
+    rare = (
+        sh.groupBy("_shash")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df").between(2, 8))
+        .select("_shash")
+    )
+    blocked = sh.join(rare, "_shash")
+    edges = (
+        blocked.alias("a")
+        .join(blocked.alias("b"), "_shash")
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    alive = edges.select(F.col("src").alias("doc_id")).distinct().localCheckpoint(
+        eager=True
+    )
+    rows = []
+    for rnd in range(1, 6):
+        nxt = (
+            edges.join(alive.withColumnRenamed("doc_id", "src"), "src")
+            .join(alive.withColumnRenamed("doc_id", "dst"), "dst")
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= 30)
+            .select("doc_id")
+            .localCheckpoint(eager=True)
+        )
+        alive.unpersist()
+        alive = nxt
+        stat = alive.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("doc_id"), F.lit(0)).alias("s"),
+        ).collect()[0]
+        rows.append((rnd, int(stat["n"]), int(stat["s"])))
+    alive.unpersist()
+    return spark.createDataFrame(rows, "round int, n_alive long, id_sum long")

@@ -8502,3 +8502,87 @@ def customers_brier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         feats.unpersist()
     return out
+
+
+@query(
+    "parts_eoq_inventory_policy",
+    oracle="""
+    WITH demand AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS annual_d,
+             COUNT(*) AS n_lines
+      FROM lineitem GROUP BY l_partkey
+    ),
+    pol AS (
+      SELECT l_partkey, annual_d, n_lines,
+             CAST(floor(sqrt(CAST(2 * annual_d * 5000 / 25 AS DOUBLE)))
+                  AS BIGINT) AS s0
+      FROM demand
+    ),
+    fixed AS (
+      SELECT l_partkey, annual_d, n_lines,
+             CASE WHEN (s0 + 1) * (s0 + 1) <= 2 * annual_d * 200
+                  THEN s0 + 1
+                  WHEN s0 * s0 > 2 * annual_d * 200 THEN s0 - 1
+                  ELSE s0 END AS eoq
+      FROM pol
+    )
+    SELECT CAST(eoq_band AS BIGINT) AS eoq_band,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(annual_d) AS BIGINT) AS total_demand,
+           CAST(MIN(eoq) AS BIGINT) AS min_eoq,
+           CAST(MAX(eoq) AS BIGINT) AS max_eoq
+    FROM (SELECT annual_d, eoq, eoq // 20 AS eoq_band FROM fixed)
+    GROUP BY eoq_band
+    """,
+)
+def parts_eoq_inventory_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ECONOMIC ORDER QUANTITY inventory policy per part — operations
+    analytics on the order stream: EOQ = sqrt(2·D·S/H) with ordering
+    cost S=5000 cents and holding cost H=25 cents, i.e.
+    floor(sqrt(400·D)) units. The only irrational step is one IEEE
+    sqrt; because a correctly-rounded double sqrt can still land floor
+    on the wrong side of a near-perfect square, both engines apply the
+    SAME integer correction afterwards (±1 until s² <= 2DS/H <
+    (s+1)²), making the policy exact — the isqrt discipline. Parts
+    aggregate into EOQ bands (units of 20) with min/max per band so
+    every part's policy value is constrained by the hash.
+
+    Scale shape: one map-side-combined demand aggregate, per-row
+    integer policy math, one band aggregate — a 100 TB order history
+    prices its whole catalog's policy in two shuffles."""
+    demand = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("annual_d"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+    s0 = F.floor(F.sqrt((2 * F.col("annual_d") * 5000 / 25).cast("double"))).cast(
+        "long"
+    )
+    target = 2 * F.col("annual_d") * 200
+    fixed = demand.withColumn("s0", s0).withColumn(
+        "eoq",
+        F.when((F.col("s0") + 1) * (F.col("s0") + 1) <= target, F.col("s0") + 1)
+        .when(F.col("s0") * F.col("s0") > target, F.col("s0") - 1)
+        .otherwise(F.col("s0")),
+    )
+    return (
+        fixed.withColumn("eoq_band", F.expr("eoq div 20"))
+        .groupBy("eoq_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("annual_d").alias("total_demand"),
+            F.min("eoq").alias("min_eoq"),
+            F.max("eoq").alias("max_eoq"),
+        )
+        .select(
+            F.col("eoq_band").cast("long"),
+            F.col("n_parts").cast("long"),
+            F.col("total_demand").cast("long"),
+            F.col("min_eoq").cast("long"),
+            F.col("max_eoq").cast("long"),
+        )
+    )
