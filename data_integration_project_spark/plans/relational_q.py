@@ -8586,3 +8586,72 @@ def parts_eoq_inventory_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("max_eoq").cast("long"),
         )
     )
+
+
+@query(
+    "orders_hhi_concentration",
+    oracle="""
+    WITH spend AS (
+      SELECT c.c_mktsegment, o.o_custkey,
+             CAST(SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    seg AS (
+      SELECT c_mktsegment,
+             COUNT(*) AS n_customers,
+             CAST(SUM(cents) AS BIGINT) AS total_cents,
+             CAST(SUM(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS sq_sum
+      FROM spend GROUP BY 1
+    )
+    SELECT c_mktsegment,
+           CAST(n_customers AS BIGINT) AS n_customers,
+           total_cents,
+           CAST((sq_sum * 1000000)
+                // (CAST(total_cents AS HUGEINT) * total_cents)
+                AS BIGINT) AS hhi_micro
+    FROM seg
+    """,
+)
+def orders_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HERFINDAHL-HIRSCHMAN concentration index per market segment —
+    the antitrust/portfolio concentration measure: HHI = sum of
+    squared customer revenue shares, here as ONE exact rational
+    ``(Σ cents_i²·1e6) // (Σ cents_i)²`` so no per-customer share is
+    ever a float (squared-cents second moments overflow int64 at fact
+    scale — the decimal/HUGEINT moment-sum case law applies). A
+    perfectly competitive segment trends toward 1e6/n; a monopolized
+    one toward 1e6.
+
+    Scale shape: two stacked aggregates (customer spend, then segment
+    moments) — both map-side combined."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    spend = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            ).alias("cents")
+        )
+    )
+    seg = spend.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").alias("total_cents"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).alias(
+            "sq_sum"
+        ),
+    )
+    return seg.select(
+        "c_mktsegment",
+        F.col("n_customers").cast("long").alias("n_customers"),
+        F.col("total_cents").cast("long").alias("total_cents"),
+        F.floor(
+            (F.col("sq_sum") * 1000000)
+            / (F.col("total_cents").cast("decimal(38,0)") * F.col("total_cents"))
+        )
+        .cast("long")
+        .alias("hhi_micro"),
+    )
