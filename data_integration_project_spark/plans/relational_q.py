@@ -8655,3 +8655,135 @@ def orders_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("hhi_micro"),
     )
+
+
+@query(
+    "orders_queue_simulation",
+    oracle="""
+    WITH RECURSIVE arr AS MATERIALIZED (
+      SELECT o_orderkey, o_orderpriority,
+             (epoch_ms(CAST(o_orderdate AS TIMESTAMP)) // 86400000) * 200
+               AS arrival,
+             1 + (CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) % 7200)
+               AS dur,
+             ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) AS rn,
+             COUNT(*) OVER () AS n
+      FROM orders WHERE o_custkey % 50 = 0
+    ),
+    sim AS (
+      SELECT rn, o_orderkey, o_orderpriority, arrival, dur,
+             CAST(0 AS BIGINT) AS wait,
+             [arrival + dur, CAST(0 AS BIGINT), CAST(0 AS BIGINT)] AS free,
+             n
+      FROM arr WHERE rn = 1
+      UNION ALL
+      SELECT a.rn, a.o_orderkey, a.o_orderpriority, a.arrival, a.dur,
+             greatest(u.mn - a.arrival, 0) AS wait,
+             list_transform(range(1, 4),
+               j -> CASE WHEN j = u.srv
+                         THEN greatest(a.arrival, u.mn) + a.dur
+                         ELSE s.free[j] END),
+             a.n
+      FROM sim s
+      JOIN arr a ON a.rn = s.rn + 1
+      CROSS JOIN LATERAL (
+        SELECT least(s.free[1], s.free[2], s.free[3]) AS mn,
+               CASE WHEN s.free[1] = least(s.free[1], s.free[2], s.free[3])
+                    THEN 1
+                    WHEN s.free[2] = least(s.free[1], s.free[2], s.free[3])
+                    THEN 2 ELSE 3 END AS srv
+      ) u
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(wait) AS BIGINT) AS total_wait_s,
+           CAST(MAX(wait) AS BIGINT) AS max_wait_s,
+           CAST(SUM(CASE WHEN wait > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_queued
+    FROM sim GROUP BY o_orderpriority
+    """,
+)
+def orders_queue_simulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISCRETE-EVENT QUEUE SIMULATION (M/G/3): replay a deterministic
+    order slice through three servers — each arrival takes the
+    earliest-free server (tie -> lowest index), waits if its arrival
+    precedes that server's free time, and occupies it for a
+    price-derived service duration. Waiting time per priority class
+    (total, max, queued count) is on the hash. The simulator state is
+    a 3-slot integer free-time vector riding a sequential fold — the
+    same array-state fold discipline as [[events_holt_winters_forecast]]
+    — replayed by the oracle as a recursive CTE with the identical
+    argmin tie-break. Capacity planning (how many servers keep p-max
+    wait acceptable) is this query re-run over k.
+
+    Scale shape: the fold is inherently sequential, so the input is a
+    bounded slice (the simulation INPUT is small; the history it is
+    drawn from is not) — the standard simulate-on-a-sample pattern;
+    everything before the fold is distributed scan + sort."""
+    arr = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 50 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            (
+                F.floor(
+                    F.unix_millis(F.col("o_orderdate").cast("timestamp"))
+                    / 86400000
+                ).cast("long")
+                * 200
+            ).alias("arrival"),
+            (
+                1
+                + F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long") % 7200
+            ).alias("dur"),
+        )
+    )
+    grouped = arr.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct("arrival", "o_orderkey", "o_orderpriority", "dur")
+            )
+        ).alias("a")
+    )
+
+    def step(acc, x):
+        mn = F.array_min(acc["free"])
+        srv = F.when(F.element_at(acc["free"], 1) == mn, 1).when(
+            F.element_at(acc["free"], 2) == mn, 2
+        ).otherwise(3)
+        wait = F.greatest(mn - x["arrival"], F.lit(0).cast("long"))
+        newfree = F.transform(
+            F.sequence(F.lit(1), F.lit(3)),
+            lambda j: F.when(
+                j == srv, F.greatest(x["arrival"], mn) + x["dur"]
+            ).otherwise(F.element_at(acc["free"], j)),
+        )
+        rec = F.struct(
+            x["o_orderkey"].alias("k"),
+            x["o_orderpriority"].alias("p"),
+            wait.alias("w"),
+        )
+        return F.struct(
+            newfree.alias("free"),
+            F.concat(acc["out"], F.array(rec)).alias("out"),
+        )
+
+    init = F.struct(
+        F.array(
+            F.lit(0).cast("long"), F.lit(0).cast("long"), F.lit(0).cast("long")
+        ).alias("free"),
+        F.array().cast(
+            "array<struct<k:bigint,p:string,w:bigint>>"
+        ).alias("out"),
+    )
+    folded = grouped.select(F.aggregate(F.col("a"), init, step).alias("st"))
+    rows = folded.select(F.explode(F.col("st.out")).alias("r")).select(
+        F.col("r.p").alias("o_orderpriority"), F.col("r.w").alias("wait")
+    )
+    return rows.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("wait").alias("total_wait_s"),
+        F.max("wait").alias("max_wait_s"),
+        F.sum(F.when(F.col("wait") > 0, 1).otherwise(0)).alias("n_queued"),
+    )
