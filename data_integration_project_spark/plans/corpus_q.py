@@ -3077,3 +3077,135 @@ def doc_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append((rnd, int(stat["n"]), int(stat["s"])))
     alive.unpersist()
     return spark.createDataFrame(rows, "round int, n_alive long, id_sum long")
+
+
+@query(
+    "doc_rake_keyphrases",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, tk[i] AS token, i AS pos FROM (
+        SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i
+        FROM (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents))
+    ),
+    nonstop AS (
+      SELECT doc_id, token, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM tok
+      WHERE token NOT IN ('the', 'and', 'of', 'to', 'is') AND token <> ''
+    ),
+    phrases AS (
+      SELECT doc_id, grp,
+             string_agg(token, ' ' ORDER BY pos) AS phrase,
+             COUNT(*) AS n_words
+      FROM nonstop GROUP BY doc_id, grp
+      HAVING COUNT(*) <= 8
+    ),
+    word_stats AS (
+      SELECT token,
+             COUNT(*) AS freq,
+             CAST(SUM(n_words) AS BIGINT) AS degree
+      FROM nonstop n JOIN phrases p
+        ON p.doc_id = n.doc_id AND p.grp = n.grp
+      GROUP BY token
+    ),
+    phrase_scores AS (
+      SELECT p.phrase, MAX(p.n_words) AS n_words,
+             COUNT(*) AS n_occurrences,
+             (SELECT CAST(SUM((w.degree * 1000000) // w.freq) AS BIGINT)
+              FROM (SELECT unnest(string_split(p.phrase, ' ')) AS tk) s
+              JOIN word_stats w ON w.token = s.tk) AS score_micro
+      FROM phrases p
+      GROUP BY p.phrase
+    )
+    SELECT phrase, CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_occurrences AS BIGINT) AS n_occurrences,
+           score_micro, CAST(rk AS INTEGER) AS rk
+    FROM (SELECT phrase, n_words, n_occurrences, score_micro,
+                 ROW_NUMBER() OVER (ORDER BY score_micro DESC, phrase) AS rk
+          FROM phrase_scores)
+    WHERE rk <= 10
+    """,
+)
+def doc_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE KEYPHRASE EXTRACTION (Rose et al. 2010) — candidate phrases
+    are maximal runs of non-stopword tokens capped at 8 words (pure
+    gaps-and-islands over token positions — segmentation shares the
+    engine's one tokenizer, no second regex to keep in parity), each word scores
+    degree/frequency (degree = total words of every phrase containing
+    it — co-occurrence credit; frequency = occurrences), and a phrase
+    scores the sum of its words' scores. Word scores floor to
+    micro-units BEFORE the phrase sum so both engines add identical
+    integers. Top-10 phrases under a total order, with occurrence
+    counts — multi-word phrases outrank bare frequent words, which is
+    RAKE's point.
+
+    Scale shape: posexplode -> one shuffle to (doc, island) phrases ->
+    word stats as a map-side-combined reaggregation -> phrase scoring
+    joins the |vocab|-sized stats table back; TakeOrdered(10)."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.posexplode(X.tokens(F.col("text"))).alias("pos0", "token"),
+    ).select("doc_id", "token", (F.col("pos0") + 1).alias("pos"))
+    from pyspark.sql import Window as W
+
+    STOP = ["the", "and", "of", "to", "is"]
+    nonstop = (
+        tok.filter(~F.col("token").isin(STOP))
+        .filter(F.col("token") != "")
+        .withColumn(
+            "grp",
+            F.col("pos")
+            - F.row_number().over(W.partitionBy("doc_id").orderBy("pos")),
+        )
+    )
+    phrases = (
+        nonstop.groupBy("doc_id", "grp")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                    lambda s: s["token"],
+                ),
+            ).alias("phrase"),
+            F.count(F.lit(1)).alias("n_words"),
+        )
+        .filter(F.col("n_words") <= 8)  # RAKE's standard candidate cap
+    )
+    word_stats = (
+        nonstop.join(phrases, ["doc_id", "grp"])
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("n_words").alias("degree"),
+        )
+        .withColumn("wscore", F.expr("(degree * 1000000) div freq"))
+    )
+    phrase_occ = phrases.groupBy("phrase").agg(
+        F.max("n_words").alias("n_words"),
+        F.count(F.lit(1)).alias("n_occurrences"),
+    )
+    exploded = phrase_occ.select(
+        "phrase", F.explode(F.split(F.col("phrase"), " ")).alias("token")
+    )
+    scores = (
+        exploded.join(word_stats.select("token", "wscore"), "token")
+        .groupBy("phrase")
+        .agg(F.sum("wscore").alias("score_micro"))
+    )
+    ranked = (
+        phrase_occ.join(scores, "phrase")
+        .withColumn(
+            "rk",
+            F.row_number().over(W.orderBy(F.desc("score_micro"), F.asc("phrase"))),
+        )
+        .filter(F.col("rk") <= 10)
+    )
+    return ranked.select(
+        "phrase",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_occurrences").cast("long").alias("n_occurrences"),
+        F.col("score_micro").cast("long").alias("score_micro"),
+        F.col("rk").cast("int").alias("rk"),
+    )
