@@ -208,3 +208,38 @@ def test_eigencentrality_is_join_plus_sum(spark, sf_small):
     degenerate into a cartesian product."""
     plan = _executed_plan(spark, "doc_word_eigencentrality", sf_small)
     assert "CartesianProduct" not in plan
+
+
+def test_als_no_unbounded_cartesian(spark, sf_small):
+    """ALS half-steps are equi-joins; the only cross join is the final
+    3-user recommendation scoring (bounded by the pick list)."""
+    plan = _executed_plan(spark, "lineitem_als_recommend", sf_small)
+    # the only cartesian is the 3-user recommendation scoring cross
+    # (bounded by the pick list; the shared subtree prints twice in the
+    # executed-plan string); the ALS half-steps are all equi-joins
+    assert plan.count("CartesianProduct") <= 2
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_gains_lift_single_rank(spark, sf_small):
+    """Decile assignment is ONE total-order rank; training aggregates
+    are map-side combined."""
+    plan = _executed_plan(spark, "customers_gains_lift", sf_small)
+    assert "CartesianProduct" not in plan
+
+
+def test_ks_window_over_distinct_values(spark, sf_small):
+    """CDFs evaluate on the distinct-value table, not raw rows — the
+    window input is the grouped aggregate."""
+    plan = _executed_plan(spark, "events_ks_two_sample", sf_small)
+    assert "SortMergeJoin" not in plan
+
+
+def test_kcore_rounds_are_joins(spark, sf_small):
+    plan = _executed_plan(spark, "doc_kcore_decomposition", sf_small)
+    assert "CartesianProduct" not in plan
+
+
+def test_rake_phrase_scoring_joins_vocab(spark, sf_small):
+    plan = _executed_plan(spark, "doc_rake_keyphrases", sf_small)
+    assert "TakeOrderedAndProject" in plan or "WindowGroupLimit" in plan
