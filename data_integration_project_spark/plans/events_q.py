@@ -5255,3 +5255,120 @@ def events_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("argmax_value_cents").cast("long").alias("argmax_value_cents"),
         )
     )
+
+
+@query(
+    "events_streaming_dedup_sessions",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+             CASE WHEN epoch_ms(ts) - epoch_ms(LAG(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id))
+                    >= 1800000
+                  OR LAG(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts, cents,
+             SUM(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end_bound,
+           COUNT(*) AS n_events,
+           CAST(SUM(cents) AS BIGINT) AS session_cents
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def events_streaming_dedup_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED STATEFUL STREAMING OPERATORS — watermark-bounded dedup
+    feeding session windows in ONE streaming query, append mode: every
+    event is delivered twice (at-least-once), `dropDuplicates
+    WithinWatermark` drops the copies with expiring state, and the
+    SAME watermark propagates through to the downstream
+    ``session_window`` aggregate, whose sessions emit only once the
+    watermark proves them closed. Multi-stateful-operator chaining
+    (Spark 3.4+) is the restricted surface this exercises — before it,
+    dedup-then-window required two queries and an intermediate sink.
+    The bounded fixture flushes its tail sessions with the far-future
+    heartbeat sentinel (streamed from a symlinked dir; filtered on the
+    SINK side — inside the plan the filter would be pushed below
+    EventTimeWatermark and prune the heartbeat, the stream-stream-join
+    lesson). Result equals the batch sessionization of the
+    SINGLE-delivery table, integer cents exactly.
+
+    Scale shape: two stateful exchanges (event_id for dedup, user_id
+    for sessions), both with watermark-expiring state."""
+    import datetime
+    import os
+    import tempfile
+    import uuid
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    max_ts = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .agg(F.max("ts").alias("m"))
+        .collect()[0]["m"]
+    )
+    far = max_ts + datetime.timedelta(days=30)
+    stream_dir = tempfile.mkdtemp(prefix="dedupsess_src_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(stream_dir, "events.parquet"),
+    )
+    sentinel = spark.createDataFrame(
+        [(-1, far, -1, "view", 0.0, "{}")], schema
+    )
+    sentinel.coalesce(1).write.parquet(os.path.join(stream_dir, "sentinel.parquet"))
+    src = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(stream_dir)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        )
+    )
+    duplicated = src.select(
+        F.explode(F.array(F.lit(1), F.lit(2))).alias("_c"),
+        "event_id",
+        "user_id",
+        "ts",
+        "cents",
+    ).drop("_c")
+    deduped = duplicated.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    sessions = (
+        deduped.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("session_cents"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end_bound"),
+            "n_events",
+            "session_cents",
+        )
+    )
+    name = "dedupsess_" + uuid.uuid4().hex[:8]
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="dedupsess_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).filter(F.col("user_id") >= 0)
