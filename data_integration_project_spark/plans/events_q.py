@@ -5372,3 +5372,118 @@ def events_streaming_dedup_sessions(spark: SparkSession, sf_dir: str) -> DataFra
     )
     q.awaitTermination()
     return spark.table(name).filter(F.col("user_id") >= 0)
+
+
+@query(
+    "events_streaming_late_drop",
+    oracle="""
+    WITH cutoff AS (
+      SELECT (epoch_ms(MIN(ts)) + epoch_ms(MAX(ts))) // 2 AS c_ms
+      FROM events
+    )
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events
+    FROM events CROSS JOIN cutoff
+    WHERE epoch_ms(ts) >= cutoff.c_ms
+    GROUP BY 1, 2
+    """,
+)
+def events_streaming_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATE-DATA DROPPING made deterministic and value-checked: the
+    event history splits at its midpoint into a RECENT file (delivered
+    first, plus a far-future heartbeat) and an OLD file (delivered
+    second). One file per trigger means the watermark is already past
+    every old row when the second batch arrives, so the windowed
+    aggregate must drop ALL of it — the core watermark contract
+    (bounded state requires discarding provably-late data) usually
+    only observable in metrics, here pinned by value: the streamed
+    result equals the batch aggregate of the recent half alone. If the
+    engine buffered or leaked even one late row into a window, a count
+    would differ.
+
+    Scale shape: standard watermarked tumbling-window aggregate; the
+    two-file drain is the fixture's way of forcing a watermark/arrival
+    race that production streams hit continuously."""
+    import datetime
+    import os
+    import tempfile
+    import uuid
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    mm = ev.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).collect()[0]
+    # integer-exact midpoint: Python timedelta/2 and SQL interval/2
+    # round differently at odd microseconds — the boundary must be the
+    # same integer millisecond on both engines
+    import calendar
+
+    to_ms = lambda dt_: calendar.timegm(dt_.timetuple()) * 1000 + dt_.microsecond // 1000
+    cutoff_ms = (to_ms(mm["lo"]) + to_ms(mm["hi"])) // 2
+    far = mm["hi"] + datetime.timedelta(days=30)
+    d = tempfile.mkdtemp(prefix="latedrop_")
+    src_dir = os.path.join(d, "stream")
+    os.makedirs(src_dir)
+    recent = ev.filter(F.unix_millis(F.col("ts").cast("timestamp")) >= cutoff_ms)
+    sentinel = spark.createDataFrame([(-1, far, -1, "view", 0.0, "{}")], schema)
+    recent.unionByName(sentinel).coalesce(1).write.parquet(
+        os.path.join(src_dir, "b0_recent")
+    )
+    spacer = spark.createDataFrame(
+        [(-2, far + datetime.timedelta(hours=1), -2, "view", 0.0, "{}")], schema
+    )
+    spacer.coalesce(1).write.parquet(os.path.join(src_dir, "b1_spacer"))
+    ev.filter(
+        F.unix_millis(F.col("ts").cast("timestamp")) < cutoff_ms
+    ).coalesce(1).write.parquet(os.path.join(src_dir, "b2_old"))
+    # the file source orders batches by (modification time, path); pin
+    # the order explicitly: recent -> spacer -> old. The spacer batch
+    # absorbs the engine's one-batch watermark lag (see docstring) so
+    # the old file meets an already-advanced watermark.
+    now = 1_700_000_000
+    for i, sub in enumerate(("b0_recent", "b1_spacer", "b2_old")):
+        for root, _, files in os.walk(os.path.join(src_dir, sub)):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (now + 100 * i, now + 100 * i))
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src_dir)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts").cast("timestamp").alias("ts"),
+        )
+    )
+    agg = (
+        src.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # second grouping keeps user_id available for the sentinel filter
+    name = "latedrop_" + uuid.uuid4().hex[:8]
+    # NOT availableNow: an available-now drain plans its whole backlog
+    # against one watermark snapshot, so late rows in later planned
+    # batches are never filtered (measured; companion to the one-batch
+    # lag above). A default-trigger drain advances the watermark
+    # between micro-batches, which is the semantics this query pins.
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(d, "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return (
+        spark.table(name)
+        .filter(F.col("user_id") >= 0)
+        .groupBy(
+            F.col("window.start").alias("window_start"), "event_type"
+        )
+        .agg(F.sum("n").alias("n_events"))
+    )
