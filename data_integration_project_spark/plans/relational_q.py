@@ -8787,3 +8787,118 @@ def orders_queue_simulation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("wait").alias("max_wait_s"),
         F.sum(F.when(F.col("wait") > 0, 1).otherwise(0)).alias("n_queued"),
     )
+
+
+_ARB_INF = 10**12
+
+
+def _arb_round_sql(prev: str, rnd: int) -> str:
+    return f"""
+    a{rnd} AS (
+      SELECT n.node, least(p0.dist, COALESCE(s.best, {_ARB_INF})) AS dist
+      FROM fxnodes n
+      JOIN {prev} p0 ON p0.node = n.node
+      LEFT JOIN (
+        SELECT e.dst AS node, MIN(p.dist + e.w) AS best
+        FROM fxedges e JOIN {prev} p ON p.node = e.src
+        WHERE p.dist < {_ARB_INF}
+        GROUP BY e.dst
+      ) s ON s.node = n.node
+    )"""
+
+
+@query(
+    "fx_arbitrage_detection",
+    oracle=f"""
+    WITH fxnodes AS (SELECT unnest(range(0, 6)) AS node),
+    fxedges AS MATERIALIZED (
+      SELECT a.node AS src, b.node AS dst,
+             ((a.node * 7 + b.node * 13) % 90) - 40 AS w
+      FROM fxnodes a CROSS JOIN fxnodes b WHERE a.node <> b.node
+    ),
+    a0 AS (SELECT node, CASE WHEN node = 0 THEN 0
+                             ELSE CAST({_ARB_INF} AS BIGINT) END AS dist
+           FROM fxnodes)
+    {"".join("," + _arb_round_sql(f"a{i}", i + 1) for i in range(6))}
+    SELECT CAST(f.node AS BIGINT) AS currency,
+           CAST(d5.dist AS BIGINT) AS dist_after_v_minus_1,
+           CAST(d6.dist AS BIGINT) AS dist_probe,
+           (d6.dist < d5.dist) AS arbitrage_tainted
+    FROM fxnodes f
+    JOIN a5 d5 ON d5.node = f.node
+    JOIN a6 d6 ON d6.node = f.node
+    """,
+)
+def fx_arbitrage_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CURRENCY ARBITRAGE DETECTION as negative-cycle detection — the
+    classic financial application of Bellman-Ford: edge weights are
+    -log(exchange rate) in integer milli-nats (a synthetic 6-currency
+    market with a deterministic rate formula; a cycle with negative
+    weight sum is a money pump). Run V-1 = 5 relaxation rounds, then
+    ONE probe round: any node whose distance still improves is
+    reachable through a negative cycle and flagged
+    ``arbitrage_tainted`` — the textbook certificate, here with both
+    the converged distances and the probe distances on the hash.
+    Reuses [[nations_shortest_paths]]'s relaxation machinery; INF is
+    a sentinel so unreached nodes compare deterministically.
+
+    Scale shape: per round one edge-list equi-join + grouped MIN —
+    constant-size here (markets have tens of currencies), but the
+    identical plan runs on entity-graph weights at any size."""
+    nodes = spark.range(0, 6).select(F.col("id").alias("node"))
+    edges = (
+        nodes.alias("a")
+        .crossJoin(nodes.alias("b"))
+        .filter(F.col("a.node") != F.col("b.node"))
+        .select(
+            F.col("a.node").alias("src"),
+            F.col("b.node").alias("dst"),
+            (
+                ((F.col("a.node") * 7 + F.col("b.node") * 13) % 90) - 40
+            ).alias("w"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    dist = nodes.select(
+        "node",
+        F.when(F.col("node") == 0, F.lit(0))
+        .otherwise(F.lit(_ARB_INF))
+        .cast("long")
+        .alias("dist"),
+    ).localCheckpoint(eager=True)
+    snapshots = []
+    for rnd in range(6):
+        best = (
+            edges.join(dist.withColumnRenamed("node", "src"), "src")
+            .filter(F.col("dist") < _ARB_INF)
+            .select(
+                F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("c")
+            )
+            .groupBy("node")
+            .agg(F.min("c").alias("best"))
+        )
+        dist = (
+            dist.join(best, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("dist"), F.coalesce(F.col("best"), F.lit(_ARB_INF))
+                ).alias("dist"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if rnd >= 4:
+            snapshots.append(dist)
+    d5, d6 = snapshots
+    return (
+        d5.withColumnRenamed("dist", "dist_after_v_minus_1")
+        .join(d6.withColumnRenamed("dist", "dist_probe"), "node")
+        .select(
+            F.col("node").cast("long").alias("currency"),
+            "dist_after_v_minus_1",
+            "dist_probe",
+            (F.col("dist_probe") < F.col("dist_after_v_minus_1")).alias(
+                "arbitrage_tainted"
+            ),
+        )
+    )
