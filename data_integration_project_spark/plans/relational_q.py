@@ -8902,3 +8902,93 @@ def fx_arbitrage_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "orders_format_parity_audit",
+    oracle="""
+    WITH base AS (
+      SELECT COUNT(*) AS n_rows,
+             CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+             CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents_sum
+      FROM orders WHERE o_orderkey % 21 = 0
+    )
+    SELECT fmt, n_rows, key_sum, cents_sum
+    FROM base CROSS JOIN (
+      VALUES ('parquet'), ('pyavro'), ('xml'), ('jsonl')) AS f(fmt)
+    """,
+)
+def orders_format_parity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORMAT-PARITY CERTIFICATE: one deterministic orders slice writes
+    through FOUR independent serialization stacks — native parquet,
+    the pure-Python Avro OCF (zigzag varints + deflate), native XML
+    (text round-trip), and the custom JSONL DataSource sink — and each
+    is read back and checksummed. All four rows must carry IDENTICAL
+    counts and integer sums, which certifies end-to-end that no codec
+    drops, duplicates, or perturbs a value (doubles survive via
+    shortest-repr text in XML/JSONL and bit-exact binary in
+    parquet/Avro; the checksum quantizes to cents so every path is
+    exact). This is the audit a multi-format lake runs after adding a
+    new writer.
+
+    Scale shape: four independent write+read+aggregate pipelines over
+    the same slice; each aggregate is map-side combined."""
+    import os
+    import tempfile
+
+    from ..sources import pyavro, pysink
+
+    pyavro.register(spark)
+    pysink.register(spark)
+    slice_df = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 21 == 0)
+        .select(
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    d = tempfile.mkdtemp(prefix="fmt_parity_")
+    reads = {}
+
+    p_parquet = os.path.join(d, "p.parquet")
+    slice_df.write.parquet(p_parquet)
+    reads["parquet"] = spark.read.parquet(p_parquet)
+
+    p_avro = os.path.join(d, "avro")
+    slice_df.write.format("pyavro").option("path", p_avro).mode("append").save()
+    reads["pyavro"] = (
+        spark.read.format("pyavro").option("path", p_avro).load()
+    )
+
+    p_xml = os.path.join(d, "xml")
+    slice_df.write.format("xml").option("rowTag", "row").save(p_xml)
+    reads["xml"] = (
+        spark.read.format("xml")
+        .option("rowTag", "row")
+        .schema("o_orderkey long, cents long")
+        .load(p_xml)
+    )
+
+    p_jsonl = os.path.join(d, "jsonl")
+    slice_df.write.format("jsonl_sink").option("path", p_jsonl).mode(
+        "append"
+    ).save()
+    reads["jsonl"] = spark.read.schema("o_orderkey long, cents long").json(
+        os.path.join(p_jsonl, "part-*.jsonl")
+    )
+
+    out = None
+    for fmt, df in reads.items():
+        agg = df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").alias("key_sum"),
+            F.sum("cents").alias("cents_sum"),
+        ).select(
+            F.lit(fmt).alias("fmt"), "n_rows", "key_sum", "cents_sum"
+        )
+        out = agg if out is None else out.unionAll(agg)
+    return out
