@@ -5487,3 +5487,101 @@ def events_streaming_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum("n").alias("n_events"))
     )
+
+
+@query(
+    "events_frequent_sequences",
+    oracle="""
+    WITH seqs AS (
+      SELECT user_id,
+             list_transform(
+               list_sort(list_zip(list(ts), list(event_id), list(event_type))),
+               z -> z[3]) AS evs
+      FROM events GROUP BY user_id
+    ),
+    grams AS (
+      SELECT user_id,
+             unnest(list_transform(range(1, len(evs) - 1),
+               i -> evs[i] || \'>\' || evs[i + 1] || \'>\' || evs[i + 2]))
+               AS pattern
+      FROM seqs WHERE len(evs) >= 3
+    ),
+    stats AS (
+      SELECT pattern,
+             COUNT(DISTINCT user_id) AS support,
+             COUNT(*) AS n_occurrences
+      FROM grams GROUP BY pattern
+    )
+    SELECT pattern, CAST(support AS BIGINT) AS support,
+           CAST(n_occurrences AS BIGINT) AS n_occurrences,
+           CAST(rk AS INTEGER) AS rk
+    FROM (SELECT pattern, support, n_occurrences,
+                 ROW_NUMBER() OVER (ORDER BY support DESC, pattern) AS rk
+          FROM stats)
+    WHERE rk <= 10
+    """,
+)
+def events_frequent_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENTIAL PATTERN MINING: the top contiguous length-3 behavior
+    sequences across user histories — extending pairwise transition
+    analysis to path patterns (view>view>click vs view>click>purchase
+    tell different product stories). Each user\'s ordered event-type
+    array yields its contiguous 3-grams inside one codegen
+    ``transform(sequence(...))`` (no positional self-join); SUPPORT
+    counts users exhibiting the pattern (the sequence-mining
+    convention) alongside raw occurrences; top-10 under a total order.
+    (Session-scoped mining was probed first and found degenerate —
+    sessions here average ~1 event, every 3-gram had support 1; the
+    degeneracy audit moved the unit to user histories.)
+
+    Scale shape: one shuffle to per-user arrays, one map-side-combined
+    pattern count over |patterns| rows, TakeOrdered(10)."""
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    seqs = ev.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ),
+            lambda z: z["event_type"],
+        ).alias("evs")
+    )
+    grams = (
+        seqs.filter(F.size("evs") >= 3)
+        .select(
+            "user_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("evs") - 3),
+                    lambda i: F.concat_ws(
+                        ">",
+                        F.col("evs")[i],
+                        F.col("evs")[i + 1],
+                        F.col("evs")[i + 2],
+                    ),
+                )
+            ).alias("pattern"),
+        )
+    )
+    stats = grams.groupBy("pattern").agg(
+        F.countDistinct("user_id").alias("support"),
+        F.count(F.lit(1)).alias("n_occurrences"),
+    )
+    return (
+        stats.withColumn(
+            "rk",
+            F.row_number().over(
+                W.orderBy(F.desc("support"), F.asc("pattern"))
+            ),
+        )
+        .filter(F.col("rk") <= 10)
+        .select(
+            "pattern",
+            F.col("support").cast("long"),
+            F.col("n_occurrences").cast("long"),
+            F.col("rk").cast("int"),
+        )
+    )
