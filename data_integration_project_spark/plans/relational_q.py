@@ -8992,3 +8992,90 @@ def orders_format_parity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = agg if out is None else out.unionAll(agg)
     return out
+
+
+@query(
+    "lineitem_price_indexes",
+    oracle="""
+    WITH px AS (
+      SELECT CAST(strftime(l_shipdate, '%Y') AS INTEGER) AS yr,
+             l_partkey,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q,
+             (SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+              // SUM(CAST(l_quantity AS BIGINT))) AS p_cents
+      FROM lineitem GROUP BY 1, 2
+    ),
+    base AS (
+      SELECT l_partkey, q AS q0, p_cents AS p0 FROM px
+      WHERE yr = (SELECT MIN(yr) FROM px)
+    ),
+    joined AS (
+      SELECT px.yr, px.l_partkey, px.q AS qt, px.p_cents AS pt, b.q0, b.p0
+      FROM px JOIN base b ON b.l_partkey = px.l_partkey
+    )
+    SELECT yr,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(CAST(pt * q0 AS HUGEINT)) * 1000000
+                // SUM(CAST(p0 * q0 AS HUGEINT)) AS BIGINT)
+             AS laspeyres_micro,
+           CAST(SUM(CAST(pt * qt AS HUGEINT)) * 1000000
+                // SUM(CAST(p0 * qt AS HUGEINT)) AS BIGINT)
+             AS paasche_micro
+    FROM joined GROUP BY yr
+    """,
+)
+def lineitem_price_indexes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LASPEYRES AND PAASCHE PRICE INDEXES — official-statistics
+    methodology over the order history: per part-year, average unit
+    price (integer cents, truncating division — both engines) and
+    quantity; the Laspeyres index weights price relatives by BASE-year
+    quantities (what statistical offices publish as CPI-style
+    inflation) while Paasche weights by CURRENT-year quantities, and
+    their gap is the substitution-bias measure index theory is about.
+    Both are single exact rationals per year — HUGEINT/decimal
+    weighted sums, one floored division to micro-units — restricted to
+    parts present in the base year (the matched-sample convention).
+
+    Scale shape: one map-side-combined (year, part) aggregate, a
+    broadcast-sized base-year join, and a per-year reaggregation."""
+    px = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.year("l_shipdate").alias("yr"), "l_partkey"
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("q"),
+            F.expr(
+                "sum(cast(floor(l_extendedprice * 100 + 0.5) as bigint))"
+                " div sum(cast(l_quantity as bigint))"
+            ).alias("p_cents"),
+        )
+        .persist()
+    )
+    try:
+        base_yr = px.agg(F.min("yr")).collect()[0][0]
+        base = px.filter(F.col("yr") == base_yr).select(
+            "l_partkey",
+            F.col("q").alias("q0"),
+            F.col("p_cents").alias("p0"),
+        )
+        joined = px.join(F.broadcast(base), "l_partkey")
+        dec = lambda c: c.cast("decimal(38,0)")
+        sums = joined.groupBy("yr").agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(dec(F.col("p_cents") * F.col("q0"))).alias("ptq0"),
+            F.sum(dec(F.col("p0") * F.col("q0"))).alias("p0q0"),
+            F.sum(dec(F.col("p_cents") * F.col("q"))).alias("ptqt"),
+            F.sum(dec(F.col("p0") * F.col("q"))).alias("p0qt"),
+        )
+        # exact integral division on the decimal sums — decimal `/`
+        # would round at the result scale and drift a micro-unit
+        out = sums.selectExpr(
+            "yr",
+            "cast(n_parts as bigint) as n_parts",
+            "cast((ptq0 * 1000000) div p0q0 as bigint) as laspeyres_micro",
+            "cast((ptqt * 1000000) div p0qt as bigint) as paasche_micro",
+        ).localCheckpoint(eager=True)
+    finally:
+        px.unpersist()
+    return out
