@@ -5585,3 +5585,171 @@ def events_frequent_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("int"),
         )
     )
+
+
+@query(
+    "events_chain_ladder",
+    oracle="""
+    WITH base AS (
+      SELECT (SELECT MIN(epoch_ms(ts) // 604800000) FROM events) AS w0
+    ),
+    cells0 AS (
+      SELECT user_id % 4 AS cohort,
+             (epoch_ms(ts) // 604800000) - b.w0 AS wk
+      FROM events CROSS JOIN base b
+    ),
+    cells AS (
+      SELECT cohort, wk - cohort AS dev, COUNT(*) AS n
+      FROM cells0 WHERE wk >= cohort
+      GROUP BY cohort, wk - cohort
+    ),
+    grid AS (
+      SELECT c.cohort, d.dev,
+             CAST(COALESCE(SUM(x.n), 0) AS BIGINT) AS inc
+      FROM (SELECT DISTINCT cohort FROM cells) c
+      CROSS JOIN (SELECT unnest(range(0, 5)) AS dev) d
+      LEFT JOIN cells x ON x.cohort = c.cohort AND x.dev = d.dev
+      GROUP BY c.cohort, d.dev
+    ),
+    cum AS (
+      SELECT cohort, dev,
+             SUM(inc) OVER (PARTITION BY cohort ORDER BY dev) AS c
+      FROM grid
+    ),
+    f AS (
+      SELECT d.dev AS fd,
+             (SELECT SUM(c2.c) * 1000000 // SUM(c1.c)
+              FROM cum c1 JOIN cum c2
+                ON c2.cohort = c1.cohort AND c2.dev = c1.dev + 1
+              WHERE c1.dev = d.dev AND c1.cohort + c1.dev + 1 <= 4)
+               AS f_micro
+      FROM (SELECT unnest(range(0, 4)) AS dev) d
+    ),
+    latest AS (
+      SELECT cohort, 4 - cohort AS observed_dev, c AS latest_cum
+      FROM cum WHERE dev = 4 - cohort
+    )
+    SELECT l.cohort,
+           CAST(l.observed_dev AS BIGINT) AS observed_dev,
+           l.latest_cum,
+           CAST(CASE l.cohort
+             WHEN 0 THEN l.latest_cum
+             WHEN 1 THEN l.latest_cum * (SELECT f_micro FROM f WHERE fd = 3)
+                         // 1000000
+             WHEN 2 THEN (l.latest_cum * (SELECT f_micro FROM f WHERE fd = 2)
+                          // 1000000) * (SELECT f_micro FROM f WHERE fd = 3)
+                         // 1000000
+             ELSE ((l.latest_cum * (SELECT f_micro FROM f WHERE fd = 1)
+                    // 1000000) * (SELECT f_micro FROM f WHERE fd = 2)
+                   // 1000000) * (SELECT f_micro FROM f WHERE fd = 3)
+                  // 1000000
+           END AS BIGINT) AS ultimate,
+           CAST(CASE l.cohort
+             WHEN 0 THEN 0
+             WHEN 1 THEN l.latest_cum * (SELECT f_micro FROM f WHERE fd = 3)
+                         // 1000000 - l.latest_cum
+             WHEN 2 THEN (l.latest_cum * (SELECT f_micro FROM f WHERE fd = 2)
+                          // 1000000) * (SELECT f_micro FROM f WHERE fd = 3)
+                         // 1000000 - l.latest_cum
+             ELSE ((l.latest_cum * (SELECT f_micro FROM f WHERE fd = 1)
+                    // 1000000) * (SELECT f_micro FROM f WHERE fd = 2)
+                   // 1000000) * (SELECT f_micro FROM f WHERE fd = 3)
+                  // 1000000 - l.latest_cum
+           END AS BIGINT) AS ibnr
+    FROM latest l
+    """,
+)
+def events_chain_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAIN-LADDER development projection (the actuarial reserving
+    workhorse, Mack 1993) on user-activity cohort triangles: four
+    weekly onboarding waves (deterministic ``user_id % 4`` offsets —
+    the fixture has a single natural cohort, so waves are synthesized
+    and documented) accumulate activity by development week; later
+    cohorts are TRUNCATED at the observation cutoff, volume-weighted
+    development factors ``f_d = sum C[*,d+1] / sum C[*,d]`` come from
+    the complete pairs only, and each truncated cohort's ULTIMATE is
+    its latest diagonal times the remaining factor chain (sequential
+    micro-floored products — both engines multiply in the same order).
+    IBNR = ultimate - observed, the quantity reserving exists to
+    estimate. The same math projects any cohort-maturation process:
+    claims, repayment, retention, LTV.
+
+    Scale shape: one shuffle to (cohort, dev) cells, window cumsum
+    over a 4x5 grid, scalar factor aggregates — triangle size is
+    calendar-bounded metadata, never data-bounded."""
+    ev = t(spark, sf_dir, "events")
+    w0 = ev.agg(
+        F.min(F.floor(F.unix_millis(F.col("ts").cast("timestamp")) / 604800000))
+    ).collect()[0][0]
+    cells = (
+        ev.select(
+            (F.col("user_id") % 4).alias("cohort"),
+            (
+                F.floor(
+                    F.unix_millis(F.col("ts").cast("timestamp")) / 604800000
+                )
+                - F.lit(w0)
+            ).alias("wk"),
+        )
+        .filter(F.col("wk") >= F.col("cohort"))
+        .groupBy("cohort", (F.col("wk") - F.col("cohort")).alias("dev"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    grid = (
+        cells.select("cohort")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                t(spark, sf_dir, "events")
+                .sparkSession.range(0, 5)
+                .select(F.col("id").alias("dev"))
+            )
+        )
+        .join(cells, ["cohort", "dev"], "left")
+        .select("cohort", "dev", F.coalesce(F.col("n"), F.lit(0)).alias("inc"))
+    )
+    from pyspark.sql import Window as W
+
+    cum = grid.select(
+        "cohort",
+        "dev",
+        F.sum("inc").over(W.partitionBy("cohort").orderBy("dev")).alias("c"),
+    ).localCheckpoint(eager=True)
+    facs = {}
+    for d in range(4):
+        pair = (
+            cum.alias("c1")
+            .join(
+                cum.alias("c2"),
+                (F.col("c2.cohort") == F.col("c1.cohort"))
+                & (F.col("c2.dev") == F.col("c1.dev") + 1),
+            )
+            .filter(
+                (F.col("c1.dev") == d)
+                & (F.col("c1.cohort") + F.col("c1.dev") + 1 <= 4)
+            )
+            .agg(
+                F.expr("sum(c2.c) * 1000000 div sum(c1.c)").alias("f")
+            )
+            .collect()[0]["f"]
+        )
+        facs[d] = int(pair)
+    latest = cum.filter(F.col("dev") == 4 - F.col("cohort")).select(
+        "cohort",
+        (4 - F.col("cohort")).cast("long").alias("observed_dev"),
+        F.col("c").alias("latest_cum"),
+    )
+    rows = latest.collect()
+    out = []
+    for r in rows:
+        c = int(r["cohort"])
+        u = int(r["latest_cum"])
+        for d in range(4 - c, 4):
+            u = u * facs[d] // 1000000
+        out.append(
+            (c, int(r["observed_dev"]), int(r["latest_cum"]), u, u - int(r["latest_cum"]))
+        )
+    return spark.createDataFrame(
+        out,
+        "cohort long, observed_dev long, latest_cum long, ultimate long, ibnr long",
+    )
