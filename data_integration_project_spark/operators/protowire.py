@@ -134,7 +134,12 @@ def decode_message(
             continue
         name, kind = known
         if kind == "int":
-            rec[name] = raw
+            if wt != 0:
+                raise ValueError("protowire: int must be varint")
+            # proto3 int32/int64 put negatives on the wire as the
+            # 64-bit two's complement — reinterpret, or encode(-5)
+            # decodes to 2^64-5 (encode_message masks with & (2^64-1))
+            rec[name] = raw - (1 << 64) if raw >= (1 << 63) else raw
         elif kind == "sint":
             rec[name] = _unzigzag(raw)
         elif kind == "double":

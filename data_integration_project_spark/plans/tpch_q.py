@@ -892,13 +892,13 @@ WITH sc AS (SELECT COUNT(*) AS c FROM supplier),
 partsupp AS (
   SELECT DISTINCT
     p_partkey AS ps_partkey,
-    (p_partkey + i.i * (sc.c // 4 + (p_partkey - 1) // sc.c)) % sc.c
+    (p_partkey + i.i * (sc.c // 4 + (p_partkey - 1) // sc.c)) % sc.c + 1
       AS ps_suppkey,
     ((p_partkey * 7919
-      + ((p_partkey + i.i * (sc.c // 4 + (p_partkey - 1) // sc.c)) % sc.c)
+      + ((p_partkey + i.i * (sc.c // 4 + (p_partkey - 1) // sc.c)) % sc.c + 1)
         * 104729) % 90000) + 10000 AS ps_supplycost_cents,
     ((p_partkey * 31
-      + ((p_partkey + i.i * (sc.c // 4 + (p_partkey - 1) // sc.c)) % sc.c)
+      + ((p_partkey + i.i * (sc.c // 4 + (p_partkey - 1) // sc.c)) % sc.c + 1)
         * 37) % 9999) + 1 AS ps_availqty
   FROM part, (VALUES (0), (1), (2), (3)) AS i(i), sc
 )
@@ -911,10 +911,12 @@ def derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the supplier table is still dimension-sized. The 4-way
     explode keeps everything a projection over ``part`` (no join), and
     DISTINCT guards against stride collisions at small S (stride
-    multiples of S/k map two i's to one supplier)."""
+    multiples of S/k map two i's to one supplier). The +1 lands keys on
+    the REAL supplier domain 1..S (dbgen suppliers are 1-based; without
+    it every row hashed to 0 fell out of the Q2/Q11 joins)."""
     s_count = int(t(spark, sf_dir, "supplier").count())
     stride = F.lit(s_count // 4) + F.expr(f"(ps_partkey - 1) div {s_count}")
-    suppkey = (F.col("ps_partkey") + F.col("i") * stride) % s_count
+    suppkey = (F.col("ps_partkey") + F.col("i") * stride) % s_count + 1
     return (
         t(spark, sf_dir, "part")
         .select(

@@ -442,6 +442,8 @@ class AvroReader(DataSourceReader):
         return splits or [_AvroSplit(self.path, 0, 0)]
 
     def read(self, split: _AvroSplit):
+        if split.start >= split.end:
+            return  # empty dataset (e.g. directory with no .avro files)
         yield from read_blocks(
             split.path, split.start, split.end, self.reader_schema
         )

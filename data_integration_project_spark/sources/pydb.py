@@ -29,7 +29,9 @@ instead — the class structure is the same).
 from __future__ import annotations
 
 import os
+import shutil
 import sqlite3
+import uuid
 from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
@@ -132,21 +134,51 @@ class SqliteReader(DataSourceReader):
 class SqliteCommit(WriterCommitMessage):
     shard_path: str
     n_rows: int
+    n_quarantined: int = 0
 
 
 class SqliteWriter(DataSourceWriter):
+    """Batched bulk writer with BATCH-LEVEL ROLLBACK-AND-CONTINUE
+    (reference ``etl/db/sql_client.py:153-183``: each executemany batch
+    commits on its own; a failing batch is rolled back, quarantined, and
+    the load continues with the next batch). Failed batches land in
+    ``{table}__quarantine`` (original values + ``_error`` message) so an
+    operator can replay them — the K8 failed-data-logger semantics made
+    queryable.
+
+    Shards are written under a per-write ``_shards-<token>`` temporary
+    directory and the WHOLE directory is removed in commit/abort, so a
+    failed or speculative task attempt (which never reports a commit
+    message) cannot leave an orphan shard database behind."""
+
     def __init__(self, schema, options, overwrite: bool) -> None:
         self.path = options["path"]
         self.table = options["table"]
         self.batch_size = int(options.get("batch_size", 500))
         self.truncate = options.get("truncate", "false").lower() == "true"
+        #: optional explicit DDL (lets a test declare CHECK constraints
+        #: that make a poison batch fail server-side)
+        self.ddl_override = options.get("ddl")
         self.cols = [f.name for f in schema.fields]
         self.overwrite = overwrite
+        # generated driver-side at plan time; pickled to every task so
+        # all shards of THIS write land in one disposable directory
+        self.shard_dir = f"{self.path}._shards-{uuid.uuid4().hex[:12]}"
 
     def _ddl(self) -> str:
+        if self.ddl_override:
+            return self.ddl_override
         return (
             f"CREATE TABLE IF NOT EXISTS {self.table} "
             f"({', '.join(self.cols)})"
+        )
+
+    def _quarantine_ddl(self) -> str:
+        # no constraints here on purpose: quarantine must accept exactly
+        # the rows the target rejected
+        return (
+            f"CREATE TABLE IF NOT EXISTS {self.table}__quarantine "
+            f"({', '.join(self.cols)}, _error)"
         )
 
     # executor side: one shard database per task, batched executemany
@@ -154,35 +186,51 @@ class SqliteWriter(DataSourceWriter):
         from pyspark import TaskContext
 
         ctx = TaskContext.get()
-        shard = f"{self.path}.shard-{ctx.taskAttemptId()}"
+        os.makedirs(self.shard_dir, exist_ok=True)
+        shard = os.path.join(self.shard_dir, f"shard-{ctx.taskAttemptId()}")
         con = sqlite3.connect(shard)
         n = 0
+        n_quarantined = 0
         try:
             con.execute(self._ddl())
+            con.execute(self._quarantine_ddl())
             ph = ", ".join("?" for _ in self.cols)
             ins = f"INSERT INTO {self.table} VALUES ({ph})"
-            batch = []
+            qins = f"INSERT INTO {self.table}__quarantine VALUES ({ph}, ?)"
+
+            def flush(batch: list[tuple]) -> None:
+                nonlocal n, n_quarantined
+                try:
+                    con.executemany(ins, batch)  # K4 batched bulk insert
+                    con.commit()  # per-batch transaction
+                    n += len(batch)
+                except sqlite3.Error as e:
+                    con.rollback()  # rollback THIS batch, keep going
+                    con.executemany(qins, [r + (str(e),) for r in batch])
+                    con.commit()
+                    n_quarantined += len(batch)
+
+            batch: list[tuple] = []
             for row in iterator:
                 batch.append(tuple(row))
                 if len(batch) >= self.batch_size:
-                    con.executemany(ins, batch)  # K4 batched bulk insert
-                    n += len(batch)
+                    flush(batch)
                     batch = []
             if batch:
-                con.executemany(ins, batch)
-                n += len(batch)
-            con.commit()
+                flush(batch)
         finally:
             con.close()
-        return SqliteCommit(shard_path=shard, n_rows=n)
+        return SqliteCommit(shard_path=shard, n_rows=n, n_quarantined=n_quarantined)
 
     # driver side: DDL bootstrap + optional truncate, then shard merge
     def commit(self, messages) -> None:
         con = sqlite3.connect(self.path)
         try:
             con.execute(self._ddl())  # K7 idempotent bootstrap
+            con.execute(self._quarantine_ddl())
             if self.truncate or self.overwrite:
                 con.execute(f"DELETE FROM {self.table}")  # K6 truncate
+                con.execute(f"DELETE FROM {self.table}__quarantine")
             for m in messages:
                 if m is None:
                     continue
@@ -190,19 +238,24 @@ class SqliteWriter(DataSourceWriter):
                 con.execute(
                     f"INSERT INTO {self.table} SELECT * FROM shard.{self.table}"
                 )
+                con.execute(
+                    f"INSERT INTO {self.table}__quarantine "
+                    f"SELECT * FROM shard.{self.table}__quarantine"
+                )
                 con.commit()
                 con.execute("DETACH DATABASE shard")
             con.commit()
         finally:
             con.close()
-        for m in messages:
-            if m is not None and os.path.exists(m.shard_path):
-                os.remove(m.shard_path)
+        self._cleanup_shards()
 
     def abort(self, messages) -> None:
-        for m in messages:
-            if m is not None and os.path.exists(m.shard_path):
-                os.remove(m.shard_path)
+        self._cleanup_shards()
+
+    def _cleanup_shards(self) -> None:
+        # removes EVERY shard of this write — including ones from failed
+        # or speculative attempts that never sent a commit message
+        shutil.rmtree(self.shard_dir, ignore_errors=True)
 
 
 class SqliteDataSource(DataSource):
@@ -244,35 +297,60 @@ class SqliteStreamWriter(SqliteWriter, DataSourceStreamWriter):
 
     def commit(self, messages, batchId: int) -> None:  # type: ignore[override]
         con = sqlite3.connect(self.path)
+        con.isolation_level = None  # explicit transaction control
         try:
             con.execute(self._ddl())
+            con.execute(self._quarantine_ddl())
             con.execute(
                 "CREATE TABLE IF NOT EXISTS _batch_log (batch_id INTEGER PRIMARY KEY)"
             )
-            already = con.execute(
-                "SELECT 1 FROM _batch_log WHERE batch_id = ?", (batchId,)
-            ).fetchone()
-            if already is None:
-                for m in messages:
-                    if m is None:
-                        continue
-                    con.execute("ATTACH DATABASE ? AS shard", (m.shard_path,))
+            # SQLite forbids ATTACH inside a transaction, so shard rows
+            # are read through SEPARATE connections and inserted on the
+            # target connection — which lets the merged rows and the
+            # _batch_log row commit ATOMICALLY. A crash between them can
+            # no longer leave rows committed but the batch unlogged
+            # (which would duplicate every shard on checkpoint replay).
+            con.execute("BEGIN IMMEDIATE")
+            try:
+                already = con.execute(
+                    "SELECT 1 FROM _batch_log WHERE batch_id = ?", (batchId,)
+                ).fetchone()
+                if already is None:
+                    ph = ", ".join("?" for _ in self.cols)
+                    for m in messages:
+                        if m is None:
+                            continue
+                        src = sqlite3.connect(m.shard_path)
+                        try:
+                            rows = src.execute(
+                                f"SELECT * FROM {self.table}"
+                            ).fetchall()
+                            try:
+                                qrows = src.execute(
+                                    f"SELECT * FROM {self.table}__quarantine"
+                                ).fetchall()
+                            except sqlite3.OperationalError:
+                                qrows = []  # shard predates quarantine
+                        finally:
+                            src.close()
+                        con.executemany(
+                            f"INSERT INTO {self.table} VALUES ({ph})", rows
+                        )
+                        con.executemany(
+                            f"INSERT INTO {self.table}__quarantine "
+                            f"VALUES ({ph}, ?)",
+                            qrows,
+                        )
                     con.execute(
-                        f"INSERT INTO {self.table} SELECT * FROM shard.{self.table}"
+                        "INSERT INTO _batch_log (batch_id) VALUES (?)", (batchId,)
                     )
-                    con.commit()
-                    con.execute("DETACH DATABASE shard")
-                con.execute(
-                    "INSERT INTO _batch_log (batch_id) VALUES (?)", (batchId,)
-                )
-                con.commit()
+                con.execute("COMMIT")
+            except BaseException:
+                con.execute("ROLLBACK")
+                raise
         finally:
             con.close()
-        for m in messages:
-            if m is not None and os.path.exists(m.shard_path):
-                os.remove(m.shard_path)
+        self._cleanup_shards()
 
     def abort(self, messages, batchId: int) -> None:  # type: ignore[override]
-        for m in messages:
-            if m is not None and os.path.exists(m.shard_path):
-                os.remove(m.shard_path)
+        self._cleanup_shards()
