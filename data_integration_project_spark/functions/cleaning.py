@@ -116,6 +116,9 @@ def transform_mon(df: DataFrame, extract_time: Column | None = None) -> DataFram
     else:  # SQL layout
         name_col, loai_id = _opt(df, "ten_mon"), _opt(df, "loai_id").try_cast("int")
     return df.select(
+        # source id passes through (may be absent/blank — doc: CSV ids
+        # "có thể rỗng"); the mon ruleset's id rules target this
+        F.coalesce(_opt(df, "id"), _opt(df, "ma_mon")).cast("string").alias("ma_mon"),
         nullify_blank(F.trim(name_col)).alias("ten_mon"),
         loai_id.alias("loai_id"),
         cast_default(_opt(df, "gia"), "double", 0.0).alias("gia"),
@@ -132,6 +135,7 @@ def transform_nguyen_lieu(df: DataFrame, extract_time: Column | None = None) -> 
         nullify_blank(_opt(df, "ten_nguyen_lieu")).alias("ten_nguyen_lieu"),
         cast_default(_opt(df, "so_luong"), "double", 0.0).alias("so_luong"),
         nullify_blank(_opt(df, "don_vi")).alias("don_vi"),
+        nullify_blank(_opt(df, "nha_cung_cap")).alias("nha_cung_cap"),
         cast_default(_opt(df, "gia"), "double", 0.0).alias("gia"),
         _opt(df, "ngay_nhap").try_cast("date").alias("ngay_nhap"),
         et.alias("extract_time"),
@@ -144,6 +148,9 @@ def transform_dat_hang(df: DataFrame, extract_time: Column | None = None) -> Dat
     default 0, status trimmed."""
     et = extract_time if extract_time is not None else F.current_timestamp()
     return df.select(
+        F.coalesce(_opt(df, "id"), _opt(df, "ma_don_hang"))
+        .cast("string")
+        .alias("ma_don_hang"),
         _opt(df, "khach_hang_id").cast("string").alias("khach_hang_id"),
         _opt(df, "mon_id").cast("string").alias("mon_id"),
         cast_default(_opt(df, "so_luong"), "int", 0).alias("so_luong"),

@@ -22,6 +22,7 @@ never a full-partition materialization), and the partitioning story
 from __future__ import annotations
 
 from collections.abc import Iterator
+from functools import lru_cache
 
 import pandas as pd
 
@@ -1212,23 +1213,71 @@ def resample_audio_2x(media: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _flac_crc8(data: bytes) -> int:
-    """CRC-8, polynomial x^8+x^2+x+1 (0x07), init 0 — FLAC frame header."""
-    crc = 0
-    for b in data:
-        crc ^= b
+def _crc8_table() -> list[int]:
+    t = []
+    for b in range(256):
+        crc = b
         for _ in range(8):
             crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+        t.append(crc)
+    return t
+
+
+def _crc16_tables() -> tuple[list[int], list[int]]:
+    """Byte table + TWO-byte table for CRC-16/0x8005. A zero-init,
+    no-final-xor CRC is GF(2)-linear, so consuming 16 bits from state
+    ``s`` with data word ``v`` equals advancing state ``s ^ v`` by 16
+    zero bits — one 64Ki-entry lookup per two bytes."""
+    t1 = []
+    for b in range(256):
+        crc = b << 8
+        for _ in range(8):
+            crc = (
+                ((crc << 1) ^ 0x8005) & 0xFFFF
+                if crc & 0x8000
+                else (crc << 1) & 0xFFFF
+            )
+        t1.append(crc)
+    t2 = [0] * 65536
+    for x in range(65536):
+        s1 = ((x << 8) & 0xFFFF) ^ t1[x >> 8]
+        t2[x] = ((s1 << 8) & 0xFFFF) ^ t1[s1 >> 8]
+    return t1, t2
+
+
+_CRC8_T: list[int] | None = None
+_CRC16_T: tuple[list[int], list[int]] | None = None
+
+
+def _flac_crc8(data: bytes) -> int:
+    """CRC-8, polynomial x^8+x^2+x+1 (0x07), init 0 — FLAC frame header.
+    Table-driven (8-bit state consumes a whole byte per lookup)."""
+    global _CRC8_T
+    if _CRC8_T is None:
+        _CRC8_T = _crc8_table()
+    t = _CRC8_T
+    crc = 0
+    for b in data:
+        crc = t[crc ^ b]
     return crc
 
 
 def _flac_crc16(data: bytes) -> int:
-    """CRC-16, polynomial x^16+x^15+x^2+1 (0x8005), init 0 — FLAC frame."""
+    """CRC-16, polynomial x^16+x^15+x^2+1 (0x8005), init 0 — FLAC frame.
+    Two bytes per table lookup (the frame CRC spans the whole frame, so
+    this was the decoder's hottest loop after the Rice vectorization)."""
+    import struct
+
+    global _CRC16_T
+    if _CRC16_T is None:
+        _CRC16_T = _crc16_tables()
+    t1, t2 = _CRC16_T
     crc = 0
-    for b in data:
-        crc ^= b << 8
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+    n = len(data) & ~1
+    for v in struct.unpack(f">{n >> 1}H", data[:n]):
+        crc = t2[crc ^ v]
+    if len(data) & 1:
+        crc = ((crc << 8) & 0xFFFF) ^ t1[(crc >> 8) ^ data[-1]]
     return crc
 
 
@@ -1310,6 +1359,85 @@ _FLAC_FIXED_COEFS = {
     3: [3, -3, 1],
     4: [4, -6, 4, -1],
 }
+
+
+class _RiceStream:
+    """Vectorized Rice decoding over one payload's bit plane (VERDICT r2
+    task 4: the per-bit Python walk was the decoder's constant-factor
+    sin). The payload unpacks ONCE into a numpy 0/1 plane; each Rice
+    partition decodes as array arithmetic:
+
+    * terminator search — FLAC unary is q zeros then a one, so each
+      residual ends at a 1-bit; with ``ones`` = positions of all 1-bits
+      and fixed k, residual i+1 starts at ``t_i + 1 + k``, making the
+      terminator sequence the orbit of ``nxt[j] = searchsorted(ones,
+      ones[j] + 1 + k)`` — ONE vectorized searchsorted per partition,
+      then count C-level index hops;
+    * quotients — first differences of the terminator positions;
+    * k low bits — one fancy-indexed gather + dot with bit weights.
+
+    ~50× fewer Python-level operations than the per-bit reader on
+    typical k; bit-identical output (pinned by the unchanged oracle
+    hashes and the MD5/CRC integrity checks)."""
+
+    def __init__(self, payload: bytes) -> None:
+        import numpy as np
+
+        self._np = np
+        self.bits = np.unpackbits(np.frombuffer(payload, dtype=np.uint8))
+        self.ones = np.flatnonzero(self.bits).astype(np.int64)
+
+    def decode(self, bitpos: int, count: int, k: int) -> tuple:
+        """Decode ``count`` Rice(k) residuals starting at absolute bit
+        position ``bitpos`` → (int64 residuals, new bit position)."""
+        np = self._np
+        if count == 0:
+            return np.zeros(0, dtype=np.int64), bitpos
+        ones = self.ones
+        step = 1 + k
+        j = int(np.searchsorted(ones, bitpos))
+        if j >= len(ones):
+            raise ValueError("flac: bitstream exhausted")
+        nxt = np.searchsorted(ones, ones + step)
+        idx = np.empty(count, dtype=np.int64)
+        idx[0] = j
+        for i in range(1, count):  # C-level hops, no bit work
+            j = nxt[j]
+            if j >= len(ones):
+                raise ValueError("flac: bitstream exhausted")
+            idx[i] = j
+        t = ones[idx]
+        q = np.empty(count, dtype=np.int64)
+        q[0] = t[0] - bitpos
+        q[1:] = np.diff(t) - step
+        if k:
+            gather = t[:, None] + 1 + np.arange(k, dtype=np.int64)
+            if gather[-1, -1] >= len(self.bits):
+                raise ValueError("flac: bitstream exhausted")
+            weights = (1 << np.arange(k - 1, -1, -1, dtype=np.int64))
+            low = self.bits[gather].astype(np.int64) @ weights
+        else:
+            low = 0
+        u = (q << k) | low
+        res = (u >> 1) ^ -(u & 1)
+        return res, int(t[-1]) + step
+
+
+def _flac_fixed_reconstruct(warm: list[int], residuals, order: int) -> list[int]:
+    """Invert the order-o FIXED predictor by o cumulative sums (the
+    FIXED residual IS the o-th forward difference; integration needs
+    only the warm-up's difference pyramid — all numpy, no per-sample
+    Python)."""
+    import numpy as np
+
+    cur = np.asarray(residuals, dtype=np.int64)
+    if order == 0:
+        return cur.tolist()
+    w = np.array(warm, dtype=np.int64)
+    for j in range(order - 1, -1, -1):
+        init = np.diff(w, j)[-1] if j > 0 else w[-1]
+        cur = init + np.cumsum(cur)
+    return w.tolist() + cur.tolist()
 
 
 def _flac_fixed_residual(samples: list[int], order: int) -> list[int]:
@@ -1440,6 +1568,7 @@ def decode_flac(payload: bytes) -> dict:
 
     samples: list[int] = []
     max_order_seen = -1
+    rice = _RiceStream(payload)  # one bit-plane unpack for every frame
     while pos < len(payload):
         frame_start = pos
         r = _BitReader(payload, pos)
@@ -1502,7 +1631,7 @@ def decode_flac(payload: bytes) -> dict:
             if r.read(2) != 0:
                 raise NotImplementedError("flac subset: 5-bit Rice unsupported")
             part_order = r.read(4)
-            residuals: list[int] = []
+            residual_parts = []
             n_parts = 1 << part_order
             for p in range(n_parts):
                 k = r.read(4)
@@ -1511,18 +1640,15 @@ def decode_flac(payload: bytes) -> dict:
                 count = blocksize >> part_order
                 if p == 0:
                     count -= order
-                for _ in range(count):
-                    q = r.read_unary()
-                    u = (q << k) | r.read(k)
-                    residuals.append((u >> 1) ^ -(u & 1))
-            coefs = _FLAC_FIXED_COEFS[order]
-            frame_samples = list(warm)
-            for res in residuals:
-                pred = sum(
-                    c * frame_samples[len(frame_samples) - 1 - j]
-                    for j, c in enumerate(coefs)
-                )
-                frame_samples.append(res + pred)
+                # vectorized Rice partition (numpy) — hand the reader's
+                # bit cursor to the bit plane and back
+                res, new_bitpos = rice.decode(r.byte * 8 + r.bit, count, k)
+                r.byte, r.bit = divmod(new_bitpos, 8)
+                residual_parts.append(res)
+            import numpy as _np
+
+            residuals = _np.concatenate(residual_parts) if residual_parts else []
+            frame_samples = _flac_fixed_reconstruct(warm, residuals, order)
         else:
             raise NotImplementedError("flac subset: LPC subframes unsupported")
         r.align()
@@ -1535,18 +1661,22 @@ def decode_flac(payload: bytes) -> dict:
 
     if total and len(samples) != total:
         raise ValueError("flac: sample count disagrees with STREAMINFO")
-    pcm = struct.pack(f"<{len(samples)}h", *samples)
+    import numpy as np
+
+    arr = np.asarray(samples, dtype=np.int64)
+    pcm = arr.astype("<i2").tobytes()
     md5_ok = hashlib.md5(pcm).digest() == md5_expect
     if not md5_ok:
         raise ValueError("flac: PCM MD5 mismatch — stream is not lossless")
+    absarr = np.abs(arr)
     return {
         "format": "flac",
         "sample_rate": sample_rate,
         "n_channels": n_channels,
         "n_frames": len(samples),
         "duration_ms": len(samples) * 1000 // sample_rate if sample_rate else 0,
-        "sum_abs": sum(abs(v) for v in samples),
-        "peak_abs": max((abs(v) for v in samples), default=0),
+        "sum_abs": int(absarr.sum()),
+        "peak_abs": int(absarr.max()) if len(samples) else 0,
         "fixed_order": max_order_seen,
         "crc_ok": 1,
         "md5_ok": 1,
@@ -1678,6 +1808,25 @@ def _jpeg_huff_decoder(bits: list[int], vals: list[int]) -> dict[tuple[int, int]
     """(length, code) -> symbol for the bit-at-a-time decoder."""
     enc = _jpeg_huff_encoder(bits, vals)
     return {(ln, code): sym for sym, (code, ln) in enc.items()}
+
+
+@lru_cache(maxsize=64)
+def _jpeg_huff_lut(bits: tuple, vals: tuple) -> tuple[bytes, bytes]:
+    """16-bit-window Huffman LUT (VERDICT r2 task 4 — kills the
+    bit-at-a-time code walk): every canonical code of length L owns the
+    2^(16-L) windows it prefixes, so decode = ONE table index on the
+    next 16 bits, then consume lens[window] bits. Built once per
+    distinct DHT content (lru_cache — a corpus encoded with the Annex K
+    tables builds exactly two), 2×64 KiB per table."""
+    enc = _jpeg_huff_encoder(list(bits), list(vals))
+    syms = bytearray(65536)
+    lens = bytearray(65536)
+    for sym, (code, ln) in enc.items():
+        base = code << (16 - ln)
+        span = 1 << (16 - ln)
+        syms[base : base + span] = bytes([sym]) * span
+        lens[base : base + span] = bytes([ln]) * span
+    return bytes(syms), bytes(lens)
 
 
 import math as _math
@@ -1918,15 +2067,26 @@ class _JpegBitReader:
             raise ValueError("jpeg: expected restart marker out of sequence")
         self.pos += 2
 
-    def huff(self, table: dict[tuple[int, int], int]) -> int:
-        code, ln = 0, 0
-        while ln <= 16:
-            code = (code << 1) | self.read(1)
-            ln += 1
-            sym = table.get((ln, code))
-            if sym is not None:
-                return sym
-        raise ValueError("jpeg: invalid Huffman code")
+    def huff(self, syms: bytes, lens: bytes) -> int:
+        """LUT decode: peek (up to) 16 bits, one index, consume. A fill
+        stopping early (marker / end of data) zero-pads the window; a
+        code longer than the real bits available is then caught by the
+        ``ln > nbits`` guard — same failures as the old per-bit walk."""
+        while self.nbits < 16:
+            try:
+                self._fill()
+            except (ValueError, IndexError):
+                break
+        if self.nbits >= 16:
+            window = (self.acc >> (self.nbits - 16)) & 0xFFFF
+        else:
+            window = (self.acc << (16 - self.nbits)) & 0xFFFF
+        ln = lens[window]
+        if ln == 0 or ln > self.nbits:
+            raise ValueError("jpeg: invalid Huffman code")
+        self.nbits -= ln
+        self.acc &= (1 << self.nbits) - 1
+        return syms[window]
 
 
 def _jpeg_extend(v: int, size: int) -> int:
@@ -1963,10 +2123,10 @@ def _decode_jpeg_blocks(payload: bytes) -> tuple[dict, list[list[int]], int]:
             o = 0
             while o < len(body):
                 tc_th = body[o]
-                bits = list(body[o + 1 : o + 17])
+                bits = tuple(body[o + 1 : o + 17])
                 n = sum(bits)
-                vals = list(body[o + 17 : o + 17 + n])
-                htables[tc_th] = _jpeg_huff_decoder(bits, vals)
+                vals = tuple(body[o + 17 : o + 17 + n])
+                htables[tc_th] = (bits, vals)  # LUT built lazily, cached
                 o += 17 + n
         elif marker == 0xC0:
             hdr["height"] = int.from_bytes(body[1:3], "big")
@@ -1985,8 +2145,8 @@ def _decode_jpeg_blocks(payload: bytes) -> tuple[dict, list[list[int]], int]:
         # APPn/COM segments fall through ignored, as the spec allows
     if "height" not in hdr:
         raise ValueError("jpeg: missing SOF0")
-    dc_tab = htables[0x00 | hdr["dc_table"]]
-    ac_tab = htables[0x10 | hdr["ac_table"]]
+    dc_syms, dc_lens = _jpeg_huff_lut(*htables[0x00 | hdr["dc_table"]])
+    ac_syms, ac_lens = _jpeg_huff_lut(*htables[0x10 | hdr["ac_table"]])
     n_blocks = (hdr["height"] // 8) * (hdr["width"] // 8)
     r = _JpegBitReader(payload, pos)
     blocks: list[list[int]] = []
@@ -1998,12 +2158,12 @@ def _decode_jpeg_blocks(payload: bytes) -> tuple[dict, list[list[int]], int]:
             restarts += 1
             pred = 0
         zz = [0] * 64
-        size = r.huff(dc_tab)
+        size = r.huff(dc_syms, dc_lens)
         pred += _jpeg_extend(r.read(size), size) if size else 0
         zz[0] = pred
         k = 1
         while k < 64:
-            sym = r.huff(ac_tab)
+            sym = r.huff(ac_syms, ac_lens)
             if sym == 0x00:                            # EOB
                 break
             run, size = sym >> 4, sym & 0x0F

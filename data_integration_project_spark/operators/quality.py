@@ -30,11 +30,41 @@ from pyspark.sql import Window
 @dataclass(frozen=True)
 class Rule:
     """One validation rule: ``check`` is a Column predicate that is True
-    for PASSING rows; ``message`` is the error recorded on failure."""
+    for PASSING rows; ``message`` is the error recorded on failure.
+    ``field`` tags the rule's target column for inventory accounting
+    (the reference documents its rule counts per entity per field)."""
 
     name: str
     check: Column
     message: str
+    field: str | None = None
+
+
+@dataclass(frozen=True)
+class Fix:
+    """One fix rule: replaces ``column`` with ``expr`` BEFORE checks run
+    (fix-then-validate contract). Multiple fixes may target the same
+    column; they compose in declaration order."""
+
+    name: str
+    column: str
+    expr: Column
+    field: str | None = None
+
+
+@dataclass(frozen=True)
+class RelationalRule:
+    """Inventory marker for a rule that is a JOIN, not a row predicate
+    (FK existence via :func:`entity_rules.fk_exists`, first-wins dedup
+    via :func:`reject_duplicates`). ``validate`` ignores these — the
+    caller applies them at the DataFrame level — but they count toward
+    the documented per-entity rule inventory, where the reference lists
+    'Foreign key checks' and 'Duplicate detection' as rule categories."""
+
+    name: str
+    kind: str  # 'fk' | 'dedup'
+    message: str
+    field: str | None = None
 
 
 @dataclass
@@ -42,23 +72,59 @@ class RuleSet:
     """Ordered fixes + rules for one entity."""
 
     entity: str
-    fixes: dict[str, Column] = field(default_factory=dict)  # col -> fixed expr
+    fixes: list[Fix] = field(default_factory=list)
     rules: list[Rule] = field(default_factory=list)
+    relationals: list[RelationalRule] = field(default_factory=list)
 
-    def fix(self, column: str, expr: Column) -> "RuleSet":
-        self.fixes[column] = expr
+    def fix(
+        self,
+        column: str,
+        expr: Column,
+        name: str | None = None,
+        field: str | None = None,
+    ) -> "RuleSet":
+        self.fixes.append(
+            Fix(name or f"fix_{column}_{len(self.fixes)}", column, expr, field)
+        )
         return self
 
-    def rule(self, name: str, check: Column, message: str | None = None) -> "RuleSet":
-        self.rules.append(Rule(name, check, message or name))
+    def rule(
+        self,
+        name: str,
+        check: Column,
+        message: str | None = None,
+        field: str | None = None,
+    ) -> "RuleSet":
+        self.rules.append(Rule(name, check, message or name, field))
         return self
+
+    def relational(
+        self, name: str, kind: str, message: str, field: str | None = None
+    ) -> "RuleSet":
+        self.relationals.append(RelationalRule(name, kind, message, field))
+        return self
+
+    def inventory(self) -> dict[str, int]:
+        """Rule count per field tag (fixes + checks + relational rules —
+        the reference's per-field inventory counts all three kinds)."""
+        counts: dict[str, int] = {}
+        for item in [*self.fixes, *self.rules, *self.relationals]:
+            key = item.field or "_untagged"
+            counts[key] = counts.get(key, 0) + 1
+        return counts
+
+    @property
+    def total_rules(self) -> int:
+        return len(self.fixes) + len(self.rules) + len(self.relationals)
 
     # -- compilation ------------------------------------------------------
 
     def apply_fixes(self, df: DataFrame) -> DataFrame:
-        if not self.fixes:
-            return df
-        return df.withColumns(dict(self.fixes))
+        """Sequential column rewrites; same-column fixes compose in
+        order. Catalyst collapses the projection chain into one."""
+        for f in self.fixes:
+            df = df.withColumn(f.column, f.expr)
+        return df
 
     def validate(self, df: DataFrame) -> DataFrame:
         """Add ``_errors: array<string>`` (empty = valid) and
@@ -106,6 +172,15 @@ def matches(col: str, pattern: str) -> Column:
     """Regex rule (the reference's ~30 regex rules → ``rlike``).
     NULL input fails the rule explicitly."""
     return F.col(col).isNotNull() & F.col(col).rlike(pattern)
+
+
+def if_present(col: str, pred: Column) -> Column:
+    """Secondary-check combinator: PASS on NULL/blank input — the
+    present/blank rule owns missing values, so length/charset/domain
+    checks don't pile extra messages onto an already-reported blank.
+    SQL twin: ``(x IS NULL OR trim(CAST(x AS VARCHAR)) = '' OR pred)``."""
+    c = F.col(col)
+    return c.isNull() | (F.trim(c.cast("string")) == "") | pred
 
 
 def in_domain(col: str, values: list) -> Column:
@@ -157,12 +232,23 @@ def first_wins(
 
 
 def reject_duplicates(
-    df: DataFrame, keys: list[str], order_by: list[str | Column], message: str = "duplicate key"
+    df: DataFrame,
+    keys: list[str],
+    order_by: list[str | Column],
+    message: str = "duplicate key",
+    skip_null_keys: bool = False,
 ) -> DataFrame:
     """first_wins + fold the verdict into ``_errors`` (appends to an
-    existing ``_errors`` array if present)."""
+    existing ``_errors`` array if present). ``skip_null_keys`` exempts
+    rows whose key is NULL from the duplicate verdict (two rows with
+    MISSING emails are not 'the same email' — SQL UNIQUE semantics);
+    the missing-value rule reports those rows instead."""
     ranked = first_wins(df, keys, order_by)
-    dup_err = F.when(F.col("_dup_rank") > 1, F.lit(message))
+    is_dup = F.col("_dup_rank") > 1
+    if skip_null_keys:
+        for k in keys:
+            is_dup = is_dup & F.col(k).isNotNull()
+    dup_err = F.when(is_dup, F.lit(message))
     if "_errors" in df.columns:
         errors = F.when(
             dup_err.isNotNull(), F.array_append(F.col("_errors"), dup_err)

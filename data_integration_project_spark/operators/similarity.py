@@ -25,12 +25,22 @@ from ..functions.vectors import cosine
 # fixed 32-bit odd multiplier (Knuth); plane component c(p, d) in [-1, 1)
 _KNUTH = 2654435761
 
-# widest embedding dimension the precomputed plane literals cover;
-# srp_bucket slices to the actual vector length at runtime. Kept at the
-# fixture's dimension: every literal lands in the serialized plan and
-# in every task's codegen, so 4× headroom here is 4× plan bloat —
-# raise it (or parameterize) when a wider embedding column appears.
+# default plane width when the caller doesn't pass the observed vector
+# length. Plane literals land in the serialized plan and every task's
+# codegen, so the right width is the COLUMN's width: entry points probe
+# it with :func:`observed_dim` and thread it through — a 768-dim
+# embedding column gets 768-component planes, not a silent 64-wide
+# truncation (zip_with pads the short side with NULLs, which would
+# NULL the whole dot product).
 _SRP_MAX_DIM = 64
+
+
+def observed_dim(df: DataFrame, vec_col: str, default: int = _SRP_MAX_DIM) -> int:
+    """Vector length of an embedding column — a one-row metadata probe
+    at plan build (cheap at any scale: LIMIT 1). Falls back to
+    ``default`` on an empty dataset."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    return int(row["d"]) if row and row["d"] is not None and row["d"] > 0 else default
 
 
 def _plane_component(table: int, plane: int, dim: Column) -> Column:
@@ -66,10 +76,13 @@ def md5_plane_components(table: int, plane: int, dim_count: int = _SRP_MAX_DIM):
     return tuple(out)
 
 
-def srp_plane_dot(vec: Column, table: int, plane: int) -> Column:
-    """v · plane — the signed projection behind one bucket bit."""
+def srp_plane_dot(vec: Column, table: int, plane: int, dim: int = _SRP_MAX_DIM) -> Column:
+    """v · plane — the signed projection behind one bucket bit.
+    ``dim`` must be ≥ the vector length (callers thread
+    :func:`observed_dim` through); the plane is sliced down to the
+    actual length at runtime."""
     comps = F.array(
-        *[F.lit(v) for v in md5_plane_components(table, plane)]
+        *[F.lit(v) for v in md5_plane_components(table, plane, dim)]
     )
     return F.aggregate(
         F.zip_with(
@@ -82,12 +95,14 @@ def srp_plane_dot(vec: Column, table: int, plane: int) -> Column:
     )
 
 
-def srp_bucket(vec: Column, n_planes: int, table: int = 0) -> Column:
+def srp_bucket(
+    vec: Column, n_planes: int, table: int = 0, dim: int = _SRP_MAX_DIM
+) -> Column:
     """Signed-random-projection bucket id: bit p = sign(v · plane_p),
     hyperplanes from :func:`md5_plane_components` (literal arrays,
     sliced to the vector's length)."""
     bits = [
-        F.when(srp_plane_dot(vec, table, p) > 0, F.lit(1 << p)).otherwise(
+        F.when(srp_plane_dot(vec, table, p, dim) > 0, F.lit(1 << p)).otherwise(
             F.lit(0)
         )
         for p in range(n_planes)
@@ -95,7 +110,9 @@ def srp_bucket(vec: Column, n_planes: int, table: int = 0) -> Column:
     return sum(bits, start=F.lit(0)).cast("int")
 
 
-def srp_probe_buckets(vec: Column, n_planes: int, table: int) -> Column:
+def srp_probe_buckets(
+    vec: Column, n_planes: int, table: int, dim: int = _SRP_MAX_DIM
+) -> Column:
     """MULTI-PROBE LSH (Lv et al., VLDB'07, reduced to one extra
     probe): the query probes its own bucket AND the bucket reached by
     flipping its LEAST-CONFIDENT bit — the plane whose |dot| is
@@ -105,7 +122,7 @@ def srp_probe_buckets(vec: Column, n_planes: int, table: int) -> Column:
     the corpus index — at 100 TB probes are almost free, tables are
     not). Tie on |dot| breaks by plane weight, matching the oracle's
     min-struct exactly. Returns [bucket, bucket ⊕ weakest_bit]."""
-    dots = [srp_plane_dot(vec, table, p) for p in range(n_planes)]
+    dots = [srp_plane_dot(vec, table, p, dim) for p in range(n_planes)]
     bucket = sum(
         (
             F.when(d > 0, F.lit(1 << p)).otherwise(F.lit(0))
@@ -180,9 +197,14 @@ def srp_bucketed_topk(
     recovers recall that a single table can't reach on near-uniform
     data). Cost ≈ n_tables / 2^n_planes of brute force."""
 
+    dim = observed_dim(corpus, vec_col)
+
     def bucketed(df: DataFrame, idn: str, vecn: str) -> DataFrame:
         tables = F.array(
-            *[srp_bucket(F.col(vecn), n_planes, table) for table in range(n_tables)]
+            *[
+                srp_bucket(F.col(vecn), n_planes, table, dim)
+                for table in range(n_tables)
+            ]
         )
         staged = df.select(
             F.col(id_col).alias(idn), F.col(vec_col).alias(vecn)
@@ -469,8 +491,9 @@ def cosine_near_dup_pairs(
     table with (1-θ/π)^n_planes; n_tables independent tables give
     1-(1-(1-θ/π)^p)^T ≈ 0.9996 at cos=0.99 with the defaults.
     """
+    dim = observed_dim(corpus, vec_col)
     tables = F.array(
-        *[srp_bucket(F.col("_v"), n_planes, table) for table in range(n_tables)]
+        *[srp_bucket(F.col("_v"), n_planes, table, dim) for table in range(n_tables)]
     )
     staged = (
         corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
@@ -894,12 +917,13 @@ def srp_multiprobe_topk(
     its bucket plus the weakest-bit flip (srp_probe_buckets) — the
     recall of ~2× the tables at the index cost of half. Candidates
     dedup across (table, probe) before scoring."""
+    dim = observed_dim(corpus, vec_col)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
     ).withColumn(
         "_tables",
         F.array(
-            *[srp_bucket(F.col("_cv"), n_planes, t) for t in range(n_tables)]
+            *[srp_bucket(F.col("_cv"), n_planes, t, dim) for t in range(n_tables)]
         ),
     ).select(
         "neighbor_id", "_cv", F.posexplode("_tables").alias("_table", "_bucket")
@@ -914,7 +938,7 @@ def srp_multiprobe_topk(
             "_qv",
             F.lit(t).alias("_table"),
             F.explode(
-                srp_probe_buckets(F.col("_qv"), n_planes, t)
+                srp_probe_buckets(F.col("_qv"), n_planes, t, dim)
             ).alias("_bucket"),
         )
         probes = leg if probes is None else probes.unionByName(leg)

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions.cleaning import transform_entity
-from .operators.entity_rules import ENTITY_RULESETS
+from .operators.entity_rules import ruleset_for
 from .operators.quality import reject_duplicates
 from .operators.reconcile import merged_view, source_counts
 from .sources.csv import (
@@ -96,16 +96,26 @@ def drain_and_validate(
     on a cluster they run concurrently; here sequentially."""
     results: dict[str, dict[str, int]] = {}
     for entity in entities:
-        rules = ENTITY_RULESETS[entity]()
+        # per-SOURCE validator routing (reference main.py:674-681): the
+        # inbox carries the CSV feed, so mon rows get mon_csv_rules —
+        # which validate the RAW layout (price string parseability, the
+        # category NAME) BEFORE the transform; every other entity
+        # validates the canonical post-transform layout.
+        rules = ruleset_for(entity, source="csv")
 
         # decode → transform happens inside the consumer's foreachBatch
-        # via a RuleSet whose validate() is applied post-transform; we
-        # wrap by subclassing-by-composition: consume_inbox validates
-        # the DECODED rows, so hand it a ruleset that transforms first.
+        # via a RuleSet whose validate() is applied around the transform;
+        # we wrap by subclassing-by-composition: consume_inbox validates
+        # the DECODED rows, so hand it a ruleset that sequences both.
         class _TransformThenValidate:
             def validate(self, df: DataFrame) -> DataFrame:
-                canonical = transform_entity(entity, df)
-                validated = rules.validate(canonical)
+                if rules.entity == "mon_csv":
+                    # validate raw, then transform; the verdict columns
+                    # are _-prefixed and survive the transform's
+                    # metadata passthrough
+                    validated = transform_entity(entity, rules.validate(df))
+                else:
+                    validated = rules.validate(transform_entity(entity, df))
                 keys = DEDUP_KEYS.get(entity)
                 if keys:
                     validated = reject_duplicates(

@@ -398,16 +398,42 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard similarity on an explicit candidate set
-    (every 20th doc, all pairs) — the LSH-free baseline: relational set
-    intersection over shingle-hash rows, inclusion-exclusion union."""
-    corpus = _corpus(spark, sf_dir)
+    """Exact n-gram Jaccard over every-20th-doc, threshold 0.3 — the
+    LSH-free form. Candidates come from PREFIX FILTERING (the PPJoin
+    rule, reused from [[dedup_prefix_filter_join]]): order each
+    shingle set rarest-first, keep the first ``s - ceil(t·s) + 1``
+    elements, equi-join on prefix shingles — PERFECT recall at the
+    threshold, so the result is identical to the all-pairs scan the
+    oracle still runs, but the Spark plan carries no CartesianProduct:
+    at 100× corpus the old ``subset × subset`` crossJoin was (N/20)²
+    pairs, the prefix equi-join is Σ collisions on deliberately RARE
+    keys (anti-skewed by construction). Exact verify is one
+    ``array_intersect`` per surviving candidate
+    (``tests/test_plan_shapes.py`` pins the no-cartesian contract)."""
+    corpus = _corpus(spark, sf_dir).filter(F.col("doc_id") % 20 == 0)
     sets = D.shingle_sets(corpus, "doc_id", "text", 3)
-    subset = corpus.filter(F.col("doc_id") % 20 == 0).select("doc_id").distinct()
+    rows = sets.select("doc_id", F.explode("_shs").alias("_shash"))
+    freq = rows.groupBy("_shash").agg(F.count(F.lit(1)).alias("df"))
+    w_ord = Window.partitionBy("doc_id").orderBy("df", "_shash")
+    w_sz = Window.partitionBy("doc_id")
+    ordered = (
+        rows.join(freq, "_shash")
+        .withColumn("rn", F.row_number().over(w_ord))
+        .withColumn("sz", F.count(F.lit(1)).over(w_sz))
+    )
+    # t = 0.3: prefix length = s - ceil(0.3 s) + 1 (pigeonhole: two sets
+    # with J >= t must share a prefix element)
+    prefix_len = F.col("sz") - ((3 * F.col("sz") + 9) / 10).cast("long") + 1
+    prefix = ordered.filter(F.col("rn") <= prefix_len).select("doc_id", "_shash")
+    a, b = prefix.alias("a"), prefix.alias("b")
     pairs = (
-        subset.select(F.col("doc_id").alias("_id_a"))
-        .crossJoin(subset.select(F.col("doc_id").alias("_id_b")))
-        .filter(F.col("_id_a") < F.col("_id_b"))
+        a.join(
+            b,
+            (F.col("a._shash") == F.col("b._shash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("_id_a"), F.col("b.doc_id").alias("_id_b"))
+        .distinct()
     )
     verified = D.jaccard_on_pairs(pairs, sets, "doc_id")
     return verified.filter(F.col("jaccard") >= 0.3).select("_id_a", "_id_b", "jaccard")

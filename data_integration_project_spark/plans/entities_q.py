@@ -25,10 +25,18 @@ from ..functions.cleaning import (
     transform_mon,
     transform_nguyen_lieu,
 )
+from ..operators.canonical import (
+    CITY_DOMAIN,
+    city_canonical_dim,
+    sql_city_canonical_case,
+)
 from ..operators.entity_rules import (
+    DISPOSABLE_DOMAINS,
+    PLACEHOLDERS,
     dat_hang_rules,
     fk_exists,
     khach_hang_rules,
+    mon_csv_rules,
     mon_rules,
 )
 from ..operators.quality import reject_duplicates
@@ -45,14 +53,24 @@ from .catalog import SQL_DSUM, dsum, query
 
 _KH_ROWS = [
     ("1", "An  Nguyen ", "0912345678", "Ha Noi", "An.Nguyen@Example.com"),  # fixed+valid
-    ("1", "An Nguyen", "0912345678", "Ha Noi", "an.nguyen@example.com"),  # dup id
-    ("2", "Binh Tran2424", "0987654321", "Da Nang", "binh@example.vn"),  # digits in name
-    ("3", "Chi Le*", "0911222333", "Hue", "chi@example.vn"),  # illegal char
-    ("4", "Dung Pham", "123", "Ha Noi", "dung@example.vn"),  # 3-digit phone
-    ("5", "Em Vo", "09-1122-3344", "Can Tho", "em@"),  # truncated email
+    ("1", "An Nguyen", "0912345678", "Ha Noi", "an.nguyen@example.com"),  # dup id (+dup email vs row 1's fixed email)
+    ("2", "Binh Tran2424", "0987654321", "Da Nang", "binh@example.vn"),  # digits in name → REJECT
+    ("3", "Chi Le*", "0911222333", "Hue", "chi@example.vn"),  # trailing punct → STRIPPED, valid
+    ("4", "Dung Pham", "123", "Ha Noi", "dung@example.vn"),  # 3-digit phone (+ bad prefix)
+    ("5", "Em Vo", "09-1122-3344", "Can Tho", "em@"),  # truncated email; phone fixed
     ("6", "", "0933444555", "Ha Noi", "six@example.vn"),  # blank name
-    ("7", "Giang Ho", "0944555666", "ha noi", "giang@EXAMPLE.vn"),  # fixed+valid
+    ("7", "Giang Ho", "0944555666", "ha noi", "giang@EXAMPLE.vn"),  # city canonicalized → valid
     (None, "Hai Vu", "0955666777", "Hue", "hai@example.vn"),  # missing id
+    ("007", "Le Thi Bay", "0922333444", "Da Nang", "bay@example.vn"),  # leading-zero id
+    ("9", "Test", "0933222111", "Ha Noi", "na@example.vn"),  # placeholder name
+    ("10", "Vo Van Muoi", "84911222333", "Ho Chi Minh", "muoi@example.vn"),  # country prefix fixed → valid
+    ("11", "Mot Hai", "9999999999", "Sai Gon", "mh@example.vn"),  # repeated-digit phone; Sai Gon canonicalized
+    ("12", "Ba Bon", "0911000222", "Mars City", "bb@example.vn"),  # unknown city
+    ("13", "Nam Sau", "0911000333", "Da Nang", "ns@mailinator.com"),  # disposable email
+    ("14", "Bay Tam", "0912000444", "Hue", "An.Nguyen@example.com"),  # dup email (3rd holder)
+    ("15", "B", "0911222444", "Hue", "b15@example.vn"),  # too-short name
+    ("16", "A" + "a" * 100, "0911222555", "Can Tho", "long@example.vn"),  # too-long name
+    ("0", "Khong Khach", "0911333555", "Ha Noi", "kk@example.vn"),  # non-positive id
 ]
 _KH_CORRUPT_LINE = "8,Broken"  # too few columns → _corrupt_record
 _KH_CORRUPT_LINE_NO = len(_KH_ROWS) + 1
@@ -79,42 +97,142 @@ def _values(rows: list[tuple], extra: str = "") -> str:
 # khach_hang: CSV file → permissive scan → transform → rules → first-wins
 # ---------------------------------------------------------------------------
 
-_KH_ORACLE = f"""
+# -- DuckDB twin of the 30-rule khach_hang validator ------------------------
+# (transform P1 + RuleSet fixes composed per column, checks in rule
+# declaration order, two first-wins dedup windows). Shared by the
+# pipeline query and the run-history oracle.
+
+_SQL_PLACEHOLDERS = ", ".join(f"'{p}'" for p in PLACEHOLDERS)
+_SQL_DISPO = ", ".join(f"'{d}'" for d in DISPOSABLE_DOMAINS)
+_SQL_CITIES = ", ".join(f"'{c}'" for c in CITY_DOMAIN)
+
+#: DuckDB rendering of Spark's initcap over a collapsed string
+_SQL_TITLE = (
+    "array_to_string(list_transform(string_split({x}, ' '),"
+    " w -> upper(w[1]) || lower(w[2:])), ' ')"
+)
+
+
+def _blank_or(col: str, pred: str) -> str:
+    """SQL twin of quality.if_present."""
+    return f"({col} IS NULL OR trim({col}) = '' OR {pred})"
+
+
+# precomputed SQL fragments (python 3.11 f-string expressions cannot
+# contain backslashes — regex-bearing predicates are built out-of-line)
+_SQL_NAME_FIXED = (
+    "trim(regexp_replace(nullif(trim(regexp_replace(ho_ten, '\\s+', ' ', 'g')), ''),"
+    " '[*#!?.~_-]+$', ''))"
+)
+_SQL_CITY_FIXED = (
+    "nullif(trim(regexp_replace(nullif(trim(thanh_pho), ''), '\\s+', ' ', 'g')), '')"
+)
+_OK_IDN = "regexp_matches(customer_id, '^[0-9]+$')"
+_OK_IDCAN = (
+    "(NOT regexp_matches(customer_id, '^[0-9]+$')"
+    " OR regexp_matches(customer_id, '^(0|[1-9][0-9]*)$'))"
+)
+_OK_NC = "regexp_matches(ho_ten, '^[\\p{L} ]+$')"
+_OK_PHL = "regexp_matches(sdt, '^[0-9]{9,11}$')"
+_OK_PHPRE = "regexp_matches(sdt, '^[09]')"
+_OK_EMF = (
+    "regexp_matches(email,"
+    " '^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$')"
+)
+
+
+def _kh_fixed_checked_sql(values: str) -> str:
+    """``raw`` → ``fixed`` → ``checked`` → ``ranked`` CTE chain applying
+    the full khach_hang ruleset (operators/entity_rules.py) in SQL."""
+    title = _SQL_TITLE.format(x=_SQL_NAME_FIXED)
+    city = sql_city_canonical_case(_SQL_CITY_FIXED)
+    nph = f"lower(trim(ho_ten)) NOT IN ({_SQL_PLACEHOLDERS})"
+    emd = f"split_part(email, '@', 2) NOT IN ({_SQL_DISPO})"
+    ctd = f"thanh_pho IN ({_SQL_CITIES})"
+    return f"""
     WITH raw(line_no, id, ho_ten, sdt, thanh_pho, email) AS (VALUES
-      {_values(_KH_ROWS)}),
+      {values}),
     fixed AS (
-      SELECT line_no, id AS customer_id,
-             nullif(trim(regexp_replace(ho_ten, '\\s+', ' ', 'g')), '') AS ho_ten,
-             nullif(regexp_replace(sdt, '[^0-9]', '', 'g'), '') AS sdt,
+      SELECT line_no,
+             regexp_replace(trim(id), '^["'']+|["'']+$', '', 'g') AS customer_id,
+             {title} AS ho_ten,
+             CASE WHEN length(s0) = 11 AND s0 LIKE '84%'
+                  THEN '0' || substr(s0, 3) ELSE s0 END AS sdt,
+             {city} AS thanh_pho,
              nullif(lower(trim(email)), '') AS email
-      FROM raw),
+      FROM (SELECT *, nullif(regexp_replace(sdt, '[^0-9]', '', 'g'), '') AS s0
+            FROM raw)),
     checked AS (
       SELECT *,
-        (customer_id IS NOT NULL AND regexp_matches(customer_id, '^[0-9]+$')) AS ok_id,
+        (customer_id IS NOT NULL AND trim(customer_id) <> '') AS ok_idp,
+        {_blank_or('customer_id', _OK_IDN)} AS ok_idn,
+        {_blank_or('customer_id', 'TRY_CAST(customer_id AS BIGINT) > 0')} AS ok_idpos,
+        {_blank_or('customer_id', _OK_IDCAN)} AS ok_idcan,
         (ho_ten IS NOT NULL AND trim(ho_ten) <> '') AS ok_nb,
-        (ho_ten IS NOT NULL AND regexp_matches(ho_ten, '^[\\p{{L}} ]+$')) AS ok_nc,
-        (coalesce(length(ho_ten), 0) <= 100) AS ok_nl,
-        (sdt IS NOT NULL AND regexp_matches(sdt, '^[0-9]{{9,11}}$')) AS ok_ph,
-        (email IS NOT NULL AND
-         regexp_matches(email, '^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}$')) AS ok_em
+        {_blank_or('ho_ten', _OK_NC)} AS ok_nc,
+        {_blank_or('ho_ten', 'length(ho_ten) >= 2')} AS ok_nmin,
+        {_blank_or('ho_ten', 'length(ho_ten) <= 100')} AS ok_nmax,
+        {_blank_or('ho_ten', nph)} AS ok_nph,
+        (sdt IS NOT NULL AND trim(sdt) <> '') AS ok_php,
+        {_blank_or('sdt', _OK_PHL)} AS ok_phl,
+        {_blank_or('sdt', _OK_PHPRE)} AS ok_phpre,
+        {_blank_or('sdt', 'sdt <> repeat(substr(sdt, 1, 1), length(sdt))')} AS ok_phrep,
+        (email IS NOT NULL AND trim(email) <> '') AS ok_emp,
+        {_blank_or('email', _OK_EMF)} AS ok_emf,
+        {_blank_or('email', emd)} AS ok_emd,
+        (thanh_pho IS NOT NULL AND trim(thanh_pho) <> '') AS ok_ctp,
+        {_blank_or('thanh_pho', ctd)} AS ok_ctd
       FROM fixed),
     ranked AS (
-      SELECT *, row_number() OVER (PARTITION BY customer_id ORDER BY line_no) AS rnk
+      SELECT *,
+        row_number() OVER (PARTITION BY customer_id ORDER BY line_no) AS rnk_id,
+        (email IS NOT NULL AND
+         row_number() OVER (PARTITION BY email ORDER BY line_no) > 1) AS dup_em
       FROM checked)
-    SELECT line_no, customer_id, ho_ten, sdt, email,
-      (ok_id AND ok_nb AND ok_nc AND ok_nl AND ok_ph AND ok_em AND rnk = 1) AS is_valid,
-      concat_ws(' | ',
-        CASE WHEN NOT ok_id THEN 'invalid customer_id' END,
+    """
+
+
+_KH_OK_ALL = (
+    "ok_idp AND ok_idn AND ok_idpos AND ok_idcan AND ok_nb AND ok_nc AND"
+    " ok_nmin AND ok_nmax AND ok_nph AND ok_php AND ok_phl AND ok_phpre AND"
+    " ok_phrep AND ok_emp AND ok_emf AND ok_emd AND ok_ctp AND ok_ctd"
+)
+
+_KH_ERRORS_SQL = """concat_ws(' | ',
+        CASE WHEN NOT ok_idp THEN 'missing customer_id' END,
+        CASE WHEN NOT ok_idn THEN 'invalid customer_id' END,
+        CASE WHEN NOT ok_idpos THEN 'customer_id must be positive' END,
+        CASE WHEN NOT ok_idcan THEN 'customer_id has leading zeros' END,
         CASE WHEN NOT ok_nb THEN 'ho_ten is blank' END,
         CASE WHEN NOT ok_nc THEN 'ho_ten has illegal characters' END,
-        CASE WHEN NOT ok_nl THEN 'ho_ten too long' END,
-        CASE WHEN NOT ok_ph THEN 'invalid phone' END,
-        CASE WHEN NOT ok_em THEN 'invalid email' END,
-        CASE WHEN rnk > 1 THEN 'duplicate customer_id' END) AS errors
+        CASE WHEN NOT ok_nmin THEN 'ho_ten too short' END,
+        CASE WHEN NOT ok_nmax THEN 'ho_ten too long' END,
+        CASE WHEN NOT ok_nph THEN 'ho_ten is a placeholder' END,
+        CASE WHEN NOT ok_php THEN 'missing phone' END,
+        CASE WHEN NOT ok_phl THEN 'invalid phone' END,
+        CASE WHEN NOT ok_phpre THEN 'invalid phone prefix' END,
+        CASE WHEN NOT ok_phrep THEN 'phone is a repeated digit' END,
+        CASE WHEN NOT ok_emp THEN 'missing email' END,
+        CASE WHEN NOT ok_emf THEN 'invalid email' END,
+        CASE WHEN NOT ok_emd THEN 'disposable email domain' END,
+        CASE WHEN NOT ok_ctp THEN 'missing thanh_pho' END,
+        CASE WHEN NOT ok_ctd THEN 'unknown thanh_pho' END,
+        CASE WHEN rnk_id > 1 THEN 'duplicate customer_id' END,
+        CASE WHEN dup_em THEN 'duplicate email' END)"""
+
+
+_KH_ORACLE = (
+    _kh_fixed_checked_sql(_values(_KH_ROWS))
+    + f"""
+    SELECT line_no, customer_id, ho_ten, sdt, thanh_pho, email,
+      ({_KH_OK_ALL} AND rnk_id = 1 AND NOT dup_em) AS is_valid,
+      {_KH_ERRORS_SQL} AS errors
     FROM ranked
     UNION ALL
-    SELECT {_KH_CORRUPT_LINE_NO}, NULL, NULL, NULL, NULL, false, 'malformed csv line'
+    SELECT {_KH_CORRUPT_LINE_NO}, NULL, NULL, NULL, NULL, NULL, false,
+           'malformed csv line'
 """
+)
 
 
 @query("khachhang_csv_pipeline", oracle=_KH_ORACLE)
@@ -122,7 +240,9 @@ def khachhang_csv_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1→P1→V1/V2/V3 end to end: write the dirty fixture as a real
     BOM-ed CSV, permissive-scan it (malformed line → corrupt capture),
     materialize per-file line numbers, transform, validate with the
-    khach_hang RuleSet, and apply ordered first-wins id dedup. Returns
+    FULL 30-rule khach_hang RuleSet (fix rules included: trailing-punct
+    strip, title case, phone country-prefix, city canonicalization),
+    then apply BOTH ordered first-wins dedups (id, email). Returns
     every row's verdict. The oracle rebuilds the identical pipeline
     from VALUES."""
     d = tempfile.mkdtemp(prefix="kh_csv_")
@@ -139,7 +259,10 @@ def khachhang_csv_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = with_line_numbers(read_entity_csv(spark, path, "khach_hang")).cache()
     corrupt = raw.filter(F.col("_corrupt_record").isNotNull()).select(
         F.col("_line_no").alias("line_no"),
-        *[F.lit(None).cast("string").alias(c) for c in ("customer_id", "ho_ten", "sdt", "email")],
+        *[
+            F.lit(None).cast("string").alias(c)
+            for c in ("customer_id", "ho_ten", "sdt", "thanh_pho", "email")
+        ],
         F.lit(False).alias("is_valid"),
         F.lit("malformed csv line").alias("errors"),
     )
@@ -152,11 +275,19 @@ def khachhang_csv_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("_line_no")],
         "duplicate customer_id",
     )
+    deduped = reject_duplicates(
+        deduped.drop("_is_valid"),
+        ["email"],
+        [F.col("_line_no")],
+        "duplicate email",
+        skip_null_keys=True,
+    )
     verdicts = deduped.select(
         F.col("_line_no").alias("line_no"),
         "customer_id",
         "ho_ten",
         "sdt",
+        "thanh_pho",
         "email",
         F.col("_is_valid").alias("is_valid"),
         F.concat_ws(" | ", "_errors").alias("errors"),
@@ -245,6 +376,170 @@ def mon_dual_source_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# mon_csv: the per-SOURCE rule variant over the raw CSV layout (doc
+# inventory mon_csv 12; routing evidence main.py:674-681) — price dirt
+# and category dirt from FIXTURES.md §A3 (tensanpham.csv:88-101)
+# ---------------------------------------------------------------------------
+
+_MON_CSV_DIRTY = [
+    ("1", "Pho Bo", "45000", "An sang"),  # valid
+    ("2", "Ca Phe Sua", "", "Do uong"),  # empty price → 0, rejected
+    ("3", "Banh Mi", "abc", "An sang"),  # unparseable
+    ("4", "Tra Da", "-345", "do uong"),  # negative
+    ("5", "Banh Kem", "50 000", "Banh ngot"),  # space-grouped → unparseable
+    ("6", "Mi Xao", "abc100", "AN SANG"),  # unparseable; case-variant category
+    ("7", "Sinh To", "0", "An khuya"),  # zero price
+    ("8", "Com Ga", "???", "An trua"),  # junk price
+    ("9", "!!!", "30000", "An sang"),  # no letters in name
+    ("10", "123", "30000", "An sang"),  # digits-only name
+    ("11", "B", "30000", "An sang"),  # too-short name
+    ("12", "Banh Bao", "30000", ""),  # blank category
+    ("", "Tra Sua", "25000", "Do uong"),  # EMPTY id is legal (doc: có thể rỗng)
+    ("x1", "Ca Phe Den", "20000", "Do uong"),  # non-numeric id
+    ("14", "Xoi Ga", "25000000", "An sang"),  # price over ceiling
+    ("15", "Che  Dau ", "15000", "An_sang"),  # collapse fix; underscore category fix
+    ("16", "Pho Ga", "35000", "An- sang"),  # hyphen+space category fix
+]
+
+_OK_NLET = "regexp_matches(ten_san_pham, '\\p{L}')"
+
+_MON_CSV_QUALITY_ORACLE = f"""
+    WITH raw(line_no, id, ten_san_pham, gia, loai) AS (VALUES
+      {_values(_MON_CSV_DIRTY)}),
+    fixed AS (
+      SELECT line_no,
+             trim(id) AS id,
+             nullif(trim(regexp_replace(ten_san_pham, '\\s+', ' ', 'g')), '')
+               AS ten_san_pham,
+             gia,
+             nullif(trim(regexp_replace(
+               regexp_replace(lower(loai), '[_-]', ' ', 'g'), '\\s+', ' ', 'g')), '')
+               AS loai
+      FROM raw),
+    checked AS (
+      SELECT *,
+        {_blank_or('id', "regexp_matches(id, '^[0-9]+$')")} AS ok_id,
+        (ten_san_pham IS NOT NULL AND trim(ten_san_pham) <> '') AS ok_np,
+        {_blank_or('ten_san_pham', 'length(ten_san_pham) >= 2')} AS ok_nmin,
+        {_blank_or('ten_san_pham', 'length(ten_san_pham) <= 200')} AS ok_nmax,
+        {_blank_or('ten_san_pham', _OK_NLET)} AS ok_nlet,
+        {_blank_or('gia', 'TRY_CAST(gia AS DOUBLE) IS NOT NULL')} AS ok_gp,
+        (coalesce(TRY_CAST(gia AS DOUBLE), 0.0) > 0) AS ok_gpos,
+        {_blank_or('gia', 'coalesce(TRY_CAST(gia AS DOUBLE), 0.0) <= 10000000')} AS ok_gc,
+        (loai IS NOT NULL AND trim(loai) <> '') AS ok_cp
+      FROM fixed)
+    SELECT line_no, id, ten_san_pham, gia, loai,
+      (ok_id AND ok_np AND ok_nmin AND ok_nmax AND ok_nlet
+       AND ok_gp AND ok_gpos AND ok_gc AND ok_cp) AS is_valid,
+      concat_ws(' | ',
+        CASE WHEN NOT ok_id THEN 'invalid id' END,
+        CASE WHEN NOT ok_np THEN 'ten_san_pham is blank' END,
+        CASE WHEN NOT ok_nmin THEN 'ten_san_pham too short' END,
+        CASE WHEN NOT ok_nmax THEN 'ten_san_pham too long' END,
+        CASE WHEN NOT ok_nlet THEN 'ten_san_pham has no letters' END,
+        CASE WHEN NOT ok_gp THEN 'gia unparseable' END,
+        CASE WHEN NOT ok_gpos THEN 'gia must be > 0' END,
+        CASE WHEN NOT ok_gc THEN 'gia implausibly large' END,
+        CASE WHEN NOT ok_cp THEN 'loai is blank' END) AS errors
+    FROM checked
+"""
+
+
+@query("mon_csv_quality", oracle=_MON_CSV_QUALITY_ORACLE)
+def mon_csv_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mon_csv per-source rule variant (12-rule inventory) over the
+    raw CSV layout — validates BEFORE the category name→id lookup, so
+    price parseability is still observable (post-transform the default-0
+    hides which zeros were dirt) and the category is the raw NAME with
+    its underscore/hyphen/case variants normalized by the fix rule.
+    Every A3 dirty-price and dirty-category pattern gets a verdict."""
+    rows = [(i + 1, *r) for i, r in enumerate(_MON_CSV_DIRTY)]
+    raw = spark.createDataFrame(
+        rows, "line_no int, id string, ten_san_pham string, gia string, loai string"
+    )
+    validated = mon_csv_rules().validate(raw)
+    return validated.select(
+        "line_no",
+        "id",
+        "ten_san_pham",
+        "gia",
+        "loai",
+        F.col("_is_valid").alias("is_valid"),
+        F.concat_ws(" | ", "_errors").alias("errors"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# khach_hang golden records: survivorship sharing the SAME canonical
+# city dimension the rule engine's fix uses (operators/canonical.py)
+# ---------------------------------------------------------------------------
+
+_KH_GOLDEN_TITLE = _SQL_TITLE.format(x=_SQL_NAME_FIXED)
+_KH_GOLDEN_CITY = sql_city_canonical_case(_SQL_CITY_FIXED)
+
+_KH_GOLDEN_ORACLE = f"""
+    WITH raw(line_no, id, ho_ten, sdt, thanh_pho, email) AS (VALUES
+      {_values(_KH_ROWS)}),
+    fixed AS (
+      SELECT line_no,
+             regexp_replace(trim(id), '^["'']+|["'']+$', '', 'g') AS customer_id,
+             {_KH_GOLDEN_TITLE} AS ho_ten,
+             {_KH_GOLDEN_CITY} AS thanh_pho
+      FROM raw)
+    SELECT customer_id,
+           min_by(ho_ten, line_no) AS golden_name,
+           min_by(thanh_pho, line_no) AS golden_city,
+           COUNT(*) AS n_members
+    FROM fixed
+    WHERE customer_id IS NOT NULL
+      AND regexp_matches(customer_id, '^(0|[1-9][0-9]*)$')
+      AND TRY_CAST(customer_id AS BIGINT) > 0
+    GROUP BY customer_id
+"""
+
+
+@query("khachhang_golden_records", oracle=_KH_GOLDEN_ORACLE)
+def khachhang_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVIVORSHIP over the customer fixture using the SHARED canonical
+    city dimension (operators/canonical.city_canonical_dim — the same
+    mapping the rule engine's city_canonicalize fix compiles to a map
+    literal): duplicate ids merge into one golden record, first-wins
+    attributes by ingestion order, and the surviving city comes from a
+    BROADCAST join against the dimension (the join form scales to any
+    fact size; the dim is city-vocabulary-sized). The oracle applies the
+    identical mapping as a CASE — dim join and map fix must agree on
+    every row or the hash fails."""
+    rows = [(i + 1, *r) for i, r in enumerate(_KH_ROWS)]
+    raw = spark.createDataFrame(
+        rows,
+        "line_no int, id string, ho_ten string, sdt string, thanh_pho string,"
+        " email string",
+    )
+    tr = transform_khach_hang(raw.withColumn("_line_no", F.col("line_no")))
+    # keep the PRE-fix city so the dim join (not the map fix) resolves it
+    tr = tr.withColumn("_raw_city", F.col("thanh_pho"))
+    fixed = khach_hang_rules().apply_fixes(tr)
+    dim = city_canonical_dim(spark)
+    collapsed = F.trim(F.regexp_replace(F.col("_raw_city"), r"\s+", " "))
+    joined = fixed.join(
+        F.broadcast(dim), F.lower(collapsed) == F.col("variant"), "left"
+    ).withColumn(
+        "city_resolved",
+        F.coalesce(F.col("canonical"), F.when(collapsed != "", collapsed)),
+    )
+    good_ids = joined.filter(
+        F.col("customer_id").isNotNull()
+        & F.col("customer_id").rlike(r"^(0|[1-9][0-9]*)$")
+        & (F.col("customer_id").try_cast("long") > 0)
+    )
+    return good_ids.groupBy("customer_id").agg(
+        F.min_by("ho_ten", "_line_no").alias("golden_name"),
+        F.min_by("city_resolved", "_line_no").alias("golden_city"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # dat_hang: transform → rules → FK existence joins (V4/J3)
 # ---------------------------------------------------------------------------
 
@@ -309,7 +604,7 @@ def dathang_fk_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
         _DH_ROWS,
         "id string, khach_hang_id string, mon_id string, so_luong string,"
         " ngay_dat string, trang_thai string",
-    ).withColumn("_order_id", F.col("id"))
+    )
     dim_kh = spark.createDataFrame([(c,) for c in _DH_CUSTOMERS], "khach_hang_id string")
     dim_mon = spark.createDataFrame([(c,) for c in _DH_ITEMS], "mon_id string")
     tr = transform_dat_hang(raw)
@@ -317,7 +612,7 @@ def dathang_fk_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_c = fk_exists(validated, "khach_hang_id", dim_kh, "khach_hang_id", "unknown khach_hang_id")
     with_i = fk_exists(with_c.drop("_is_valid"), "mon_id", dim_mon, "mon_id", "unknown mon_id")
     return with_i.select(
-        F.col("_order_id").alias("order_id"),
+        F.col("ma_don_hang").alias("order_id"),
         "khach_hang_id",
         "mon_id",
         "so_luong",
@@ -384,41 +679,20 @@ _KH_ROWS_RUN2 = _KH_ROWS[:5]  # second run: a smaller re-delivery
 
 def _kh_run_counts_sql(tag: str, rows: list[tuple]) -> str:
     """Expected (run_id, entity, ingested, clean, error) for one run of
-    the khach_hang pipeline over ``rows`` — the same transform/check/
-    first-wins logic as ``_KH_ORACLE``, aggregated to zone counts
+    the khach_hang pipeline over ``rows`` — the same transform + 30-rule
+    check + first-wins-id-dedup logic as ``_KH_ORACLE`` (the pipeline
+    applies the id dedup only, DEDUP_KEYS), aggregated to zone counts
     (corrupt CSV lines never enter the envelope, so they appear in no
     count)."""
     return f"""
     SELECT '{tag}' AS run_id, 'khach_hang' AS entity,
            COUNT(*) AS ingested,
-           CAST(SUM(CASE WHEN ok_all AND rnk = 1 THEN 1 ELSE 0 END) AS BIGINT)
-             AS clean,
-           CAST(SUM(CASE WHEN NOT (ok_all AND rnk = 1) THEN 1 ELSE 0 END) AS BIGINT)
-             AS error
-    FROM (
-      SELECT *,
-             (ok_id AND ok_nb AND ok_nc AND ok_nl AND ok_ph AND ok_em) AS ok_all,
-             row_number() OVER (PARTITION BY customer_id ORDER BY line_no) AS rnk
-      FROM (
-        SELECT line_no, customer_id, ho_ten, sdt, email,
-          (customer_id IS NOT NULL AND regexp_matches(customer_id, '^[0-9]+$')) AS ok_id,
-          (ho_ten IS NOT NULL AND trim(ho_ten) <> '') AS ok_nb,
-          (ho_ten IS NOT NULL AND regexp_matches(ho_ten, '^[\\p{{L}} ]+$')) AS ok_nc,
-          (coalesce(length(ho_ten), 0) <= 100) AS ok_nl,
-          (sdt IS NOT NULL AND regexp_matches(sdt, '^[0-9]{{9,11}}$')) AS ok_ph,
-          (email IS NOT NULL AND
-           regexp_matches(email, '^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}$')) AS ok_em
-        FROM (
-          SELECT line_no, id AS customer_id,
-                 nullif(trim(regexp_replace(ho_ten, '\\s+', ' ', 'g')), '') AS ho_ten,
-                 nullif(regexp_replace(sdt, '[^0-9]', '', 'g'), '') AS sdt,
-                 nullif(lower(trim(email)), '') AS email
-          FROM (VALUES
-            {_values(rows)})
-            AS raw(line_no, id, ho_ten, sdt, thanh_pho, email)
-        )
-      )
-    )
+           CAST(SUM(CASE WHEN {_KH_OK_ALL} AND rnk_id = 1
+                    THEN 1 ELSE 0 END) AS BIGINT) AS clean,
+           CAST(SUM(CASE WHEN NOT ({_KH_OK_ALL} AND rnk_id = 1)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS error
+    FROM ({_kh_fixed_checked_sql(_values(rows))}
+          SELECT * FROM ranked)
     """
 
 

@@ -6477,6 +6477,92 @@ def orders_sqlite_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "orders_sqlite_partial_load",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 5 = 0
+    )
+    SELECT 'loaded' AS zone,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM src WHERE o_totalprice <= 150000.0
+    UNION ALL
+    SELECT 'quarantined',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+    FROM src WHERE o_totalprice > 150000.0
+    """,
+)
+def orders_sqlite_partial_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH-LEVEL ROLLBACK-AND-CONTINUE, executed (reference
+    ``sql_client.py:153-183``): the staging table carries a CHECK
+    constraint (totalprice ≤ 150k — the injected poison), the writer's
+    per-batch transaction rolls a failing batch back, lands it in the
+    ``__quarantine`` table with the database's error message, and the
+    load CONTINUES — partial loads succeed instead of aborting the job.
+    Batches are singletons here so the loaded/quarantined split is
+    value-deterministic for the oracle (exactly the constraint
+    violators quarantine); the multi-row-batch form — one poison row
+    quarantines its whole batch — is pinned by ``tests/test_pydb.py``.
+    The oracle recomputes both zones from the source predicate, so a
+    dropped batch, a double-committed shard, or a quarantine leak all
+    fail the hash."""
+    import tempfile
+
+    from ..sources import pydb
+
+    pydb.register(spark)
+    db = tempfile.mkstemp(prefix="orders_pl_", suffix=".db")[1]
+    ddl = (
+        "CREATE TABLE IF NOT EXISTS orders_pl ("
+        "o_orderkey, o_orderstatus, o_totalprice, "
+        "CHECK (o_totalprice <= 150000.0))"
+    )
+    (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 5 == 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .write.format("sqlite")
+        .option("path", db)
+        .option("table", "orders_pl")
+        .option("ddl", ddl)
+        .option("batch_size", "1")
+        .option("truncate", "true")
+        .mode("append")
+        .save()
+    )
+    loaded = (
+        spark.read.format("sqlite")
+        .schema("o_orderkey long, o_orderstatus string, o_totalprice double")
+        .option("path", db)
+        .option("table", "orders_pl")
+        .load()
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("o_totalprice"), "total_value"),
+        )
+        .select(F.lit("loaded").alias("zone"), "n_rows", "total_value")
+    )
+    quarantined = (
+        spark.read.format("sqlite")
+        .schema(
+            "o_orderkey long, o_orderstatus string, o_totalprice double,"
+            " _error string"
+        )
+        .option("path", db)
+        .option("table", "orders_pl__quarantine")
+        .load()
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("o_totalprice"), "total_value"),
+        )
+        .select(F.lit("quarantined").alias("zone"), "n_rows", "total_value")
+    )
+    return loaded.unionByName(quarantined)
+
+
+@query(
     "sensors_sqlite_stream_sink",
     oracle=f"""
     WITH gen AS (
@@ -6563,7 +6649,10 @@ def sqlite_catalog_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     list_tables`` issues against a server RDBMS
     (information_schema.tables), run for real in-container. The
     whole-DB-scan pattern (S7) is this list fed back into per-table
-    reads."""
+    reads. Engine bookkeeping tables (``__quarantine`` failed-batch
+    zones, the ``_batch_log`` idempotence ledger) are excluded the way
+    ``jdbc.list_tables`` excludes ``sysdiagrams`` — discovery lists
+    USER tables."""
     import tempfile
 
     from ..sources import pydb
@@ -6590,7 +6679,8 @@ def sqlite_catalog_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("path", db)
         .option(
             "query",
-            "SELECT name AS table_name FROM sqlite_master WHERE type = 'table'",
+            "SELECT name AS table_name FROM sqlite_master WHERE type = 'table'"
+            " AND name NOT LIKE '%__quarantine' AND name <> '_batch_log'",
         )
         .load()
     )

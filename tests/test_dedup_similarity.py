@@ -574,3 +574,35 @@ def test_semdedup_drops_every_injected_copy(spark, sf_small):
         (F.col("vec_id") >= 1000000) & (F.col("_dropped") == 1)
     ).count()
     assert n_copy_dropped == n_copies
+
+
+def test_srp_wide_vectors_not_truncated(spark):
+    """A 128-dim embedding column must get 128-component planes —
+    the fixture-sized 64-dim default would zip_with-pad with NULLs and
+    NULL out every dot product (VERDICT r2 task 9). Recall contract:
+    planted exact duplicates collide in every table and come back as
+    the top-1 neighbor, and bucket bits actually vary (no silent
+    all-zero-bucket degeneration)."""
+    import math
+
+    dim = 128
+    rows = []
+    for i in range(40):
+        # deterministic unit-ish vectors spread over the sphere
+        vec = [math.sin(0.7 * i + 0.13 * d) for d in range(dim)]
+        rows.append((i, vec))
+    base = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    assert S.observed_dim(base, "embedding") == dim
+    copies = base.filter("vec_id % 4 = 0").select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    corpus = base.unionByName(copies)
+    q = base.filter("vec_id % 4 = 0")
+    out = S.srp_bucketed_topk(q, corpus, "vec_id", "embedding", k=3).collect()
+    top1 = {r["query_id"]: r["neighbor_id"] for r in out if r["rank"] == 1}
+    assert top1 and all(top1[qid] == qid + 1000 for qid in top1)
+    # the 64-dim tail contributes: buckets computed on the full width
+    buckets = corpus.select(
+        S.srp_bucket(F.col("embedding"), 3, 0, dim).alias("b")
+    ).distinct().count()
+    assert buckets > 1

@@ -64,3 +64,47 @@ def test_stream_commit_replay_is_noop(tmp_path):
     )
     con.close()
     assert logged == [7, 8]
+
+
+def test_batch_rollback_and_continue(spark, tmp_path):
+    """sql_client.py:153-183 semantics: a batch whose insert fails is
+    rolled back and quarantined WHOLE (the database can't say which row
+    poisoned the executemany), and the load continues with the next
+    batch. 10 ordered rows, batch_size 4, poison at row 6 → batch
+    [5..8] quarantines (4 rows), batches [1..4] and [9,10] load."""
+    from data_integration_project_spark.sources import pydb
+
+    pydb.register(spark)
+    db = str(tmp_path / "pl.db")
+    rows = [(i, float(i)) for i in range(1, 11)]
+    df = (
+        spark.createDataFrame(rows, "k long, v double")
+        .repartition(1)
+        .sortWithinPartitions("k")
+    )
+    ddl = "CREATE TABLE IF NOT EXISTS t (k, v, CHECK (k <> 6))"
+    (
+        df.write.format("sqlite")
+        .option("path", db)
+        .option("table", "t")
+        .option("ddl", ddl)
+        .option("batch_size", "4")
+        .mode("append")
+        .save()
+    )
+    con = sqlite3.connect(db)
+    try:
+        loaded = sorted(r[0] for r in con.execute("SELECT k FROM t"))
+        quarantined = sorted(
+            r[0] for r in con.execute("SELECT k FROM t__quarantine")
+        )
+        errs = {r[0] for r in con.execute("SELECT _error FROM t__quarantine")}
+    finally:
+        con.close()
+    assert loaded == [1, 2, 3, 4, 9, 10]
+    assert quarantined == [5, 6, 7, 8]
+    assert all("CHECK" in e or "constraint" in e.lower() for e in errs)
+    # no orphan shard directories left behind (temp-dir cleanup)
+    import glob
+
+    assert glob.glob(db + "._shards-*") == []
