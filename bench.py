@@ -102,6 +102,15 @@ HEADLINE = [
     "doc_bpe_train",
     "customers_logreg_gd",
     "doc_label_propagation",
+    # round 3: full 106-rule validator over the dirty CSV pipeline,
+    # the per-source raw-layout variant, survivorship over the shared
+    # canonical dim, the prefix-filtered exact-Jaccard form, and the
+    # executed batch rollback-and-continue RDBMS load
+    "khachhang_csv_pipeline",
+    "mon_csv_quality",
+    "khachhang_golden_records",
+    "dedup_ngram_jaccard",
+    "orders_sqlite_partial_load",
 ]
 
 

@@ -82,7 +82,12 @@ def decode_image_stub(payload: bytes, *, fake: bool = False) -> dict:
         raise NotImplementedError(
             "image decoding requires PIL/libvips — not present in this environment"
         )
-    total = sum(payload)
+    import numpy as np
+
+    # numpy byte sum, not python sum(): this stub runs once per payload
+    # in the feature hot path, and per-byte python iteration was the
+    # whole cost at scale (sf1.0 soak)
+    total = int(np.frombuffer(payload, dtype=np.uint8).sum()) if payload else 0
     return {
         "byte_len": len(payload),
         "sum_bytes": total,

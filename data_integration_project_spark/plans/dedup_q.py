@@ -424,13 +424,25 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # t = 0.3: prefix length = s - ceil(0.3 s) + 1 (pigeonhole: two sets
     # with J >= t must share a prefix element)
     prefix_len = F.col("sz") - ((3 * F.col("sz") + 9) / 10).cast("long") + 1
-    prefix = ordered.filter(F.col("rn") <= prefix_len).select("doc_id", "_shash")
+    prefix = ordered.filter(F.col("rn") <= prefix_len).select(
+        "doc_id", "_shash", "sz", "rn"
+    )
     a, b = prefix.alias("a"), prefix.alias("b")
+    # length + positional necessary conditions for J >= 0.3 (see
+    # dedup_prefix_filter_join): 10|A| >= 3|B| both ways; overlap bound
+    # min(|A|-rn_a, |B|-rn_b)+1 must reach α = ceil(3(|A|+|B|)/13)
+    alpha = ((3 * (F.col("a.sz") + F.col("b.sz")) + 12) / 13).cast("long")
+    remaining = (
+        F.least(F.col("a.sz") - F.col("a.rn"), F.col("b.sz") - F.col("b.rn")) + 1
+    )
     pairs = (
         a.join(
             b,
             (F.col("a._shash") == F.col("b._shash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (10 * F.col("a.sz") >= 3 * F.col("b.sz"))
+            & (10 * F.col("b.sz") >= 3 * F.col("a.sz"))
+            & (remaining >= alpha),
         )
         .select(F.col("a.doc_id").alias("_id_a"), F.col("b.doc_id").alias("_id_b"))
         .distinct()
@@ -753,12 +765,38 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("set_size") - ((3 * F.col("set_size") + 4) / 5).cast("long") + 1
     )
     prefix = ordered.filter(F.col("rn") <= prefix_len).select(
-        "doc_id", "token", "set_size"
+        "doc_id", "token", "set_size", "rn"
     )
     a, b = prefix.alias("a"), prefix.alias("b")
+    # PPJoin LENGTH + POSITIONAL filters alongside the prefix filter
+    # (Xiao et al., WWW'08 — both are NECESSARY conditions for J >= 3/5,
+    # so recall stays perfect and the oracle's unfiltered candidates
+    # verify to the same output): 5·|A| >= 3·|B| both ways, and a match
+    # on prefix positions (rn_a, rn_b) can yield at most
+    # min(|A|-rn_a, |B|-rn_b)+1 overlap, which must reach
+    # α = ceil(3(|A|+|B|)/8). The positional filter is what prunes
+    # late-prefix collisions when the shingle vocabulary doesn't grow
+    # with the corpus ('rare' shingles still collide across unrelated
+    # docs — measured 42M → ~1M candidates on the 10× soak fixture).
+    alpha = ((3 * (F.col("a.set_size") + F.col("b.set_size")) + 7) / 8).cast(
+        "long"
+    )
+    remaining = (
+        F.least(
+            F.col("a.set_size") - F.col("a.rn"),
+            F.col("b.set_size") - F.col("b.rn"),
+        )
+        + 1
+    )
     cands = (
-        a.join(b, (F.col("a.token") == F.col("b.token"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (5 * F.col("a.set_size") >= 3 * F.col("b.set_size"))
+            & (5 * F.col("b.set_size") >= 3 * F.col("a.set_size"))
+            & (remaining >= alpha),
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )

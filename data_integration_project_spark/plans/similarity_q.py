@@ -30,7 +30,7 @@ def _cos(a: str, b: str) -> str:
     "ann_cosine_topk",
     oracle=f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qv
-               FROM embeddings WHERE vec_id % 100 = 0),
+               FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 1000000),
     scored AS (
       SELECT q.query_id, c.vec_id AS neighbor_id,
              {_cos('q.qv', 'c.embedding')} AS cos_sim
@@ -51,7 +51,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     by block and each block emits a local top-k merged per query (or
     swap in the SRP variant below)."""
     e = t(spark, sf_dir, "embeddings")
-    queries = e.filter(F.col("vec_id") % 100 == 0)
+    queries = e.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 1_000_000))
     return S.brute_force_topk(queries, e, "vec_id", "embedding", k=5)
 
 
@@ -84,7 +84,7 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_topk_pandas",
     oracle=f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qv
-               FROM embeddings WHERE vec_id % 100 = 0),
+               FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 1000000),
     scored AS (
       SELECT q.query_id, c.vec_id AS neighbor_id,
              {_cos('q.qv', 'c.embedding')} AS cos_sim
@@ -108,7 +108,7 @@ def ann_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides round cos_sim to 9 dp; ranking happens on the unrounded
     values on both sides."""
     e = t(spark, sf_dir, "embeddings")
-    queries = e.filter(F.col("vec_id") % 100 == 0)
+    queries = e.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 1_000_000))
     topk = S.brute_force_topk_pandas(queries, e, "vec_id", "embedding", k=5)
     return topk.withColumn("cos_sim", F.round("cos_sim", 9))
 
@@ -180,7 +180,7 @@ _IVF_ORACLE = f"""
     ),
     qprobe AS (
       SELECT vec_id AS query_id, embedding AS qv, cluster
-      FROM final_assign WHERE vec_id % 100 = 0 AND rn <= 6
+      FROM final_assign WHERE vec_id % 100 = 0 AND vec_id < 1000000 AND rn <= 6
     ),
     scored AS (
       SELECT DISTINCT query_id, neighbor_id, {_cos('qv', 'cv')} AS cos_sim
@@ -206,7 +206,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     is rounded to 6 dp on both engines, so the DuckDB oracle unrolls
     the same three iterations to identical clusters."""
     e = t(spark, sf_dir, "embeddings")
-    queries = e.filter(F.col("vec_id") % 100 == 0)
+    queries = e.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 1_000_000))
     return S.ivf_topk(
         queries, e, "vec_id", "embedding", k=5, n_clusters=16, n_probe=6, n_iters=3
     )
@@ -275,7 +275,7 @@ def _sql_srp_buck_cte(src: str, vec: str, n_planes: int, n_tables: int) -> str:
       SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
       FROM buck q JOIN buck c
         ON q._table = c._table AND q._bucket = c._bucket
-      WHERE q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id
+      WHERE q.vec_id % 100 = 0 AND q.vec_id < 1000000 AND q.vec_id <> c.vec_id
     ),
     scored AS (
       SELECT query_id, neighbor_id,
@@ -300,7 +300,7 @@ def ann_srp_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     plane literals, so buckets — and therefore the exact candidate
     set — match bit-for-bit."""
     e = t(spark, sf_dir, "embeddings")
-    queries = e.filter(F.col("vec_id") % 100 == 0)
+    queries = e.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 1_000_000))
     return S.srp_bucketed_topk(queries, e, "vec_id", "embedding", k=5, n_planes=3, n_tables=8)
 
 
@@ -356,7 +356,7 @@ def embeddings_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embeddings_knn_classify",
     oracle=f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS true_label
-               FROM embeddings WHERE vec_id % 100 = 0),
+               FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 1000000),
     scored AS (
       SELECT q.query_id, q.true_label, c.label AS nlabel,
              {_cos('q.qv', 'c.embedding')} AS cos_sim, c.vec_id AS nid
@@ -396,7 +396,7 @@ def embeddings_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     at scale the neighbor stage swaps for the SRP-bucketed candidates
     with identical voting on top."""
     e = t(spark, sf_dir, "embeddings")
-    queries = e.filter(F.col("vec_id") % 100 == 0).select(
+    queries = e.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 1_000_000)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
         F.col("label").alias("true_label"),
@@ -587,7 +587,7 @@ _IVFPQ_ORACLE = f"""
     ),
     qprobe AS (
       SELECT vec_id AS query_id, cluster
-      FROM final_assign WHERE vec_id % 100 = 0 AND rn <= 6
+      FROM final_assign WHERE vec_id % 100 = 0 AND vec_id < 1000000 AND rn <= 6
     ),
     sdims AS (SELECT unnest(range(1, 17)) AS d),
     {','.join(_pq_subspace(s, 2) for s in range(4))},
@@ -602,7 +602,7 @@ _IVFPQ_ORACLE = f"""
         f"SELECT CAST({s} AS INT) AS sub, q.vec_id AS query_id, "
         f"CAST(c.cluster AS INT) AS code, "
         f"CAST(round({_ADC_D2} * 1000000) AS BIGINT) AS dist_unats "
-        f"FROM (SELECT vec_id, sv FROM sub{s} WHERE vec_id % 100 = 0) q "
+        f"FROM (SELECT vec_id, sv FROM sub{s} WHERE vec_id % 100 = 0 AND vec_id < 1000000) q "
         f"CROSS JOIN cents_{s}_2 c"
         for s in range(4)
       )}
@@ -648,7 +648,7 @@ def ann_ivf_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     table plus an integer-sum aggregate — per-candidate cost is 4
     lookups regardless of vector dimension."""
     e = t(spark, sf_dir, "embeddings")
-    queries = e.filter(F.col("vec_id") % 100 == 0)
+    queries = e.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 1_000_000))
     return S.ivf_pq_topk(
         queries,
         e,
@@ -1175,7 +1175,7 @@ def embeddings_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(CASE WHEN dot > 0 THEN _pw ELSE 0 END) AS INTEGER)
                AS _bucket,
              (min(struct_pack(a := abs(dot), pw := _pw))).pw AS wpw
-      FROM dots WHERE vec_id % 100 = 0 GROUP BY vec_id, _table
+      FROM dots WHERE vec_id % 100 = 0 AND vec_id < 1000000 GROUP BY vec_id, _table
     ),
     qprobes AS (
       SELECT vec_id, _table, _bucket FROM qb
@@ -1213,7 +1213,7 @@ def ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-probe is asserted in tests/test_estimators.py; the oracle
     replays dots, weakest-bit selection, and both probes exactly."""
     e = t(spark, sf_dir, "embeddings")
-    queries = e.filter(F.col("vec_id") % 100 == 0)
+    queries = e.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 1_000_000))
     return S.srp_multiprobe_topk(
         queries, e, "vec_id", "embedding", k=5, n_planes=4, n_tables=3
     )
@@ -1227,7 +1227,7 @@ def _mmr_oracle(k: int = 4, n_cand: int = 8) -> str:
                x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS c
       FROM embeddings
     ),
-    q AS (SELECT vec_id AS qid, c AS qc FROM codes WHERE vec_id % 100 = 0),
+    q AS (SELECT vec_id AS qid, c AS qc FROM codes WHERE vec_id % 100 = 0 AND vec_id < 1000000),
     rel AS MATERIALIZED (
       SELECT q.qid, d.vec_id AS cid,
              CAST(list_sum(list_transform(range(1, len(d.c) + 1),
@@ -1306,9 +1306,9 @@ def embeddings_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         )
 
-    qs = codes.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("qid"), F.col("c").alias("qc")
-    )
+    qs = codes.filter(
+        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 1_000_000)
+    ).select(F.col("vec_id").alias("qid"), F.col("c").alias("qc"))
     rel = (
         qs.crossJoin(codes.select(F.col("vec_id").alias("cid"), "c"))
         .filter(F.col("cid") != F.col("qid"))

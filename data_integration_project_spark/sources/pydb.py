@@ -192,6 +192,11 @@ class SqliteWriter(DataSourceWriter):
         n = 0
         n_quarantined = 0
         try:
+            # shards are disposable scratch (the driver-side merge is the
+            # durable commit): skip per-transaction fsyncs, or small
+            # batch sizes pay one disk sync PER BATCH
+            con.execute("PRAGMA synchronous = OFF")
+            con.execute("PRAGMA journal_mode = MEMORY")
             con.execute(self._ddl())
             con.execute(self._quarantine_ddl())
             ph = ", ".join("?" for _ in self.cols)

@@ -69,14 +69,34 @@ def main() -> None:
         .appName("gen_sf")
         .getOrCreate()
     )
+    def write_single_file(df: DataFrame, table: str) -> None:
+        # the driver fixture stores each table as ONE parquet FILE (not
+        # a directory) — streaming readers glob on the file name, so the
+        # soak fixture must match that layout
+        import glob
+        import os
+        import shutil
+
+        tmp = f"{out}/_tmp_{table}"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        os.makedirs(out, exist_ok=True)
+        target = f"{out}/{table}.parquet"
+        if os.path.isdir(target):
+            shutil.rmtree(target)
+        elif os.path.exists(target):
+            os.remove(target)
+        shutil.move(part, target)
+        shutil.rmtree(tmp)
+
     for table in FIXED_DIMS:
         df = spark.read.parquet(f"{src}/{table}.parquet")
-        df.coalesce(1).write.mode("overwrite").parquet(f"{out}/{table}.parquet")
+        write_single_file(df, table)
         print(f"{table}: copied {df.count()} rows")
     for table, _keys in SHIFTS.items():
         df = spark.read.parquet(f"{src}/{table}.parquet")
         big = replicate(df, table, factor)
-        big.repartition(8).write.mode("overwrite").parquet(f"{out}/{table}.parquet")
+        write_single_file(big, table)
         print(f"{table}: {df.count()} -> {big.count()} rows")
     spark.stop()
 
