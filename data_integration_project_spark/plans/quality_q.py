@@ -1053,3 +1053,297 @@ def customer_one_to_one_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").cast("int").alias("edit_dist"),
         F.col("round").cast("int").alias("round"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe categorical encoding (leave-one-out target encoding)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_target_encoding_loo",
+    oracle="""
+    WITH y AS (
+      SELECT o_orderpriority AS cat,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS yc
+      FROM orders
+    ),
+    agg AS (SELECT cat, SUM(yc) AS s, COUNT(*) AS n FROM y GROUP BY cat)
+    SELECT y.cat AS o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(a.s) / COUNT(*) AS BIGINT) AS naive_sum_cents,
+           CAST(SUM(CASE WHEN a.n > 1
+                    THEN ((a.s - y.yc) * 100) // (a.n - 1)
+                    END) AS BIGINT) AS loo_sum_centicents
+    FROM y JOIN agg a ON y.cat = a.cat
+    GROUP BY y.cat
+    """,
+)
+def orders_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAVE-ONE-OUT TARGET ENCODING — the leakage-safe way to turn a
+    categorical column into a numeric feature: each row's encoding is
+    the mean target of its category EXCLUDING the row itself,
+    (Σ_cat − y_i) / (n_cat − 1), so the feature never contains the
+    row's own label (naive mean encoding leaks the target and inflates
+    validation scores). Money stays in INTEGER centi-cents end to end
+    (floor division) — no float ever touches the encoding, so the
+    report hashes identically in both engines.
+
+    Scale shape: category statistics are a |categories|-row aggregate
+    BROADCAST back onto the fact (map-side only — no window shuffle of
+    the fact table), then one map-side-combined rollup. At 100 TB the
+    fact never shuffles for the encoding itself."""
+    o = t(spark, sf_dir, "orders")
+    y = o.select(
+        F.col("o_orderpriority").alias("cat"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("yc"),
+    )
+    agg = y.groupBy("cat").agg(
+        F.sum("yc").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    # integer centi-cents with floor division: no float rounding at
+    # half-cent boundaries (dividing by small n-1 lands there often,
+    # and Spark HALF_UP vs DuckDB half-even disagree exactly there)
+    loo_cc = F.when(
+        F.col("n") > 1,
+        F.expr("((s - yc) * 100) div (n - 1)"),
+    )
+    return (
+        y.join(F.broadcast(agg), "cat")
+        .groupBy(F.col("cat").alias("o_orderpriority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum("s") / F.count(F.lit(1))).cast("long").alias("naive_sum_cents"),
+            F.sum(loo_cc).cast("long").alias("loo_sum_centicents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Differentially-private release (deterministic Laplace for the oracle)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_dp_noisy_counts",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS true_count
+      FROM orders GROUP BY o_orderstatus
+    ),
+    h AS (
+      SELECT *,
+        (list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split(o_orderstatus || ':dp-seed-1', ''),
+                          x -> CAST(ascii(x) AS BIGINT))),
+           (acc, x) -> (acc*31 + x) % 2147483647) % 1000000 + 0.5)
+          / 1000000.0 AS u
+      FROM c
+    )
+    SELECT o_orderstatus, true_count,
+           round(CASE WHEN u >= 0.5 THEN -20.0 * ln(2.0 * (1.0 - u))
+                      ELSE 20.0 * ln(2.0 * u) END, 4) AS laplace_noise,
+           round(true_count + CASE WHEN u >= 0.5 THEN -20.0 * ln(2.0 * (1.0 - u))
+                                   ELSE 20.0 * ln(2.0 * u) END, 4) AS noisy_count
+    FROM h
+    """,
+)
+def orders_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENTIALLY-PRIVATE COUNT RELEASE (ε = 0.05, sensitivity 1 →
+    Laplace scale b = 20): the governance query that publishes
+    per-status order counts with calibrated noise instead of exact
+    values. Noise comes from the inverse-CDF transform of a uniform
+    draw; the draw here is DETERMINISTIC (portable char-fold hash of
+    the key + a seed label) so both engines — and reruns — produce the
+    same release, which is what makes the mechanism ORACLE-CHECKABLE.
+    A production deployment swaps the hash for real randomness and a
+    privacy accountant; the relational shape (aggregate → per-key
+    scalar transform) is identical.
+
+    Scale shape: one map-side-combined count, then a per-row
+    projection over |statuses| rows — free at any fact size."""
+    from ..functions.text import char_fold_hash
+
+    o = t(spark, sf_dir, "orders")
+    c = o.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("true_count"))
+    u = (
+        char_fold_hash(F.concat(F.col("o_orderstatus"), F.lit(":dp-seed-1")))
+        % 1000000
+        + 0.5
+    ) / 1000000.0
+    noise = F.when(
+        u >= 0.5, -20.0 * F.log(2.0 * (1.0 - u))
+    ).otherwise(20.0 * F.log(2.0 * u))
+    return c.select(
+        "o_orderstatus",
+        "true_count",
+        F.round(noise, 4).alias("laplace_noise"),
+        F.round(F.col("true_count") + noise, 4).alias("noisy_count"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution on read (mergeSchema over heterogeneous parquet)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_schema_evolution_read",
+    oracle="""
+    WITH old_batch AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    new_batch AS (
+      SELECT o_orderkey, o_totalprice,
+             CASE WHEN o_orderkey % 3 = 0 THEN 'web' ELSE 'store' END AS channel
+      FROM orders WHERE o_orderkey % 2 = 1
+    )
+    SELECT coalesce(channel, '(pre-evolution)') AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM (
+      SELECT o_orderkey, o_totalprice, NULL AS channel FROM old_batch
+      UNION ALL
+      SELECT * FROM new_batch
+    )
+    GROUP BY 1
+    """,
+)
+def orders_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA EVOLUTION ON READ: two parquet deliveries of the same
+    table, written months apart with different schemas (the second
+    gained a ``channel`` column), read back as ONE dataset with
+    ``mergeSchema=true`` — the widened schema applies and pre-evolution
+    rows surface NULL for the new column (accounted explicitly in the
+    report, not silently dropped). This is the capability that lets a
+    raw zone accept upstream schema drift without a migration rewrite;
+    the oracle rebuilds the union from the same predicates.
+
+    Scale note: mergeSchema reconciles FOOTERS at planning time — cost
+    scales with file count, not data size; at 100 TB you pin the merged
+    schema in a table catalog and read with an explicit schema
+    instead (the read path below also works unchanged)."""
+    import os
+    import tempfile
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    root = tempfile.mkdtemp(prefix="schema_evo_")
+    o.filter(F.col("o_orderkey") % 2 == 0).write.mode("overwrite").parquet(
+        os.path.join(root, "batch=1")
+    )
+    (
+        o.filter(F.col("o_orderkey") % 2 == 1)
+        .withColumn(
+            "channel",
+            F.when(F.col("o_orderkey") % 3 == 0, "web").otherwise("store"),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(root, "batch=2"))
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(root, "batch=1"), os.path.join(root, "batch=2")
+    )
+    return merged.groupBy(
+        F.coalesce(F.col("channel"), F.lit("(pre-evolution)")).alias("channel")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice"), "total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/val/test split (duplicate-cluster-aware)
+# ---------------------------------------------------------------------------
+
+_SPLIT_HASH = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split({s}, ''), c -> CAST(ascii(c) AS BIGINT))), "
+    "(acc, c) -> (acc*31 + c) % 2147483647)"
+)
+
+
+_SPLIT_FP = _SPLIT_HASH.format(
+    s="lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+)
+_SPLIT_BUCKET = _SPLIT_HASH.format(s="'split:' || CAST(r.rep AS VARCHAR)")
+
+
+@query(
+    "corpus_leakage_safe_split",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 700000, text FROM documents WHERE doc_id % 11 = 0
+    ),
+    keyed AS (
+      SELECT doc_id, {_SPLIT_FP} AS fp
+      FROM corpus
+    ),
+    reps AS (SELECT fp, MIN(doc_id) AS rep FROM keyed GROUP BY fp),
+    assigned AS (
+      SELECT k.doc_id, k.fp,
+             CASE WHEN ({_SPLIT_BUCKET}) % 10 < 8
+                  THEN 'train'
+                  WHEN ({_SPLIT_BUCKET}) % 10 = 8
+                  THEN 'val' ELSE 'test' END AS split
+      FROM keyed k JOIN reps r ON k.fp = r.fp
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_clusters,
+           CAST((SELECT COUNT(*) FROM (
+                   SELECT fp FROM assigned GROUP BY fp
+                   HAVING COUNT(DISTINCT split) > 1)) AS BIGINT)
+             AS n_straddling_clusters
+    FROM assigned GROUP BY split
+    """,
+)
+def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/val/test split: documents are assigned to
+    splits by hashing their DUPLICATE-CLUSTER representative, not the
+    document id — otherwise copies of one document land in train AND
+    test and the eval set is contaminated (the failure mode Lee et
+    al.'s dedup work measures). Planted duplicates (every 11th doc
+    re-delivered under a new id) make the guard observable: the
+    ``n_straddling_clusters`` column — clusters with members in more
+    than one split — must be ZERO on the hash, while a naive id-hash
+    split provably straddles. 8/1/1 proportions via the cluster hash's
+    last decimal digit.
+
+    Scale shape: fingerprint = one map-side char-fold per doc; the
+    cluster rep is a groupBy MIN; assignment is a broadcast-able
+    (fp → rep) join when clusters are small or a shuffle join on fp in
+    general — one shuffle, no window. Near-dup (not just exact-dup)
+    leakage control swaps the fingerprint for the MinHash-LSH cluster
+    label ([[dedup_clusters]]) with the same split-by-rep rule."""
+    from ..functions.text import char_fold_hash
+
+    d = t(spark, sf_dir, "documents")
+    corpus = d.select("doc_id", "text").unionByName(
+        d.filter(F.col("doc_id") % 11 == 0).select(
+            (F.col("doc_id") + 700000).alias("doc_id"), "text"
+        )
+    )
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    keyed = corpus.select("doc_id", char_fold_hash(norm).alias("fp"))
+    reps = keyed.groupBy("fp").agg(F.min("doc_id").alias("rep"))
+    bucket = char_fold_hash(
+        F.concat(F.lit("split:"), F.col("rep").cast("string"))
+    ) % 10
+    assigned = keyed.join(reps, "fp").select(
+        "doc_id",
+        "fp",
+        F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test").alias("split"),
+    )
+    straddling = (
+        assigned.groupBy("fp")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .count()
+    )
+    return assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fp").alias("n_clusters"),
+        F.lit(straddling).cast("long").alias("n_straddling_clusters"),
+    )
