@@ -251,3 +251,27 @@ def test_ngram_jaccard_no_cartesian(spark, sf_small):
     plan = _executed_plan(spark, "dedup_ngram_jaccard", sf_small)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_golden_records_city_dim_broadcast(spark, sf_small):
+    # the canonical city dim must come in as a broadcast, never a
+    # shuffle join (it is vocabulary-sized at any fact scale)
+    plan = _executed_plan(spark, "khachhang_golden_records", sf_small)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_target_encoding_no_window_no_cartesian(spark, sf_small):
+    # LOO encoding must be category-stats-broadcast + rollup, not a
+    # per-row window over the fact (window = full shuffle + sort)
+    plan = _executed_plan(spark, "orders_target_encoding_loo", sf_small)
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_leakage_safe_split_single_fp_shuffle(spark, sf_small):
+    # split-by-cluster-rep: fingerprint groupBy + join, no window, no
+    # cartesian; the fingerprint fold stays a codegen expression
+    plan = _executed_plan(spark, "corpus_leakage_safe_split", sf_small)
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
