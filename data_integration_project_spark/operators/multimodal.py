@@ -1391,6 +1391,10 @@ class _RiceStream:
         self._np = np
         self.bits = np.unpackbits(np.frombuffer(payload, dtype=np.uint8))
         self.ones = np.flatnonzero(self.bits).astype(np.int64)
+        # nxt depends only on (ones, k): cache per k, or a payload with
+        # many frames/partitions pays the O(|ones| log |ones|)
+        # searchsorted once per PARTITION instead of once per k
+        self._nxt_cache: dict[int, object] = {}
 
     def decode(self, bitpos: int, count: int, k: int) -> tuple:
         """Decode ``count`` Rice(k) residuals starting at absolute bit
@@ -1403,7 +1407,10 @@ class _RiceStream:
         j = int(np.searchsorted(ones, bitpos))
         if j >= len(ones):
             raise ValueError("flac: bitstream exhausted")
-        nxt = np.searchsorted(ones, ones + step)
+        nxt = self._nxt_cache.get(k)
+        if nxt is None:
+            nxt = np.searchsorted(ones, ones + step)
+            self._nxt_cache[k] = nxt
         idx = np.empty(count, dtype=np.int64)
         idx[0] = j
         for i in range(1, count):  # C-level hops, no bit work

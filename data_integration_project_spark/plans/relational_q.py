@@ -9169,3 +9169,202 @@ def lineitem_price_indexes(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         px.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# Spatial radius join via grid bucketing (the geo equi-join pattern)
+# ---------------------------------------------------------------------------
+
+_GEO_R = 50_000  # radius in micro-degrees (~5.5 km N-S); also the cell size
+
+
+@query(
+    "suppliers_geo_radius_join",
+    oracle=f"""
+    WITH cust AS (
+      SELECT c_custkey,
+             (c_custkey * 48271) % 2000001 AS lat,
+             (c_custkey * 69621 + 12345) % 2000001 AS lon
+      FROM customer
+    ),
+    supp AS (
+      SELECT s_suppkey,
+             (s_suppkey * 16807 + 7) % 2000001 AS lat,
+             (s_suppkey * 39916801 + 11) % 2000001 AS lon
+      FROM supplier
+    ),
+    cgrid AS (
+      SELECT *, lat // {_GEO_R} AS cx, lon // {_GEO_R} AS cy FROM cust
+    ),
+    sgrid AS (
+      SELECT s.*, (s.lat // {_GEO_R}) + dx.d AS cx, (s.lon // {_GEO_R}) + dy.d AS cy
+      FROM supp s,
+           (VALUES (-1), (0), (1)) AS dx(d),
+           (VALUES (-1), (0), (1)) AS dy(d)
+    ),
+    pairs AS (
+      SELECT s.s_suppkey,
+             (s.lat - c.lat) * (s.lat - c.lat)
+               + (s.lon - c.lon) * (s.lon - c.lon) AS dist_sq
+      FROM sgrid s JOIN cgrid c ON s.cx = c.cx AND s.cy = c.cy
+      WHERE (s.lat - c.lat) * (s.lat - c.lat)
+              + (s.lon - c.lon) * (s.lon - c.lon)
+            <= CAST({_GEO_R} AS BIGINT) * {_GEO_R}
+    )
+    SELECT s_suppkey,
+           CAST(COUNT(*) AS BIGINT) AS n_within,
+           CAST(MIN(dist_sq) AS BIGINT) AS nearest_dist_sq
+    FROM pairs GROUP BY s_suppkey
+    """,
+)
+def suppliers_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPATIAL RADIUS JOIN by grid bucketing — "customers within ~5.5 km
+    of each supplier" without a cross join: both point sets land on a
+    grid whose cell edge EQUALS the radius, so every within-radius pair
+    must share one of the supplier's 3×3 neighboring cells; the
+    candidate join is a plain EQUI-join on (cell_x, cell_y), and the
+    exact distance check runs only on candidates. Coordinates are
+    deterministic integer MICRO-DEGREES derived from the keys (both
+    engines compute identical positions), and the distance test is
+    integer arithmetic — no trig, no float, nothing to pin.
+
+    Scale shape: the 9× explode happens on the SUPPLIER (small) side;
+    the join shuffles both sides on the cell key — at 100 TB the cells
+    partition geography uniformly by construction (hash positions), and
+    a skewed real-world city cell would salt exactly like any hot key.
+    This is the same plan a geospatial engine builds for ST_DWithin
+    with a grid index."""
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 48271) % 2000001).alias("lat"),
+        ((F.col("c_custkey") * 69621 + 12345) % 2000001).alias("lon"),
+    )
+    s = t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 16807 + 7) % 2000001).alias("lat"),
+        ((F.col("s_suppkey") * 39916801 + 11) % 2000001).alias("lon"),
+    )
+    cgrid = c.withColumn("cx", F.expr(f"lat div {_GEO_R}")).withColumn(
+        "cy", F.expr(f"lon div {_GEO_R}")
+    )
+    d = F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+    sgrid = (
+        s.withColumn("dx", d)
+        .withColumn("dy", d)
+        .select(
+            "s_suppkey",
+            "lat",
+            "lon",
+            (F.expr(f"lat div {_GEO_R}") + F.col("dx")).alias("cx"),
+            (F.expr(f"lon div {_GEO_R}") + F.col("dy")).alias("cy"),
+        )
+    )
+    dist_sq = (F.col("s.lat") - F.col("c.lat")) * (
+        F.col("s.lat") - F.col("c.lat")
+    ) + (F.col("s.lon") - F.col("c.lon")) * (F.col("s.lon") - F.col("c.lon"))
+    pairs = (
+        sgrid.alias("s")
+        .join(cgrid.alias("c"), ["cx", "cy"])
+        .filter(dist_sq <= _GEO_R * _GEO_R)
+        .select(F.col("s.s_suppkey").alias("s_suppkey"), dist_sq.alias("dist_sq"))
+    )
+    return pairs.groupBy("s_suppkey").agg(
+        F.count(F.lit(1)).alias("n_within"),
+        F.min("dist_sq").alias("nearest_dist_sq"),
+    )
+
+
+@query(
+    "orders_sqlite_cdc_stream",
+    oracle="""
+    SELECT 'run1' AS run,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM orders WHERE o_orderkey % 7 = 0
+    UNION ALL
+    SELECT 'run2',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+    FROM orders WHERE o_orderkey % 7 = 1
+    """,
+)
+def orders_sqlite_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-BY-POLLING STREAMING SOURCE, executed end to end: a custom
+    Python DataSource stream READER (sources/pydb.SqliteSimpleStreamReader)
+    tails an RDBMS table by rowid offset. Two AvailableNow drains share
+    one checkpoint: run 1 lands the initial table state, new rows are
+    then inserted directly into the database, and run 2 — resuming from
+    the CHECKPOINTED rowid offset — picks up ONLY the delta (re-reading
+    old rows would double-count and fail the hash). This is the
+    polling-CDC contract every RDBMS-fed pipeline starts from; the
+    queue drain (streaming_inbox_pipeline) is the push twin.
+
+    Scale shape: each micro-batch is one bounded range scan; offsets
+    live in the Spark checkpoint, so restarts replay exactly."""
+    import os
+    import sqlite3
+    import tempfile
+
+    from ..sources import pydb
+
+    pydb.register(spark)
+    root = tempfile.mkdtemp(prefix="cdc_poll_")
+    db = os.path.join(root, "src.db")
+    cols = "o_orderkey long, o_totalprice double"
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    (
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .write.format("sqlite")
+        .option("path", db)
+        .option("table", "orders_feed")
+        .mode("append")
+        .save()
+    )
+
+    out_dir = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+
+    def drain(run_tag: str) -> None:
+        stream = (
+            spark.readStream.format("sqlite")
+            .schema(cols)
+            .option("path", db)
+            .option("table", "orders_feed")
+            .load()
+            .withColumn("run", F.lit(run_tag))
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain("run1")
+    # new rows arrive in the database between drains (the CDC delta).
+    # The collect here PLAYS THE EXTERNAL WRITER (an OLTP app inserting
+    # rows) — it is test-fixture construction, not engine data flow; the
+    # engine-side path is the stream reader's bounded range scans.
+    delta = (
+        o.filter(F.col("o_orderkey") % 7 == 1)
+        .select("o_orderkey", "o_totalprice")
+        .collect()
+    )
+    con = sqlite3.connect(db)
+    try:
+        con.executemany(
+            "INSERT INTO orders_feed VALUES (?, ?)",
+            [(r["o_orderkey"], r["o_totalprice"]) for r in delta],
+        )
+        con.commit()
+    finally:
+        con.close()
+    drain("run2")
+
+    landed = spark.read.parquet(out_dir)
+    return landed.groupBy("run").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum(F.col("o_totalprice"), "total_value"),
+    )

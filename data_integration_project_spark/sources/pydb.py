@@ -39,6 +39,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceStreamWriter,
     DataSourceWriter,
+    SimpleDataSourceStreamReader,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -263,6 +264,58 @@ class SqliteWriter(DataSourceWriter):
         shutil.rmtree(self.shard_dir, ignore_errors=True)
 
 
+class SqliteSimpleStreamReader(SimpleDataSourceStreamReader):
+    """STREAMING READER leg: poll the database for new rows by rowid —
+    the CDC-by-polling source every RDBMS-backed ETL starts with (the
+    reference drains a queue; the queue's upstream is exactly this
+    poll). Offsets are ``{"rowid": n}``: a micro-batch reads rows with
+    ``rowid > start`` up to the current MAX(rowid), so replays
+    (``readBetweenOffsets``) are exact and the stream is idempotent
+    under checkpoint recovery. Deletions/updates are out of scope by
+    design — rowid-tail polling is an APPEND-feed contract (real CDC
+    needs the database's log, which SQLite doesn't expose)."""
+
+    def __init__(self, schema, options) -> None:
+        self.path = options["path"]
+        self.table = options["table"]
+        self.cols = [f.name for f in schema.fields]
+        self.start_rowid = int(options.get("start_rowid", 0))
+
+    def initialOffset(self) -> dict:
+        return {"rowid": self.start_rowid}
+
+    def _max_rowid(self, con) -> int:
+        row = con.execute(f"SELECT MAX(rowid) FROM {self.table}").fetchone()
+        return int(row[0]) if row and row[0] is not None else 0
+
+    def read(self, start: dict):
+        con = sqlite3.connect(self.path)
+        try:
+            end = max(self._max_rowid(con), start["rowid"])
+            rows = con.execute(
+                f"SELECT {', '.join(self.cols)} FROM {self.table} "
+                "WHERE rowid > ? AND rowid <= ?",
+                (start["rowid"], end),
+            ).fetchall()
+        finally:
+            con.close()
+        return iter(rows), {"rowid": end}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        con = sqlite3.connect(self.path)
+        try:
+            yield from con.execute(
+                f"SELECT {', '.join(self.cols)} FROM {self.table} "
+                "WHERE rowid > ? AND rowid <= ?",
+                (start["rowid"], end["rowid"]),
+            )
+        finally:
+            con.close()
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the Spark checkpoint; nothing DB-side
+
+
 class SqliteDataSource(DataSource):
     """``spark.read.format("sqlite").option("path", db).option("table", t)``
     and the matching ``df.write.format("sqlite")`` leg."""
@@ -282,6 +335,9 @@ class SqliteDataSource(DataSource):
 
     def streamWriter(self, schema, overwrite: bool) -> "SqliteStreamWriter":
         return SqliteStreamWriter(schema, self.options)
+
+    def simpleStreamReader(self, schema) -> SqliteSimpleStreamReader:
+        return SqliteSimpleStreamReader(schema, self.options)
 
 
 def register(spark) -> None:

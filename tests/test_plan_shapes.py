@@ -275,3 +275,11 @@ def test_leakage_safe_split_single_fp_shuffle(spark, sf_small):
     plan = _executed_plan(spark, "corpus_leakage_safe_split", sf_small)
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
+
+
+def test_geo_radius_join_is_equijoin(spark, sf_small):
+    # grid bucketing must make the spatial join an equi-join on the
+    # cell key — no cartesian, no nested-loop fallback
+    plan = _executed_plan(spark, "suppliers_geo_radius_join", sf_small)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -108,3 +108,39 @@ def test_batch_rollback_and_continue(spark, tmp_path):
     import glob
 
     assert glob.glob(db + "._shards-*") == []
+
+
+def test_simple_stream_reader_offsets(tmp_path):
+    """The CDC-polling stream reader's offset contract: read() returns
+    only rows past the start offset and advances to MAX(rowid);
+    readBetweenOffsets replays a closed range exactly (checkpoint
+    recovery path)."""
+    from data_integration_project_spark.sources.pydb import (
+        SqliteSimpleStreamReader,
+    )
+
+    db = str(tmp_path / "feed.db")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE t (a, b)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", [(1, "x"), (2, "y")])
+    con.commit()
+
+    schema = _SCHEMA
+    r = SqliteSimpleStreamReader(schema, {"path": db, "table": "t"})
+    assert r.initialOffset() == {"rowid": 0}
+    rows, end = r.read({"rowid": 0})
+    assert sorted(rows) == [(1, "x"), (2, "y")] and end == {"rowid": 2}
+    # no new data: empty batch, offset unchanged
+    rows2, end2 = r.read(end)
+    assert list(rows2) == [] and end2 == {"rowid": 2}
+    # delta arrives; next poll reads ONLY the delta
+    con.execute("INSERT INTO t VALUES (3, 'z')")
+    con.commit()
+    rows3, end3 = r.read(end2)
+    assert list(rows3) == [(3, "z")] and end3 == {"rowid": 3}
+    # replay a committed range bit-exactly
+    assert list(r.readBetweenOffsets({"rowid": 0}, {"rowid": 2})) == [
+        (1, "x"),
+        (2, "y"),
+    ]
+    con.close()
