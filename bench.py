@@ -111,6 +111,8 @@ HEADLINE = [
     "khachhang_golden_records",
     "dedup_ngram_jaccard",
     "orders_sqlite_partial_load",
+    # round 3 (cont.): grid-bucketed spatial equi-join
+    "suppliers_geo_radius_join",
 ]
 
 
