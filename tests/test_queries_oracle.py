@@ -41,3 +41,15 @@ def test_entry_contract(spark):
     qs, os_ = e.queries(), e.oracle_sql()
     assert set(os_) <= set(qs)
     assert len(qs) == len(plans.REGISTRY)
+
+
+def test_resample_first_ordering():
+    """The five queries whose last driver verdict predates their fix
+    must lead queries()/oracle_sql() so a prefix-sampling driver
+    re-covers them (VERDICT r2 item 2)."""
+    from data_integration_project_spark.plans.catalog import _RESAMPLE_FIRST
+
+    qs = list(plans.queries())
+    assert qs[: len(_RESAMPLE_FIRST)] == _RESAMPLE_FIRST
+    os_ = list(plans.oracle_sql())
+    assert os_[: len(_RESAMPLE_FIRST)] == _RESAMPLE_FIRST
