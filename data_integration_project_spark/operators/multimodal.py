@@ -1676,6 +1676,12 @@ def decode_flac(payload: bytes) -> dict:
     import numpy as np
 
     arr = np.asarray(samples, dtype=np.int64)
+    # range-check BEFORE the int16 pack: astype('<i2') silently wraps
+    # out-of-range samples, which would downgrade a corrupt stream to
+    # the less-diagnostic "PCM MD5 mismatch" (and a wrap collision,
+    # however unlikely, would pass the MD5 gate)
+    if len(samples) and (arr.max() > 32767 or arr.min() < -32768):
+        raise ValueError("flac: sample out of 16-bit range")
     pcm = arr.astype("<i2").tobytes()
     md5_ok = hashlib.md5(pcm).digest() == md5_expect
     if not md5_ok:

@@ -1071,7 +1071,7 @@ def customer_one_to_one_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg AS (SELECT cat, SUM(yc) AS s, COUNT(*) AS n FROM y GROUP BY cat)
     SELECT y.cat AS o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(SUM(a.s) / COUNT(*) AS BIGINT) AS naive_sum_cents,
+           CAST(SUM(a.s) // COUNT(*) AS BIGINT) AS naive_sum_cents,
            CAST(SUM(CASE WHEN a.n > 1
                     THEN ((a.s - y.yc) * 100) // (a.n - 1)
                     END) AS BIGINT) AS loo_sum_centicents
@@ -1113,7 +1113,13 @@ def orders_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("cat").alias("o_orderpriority"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            (F.sum("s") / F.count(F.lit(1))).cast("long").alias("naive_sum_cents"),
+            # integer division on BOTH sides: SUM(s) here is n*s per
+            # category and exceeds 2^53 well before sf1.0, where the
+            # float quotient stops being integral and Spark's
+            # truncate-toward-zero cast vs DuckDB's round-to-nearest
+            # cast diverge by 1 (a latent parity break the sf0.001
+            # fixture masks).
+            F.expr("sum(s) div count(1)").alias("naive_sum_cents"),
             F.sum(loo_cc).cast("long").alias("loo_sum_centicents"),
         )
     )

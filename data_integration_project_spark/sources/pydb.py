@@ -273,7 +273,17 @@ class SqliteSimpleStreamReader(SimpleDataSourceStreamReader):
     (``readBetweenOffsets``) are exact and the stream is idempotent
     under checkpoint recovery. Deletions/updates are out of scope by
     design — rowid-tail polling is an APPEND-feed contract (real CDC
-    needs the database's log, which SQLite doesn't expose)."""
+    needs the database's log, which SQLite doesn't expose).
+
+    SINGLE-WRITER / ORDERED-COMMIT CONTRACT: rowid-tail polling assumes
+    rowids become visible in order. If two writer connections
+    interleave — a transaction holding LOWER rowids commits AFTER a
+    poll already observed a higher MAX(rowid) — those rows land behind
+    the checkpointed offset and are never read. SQLite's database-level
+    write lock makes single-connection appenders safe; for a
+    multi-writer feed, poll with a stability lag (take ``end`` =
+    MAX(rowid) observed on the PREVIOUS poll, so in-flight writers one
+    poll behind still surface) or switch to a log-based CDC source."""
 
     def __init__(self, schema, options) -> None:
         self.path = options["path"]
@@ -378,30 +388,45 @@ class SqliteStreamWriter(SqliteWriter, DataSourceStreamWriter):
                 ).fetchone()
                 if already is None:
                     ph = ", ".join("?" for _ in self.cols)
+                    # Stream each shard in bounded chunks (fetchmany +
+                    # executemany) instead of fetchall(): the merge and
+                    # the _batch_log row still commit in ONE target
+                    # transaction, but a large micro-batch no longer
+                    # materializes whole shards in driver memory.
+                    chunk = 10_000
                     for m in messages:
                         if m is None:
                             continue
                         src = sqlite3.connect(m.shard_path)
                         try:
-                            rows = src.execute(
+                            cur = src.execute(
                                 f"SELECT * FROM {self.table}"
-                            ).fetchall()
+                            )
+                            while True:
+                                rows = cur.fetchmany(chunk)
+                                if not rows:
+                                    break
+                                con.executemany(
+                                    f"INSERT INTO {self.table} VALUES ({ph})",
+                                    rows,
+                                )
                             try:
-                                qrows = src.execute(
+                                qcur = src.execute(
                                     f"SELECT * FROM {self.table}__quarantine"
-                                ).fetchall()
+                                )
                             except sqlite3.OperationalError:
-                                qrows = []  # shard predates quarantine
+                                qcur = None  # shard predates quarantine
+                            while qcur is not None:
+                                qrows = qcur.fetchmany(chunk)
+                                if not qrows:
+                                    break
+                                con.executemany(
+                                    f"INSERT INTO {self.table}__quarantine "
+                                    f"VALUES ({ph}, ?)",
+                                    qrows,
+                                )
                         finally:
                             src.close()
-                        con.executemany(
-                            f"INSERT INTO {self.table} VALUES ({ph})", rows
-                        )
-                        con.executemany(
-                            f"INSERT INTO {self.table}__quarantine "
-                            f"VALUES ({ph}, ?)",
-                            qrows,
-                        )
                     con.execute(
                         "INSERT INTO _batch_log (batch_id) VALUES (?)", (batchId,)
                     )
