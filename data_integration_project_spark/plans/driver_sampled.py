@@ -1,0 +1,91 @@
+"""Queries the driver has sampled in past rounds (GENERATED).
+
+Regenerate with ``python tools/gen_driver_sampled.py`` after each
+round's CORRECTNESS_r{N}.json lands. plans/catalog.py orders the
+catalog so never-sampled queries come first, rotating fresh
+queries into the driver's ~50-query prefix sample every round.
+"""
+
+# source files: CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
+
+DRIVER_SAMPLED: frozenset[str] = frozenset({
+    "ann_cosine_topk",  # CORRECTNESS_r01.json
+    "ann_ivf_topk",  # CORRECTNESS_r01.json, CORRECTNESS_r03.json
+    "ann_srp_bucketed",  # CORRECTNESS_r01.json, CORRECTNESS_r03.json
+    "ann_topk_pandas",  # CORRECTNESS_r01.json, CORRECTNESS_r03.json
+    "corpus_leakage_safe_split",  # CORRECTNESS_r03.json
+    "customer_clean_rows",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "customer_error_replay",  # CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "customer_error_rows",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "customer_imputation",  # CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "customer_jaro_winkler_match",  # CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "customer_one_to_one_linkage",  # CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "customer_quality_report",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "customers_aes_envelope",  # CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "customers_pseudonymized",  # CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "customers_rtbf_purge_audit",  # CORRECTNESS_r02.json
+    "customers_snapshot_changelog",  # CORRECTNESS_r02.json
+    "dathang_fk_validation",  # CORRECTNESS_r01.json
+    "dedup_exact",  # CORRECTNESS_r01.json, CORRECTNESS_r03.json
+    "dedup_minhash_lsh",  # CORRECTNESS_r01.json
+    "dedup_ngram_jaccard",  # CORRECTNESS_r01.json
+    "dedup_simhash",  # CORRECTNESS_r01.json
+    "dim_customer_bitemporal",  # CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "dim_customer_scd2",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "dim_customer_scd2_incremental",  # CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "dim_customer_scd2_streaming",  # CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "dim_date",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "dim_date_holidays",  # CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "dim_date_tet_holidays",  # CORRECTNESS_r02.json
+    "doc_fingerprints",  # CORRECTNESS_r01.json
+    "doc_lang_id",  # CORRECTNESS_r01.json
+    "doc_quality_scores",  # CORRECTNESS_r01.json
+    "doc_token_stats",  # CORRECTNESS_r01.json
+    "embedding_near_dup",  # CORRECTNESS_r01.json
+    "events_asof_last_click",  # CORRECTNESS_r01.json
+    "events_hourly_by_type",  # CORRECTNESS_r01.json
+    "events_multi_rollup",  # CORRECTNESS_r01.json
+    "events_range_correlation",  # CORRECTNESS_r01.json
+    "events_sessionization",  # CORRECTNESS_r01.json
+    "events_user_running_stats",  # CORRECTNESS_r01.json
+    "fact_compensating_entries",  # CORRECTNESS_r02.json
+    "fact_join_view_incremental",  # CORRECTNESS_r02.json
+    "fact_late_dimension",  # CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "fact_order_lifecycle",  # CORRECTNESS_r02.json
+    "fact_period_end_balance",  # CORRECTNESS_r02.json
+    "fact_sales_by_brand_year",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "khachhang_csv_pipeline",  # CORRECTNESS_r01.json
+    "merged_customer_sources",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "mon_dual_source_merge",  # CORRECTNESS_r01.json
+    "monitoring_entity_summary",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "monitoring_file_stats",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "multimodal_features",  # CORRECTNESS_r01.json
+    "nguyenlieu_inventory_fact",  # CORRECTNESS_r01.json
+    "order_line_value",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "orders_cdc_apply",  # CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "orders_constraint_suite",  # CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "orders_daily_spine",  # CORRECTNESS_r02.json
+    "orders_dp_noisy_counts",  # CORRECTNESS_r03.json
+    "orders_fd_discovery",  # CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "orders_first_wins_dedup",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "orders_fx_normalized",  # CORRECTNESS_r02.json
+    "orders_pit_dimension_join",  # CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "orders_price_quantiles",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "orders_schema_evolution_read",  # CORRECTNESS_r03.json
+    "orders_status_report",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "orders_target_encoding_loo",  # CORRECTNESS_r03.json
+    "orders_winsorized_stats",  # CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "orders_with_late_lines",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "part_category_lookup",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "q1_pricing_summary",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "q3_shipping_priority",  # CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "q5_local_supplier_volume",  # CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "reconcile_conflicts",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "reconcile_not_in_null_keys",  # CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "reconcile_only_in_source",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "star_revenue_by_region",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "streaming_inbox_pipeline",  # CORRECTNESS_r01.json, CORRECTNESS_r03.json
+    "supplier_balance_by_nation",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "table_row_counts",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "top10_orders",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
+})

@@ -43,13 +43,36 @@ def test_entry_contract(spark):
     assert len(qs) == len(plans.REGISTRY)
 
 
-def test_resample_first_ordering():
-    """The five queries whose last driver verdict predates their fix
-    must lead queries()/oracle_sql() so a prefix-sampling driver
-    re-covers them (VERDICT r2 item 2)."""
-    from data_integration_project_spark.plans.catalog import _RESAMPLE_FIRST
+def test_never_sampled_rotation():
+    """queries()/oracle_sql() must lead with every query absent from all
+    past CORRECTNESS_r{N}.json files, so the driver's ~50-query prefix
+    sample covers new ground each round (VERDICT r3 item 2)."""
+    from data_integration_project_spark.plans.driver_sampled import (
+        DRIVER_SAMPLED,
+    )
 
     qs = list(plans.queries())
-    assert qs[: len(_RESAMPLE_FIRST)] == _RESAMPLE_FIRST
-    os_ = list(plans.oracle_sql())
-    assert os_[: len(_RESAMPLE_FIRST)] == _RESAMPLE_FIRST
+    n_fresh = sum(1 for n in qs if n not in DRIVER_SAMPLED)
+    assert n_fresh > 0, "rotation is pointless once everything is sampled"
+    assert all(n not in DRIVER_SAMPLED for n in qs[:n_fresh])
+    assert all(n in DRIVER_SAMPLED for n in qs[n_fresh:])
+    # sampled names must exist in the registry (catches typos/renames)
+    assert DRIVER_SAMPLED <= set(plans.REGISTRY)
+
+
+def test_driver_sampled_is_current():
+    """The committed sampled-set module must match the CORRECTNESS files
+    in the repo root — regenerate with tools/gen_driver_sampled.py."""
+    import glob
+    import json
+
+    from data_integration_project_spark.plans.driver_sampled import (
+        DRIVER_SAMPLED,
+    )
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    names: set[str] = set()
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r0*.json")):
+        with open(path) as fh:
+            names |= set(json.load(fh))
+    assert names == set(DRIVER_SAMPLED)

