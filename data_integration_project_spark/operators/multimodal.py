@@ -1859,7 +1859,12 @@ def _jpeg_idct_block(coef: list[int]) -> list[int]:
     """8x8 inverse DCT (T.81 A.3.3) of a raster-order dequantized block,
     level-shifted (+128) and clamped. DC-only blocks take the exact
     constant fast path every production decoder uses (the general sum
-    degenerates to F00/8)."""
+    degenerates to F00/8).
+
+    SCALAR REFERENCE ONLY — the decode hot path batches every non-DC
+    block of a payload through :func:`_jpeg_idct_batch` (two 8x8
+    matmuls per block in one einsum); this quadruple loop survives as
+    the from-spec twin the property test checks the batch against."""
     if not any(coef[1:]):
         v = coef[0]
         # round-half-away-from-zero of v/8, exact for v = 8k
@@ -1875,6 +1880,31 @@ def _jpeg_idct_block(coef: list[int]) -> list[int]:
                     s += _IDCT_C[u] * cy * _IDCT_COS[x][u] * coef[v * 8 + u]
             out.append(min(255, max(0, round(s / 4) + 128)))
     return out
+
+
+def _idct_basis():
+    """A[y,v] = C[v]·cos((2y+1)vπ/16): out = A @ X @ Aᵀ IS the 2-D IDCT
+    (the separability identity production decoders exploit)."""
+    import numpy as np
+
+    return np.array(
+        [[_IDCT_C[v] * _IDCT_COS[y][v] for v in range(8)] for y in range(8)]
+    )
+
+
+def _jpeg_idct_batch(rasters):
+    """Vectorized IDCT of an (n, 64) int array of raster-order
+    dequantized blocks → (n, 64) uint8-range pixel ints (VERDICT r3
+    task 1 — replaces ~4096 interpreted mults per block with two BLAS
+    matmuls). Rounding matches the scalar twin: Python round() and
+    np.rint are both round-half-to-even."""
+    import numpy as np
+
+    A = _idct_basis()
+    X = rasters.reshape(-1, 8, 8).astype(np.float64)
+    S = np.einsum("yv,nvu,xu->nyx", A, X, A, optimize=True)
+    px = np.rint(S / 4).astype(np.int64) + 128
+    return np.clip(px, 0, 255).reshape(-1, 64)
 
 
 def _jpeg_fdct_block(pixels: list[int]) -> list[int]:
@@ -1916,12 +1946,71 @@ class _JpegBitWriter:
             self.write((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
 
 
+def _jpeg_encode_scan_constant(
+    dcs: list[int], restart_interval: int = _JPEG_DRI
+) -> bytes:
+    """Fast scan encoder for ALL-DC (constant) blocks — the shape
+    :func:`encode_jpeg` emits for every payload. Byte-identical to the
+    general writer (property-pinned): each restart segment packs its
+    DC symbols + extend bits + EOBs into ONE Python int, pads with
+    1-bits, and byte-stuffs with a single C-level ``bytes.replace`` —
+    no per-bit writer object. ~10× on the encode leg (VERDICT r3
+    task 1's MCU-loop half, encode side)."""
+    dc_enc = _jpeg_huff_encoder(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_enc = _jpeg_huff_encoder(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    eob_code, eob_ln = ac_enc[0x00]
+    ri = restart_interval or len(dcs)
+    out = bytearray()
+    rst = 0
+    for seg_start in range(0, len(dcs), ri):
+        if seg_start:
+            out += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) % 8
+        acc = 0
+        nb = 0
+        pred = 0
+        for dc in dcs[seg_start : seg_start + ri]:
+            diff = dc - pred
+            pred = dc
+            size = abs(diff).bit_length()
+            code, ln = dc_enc[size]
+            acc = (acc << ln) | code
+            nb += ln
+            if size:
+                acc = (acc << size) | (
+                    (diff if diff > 0 else diff + (1 << size) - 1)
+                    & ((1 << size) - 1)
+                )
+                nb += size
+            acc = (acc << eob_ln) | eob_code
+            nb += eob_ln
+        pad = (-nb) % 8                       # T.81 F.1.2.3: pad with 1s
+        acc = (acc << pad) | ((1 << pad) - 1)
+        nb += pad
+        out += acc.to_bytes(nb // 8, "big").replace(b"\xff", b"\xff\x00")
+    return bytes(out)
+
+
 def _jpeg_encode_scan(
     qblocks: list[list[int]], restart_interval: int = _JPEG_DRI
 ) -> bytes:
     """Entropy-code quantized zigzag-order blocks: DPCM DC (magnitude
     category + extend bits), run/size AC with ZRL and EOB, restart
-    markers every ``restart_interval`` MCUs with DC predictor reset."""
+    markers every ``restart_interval`` MCUs with DC predictor reset.
+    All-constant block lists (the :func:`encode_jpeg` shape) dispatch
+    to the byte-identical fast packer."""
+    if all(not any(zz[1:]) for zz in qblocks):
+        return _jpeg_encode_scan_constant(
+            [zz[0] for zz in qblocks], restart_interval
+        )
+    return _jpeg_encode_scan_general(qblocks, restart_interval)
+
+
+def _jpeg_encode_scan_general(
+    qblocks: list[list[int]], restart_interval: int = _JPEG_DRI
+) -> bytes:
+    """General per-bit scan writer (also the property-test reference the
+    constant fast packer is pinned against)."""
     dc_enc = _jpeg_huff_encoder(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_enc = _jpeg_huff_encoder(_JPEG_AC_BITS, _JPEG_AC_VALS)
     out = bytearray()
@@ -1973,8 +2062,8 @@ def _jpeg_encode_scan(
     return bytes(out)
 
 
-def _jpeg_container(qblocks: list[list[int]], width: int, height: int) -> bytes:
-    """Wrap entropy-coded blocks in a complete baseline JPEG file:
+def _jpeg_container(scan: bytes, width: int, height: int) -> bytes:
+    """Wrap an entropy-coded scan in a complete baseline JPEG file:
     SOI, DQT (flat table of 8), SOF0 grayscale, Annex K DHTs, DRI, SOS,
     scan, EOI."""
     out = bytearray(b"\xff\xd8")                      # SOI
@@ -1997,7 +2086,7 @@ def _jpeg_container(qblocks: list[list[int]], width: int, height: int) -> bytes:
         out += b"\xff\xc4" + (2 + len(body)).to_bytes(2, "big") + body
     out += b"\xff\xdd" + (4).to_bytes(2, "big") + _JPEG_DRI.to_bytes(2, "big")
     out += b"\xff\xda" + (2 + 1 + 2 + 3).to_bytes(2, "big") + b"\x01\x01\x00\x00\x3f\x00"
-    out += _jpeg_encode_scan(qblocks)
+    out += scan
     out += b"\xff\xd9"                                # EOI
     return bytes(out)
 
@@ -2007,15 +2096,12 @@ def encode_jpeg(raw: bytes, max_bytes: int = JPEG_MAX_BYTES) -> bytes:
     component, 8 px wide, one constant 8x8 block per input byte (stacked
     vertically), flat quantization table of 8 so constant blocks are
     bit-lossless (module comment), Annex K Huffman tables, DRI=4
-    restart markers. An empty input becomes a single zero block."""
+    restart markers. An empty input becomes a single zero block.
+    Constant blocks go straight to the big-int scan packer — no 64-slot
+    block lists are ever built (DCT F00 = 8·(b−128) exactly, /8 quant)."""
     data = raw[:max_bytes] or b"\x00"
-    qblocks = []
-    for b in data:
-        zz = [0] * 64
-        # constant block: DCT F00 = 8*(b-128) exactly; quantize by 8
-        zz[0] = b - 128
-        qblocks.append(zz)
-    return _jpeg_container(qblocks, 8, 8 * len(qblocks))
+    scan = _jpeg_encode_scan_constant([b - 128 for b in data])
+    return _jpeg_container(scan, 8, 8 * len(data))
 
 
 def encode_jpeg_raster(pixels: list[int], width: int) -> bytes:
@@ -2044,71 +2130,7 @@ def encode_jpeg_raster(pixels: list[int], width: int) -> bytes:
                 for c in (coef[_JPEG_ZIGZAG[k]] for k in range(64))
             ]
             qblocks.append(zz)
-    return _jpeg_container(qblocks, width, height)
-
-
-class _JpegBitReader:
-    """MSB-first scan reader: unstuffs 0xFF00, surfaces RSTn markers."""
-
-    def __init__(self, data: bytes, pos: int) -> None:
-        self.data = data
-        self.pos = pos
-        self.acc = 0
-        self.nbits = 0
-
-    def _fill(self) -> None:
-        b = self.data[self.pos]
-        if b == 0xFF:
-            nxt = self.data[self.pos + 1]
-            if nxt == 0x00:
-                self.pos += 2                          # stuffed data byte
-            else:
-                raise ValueError("jpeg: marker inside entropy data")
-        else:
-            self.pos += 1
-        self.acc = (self.acc << 8) | b
-        self.nbits += 8
-
-    def read(self, width: int) -> int:
-        while self.nbits < width:
-            self._fill()
-        self.nbits -= width
-        v = (self.acc >> self.nbits) & ((1 << width) - 1)
-        self.acc &= (1 << self.nbits) - 1
-        return v
-
-    def expect_restart(self, seq: int) -> None:
-        """Byte-align and consume the next RSTn, verifying its sequence."""
-        self.acc = 0
-        self.nbits = 0
-        if self.data[self.pos] != 0xFF or self.data[self.pos + 1] != 0xD0 + seq:
-            raise ValueError("jpeg: expected restart marker out of sequence")
-        self.pos += 2
-
-    def huff(self, syms: bytes, lens: bytes) -> int:
-        """LUT decode: peek (up to) 16 bits, one index, consume. A fill
-        stopping early (marker / end of data) zero-pads the window; a
-        code longer than the real bits available is then caught by the
-        ``ln > nbits`` guard — same failures as the old per-bit walk."""
-        while self.nbits < 16:
-            try:
-                self._fill()
-            except (ValueError, IndexError):
-                break
-        if self.nbits >= 16:
-            window = (self.acc >> (self.nbits - 16)) & 0xFFFF
-        else:
-            window = (self.acc << (16 - self.nbits)) & 0xFFFF
-        ln = lens[window]
-        if ln == 0 or ln > self.nbits:
-            raise ValueError("jpeg: invalid Huffman code")
-        self.nbits -= ln
-        self.acc &= (1 << self.nbits) - 1
-        return syms[window]
-
-
-def _jpeg_extend(v: int, size: int) -> int:
-    return v - (1 << size) + 1 if size and v < (1 << (size - 1)) else v
+    return _jpeg_container(_jpeg_encode_scan(qblocks), width, height)
 
 
 def _decode_jpeg_blocks(payload: bytes) -> tuple[dict, list[list[int]], int]:
@@ -2166,75 +2188,183 @@ def _decode_jpeg_blocks(payload: bytes) -> tuple[dict, list[list[int]], int]:
     dc_syms, dc_lens = _jpeg_huff_lut(*htables[0x00 | hdr["dc_table"]])
     ac_syms, ac_lens = _jpeg_huff_lut(*htables[0x10 | hdr["ac_table"]])
     n_blocks = (hdr["height"] // 8) * (hdr["width"] // 8)
-    r = _JpegBitReader(payload, pos)
+    # --- pre-scan: unstuff + split on restart markers, all C-level ----
+    # The per-byte Python fill (stuffing check per data byte) was the
+    # decode bottleneck (VERDICT r3 task 1, MCU-loop half): one
+    # bytes.find walk per 0xFF occurrence replaces it. Each segment is
+    # clean entropy bytes; `terms[j]` is the marker byte ending it
+    # (0xD0-0xD7 restart, or the first non-restart marker — EOI when
+    # the stream is well-formed).
+    segs: list[bytes] = []
+    terms: list[int] = []
+    cur = bytearray()
+    p = pos
+    while True:
+        ff = payload.find(b"\xff", p)
+        if ff == -1 or ff + 1 >= len(payload):
+            raise ValueError("jpeg: truncated entropy data")
+        cur += payload[p:ff]
+        m = payload[ff + 1]
+        if m == 0x00:                                  # stuffed data byte
+            cur += b"\xff"
+            p = ff + 2
+            continue
+        segs.append(bytes(cur))
+        terms.append(m)
+        cur = bytearray()
+        p = ff + 2
+        if not (0xD0 <= m <= 0xD7):
+            break
+    # --- sequential symbol decode over clean buffers ------------------
+    # One int.from_bytes per symbol: a 40-bit window holds the longest
+    # code (16) + longest EXTEND field (15) at any intra-byte offset
+    # (7), so the Huffman LUT index AND the extend bits both come out
+    # of the same fetch with shifts.
     blocks: list[list[int]] = []
     pred = 0
     restarts = 0
+    seg_i = 0
+    buf = segs[0]
+    total = len(buf) * 8
+    padbuf = buf + b"\x00\x00\x00\x00"
+    bitpos = 0
+    dri = hdr["dri"]
+    has_ac = False
+    from_bytes = int.from_bytes
     for i in range(n_blocks):
-        if hdr["dri"] and i and i % hdr["dri"] == 0:
-            r.expect_restart(restarts % 8)
+        if dri and i and i % dri == 0:
+            if seg_i >= len(terms) or terms[seg_i] != 0xD0 + restarts % 8:
+                raise ValueError("jpeg: expected restart marker out of sequence")
+            seg_i += 1
+            if seg_i >= len(segs):
+                raise ValueError("jpeg: truncated entropy data")
+            buf = segs[seg_i]
+            total = len(buf) * 8
+            padbuf = buf + b"\x00\x00\x00\x00"
+            bitpos = 0
             restarts += 1
             pred = 0
         zz = [0] * 64
-        size = r.huff(dc_syms, dc_lens)
-        pred += _jpeg_extend(r.read(size), size) if size else 0
-        zz[0] = pred
-        k = 1
+        k = 0
+        run = 0
         while k < 64:
-            sym = r.huff(ac_syms, ac_lens)
-            if sym == 0x00:                            # EOB
-                break
-            run, size = sym >> 4, sym & 0x0F
-            if size == 0:
-                if run != 15:
-                    raise ValueError("jpeg: bad AC symbol")
-                k += 16                                # ZRL
-                continue
-            k += run
-            if k > 63:
-                raise ValueError("jpeg: AC run past block end")
-            zz[k] = _jpeg_extend(r.read(size), size)
-            k += 1
+            b0 = bitpos >> 3
+            sh = bitpos & 7
+            w40 = from_bytes(padbuf[b0 : b0 + 5], "big")
+            window = (w40 >> (24 - sh)) & 0xFFFF
+            if k == 0:
+                ln = dc_lens[window]
+                sym = dc_syms[window]
+            else:
+                ln = ac_lens[window]
+                sym = ac_syms[window]
+            if ln == 0 or bitpos + ln > total:
+                raise ValueError("jpeg: invalid Huffman code")
+            bitpos += ln
+            if k:
+                if sym == 0x00:                        # EOB
+                    break
+                run, sym = sym >> 4, sym & 0x0F
+                if sym == 0:
+                    if run != 15:
+                        raise ValueError("jpeg: bad AC symbol")
+                    k += 16                            # ZRL
+                    continue
+            size = sym
+            v = 0
+            if size:
+                if bitpos + size > total:
+                    raise ValueError("jpeg: truncated entropy data")
+                v = (w40 >> (40 - sh - ln - size)) & ((1 << size) - 1)
+                bitpos += size
+                if v < (1 << (size - 1)):              # T.81 F.2.2.1 EXTEND
+                    v += 1 - (1 << size)
+            if k == 0:
+                pred += v
+                zz[0] = pred
+                k = 1
+            else:
+                k += run
+                if k > 63:
+                    raise ValueError("jpeg: AC run past block end")
+                zz[k] = v
+                has_ac = True
+                k += 1
         blocks.append(zz)
-    if r.nbits >= 8:
+    if total - bitpos >= 8 or seg_i != len(segs) - 1:
         raise ValueError("jpeg: trailing entropy data")
-    while payload[r.pos] != 0xFF or payload[r.pos + 1] == 0x00:
-        r.pos += 1                                     # padding bits flushed
-    if payload[r.pos : r.pos + 2] != b"\xff\xd9":
+    if terms[seg_i] != 0xD9:
         raise ValueError("jpeg: missing EOI")
     hdr["quant"] = qtables[hdr["qtable"]]
+    hdr["has_ac"] = has_ac
     return hdr, blocks, restarts
 
 
 def decode_jpeg(payload: bytes) -> dict:
     """Baseline JPEG decode: entropy decode, zigzag dequantization,
-    IDCT, level shift. Returns exact integer pixel statistics."""
+    IDCT, level shift. Returns exact integer pixel statistics.
+
+    The pixel layer is fully vectorized: ALL blocks of the payload
+    dequantize + zigzag-scatter as one (n, 64) numpy array, DC-only
+    blocks take the exact integer constant path as a masked vector op,
+    and the remaining blocks IDCT together via ``_jpeg_idct_batch``
+    (two matmuls per block in one einsum). The entropy layer above it
+    stays per-symbol by nature — each Huffman code's LENGTH determines
+    where the next one starts, so the scan is a sequential dependence
+    chain; the 16-bit-window LUT (one index per symbol) is the
+    practical floor for that layer in Python."""
     hdr, blocks, restarts = _decode_jpeg_blocks(payload)
-    quant = hdr["quant"]
+    import itertools
+
+    import numpy as np
+
     width = hdr["width"]
     blocks_per_row = width // 8
-    sum_pixels = 0
-    dc_checksum = 0
-    for i, zz in enumerate(blocks):
-        if not any(zz[1:]):
-            # DC-only: IDCT is exactly constant — no raster build
-            v = zz[0] * quant[0]
-            const = min(
-                255, max(0, ((v + 4) // 8 if v >= 0 else -((-v + 4) // 8)) + 128)
-            )
-            block_sum = 64 * const
-            block_mean = const
-        else:
-            raster = [0] * 64
-            for k in range(64):
-                raster[_JPEG_ZIGZAG[k]] = zz[k] * quant[k]
-            px = _jpeg_idct_block(raster)
-            block_sum = sum(px)
-            block_mean = block_sum // 64
-        sum_pixels += block_sum
-        # per-block mean (exact for the constant-block case): weighted
-        # by 1-based block index so order errors cannot cancel
-        dc_checksum += (i + 1) * block_mean
+    n = len(blocks)
+    if not hdr["has_ac"]:
+        # every block is DC-only (the constant-block corpus shape):
+        # skip the (n, 64) conversion, vectorize the exact constant
+        # path over just the DC column
+        v = (
+            np.fromiter((zz[0] for zz in blocks), dtype=np.int64, count=n)
+            * hdr["quant"][0]
+        )
+        const = np.where(v >= 0, (v + 4) // 8, -((-v + 4) // 8)) + 128
+        const = np.clip(const, 0, 255)
+        block_sum = 64 * const
+        block_mean = const
+    else:
+        quant = np.asarray(hdr["quant"], dtype=np.int64)  # zigzag order (DQT)
+        Z = np.fromiter(
+            itertools.chain.from_iterable(blocks), dtype=np.int64, count=n * 64
+        ).reshape(n, 64)
+        zig = np.asarray(_JPEG_ZIGZAG, dtype=np.int64)
+        block_sum = np.zeros(n, dtype=np.int64)
+        block_mean = np.zeros(n, dtype=np.int64)
+
+        dc_only = ~(Z[:, 1:] != 0).any(axis=1)
+        if dc_only.any():
+            # DC-only: IDCT is exactly constant — no raster build; exact
+            # integer round-half-away-from-zero of v/8 (exact for v = 8k)
+            v = Z[dc_only, 0] * quant[0]
+            const = np.where(v >= 0, (v + 4) // 8, -((-v + 4) // 8)) + 128
+            const = np.clip(const, 0, 255)
+            block_sum[dc_only] = 64 * const
+            block_mean[dc_only] = const
+        ac = ~dc_only
+        if ac.any():
+            deq = Z[ac] * quant                       # dequant in zigzag domain
+            raster = np.zeros_like(deq)
+            raster[:, zig] = deq                      # zigzag → raster scatter
+            px = _jpeg_idct_batch(raster)
+            s = px.sum(axis=1)
+            block_sum[ac] = s
+            block_mean[ac] = s // 64
+
+    sum_pixels = int(block_sum.sum())
+    # per-block mean (exact for the constant-block case): weighted
+    # by 1-based block index so order errors cannot cancel
+    dc_checksum = int(((np.arange(n, dtype=np.int64) + 1) * block_mean).sum())
     return {
         "format": "jpeg",
         "width": width,

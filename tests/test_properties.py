@@ -268,6 +268,46 @@ def test_jpeg_rejects_structural_damage():
 
 
 @settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(-128, 127), min_size=1, max_size=40))
+def test_jpeg_constant_scan_byte_identical(dcs):
+    """The big-int fast packer for all-constant blocks must emit the
+    exact bytes of the general per-bit scan writer (restart markers,
+    byte stuffing, 1-bit padding included)."""
+    from data_integration_project_spark.operators.multimodal import (
+        _jpeg_encode_scan_constant,
+        _jpeg_encode_scan_general,
+    )
+
+    qblocks = [[dc] + [0] * 63 for dc in dcs]
+    assert _jpeg_encode_scan_constant(dcs) == _jpeg_encode_scan_general(qblocks)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(-1024, 1024), min_size=64, max_size=64),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_jpeg_idct_batch_matches_scalar(blocks):
+    """The einsum-batched IDCT must equal the from-spec scalar quadruple
+    loop pixel-for-pixel (both round half-to-even after the /4)."""
+    import numpy as np
+
+    from data_integration_project_spark.operators.multimodal import (
+        _jpeg_idct_batch,
+        _jpeg_idct_block,
+    )
+
+    # force the general path in the scalar twin (it has a DC-only branch)
+    blocks = [b if any(b[1:]) else b[:1] + [1] + b[2:] for b in blocks]
+    got = _jpeg_idct_batch(np.asarray(blocks, dtype=np.int64))
+    exp = np.asarray([_jpeg_idct_block(b) for b in blocks], dtype=np.int64)
+    assert (got == exp).all()
+
+
+@settings(max_examples=40, deadline=None)
 @given(_BYTES)
 def test_avi_keyframe_sampling_property(raw):
     """Index-seeked AVI samples match the direct byte formula for every
