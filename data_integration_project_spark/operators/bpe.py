@@ -116,3 +116,22 @@ def train_bpe(
         "round int, left_sym string, right_sym string, "
         "pair_count long, merged string, symbols_after long",
     )
+
+
+def encode_words_with_merges(
+    words: DataFrame, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """APPLY side of the tokenizer loop: replay the learned merge list
+    (training order) over each distinct word and return its final
+    symbol array — ``(word, syms)``.
+
+    The merge table is driver-side metadata (k rows); each rule is one
+    ``_apply_merge`` fold, chained as nested column expressions — the
+    interpreted-lambda cost lands on |vocab| rows ONCE, and corpus-side
+    encoding becomes a plain equi-join against this table (the same
+    distinct-dim discipline as [[doc_vocab_encode]]). At 100 TB the
+    corpus never runs a per-token Python or HOF path."""
+    cur = F.split(F.col("word"), "")
+    for left, right in merges:
+        cur = _apply_merge(cur, left, right)
+    return words.select("word", cur.alias("syms"))

@@ -956,6 +956,76 @@ def decode_image_features(media: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Perceptual hash (dHash) — the image near-dup signal an LLM training
+# pipeline runs over decoded rasters before exact-bytes dedup misses
+# re-encoded / slightly-edited copies.
+# ---------------------------------------------------------------------------
+
+DHASH_SCHEMA = "media_id long, c0 int, c1 int, c2 int, c3 int"
+
+
+def dhash_chunks(width: int, height: int, raster: bytes) -> tuple[int, int, int, int]:
+    """64-bit difference hash of an RGB raster, returned as FOUR 16-bit
+    chunks (the Hamming-band LSH keys; also sidesteps BIGINT sign/shift
+    pitfalls in both engines).
+
+    The raster average-pools onto an 8-row × 9-column grid
+    (``gy = py*8//H``, ``gx = px*9//W`` — floor partitions, so cells
+    may hold unequal pixel counts); bit ``gy*8+gx`` is 1 iff the cell's
+    mean integer luma (channel sum — a fixed scale of the mean, which
+    cancels in the compare) strictly exceeds its right neighbor's.
+    Means compare by EXACT integer cross-multiplication
+    (``s_a·n_b > s_b·n_a``), never a float division, so the SQL oracle
+    reproduces every bit. Empty cells (tiny rasters) compare as 0>0 →
+    bit 0, matching the oracle's absent-row behavior."""
+    import numpy as np
+
+    a = (
+        np.frombuffer(raster, dtype=np.uint8)
+        .astype(np.int64)
+        .reshape(height, width, 3)
+    )
+    luma = a.sum(axis=2)                              # (H, W) integer
+    gy = np.arange(height) * 8 // height
+    gx = np.arange(width) * 9 // width
+    cell_sum = np.zeros((8, 9), dtype=np.int64)
+    cell_cnt = np.zeros((8, 9), dtype=np.int64)
+    iy = np.repeat(gy, width)
+    ix = np.tile(gx, height)
+    np.add.at(cell_sum, (iy, ix), luma.ravel())
+    np.add.at(cell_cnt, (iy, ix), 1)
+    bits = (
+        cell_sum[:, :8] * cell_cnt[:, 1:] > cell_sum[:, 1:] * cell_cnt[:, :8]
+    ).astype(np.int64)
+    flat = bits.ravel()                               # bit k = gy*8 + gx
+    w = 1 << np.arange(16, dtype=np.int64)
+    return tuple(int((flat[j * 16 : (j + 1) * 16] * w).sum()) for j in range(4))
+
+
+def decode_dhash_features(media: DataFrame) -> DataFrame:
+    """Perceptual-hash extraction inside ``mapInPandas``: parse each PPM
+    payload and emit its dHash as four 16-bit chunk columns. Payloads
+    hash-partition on the id (single-file source still decodes on every
+    core); state per task is one Arrow batch."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for mid, p in zip(pdf["media_id"].values, pdf["payload"]):
+                w, h, raster = _ppm_raster(bytes(p))
+                raster = raster.ljust(w * h * 3, b"\x00")  # short-raster pad
+                recs.append((int(mid), *dhash_chunks(w, h, raster)))
+            yield pd.DataFrame(
+                recs, columns=["media_id", "c0", "c1", "c2", "c3"]
+            )
+
+    n_parts = media.sparkSession.sparkContext.defaultParallelism
+    return media.repartition(n_parts, F.col("media_id")).mapInPandas(
+        op, schema=DHASH_SCHEMA
+    )
+
+
 def extract_features(media: DataFrame, *, batch_hint: int | None = None) -> DataFrame:
     """Feature extraction over binary payloads via ``mapInPandas``:
     Arrow-batched, streaming per partition (the iterator yields one

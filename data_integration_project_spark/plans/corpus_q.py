@@ -2281,8 +2281,8 @@ def doc_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(10)
 
 
-def _bpe_oracle_sql(n_merges: int) -> str:
-    """Unroll the BPE training loop into chained MATERIALIZED CTEs —
+def _bpe_chain_parts(n_merges: int) -> list[str]:
+    """Shared CTE chain unrolling the BPE training loop —
     one (pairs, best, cand, taken, words) block per round. Greedy
     non-overlapping application is relational: candidate positions form
     runs of consecutive indices; within a run every other position
@@ -2340,6 +2340,12 @@ def _bpe_oracle_sql(n_merges: int) -> str:
       FROM words_{p} w LEFT JOIN taken_{r} t USING (word)
     )"""
         )
+    return parts
+
+
+def _bpe_oracle_sql(n_merges: int) -> str:
+    """Training-report oracle: one (round, pair, symbols_after) row per
+    merge from the shared unrolled chain."""
     selects = [
         f"""SELECT CAST({r} AS INTEGER) AS round, a AS left_sym, b AS right_sym,
            CAST(n AS BIGINT) AS pair_count, a || b AS merged,
@@ -2350,10 +2356,42 @@ def _bpe_oracle_sql(n_merges: int) -> str:
     ]
     return (
         "WITH "
-        + ",\n    ".join(parts)
+        + ",\n    ".join(_bpe_chain_parts(n_merges))
         + "\n    "
         + "\n    UNION ALL\n    ".join(selects)
     )
+
+
+def _bpe_encode_oracle_sql(n_merges: int) -> str:
+    """Training chain (shared unroll, final CTE = fully-merged word
+    table) + apply: every doc token joins ``words_N``, symbols get
+    position weights and fold-hash ids, one rollup per doc."""
+    chain = ",\n    ".join(_bpe_chain_parts(n_merges))
+    return f"""WITH {chain},
+    tokd AS (
+      SELECT doc_id, tl, unnest(range(1, len(tl) + 1)) AS wpos
+      FROM (SELECT doc_id, {_TOKENS_SQL} AS tl FROM documents)
+    ),
+    wt AS (
+      SELECT doc_id, wpos, tl[wpos] AS word FROM tokd WHERE tl[wpos] <> ''
+    ),
+    enc AS (
+      SELECT w.doc_id, w.wpos, e.syms
+      FROM wt w JOIN words_{n_merges} e USING (word)
+    ),
+    symrows AS (
+      SELECT doc_id, wpos, syms, unnest(range(1, len(syms) + 1)) AS spos
+      FROM enc
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM((wpos * 131 + spos) *
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(string_split(syms[spos], ''),
+                                 c -> CAST(ascii(c) AS BIGINT))),
+                  (acc, c) -> (acc * 31 + c) % 2147483647))
+             AS BIGINT) AS id_checksum
+    FROM symrows GROUP BY doc_id"""
 
 
 @query("doc_bpe_train", oracle=_bpe_oracle_sql(6))
@@ -2379,6 +2417,69 @@ def doc_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     words = word_histogram(d, X.tokens(F.col("text")))
     return train_bpe(spark, words, n_merges=6)
+
+
+@query("doc_bpe_encode", oracle=_bpe_encode_oracle_sql(6))
+def doc_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE WITH LEARNED MERGES — the apply half of the tokenizer
+    loop every training pipeline runs ([[doc_bpe_train]] is the train
+    half): the six learned merge rules replay over the DISTINCT-word
+    table (``operators/bpe.encode_words_with_merges``), each word's
+    symbol ids (portable char-fold hash) and position-weighted id sums
+    reduce to three per-word scalars, and the corpus side is a plain
+    equi-join + one rollup per doc — n_bpe_tokens and an exact
+    position-weighted token-id checksum (weight = wpos·131 + spos, both
+    1-based) that any mis-merge, mis-ordering, or dropped token flips.
+
+    Scale shape: interpreted HOFs run ONCE per distinct word
+    (vocab-sized, the [[doc_vocab_encode]] discipline); the corpus
+    pass is posexplode → join (AQE broadcasts the vocab-sized encode
+    table) → map-side-combined groupBy. The oracle replays training
+    through the shared unrolled CTE chain and encodes against its
+    final words table, so train AND apply must agree exactly."""
+    from ..operators.bpe import (
+        encode_words_with_merges,
+        train_bpe,
+        word_histogram,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    toks = X.tokens(F.col("text"))
+    words = word_histogram(d, toks)
+    merges_rows = train_bpe(spark, words, n_merges=6).orderBy("round").collect()
+    merges = [(r["left_sym"], r["right_sym"]) for r in merges_rows]
+    enc = encode_words_with_merges(words.select("word"), merges)
+    ids = F.transform(F.col("syms"), lambda s: X.char_fold_hash(s))
+    s1 = F.aggregate(ids, F.lit(0).cast("long"), lambda a, x: a + x)
+    s2 = F.aggregate(
+        F.transform(ids, lambda x, i: x * (i + 1).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    wsum = enc.select(
+        "word",
+        F.size("syms").cast("long").alias("_nsym"),
+        s1.alias("_s1"),
+        s2.alias("_s2"),
+    )
+    wt = d.select(
+        "doc_id", F.posexplode(toks).alias("wpos", "word")
+    ).where(F.col("word") != "")
+    # checksum decomposes: Σ_w Σ_s (wpos·131 + spos)·id
+    #                    = Σ_w [ wpos·131·S1(word) + S2(word) ]
+    return (
+        wt.join(wsum, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("_nsym").cast("long").alias("n_bpe_tokens"),
+            F.sum(
+                ((F.col("wpos") + 1) * 131).cast("long") * F.col("_s1")
+                + F.col("_s2")
+            )
+            .cast("long")
+            .alias("id_checksum"),
+        )
+    )
 
 
 def _lp_oracle_sql(n_rounds: int) -> str:

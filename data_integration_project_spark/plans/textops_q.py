@@ -1780,6 +1780,127 @@ def multimodal_avi_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_image_near_dup",
+    oracle="""
+    WITH dims AS (
+      SELECT CAST(doc_id AS BIGINT) AS media_id,
+             string_split(text, '') AS sp,
+             least(octet_length(encode(text)), 3072) AS n,
+             greatest(1, CAST(ceil(least(octet_length(encode(text)), 3072)
+                                   / 48.0) AS INTEGER)) AS height
+      FROM documents
+    ),
+    px AS (
+      SELECT media_id, height, n, sp, unnest(range(0, 16 * height)) AS i
+      FROM dims
+    ),
+    cells AS (
+      SELECT media_id,
+             ((i // 16) * 8) // height AS gy,
+             ((i % 16) * 9) // 16 AS gx,
+             SUM(  CASE WHEN 3*i + 1 <= n THEN ascii(sp[3*i + 1]) ELSE 0 END
+                 + CASE WHEN 3*i + 2 <= n THEN ascii(sp[3*i + 2]) ELSE 0 END
+                 + CASE WHEN 3*i + 3 <= n THEN ascii(sp[3*i + 3]) ELSE 0 END
+             ) AS s,
+             COUNT(*) AS cnt
+      FROM px GROUP BY media_id, gy, gx
+    ),
+    bits AS (
+      SELECT a.media_id, a.gy * 8 + a.gx AS k,
+             CASE WHEN a.s * b.cnt > b.s * a.cnt THEN 1 ELSE 0 END AS bit
+      FROM cells a
+      JOIN cells b ON a.media_id = b.media_id AND a.gy = b.gy
+                  AND b.gx = a.gx + 1
+      WHERE a.gx < 8
+    ),
+    h AS (
+      SELECT media_id,
+        CAST(SUM(CASE WHEN k // 16 = 0 THEN bit * (1 << (k % 16)) ELSE 0 END) AS INTEGER) AS c0,
+        CAST(SUM(CASE WHEN k // 16 = 1 THEN bit * (1 << (k % 16)) ELSE 0 END) AS INTEGER) AS c1,
+        CAST(SUM(CASE WHEN k // 16 = 2 THEN bit * (1 << (k % 16)) ELSE 0 END) AS INTEGER) AS c2,
+        CAST(SUM(CASE WHEN k // 16 = 3 THEN bit * (1 << (k % 16)) ELSE 0 END) AS INTEGER) AS c3
+      FROM bits GROUP BY media_id
+    )
+    SELECT a.media_id AS media_id_a, b.media_id AS media_id_b,
+           CAST(bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1))
+              + bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3))
+             AS INTEGER) AS hamming
+    FROM h a JOIN h b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1))
+        + bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) <= 3
+    """,
+)
+def multimodal_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE NEAR-DUP DEDUP VIA PERCEPTUAL HASH — the multimodal×dedup
+    composition an LLM pipeline runs to catch re-encoded or
+    slightly-edited image copies that exact-bytes dedup misses:
+    documents render into REAL P6 PPM payloads, each raster pools onto
+    an 8×9 luma grid whose horizontal-gradient signs form a 64-bit
+    dHash (``operators/multimodal.dhash_chunks`` — exact integer
+    cross-multiplied mean compares, no float anywhere), and pairs with
+    Hamming distance ≤ 3 are reported.
+
+    Scale shape: candidates come from HAMMING-BAND LSH, never all
+    pairs — the hash's four 16-bit chunks are the band keys (the
+    [[dedup_simhash]] pigeonhole: ≤ 3 differing bits can dirty at most
+    3 of 4 chunks, so one chunk matches exactly → perfect recall), an
+    EQUI-join on (chunk_idx, value). At 100 TB the bucketed self-join
+    shuffles once on the band key; verification is per-candidate
+    bit_count arithmetic. The oracle recomputes every grid cell, hash
+    bit, and pair from the same byte layout in SQL (all-pairs there —
+    it is the oracle, not the plan; a plan-shape guard pins no
+    CartesianProduct on the Spark side)."""
+    media = M.documents_as_ppm_media(t(spark, sf_dir, "documents"))
+    h = M.decode_dhash_features(media)
+    chunk = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("_j"), F.col(f"c{j}").alias("_v")
+                )
+                for j in range(4)
+            ]
+        )
+    ).alias("_b")
+    bands = h.select("media_id", "c0", "c1", "c2", "c3", chunk).select(
+        "media_id",
+        "c0",
+        "c1",
+        "c2",
+        "c3",
+        F.col("_b._j").alias("_j"),
+        F.col("_b._v").alias("_v"),
+    )
+    a = bands.select(
+        F.col("media_id").alias("media_id_a"),
+        *[F.col(f"c{j}").alias(f"_a{j}") for j in range(4)],
+        "_j",
+        "_v",
+    )
+    b = bands.select(
+        F.col("media_id").alias("media_id_b"),
+        *[F.col(f"c{j}").alias(f"_b{j}") for j in range(4)],
+        "_j",
+        "_v",
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"_a{j}").bitwiseXOR(F.col(f"_b{j}")))
+        for j in range(4)
+    )
+    return (
+        a.join(b, ["_j", "_v"])
+        .where(F.col("media_id_a") < F.col("media_id_b"))
+        .select(
+            "media_id_a",
+            "media_id_b",
+            hamming.cast("int").alias("hamming"),
+        )
+        .where(F.col("hamming") <= 3)
+        .distinct()
+    )
+
+
+@query(
     "doc_unicode_nfc",
     oracle="""
     WITH dec AS (

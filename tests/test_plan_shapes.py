@@ -99,6 +99,14 @@ def test_prefix_filter_join_no_cartesian(spark, sf_small):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_image_near_dup_banded_equijoin(spark, sf_small):
+    # perceptual-hash candidates come from the Hamming-band LSH
+    # equi-join on (chunk_idx, chunk_value) — never an all-pairs scan
+    plan = _executed_plan(spark, "multimodal_image_near_dup", sf_small)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_skyline_single_window_no_selfjoin(spark, sf_small):
     plan = _executed_plan(spark, "parts_skyline_2d", sf_small)
     # the 2D skyline must be the window rewrite, not a domination self-join
