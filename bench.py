@@ -113,6 +113,20 @@ HEADLINE = [
     "orders_sqlite_partial_load",
     # round 3 (cont.): grid-bucketed spatial equi-join
     "suppliers_geo_radius_join",
+    # round 4: the remaining real decoders join the regression set
+    # (Rice/CRC numpy decode, big-endian AIFF, bottom-up TGA, LZW GIF)
+    # so codec-layer wins/regressions are visible per round
+    "multimodal_flac_decode",
+    "multimodal_aiff_decode",
+    "multimodal_tga_decode",
+    "multimodal_gif_decode",
+    # round 4 (cont.): perceptual-hash image near-dup (dHash +
+    # Hamming-band LSH), BPE apply over the distinct-word dim, and the
+    # two remaining end-to-end entity CSV pipelines
+    "multimodal_image_near_dup",
+    "doc_bpe_encode",
+    "nguyenlieu_csv_quality",
+    "dathang_csv_quality",
 ]
 
 

@@ -33,11 +33,13 @@ from ..operators.canonical import (
 from ..operators.entity_rules import (
     DISPOSABLE_DOMAINS,
     PLACEHOLDERS,
+    UNITS,
     dat_hang_rules,
     fk_exists,
     khach_hang_rules,
     mon_csv_rules,
     mon_rules,
+    nguyen_lieu_rules,
 )
 from ..operators.quality import reject_duplicates
 from ..operators.reconcile import category_lookup, merged_view
@@ -666,6 +668,299 @@ def nguyenlieu_inventory_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.col("so_luong"), "total_qty", 2),
         dsum(F.col("so_luong") * F.col("gia"), "tong_gia_tri", 2),
     )
+
+
+# ---------------------------------------------------------------------------
+# nguyen_lieu: full S1→P2→V1 dirty-CSV pipeline (17-rule inventory,
+# end-to-end — the khachhang_csv_pipeline discipline for ingredients)
+# ---------------------------------------------------------------------------
+
+_NL_DIRTY = [
+    ("1", "Gao Tam", "25.5", "kg", "18000", "2024-01-05"),  # valid
+    ("2", "Ca  Phe   Hat ", "12", "KG", "95000", "2024-01-06"),  # collapse+unit-case fixes → valid
+    ("x3", "Duong", "5", "kg", "20000", "2024-01-07"),  # non-numeric id
+    ("4", "", "3", "g", "1000", "2024-01-08"),  # blank name
+    ("5", "S", "2", "kg", "9000", "2024-01-08"),  # name too short
+    ("6", "Muoi@#", "1", "kg", "5000", "2024-01-09"),  # illegal chars in name
+    ("7", "Gao loai 1", "10", "kg", "17000", "2024-01-10"),  # digits legal in ingredient names
+    ("8", "Tieu Den", "-4", "kg", "30000", "2024-01-11"),  # negative qty
+    ("9", "Hanh Kho", "abc", "kg", "12000", "2024-01-12"),  # unparseable qty → default 0, passes
+    ("10", "Bot Mi", "2000000", "kg", "15000", "2024-01-13"),  # qty over ceiling
+    ("11", "Dau An", "1.0625", "l", "42000", "2024-01-14"),  # 4 binary-exact decimals → excess precision
+    ("12", "Nuoc Mam", "6", "", "35000", "2024-01-15"),  # missing unit
+    ("13", "Tuong Ot", "7", "bottle", "22000", "2024-01-16"),  # unknown unit
+    ("14", "Bo Lat", "3.25", "hop", "48000", "2024-01-17"),  # 2 decimals, valid
+    (None, "Sua Dac", "8", "lo", "28000", "2024-01-18"),  # missing id
+]
+_NL_CORRUPT_LINE = "16,Broken"
+_NL_CORRUPT_LINE_NO = len(_NL_DIRTY) + 1
+
+_SQL_NL_NAME = (
+    "nullif(trim(regexp_replace(nullif(trim(ten_nguyen_lieu), ''),"
+    " '\\s+', ' ', 'g')), '')"
+)
+_OK_NL_NCH = "regexp_matches(ten_nguyen_lieu, '^[\\p{L}0-9 ]+$')"
+_SQL_UNITS = ", ".join(f"'{u}'" for u in UNITS)
+
+_NL_QUALITY_ORACLE = f"""
+    WITH raw(line_no, id, ten_nguyen_lieu, so_luong, don_vi, gia, ngay_nhap) AS (VALUES
+      {_values(_NL_DIRTY)}),
+    fixed AS (
+      SELECT line_no,
+             trim(id) AS ma_nguyen_lieu,
+             {_SQL_NL_NAME} AS ten_nguyen_lieu,
+             coalesce(TRY_CAST(so_luong AS DOUBLE), 0.0) AS so_luong,
+             nullif(lower(trim(don_vi)), '') AS don_vi,
+             coalesce(TRY_CAST(gia AS DOUBLE), 0.0) AS gia,
+             TRY_CAST(ngay_nhap AS DATE) AS ngay_nhap
+      FROM raw),
+    checked AS (
+      SELECT *,
+        (ma_nguyen_lieu IS NOT NULL
+         AND regexp_matches(ma_nguyen_lieu, '^[0-9]+$')) AS ok_idn,
+        (ten_nguyen_lieu IS NOT NULL AND trim(ten_nguyen_lieu) <> '') AS ok_np,
+        {_blank_or('ten_nguyen_lieu', 'length(ten_nguyen_lieu) >= 2')} AS ok_nmin,
+        {_blank_or('ten_nguyen_lieu', _OK_NL_NCH)} AS ok_nch,
+        {_blank_or('ten_nguyen_lieu', 'length(ten_nguyen_lieu) <= 200')} AS ok_nmax,
+        (so_luong IS NOT NULL) AS ok_qp,
+        (so_luong IS NULL OR so_luong >= 0) AS ok_qnn,
+        (so_luong IS NULL OR so_luong <= 1000000) AS ok_qc,
+        (so_luong IS NULL OR
+         abs(so_luong * 1000 - round(so_luong * 1000, 0)) < 1e-6) AS ok_qprec,
+        (don_vi IS NOT NULL AND trim(don_vi) <> '') AS ok_up,
+        {_blank_or('don_vi', f'don_vi IN ({_SQL_UNITS})')} AS ok_ud
+      FROM fixed)
+    SELECT line_no, ma_nguyen_lieu, ten_nguyen_lieu, so_luong, don_vi, gia,
+           ngay_nhap,
+      (ok_idn AND ok_np AND ok_nmin AND ok_nch AND ok_nmax AND ok_qp
+       AND ok_qnn AND ok_qc AND ok_qprec AND ok_up AND ok_ud) AS is_valid,
+      concat_ws(' | ',
+        CASE WHEN NOT ok_idn THEN 'invalid ma_nguyen_lieu' END,
+        CASE WHEN NOT ok_np THEN 'ten_nguyen_lieu is blank' END,
+        CASE WHEN NOT ok_nmin THEN 'ten_nguyen_lieu too short' END,
+        CASE WHEN NOT ok_nch THEN 'ten_nguyen_lieu has illegal characters' END,
+        CASE WHEN NOT ok_nmax THEN 'ten_nguyen_lieu too long' END,
+        CASE WHEN NOT ok_qp THEN 'so_luong missing' END,
+        CASE WHEN NOT ok_qnn THEN 'so_luong negative' END,
+        CASE WHEN NOT ok_qc THEN 'so_luong implausibly large' END,
+        CASE WHEN NOT ok_qprec THEN 'so_luong has excess precision' END,
+        CASE WHEN NOT ok_up THEN 'missing don_vi' END,
+        CASE WHEN NOT ok_ud THEN 'unknown don_vi' END) AS errors
+    FROM checked
+    UNION ALL
+    SELECT {_NL_CORRUPT_LINE_NO}, NULL, NULL, CAST(NULL AS DOUBLE), NULL,
+           CAST(NULL AS DOUBLE), CAST(NULL AS DATE), false,
+           'malformed csv line'
+"""
+
+
+@query("nguyenlieu_csv_quality", oracle=_NL_QUALITY_ORACLE)
+def nguyenlieu_csv_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1→P2→V1 end to end for nguyen_lieu: dirty fixture written as a
+    real BOM-ed CSV, permissive scan (malformed line → corrupt
+    capture), per-file line numbers, P2 transform (numeric defaults,
+    date try-parse), then the FULL 17-rule ingredient RuleSet —
+    collapse/unit-normalize fixes, digit-legal name charset,
+    non-negative/ceiling/precision quantity checks, unit domain. The
+    supplier rules are if-present and the raw CSV layout drops
+    nha_cung_cap (FIXTURES.md §A4), so they pass as NULL — exactly the
+    staging behavior. Every row gets a verdict; the oracle rebuilds the
+    identical pipeline from VALUES."""
+    d = tempfile.mkdtemp(prefix="nl_csv_")
+    path = os.path.join(d, "nguyenlieu.csv")
+    with open(path, "w", encoding="utf-8-sig") as f:
+        f.write("id,ten_nguyen_lieu,so_luong,don_vi,gia,ngay_nhap\n")
+        for row in _NL_DIRTY:
+            f.write(",".join(c if c is not None else "" for c in row) + "\n")
+        f.write(_NL_CORRUPT_LINE + "\n")
+
+    raw = with_line_numbers(read_entity_csv(spark, path, "nguyen_lieu")).cache()
+    corrupt = raw.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_line_no").alias("line_no"),
+        F.lit(None).cast("string").alias("ma_nguyen_lieu"),
+        F.lit(None).cast("string").alias("ten_nguyen_lieu"),
+        F.lit(None).cast("double").alias("so_luong"),
+        F.lit(None).cast("string").alias("don_vi"),
+        F.lit(None).cast("double").alias("gia"),
+        F.lit(None).cast("date").alias("ngay_nhap"),
+        F.lit(False).alias("is_valid"),
+        F.lit("malformed csv line").alias("errors"),
+    )
+    good = raw.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    validated = nguyen_lieu_rules().validate(transform_nguyen_lieu(good))
+    verdicts = validated.select(
+        F.col("_line_no").alias("line_no"),
+        "ma_nguyen_lieu",
+        "ten_nguyen_lieu",
+        "so_luong",
+        "don_vi",
+        "gia",
+        "ngay_nhap",
+        F.col("_is_valid").alias("is_valid"),
+        F.concat_ws(" | ", "_errors").alias("errors"),
+    )
+    return verdicts.unionByName(corrupt)
+
+
+# ---------------------------------------------------------------------------
+# dat_hang: full S1→P5→V1 dirty-CSV pipeline (20-rule inventory incl.
+# the relational legs: first-wins id dedup + both FK existence joins)
+# ---------------------------------------------------------------------------
+
+_DH_DIRTY = [
+    ("1", "1", "1", "2", "2024-01-05", "new"),  # status case fix → valid
+    ("1", "7", "6", "1", "2024-01-06", "DONE"),  # duplicate ma_don_hang
+    ("x3", "1", "1", "1", "2024-01-07", "NEW"),  # non-numeric id
+    ("4", "99", "1", "1", "2024-01-08", "NEW"),  # unknown customer FK
+    ("5", "1", "42", "1", "2024-01-08", "CONFIRMED"),  # unknown item FK
+    ("6", None, "1", "1", "2024-01-09", "DONE"),  # missing customer ref
+    ("7", "abc", "1", "1", "2024-01-10", "NEW"),  # non-numeric customer ref
+    ("8", "7", "6", "0", "2024-01-11", "NEW"),  # qty 0
+    ("9", "1", "1", "x", "2024-01-12", "DONE"),  # qty unparseable → 0
+    ("10", "7", "1", "5000", "2024-01-13", "NEW"),  # qty over ceiling
+    ("11", "1", "6", "2", "1999-12-31", "NEW"),  # date before 2000
+    ("12", "7", "6", "1", "2031-05-05", "DONE"),  # date in the future
+    ("13", "1", "1", "3", "1970-01-01", "NEW"),  # epoch-default date
+    ("14", "7", "6", "1", "bad-date", "CONFIRMED"),  # unparseable date
+    ("15", "1", "1", "2", "2024-02-01", "SHIPPED"),  # unknown status
+    ("16", "7", "6", "1", "2024-02-02", None),  # missing status
+    ("17", "1", "1", "1", "2024-02-03", " done "),  # trim+case fix → valid
+]
+_DH_CORRUPT_LINE = "18,Broken"
+_DH_CORRUPT_LINE_NO = len(_DH_DIRTY) + 1
+
+_DH_QUALITY_ORACLE = f"""
+    WITH raw(line_no, id, khach_hang_id, mon_id, so_luong, ngay_dat, trang_thai) AS (VALUES
+      {_values(_DH_DIRTY)}),
+    dim_kh(k) AS (VALUES {', '.join(f"('{c}')" for c in _DH_CUSTOMERS)}),
+    dim_mon(m) AS (VALUES {', '.join(f"('{c}')" for c in _DH_ITEMS)}),
+    fixed AS (
+      SELECT line_no,
+             trim(id) AS ma_don_hang,
+             khach_hang_id, mon_id,
+             coalesce(TRY_CAST(so_luong AS INT), 0) AS so_luong,
+             TRY_CAST(ngay_dat AS DATE) AS ngay_dat,
+             nullif(upper(trim(trang_thai)), '') AS trang_thai
+      FROM raw),
+    checked AS (
+      SELECT f.*,
+        (f.ma_don_hang IS NOT NULL
+         AND regexp_matches(f.ma_don_hang, '^[0-9]+$')) AS ok_idn,
+        (f.khach_hang_id IS NOT NULL AND trim(f.khach_hang_id) <> '') AS ok_crp,
+        {_blank_or('f.khach_hang_id', "regexp_matches(f.khach_hang_id, '^[0-9]+$')")} AS ok_crn,
+        (f.mon_id IS NOT NULL AND trim(f.mon_id) <> '') AS ok_irp,
+        {_blank_or('f.mon_id', "regexp_matches(f.mon_id, '^[0-9]+$')")} AS ok_irn,
+        (f.so_luong IS NOT NULL) AS ok_qp,
+        (f.so_luong IS NOT NULL AND f.so_luong > 0) AS ok_qpos,
+        (f.so_luong IS NULL OR f.so_luong <= 1000) AS ok_qc,
+        (f.ngay_dat IS NOT NULL) AS ok_dp,
+        (f.ngay_dat IS NULL OR f.ngay_dat >= DATE '2000-01-01') AS ok_dold,
+        (f.ngay_dat IS NULL OR f.ngay_dat <= DATE '2030-12-31') AS ok_dfut,
+        (f.ngay_dat IS NULL OR f.ngay_dat <> DATE '1970-01-01') AS ok_depo,
+        (f.trang_thai IS NOT NULL AND trim(f.trang_thai) <> '') AS ok_sp,
+        {_blank_or('f.trang_thai', "f.trang_thai IN ('NEW','CONFIRMED','DONE','CANCELLED')")} AS ok_sd,
+        (k.k IS NOT NULL) AS ok_fkc,
+        (m.m IS NOT NULL) AS ok_fki,
+        row_number() OVER (PARTITION BY f.ma_don_hang ORDER BY f.line_no) AS rnk
+      FROM fixed f
+      LEFT JOIN dim_kh k ON f.khach_hang_id = k.k
+      LEFT JOIN dim_mon m ON f.mon_id = m.m)
+    SELECT line_no, ma_don_hang, khach_hang_id, mon_id, so_luong, ngay_dat,
+           trang_thai,
+      (ok_idn AND ok_crp AND ok_crn AND ok_irp AND ok_irn AND ok_qp
+       AND ok_qpos AND ok_qc AND ok_dp AND ok_dold AND ok_dfut AND ok_depo
+       AND ok_sp AND ok_sd AND rnk = 1 AND ok_fkc AND ok_fki) AS is_valid,
+      concat_ws(' | ',
+        CASE WHEN NOT ok_idn THEN 'invalid ma_don_hang' END,
+        CASE WHEN NOT ok_crp THEN 'khach_hang_id missing' END,
+        CASE WHEN NOT ok_crn THEN 'khach_hang_id not numeric' END,
+        CASE WHEN NOT ok_irp THEN 'mon_id missing' END,
+        CASE WHEN NOT ok_irn THEN 'mon_id not numeric' END,
+        CASE WHEN NOT ok_qp THEN 'so_luong missing' END,
+        CASE WHEN NOT ok_qpos THEN 'so_luong must be > 0' END,
+        CASE WHEN NOT ok_qc THEN 'so_luong implausibly large' END,
+        CASE WHEN NOT ok_dp THEN 'ngay_dat missing/unparseable' END,
+        CASE WHEN NOT ok_dold THEN 'ngay_dat before 2000' END,
+        CASE WHEN NOT ok_dfut THEN 'ngay_dat in the future' END,
+        CASE WHEN NOT ok_depo THEN 'ngay_dat is the epoch default' END,
+        CASE WHEN NOT ok_sp THEN 'trang_thai missing' END,
+        CASE WHEN NOT ok_sd THEN 'unknown trang_thai' END,
+        CASE WHEN rnk > 1 THEN 'duplicate ma_don_hang' END,
+        CASE WHEN NOT ok_fkc THEN 'unknown khach_hang_id' END,
+        CASE WHEN NOT ok_fki THEN 'unknown mon_id' END) AS errors
+    FROM checked
+    UNION ALL
+    SELECT {_DH_CORRUPT_LINE_NO}, NULL, NULL, NULL, CAST(NULL AS INT),
+           CAST(NULL AS DATE), NULL, false, 'malformed csv line'
+"""
+
+
+@query("dathang_csv_quality", oracle=_DH_QUALITY_ORACLE)
+def dathang_csv_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1→P5→V1 end to end for dat_hang — the full 20-rule order
+    validator INCLUDING its relational legs, driven from a real dirty
+    CSV: permissive scan with corrupt capture, P5 transform (int/date
+    defaults, status normalize), the 15 row-level checks, ordered
+    first-wins id dedup (V2), and BOTH broadcast FK existence joins
+    (V4) against the customer/item key dims. qty_integer can never fire
+    post-transform (P5 casts to int) — it exists for the SQL-sourced
+    layout where so_luong arrives numeric; the oracle therefore carries
+    its 17 observable verdicts. Message order = rule declaration order,
+    then dedup, then FKs — exactly the engine's append order."""
+    d = tempfile.mkdtemp(prefix="dh_csv_")
+    path = os.path.join(d, "dathang.csv")
+    with open(path, "w", encoding="utf-8-sig") as f:
+        f.write("id,khach_hang_id,mon_id,so_luong,ngay_dat,trang_thai\n")
+        for row in _DH_DIRTY:
+            f.write(",".join(c if c is not None else "" for c in row) + "\n")
+        f.write(_DH_CORRUPT_LINE + "\n")
+
+    raw = with_line_numbers(read_entity_csv(spark, path, "dat_hang")).cache()
+    corrupt = raw.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_line_no").alias("line_no"),
+        F.lit(None).cast("string").alias("ma_don_hang"),
+        F.lit(None).cast("string").alias("khach_hang_id"),
+        F.lit(None).cast("string").alias("mon_id"),
+        F.lit(None).cast("int").alias("so_luong"),
+        F.lit(None).cast("date").alias("ngay_dat"),
+        F.lit(None).cast("string").alias("trang_thai"),
+        F.lit(False).alias("is_valid"),
+        F.lit("malformed csv line").alias("errors"),
+    )
+    good = raw.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    validated = dat_hang_rules().validate(transform_dat_hang(good))
+    deduped = reject_duplicates(
+        validated.drop("_is_valid"),
+        ["ma_don_hang"],
+        [F.col("_line_no")],
+        "duplicate ma_don_hang",
+    )
+    dim_kh = spark.createDataFrame(
+        [(c,) for c in _DH_CUSTOMERS], "khach_hang_id string"
+    )
+    dim_mon = spark.createDataFrame([(c,) for c in _DH_ITEMS], "mon_id string")
+    with_c = fk_exists(
+        deduped.drop("_is_valid"),
+        "khach_hang_id",
+        dim_kh,
+        "khach_hang_id",
+        "unknown khach_hang_id",
+    )
+    with_i = fk_exists(
+        with_c.drop("_is_valid"), "mon_id", dim_mon, "mon_id", "unknown mon_id"
+    )
+    verdicts = with_i.select(
+        F.col("_line_no").alias("line_no"),
+        "ma_don_hang",
+        "khach_hang_id",
+        "mon_id",
+        "so_luong",
+        "ngay_dat",
+        "trang_thai",
+        F.col("_is_valid").alias("is_valid"),
+        F.concat_ws(" | ", "_errors").alias("errors"),
+    )
+    return verdicts.unionByName(corrupt)
 
 
 # ---------------------------------------------------------------------------
