@@ -6519,10 +6519,17 @@ def orders_sqlite_partial_load(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey, o_orderstatus, o_totalprice, "
         "CHECK (o_totalprice <= 150000.0))"
     )
+    # repartition BEFORE the Python writer (the media-codec lesson,
+    # SCALE.md): the parquet scan yields ~6 byte-sized partitions at
+    # sf1.0, serializing 300k singleton-batch flushes onto 6 cores —
+    # the soak's 4.0x tail was write-side parallelism, not the driver
+    # merge (measured: ATTACH merge of 300k rows = 0.14s)
+    n = spark.sparkContext.defaultParallelism
     (
         t(spark, sf_dir, "orders")
         .filter(F.col("o_orderkey") % 5 == 0)
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .repartition(n, F.col("o_orderkey"))
         .write.format("sqlite")
         .option("path", db)
         .option("table", "orders_pl")
