@@ -606,3 +606,72 @@ def test_srp_wide_vectors_not_truncated(spark):
         S.srp_bucket(F.col("embedding"), 3, 0, dim).alias("b")
     ).distinct().count()
     assert buckets > 1
+
+
+def test_dhash_chunks_properties():
+    """dHash edge cases: constant raster → all-zero hash; a single
+    bright column flips exactly the bits whose left cell beats its
+    right neighbor; tiny rasters (rows < 8) hash without error and
+    identically to their padded twin's occupied cells."""
+    from data_integration_project_spark.operators.multimodal import (
+        dhash_chunks,
+    )
+
+    # constant image: no cell beats its neighbor → all four chunks 0
+    flat = bytes([100]) * (16 * 4 * 3)
+    assert dhash_chunks(16, 4, flat) == (0, 0, 0, 0)
+
+    # identical rasters → identical hash; one changed pixel → small
+    # Hamming distance (locality — the property exact hashing lacks)
+    import random
+
+    rng = random.Random(7)
+    base = bytes(rng.randrange(256) for _ in range(16 * 16 * 3))
+    h1 = dhash_chunks(16, 16, base)
+    assert dhash_chunks(16, 16, base) == h1
+    edited = bytearray(base)
+    edited[100] = (edited[100] + 120) % 256
+    h2 = dhash_chunks(16, 16, bytes(edited))
+    ham = sum(bin(a ^ b).count("1") for a, b in zip(h1, h2))
+    assert ham <= 6  # one pixel touches at most a couple of cells
+
+    # 1-row raster: gy all 0, rows 1..7 of the grid empty → no error,
+    # and chunks stay within 16 bits
+    one = bytes(rng.randrange(256) for _ in range(16 * 1 * 3))
+    ch = dhash_chunks(16, 1, one)
+    assert all(0 <= c <= 0xFFFF for c in ch)
+
+
+def test_bpe_encode_words_with_merges():
+    """Replayed merges must reproduce the trainer's greedy
+    left-to-right non-overlap semantics: 'aaaa' under ('a','a') becomes
+    ['aa','aa'], and merge ORDER matters ('ab' then 'abc')."""
+    from pyspark.sql import SparkSession
+
+    from data_integration_project_spark.operators.bpe import (
+        encode_words_with_merges,
+    )
+
+    spark = SparkSession.getActiveSession() or SparkSession.builder.master(
+        "local[2]"
+    ).getOrCreate()
+    words = spark.createDataFrame(
+        [("aaaa",), ("aaa",), ("abcab",)], "word string"
+    )
+    out = {
+        r["word"]: r["syms"]
+        for r in encode_words_with_merges(
+            words, [("a", "a"), ("a", "b"), ("ab", "c")]
+        ).collect()
+    }
+    assert out["aaaa"] == ["aa", "aa"]
+    assert out["aaa"] == ["aa", "a"]  # greedy non-overlap, leftover 'a'
+    # 'abcab': ('a','b')→['ab','c','ab'], then ('ab','c')→['abc','ab']
+    assert out["abcab"] == ["abc", "ab"]
+
+    # empty merge list = plain character split
+    plain = {
+        r["word"]: r["syms"]
+        for r in encode_words_with_merges(words, []).collect()
+    }
+    assert plain["aaa"] == ["a", "a", "a"]
