@@ -1026,6 +1026,62 @@ def decode_dhash_features(media: DataFrame) -> DataFrame:
     )
 
 
+AUDIO_FP_SCHEMA = "media_id long, c0 int, c1 int, c2 int, c3 int"
+
+
+def audio_fingerprint_chunks(
+    payload: bytes, frame: int = 8, nbits: int = 32, min_frames: int = 16
+) -> tuple[int, int, int, int] | None:
+    """Energy-delta audio fingerprint of a mono PCM WAV, as FOUR 8-bit
+    chunks (Hamming-band LSH keys — the audio twin of
+    :func:`dhash_chunks`): samples group into ``frame``-sample windows,
+    per-window integer energy = Σ|s|, and bit f is 1 iff window f's
+    energy strictly exceeds window f+1's (energy-gradient signs are
+    what survives re-encoding and small edits; absolute levels don't).
+    Windows past the end count as energy 0. Clips with fewer than
+    ``min_frames`` complete windows return None — below that there is
+    no signal to fingerprint and near-zero hashes of unrelated short
+    clips would collide (the minimum-duration gate every production
+    audio-dedup runs)."""
+    import numpy as np
+
+    _rate, _ch, data = _wav_pcm(payload)
+    data = data[: len(data) - (len(data) & 1)]
+    s = np.frombuffer(data, dtype="<i2").astype(np.int64)
+    f_total = len(s) // frame
+    if f_total < min_frames:
+        return None
+    e = np.abs(s[: f_total * frame]).reshape(f_total, frame).sum(axis=1)
+    if f_total < nbits + 1:
+        e = np.concatenate([e, np.zeros(nbits + 1 - f_total, dtype=np.int64)])
+    bits = (e[:nbits] > e[1 : nbits + 1]).astype(np.int64)
+    w = 1 << np.arange(8, dtype=np.int64)
+    return tuple(
+        int((bits[j * 8 : (j + 1) * 8] * w).sum()) for j in range(4)
+    )
+
+
+def decode_audio_fingerprints(media: DataFrame) -> DataFrame:
+    """Audio fingerprint extraction inside ``mapInPandas``; clips under
+    the minimum-duration gate are dropped (not fingerprinted)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for mid, p in zip(pdf["media_id"].values, pdf["payload"]):
+                ch = audio_fingerprint_chunks(bytes(p))
+                if ch is not None:
+                    recs.append((int(mid), *ch))
+            yield pd.DataFrame(
+                recs, columns=["media_id", "c0", "c1", "c2", "c3"]
+            )
+
+    n_parts = media.sparkSession.sparkContext.defaultParallelism
+    return media.repartition(n_parts, F.col("media_id")).mapInPandas(
+        op, schema=AUDIO_FP_SCHEMA
+    )
+
+
 def extract_features(media: DataFrame, *, batch_hint: int | None = None) -> DataFrame:
     """Feature extraction over binary payloads via ``mapInPandas``:
     Arrow-batched, streaming per partition (the iterator yields one

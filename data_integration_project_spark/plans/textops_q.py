@@ -1852,6 +1852,16 @@ def multimodal_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     CartesianProduct on the Spark side)."""
     media = M.documents_as_ppm_media(t(spark, sf_dir, "documents"))
     h = M.decode_dhash_features(media)
+    return _banded_hash_pairs(h, max_hamming=3)
+
+
+def _banded_hash_pairs(h: DataFrame, max_hamming: int) -> DataFrame:
+    """Hamming-band LSH pairs over a ``(media_id, c0..c3)`` chunk
+    table: each chunk is a band key, candidates come from an EQUI-join
+    on (chunk_idx, value) — the pigeonhole guarantees perfect recall
+    for Hamming ≤ 3 (4 chunks) ≥ ``max_hamming`` — and candidates
+    verify by exact ``bit_count`` arithmetic. One shuffle on the band
+    key at any scale; never an all-pairs scan."""
     chunk = F.explode(
         F.array(
             *[
@@ -1895,9 +1905,89 @@ def multimodal_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "media_id_b",
             hamming.cast("int").alias("hamming"),
         )
-        .where(F.col("hamming") <= 3)
+        .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+#: abs(signed int16) at sample index k (1-based) — the _WAV_ABS pattern
+#: with a computed index expression substituted in.
+def _wav_abs_at(k: str) -> str:
+    return (
+        f"abs(ascii(sp[2*({k}) - 1]) + 256 * ascii(sp[2*({k})]) "
+        f"- CASE WHEN ascii(sp[2*({k})]) >= 128 THEN 65536 ELSE 0 END)"
+    )
+
+
+_AFP_ENERGY = (
+    "list_sum(list_transform(range(1, 9), j -> " + _wav_abs_at("8*f + j") + "))"
+)
+
+
+@query(
+    "multimodal_audio_near_dup",
+    oracle=f"""
+    WITH dims AS (
+      SELECT CAST(doc_id AS BIGINT) AS media_id,
+             string_split(text, '') AS sp,
+             (least(octet_length(encode(text)), 4096) // 2) AS n_samples
+      FROM documents
+    ),
+    gated AS (
+      SELECT media_id, sp, n_samples // 8 AS f_total
+      FROM dims WHERE n_samples // 8 >= 16
+    ),
+    fr AS (
+      SELECT media_id, f_total, sp, unnest(range(0, 33)) AS f
+      FROM gated
+    ),
+    en AS (
+      SELECT media_id, f,
+             CASE WHEN f < f_total THEN {_AFP_ENERGY} ELSE 0 END AS e
+      FROM fr
+    ),
+    bits AS (
+      SELECT a.media_id, a.f AS k,
+             CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS bit
+      FROM en a JOIN en b ON a.media_id = b.media_id AND b.f = a.f + 1
+      WHERE a.f < 32
+    ),
+    h AS (
+      SELECT media_id,
+        CAST(SUM(CASE WHEN k // 8 = 0 THEN bit * (1 << (k % 8)) ELSE 0 END) AS INTEGER) AS c0,
+        CAST(SUM(CASE WHEN k // 8 = 1 THEN bit * (1 << (k % 8)) ELSE 0 END) AS INTEGER) AS c1,
+        CAST(SUM(CASE WHEN k // 8 = 2 THEN bit * (1 << (k % 8)) ELSE 0 END) AS INTEGER) AS c2,
+        CAST(SUM(CASE WHEN k // 8 = 3 THEN bit * (1 << (k % 8)) ELSE 0 END) AS INTEGER) AS c3
+      FROM bits GROUP BY media_id
+    )
+    SELECT a.media_id AS media_id_a, b.media_id AS media_id_b,
+           CAST(bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1))
+              + bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3))
+             AS INTEGER) AS hamming
+    FROM h a JOIN h b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1))
+        + bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) <= 2
+    """,
+)
+def multimodal_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO NEAR-DUP VIA ENERGY-DELTA FINGERPRINT — completes the
+    near-dup triad (text MinHash, image [[multimodal_image_near_dup]],
+    audio here): documents render into REAL mono PCM WAVs, each clip's
+    8-sample window energies form a 32-bit gradient-sign fingerprint
+    (``operators/multimodal.audio_fingerprint_chunks`` — integer Σ|s|
+    per window, strict > compares, no floats), clips under 16 complete
+    windows are gated out (no signal to fingerprint — the
+    minimum-duration rule), and pairs with Hamming ≤ 2 report.
+
+    Scale shape: the same Hamming-band LSH as the image query — the
+    fingerprint's four 8-bit chunks are band keys, candidates come
+    from an equi-join (pigeonhole: ≤ 3 differing bits leave one chunk
+    equal → perfect recall at threshold 2), verification is bit_count
+    arithmetic. The oracle rebuilds window energies, bits, chunks, and
+    pairs from the same byte layout in SQL."""
+    media = M.documents_as_wav_media(t(spark, sf_dir, "documents"))
+    fp = M.decode_audio_fingerprints(media)
+    return _banded_hash_pairs(fp, max_hamming=2)
 
 
 @query(
