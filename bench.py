@@ -127,6 +127,9 @@ HEADLINE = [
     "doc_bpe_encode",
     "nguyenlieu_csv_quality",
     "dathang_csv_quality",
+    # round 4 (cont.): audio fingerprint near-dup (WAV decode +
+    # Hamming-band LSH)
+    "multimodal_audio_near_dup",
 ]
 
 
