@@ -107,6 +107,21 @@ def test_image_near_dup_banded_equijoin(spark, sf_small):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_audio_near_dup_banded_equijoin(spark, sf_small):
+    # the audio fingerprint shares the banded-join helper — same contract
+    plan = _executed_plan(spark, "multimodal_audio_near_dup", sf_small)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bpe_encode_corpus_side_is_equijoin(spark, sf_small):
+    # corpus tokens join the vocab-sized encode table — no cartesian,
+    # no per-token Python; the interpreted HOFs live on distinct words
+    plan = _executed_plan(spark, "doc_bpe_encode", sf_small)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_skyline_single_window_no_selfjoin(spark, sf_small):
     plan = _executed_plan(spark, "parts_skyline_2d", sf_small)
     # the 2D skyline must be the window rewrite, not a domination self-join
