@@ -430,6 +430,62 @@ def simhash_pairs(
     ).filter(F.col("hamming") <= max_hamming)
 
 
+def hamming_band_pairs(
+    h: DataFrame, max_hamming: int, id_col: str = "media_id"
+) -> DataFrame:
+    """Hamming-band LSH pairs over a PRE-CHUNKED hash table
+    ``(id_col, c0..c3)`` — the :func:`simhash_pairs` pigeonhole on a
+    layout whose chunks were computed upstream (perceptual dHash /
+    audio fingerprints emit their four 16- or 8-bit chunks directly
+    from the decoder, sidestepping BIGINT sign/shift pitfalls in both
+    engines). Each chunk is a band key; candidates come from an
+    EQUI-join on (chunk_idx, value) — 4 chunks guarantee perfect
+    recall for Hamming ≤ 3 ≥ ``max_hamming`` — and candidates verify
+    by exact ``bit_count`` arithmetic. One shuffle on the band key at
+    any scale; never an all-pairs scan."""
+    out_a, out_b = f"{id_col}_a", f"{id_col}_b"
+    chunk = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(j).alias("_j"), F.col(f"c{j}").alias("_v"))
+                for j in range(4)
+            ]
+        )
+    ).alias("_b")
+    bands = h.select(id_col, "c0", "c1", "c2", "c3", chunk).select(
+        id_col,
+        "c0",
+        "c1",
+        "c2",
+        "c3",
+        F.col("_b._j").alias("_j"),
+        F.col("_b._v").alias("_v"),
+    )
+    a = bands.select(
+        F.col(id_col).alias(out_a),
+        *[F.col(f"c{j}").alias(f"_a{j}") for j in range(4)],
+        "_j",
+        "_v",
+    )
+    b = bands.select(
+        F.col(id_col).alias(out_b),
+        *[F.col(f"c{j}").alias(f"_b{j}") for j in range(4)],
+        "_j",
+        "_v",
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"_a{j}").bitwiseXOR(F.col(f"_b{j}")))
+        for j in range(4)
+    )
+    return (
+        a.join(b, ["_j", "_v"])
+        .where(F.col(out_a) < F.col(out_b))
+        .select(out_a, out_b, hamming.cast("int").alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 # ---------------------------------------------------------------------------
 # Intra-document dedup (repeated-paragraph removal)
 # ---------------------------------------------------------------------------

@@ -2382,16 +2382,20 @@ def _bpe_encode_oracle_sql(n_merges: int) -> str:
     symrows AS (
       SELECT doc_id, wpos, syms, unnest(range(1, len(syms) + 1)) AS spos
       FROM enc
-    )
-    SELECT CAST(doc_id AS BIGINT) AS doc_id,
-           CAST(COUNT(*) AS BIGINT) AS n_bpe_tokens,
-           CAST(SUM((wpos * 131 + spos) *
+    ),
+    wordsum AS (
+      SELECT doc_id, wpos, CAST(COUNT(*) AS BIGINT) AS n_syms,
+             SUM((wpos * 131 + spos) *
                 list_reduce(list_prepend(CAST(0 AS BIGINT),
                   list_transform(string_split(syms[spos], ''),
                                  c -> CAST(ascii(c) AS BIGINT))),
-                  (acc, c) -> (acc * 31 + c) % 2147483647))
-             AS BIGINT) AS id_checksum
-    FROM symrows GROUP BY doc_id"""
+                  (acc, c) -> (acc * 31 + c) % 2147483647)) AS wterm
+      FROM symrows GROUP BY doc_id, wpos
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(SUM(n_syms) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(wterm % 1000000007) AS BIGINT) AS id_checksum
+    FROM wordsum GROUP BY doc_id"""
 
 
 @query("doc_bpe_train", oracle=_bpe_oracle_sql(6))
@@ -2558,17 +2562,23 @@ def doc_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("word") != "")
     # checksum decomposes: Σ_w Σ_s (wpos·131 + spos)·id
     #                    = Σ_w [ wpos·131·S1(word) + S2(word) ]
+    # Each per-WORD contribution is reduced mod 1e9+7 BEFORE the per-doc
+    # sum (identically in the oracle): an unmodded sum is
+    # ~2.8e11·n_tokens² and silently wraps Spark's non-ANSI int64 SUM
+    # past ~6000 tokens/doc while DuckDB promotes to HUGEINT — the
+    # exact cross-engine divergence class orders_target_encoding_loo
+    # fixed. The per-word term itself stays < 2^63 for docs up to ~2M
+    # tokens (wpos·131·S1 ≤ 1e6·131·15·2^31).
+    wterm = (
+        ((F.col("wpos") + 1) * 131).cast("long") * F.col("_s1")
+        + F.col("_s2")
+    ) % F.lit(1000000007).cast("long")
     return (
         wt.join(wsum, "word")
         .groupBy("doc_id")
         .agg(
             F.sum("_nsym").cast("long").alias("n_bpe_tokens"),
-            F.sum(
-                ((F.col("wpos") + 1) * 131).cast("long") * F.col("_s1")
-                + F.col("_s2")
-            )
-            .cast("long")
-            .alias("id_checksum"),
+            F.sum(wterm).cast("long").alias("id_checksum"),
         )
     )
 

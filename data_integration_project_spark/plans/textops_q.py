@@ -1852,62 +1852,9 @@ def multimodal_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     CartesianProduct on the Spark side)."""
     media = M.documents_as_ppm_media(t(spark, sf_dir, "documents"))
     h = M.decode_dhash_features(media)
-    return _banded_hash_pairs(h, max_hamming=3)
+    from ..operators.dedup import hamming_band_pairs
 
-
-def _banded_hash_pairs(h: DataFrame, max_hamming: int) -> DataFrame:
-    """Hamming-band LSH pairs over a ``(media_id, c0..c3)`` chunk
-    table: each chunk is a band key, candidates come from an EQUI-join
-    on (chunk_idx, value) — the pigeonhole guarantees perfect recall
-    for Hamming ≤ 3 (4 chunks) ≥ ``max_hamming`` — and candidates
-    verify by exact ``bit_count`` arithmetic. One shuffle on the band
-    key at any scale; never an all-pairs scan."""
-    chunk = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(j).alias("_j"), F.col(f"c{j}").alias("_v")
-                )
-                for j in range(4)
-            ]
-        )
-    ).alias("_b")
-    bands = h.select("media_id", "c0", "c1", "c2", "c3", chunk).select(
-        "media_id",
-        "c0",
-        "c1",
-        "c2",
-        "c3",
-        F.col("_b._j").alias("_j"),
-        F.col("_b._v").alias("_v"),
-    )
-    a = bands.select(
-        F.col("media_id").alias("media_id_a"),
-        *[F.col(f"c{j}").alias(f"_a{j}") for j in range(4)],
-        "_j",
-        "_v",
-    )
-    b = bands.select(
-        F.col("media_id").alias("media_id_b"),
-        *[F.col(f"c{j}").alias(f"_b{j}") for j in range(4)],
-        "_j",
-        "_v",
-    )
-    hamming = sum(
-        F.bit_count(F.col(f"_a{j}").bitwiseXOR(F.col(f"_b{j}")))
-        for j in range(4)
-    )
-    return (
-        a.join(b, ["_j", "_v"])
-        .where(F.col("media_id_a") < F.col("media_id_b"))
-        .select(
-            "media_id_a",
-            "media_id_b",
-            hamming.cast("int").alias("hamming"),
-        )
-        .where(F.col("hamming") <= max_hamming)
-        .distinct()
-    )
+    return hamming_band_pairs(h, max_hamming=3)
 
 
 #: abs(signed int16) at sample index k (1-based) — the _WAV_ABS pattern
@@ -1987,7 +1934,9 @@ def multimodal_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs from the same byte layout in SQL."""
     media = M.documents_as_wav_media(t(spark, sf_dir, "documents"))
     fp = M.decode_audio_fingerprints(media)
-    return _banded_hash_pairs(fp, max_hamming=2)
+    from ..operators.dedup import hamming_band_pairs
+
+    return hamming_band_pairs(fp, max_hamming=2)
 
 
 @query(

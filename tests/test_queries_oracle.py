@@ -72,7 +72,7 @@ def test_driver_sampled_is_current():
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     names: set[str] = set()
-    for path in glob.glob(os.path.join(root, "CORRECTNESS_r0*.json")):
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         with open(path) as fh:
             names |= set(json.load(fh))
     assert names == set(DRIVER_SAMPLED)

@@ -4,7 +4,7 @@ The driver samples a ~50-query prefix of ``queries()`` each round and
 records per-query verdicts in ``CORRECTNESS_r{N}.json``. To maximize
 cumulative driver-side evidence, the catalog leads with queries the
 driver has NEVER sampled (see plans/catalog.py `_ordered_names`). This
-tool scans every CORRECTNESS_r0*.json in the repo root and freezes the
+tool scans every CORRECTNESS_r*.json in the repo root and freezes the
 union of sampled names into an importable module, so the ordering is
 deterministic at runtime and the provenance is committed per round.
 
@@ -26,7 +26,7 @@ OUT = os.path.join(
 
 
 def main() -> None:
-    files = sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r0*.json")))
+    files = sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json")))
     sampled: dict[str, list[str]] = {}
     for path in files:
         with open(path) as fh:
