@@ -2662,12 +2662,12 @@ def encode_avi(raw: bytes, max_bytes: int = AVI_MAX_BYTES) -> bytes:
     return _riff_chunk(b"RIFF", body)
 
 
-def decode_avi_samples(payload: bytes, n_samples: int = 4) -> list[dict]:
-    """Sample min(n_samples, n_frames) evenly spaced keyframes by
-    SEEKING through idx1 — only the sampled '00db' chunks are read and
-    decoded (bottom-up BGR -> image order). Returns one dict per sample
-    with the exact pixel sum and an image-row-weighted checksum that a
-    decoder ignoring the bottom-up rule would get wrong."""
+def _avi_parse(payload: bytes) -> tuple[int, list[tuple], int]:
+    """Walk the RIFF chunk list and return
+    ``(movi_fourcc_pos, idx_entries, n_frames)`` after validating the
+    avih header and idx1 consistency. Shared by the sample decoder and
+    the per-keyframe signature extractor — both SEEK via idx1 and never
+    scan the movi list."""
     import struct
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
@@ -2703,18 +2703,36 @@ def decode_avi_samples(payload: bytes, n_samples: int = 4) -> list[dict]:
         raise NotImplementedError("avi subset: 8x8 frames only")
     if len(idx_entries) != n_frames:
         raise ValueError("avi: index length disagrees with avih frame count")
+    return movi_fourcc_pos, idx_entries, n_frames
+
+
+def _avi_seek_frame(
+    payload: bytes, movi_fourcc_pos: int, idx_entries: list[tuple], fidx: int
+) -> bytes:
+    """Read ONE keyframe's DIB bytes via its idx1 entry, validating the
+    chunk id, keyframe flag, and that the offset lands on its chunk."""
+    ckid, flags, off, clen = idx_entries[fidx]
+    if ckid != b"00db" or not flags & _AVIIF_KEYFRAME:
+        raise ValueError("avi: sampled entry is not a DIB keyframe")
+    at = movi_fourcc_pos + off
+    if payload[at : at + 4] != b"00db":
+        raise ValueError("avi: idx1 offset does not land on its chunk")
+    return payload[at + 8 : at + 8 + clen]
+
+
+def decode_avi_samples(payload: bytes, n_samples: int = 4) -> list[dict]:
+    """Sample min(n_samples, n_frames) evenly spaced keyframes by
+    SEEKING through idx1 — only the sampled '00db' chunks are read and
+    decoded (bottom-up BGR -> image order). Returns one dict per sample
+    with the exact pixel sum and an image-row-weighted checksum that a
+    decoder ignoring the bottom-up rule would get wrong."""
+    movi_fourcc_pos, idx_entries, n_frames = _avi_parse(payload)
 
     k = min(n_samples, n_frames)
     out = []
     for s in range(k):
         fidx = (s * n_frames) // k
-        ckid, flags, off, clen = idx_entries[fidx]
-        if ckid != b"00db" or not flags & _AVIIF_KEYFRAME:
-            raise ValueError("avi: sampled entry is not a DIB keyframe")
-        at = movi_fourcc_pos + off
-        if payload[at : at + 4] != b"00db":
-            raise ValueError("avi: idx1 offset does not land on its chunk")
-        frame = payload[at + 8 : at + 8 + clen]
+        frame = _avi_seek_frame(payload, movi_fourcc_pos, idx_entries, fidx)
         rowlen = _AVI_W * 3
         frame_sum = 0
         row_checksum = 0
@@ -2757,6 +2775,70 @@ def documents_as_avi_media(docs: DataFrame) -> DataFrame:
 AVI_SAMPLE_SCHEMA = (
     "media_id long, slot int, frame_idx int, frame_sum long, row_checksum long"
 )
+
+VIDEO_FP_SCHEMA = "media_id long, c0 int, c1 int, c2 int, c3 int"
+
+
+def avi_signature_chunks(
+    payload: bytes, n_samples: int = 4, min_frames: int = 4
+) -> tuple[int, int, int, int] | None:
+    """Per-keyframe perceptual signature of an AVI, as FOUR 8-bit chunks
+    (the video twin of :func:`dhash_chunks` / :func:`audio_fingerprint_chunks`,
+    band keys for Hamming-band LSH): sample ``n_samples`` evenly spaced
+    keyframes by SEEKING through idx1 (fidx = s·n_frames//n_samples —
+    the :func:`decode_avi_samples` slot rule), and per frame take the
+    VERTICAL luma-gradient signs — bit r (r = 0..6) is 1 iff image row
+    r's exact integer pixel sum strictly exceeds row r+1's (bit 7 is
+    always 0; the 8×8 subset has 7 row gradients). Row sums come from
+    the decoded bottom-up DIB, so a decoder ignoring row order flips
+    the signature. Videos with fewer than ``min_frames`` frames return
+    None — one or two frames carry no temporal signal and their
+    near-zero signatures would collide (the minimum-duration gate).
+
+    Gradient SIGNS, not absolute levels, survive brightness shifts and
+    re-encodes — the property that makes this a near-dup signal rather
+    than an exact hash."""
+    movi_fourcc_pos, idx_entries, n_frames = _avi_parse(payload)
+    if n_frames < min_frames:
+        return None
+    rowlen = _AVI_W * 3
+    chunks = []
+    for s in range(n_samples):
+        fidx = (s * n_frames) // n_samples
+        frame = _avi_seek_frame(payload, movi_fourcc_pos, idx_entries, fidx)
+        # image row r is STORED row (H-1-r); constant-extend short frames
+        frame = frame.ljust(_AVI_FRAME_BYTES, b"\x00")
+        row_sums = [
+            sum(frame[(_AVI_H - 1 - r) * rowlen : (_AVI_H - r) * rowlen])
+            for r in range(_AVI_H)
+        ]
+        c = 0
+        for r in range(_AVI_H - 1):
+            if row_sums[r] > row_sums[r + 1]:
+                c |= 1 << r
+        chunks.append(c)
+    return tuple(chunks)
+
+
+def decode_avi_signatures(media: DataFrame) -> DataFrame:
+    """Video fingerprint extraction inside ``mapInPandas``; clips under
+    the minimum-duration gate are dropped (not fingerprinted)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for mid, p in zip(pdf["media_id"].values, pdf["payload"]):
+                ch = avi_signature_chunks(bytes(p))
+                if ch is not None:
+                    recs.append((int(mid), *ch))
+            yield pd.DataFrame(
+                recs, columns=["media_id", "c0", "c1", "c2", "c3"]
+            )
+
+    n_parts = media.sparkSession.sparkContext.defaultParallelism
+    return media.repartition(n_parts, F.col("media_id")).mapInPandas(
+        op, schema=VIDEO_FP_SCHEMA
+    )
 
 
 def sample_avi_keyframes(media: DataFrame, n_samples: int = 4) -> DataFrame:

@@ -1940,6 +1940,79 @@ def multimodal_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_video_near_dup",
+    oracle="""
+    WITH dims AS (
+      SELECT CAST(doc_id AS BIGINT) AS media_id,
+             string_split(text, '') AS sp,
+             least(octet_length(encode(text)), 2048) AS n,
+             greatest(1, (least(octet_length(encode(text)), 2048) + 7) // 8)
+               AS n_frames
+      FROM documents
+    ),
+    gated AS (SELECT * FROM dims WHERE n_frames >= 4),
+    sl AS (
+      SELECT media_id, sp, n, n_frames, unnest(range(0, 4)) AS s
+      FROM gated
+    ),
+    ch AS (
+      SELECT media_id, s,
+        CAST(list_sum(list_transform(range(0, 7), r ->
+          CASE WHEN (CASE WHEN 8*((s*n_frames)//4)+r < n
+                          THEN ascii(sp[8*((s*n_frames)//4)+r+1]) ELSE 0 END)
+                  > (CASE WHEN 8*((s*n_frames)//4)+r+1 < n
+                          THEN ascii(sp[8*((s*n_frames)//4)+r+2]) ELSE 0 END)
+          THEN (1 << r) ELSE 0 END)) AS INTEGER) AS c
+      FROM sl
+    ),
+    h AS (
+      SELECT media_id,
+        MAX(CASE WHEN s = 0 THEN c END) AS c0,
+        MAX(CASE WHEN s = 1 THEN c END) AS c1,
+        MAX(CASE WHEN s = 2 THEN c END) AS c2,
+        MAX(CASE WHEN s = 3 THEN c END) AS c3
+      FROM ch GROUP BY media_id
+    )
+    SELECT a.media_id AS media_id_a, b.media_id AS media_id_b,
+           CAST(bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1))
+              + bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3))
+             AS INTEGER) AS hamming
+    FROM h a JOIN h b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1))
+        + bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) <= 2
+    """,
+)
+def multimodal_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO NEAR-DUP VIA PER-KEYFRAME SIGNATURES — completes the
+    near-dup quartet (text MinHash, [[multimodal_image_near_dup]],
+    [[multimodal_audio_near_dup]], video here): documents render into
+    REAL AVI containers, the extractor SEEKS 4 evenly spaced keyframes
+    through idx1 (never scanning movi — per-row work is O(index +
+    sampled frames), not O(container)), and each sampled frame
+    contributes an 8-bit vertical luma-gradient-sign signature
+    (``operators/multimodal.avi_signature_chunks`` — exact integer row
+    sums from the bottom-up DIB, strict > compares, no floats). Videos
+    under 4 frames are gated out (no temporal signal — the
+    minimum-duration rule), and pairs with Hamming ≤ 2 report.
+
+    Scale shape: the same Hamming-band LSH as the image/audio queries,
+    with a twist that matches how production video dedup buckets — the
+    BAND KEY IS THE FRAME SLOT, so two videos are candidates iff some
+    sampled keyframe's signature matches exactly (pigeonhole over 4
+    slots: ≤ 3 differing bits leave one slot's chunk equal → perfect
+    recall at threshold 2); candidates verify by bit_count arithmetic.
+    One shuffle on the band key at any scale. The oracle rebuilds
+    sampled frame indices, row-gradient bits, chunks, and pairs from
+    the same byte layout in SQL (all-pairs only in the oracle; a
+    plan-shape guard pins the equi-join on the Spark side)."""
+    media = M.documents_as_avi_media(t(spark, sf_dir, "documents"))
+    fp = M.decode_avi_signatures(media)
+    from ..operators.dedup import hamming_band_pairs
+
+    return hamming_band_pairs(fp, max_hamming=2)
+
+
+@query(
     "doc_unicode_nfc",
     oracle="""
     WITH dec AS (

@@ -642,6 +642,43 @@ def test_dhash_chunks_properties():
     assert all(0 <= c <= 0xFFFF for c in ch)
 
 
+def test_avi_signature_chunks_properties():
+    """Video signature edge cases: the minimum-duration gate (< 4
+    frames → None), exact row-gradient bits against a hand computation,
+    and locality (editing one frame byte changes at most one chunk)."""
+    from data_integration_project_spark.operators.multimodal import (
+        avi_signature_chunks,
+        encode_avi,
+    )
+
+    # 3 frames (24 bytes → ceil(24/8)=3) → gated out
+    assert avi_signature_chunks(encode_avi(bytes(range(24)))) is None
+
+    # 4 frames of strictly increasing bytes: every image row r is
+    # DARKER than row r+1 → no gradient bit set in any frame
+    up = bytes(range(32))
+    assert avi_signature_chunks(encode_avi(up)) == (0, 0, 0, 0)
+
+    # strictly decreasing: every row beats its successor → all 7 bits
+    down = bytes(reversed(range(32)))
+    assert avi_signature_chunks(encode_avi(down)) == (127, 127, 127, 127)
+
+    # determinism + locality: a single byte edit inside frame 2 leaves
+    # the other three slots' chunks unchanged
+    import random
+
+    rng = random.Random(11)
+    raw = bytes(rng.randrange(256) for _ in range(64))  # 8 frames
+    h1 = avi_signature_chunks(encode_avi(raw))
+    assert h1 == avi_signature_chunks(encode_avi(raw))
+    edited = bytearray(raw)
+    # slots sample fidx = s*8//4 = 0,2,4,6; edit a row of frame 4
+    edited[33] = (edited[33] + 97) % 256
+    h2 = avi_signature_chunks(encode_avi(bytes(edited)))
+    assert sum(a != b for a, b in zip(h1, h2)) <= 1
+    assert h1[0] == h2[0] and h1[1] == h2[1] and h1[3] == h2[3]
+
+
 def test_bpe_encode_words_with_merges():
     """Replayed merges must reproduce the trainer's greedy
     left-to-right non-overlap semantics: 'aaaa' under ('a','a') becomes

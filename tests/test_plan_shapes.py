@@ -114,6 +114,13 @@ def test_audio_near_dup_banded_equijoin(spark, sf_small):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_video_near_dup_banded_equijoin(spark, sf_small):
+    # per-keyframe signatures band on the frame slot — same contract
+    plan = _executed_plan(spark, "multimodal_video_near_dup", sf_small)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_bpe_encode_corpus_side_is_equijoin(spark, sf_small):
     # corpus tokens join the vocab-sized encode table — no cartesian,
     # no per-token Python; the interpreted HOFs live on distinct words
