@@ -121,6 +121,22 @@ def test_video_near_dup_banded_equijoin(spark, sf_small):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_bradley_terry_games_shape(spark, sf_small):
+    # the corpus-side stage (the only data-sized work): adjacent-line
+    # pairing is an equi-join on (orderkey, linenumber+1) and supplier
+    # nations attach via broadcast — no cartesian anywhere
+    from data_integration_project_spark.plans.relational_q import (
+        _bt_win_matrix,
+    )
+
+    df = _bt_win_matrix(spark, sf_small)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_bpe_encode_corpus_side_is_equijoin(spark, sf_small):
     # corpus tokens join the vocab-sized encode table — no cartesian,
     # no per-token Python; the interpreted HOFs live on distinct words
