@@ -130,6 +130,10 @@ HEADLINE = [
     # round 4 (cont.): audio fingerprint near-dup (WAV decode +
     # Hamming-band LSH)
     "multimodal_audio_near_dup",
+    # round 4 (cont. 2): per-keyframe video near-dup (idx1-seek AVI
+    # decode + slot-banded LSH) and the bounded-panel MM trainer
+    "multimodal_video_near_dup",
+    "lineitem_bradley_terry",
 ]
 
 

@@ -1210,6 +1210,115 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "corpus_temperature_mixture",
+    oracle=f"""
+    WITH per_lang AS (
+      SELECT lang, CAST(SUM(len({_TOKENS_SQL})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    ),
+    sq AS (
+      SELECT lang, n_tokens,
+             CAST(floor(sqrt(CAST(n_tokens * 1000000 AS DOUBLE))) AS BIGINT)
+               AS s0
+      FROM per_lang
+    ),
+    isq AS (
+      SELECT lang, n_tokens,
+             s0 - CASE WHEN s0 * s0 > n_tokens * 1000000 THEN 1 ELSE 0 END
+                + CASE WHEN (s0 + 1) * (s0 + 1) <= n_tokens * 1000000
+                       THEN 1 ELSE 0 END AS s
+      FROM sq
+    ),
+    tot AS (
+      SELECT *, SUM(s) OVER () AS stot FROM isq
+    ),
+    base AS (
+      SELECT lang, n_tokens, s, stot,
+             (1000000 * s) // stot AS base_alloc,
+             1000000 * s - ((1000000 * s) // stot) * stot AS rem
+      FROM tot
+    ),
+    ranked AS (
+      SELECT *,
+             1000000 - SUM(base_alloc) OVER () AS leftover,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rr
+      FROM base
+    )
+    SELECT lang, n_tokens,
+           CAST(s AS BIGINT) AS sqrt_weight,
+           CAST((1000000 * s) // stot AS BIGINT) AS share_ppm,
+           CAST(base_alloc + CASE WHEN rr <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc_tokens
+    FROM ranked
+    """,
+)
+def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-SMOOTHED LANGUAGE SAMPLING (α = 0.5) — the
+    multilingual mixture rule (mBERT / XLM-R style): sampling weight ∝
+    n_tokens^α, which upsamples low-resource languages relative to
+    proportional sampling without the hard epoch cap of
+    [[corpus_mixture_weights]]. The smoothed weight is the EXACT
+    integer square root of n_tokens·10^6 (floor-sqrt in IEEE double,
+    then a ±1 integer-square correction — floor(sqrt) can land on the
+    wrong side of near-perfect squares, the
+    [[parts_eoq_inventory_policy]] lesson), and a 1M-token sample budget is
+    allocated by LARGEST-REMAINDER apportionment (floored base shares,
+    leftover units to the largest exact remainders, lang tie-break) so
+    the allocations sum to the budget exactly — no float weight ever
+    touches the allocation.
+
+    Scale shape: one corpus-wide map-side-combined aggregate to |langs|
+    rows; the sqrt/apportionment arithmetic runs on that tiny summary
+    (window functions over ≤ a few hundred rows). At 100 TB the token
+    inventory is the only pass over the data."""
+    d = t(spark, sf_dir, "documents")
+    per_lang = d.groupBy("lang").agg(
+        F.sum(X.token_count(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    x = F.col("n_tokens") * F.lit(1000000)
+    s0 = F.floor(F.sqrt(x.cast("double"))).cast("long")
+    s = (
+        s0
+        - F.when(s0 * s0 > x, 1).otherwise(0)
+        + F.when((s0 + 1) * (s0 + 1) <= x, 1).otherwise(0)
+    )
+    isq = per_lang.withColumn("s", s)
+    w_all = Window.partitionBy()
+    tot = isq.withColumn("stot", F.sum("s").over(w_all))
+    base = tot.select(
+        "lang",
+        "n_tokens",
+        "s",
+        "stot",
+        F.expr("(1000000 * s) div stot").alias("base_alloc"),
+        (
+            F.lit(1000000) * F.col("s")
+            - F.expr("(1000000 * s) div stot") * F.col("stot")
+        ).alias("rem"),
+    )
+    ranked = base.withColumn(
+        "leftover", F.lit(1000000) - F.sum("base_alloc").over(w_all)
+    ).withColumn(
+        "rr",
+        F.row_number().over(
+            Window.partitionBy().orderBy(F.col("rem").desc(), F.col("lang"))
+        ),
+    )
+    return ranked.select(
+        "lang",
+        "n_tokens",
+        F.col("s").cast("long").alias("sqrt_weight"),
+        F.expr("(1000000 * s) div stot").cast("long").alias("share_ppm"),
+        (
+            F.col("base_alloc")
+            + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("alloc_tokens"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact duplicated-substring coverage (the char-level exact-substring
 # dedup signal of Lee et al. 2021, arXiv:2107.06499): which spans of

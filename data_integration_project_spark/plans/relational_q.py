@@ -6909,9 +6909,9 @@ def customers_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bt_oracle_sql(n_iters: int) -> str:
-    """Unroll the Bradley-Terry minorization-maximization update into
-    one CTE per iteration, all exact integer arithmetic: ``d_i =
+def _bt_cte_prefix(n_iters: int) -> str:
+    """Shared Bradley-Terry CTE chain (games → win/count matrices →
+    unrolled MM iterations), all exact integer arithmetic: ``d_i =
     Σ_j (n_ij · 10^12) // (r_i + r_j)`` and ``r_i' = max((w_i · 10^12)
     // d_i, 1)``. DuckDB ``//`` truncates like Spark-side Python ``//``
     floors — identical on the all-positive operands here."""
@@ -6964,6 +6964,12 @@ def _bt_oracle_sql(n_iters: int) -> str:
             FROM (SELECT DISTINCT i FROM nmat)),
     """
         + ",\n    ".join(its)
+    )
+
+
+def _bt_oracle_sql(n_iters: int) -> str:
+    return (
+        _bt_cte_prefix(n_iters)
         + f"""
     SELECT CAST(f.i AS INTEGER) AS n_nationkey, nn.n_name,
            CAST(f.r AS BIGINT) AS rating_micro,
@@ -6974,6 +6980,29 @@ def _bt_oracle_sql(n_iters: int) -> str:
     JOIN wtot w ON w.i = f.i
     JOIN gtot g ON g.i = f.i
     JOIN nation nn ON nn.n_nationkey = f.i
+    """
+    )
+
+
+def _bt_calibration_oracle_sql(n_iters: int) -> str:
+    return (
+        _bt_cte_prefix(n_iters)
+        + f""",
+    pairs AS (
+      SELECT n.i, n.j, n.n_ij, COALESCE(w.w_ij, 0) AS w_ij,
+             (ri.r * 1000000) // (ri.r + rj.r) AS p_micro
+      FROM nmat n
+      JOIN it{n_iters} ri ON ri.i = n.i
+      JOIN it{n_iters} rj ON rj.i = n.j
+      LEFT JOIN wmat w ON w.i = n.i AND w.j = n.j
+      WHERE n.i < n.j
+    )
+    SELECT CAST(p_micro // 20000 AS INTEGER) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(n_ij) AS BIGINT) AS games,
+           CAST(SUM(w_ij) AS BIGINT) AS obs_wins,
+           CAST(SUM(n_ij * p_micro) AS BIGINT) AS pred_wins_micro
+    FROM pairs GROUP BY bucket
     """
     )
 
@@ -7037,6 +7066,40 @@ def _bt_win_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bt_fit(spark: SparkSession, sf_dir: str, n_iters: int):
+    """Collect the |entities|²-bounded win matrix (the ONLY thing that
+    leaves Spark) and run the exact-integer MM iterations driver-side.
+    Returns ``(wmat, n_ij, ents, wins, games_tot, ratings)``."""
+    wmat = {
+        (r["i"], r["j"]): r["w"]
+        for r in _bt_win_matrix(spark, sf_dir).collect()
+    }
+    n_ij: dict[tuple[int, int], int] = {}
+    for (i, j), w in wmat.items():
+        n_ij[(i, j)] = w + wmat.get((j, i), 0)
+        n_ij.setdefault((j, i), n_ij[(i, j)])
+    ents = sorted({i for i, _ in n_ij})
+    wins = {i: 0 for i in ents}
+    for (i, _j), w in wmat.items():
+        wins[i] += w
+    games_tot = {
+        i: sum(n for (a_, _), n in n_ij.items() if a_ == i) for i in ents
+    }
+    SCALE2 = 10**12
+    r = {i: 10**6 for i in ents}
+    for _ in range(n_iters):
+        d = {
+            i: sum(
+                (n_ij[(i, j)] * SCALE2) // (r[i] + r[j])
+                for j in ents
+                if (i, j) in n_ij
+            )
+            for i in ents
+        }
+        r = {i: max((wins[i] * SCALE2) // d[i], 1) for i in ents}
+    return wmat, n_ij, ents, wins, games_tot, r
+
+
 @query("lineitem_bradley_terry", oracle=_bt_oracle_sql(4))
 def lineitem_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BRADLEY-TERRY PREFERENCE-STRENGTH FIT — the pairwise-comparison
@@ -7065,32 +7128,7 @@ def lineitem_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     the data). The MM iterations ride the driver on that bounded panel,
     the k×d-centroid / BPE-merge-list pattern
     [[customers_logreg_gd]]."""
-    # |entities|²-bounded count matrix — the ONLY thing that leaves Spark
-    wmat = {
-        (r["i"], r["j"]): r["w"]
-        for r in _bt_win_matrix(spark, sf_dir).collect()
-    }
-    n_ij: dict[tuple[int, int], int] = {}
-    for (i, j), w in wmat.items():
-        n_ij[(i, j)] = w + wmat.get((j, i), 0)
-        n_ij.setdefault((j, i), n_ij[(i, j)])
-    ents = sorted({i for i, _ in n_ij})
-    wins = {i: 0 for i in ents}
-    for (i, _j), w in wmat.items():
-        wins[i] += w
-    games_tot = {i: sum(n for (a_, _), n in n_ij.items() if a_ == i) for i in ents}
-    SCALE2 = 10**12
-    r = {i: 10**6 for i in ents}
-    for _ in range(4):
-        d = {
-            i: sum(
-                (n_ij[(i, j)] * SCALE2) // (r[i] + r[j])
-                for j in ents
-                if (i, j) in n_ij
-            )
-            for i in ents
-        }
-        r = {i: max((wins[i] * SCALE2) // d[i], 1) for i in ents}
+    wmat, n_ij, ents, wins, games_tot, r = _bt_fit(spark, sf_dir, n_iters=4)
     ranked = sorted(ents, key=lambda i: (-r[i], i))
     rank = {i: k + 1 for k, i in enumerate(ranked)}
     fit = spark.createDataFrame(
@@ -7105,6 +7143,42 @@ def lineitem_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return fit.join(F.broadcast(nation), "n_nationkey").select(
         "n_nationkey", "n_name", "rating_micro", "wins", "games", "rank"
+    )
+
+
+@query("lineitem_bt_calibration", oracle=_bt_calibration_oracle_sql(4))
+def lineitem_bt_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALIBRATION AUDIT OF THE FITTED BRADLEY-TERRY MODEL — the check a
+    preference pipeline runs before trusting ratings: per unordered
+    entity pair, the model predicts ``P(i beats j) = r_i/(r_i+r_j)``
+    (computed in exact integer micro-units, one floored division);
+    pairs bucket by predicted probability and each bucket compares
+    PREDICTED wins (Σ n_ij·p̂ in micro-wins) against OBSERVED wins — a
+    reliability curve whose buckets, game counts, and both win columns
+    all sit on the hash. A miscalibrated fit (e.g., an MM iteration
+    diverging, or wins/games miscounted) shifts obs vs pred in some
+    bucket.
+
+    Scale shape: identical to [[lineitem_bradley_terry]] — one
+    corpus-side shuffle to the bounded count matrix, then driver-side
+    exact arithmetic on ≤ |entities|² rows; the bucket rollup runs in
+    Spark on that panel."""
+    wmat, n_ij, ents, _wins, _games, r = _bt_fit(spark, sf_dir, n_iters=4)
+    rows = []
+    for (i, j), n in n_ij.items():
+        if i < j:
+            p = (r[i] * 10**6) // (r[i] + r[j])
+            rows.append((i, j, int(n), int(wmat.get((i, j), 0)), int(p)))
+    pairs = spark.createDataFrame(
+        rows, "i int, j int, n_ij long, w_ij long, p_micro long"
+    )
+    return pairs.groupBy(
+        F.expr("p_micro div 20000").cast("int").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("n_ij").alias("games"),
+        F.sum("w_ij").alias("obs_wins"),
+        F.sum(F.col("n_ij") * F.col("p_micro")).alias("pred_wins_micro"),
     )
 
 

@@ -103,6 +103,126 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: integer quality score shared by the preference-pair builder and its
+#: oracle: 10 × stopword hits + token count (both exact integers).
+_PREF_SCORE_SQL = f"""(
+  10 * CAST((length(' '||lower(text)||' ')
+             - length(replace(' '||lower(text)||' ', ' the ', '')))/5
+          + (length(' '||lower(text)||' ')
+             - length(replace(' '||lower(text)||' ', ' a ', '')))/3 AS BIGINT)
+  + len({_TOKENS_SQL})
+)"""
+
+
+@query(
+    "doc_preference_pairs",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang, source, md5(text) AS fp,
+             CAST({_PREF_SCORE_SQL} AS BIGINT) AS score
+      FROM documents
+    ),
+    best AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY lang, source
+                                   ORDER BY score DESC, doc_id) AS rn
+      FROM scored
+    ),
+    worst AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY lang, source
+                                   ORDER BY score, doc_id DESC) AS rn
+      FROM scored
+    )
+    SELECT b.lang, b.source,
+           CAST(b.doc_id AS BIGINT) AS chosen_id,
+           CAST(w.doc_id AS BIGINT) AS rejected_id,
+           b.score AS chosen_score, w.score AS rejected_score,
+           b.score - w.score AS margin,
+           CAST(CASE WHEN b.fp = w.fp THEN 1 ELSE 0 END AS INTEGER)
+             AS exact_dup_leak
+    FROM best b
+    JOIN worst w ON w.lang = b.lang AND w.source = b.source
+    WHERE b.rn = 1 AND w.rn = 1 AND b.score > w.score
+    """,
+)
+def doc_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREFERENCE-PAIR CONSTRUCTION — the data-prep step that turns a
+    scored corpus into chosen/rejected training pairs for reward-model
+    / DPO-style tuning: within each (lang, source) stratum the
+    best-scoring document is CHOSEN and the worst REJECTED (integer
+    quality score = 10 × stopword hits + token count; deterministic
+    doc_id tie-breaks on both ends), the pair's margin is reported, and
+    strata whose best and worst tie are dropped (no signal — the
+    degenerate-pair rule). Each pair also carries an exact-dup leakage
+    flag (md5 fingerprint equality) — a chosen/rejected pair built from
+    the same text teaches the reward model nothing and poisons eval.
+
+    Scale shape: one scan computes scores, the two rank-1 picks share
+    ONE hash partitioning on the stratum key (two windows + the
+    pair-assembly join all co-partition), so the whole builder is a
+    single shuffle of scored rows; at 100 TB the per-stratum top/bottom
+    pick would swap to a partial TakeOrdered per stratum, same
+    contract. Complements [[lineitem_bradley_terry]], which FITS the
+    rating model such pairs feed."""
+    d = t(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.lower("text"), F.lit(" "))
+    stop_hits = (
+        X.occurrence_count(padded, " the ") + X.occurrence_count(padded, " a ")
+    ).cast("long")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.md5("text").alias("fp"),
+        (10 * stop_hits + X.token_count(F.col("text")).cast("long")).alias(
+            "score"
+        ),
+    )
+    wb = Window.partitionBy("lang", "source").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    ww = Window.partitionBy("lang", "source").orderBy(
+        F.col("score"), F.col("doc_id").desc()
+    )
+    best = (
+        scored.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .select(
+            "lang",
+            "source",
+            F.col("doc_id").alias("chosen_id"),
+            F.col("score").alias("chosen_score"),
+            F.col("fp").alias("fp_b"),
+        )
+    )
+    worst = (
+        scored.withColumn("rn", F.row_number().over(ww))
+        .filter(F.col("rn") == 1)
+        .select(
+            "lang",
+            "source",
+            F.col("doc_id").alias("rejected_id"),
+            F.col("score").alias("rejected_score"),
+            F.col("fp").alias("fp_w"),
+        )
+    )
+    return (
+        best.join(worst, ["lang", "source"])
+        .where(F.col("chosen_score") > F.col("rejected_score"))
+        .select(
+            "lang",
+            "source",
+            "chosen_id",
+            "rejected_id",
+            "chosen_score",
+            "rejected_score",
+            (F.col("chosen_score") - F.col("rejected_score")).alias("margin"),
+            (F.col("fp_b") == F.col("fp_w"))
+            .cast("int")
+            .alias("exact_dup_leak"),
+        )
+    )
+
+
 _LANG_SCORE_SQL = {
     lang: " + ".join(
         f"(length(padded) - length(replace(padded, '{m}', '')))/{len(m)}"
