@@ -1319,6 +1319,90 @@ def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_span_corruption",
+    oracle=f"""
+    WITH pos AS (
+      SELECT doc_id, unnest(range(1, len({_TOKENS_SQL}) + 1)) AS p
+      FROM documents
+    ),
+    st AS (
+      SELECT doc_id, p,
+             CASE WHEN (doc_id * 7919 + p * 104729) % 100 < 6
+                  THEN 1 ELSE 0 END AS s
+      FROM pos
+    ),
+    mk AS (
+      SELECT doc_id, p,
+             MAX(s) OVER (PARTITION BY doc_id ORDER BY p
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS m
+      FROM st
+    ),
+    fl AS (
+      SELECT doc_id, p, m,
+             CASE WHEN m = 1 AND COALESCE(LAG(m) OVER (
+                    PARTITION BY doc_id ORDER BY p), 0) = 0
+                  THEN 1 ELSE 0 END AS sent
+      FROM mk
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(m) AS BIGINT) AS n_masked,
+           CAST(SUM(sent) AS BIGINT) AS n_sentinels,
+           CAST(SUM(m * p) AS BIGINT) AS masked_pos_sum
+    FROM fl GROUP BY doc_id
+    """,
+)
+def doc_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN-CORRUPTION EXAMPLE CONSTRUCTION (the T5 denoising
+    objective): each token position deterministically starts a
+    3-token mask span with probability 6% (hash rule
+    ``(doc_id·7919 + p·104729) mod 100 < 6`` — derandomized, so both
+    engines and any replay pick identical spans; the importance-sampling
+    / negative-sampling house pattern), overlapping spans MERGE, and
+    each maximal masked run becomes one sentinel — the statistic pair
+    every span-corruption pipeline audits (corruption rate ≈ 17%,
+    spans/doc) before training. Per doc: token count, masked-token
+    count, sentinel count, and the exact masked-position sum (a
+    position-sensitive checksum — any off-by-one in the span window or
+    run merging shifts it).
+
+    Scale shape: positions explode once and every step — the span
+    window (ROWS 2 PRECEDING), the run-start lag, the rollup — shares
+    ONE hash partitioning on doc_id; a single shuffle of token rows at
+    any scale. Sentinels are the gaps-and-islands count, the same
+    relational form as [[doc_token_runs]]'s documented hot path."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.posexplode(X.tokens(F.col("text"))).alias("p0", "tok")
+    )
+    pos = d.select("doc_id", (F.col("p0") + 1).alias("p"))
+    st = pos.withColumn(
+        "s",
+        F.when(
+            (F.col("doc_id") * 7919 + F.col("p") * 104729) % 100 < 6, 1
+        ).otherwise(0),
+    )
+    wspan = (
+        Window.partitionBy("doc_id").orderBy("p").rowsBetween(-2, 0)
+    )
+    mk = st.withColumn("m", F.max("s").over(wspan))
+    wlag = Window.partitionBy("doc_id").orderBy("p")
+    fl = mk.withColumn(
+        "sent",
+        F.when(
+            (F.col("m") == 1)
+            & (F.coalesce(F.lag("m").over(wlag), F.lit(0)) == 0),
+            1,
+        ).otherwise(0),
+    )
+    return fl.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("m").cast("long").alias("n_masked"),
+        F.sum("sent").cast("long").alias("n_sentinels"),
+        F.sum(F.col("m") * F.col("p")).cast("long").alias("masked_pos_sum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact duplicated-substring coverage (the char-level exact-substring
 # dedup signal of Lee et al. 2021, arXiv:2107.06499): which spans of
