@@ -5,7 +5,7 @@ bit-identical across engines) and the SRP-bucketed approximate variant
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import similarity as S
@@ -53,6 +53,186 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
     queries = e.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 1_000_000))
     return S.brute_force_topk(queries, e, "vec_id", "embedding", k=5)
+
+
+@query(
+    "ann_context_packing",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 1000000),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             {_cos('q.qv', 'c.embedding')} AS cos_sim
+      FROM q, embeddings c
+      WHERE q.query_id <> c.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ),
+    toks AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tokens
+      FROM documents
+    ),
+    j AS (
+      SELECT r.query_id, r.neighbor_id, r.rank, tk.n_tokens,
+             SUM(tk.n_tokens) OVER (PARTITION BY r.query_id
+                                    ORDER BY r.rank) AS cum
+      FROM ranked r
+      JOIN toks tk ON tk.doc_id = r.neighbor_id
+      WHERE r.rank <= 20
+    )
+    SELECT query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_packed,
+           CAST(MAX(cum) AS BIGINT) AS tokens_packed,
+           CAST(MAX(rank) AS BIGINT) AS last_rank,
+           CAST(SUM(rank * neighbor_id) AS BIGINT) AS packed_checksum
+    FROM j WHERE cum <= 256 GROUP BY query_id
+    """,
+)
+def ann_context_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG CONTEXT ASSEMBLY — the serving-side composition a retrieval
+    pipeline runs after top-k: retrieve the 20 nearest documents per
+    query (exact cosine, total-order tie-break), then PACK them into a
+    256-token context budget in rank order — a running-sum prefix
+    (token counts are ≥ 1, so the cumulative sum is strictly monotone
+    and "stop at the budget" is exactly a prefix filter; the FIFO
+    running-sum-clamp pattern). Per query: how many documents fit, the
+    exact tokens used, the deepest rank admitted, and a rank-weighted
+    id checksum that moves if packing order or membership drifts.
+
+    Scale shape: the top-k stage is the [[ann_cosine_topk]] plan (at
+    scale, the SRP/IVF variants drop in — identical downstream
+    contract); the packing stage joins the |queries|·k result (tiny) to
+    the document token dim and runs one window per query — the heavy
+    side never reshuffles, and the budget arithmetic is exact
+    integers."""
+    from ..functions import text as X
+
+    e = t(spark, sf_dir, "embeddings")
+    queries = e.filter(
+        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 1_000_000)
+    )
+    topk = S.brute_force_topk(queries, e, "vec_id", "embedding", k=20).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    toks = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("neighbor_id"),
+        X.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("query_id").orderBy("rank")
+    j = (
+        F.broadcast(topk)
+        .join(toks, "neighbor_id")
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        .where(F.col("cum") <= 256)
+    )
+    return j.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_packed"),
+        F.max("cum").cast("long").alias("tokens_packed"),
+        F.max("rank").cast("long").alias("last_rank"),
+        F.sum(F.col("rank") * F.col("neighbor_id"))
+        .cast("long")
+        .alias("packed_checksum"),
+    )
+
+
+@query(
+    "embeddings_bitext_mining",
+    oracle=f"""
+    WITH A AS (SELECT vec_id, embedding FROM embeddings WHERE label % 2 = 0),
+    B AS (SELECT vec_id, embedding FROM embeddings WHERE label % 2 = 1),
+    ab AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             {_cos('a.embedding', 'b.embedding')} AS cs
+      FROM A a, B b
+    ),
+    ra AS (SELECT ia, ib, CAST(round(cs * 1000000000) AS BIGINT) AS c,
+                  row_number() OVER (PARTITION BY ia
+                                     ORDER BY cs DESC, ib) AS rk
+           FROM ab),
+    rb AS (SELECT ia, ib, CAST(round(cs * 1000000000) AS BIGINT) AS c,
+                  row_number() OVER (PARTITION BY ib
+                                     ORDER BY cs DESC, ia) AS rk
+           FROM ab),
+    besta AS (SELECT ia, ib AS best_b, c AS c_ab FROM ra WHERE rk = 1),
+    bestb AS (SELECT ib, ia AS best_a FROM rb WHERE rk = 1),
+    s4a AS (SELECT ia, SUM(c) AS s4 FROM ra WHERE rk <= 4 GROUP BY ia),
+    s4b AS (SELECT ib, SUM(c) AS s4 FROM rb WHERE rk <= 4 GROUP BY ib)
+    SELECT ba.ia AS id_a, ba.best_b AS id_b,
+           ba.c_ab AS cos_ppb,
+           CAST((ba.c_ab * 8 * 1000000000) // (sa.s4 + sb.s4) AS BIGINT)
+             AS margin_ppb
+    FROM besta ba
+    JOIN bestb bb ON bb.ib = ba.best_b AND bb.best_a = ba.ia
+    JOIN s4a sa ON sa.ia = ba.ia
+    JOIN s4b sb ON sb.ib = ba.best_b
+    WHERE (ba.c_ab * 8 * 1000000000) // (sa.s4 + sb.s4) > 1100000000
+    """,
+)
+def embeddings_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARGIN-BASED BITEXT MINING (Artetxe & Schwenk 2019 — the
+    LASER/CCMatrix parallel-corpus miner): the two sides are the
+    label-parity halves of the embedding table; a pair aligns iff each
+    is the other's nearest neighbor (MUTUAL best, the reciprocal filter
+    that kills hubness asymmetry) AND the RATIO MARGIN — cosine over
+    the mean of both sides' top-4 neighborhood cosines — clears 1.10,
+    which rejects points that are merely in dense regions. Margins are
+    computed in exact integer parts-per-billion: each cosine rounds
+    once to an int (ranking stays on the RAW double, so rank order
+    matches the exact top-k), the 4-neighbor sums are exact integer
+    adds (double summation order would differ between engines), and the
+    margin is one floored integer division.
+
+    Scale shape: both directions are the [[ann_cosine_topk]] plan
+    (k = 4; at 100 TB the SRP/IVF candidate generators drop in); the
+    mutual join and margin arithmetic run on |A|+|B| best-match rows.
+    Everything after the top-k is tiny."""
+    e = t(spark, sf_dir, "embeddings")
+    A = e.filter(F.col("label") % 2 == 0)
+    B = e.filter(F.col("label") % 2 == 1)
+
+    def side(qs: DataFrame, corpus: DataFrame) -> DataFrame:
+        tk = S.brute_force_topk(qs, corpus, "vec_id", "embedding", k=4)
+        return tk.withColumn(
+            "c", F.round(F.col("cos_sim") * 1000000000).cast("long")
+        )
+    ta = side(A, B)
+    tb = side(B, A)
+    besta = ta.filter(F.col("rank") == 1).select(
+        F.col("query_id").alias("id_a"),
+        F.col("neighbor_id").alias("best_b"),
+        F.col("c").alias("c_ab"),
+    )
+    bestb = tb.filter(F.col("rank") == 1).select(
+        F.col("query_id").alias("ib"), F.col("neighbor_id").alias("best_a")
+    )
+    s4a = ta.groupBy("query_id").agg(F.sum("c").alias("s4a"))
+    s4b = tb.groupBy("query_id").agg(F.sum("c").alias("s4b"))
+    m = (
+        besta.join(
+            bestb,
+            (F.col("ib") == F.col("best_b"))
+            & (F.col("best_a") == F.col("id_a")),
+        )
+        .join(s4a, F.col("query_id") == F.col("id_a"))
+        .drop("query_id")
+        .join(s4b, F.col("query_id") == F.col("best_b"))
+        .withColumn(
+            "margin_ppb",
+            F.expr("(c_ab * 8 * 1000000000) div (s4a + s4b)"),
+        )
+        .where(F.col("margin_ppb") > 1100000000)
+    )
+    return m.select(
+        "id_a",
+        F.col("best_b").alias("id_b"),
+        F.col("c_ab").alias("cos_ppb"),
+        "margin_ppb",
+    )
 
 
 @query(
