@@ -1403,6 +1403,78 @@ def doc_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "corpus_epoch_shuffle",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, e.epoch,
+             CAST(CAST('0x' || substr(md5(e.epoch || ':' || doc_id), 1, 8)
+                       AS BIGINT) AS BIGINT) AS h
+      FROM documents
+      CROSS JOIN (VALUES (0), (1), (2)) AS e(epoch)
+    ),
+    ranked AS (
+      SELECT epoch, doc_id, h, h % 4 AS shard,
+             row_number() OVER (PARTITION BY epoch, h % 4
+                                ORDER BY h, doc_id) AS rn
+      FROM h
+    )
+    SELECT CAST(epoch AS INTEGER) AS epoch,
+           CAST(shard AS INTEGER) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT)
+             AS first_doc_id,
+           CAST(SUM(h) AS BIGINT) AS order_checksum,
+           CAST(SUM(rn * doc_id) AS BIGINT) AS position_checksum
+    FROM ranked GROUP BY epoch, shard
+    """,
+)
+def corpus_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REPRODUCIBLE EPOCH SHUFFLING — the data-loader contract every
+    multi-epoch training run needs: epoch e's global order is
+    ``md5(e || ':' || doc_id)`` (seeded, data-independent, and
+    NONLINEAR — the [[events_hll_distinct]] affine-hash lesson: a
+    linear hash would keep dense id ranges lattice-ordered and the
+    "shuffle" wouldn't shuffle), documents shard by hash mod 4, and
+    each (epoch, shard) reports its size, its first document, the
+    order-free hash checksum, and a POSITION-weighted id checksum —
+    the latter moves if any two documents swap places, which is what
+    pins per-epoch order reproducibility across reruns and engines.
+
+    Scale shape: one projection fans out |epochs|× (constant), then a
+    single hash partitioning on (epoch, shard) carries both the
+    within-shard rank and the rollup; at 100 TB each shard sorts
+    locally after the one shuffle — exactly how a deterministic
+    dataloader materializes epoch files."""
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    epochs = F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("epoch")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("epoch"), F.lit(":"), F.col("doc_id"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    hashed = d.select("doc_id", epochs).select(
+        "epoch", "doc_id", h.alias("h"), (h % 4).alias("shard")
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy("h", "doc_id")
+    ranked = hashed.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy(
+        F.col("epoch").cast("int").alias("epoch"),
+        F.col("shard").cast("int").alias("shard"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min(F.when(F.col("rn") == 1, F.col("doc_id")))
+        .cast("long")
+        .alias("first_doc_id"),
+        F.sum("h").cast("long").alias("order_checksum"),
+        F.sum(F.col("rn") * F.col("doc_id"))
+        .cast("long")
+        .alias("position_checksum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact duplicated-substring coverage (the char-level exact-substring
 # dedup signal of Lee et al. 2021, arXiv:2107.06499): which spans of

@@ -137,6 +137,16 @@ def test_bradley_terry_games_shape(spark, sf_small):
     assert "BroadcastHashJoin" in plan
 
 
+def test_context_packing_broadcasts_topk(spark, sf_small):
+    # the |queries|*k top-k result broadcasts into the token-dim join
+    # (an equi-join — the document side never reshuffles for packing).
+    # NOTE: the retrieval stage upstream is brute_force_topk's
+    # DELIBERATE cross join (the exact baseline), so no global
+    # no-nested-loop assertion here — the packing join is the contract.
+    plan = _executed_plan(spark, "ann_context_packing", sf_small)
+    assert "BroadcastHashJoin" in plan
+
+
 def test_bpe_encode_corpus_side_is_equijoin(spark, sf_small):
     # corpus tokens join the vocab-sized encode table — no cartesian,
     # no per-token Python; the interpreted HOFs live on distinct words
