@@ -134,6 +134,10 @@ HEADLINE = [
     # decode + slot-banded LSH) and the bounded-panel MM trainer
     "multimodal_video_near_dup",
     "lineitem_bradley_terry",
+    # round 4 (cont. 3): retrieval compositions — mutual-NN ratio-margin
+    # mining (two k=4 exact passes) and budgeted context packing
+    "embeddings_bitext_mining",
+    "ann_context_packing",
 ]
 
 

@@ -236,6 +236,110 @@ def embeddings_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embeddings_matryoshka_eval",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 1000000),
+    full_r AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY q.query_id
+               ORDER BY {_cos('q.qv', 'c.embedding')} DESC, c.vec_id) AS rank
+      FROM q, embeddings c WHERE q.query_id <> c.vec_id
+    ),
+    pref_r AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY q.query_id
+               ORDER BY {_cos('q.qv[1:16]', 'c.embedding[1:16]')} DESC,
+                        c.vec_id) AS rank
+      FROM q, embeddings c WHERE q.query_id <> c.vec_id
+    ),
+    f5 AS (SELECT query_id, neighbor_id, rank FROM full_r WHERE rank <= 5),
+    p5 AS (SELECT query_id, neighbor_id, rank FROM pref_r WHERE rank <= 5),
+    fa AS (
+      SELECT f.query_id,
+             MIN(CASE WHEN f.rank = 1 THEN f.neighbor_id END) AS full_top1,
+             COUNT(p.neighbor_id) AS overlap_at_5
+      FROM f5 f
+      LEFT JOIN p5 p ON p.query_id = f.query_id
+                    AND p.neighbor_id = f.neighbor_id
+      GROUP BY f.query_id
+    ),
+    pa AS (
+      SELECT query_id, neighbor_id AS prefix_top1 FROM p5 WHERE rank = 1
+    )
+    SELECT fa.query_id,
+           CAST(fa.full_top1 AS BIGINT) AS full_top1,
+           CAST(pa.prefix_top1 AS BIGINT) AS prefix_top1,
+           CAST(fa.overlap_at_5 AS BIGINT) AS overlap_at_5,
+           CAST(CASE WHEN fa.full_top1 = pa.prefix_top1
+                THEN 1 ELSE 0 END AS INTEGER) AS top1_match
+    FROM fa JOIN pa ON pa.query_id = fa.query_id
+    """,
+)
+def embeddings_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATRYOSHKA / TRUNCATABLE-EMBEDDING EVAL — the audit run before
+    shipping prefix-truncated vectors (MRL-style embeddings serve the
+    first d′ dims to cut index cost; the question is how much retrieval
+    survives): for the standard query panel, rank the corpus by FULL
+    64-dim cosine and by the 16-dim PREFIX cosine, then per query
+    report top-1 ids under both, top-5 overlap, and whether top-1
+    survives truncation. Rankings use the exact fold cosine with the
+    total-order tie-break ([[ann_cosine_topk]]'s contract) so both
+    engines agree on every rank, and only ids/counts — no floats — sit
+    on the hash.
+
+    Scale shape: two brute-force rank passes over the same panel (at
+    100 TB each becomes the SRP/IVF candidate plan at its own
+    dimensionality — prefix indexes are cheaper, which is the point);
+    the overlap join runs on |queries|·5 rows."""
+    e = t(spark, sf_dir, "embeddings")
+    queries = e.filter(
+        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 1_000_000)
+    )
+    full5 = S.brute_force_topk(queries, e, "vec_id", "embedding", k=5).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    q16 = queries.select("vec_id", F.slice("embedding", 1, 16).alias("emb16"))
+    e16 = e.select("vec_id", F.slice("embedding", 1, 16).alias("emb16"))
+    pref5 = S.brute_force_topk(q16, e16, "vec_id", "emb16", k=5).select(
+        F.col("query_id").alias("pq"),
+        F.col("neighbor_id").alias("pn"),
+        F.col("rank").alias("prank"),
+    )
+    fa = (
+        full5.join(
+            pref5,
+            (F.col("pq") == F.col("query_id"))
+            & (F.col("pn") == F.col("neighbor_id")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.min(F.when(F.col("rank") == 1, F.col("neighbor_id")))
+            .cast("long")
+            .alias("full_top1"),
+            F.count("pn").cast("long").alias("overlap_at_5"),
+        )
+    )
+    pa = pref5.filter(F.col("prank") == 1).select(
+        F.col("pq"), F.col("pn").cast("long").alias("prefix_top1")
+    )
+    return (
+        fa.join(pa, F.col("pq") == F.col("query_id"))
+        .select(
+            "query_id",
+            "full_top1",
+            "prefix_top1",
+            "overlap_at_5",
+            F.when(F.col("full_top1") == F.col("prefix_top1"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("top1_match"),
+        )
+    )
+
+
+@query(
     "embedding_near_dup",
     oracle=f"""
     WITH corpus AS (
