@@ -1593,3 +1593,139 @@ def doc_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dedup_ratio"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# The dedup CASCADE — exact pass then near-dup pass, with per-language
+# funnel accounting (the end-to-end shape a corpus pipeline actually runs).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus_dedup_cascade",
+    oracle=_CORPUS_SQL
+    + f"""
+    , fp AS (
+      SELECT doc_id, text,
+             row_number() OVER (
+               PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+               ORDER BY doc_id) AS dup_rank
+      FROM corpus
+    ),
+    s1 AS (SELECT doc_id, text FROM fp WHERE dup_rank = 1),
+    shingled AS ({_shingles_sql_for('s1', 3)}),
+    params(hidx, a, b) AS (VALUES {_PARAMS_SQL}),
+    sigs AS (
+      SELECT doc_id, hidx, min((a * shash + b) % 2147483647) AS minhash
+      FROM shingled CROSS JOIN params
+      GROUP BY doc_id, hidx
+    ),
+    buckets AS (
+      SELECT doc_id, hidx // 4 AS band,
+             string_agg(minhash, '-' ORDER BY hidx) AS bucket
+      FROM sigs GROUP BY doc_id, hidx // 4
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+      FROM cands c
+      JOIN shingled sa ON sa.doc_id = c.id_a
+      JOIN shingled sb ON sb.doc_id = c.id_b AND sb.shash = sa.shash
+      GROUP BY c.id_a, c.id_b
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingled GROUP BY doc_id),
+    dupes AS (
+      SELECT DISTINCT c.id_b AS doc_id
+      FROM cands c
+      LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+      JOIN sizes za ON za.doc_id = c.id_a
+      JOIN sizes zb ON zb.doc_id = c.id_b
+      WHERE CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+              / (za.sz + zb.sz - COALESCE(i.n_inter, 0)) >= 0.5
+    ),
+    flags AS (
+      SELECT f.doc_id,
+             CASE WHEN f.dup_rank = 1 THEN 1 ELSE 0 END AS in_s1,
+             CASE WHEN f.dup_rank = 1
+                   AND f.doc_id NOT IN (SELECT doc_id FROM dupes)
+                  THEN 1 ELSE 0 END AS in_s2
+      FROM fp f
+    )
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_raw,
+           CAST(SUM(in_s1) AS BIGINT) AS n_after_exact,
+           CAST(SUM(in_s2) AS BIGINT) AS n_after_near,
+           CAST(SUM(CASE WHEN in_s2 = 1 THEN f.doc_id ELSE 0 END) AS BIGINT)
+             AS survivor_id_sum
+    FROM flags f
+    JOIN documents d ON d.doc_id = f.doc_id % 100000
+    GROUP BY d.lang
+    """,
+)
+def corpus_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE DEDUP CASCADE, END TO END — the two-stage funnel every
+    corpus pipeline runs, as ONE plan with per-language attrition
+    accounting: the injected-duplicate corpus first passes EXACT dedup
+    (md5 over normalized text, first-wins — removes the verbatim
+    copies), and the survivors then pass MinHash-LSH NEAR-dup removal
+    (3-shingle / 16-hash / 4-band candidates, exact-Jaccard ≥ 0.5
+    verify; a document drops iff it pairs with a SMALLER-id survivor —
+    the one-pass min-neighbor rule, the greedy form of cluster
+    canonicalization [[dedup_clusters]] completes transitively). Per
+    language: raw count, count after each stage, and the survivor
+    id-sum — so the report pins WHERE documents died, the number a
+    curation review actually reads.
+
+    Scale shape: stage 1 is one shuffle on the fingerprint; stage 2 is
+    the [[dedup_minhash_lsh]] plan run on stage-1 survivors (its input
+    shrinks by exactly the exact-dup mass — the reason production
+    cascades order cheap→expensive); the funnel rollup joins the
+    |corpus| flag rows to the broadcast language dim. No stage rescans
+    text more than once."""
+    c = _corpus(spark, sf_dir)
+    ranked = D.exact_dedup(c, "doc_id", "text")
+    s1 = ranked.filter(F.col("_dup_rank") == 1).select("doc_id", "text")
+    pairs = D.minhash_lsh_dedup(
+        s1,
+        "doc_id",
+        "text",
+        shingle_k=3,
+        n_hashes=_N_HASHES,
+        n_bands=_N_BANDS,
+        threshold=0.5,
+    )
+    dupes = pairs.select(F.col("_id_b").alias("doc_id")).distinct()
+    flags = (
+        ranked.select("doc_id", "_dup_rank")
+        .join(dupes.withColumn("_isdup", F.lit(1)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("_dup_rank") == 1, 1).otherwise(0).alias("in_s1"),
+            F.when(
+                (F.col("_dup_rank") == 1) & F.col("_isdup").isNull(), 1
+            )
+            .otherwise(0)
+            .alias("in_s2"),
+        )
+    )
+    base = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("base_id"), "lang"
+    )
+    return (
+        flags.join(
+            F.broadcast(base), flags["doc_id"] % 100000 == base["base_id"]
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_raw"),
+            F.sum("in_s1").cast("long").alias("n_after_exact"),
+            F.sum("in_s2").cast("long").alias("n_after_near"),
+            F.sum(F.when(F.col("in_s2") == 1, F.col("doc_id")).otherwise(0))
+            .cast("long")
+            .alias("survivor_id_sum"),
+        )
+    )
