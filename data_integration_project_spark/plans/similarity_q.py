@@ -170,7 +170,8 @@ def ann_context_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN bestb bb ON bb.ib = ba.best_b AND bb.best_a = ba.ia
     JOIN s4a sa ON sa.ia = ba.ia
     JOIN s4b sb ON sb.ib = ba.best_b
-    WHERE (ba.c_ab * 8 * 1000000000) // (sa.s4 + sb.s4) > 1100000000
+    WHERE sa.s4 + sb.s4 > 0
+      AND (ba.c_ab * 8 * 1000000000) // (sa.s4 + sb.s4) > 1100000000
     """,
 )
 def embeddings_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -221,6 +222,9 @@ def embeddings_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(s4a, F.col("query_id") == F.col("id_a"))
         .drop("query_id")
         .join(s4b, F.col("query_id") == F.col("best_b"))
+        # guard the degenerate all-negative neighborhood (a zero
+        # denominator errors in one engine and NULLs in the other)
+        .where(F.col("s4a") + F.col("s4b") > 0)
         .withColumn(
             "margin_ppb",
             F.expr("(c_ab * 8 * 1000000000) div (s4a + s4b)"),
