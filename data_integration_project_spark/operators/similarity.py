@@ -278,17 +278,45 @@ def brute_force_topk_pandas(
             c = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             c /= np.linalg.norm(c, axis=1, keepdims=True)
             sims = qm @ c.T  # one BLAS call per corpus Arrow batch
-            out = []
-            for i, qid in enumerate(qi):
-                s = sims[i]
-                mask = c_ids != qid  # exclude self-match
-                order = np.lexsort((c_ids[mask], -s[mask]))[:k]
-                for nid, sim in zip(c_ids[mask][order], s[mask][order]):
-                    out.append((qid, nid, float(sim)))
-            yield pd.DataFrame(out, columns=["query_id", "neighbor_id", "cos_sim"])
+            # exclude self-matches by sinking them below every real score
+            sims[qi[:, None] == c_ids[None, :]] = -np.inf
+            kk = min(k, sims.shape[1])
+            # EXACT vectorized top-k: an O(W) partition finds each row's
+            # k-th score, then only the boundary candidates (>= thresh —
+            # includes every tie) get the (score desc, id asc) lexsort.
+            # A full rowwise argsort here measured ~10x slower once the
+            # query side grew past panel size (e.g. bitext mining).
+            thresh = -np.partition(-sims, kk - 1, axis=1)[:, kk - 1]
+            cand = sims >= thresh[:, None]
+            r, ci = np.nonzero(cand)
+            s_f = sims[r, ci]
+            # one grouped lexsort: (row, score desc, id asc) — rows stay
+            # contiguous, candidates within a row land in output order
+            order = np.lexsort((c_ids[ci], -s_f, r))
+            r, ci, s_f = r[order], ci[order], s_f[order]
+            counts = cand.sum(axis=1)
+            starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            pos = np.arange(len(r)) - np.repeat(starts, counts)
+            keep = (pos < kk) & np.isfinite(s_f)
+            yield pd.DataFrame(
+                {
+                    "query_id": qi[r[keep]],
+                    "neighbor_id": c_ids[ci[keep]],
+                    "cos_sim": s_f[keep],
+                }
+            )
 
-    partial = corpus.select(id_col, vec_col).mapInPandas(
-        op, schema="query_id long, neighbor_id long, cos_sim double"
+    # pin the corpus fan-out: a single-file source otherwise arrives as
+    # one partition and the per-batch matmul runs on one core with a
+    # |Q|x|batch| matrix sized by the whole corpus (the AQE-coalesce /
+    # media-decode lesson; measured 5x on the bitext-mining shape)
+    n_parts = spark.sparkContext.defaultParallelism
+    partial = (
+        corpus.select(id_col, vec_col)
+        .repartition(n_parts, F.col(id_col))
+        .mapInPandas(
+            op, schema="query_id long, neighbor_id long, cos_sim double"
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")

@@ -116,9 +116,13 @@ def ann_context_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = e.filter(
         (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 1_000_000)
     )
-    topk = S.brute_force_topk(queries, e, "vec_id", "embedding", k=20).select(
-        "query_id", "neighbor_id", "rank"
-    )
+    # BLAS pandas retrieval (one matmul per corpus batch): only ranks
+    # flow downstream, and rank order matches the fold oracle through
+    # the shared total tie-break (the ann_topk_pandas contract); the
+    # fold path measured 20x slower at sf1.0 on this 20-deep panel
+    topk = S.brute_force_topk_pandas(
+        queries, e, "vec_id", "embedding", k=20
+    ).select("query_id", "neighbor_id", "rank")
     toks = t(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("neighbor_id"),
         X.token_count(F.col("text")).cast("long").alias("n_tokens"),
@@ -197,7 +201,12 @@ def embeddings_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     B = e.filter(F.col("label") % 2 == 1)
 
     def side(qs: DataFrame, corpus: DataFrame) -> DataFrame:
-        tk = S.brute_force_topk(qs, corpus, "vec_id", "embedding", k=4)
+        # the BLAS pandas path (one matmul per Arrow batch): both sides
+        # are query sets here, so the fold-based plan would pay
+        # |A|·|B|·d interpreted lambda evals — measured minutes at
+        # sf1.0 vs seconds for BLAS. ppb rounding absorbs the ~1e-15
+        # summation-order difference (the ann_topk_pandas contract).
+        tk = S.brute_force_topk_pandas(qs, corpus, "vec_id", "embedding", k=4)
         return tk.withColumn(
             "c", F.round(F.col("cos_sim") * 1000000000).cast("long")
         )
