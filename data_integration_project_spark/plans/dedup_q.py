@@ -1729,3 +1729,195 @@ def corpus_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("survivor_id_sum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ROUGE-L (LCS) pair scoring — the instruction-data near-dup signal.
+# ---------------------------------------------------------------------------
+
+_ROUGE_W = 16  # last-W-token window per side; DP is W x W
+
+
+@query(
+    "doc_rougel_pairs",
+    oracle=f"""
+    WITH RECURSIVE corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 100000, text || ' extra' FROM documents
+      WHERE doc_id % 10 = 5
+    ),
+    tw AS (
+      SELECT doc_id, th[greatest(len(th) - {_ROUGE_W - 1}, 1):] AS w
+      FROM (SELECT doc_id, {_TOKEN_HASHES} AS th FROM corpus)
+    ),
+    pairs AS (
+      SELECT d.doc_id AS id_a, d.doc_id + 100000 AS id_b,
+             CASE WHEN d.doc_id % 10 = 0 THEN 'exact_copy'
+                  ELSE 'near_copy' END AS pair_type
+      FROM documents d WHERE d.doc_id % 10 IN (0, 5)
+      UNION ALL
+      SELECT d.doc_id, d.doc_id + 5, 'control'
+      FROM documents d
+      JOIN documents e ON e.doc_id = d.doc_id + 5
+      WHERE d.doc_id % 10 = 0
+    ),
+    pw AS (
+      SELECT p.id_a, p.id_b, p.pair_type, a.w AS aw, b.w AS bw,
+             len(a.w) AS wa, len(b.w) AS wb
+      FROM pairs p
+      JOIN tw a ON a.doc_id = p.id_a
+      JOIN tw b ON b.doc_id = p.id_b
+    ),
+    dp AS (
+      SELECT id_a, id_b, pair_type, aw, bw, wa, wb, 0 AS k,
+             CAST([] AS BIGINT[]) AS acc
+      FROM pw
+      UNION ALL
+      SELECT id_a, id_b, pair_type, aw, bw, wa, wb, k + 1,
+             list_append(acc,
+               CASE WHEN (k // {_ROUGE_W} + 1) <= wa
+                     AND (k % {_ROUGE_W} + 1) <= wb
+                     AND aw[k // {_ROUGE_W} + 1] = bw[k % {_ROUGE_W} + 1]
+                    THEN (CASE WHEN k >= {_ROUGE_W} AND k % {_ROUGE_W} > 0
+                               THEN acc[k - {_ROUGE_W}] ELSE 0 END) + 1
+                    ELSE greatest(
+                      CASE WHEN k % {_ROUGE_W} > 0 THEN acc[k] ELSE 0 END,
+                      CASE WHEN k >= {_ROUGE_W}
+                           THEN acc[k - {_ROUGE_W - 1}] ELSE 0 END)
+               END)
+      FROM dp WHERE k < {_ROUGE_W * _ROUGE_W}
+    )
+    SELECT id_a, id_b, pair_type,
+           CAST(wa AS INTEGER) AS len_a, CAST(wb AS INTEGER) AS len_b,
+           CAST(acc[{_ROUGE_W * _ROUGE_W}] AS INTEGER) AS lcs_len,
+           CAST((2 * acc[{_ROUGE_W * _ROUGE_W}] * 1000000) // (wa + wb)
+                AS BIGINT) AS rouge_l_f_ppm
+    FROM dp WHERE k = {_ROUGE_W * _ROUGE_W}
+    """,
+)
+def doc_rougel_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-L PAIR SCORING — the LCS-based overlap signal
+    instruction-tuning pipelines (self-instruct and descendants) use to
+    drop a candidate whose output is too similar to an existing seed:
+    for each candidate pair, the longest common subsequence over the
+    LAST 16 token hashes (suffix window — the injected near-copies
+    append a token, so a prefix window would be blind to them) yields
+    ROUGE-L F1 in exact integer ppm. Pairs are the injected
+    exact-copy/near-copy replicas plus unrelated controls, so all three
+    bands of the score distribution are pinned (1.0 / ≈0.95 / low).
+    Subsequence, not substring: ROUGE-L tolerates interleaved edits
+    that [[doc_dup_substring_coverage]]'s exact 40-gram spans do not.
+
+    The Spark side runs the 16×16 DP inside Arrow-batched mapInPandas
+    (per-pair work is constant); the oracle replays the DP
+    cell-by-cell with a 256-step recursive CTE — recursion vs
+    vectorized DP must agree exactly, the [[nations_dtw_profiles]]
+    discipline, with LCS borders at 0 instead of DTW's INF and a
+    match/max recurrence instead of cost/min.
+
+    Scale shape: candidate pairs at 100 TB come from the LSH band join
+    ([[dedup_minhash_lsh]]); the scorer is an embarrassingly parallel
+    constant-size DP per candidate — no shuffle beyond the pair
+    build."""
+    from ..functions import text as X
+
+    W = _ROUGE_W
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    c = _corpus(spark, sf_dir)
+    th = c.select(
+        "doc_id", X.token_hash_array(F.col("text")).alias("th")
+    ).select(
+        "doc_id",
+        F.slice(
+            "th", F.greatest(F.size("th") - (W - 1), F.lit(1)), W
+        ).alias("w"),
+    )
+    base = d.select("doc_id")
+    rep = base.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 100000).alias("id_b"),
+        F.lit("exact_copy").alias("pair_type"),
+    )
+    near = base.filter(F.col("doc_id") % 10 == 5).select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 100000).alias("id_b"),
+        F.lit("near_copy").alias("pair_type"),
+    )
+    ctrl = (
+        base.filter(F.col("doc_id") % 10 == 0)
+        .alias("l")
+        .join(
+            base.select((F.col("doc_id") - 5).alias("doc_id")).alias("r"),
+            "doc_id",
+        )
+        .select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + 5).alias("id_b"),
+            F.lit("control").alias("pair_type"),
+        )
+    )
+    pairs = rep.unionByName(near).unionByName(ctrl)
+    pw = (
+        pairs.join(
+            th.select(F.col("doc_id").alias("id_a"), F.col("w").alias("aw")),
+            "id_a",
+        )
+        .join(
+            th.select(F.col("doc_id").alias("id_b"), F.col("w").alias("bw")),
+            "id_b",
+        )
+    )
+
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def lcs_op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def lcs(a, b) -> int:
+            wa, wb = len(a), len(b)
+            prev = np.zeros(wb + 1, dtype=np.int64)
+            for i in range(1, wa + 1):
+                cur = np.zeros(wb + 1, dtype=np.int64)
+                ai = a[i - 1]
+                for j in range(1, wb + 1):
+                    if ai == b[j - 1]:
+                        cur[j] = prev[j - 1] + 1
+                    else:
+                        cur[j] = max(prev[j], cur[j - 1])
+                prev = cur
+            return int(prev[wb])
+
+        for pdf in batches:
+            la = [len(a) for a in pdf["aw"]]
+            lb = [len(b) for b in pdf["bw"]]
+            ll = [
+                lcs(list(a), list(b)) for a, b in zip(pdf["aw"], pdf["bw"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"].values,
+                    "id_b": pdf["id_b"].values,
+                    "pair_type": pdf["pair_type"].values,
+                    "len_a": la,
+                    "len_b": lb,
+                    "lcs_len": ll,
+                    "rouge_l_f_ppm": [
+                        (2 * l_ * 1000000) // (a_ + b_)
+                        for l_, a_, b_ in zip(ll, la, lb)
+                    ],
+                }
+            )
+
+    n_parts = spark.sparkContext.defaultParallelism
+    return pw.repartition(n_parts, F.col("id_a")).mapInPandas(
+        lcs_op,
+        schema=(
+            "id_a long, id_b long, pair_type string, len_a int, len_b int, "
+            "lcs_len int, rouge_l_f_ppm long"
+        ),
+    )
