@@ -1247,7 +1247,7 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang, n_tokens,
            CAST(s AS BIGINT) AS sqrt_weight,
-           CAST((1000000 * s) // stot AS BIGINT) AS share_ppm,
+           CAST(base_alloc AS BIGINT) AS share_ppm,
            CAST(base_alloc + CASE WHEN rr <= leftover THEN 1 ELSE 0 END
                 AS BIGINT) AS alloc_tokens
     FROM ranked
@@ -1309,7 +1309,7 @@ def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "n_tokens",
         F.col("s").cast("long").alias("sqrt_weight"),
-        F.expr("(1000000 * s) div stot").cast("long").alias("share_ppm"),
+        F.col("base_alloc").cast("long").alias("share_ppm"),
         (
             F.col("base_alloc")
             + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0)
