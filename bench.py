@@ -138,6 +138,10 @@ HEADLINE = [
     # mining (two k=4 exact passes) and budgeted context packing
     "embeddings_bitext_mining",
     "ann_context_packing",
+    # round 4 (cont. 4): the two-stage dedup funnel as one plan, and
+    # per-pair LCS DP inside mapInPandas
+    "corpus_dedup_cascade",
+    "doc_rougel_pairs",
 ]
 
 

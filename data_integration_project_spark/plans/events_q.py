@@ -5753,3 +5753,80 @@ def events_chain_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         out,
         "cohort long, observed_dev long, latest_cum long, ultimate long, ibnr long",
     )
+
+
+@query(
+    "events_dynamic_session_gaps",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_ms(ts) AS tms,
+             epoch_ms(ts) + CASE WHEN event_type = 'purchase'
+                                 THEN 3600000 ELSE 600000 END AS endms,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+      FROM events
+    ),
+    m AS (
+      SELECT *, MAX(endms) OVER (PARTITION BY user_id ORDER BY tms, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_end
+      FROM e
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN prev_end IS NULL OR tms >= prev_end
+                     THEN 1 ELSE 0 END AS new_s
+      FROM m
+    ),
+    sess AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY tms, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(MIN(tms) AS BIGINT) AS session_start_ms,
+           CAST(MAX(endms) AS BIGINT) AS session_end_ms,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(is_p) AS BIGINT) AS n_purchases
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def events_dynamic_session_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC-GAP SESSION WINDOWS — the Spark 3.2+ surface where the
+    inactivity gap is a PER-ROW expression (here: a purchase keeps the
+    session alive for an hour, anything else for ten minutes — the
+    "intent extends the session" rule real funnels use). Semantics are
+    interval-union merging, NOT simple lag gaps: each event spans
+    [ts, ts+gap) and overlapping spans merge, so one long-gap event can
+    bridge short-gap events that plain lag-sessionization
+    ([[events_sessionization]]) would split. The oracle replays exactly
+    that with a running MAX of span ends over preceding rows (new
+    session iff ts >= every earlier end — the half-open boundary), in
+    integer epoch-milliseconds on both engines so boundary ties are
+    exact.
+
+    Scale shape: one shuffle on user_id; the engine's session merge and
+    the rollup share it. Streaming twin: the same expression under a
+    watermark."""
+    ev = t(spark, sf_dir, "events")
+    # dynamic gaps must evaluate to CalendarIntervalType: string
+    # literals (not INTERVAL expressions, which parse as DayTime)
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("1 hour")
+    ).otherwise(F.lit("10 minutes"))
+    return (
+        ev.groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_purchases"),
+        )
+        .select(
+            "user_id",
+            F.unix_millis(F.col("sw.start")).alias("session_start_ms"),
+            F.unix_millis(F.col("sw.end")).alias("session_end_ms"),
+            "n_events",
+            "n_purchases",
+        )
+    )
