@@ -266,43 +266,62 @@ def brute_force_topk_pandas(
     rows = queries.select(id_col, vec_col).collect()  # bounded query set
     q_ids = np.array([r[0] for r in rows], dtype=np.int64)
     q_mat = np.array([r[1] for r in rows], dtype=np.float64)
-    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
     bc = spark.sparkContext.broadcast((q_ids, q_mat))
 
     def op(batches):
         qi, qm = bc.value
+        # exact query self-norms, accumulated in DIMENSION order (the
+        # fold's add sequence)
+        qaa = np.zeros(len(qm), dtype=np.float64)
+        for d_ in range(qm.shape[1]):
+            qaa += qm[:, d_] * qm[:, d_]
+        q_norm = np.sqrt(qaa)
         for pdf in batches:
             if not len(pdf):
                 continue
             c_ids = pdf[id_col].to_numpy(dtype=np.int64)
             c = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            c /= np.linalg.norm(c, axis=1, keepdims=True)
-            sims = qm @ c.T  # one BLAS call per corpus Arrow batch
-            # exclude self-matches by sinking them below every real score
-            sims[qi[:, None] == c_ids[None, :]] = -np.inf
+            caa = np.zeros(len(c), dtype=np.float64)
+            for d_ in range(c.shape[1]):
+                caa += c[:, d_] * c[:, d_]
+            c_norm = np.sqrt(caa)
+            # FAST pass: one gemm approximates every cosine to ~1e-15.
+            # gemm blocking varies with batch shape, so content-identical
+            # vectors in different batches can differ in the last ulp and
+            # ties would break by noise — the fast values only SELECT
+            # candidates; the values that rank and ship are recomputed
+            # below in the fold's exact operation order (caught by
+            # test_topk_pandas_matches_fold_path_with_ties).
+            sims = (qm @ c.T) / (q_norm[:, None] * c_norm[None, :])
+            self_m = qi[:, None] == c_ids[None, :]
+            sims[self_m] = -np.inf
             kk = min(k, sims.shape[1])
-            # EXACT vectorized top-k: an O(W) partition finds each row's
-            # k-th score, then only the boundary candidates (>= thresh —
-            # includes every tie) get the (score desc, id asc) lexsort.
-            # A full rowwise argsort here measured ~10x slower once the
-            # query side grew past panel size (e.g. bitext mining).
+            # O(W) partition per row, then a 1e-12 margin so every
+            # potential exact tie at the k-th boundary is a candidate
             thresh = -np.partition(-sims, kk - 1, axis=1)[:, kk - 1]
-            cand = sims >= thresh[:, None]
+            cand = (sims >= (thresh - 1e-12)[:, None]) & ~self_m
             r, ci = np.nonzero(cand)
-            s_f = sims[r, ci]
+            # EXACT recompute on the ~|Q|·k candidate pairs: dot in
+            # dimension order (the left-to-right fold's IEEE sequence),
+            # one sqrt-product division — bit-equal to brute_force_topk
+            dots = np.zeros(len(r), dtype=np.float64)
+            for d_ in range(c.shape[1]):
+                dots += qm[r, d_] * c[ci, d_]
+            s_f = dots / (q_norm[r] * c_norm[ci])
             # one grouped lexsort: (row, score desc, id asc) — rows stay
             # contiguous, candidates within a row land in output order
             order = np.lexsort((c_ids[ci], -s_f, r))
-            r, ci, s_f = r[order], ci[order], s_f[order]
-            counts = cand.sum(axis=1)
-            starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
-            pos = np.arange(len(r)) - np.repeat(starts, counts)
-            keep = (pos < kk) & np.isfinite(s_f)
+            r2, ci2, s2 = r[order], ci[order], s_f[order]
+            counts = np.bincount(r, minlength=sims.shape[0])
+            nz = counts > 0
+            starts = np.concatenate(([0], np.cumsum(counts[nz])[:-1]))
+            pos = np.arange(len(r2)) - np.repeat(starts, counts[nz])
+            keep = pos < kk
             yield pd.DataFrame(
                 {
-                    "query_id": qi[r[keep]],
-                    "neighbor_id": c_ids[ci[keep]],
-                    "cos_sim": s_f[keep],
+                    "query_id": qi[r2[keep]],
+                    "neighbor_id": c_ids[ci2[keep]],
+                    "cos_sim": s2[keep],
                 }
             )
 

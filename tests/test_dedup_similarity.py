@@ -679,6 +679,59 @@ def test_avi_signature_chunks_properties():
     assert h1[0] == h2[0] and h1[1] == h2[1] and h1[3] == h2[3]
 
 
+def test_topk_pandas_matches_fold_path_with_ties(spark):
+    """The vectorized partition+grouped-lexsort top-k (the bitext-soak
+    rewrite) must select exactly what the fold-based window plan
+    selects, including on an adversarial corpus: planted DUPLICATE
+    vectors force score ties at the k-th boundary (tie-break is by
+    ascending id), and query ids present in the corpus force the
+    self-match exclusion. Identical vectors give bit-identical cosines
+    on both paths, so (query_id, neighbor_id, rank) must agree row for
+    row."""
+    import random
+
+    from data_integration_project_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_pandas,
+    )
+
+    rng = random.Random(23)
+    base = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(40)]
+    rows = []
+    vid = 0
+    for v in base:
+        # three exact copies of every base vector → guaranteed ties
+        for _ in range(3):
+            rows.append((vid, v))
+            vid += 1
+    corpus = spark.createDataFrame(rows, "vec_id long, emb array<float>")
+    queries = corpus.filter("vec_id % 7 = 0")  # query ids ∈ corpus
+    a = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in brute_force_topk(
+            queries, corpus, "vec_id", "emb", k=5
+        ).collect()
+    }
+    b = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in brute_force_topk_pandas(
+            queries, corpus, "vec_id", "emb", k=5
+        ).collect()
+    }
+    assert a == b and len(a) == queries.count() * 5
+    # every query's top picks must be its own copies (cos exactly 1),
+    # lowest ids first — pins both tie-break and self-exclusion
+    by_q: dict = {}
+    for qid, nid, rank in sorted(a):
+        by_q.setdefault(qid, []).append((rank, nid))
+    for qid, picks in by_q.items():
+        copies = sorted(
+            i for i in range(qid - qid % 3, qid - qid % 3 + 3) if i != qid
+        )
+        got_first_two = [n for _, n in sorted(picks)[:2]]
+        assert got_first_two == copies, (qid, picks)
+
+
 def test_bpe_encode_words_with_merges():
     """Replayed merges must reproduce the trainer's greedy
     left-to-right non-overlap semantics: 'aaaa' under ('a','a') becomes
