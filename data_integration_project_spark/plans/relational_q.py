@@ -9648,3 +9648,103 @@ def orders_sqlite_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         dsum(F.col("o_totalprice"), "total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Self-join-size (F2) estimation via the count-min inner product — the
+# optimizer statistic that prices skewed joins before running them.
+# ---------------------------------------------------------------------------
+
+_F2_W = 256
+
+
+def _f2_params_sql() -> str:
+    from ..operators.sketch import CMS_PARAMS
+
+    return ", ".join(f"({j}, {a}, {b})" for j, (a, b) in enumerate(CMS_PARAMS))
+
+
+@query(
+    "lineitem_cms_selfjoin_size",
+    oracle=f"""
+    WITH params(depth, a, b) AS (VALUES {_f2_params_sql()}),
+    cells AS (
+      SELECT p.depth,
+             ((p.a * (l_partkey % 2147483647) + p.b) % 2147483647) % {_F2_W}
+               AS bucket,
+             COUNT(*) AS n
+      FROM lineitem CROSS JOIN params p
+      GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT depth, SUM(n * n) AS f2_est FROM cells GROUP BY depth
+    ),
+    exact AS (
+      SELECT CAST(SUM(cnt * cnt) AS BIGINT) AS f2_exact,
+             CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_keys
+      FROM (SELECT COUNT(*) AS cnt FROM lineitem GROUP BY l_partkey)
+    )
+    SELECT e.n_rows, e.n_keys, e.f2_exact,
+           CAST(MIN(s.f2_est) AS BIGINT) AS f2_cms,
+           CAST(((MIN(s.f2_est) - e.f2_exact) * 1000000) // e.f2_exact
+                AS BIGINT) AS overestimate_ppm
+    FROM est s CROSS JOIN exact e
+    GROUP BY e.n_rows, e.n_keys, e.f2_exact
+    """,
+)
+def lineitem_cms_selfjoin_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELF-JOIN-SIZE ESTIMATION VIA THE COUNT-MIN INNER PRODUCT — the
+    AMS-style second-frequency-moment (F2 = Σ_k deg(k)²) statistic an
+    optimizer consults to price a skewed join before running it: the
+    CMS inner product with itself, ``min over depths of Σ_b counter²``,
+    upper-bounds the true self-join size for EVERY input and hash
+    quality (counters are all-positive, so bucket collisions only
+    inflate — the one-sided guarantee), and the query reports the exact
+    F2 beside the estimate so the overestimate is pinned in ppm. State
+    is depth×width counters — mergeable across partitions/days by
+    addition, which is why this runs at ingest time on 100 TB while the
+    exact Σ deg² needs a full group-by.
+
+    Determinism: counters are integer sums over the same affine bucket
+    arithmetic in both engines ([[doc_cms_token_counts]]'s cell rule);
+    estimates and the ppm ratio are exact integer ops. The affine hash
+    on dense keys keeps collisions structured (the [[events_hll_distinct]]
+    lesson) — harmless here because the bound is one-sided regardless.
+
+    Scale shape: ONE map-side-combined groupBy to depth×width rows plus
+    one exact-side groupBy for the audit column; at 100 TB only the
+    sketch pass runs and the exact column is dropped."""
+    li = t(spark, sf_dir, "lineitem")
+    from ..operators.sketch import cms_counters
+
+    weighted = li.select(
+        F.col("l_partkey").alias("h"), F.lit(1).alias("w")
+    )
+    counters = cms_counters(weighted, "h", "w", width=_F2_W)
+    est = counters.groupBy("depth").agg(
+        F.sum(F.col("counter") * F.col("counter")).alias("f2_est")
+    )
+    exact = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("f2_exact"),
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+        )
+    )
+    return (
+        est.crossJoin(F.broadcast(exact))
+        .groupBy("n_rows", "n_keys", "f2_exact")
+        .agg(F.min("f2_est").cast("long").alias("f2_cms"))
+        .select(
+            "n_rows",
+            "n_keys",
+            "f2_exact",
+            "f2_cms",
+            F.expr("((f2_cms - f2_exact) * 1000000) div f2_exact")
+            .cast("long")
+            .alias("overestimate_ppm"),
+        )
+    )
