@@ -1921,3 +1921,149 @@ def doc_rougel_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lcs_len int, rouge_l_f_ppm long"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Similarity-locality ordering — "cluster then pack": sort the corpus by
+# SimHash so near-duplicates become storage neighbors.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_simhash_sort_locality",
+    oracle=f"""
+    WITH corpus AS (SELECT doc_id, text FROM documents),
+    toks AS (
+      SELECT doc_id, unnest({_TOKENS}) AS tok FROM corpus
+    ),
+    hashed AS (
+      SELECT doc_id, h, ({D.A2} * h + {D.B2}) % 2147483647 AS h2 FROM (
+        SELECT doc_id, {_PORTABLE_HASH_SQL.format(s='tok')} AS h FROM toks
+      )
+    ),
+    sums AS (
+      SELECT doc_id, {', '.join(_simhash_bit_sql(j) for j in range(62))}
+      FROM hashed GROUP BY doc_id
+    ),
+    sigs AS (
+      SELECT doc_id,
+        CAST({' + '.join(f"CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(62))} AS BIGINT)
+          AS simhash
+      FROM sums
+    ),
+    shingled AS ({_shingles_sql_for('corpus', 3)}),
+    sz AS (SELECT doc_id, COUNT(*) AS sz FROM shingled GROUP BY doc_id),
+    orderings AS (
+      SELECT 'doc_id' AS ordering, doc_id,
+             ROW_NUMBER() OVER (ORDER BY doc_id) AS rn
+      FROM sigs
+      UNION ALL
+      SELECT 'simhash', doc_id,
+             ROW_NUMBER() OVER (ORDER BY simhash, doc_id) AS rn
+      FROM sigs
+    ),
+    pairs AS (
+      SELECT o.ordering, o.doc_id AS id_a, o2.doc_id AS id_b
+      FROM orderings o
+      JOIN orderings o2 ON o2.ordering = o.ordering AND o2.rn = o.rn + 1
+    ),
+    inter AS (
+      SELECT p.ordering, p.id_a, p.id_b, COUNT(*) AS ni
+      FROM pairs p
+      JOIN shingled sa ON sa.doc_id = p.id_a
+      JOIN shingled sb ON sb.doc_id = p.id_b AND sb.shash = sa.shash
+      GROUP BY 1, 2, 3
+    ),
+    scored AS (
+      SELECT p.ordering,
+             (COALESCE(i.ni, 0) * 1000000)
+               // (za.sz + zb.sz - COALESCE(i.ni, 0)) AS j_ppm
+      FROM pairs p
+      LEFT JOIN inter i ON i.ordering = p.ordering
+                       AND i.id_a = p.id_a AND i.id_b = p.id_b
+      JOIN sz za ON za.doc_id = p.id_a
+      JOIN sz zb ON zb.doc_id = p.id_b
+    )
+    SELECT ordering,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(j_ppm) AS BIGINT) AS sum_jaccard_ppm,
+           CAST(SUM(CASE WHEN j_ppm >= 500000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_adjacent_near_dups
+    FROM scored GROUP BY ordering
+    """,
+)
+def doc_simhash_sort_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIMILARITY-LOCALITY ORDERING — the "cluster then pack" layout
+    trick: sorting a corpus by SimHash puts near-duplicate documents
+    next to each other, which is what makes downstream block
+    compression, delta encoding, and windowed dedup effective (the
+    text-side analog of [[orders_zorder_layout]]'s spatial clustering).
+    The query measures it directly: adjacent-pair exact Jaccard (3-token
+    shingles, integer ppm) under the natural doc_id order vs the
+    simhash order, plus how many adjacent pairs are genuine near-dups
+    (Jaccard ≥ 0.5) under each. The simhash ordering must concentrate
+    the corpus's near-dup pairs into adjacency — the measurable win a
+    layout reviewer asks for.
+
+    Determinism: fingerprints are the bit-exact [[dedup_simhash]]
+    signatures; per-pair Jaccard is one floored integer division; both
+    orderings carry a total tie-break.
+
+    Scale shape: the signature is one groupBy; each ordering's
+    neighbor pairing is a lead window over a global sort (at 100 TB:
+    range-partition by simhash prefix — [[orders_range_partition_hist]]
+    — and pair within partitions, one boundary row each); the Jaccard
+    audit joins only |docs| adjacent pairs against the shingle table."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = D.simhash_signature(docs, "doc_id", "text", bits=62)
+    sh = D.shingle_rows(docs, "doc_id", "text", k=3).distinct()
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    by_id = sigs.select(
+        F.lit("doc_id").alias("ordering"),
+        "doc_id",
+        F.row_number().over(Window.orderBy("doc_id")).alias("rn"),
+    )
+    by_sig = sigs.select(
+        F.lit("simhash").alias("ordering"),
+        "doc_id",
+        F.row_number().over(Window.orderBy("simhash", "doc_id")).alias("rn"),
+    )
+    orderings = by_id.unionByName(by_sig)
+    nxt = orderings.select(
+        F.col("ordering").alias("o2"),
+        F.col("doc_id").alias("id_b"),
+        (F.col("rn") - 1).alias("rn2"),
+    )
+    pairs = orderings.join(
+        nxt,
+        (F.col("o2") == F.col("ordering")) & (F.col("rn2") == F.col("rn")),
+    ).select("ordering", F.col("doc_id").alias("id_a"), "id_b")
+    inter = (
+        pairs.join(
+            sh.select(F.col("doc_id").alias("id_a"), "_shash"), "id_a"
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("_db"), F.col("_shash").alias("_sb")),
+            (F.col("_db") == F.col("id_b")) & (F.col("_sb") == F.col("_shash")),
+        )
+        .groupBy("ordering", "id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    scored = (
+        pairs.join(inter, ["ordering", "id_a", "id_b"], "left")
+        .join(sz.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("za")), "id_a")
+        .join(sz.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("zb")), "id_b")
+        .select(
+            "ordering",
+            F.expr(
+                "(coalesce(ni, 0) * 1000000) div (za + zb - coalesce(ni, 0))"
+            ).alias("j_ppm"),
+        )
+    )
+    return scored.groupBy("ordering").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("j_ppm").cast("long").alias("sum_jaccard_ppm"),
+        F.sum(F.when(F.col("j_ppm") >= 500000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_adjacent_near_dups"),
+    )

@@ -137,6 +137,12 @@ def test_bradley_terry_games_shape(spark, sf_small):
     assert "BroadcastHashJoin" in plan
 
 
+def test_dedup_cascade_no_cartesian(spark, sf_small):
+    # both funnel stages must keep their banded/fingerprint equi-joins
+    plan = _executed_plan(spark, "corpus_dedup_cascade", sf_small)
+    assert "CartesianProduct" not in plan
+
+
 def test_context_packing_broadcasts_topk(spark, sf_small):
     # the |queries|*k top-k result broadcasts into the token-dim join
     # (an equi-join — the document side never reshuffles for packing).
