@@ -2202,3 +2202,88 @@ def doc_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nfc_fp string"
         ),
     )
+
+
+@query(
+    "doc_html_boilerplate_strip",
+    oracle="""
+    WITH wrapped AS (
+      SELECT doc_id, text,
+             '<html><head><title>doc ' || doc_id || '</title></head><body>'
+             || '<nav>Home | Products | About</nav>'
+             || '<div id="content"><p>' || text || '</p></div>'
+             || '<footer>(c) 2024 Example Corp</footer></body></html>' AS html
+      FROM documents
+    ),
+    extracted AS (
+      SELECT doc_id, text, html,
+             trim(regexp_replace(regexp_replace(
+               regexp_extract(html, '(?s)<div id="content">(.*)</div>', 1),
+               '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')) AS content
+      FROM wrapped
+    )
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS raw_len,
+           CAST(length(html) AS BIGINT) AS html_len,
+           CAST(length(content) AS BIGINT) AS extracted_len,
+           CAST(CASE WHEN content =
+                  trim(regexp_replace(text, '\\s+', ' ', 'g'))
+                THEN 1 ELSE 0 END AS INTEGER) AS roundtrip_ok,
+           md5(content) AS content_fp
+    FROM extracted
+    """,
+)
+def doc_html_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML BOILERPLATE REMOVAL — the first stage of every web-corpus
+    pipeline (trafilatura/jusText-style main-content extraction,
+    reduced to its testable core): each document renders into a full
+    HTML page with nav/footer boilerplate, and the extractor pulls the
+    content div ((?s)-dotall anchored extract — content may span
+    lines), strips residual tags to spaces, and collapses whitespace.
+    The round-trip column proves LOSSLESSNESS against the
+    whitespace-normalized original (1 for every row — an extractor that
+    eats a character, leaks a tag, or grabs the footer fails it), and
+    the md5 fingerprint pins the exact extracted bytes.
+
+    Cross-engine regex note: only the portable subset is used —
+    ``(?s)`` dotall, greedy ``(.*)`` (both engines take the LAST
+    ``</div>``, which is the content div's since the footer has none),
+    a ``<[^>]*>`` tag class, and ``\\s+`` collapse — semantics agree
+    between Java regex and RE2.
+
+    Scale shape: pure per-row string work in one codegen projection —
+    no UDF, no shuffle; at 100 TB this runs at scan speed."""
+    d = t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><title>doc "),
+        F.col("doc_id"),
+        F.lit("</title></head><body>"),
+        F.lit("<nav>Home | Products | About</nav>"),
+        F.lit('<div id="content"><p>'),
+        F.col("text"),
+        F.lit("</p></div>"),
+        F.lit("<footer>(c) 2024 Example Corp</footer></body></html>"),
+    )
+    wrapped = d.select("doc_id", "text", html.alias("html"))
+    content = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_extract(
+                    F.col("html"), '(?s)<div id="content">(.*)</div>', 1
+                ),
+                "<[^>]*>",
+                " ",
+            ),
+            r"\s+",
+            " ",
+        )
+    )
+    norm_orig = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    return wrapped.select(
+        "doc_id",
+        F.length("text").cast("long").alias("raw_len"),
+        F.length("html").cast("long").alias("html_len"),
+        F.length(content).cast("long").alias("extracted_len"),
+        (content == norm_orig).cast("int").alias("roundtrip_ok"),
+        F.md5(content).alias("content_fp"),
+    )
