@@ -3676,3 +3676,40 @@ def doc_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("score_micro").cast("long").alias("score_micro"),
         F.col("rk").cast("int").alias("rk"),
     )
+
+
+@query(
+    "doc_warc_roundtrip",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST(2 AS INTEGER) AS n_records,
+           'http://example.com/' || doc_id AS uri,
+           CAST(37 + length(CAST(doc_id AS VARCHAR)) AS INTEGER) AS req_len,
+           CAST(octet_length(encode(text)) AS BIGINT) AS resp_len,
+           CAST(list_sum(list_transform(string_split(text, ''),
+                c -> ascii(c))) AS BIGINT) AS resp_byte_sum
+    FROM documents
+    """,
+)
+def doc_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC (ISO 28500) ROUND TRIP — the container CommonCrawl ships
+    and every web-corpus pipeline ingests, implemented dependency-free
+    (``operators/warc.py``): each document encodes into a spec-shaped
+    request/response record pair (version line, WARC-Type /
+    Record-ID / Target-URI headers, Content-Length framing, CRLF
+    record terminators) and the reader WALKS the framing — header
+    block parse, exact Content-Length slice, terminator check — so an
+    off-by-one anywhere raises instead of drifting. The oracle replays
+    record count, URI, the id-width-dependent request length (pins
+    that the parser really measured the request body), and the exact
+    response byte sum from the document text.
+
+    Scale shape: embarrassingly parallel mapInPandas, hash-partitioned
+    on the id like every media adapter; at 100 TB real WARC files
+    split by byte ranges resynced at record boundaries — the
+    [[orders_avro_roundtrip]] split contract with ``WARC/1.0`` as the
+    sync token."""
+    from ..operators import warc as W
+
+    media = W.documents_as_warc(t(spark, sf_dir, "documents"))
+    return W.parse_warc_features(media)

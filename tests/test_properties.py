@@ -404,3 +404,40 @@ def test_protowire_truncation_raises():
         assert rec["i"] in (0, 300)
     with _pytest.raises(ValueError):
         decode_message(b"\x07", schema)  # reserved wire type 7
+
+
+def test_warc_framing_roundtrip_and_errors():
+    """The WARC reader must honor Content-Length exactly: a clean pair
+    round-trips; any truncation, a corrupted length, or a missing
+    record terminator raises instead of drifting."""
+    import pytest
+
+    from data_integration_project_spark.operators.warc import (
+        encode_warc_pair,
+        parse_warc,
+    )
+
+    body = "hello warc é\r\nwith crlf inside".encode()
+    buf = encode_warc_pair(42, body)
+    recs = parse_warc(buf)
+    assert [r["type"] for r in recs] == ["request", "response"]
+    assert recs[1]["body"] == body
+    assert recs[1]["uri"] == "http://example.com/42"
+
+    # truncated mid-body
+    with pytest.raises(ValueError):
+        parse_warc(buf[:-10])
+    # corrupt the Content-Length digit of the response record
+    at = buf.rindex(b"Content-Length: ")
+    bad = bytearray(buf)
+    bad[at + len(b"Content-Length: ")] = ord("9")
+    with pytest.raises(ValueError):
+        parse_warc(bytes(bad))
+    # clobber the record terminator
+    bad2 = bytearray(buf)
+    bad2[-1] = ord("X")
+    with pytest.raises(ValueError):
+        parse_warc(bytes(bad2))
+    # concatenation of many pairs parses record-by-record
+    many = b"".join(encode_warc_pair(i, f"doc {i}".encode()) for i in range(5))
+    assert len(parse_warc(many)) == 10
