@@ -679,6 +679,50 @@ def test_avi_signature_chunks_properties():
     assert h1[0] == h2[0] and h1[1] == h2[1] and h1[3] == h2[3]
 
 
+def test_hamming_band_pairs_recall_matches_brute_force(spark):
+    """Pigeonhole recall proof, executed: for every pair within the
+    Hamming threshold, at least one of the four chunks must match, so
+    the banded equi-join's output must equal the brute-force all-pairs
+    answer exactly — on a corpus engineered to stress it (clustered
+    chunks with planted 1-3-bit edits plus random noise rows)."""
+    import itertools
+    import random
+
+    from data_integration_project_spark.operators.dedup import (
+        hamming_band_pairs,
+    )
+
+    rng = random.Random(5)
+    rows = []
+    mid = 0
+    for _ in range(25):
+        base = [rng.randrange(1 << 16) for _ in range(4)]
+        rows.append((mid, *base)); mid += 1
+        for _ in range(2):  # planted near-dups: flip 1-3 bits
+            edited = list(base)
+            for _ in range(rng.randrange(1, 4)):
+                j = rng.randrange(4)
+                edited[j] ^= 1 << rng.randrange(16)
+            rows.append((mid, *edited)); mid += 1
+    for _ in range(50):  # noise
+        rows.append((mid, *[rng.randrange(1 << 16) for _ in range(4)]))
+        mid += 1
+    df = spark.createDataFrame(
+        rows, "media_id long, c0 int, c1 int, c2 int, c3 int"
+    )
+    got = {
+        (r.media_id_a, r.media_id_b, r.hamming)
+        for r in hamming_band_pairs(df, max_hamming=3).collect()
+    }
+    want = set()
+    for a, b in itertools.combinations(rows, 2):
+        ham = sum(bin(x ^ y).count("1") for x, y in zip(a[1:], b[1:]))
+        if ham <= 3:
+            lo, hi = min(a[0], b[0]), max(a[0], b[0])
+            want.add((lo, hi, ham))
+    assert got == want and len(want) >= 25
+
+
 def test_topk_pandas_matches_fold_path_with_ties(spark):
     """The vectorized partition+grouped-lexsort top-k (the bitext-soak
     rewrite) must select exactly what the fold-based window plan
