@@ -255,10 +255,13 @@ def brute_force_topk_pandas(
     top-k (top-k of unioned per-block top-ks = global top-k, same
     (cos desc, id asc) order on both levels).
 
-    Scores can differ from the fold-based :func:`brute_force_topk` by
-    float-summation order (~1e-15 rel) — ranking is tie-broken on id,
-    so top-k membership only changes on genuine near-ties; the oracle
-    rounds cos_sim to absorb that."""
+    Output is BIT-EQUAL to the fold-based :func:`brute_force_topk`
+    (and therefore to the DuckDB fold oracles): the gemm only SELECTS
+    candidates, and every value that ranks or ships is recomputed in
+    the fold cosine's exact IEEE operation order — see the in-body
+    comments and ``test_topk_pandas_matches_fold_path_with_ties``,
+    which pins tie-break-by-id for content-identical vectors split
+    across batches."""
     import numpy as np
     import pandas as pd
 
@@ -301,6 +304,8 @@ def brute_force_topk_pandas(
             thresh = -np.partition(-sims, kk - 1, axis=1)[:, kk - 1]
             cand = (sims >= (thresh - 1e-12)[:, None]) & ~self_m
             r, ci = np.nonzero(cand)
+            if len(r) == 0:  # e.g. all-NaN scores from zero-norm inputs
+                continue
             # EXACT recompute on the ~|Q|·k candidate pairs: dot in
             # dimension order (the left-to-right fold's IEEE sequence),
             # one sqrt-product division — bit-equal to brute_force_topk

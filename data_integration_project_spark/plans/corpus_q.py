@@ -3678,16 +3678,31 @@ def doc_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: exact UTF-8 byte sum of one character from its code point (the
+#: Spark side sums REAL payload bytes, so the oracle must sum encoded
+#: bytes, not code points — they differ beyond ASCII)
+_UTF8_BYTE_SUM = """
+  CASE WHEN ascii(c) < 128 THEN ascii(c)
+       WHEN ascii(c) < 2048
+         THEN (192 + ascii(c) // 64) + (128 + ascii(c) % 64)
+       WHEN ascii(c) < 65536
+         THEN (224 + ascii(c) // 4096) + (128 + (ascii(c) // 64) % 64)
+            + (128 + ascii(c) % 64)
+       ELSE (240 + ascii(c) // 262144) + (128 + (ascii(c) // 4096) % 64)
+          + (128 + (ascii(c) // 64) % 64) + (128 + ascii(c) % 64) END
+"""
+
+
 @query(
     "doc_warc_roundtrip",
-    oracle="""
+    oracle=f"""
     SELECT CAST(doc_id AS BIGINT) AS media_id,
            CAST(2 AS INTEGER) AS n_records,
            'http://example.com/' || doc_id AS uri,
            CAST(37 + length(CAST(doc_id AS VARCHAR)) AS INTEGER) AS req_len,
            CAST(octet_length(encode(text)) AS BIGINT) AS resp_len,
            CAST(list_sum(list_transform(string_split(text, ''),
-                c -> ascii(c))) AS BIGINT) AS resp_byte_sum
+                c -> {_UTF8_BYTE_SUM})) AS BIGINT) AS resp_byte_sum
     FROM documents
     """,
 )

@@ -9687,8 +9687,8 @@ def _f2_params_sql() -> str:
     )
     SELECT e.n_rows, e.n_keys, e.f2_exact,
            CAST(MIN(s.f2_est) AS BIGINT) AS f2_cms,
-           CAST(((MIN(s.f2_est) - e.f2_exact) * 1000000) // e.f2_exact
-                AS BIGINT) AS overestimate_ppm
+           CAST(CAST(MIN(s.f2_est) - e.f2_exact AS HUGEINT) * 1000000
+                // e.f2_exact AS BIGINT) AS overestimate_ppm
     FROM est s CROSS JOIN exact e
     GROUP BY e.n_rows, e.n_keys, e.f2_exact
     """,
@@ -9743,8 +9743,13 @@ def lineitem_cms_selfjoin_size(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_keys",
             "f2_exact",
             "f2_cms",
-            F.expr("((f2_cms - f2_exact) * 1000000) div f2_exact")
-            .cast("long")
-            .alias("overestimate_ppm"),
+            # decimal(38,0) product: f2 values scale with N², so the
+            # ×1e6 in int64 would overflow near 50M fact rows (the
+            # HUGEINT/decimal moment-sum case law); quotient is exact
+            # (nonnegative, one floored division on both engines)
+            F.expr(
+                "CAST(floor(CAST(f2_cms - f2_exact AS DECIMAL(38,0))"
+                " * 1000000 / f2_exact) AS LONG)"
+            ).alias("overestimate_ppm"),
         )
     )

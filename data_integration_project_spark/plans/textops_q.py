@@ -2219,7 +2219,7 @@ def doc_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, text, html,
              trim(regexp_replace(regexp_replace(
                regexp_extract(html, '(?s)<div id="content">(.*)</div>', 1),
-               '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')) AS content
+               '<[^>]*>', ' ', 'g'), '[ \\t\\n\\f\\r]+', ' ', 'g')) AS content
       FROM wrapped
     )
     SELECT doc_id,
@@ -2227,7 +2227,7 @@ def doc_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(length(html) AS BIGINT) AS html_len,
            CAST(length(content) AS BIGINT) AS extracted_len,
            CAST(CASE WHEN content =
-                  trim(regexp_replace(text, '\\s+', ' ', 'g'))
+                  trim(regexp_replace(text, '[ \\t\\n\\f\\r]+', ' ', 'g'))
                 THEN 1 ELSE 0 END AS INTEGER) AS roundtrip_ok,
            md5(content) AS content_fp
     FROM extracted
@@ -2248,8 +2248,10 @@ def doc_html_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cross-engine regex note: only the portable subset is used —
     ``(?s)`` dotall, greedy ``(.*)`` (both engines take the LAST
     ``</div>``, which is the content div's since the footer has none),
-    a ``<[^>]*>`` tag class, and ``\\s+`` collapse — semantics agree
-    between Java regex and RE2.
+    a ``<[^>]*>`` tag class, and an EXPLICIT whitespace class
+    ``[ \\t\\n\\f\\r]+`` — Java's ``\\s`` includes vertical tab while
+    RE2's does not, so the shorthand is the one piece that would NOT
+    agree between the engines.
 
     Scale shape: pure per-row string work in one codegen projection —
     no UDF, no shuffle; at 100 TB this runs at scan speed."""
@@ -2274,11 +2276,13 @@ def doc_html_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "<[^>]*>",
                 " ",
             ),
-            r"\s+",
+            "[ \\t\\n\\f\\r]+",
             " ",
         )
     )
-    norm_orig = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    norm_orig = F.trim(
+        F.regexp_replace(F.col("text"), "[ \\t\\n\\f\\r]+", " ")
+    )
     return wrapped.select(
         "doc_id",
         F.length("text").cast("long").alias("raw_len"),

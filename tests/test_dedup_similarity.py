@@ -723,6 +723,21 @@ def test_hamming_band_pairs_recall_matches_brute_force(spark):
     assert got == want and len(want) >= 25
 
 
+def test_topk_pandas_zero_norm_batch_is_empty_not_crash(spark):
+    """A batch whose scores are all NaN (zero-norm query vectors) must
+    yield nothing, not raise — the empty-candidate branch of the
+    vectorized top-k (np.repeat broadcast failure, review finding)."""
+    from data_integration_project_spark.operators.similarity import (
+        brute_force_topk_pandas,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [0.0, 0.0])], "vec_id long, emb array<float>"
+    )
+    out = brute_force_topk_pandas(corpus, corpus, "vec_id", "emb", k=2)
+    assert out.count() == 0
+
+
 def test_topk_pandas_matches_fold_path_with_ties(spark):
     """The vectorized partition+grouped-lexsort top-k (the bitext-soak
     rewrite) must select exactly what the fold-based window plan
