@@ -1765,3 +1765,86 @@ def corpus_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+@query(
+    "embeddings_hard_negatives",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, label AS qlabel, embedding AS qv
+               FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 1000000),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neg_id, c.label AS neg_label,
+             {_cos('q.qv', 'c.embedding')} AS cs
+      FROM q, embeddings c
+      WHERE q.query_id <> c.vec_id AND q.qlabel <> c.label
+    ),
+    ranked AS (
+      SELECT query_id, neg_id, neg_label,
+             CAST(round(cs * 1000000000) AS BIGINT) AS cos_ppb,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cs DESC, neg_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neg_id, neg_label, cos_ppb, rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def embeddings_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE MINING — the contrastive-training data-prep step
+    (ANCE / DPR-style): for each query, the top-5 most-similar vectors
+    whose LABEL DIFFERS — maximally confusable wrong answers, which
+    train retrieval models far better than random negatives. The label
+    exclusion composes with the exact top-k contract (total tie-break
+    on id); cosines ship as integer ppb ([[ann_topk_pandas]]'s rounding
+    convention absorbs the BLAS-vs-fold last-ulp).
+
+    Scale shape: one exact top-k leg per label group — queries labeled
+    L mine the label≠L corpus slice, so the top-5 comes from the FULL
+    cross-label candidate set (a global pre-top-k with headroom would
+    silently truncate whenever a query's nearest neighbors are all
+    same-label). |labels| is a bounded vocabulary; each leg is the
+    BLAS pandas path, and at 100 TB the ANN candidate generators drop
+    into the same per-group structure."""
+    e = t(spark, sf_dir, "embeddings")
+    queries = e.filter(
+        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 1_000_000)
+    )
+    # EXACT per label group: queries labeled L mine the label≠L corpus
+    # slice, so the top-5 comes from the full cross-label candidate set
+    # (a global pre-top-k with headroom would silently truncate when a
+    # query's nearest neighbors are all same-label). The label
+    # vocabulary is a bounded panel — one tiny collect, |labels| plan
+    # legs, all unioned.
+    labels = sorted(
+        r["label"] for r in queries.select("label").distinct().collect()
+    )
+    legs = []
+    for lab in labels:
+        qs = queries.filter(F.col("label") == lab).select(
+            "vec_id", "embedding"
+        )
+        corpus = e.filter(F.col("label") != lab)
+        legs.append(
+            S.brute_force_topk_pandas(
+                qs, corpus, "vec_id", "embedding", k=5
+            )
+        )
+    tk = legs[0]
+    for leg in legs[1:]:
+        tk = tk.unionByName(leg)
+    neg_labels = e.select(
+        F.col("vec_id").alias("neg_id"), F.col("label").alias("neg_label")
+    )
+    return (
+        tk.withColumnRenamed("neighbor_id", "neg_id")
+        .join(F.broadcast(neg_labels), "neg_id")
+        .select(
+            "query_id",
+            "neg_id",
+            "neg_label",
+            F.round(F.col("cos_sim") * 1000000000)
+            .cast("long")
+            .alias("cos_ppb"),
+            "rank",
+        )
+    )
