@@ -1015,6 +1015,55 @@ def doc_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _charlm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc char-bigram LM totals (doc_id, n_bigrams, sum_logp_unats)
+    — the exact-integer scoring core shared by [[doc_charlm_score]] and
+    [[corpus_ccnet_buckets]]."""
+    d = t(spark, sf_dir, "documents")
+    s = d.select("doc_id", F.lower(F.trim(F.col("text"))).alias("s"))
+    bg = (
+        s.filter(F.length("s") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("s") - 1),
+                    lambda i: F.col("s").substr(i, F.lit(2)),
+                )
+            ).alias("bg"),
+        )
+    )
+    vocab = (
+        s.select(F.explode(F.split(F.col("s"), "")).alias("c"))
+        .agg(F.countDistinct("c").cast("long").alias("v"))
+    )
+    counts = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("cnt"))
+    tot_w = Window.partitionBy(F.substring("bg", 1, 1))
+    model = (
+        counts.withColumn("tot", F.sum("cnt").over(tot_w))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "bg",
+            F.round(
+                F.log(
+                    (F.col("cnt") + 1).cast("double") / (F.col("tot") + F.col("v"))
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("logp_unats"),
+        )
+    )
+    return (
+        bg.join(F.broadcast(model), "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("logp_unats").alias("sum_logp_unats"),
+        )
+    )
+
+
 @query(
     "doc_charlm_score",
     oracle="""
@@ -1069,56 +1118,14 @@ def doc_charlm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc rollup is the single big shuffle. At 100 TB the same plan holds
     with a word-ngram model as long as the model side stays
     broadcastable (quantize/prune the vocab first otherwise)."""
-    d = t(spark, sf_dir, "documents")
-    s = d.select("doc_id", F.lower(F.trim(F.col("text"))).alias("s"))
-    bg = (
-        s.filter(F.length("s") >= 2)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.length("s") - 1),
-                    lambda i: F.col("s").substr(i, F.lit(2)),
-                )
-            ).alias("bg"),
-        )
-    )
-    vocab = (
-        s.select(F.explode(F.split(F.col("s"), "")).alias("c"))
-        .agg(F.countDistinct("c").cast("long").alias("v"))
-    )
-    counts = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("cnt"))
-    tot_w = Window.partitionBy(F.substring("bg", 1, 1))
-    model = (
-        counts.withColumn("tot", F.sum("cnt").over(tot_w))
-        .crossJoin(F.broadcast(vocab))
-        .select(
-            "bg",
-            F.round(
-                F.log(
-                    (F.col("cnt") + 1).cast("double") / (F.col("tot") + F.col("v"))
-                )
-                * 1000000
-            )
-            .cast("long")
-            .alias("logp_unats"),
-        )
-    )
-    scored = bg.join(F.broadcast(model), "bg")
+    scores = _charlm_doc_scores(spark, sf_dir)
     avg = F.col("sum_logp_unats").cast("double") / (1000000 * F.col("n_bigrams"))
-    return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum("logp_unats").alias("sum_logp_unats"),
-        )
-        .select(
-            "doc_id",
-            "n_bigrams",
-            "sum_logp_unats",
-            avg.alias("avg_logp"),
-            F.when(avg >= -4.7, 1).otherwise(0).cast("int").alias("keep"),
-        )
+    return scores.select(
+        "doc_id",
+        "n_bigrams",
+        "sum_logp_unats",
+        avg.alias("avg_logp"),
+        F.when(avg >= -4.7, 1).otherwise(0).cast("int").alias("keep"),
     )
 
 
@@ -3728,3 +3735,102 @@ def doc_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = W.documents_as_warc(t(spark, sf_dir, "documents"))
     return W.parse_warc_features(media)
+
+
+@query(
+    "corpus_ccnet_buckets",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, lower(trim(text)) AS s FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, length(s)), i -> s[i : i + 1])) AS bg
+      FROM s WHERE length(s) >= 2
+    ),
+    vocab AS (
+      SELECT CAST(COUNT(DISTINCT c) AS BIGINT) AS v
+      FROM (SELECT unnest(string_split(s, '')) AS c FROM s)
+    ),
+    model AS (
+      SELECT bg,
+             CAST(round(ln(
+               CAST(cnt + 1 AS DOUBLE) / (tot + (SELECT v FROM vocab))
+             ) * 1000000) AS BIGINT) AS logp_unats
+      FROM (
+        SELECT bg, COUNT(*) AS cnt,
+               SUM(COUNT(*)) OVER (PARTITION BY substr(bg, 1, 1)) AS tot
+        FROM bg GROUP BY bg
+      )
+    ),
+    scores AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(logp_unats) AS BIGINT) AS sum_logp_unats
+      FROM bg JOIN model USING (bg)
+      GROUP BY doc_id
+    ),
+    tiled AS (
+      SELECT d.lang, sc.doc_id, sc.n_bigrams, sc.sum_logp_unats,
+             ntile(3) OVER (PARTITION BY d.lang
+               ORDER BY CAST(sc.sum_logp_unats AS DOUBLE)
+                        / (1000000 * sc.n_bigrams) DESC,
+                        sc.doc_id) AS tile
+      FROM scores sc JOIN documents d USING (doc_id)
+    )
+    SELECT lang,
+           CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                     ELSE 'tail' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_bigrams) AS BIGINT) AS n_bigrams,
+           CAST(SUM(sum_logp_unats) AS BIGINT) AS sum_logp_unats,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc_id
+    FROM tiled GROUP BY lang, tile
+    """,
+)
+def corpus_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNET HEAD/MIDDLE/TAIL BUCKETING — the exact recipe CCNet (and
+    the pipelines built on it) uses to stratify a crawl: score every
+    document with the in-engine LM ([[doc_charlm_score]]'s exact
+    integer micro-nat totals, shared via ``_charlm_doc_scores``), then
+    split EACH LANGUAGE into perplexity terciles — head (most fluent)
+    / middle / tail — so downstream mixing can oversample head and
+    drop or audit tail. The per-language ntile runs over the average
+    log-likelihood (one double division per doc, identical in both
+    engines, doc_id tie-break) and each (lang, bucket) reports doc
+    and bigram mass plus its first doc id.
+
+    Scale shape: scoring is the broadcast-model join + one doc rollup;
+    the tercile is one window per language partition (at 100 TB:
+    approx-quantile boundaries per language + a broadcast range join —
+    [[orders_quantile_sketch]]'s pattern — instead of a full sort).
+    Documents shorter than one bigram carry no LM evidence and stay
+    out of the buckets."""
+    scores = _charlm_doc_scores(spark, sf_dir)
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    avg = F.col("sum_logp_unats").cast("double") / (
+        1000000 * F.col("n_bigrams")
+    )
+    tiled = (
+        scores.join(d, "doc_id")
+        .withColumn(
+            "tile",
+            F.ntile(3).over(
+                Window.partitionBy("lang").orderBy(
+                    avg.desc(), F.col("doc_id")
+                )
+            ),
+        )
+    )
+    return tiled.groupBy(
+        "lang",
+        F.when(F.col("tile") == 1, "head")
+        .when(F.col("tile") == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_bigrams").cast("long").alias("n_bigrams"),
+        F.sum("sum_logp_unats").cast("long").alias("sum_logp_unats"),
+        F.min("doc_id").cast("long").alias("first_doc_id"),
+    )
