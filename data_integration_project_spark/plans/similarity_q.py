@@ -1848,3 +1848,137 @@ def embeddings_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+def _pca_it_cte(k: int) -> str:
+    p = f"v{k-1}"
+    return f"""
+mv{k} AS MATERIALIZED (
+  SELECT s.i, SUM(s.s * v.val) AS raw
+  FROM cov s JOIN {p} v ON v.i = s.j GROUP BY s.i
+),
+v{k} AS MATERIALIZED (
+  SELECT i, raw // (SELECT GREATEST(MAX(abs(raw)) // 1000000, 1)
+                    FROM mv{k}) AS val
+  FROM mv{k}
+)"""
+
+
+@query(
+    "embeddings_pca_power_iteration",
+    oracle="""
+    WITH q AS MATERIALIZED (
+      SELECT vec_id, i,
+             CAST(round(CAST(e AS DOUBLE) * 1000000) AS BIGINT) AS xq
+      FROM (SELECT vec_id, unnest(embedding) AS e,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings)
+    ),
+    mean AS MATERIALIZED (
+      SELECT i, SUM(xq) // COUNT(*) AS m FROM q GROUP BY i
+    ),
+    cent AS MATERIALIZED (
+      SELECT q.vec_id, q.i, q.xq - m.m AS c FROM q JOIN mean m ON m.i = q.i
+    ),
+    cov AS MATERIALIZED (
+      SELECT a.i, b.i AS j, SUM(a.c * b.c) // 1000000 AS s
+      FROM cent a JOIN cent b ON b.vec_id = a.vec_id
+      GROUP BY a.i, b.i
+    ),
+    v0 AS (SELECT i, CAST(1000000 AS BIGINT) AS val FROM mean),"""
+    + ",".join(_pca_it_cte(k) for k in range(1, 7))
+    + """
+    , tr AS (SELECT SUM(s) AS trace FROM cov WHERE i = j),
+    lam AS (SELECT MAX(abs(raw)) // 1000000 AS lam FROM mv6)
+    SELECT CAST((SELECT lam FROM lam) AS BIGINT) AS lambda_est,
+           CAST((SELECT trace FROM tr) AS BIGINT) AS trace_total,
+           CAST(((SELECT lam FROM lam) * 1000000)
+                // (SELECT trace FROM tr) AS BIGINT) AS share_ppm,
+           CAST((SELECT SUM(i * val) FROM v6) AS BIGINT) AS vec_checksum,
+           CAST((SELECT MIN(i) FROM v6
+                 WHERE abs(val) = (SELECT MAX(abs(val)) FROM v6))
+                AS INTEGER) AS top_dim
+    """,
+)
+def embeddings_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-ENGINE PCA — the top principal component by POWER ITERATION,
+    bit-reproducible: embeddings quantize once to integer micro-units,
+    the d×d covariance accumulates as EXACT integer products (one
+    map-side-combined groupBy over the per-document coordinate
+    self-join), and six matrix-vector rounds run on the collected
+    4096-row matrix — the k×d-centroid bounded-panel pattern — with
+    max-abs renormalization as a single integer division per round.
+    Every division TRUNCATES toward zero on both engines (negative
+    covariance entries make floor-vs-truncate a real divergence — the
+    Python-// pitfall). Reported: the dominant eigenvalue estimate
+    (the last round's growth factor), its share of total variance
+    (λ/trace in ppm — the 'how much does one direction explain'
+    number), a position-weighted eigenvector checksum, and the top
+    loading dimension.
+
+    Completes the in-engine ML roster (OLS, logistic GD, ALS, trees,
+    k-means, [[nations_trade_pagerank]]'s graph power iteration) with
+    the decorrelation primitive; [[embeddings_jl_projection]] is the
+    data-independent alternative when no spectrum is needed.
+
+    Scale shape: the covariance pass is the only corpus-sized work —
+    d² accumulators via one shuffle (at 100 TB: mapInPandas per-batch
+    outer products into the same d² cells); iterations ride the driver
+    on the bounded panel."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id", F.posexplode("embedding").alias("i0", "x")
+    ).select(
+        "vec_id",
+        (F.col("i0") + 1).alias("i"),
+        F.round(F.col("x").cast("double") * 1000000).cast("long").alias("xq"),
+    )
+    mean = q.groupBy("i").agg(F.expr("sum(xq) div count(1)").alias("m"))
+    cent = q.join(F.broadcast(mean), "i").select(
+        "vec_id", "i", (F.col("xq") - F.col("m")).alias("c")
+    )
+    ca = cent.select("vec_id", "i", "c")
+    cb = cent.select(
+        F.col("vec_id").alias("vid2"),
+        F.col("i").alias("j"),
+        F.col("c").alias("c2"),
+    )
+    cov_rows = (
+        ca.join(cb, F.col("vid2") == F.col("vec_id"))
+        .groupBy("i", "j")
+        .agg(F.expr("sum(c * c2) div 1000000").alias("s"))
+        .collect()  # d² rows — the bounded panel the iterations ride
+    )
+    S = {(r["i"], r["j"]): r["s"] for r in cov_rows}
+    dims = sorted({i for i, _ in S})
+    trace = sum(S[(i, i)] for i in dims)
+
+    def tdiv(a: int, b: int) -> int:
+        # truncate toward zero — Spark div / DuckDB // semantics
+        return -((-a) // b) if a < 0 else a // b
+
+    v = {i: 10**6 for i in dims}
+    lam = 1
+    for _ in range(6):
+        raw = {
+            i: sum(S[(i, j)] * v[j] for j in dims if (i, j) in S)
+            for i in dims
+        }
+        d_ = max(max(abs(x) for x in raw.values()) // 10**6, 1)
+        lam = d_
+        v = {i: tdiv(raw[i], d_) for i in dims}
+    top = max(dims, key=lambda i: (abs(v[i]), -i))
+    out = [
+        (
+            int(lam),
+            int(trace),
+            int((lam * 10**6) // trace),
+            int(sum(i * v[i] for i in dims)),
+            int(top),
+        )
+    ]
+    return spark.createDataFrame(
+        out,
+        "lambda_est long, trace_total long, share_ppm long, "
+        "vec_checksum long, top_dim int",
+    )
