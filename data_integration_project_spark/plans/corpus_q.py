@@ -1021,17 +1021,19 @@ def _charlm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     [[corpus_ccnet_buckets]]."""
     d = t(spark, sf_dir, "documents")
     s = d.select("doc_id", F.lower(F.trim(F.col("text"))).alias("s"))
+    # bigrams via a codegen char explode + lead window, NOT a
+    # substr-transform HOF: interpreted higher-order lambdas cost
+    # ~µs/element (the recorded per-char trap) — measured 8.4x
+    # superlinear at sf1.0 (55s) before this rewrite; the window
+    # shuffle on doc_id is reused by the per-doc score rollup
+    chars = s.filter(F.length("s") >= 2).select(
+        "doc_id", F.posexplode(F.split("s", "")).alias("p", "ch")
+    )
+    wch = Window.partitionBy("doc_id").orderBy("p")
     bg = (
-        s.filter(F.length("s") >= 2)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.length("s") - 1),
-                    lambda i: F.col("s").substr(i, F.lit(2)),
-                )
-            ).alias("bg"),
-        )
+        chars.withColumn("bg", F.concat("ch", F.lead("ch").over(wch)))
+        .filter(F.length("bg") == 2)
+        .select("doc_id", "bg")
     )
     vocab = (
         s.select(F.explode(F.split(F.col("s"), "")).alias("c"))

@@ -1934,19 +1934,47 @@ def embeddings_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFram
         F.round(F.col("x").cast("double") * 1000000).cast("long").alias("xq"),
     )
     mean = q.groupBy("i").agg(F.expr("sum(xq) div count(1)").alias("m"))
-    cent = q.join(F.broadcast(mean), "i").select(
-        "vec_id", "i", (F.col("xq") - F.col("m")).alias("c")
-    )
-    ca = cent.select("vec_id", "i", "c")
-    cb = cent.select(
-        F.col("vec_id").alias("vid2"),
-        F.col("i").alias("j"),
-        F.col("c").alias("c2"),
-    )
+    # covariance via per-batch INTEGER outer products (numpy int64
+    # matmul — exact), not a per-coordinate self-join: the relational
+    # form shuffles |docs|·d² rows (measured 25s at sf1.0); this emits
+    # d² partial cells per batch and one tiny groupBy merges them
+    mean_rows = {r["i"]: r["m"] for r in mean.collect()}  # d values
+    m_b = spark.sparkContext.broadcast(mean_rows)
+
+    def cov_op(batches):
+        import numpy as np
+        import pandas as pd
+
+        mm = m_b.value
+        d_ = len(mm)
+        mvec = np.array([mm[i] for i in range(1, d_ + 1)], dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            y = x * 1000000
+            # round HALF AWAY FROM ZERO — np.rint is half-even and
+            # would diverge from Spark round()/DuckDB round() exactly
+            # on representable .5 products
+            xq = (np.sign(y) * np.floor(np.abs(y) + 0.5)).astype(np.int64)
+            cq = xq - mvec[None, :]
+            cc = cq.T @ cq  # exact int64 accumulation
+            ii, jj = np.meshgrid(
+                np.arange(1, d_ + 1), np.arange(1, d_ + 1), indexing="ij"
+            )
+            yield pd.DataFrame(
+                {"i": ii.ravel(), "j": jj.ravel(), "p": cc.ravel()}
+            )
+
+    n_parts = spark.sparkContext.defaultParallelism
     cov_rows = (
-        ca.join(cb, F.col("vid2") == F.col("vec_id"))
+        e.select("embedding")
+        .repartition(n_parts)
+        .mapInPandas(cov_op, schema="i int, j int, p long")
         .groupBy("i", "j")
-        .agg(F.expr("sum(c * c2) div 1000000").alias("s"))
+        .agg(F.expr("sum(p) div 1000000").alias("s"))
         .collect()  # d² rows — the bounded panel the iterations ride
     )
     S = {(r["i"], r["j"]): r["s"] for r in cov_rows}
