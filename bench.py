@@ -142,6 +142,11 @@ HEADLINE = [
     # per-pair LCS DP inside mapInPandas
     "corpus_dedup_cascade",
     "doc_rougel_pairs",
+    # round 4 (cont. 5): integer-outer-product covariance + driver
+    # power iteration, global-sort locality pairing, WARC framing walk
+    "embeddings_pca_power_iteration",
+    "doc_simhash_sort_locality",
+    "doc_warc_roundtrip",
 ]
 
 
