@@ -3836,3 +3836,120 @@ def corpus_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sum_logp_unats").cast("long").alias("sum_logp_unats"),
         F.min("doc_id").cast("long").alias("first_doc_id"),
     )
+
+
+@query(
+    "corpus_dataset_card",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, source,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+      FROM documents
+    )
+    SELECT 'size' AS section, 'n_docs' AS metric, 'all' AS slice,
+           CAST(COUNT(*) AS BIGINT) AS value FROM tok
+    UNION ALL
+    SELECT 'size', 'n_tokens', 'all', CAST(SUM(n_tokens) AS BIGINT) FROM tok
+    UNION ALL
+    SELECT 'size', 'n_chars', 'all', CAST(SUM(n_chars) AS BIGINT) FROM tok
+    UNION ALL
+    SELECT 'size', 'n_unique_texts', 'all',
+           CAST(COUNT(DISTINCT fp) AS BIGINT) FROM tok
+    UNION ALL
+    SELECT 'length', 'min_tokens', 'all', CAST(MIN(n_tokens) AS BIGINT)
+    FROM tok
+    UNION ALL
+    SELECT 'length', 'max_tokens', 'all', CAST(MAX(n_tokens) AS BIGINT)
+    FROM tok
+    UNION ALL
+    SELECT 'by_lang', 'n_docs', lang, CAST(COUNT(*) AS BIGINT)
+    FROM tok GROUP BY lang
+    UNION ALL
+    SELECT 'by_lang', 'n_tokens', lang, CAST(SUM(n_tokens) AS BIGINT)
+    FROM tok GROUP BY lang
+    UNION ALL
+    SELECT 'by_source', 'n_docs', source, CAST(COUNT(*) AS BIGINT)
+    FROM tok GROUP BY source
+    """,
+)
+def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE DATASET CARD — the per-release summary artifact every corpus
+    ships (sizes, uniqueness, length bounds, per-language and
+    per-source composition) as ONE long-format report
+    (section / metric / slice / value): global doc, token, char, and
+    UNIQUE-normalized-text counts (the headline dedup number), token
+    length bounds, and the lang/source composition tables a consumer
+    reads before mixing. Long format keeps the schema stable as
+    sections grow — the dashboard-feed shape
+    ([[monitoring_entity_summary]]'s contract, applied to the corpus).
+
+    Determinism: every value is an exact integer (counts, sums, md5
+    distinct); no averages, so no division anywhere. Scale shape: ONE
+    pass computes all per-doc stats, then each section is a
+    map-side-combined aggregate over it; Spark evaluates the shared
+    scan once per section leg at worst — at 100 TB, persist the
+    per-doc stats table and every section is a cheap rollup (the
+    materialize-once note the plan carries)."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").cast("long").alias("n_chars"),
+        X.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        F.md5(
+            F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+        ).alias("fp"),
+    ).persist()
+
+    def row(section: str, metric: str, slice_col, value):
+        return tok.agg(value.alias("value")).select(
+            F.lit(section).alias("section"),
+            F.lit(metric).alias("metric"),
+            F.lit(slice_col).alias("slice"),
+            "value",
+        )
+
+    legs = [
+        row("size", "n_docs", "all", F.count(F.lit(1)).cast("long")),
+        row("size", "n_tokens", "all", F.sum("n_tokens").cast("long")),
+        row("size", "n_chars", "all", F.sum("n_chars").cast("long")),
+        row(
+            "size",
+            "n_unique_texts",
+            "all",
+            F.countDistinct("fp").cast("long"),
+        ),
+        row("length", "min_tokens", "all", F.min("n_tokens").cast("long")),
+        row("length", "max_tokens", "all", F.max("n_tokens").cast("long")),
+        tok.groupBy(F.col("lang").alias("slice")).agg(
+            F.count(F.lit(1)).cast("long").alias("value")
+        ).select(
+            F.lit("by_lang").alias("section"),
+            F.lit("n_docs").alias("metric"),
+            "slice",
+            "value",
+        ),
+        tok.groupBy(F.col("lang").alias("slice")).agg(
+            F.sum("n_tokens").cast("long").alias("value")
+        ).select(
+            F.lit("by_lang").alias("section"),
+            F.lit("n_tokens").alias("metric"),
+            "slice",
+            "value",
+        ),
+        tok.groupBy(F.col("source").alias("slice")).agg(
+            F.count(F.lit(1)).cast("long").alias("value")
+        ).select(
+            F.lit("by_source").alias("section"),
+            F.lit("n_docs").alias("metric"),
+            "slice",
+            "value",
+        ),
+    ]
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
