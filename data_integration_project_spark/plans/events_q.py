@@ -4949,7 +4949,7 @@ def events_holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SEQUENTIAL A/B TESTING by Wald's SPRT — the early-stopping
     experiment monitor that fixed-horizon tests
-    ([[events_ab_test_ztest]]) cannot be: each arm's daily purchase
+    ([[events_ab_conversion_ztest]]) cannot be: each arm's daily purchase
     conversions accumulate a log-likelihood ratio for H1 (p=0.23) vs
     H0 (p=0.19), and the experiment DECIDES the first day the ratio
     crosses ±ln(19) (alpha = beta = 0.05). The log terms are
@@ -5829,4 +5829,77 @@ def events_dynamic_session_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             "n_purchases",
         )
+    )
+
+
+@query(
+    "events_ab_srm_check",
+    oracle="""
+    WITH assigned AS (
+      SELECT user_id,
+             CASE WHEN CAST('0x' || substr(md5('srm:' || user_id), 1, 8)
+                       AS BIGINT) % 2 = 0
+                  THEN 'A' ELSE 'B' END AS arm
+      FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    counts AS (
+      SELECT SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS a,
+             SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS b
+      FROM assigned
+    )
+    SELECT CAST(a AS BIGINT) AS n_a, CAST(b AS BIGINT) AS n_b,
+           CAST(((a - b) * (a - b) * 1000000) // (a + b) AS BIGINT)
+             AS chi2_micro,
+           CAST(CASE WHEN ((a - b) * (a - b) * 1000000) // (a + b)
+                          > 3841459 THEN 1 ELSE 0 END AS INTEGER)
+             AS srm_flag
+    FROM counts
+    """,
+)
+def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLE-RATIO MISMATCH — the first gate every experimentation
+    platform runs before reading a single metric: users hash into A/B
+    at 50/50 (nonlinear md5 assignment — the [[events_hll_distinct]]
+    affine-hash lesson; a linear hash on dense ids would stripe the
+    arms), and the 1-df chi-square against the expected equal split
+    reduces to ``(a-b)²/(a+b)`` — computed here in exact integer
+    micro-units with one floored division, flagged against the 95%
+    critical value 3.841459. A healthy randomizer leaves the flag 0;
+    any assignment bug (filtered traffic, crash loops in one arm)
+    trips it before a biased readout ships.
+
+    Scale shape: distinct users is the one shuffle; the chi-square is
+    two counters. The statistic composes with
+    [[events_ab_conversion_ztest]]'s metric comparison — SRM first, metrics
+    second, the operational ordering."""
+    ev = t(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    arm = F.when(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("srm:"), F.col("user_id"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0,
+        "A",
+    ).otherwise("B")
+    counts = users.select(arm.alias("arm")).agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0)).alias("b"),
+    )
+    return counts.select(
+        F.col("a").cast("long").alias("n_a"),
+        F.col("b").cast("long").alias("n_b"),
+        F.expr("((a - b) * (a - b) * 1000000) div (a + b)")
+        .cast("long")
+        .alias("chi2_micro"),
+        F.when(
+            F.expr("((a - b) * (a - b) * 1000000) div (a + b)") > 3841459, 1
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("srm_flag"),
     )

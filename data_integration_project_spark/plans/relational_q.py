@@ -9753,3 +9753,78 @@ def lineitem_cms_selfjoin_size(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overestimate_ppm"),
         )
     )
+
+
+@query(
+    "orders_aqp_sample_estimate",
+    oracle="""
+    WITH tagged AS (
+      SELECT o_totalprice,
+             CAST('0x' || substr(md5('aqp:' || o_orderkey), 1, 8) AS BIGINT)
+               % 20 = 0 AS picked
+      FROM orders
+    ),
+    est AS (
+      SELECT CAST(SUM(CASE WHEN picked THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sampled,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN picked
+                  THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                  ELSE 0 END) * 20 AS BIGINT) AS est_cents,
+             CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+               AS BIGINT) AS exact_cents
+      FROM tagged
+    )
+    SELECT n_rows, n_sampled, est_cents, exact_cents,
+           CAST(abs(est_cents - exact_cents) * 1000000 // exact_cents
+                AS BIGINT) AS rel_err_ppm
+    FROM est
+    """,
+)
+def orders_aqp_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPROXIMATE QUERY PROCESSING — the 1/20 deterministic-hash
+    sample-and-scale estimate interactive dashboards serve while the
+    exact scan runs: rows enter the sample iff a nonlinear md5 hash of
+    the key lands in one of 20 residue classes (reproducible across
+    runs and engines — no RNG; the hash-deterministic sampling house
+    rule), the sampled revenue sum scales by 20, and the query reports
+    the estimate BESIDE the exact total with the realized relative
+    error in ppm — the honesty column an AQP layer must surface.
+    Cents via ``floor(x·100 + 0.5)`` (the o_totalprice double-rounding
+    case law), so both sums are exact integers.
+
+    Scale shape: one scan computes both the sample aggregate and the
+    exact audit column (conditional sums fuse map-side); in production
+    the sample-only form touches 5% of the data and the exact column
+    drops. Error scales as 1/√n — at 100 TB the same 1/20 sample gives
+    a far tighter ppm than this fixture's."""
+    o = t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    picked = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("aqp:"), F.col("o_orderkey"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 20
+        == 0
+    )
+    agg = o.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(picked, 1).otherwise(0)).cast("long").alias("n_sampled"),
+        (F.sum(F.when(picked, cents).otherwise(0)) * 20)
+        .cast("long")
+        .alias("est_cents"),
+        F.sum(cents).cast("long").alias("exact_cents"),
+    )
+    return agg.select(
+        "n_rows",
+        "n_sampled",
+        "est_cents",
+        "exact_cents",
+        F.expr("abs(est_cents - exact_cents) * 1000000 div exact_cents")
+        .cast("long")
+        .alias("rel_err_ppm"),
+    )
