@@ -25,7 +25,13 @@ for name in ["customer_golden_records", "dedup_clusters_largestar",
              "dedup_minhash_lsh", "parts_market_basket",
              "dedup_clusters_bcubed", "ann_ivf_pq_adc",
              "dedup_keep_best", "dedup_blocking_quality",
-             "doc_label_propagation", "doc_bpe_train"]:
+             "doc_label_propagation", "doc_bpe_train",
+             # round-4 continuation heavies: the two-stage funnel, the
+             # panel-collecting mutual-kNN, the d^2 covariance panel,
+             # and the double-global-sort locality audit
+             "corpus_dedup_cascade", "embeddings_bitext_mining",
+             "embeddings_pca_power_iteration",
+             "doc_simhash_sort_locality"]:
     n = qs[name](spark, "/root/testdata/sf0.01").count()
     print("HEAPCANARY", name, n, flush=True)
 print("HEAPCANARY ALL_OK", flush=True)
