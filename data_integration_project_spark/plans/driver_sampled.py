@@ -6,13 +6,16 @@ catalog so never-sampled queries come first, rotating fresh
 queries into the driver's ~50-query prefix sample every round.
 """
 
-# source files: CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
+# source files: CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json, CORRECTNESS_r04.json
 
 DRIVER_SAMPLED: frozenset[str] = frozenset({
+    "ann_context_packing",  # CORRECTNESS_r04.json
     "ann_cosine_topk",  # CORRECTNESS_r01.json
     "ann_ivf_topk",  # CORRECTNESS_r01.json, CORRECTNESS_r03.json
     "ann_srp_bucketed",  # CORRECTNESS_r01.json, CORRECTNESS_r03.json
     "ann_topk_pandas",  # CORRECTNESS_r01.json, CORRECTNESS_r03.json
+    "benchmark_decontamination",  # CORRECTNESS_r04.json
+    "corpus_dedup_cascade",  # CORRECTNESS_r04.json
     "corpus_leakage_safe_split",  # CORRECTNESS_r03.json
     "customer_clean_rows",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
     "customer_error_replay",  # CORRECTNESS_r02.json, CORRECTNESS_r03.json
@@ -22,14 +25,24 @@ DRIVER_SAMPLED: frozenset[str] = frozenset({
     "customer_one_to_one_linkage",  # CORRECTNESS_r02.json, CORRECTNESS_r03.json
     "customer_quality_report",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
     "customers_aes_envelope",  # CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "customers_k_anonymity",  # CORRECTNESS_r04.json
+    "customers_l_diversity",  # CORRECTNESS_r04.json
     "customers_pseudonymized",  # CORRECTNESS_r02.json, CORRECTNESS_r03.json
     "customers_rtbf_purge_audit",  # CORRECTNESS_r02.json
     "customers_snapshot_changelog",  # CORRECTNESS_r02.json
     "dathang_fk_validation",  # CORRECTNESS_r01.json
+    "dedup_blocking_quality",  # CORRECTNESS_r04.json
+    "dedup_clusters",  # CORRECTNESS_r04.json
+    "dedup_clusters_bcubed",  # CORRECTNESS_r04.json
+    "dedup_clusters_largestar",  # CORRECTNESS_r04.json
     "dedup_exact",  # CORRECTNESS_r01.json, CORRECTNESS_r03.json
+    "dedup_incremental_against_store",  # CORRECTNESS_r04.json
+    "dedup_keep_best",  # CORRECTNESS_r04.json
     "dedup_minhash_lsh",  # CORRECTNESS_r01.json
     "dedup_ngram_jaccard",  # CORRECTNESS_r01.json
+    "dedup_prefix_filter_join",  # CORRECTNESS_r04.json
     "dedup_simhash",  # CORRECTNESS_r01.json
+    "dedup_threshold_sweep",  # CORRECTNESS_r04.json
     "dim_customer_bitemporal",  # CORRECTNESS_r02.json, CORRECTNESS_r03.json
     "dim_customer_scd2",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
     "dim_customer_scd2_incremental",  # CORRECTNESS_r02.json, CORRECTNESS_r03.json
@@ -37,11 +50,31 @@ DRIVER_SAMPLED: frozenset[str] = frozenset({
     "dim_date",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
     "dim_date_holidays",  # CORRECTNESS_r02.json, CORRECTNESS_r03.json
     "dim_date_tet_holidays",  # CORRECTNESS_r02.json
+    "doc_cdc_chunk_dedup",  # CORRECTNESS_r04.json
+    "doc_classifier_kappa",  # CORRECTNESS_r04.json
+    "doc_containment_pairs",  # CORRECTNESS_r04.json
     "doc_fingerprints",  # CORRECTNESS_r01.json
+    "doc_hashed_features",  # CORRECTNESS_r04.json
+    "doc_html_boilerplate_strip",  # CORRECTNESS_r04.json
     "doc_lang_id",  # CORRECTNESS_r01.json
+    "doc_nb_calibration",  # CORRECTNESS_r04.json
+    "doc_nb_lang_classify",  # CORRECTNESS_r04.json
+    "doc_nb_margin_auc",  # CORRECTNESS_r04.json
+    "doc_phrase_search",  # CORRECTNESS_r04.json
+    "doc_preference_pairs",  # CORRECTNESS_r04.json
     "doc_quality_scores",  # CORRECTNESS_r01.json
+    "doc_rougel_pairs",  # CORRECTNESS_r04.json
+    "doc_simhash_sort_locality",  # CORRECTNESS_r04.json
+    "doc_stratified_sample",  # CORRECTNESS_r04.json
     "doc_token_stats",  # CORRECTNESS_r01.json
+    "doc_unicode_nfc",  # CORRECTNESS_r04.json
+    "doc_winnowing_fingerprints",  # CORRECTNESS_r04.json
     "embedding_near_dup",  # CORRECTNESS_r01.json
+    "embeddings_bitext_mining",  # CORRECTNESS_r04.json
+    "embeddings_knn_classify",  # CORRECTNESS_r04.json
+    "embeddings_label_centroids",  # CORRECTNESS_r04.json
+    "embeddings_matryoshka_eval",  # CORRECTNESS_r04.json
+    "embeddings_pq_codebooks",  # CORRECTNESS_r04.json
     "events_asof_last_click",  # CORRECTNESS_r01.json
     "events_hourly_by_type",  # CORRECTNESS_r01.json
     "events_multi_rollup",  # CORRECTNESS_r01.json
@@ -59,7 +92,24 @@ DRIVER_SAMPLED: frozenset[str] = frozenset({
     "mon_dual_source_merge",  # CORRECTNESS_r01.json
     "monitoring_entity_summary",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
     "monitoring_file_stats",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "multimodal_aiff_decode",  # CORRECTNESS_r04.json
+    "multimodal_arrow_features",  # CORRECTNESS_r04.json
+    "multimodal_audio_frames",  # CORRECTNESS_r04.json
+    "multimodal_audio_near_dup",  # CORRECTNESS_r04.json
+    "multimodal_audio_resample",  # CORRECTNESS_r04.json
+    "multimodal_avi_keyframes",  # CORRECTNESS_r04.json
     "multimodal_features",  # CORRECTNESS_r01.json
+    "multimodal_flac_decode",  # CORRECTNESS_r04.json
+    "multimodal_frame_sample",  # CORRECTNESS_r04.json
+    "multimodal_gif_decode",  # CORRECTNESS_r04.json
+    "multimodal_image_near_dup",  # CORRECTNESS_r04.json
+    "multimodal_jpeg_decode",  # CORRECTNESS_r04.json
+    "multimodal_png_decode",  # CORRECTNESS_r04.json
+    "multimodal_ppm_decode",  # CORRECTNESS_r04.json
+    "multimodal_resize",  # CORRECTNESS_r04.json
+    "multimodal_tga_decode",  # CORRECTNESS_r04.json
+    "multimodal_video_near_dup",  # CORRECTNESS_r04.json
+    "multimodal_wav_decode",  # CORRECTNESS_r04.json
     "nguyenlieu_inventory_fact",  # CORRECTNESS_r01.json
     "order_line_value",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
     "orders_cdc_apply",  # CORRECTNESS_r02.json, CORRECTNESS_r03.json
