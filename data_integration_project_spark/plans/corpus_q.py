@@ -3890,8 +3890,11 @@ def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass computes all per-doc stats, then each section is a
     map-side-combined aggregate over it; Spark evaluates the shared
     scan once per section leg at worst — at 100 TB, persist the
-    per-doc stats table and every section is a cheap rollup (the
-    materialize-once note the plan carries)."""
+    per-doc stats table before the legs run and every section is a
+    cheap rollup. No persist here: the returned union is lazy, so a
+    persist taken inside this function would never be released by the
+    caller and would leak a cached table per invocation in a
+    long-lived session (bench / oracle gate)."""
     d = t(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id",
@@ -3902,7 +3905,7 @@ def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(
             F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
         ).alias("fp"),
-    ).persist()
+    )
 
     def row(section: str, metric: str, slice_col, value):
         return tok.agg(value.alias("value")).select(

@@ -1683,9 +1683,11 @@ def corpus_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: stage 1 is one shuffle on the fingerprint; stage 2 is
     the [[dedup_minhash_lsh]] plan run on stage-1 survivors (its input
     shrinks by exactly the exact-dup mass — the reason production
-    cascades order cheap→expensive); the funnel rollup joins the
-    |corpus| flag rows to the broadcast language dim. No stage rescans
-    text more than once."""
+    cascades order cheap→expensive); the funnel rollup equi-joins the
+    |corpus| flag rows to the (doc_id, lang) mapping — which also
+    grows with the corpus, so the join carries no broadcast hint and
+    AQE picks the strategy by measured size. No stage rescans text
+    more than once."""
     c = _corpus(spark, sf_dir)
     ranked = D.exact_dedup(c, "doc_id", "text")
     s1 = ranked.filter(F.col("_dup_rank") == 1).select("doc_id", "text")
@@ -1715,10 +1717,12 @@ def corpus_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = t(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("base_id"), "lang"
     )
+    # No broadcast hint: (doc_id, lang) grows linearly with the corpus,
+    # so a forced broadcast would OOM the build side at scale. The join
+    # key is an equi-expression — AQE broadcasts it while it is small
+    # and falls back to shuffle join once it is not.
     return (
-        flags.join(
-            F.broadcast(base), flags["doc_id"] % 100000 == base["base_id"]
-        )
+        flags.join(base, flags["doc_id"] % 100000 == base["base_id"])
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_raw"),
@@ -1793,7 +1797,9 @@ _ROUGE_W = 16  # last-W-token window per side; DP is W x W
     SELECT id_a, id_b, pair_type,
            CAST(wa AS INTEGER) AS len_a, CAST(wb AS INTEGER) AS len_b,
            CAST(acc[{_ROUGE_W * _ROUGE_W}] AS INTEGER) AS lcs_len,
-           CAST((2 * acc[{_ROUGE_W * _ROUGE_W}] * 1000000) // (wa + wb)
+           CAST(CASE WHEN wa + wb = 0 THEN 0
+                     ELSE (2 * acc[{_ROUGE_W * _ROUGE_W}] * 1000000)
+                          // (wa + wb) END
                 AS BIGINT) AS rouge_l_f_ppm
     FROM dp WHERE k = {_ROUGE_W * _ROUGE_W}
     """,
@@ -1907,7 +1913,7 @@ def doc_rougel_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "len_b": lb,
                     "lcs_len": ll,
                     "rouge_l_f_ppm": [
-                        (2 * l_ * 1000000) // (a_ + b_)
+                        0 if a_ + b_ == 0 else (2 * l_ * 1000000) // (a_ + b_)
                         for l_, a_, b_ in zip(ll, la, lb)
                     ],
                 }

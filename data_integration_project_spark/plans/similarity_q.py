@@ -1836,8 +1836,11 @@ def embeddings_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("neg_id"), F.col("label").alias("neg_label")
     )
     return (
+        # No broadcast hint: the id->label table is |embeddings| rows
+        # (grows with the corpus); AQE broadcasts while small, shuffles
+        # once it is not.
         tk.withColumnRenamed("neighbor_id", "neg_id")
-        .join(F.broadcast(neg_labels), "neg_id")
+        .join(neg_labels, "neg_id")
         .select(
             "query_id",
             "neg_id",

@@ -2059,12 +2059,29 @@ def multimodal_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hamming_band_pairs(fp, max_hamming=2)
 
 
+#: expand one character into its UTF-8 bytes as a LIST — the AVI
+#: payload is ENCODED BYTES, so the oracle must index byte positions,
+#: not code points (they diverge beyond ASCII; same trap the WARC
+#: oracle's _UTF8_BYTE_SUM already hardened against)
+_UTF8_BYTES = """
+  CASE WHEN ascii(c) < 128 THEN [ascii(c)]
+       WHEN ascii(c) < 2048
+         THEN [192 + ascii(c) // 64, 128 + ascii(c) % 64]
+       WHEN ascii(c) < 65536
+         THEN [224 + ascii(c) // 4096, 128 + (ascii(c) // 64) % 64,
+               128 + ascii(c) % 64]
+       ELSE [240 + ascii(c) // 262144, 128 + (ascii(c) // 4096) % 64,
+             128 + (ascii(c) // 64) % 64, 128 + ascii(c) % 64] END
+"""
+
+
 @query(
     "multimodal_video_near_dup",
-    oracle="""
+    oracle=f"""
     WITH dims AS (
       SELECT CAST(doc_id AS BIGINT) AS media_id,
-             string_split(text, '') AS sp,
+             flatten(list_transform(string_split(text, ''),
+                     c -> {_UTF8_BYTES})) AS bl,
              least(octet_length(encode(text)), 2048) AS n,
              greatest(1, (least(octet_length(encode(text)), 2048) + 7) // 8)
                AS n_frames
@@ -2072,16 +2089,16 @@ def multimodal_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     gated AS (SELECT * FROM dims WHERE n_frames >= 4),
     sl AS (
-      SELECT media_id, sp, n, n_frames, unnest(range(0, 4)) AS s
+      SELECT media_id, bl, n, n_frames, unnest(range(0, 4)) AS s
       FROM gated
     ),
     ch AS (
       SELECT media_id, s,
         CAST(list_sum(list_transform(range(0, 7), r ->
           CASE WHEN (CASE WHEN 8*((s*n_frames)//4)+r < n
-                          THEN ascii(sp[8*((s*n_frames)//4)+r+1]) ELSE 0 END)
+                          THEN bl[8*((s*n_frames)//4)+r+1] ELSE 0 END)
                   > (CASE WHEN 8*((s*n_frames)//4)+r+1 < n
-                          THEN ascii(sp[8*((s*n_frames)//4)+r+2]) ELSE 0 END)
+                          THEN bl[8*((s*n_frames)//4)+r+2] ELSE 0 END)
           THEN (1 << r) ELSE 0 END)) AS INTEGER) AS c
       FROM sl
     ),
