@@ -190,6 +190,50 @@ def stride_summary(
     )
 
 
+def level_counts(
+    base: DataFrame, group_cols: list[str], l_max: int = 20
+) -> DataFrame:
+    """Retained-set sizes of a hash-level sample at every level.
+
+    ``base`` must carry a well-mixed non-negative integer hash column
+    ``h`` (one per item — e.g. ``operators.sketch.hll_hash`` of the
+    item id). An item belongs to the level-``ℓ`` sample iff
+    ``h % 2^ℓ == 0`` — i.e. its trailing-zero count is ≥ ℓ — so the
+    level-ℓ sample is a deterministic ~1/2^ℓ subsample and the samples
+    are NESTED (level ℓ+1 ⊂ level ℓ). This is KLL's coin flip
+    de-randomized: the "coin" is a bit of the item's own hash, which is
+    what makes the sketch a pure FUNCTION OF THE SET — independent of
+    row order, partitioning, or arrival batching — and therefore
+    associatively mergeable with bit-exact merge = single-pass.
+
+    Returns one row per (group..., lvl) with the retained count
+    ``cnt``; computed as ``l_max+1`` conditional sums inside ONE
+    map-side-combined aggregate (no row explosion), so the shuffle
+    carries |groups|·1 rows of l_max+1 longs.
+    """
+    aggs = [
+        F.sum((F.col("h") % F.lit(1 << lv) == 0).cast("long")).alias(f"c{lv}")
+        for lv in range(l_max + 1)
+    ]
+    wide = base.groupBy(*group_cols).agg(*aggs)
+    stack = (
+        f"stack({l_max + 1}, "
+        + ", ".join(f"{lv}, c{lv}" for lv in range(l_max + 1))
+        + ") as (lvl, cnt)"
+    )
+    return wide.select(*group_cols, F.expr(stack))
+
+
+def level_sample_retained(base: DataFrame, level_df: DataFrame) -> DataFrame:
+    """Filter ``base`` to the level sample at the (single-row,
+    broadcastable) compaction level ``level_df`` — column ``lvl``.
+    The filter is the per-item predicate ``h % 2^lvl == 0``; at scale
+    it runs map-side on every partition independently."""
+    return base.crossJoin(F.broadcast(level_df)).filter(
+        F.col("h") % F.expr("shiftleft(CAST(1 AS BIGINT), lvl)") == 0
+    )
+
+
 def summary_quantiles(
     summary: DataFrame, probs: dict[str, tuple[int, int]]
 ) -> DataFrame:

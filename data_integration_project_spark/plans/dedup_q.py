@@ -660,6 +660,148 @@ def dedup_incremental_against_store(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 # ---------------------------------------------------------------------------
+# STREAMING near-dup ingest: banded MinHash candidates per micro-batch
+# against the static fingerprint store (streaming/neardup.py)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "streaming_neardup_ingest",
+    oracle=f"""
+    WITH incoming AS (
+      SELECT doc_id + 100000 AS doc_id, text,
+             'exact_copy' AS ingest_class
+      FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 100000, text || ' extra', 'near_copy'
+      FROM documents WHERE doc_id % 10 = 5
+      UNION ALL
+      SELECT doc_id + 200000,
+             'novel document ' || CAST(doc_id AS VARCHAR)
+               || ' unseen content payload',
+             'novel'
+      FROM documents WHERE doc_id % 10 = 2
+    ),
+    store_sh AS ({_shingles_sql_for('documents', 3)}),
+    in_sh AS ({_shingles_sql_for('incoming', 3)}),
+    params(hidx, a, b) AS (VALUES {_PARAMS_SQL}),
+    store_buckets AS (
+      SELECT DISTINCT band, bucket FROM (
+        SELECT doc_id, hidx // {_ROWS_PER_BAND} AS band,
+               string_agg(minhash, '-' ORDER BY hidx) AS bucket
+        FROM (
+          SELECT doc_id, hidx, min((a * shash + b) % 2147483647) AS minhash
+          FROM store_sh CROSS JOIN params GROUP BY doc_id, hidx
+        ) GROUP BY doc_id, hidx // {_ROWS_PER_BAND}
+      )
+    ),
+    in_buckets AS (
+      SELECT doc_id, hidx // {_ROWS_PER_BAND} AS band,
+             string_agg(minhash, '-' ORDER BY hidx) AS bucket
+      FROM (
+        SELECT doc_id, hidx, min((a * shash + b) % 2147483647) AS minhash
+        FROM in_sh CROSS JOIN params GROUP BY doc_id, hidx
+      ) GROUP BY doc_id, hidx // {_ROWS_PER_BAND}
+    ),
+    hits AS (
+      SELECT DISTINCT i.doc_id
+      FROM in_buckets i JOIN store_buckets s
+        ON i.band = s.band AND i.bucket = s.bucket
+    )
+    SELECT i.ingest_class,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_flagged,
+           CAST(SUM(CASE WHEN h.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_passed
+    FROM incoming i LEFT JOIN hits h USING (doc_id)
+    GROUP BY i.ingest_class
+    """,
+)
+def streaming_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-DUP DETECTION AT INGEST — the streaming composition of
+    [[dedup_incremental_against_store]]'s fingerprint-store contract
+    with [[events_stream_static_join]]'s stream-static equi-join: the
+    incoming document stream is flagged PER MICRO-BATCH against the
+    banded-MinHash store of everything already accepted, which is how
+    a 100 TB/day pipeline actually dedups (at the door, not as a batch
+    job over the accumulated corpus). History participates only as
+    (band, bucket) signature rows — n_bands short strings per accepted
+    document, never text.
+
+    Fixture: the store is the original corpus; the stream delivers
+    exact re-crawls of every 10th document (every band must match),
+    one-token-appended near copies of the %10==5 docs (caught iff ≥1
+    of the 4 bands survives the edit — the banding s-curve, identical
+    and deterministic on both engines), and synthesized genuinely
+    novel documents (no shingle overlap — must pass). The rollup per
+    ingest class is what an ingest monitor alerts on.
+
+    Replay idempotence (pinned in tests/test_streaming.py): each
+    micro-batch's per-doc flags land under ``batch_id=N`` with
+    OVERWRITE semantics — a checkpoint-recovery replay of batch N
+    rewrites the same directory instead of double-counting.
+
+    Scale shape: per batch, ONE codegen shuffle builds signatures
+    (operators/dedup.shingle_sets_with_signatures), then a left-semi
+    equi-join probes the store on (band, bucket) — AQE broadcasts a
+    small store, shuffles a co-partitioned large one; no watermark, no
+    state server (the store IS the state, append-only)."""
+    import tempfile
+
+    from ..streaming.neardup import build_band_store, run_neardup_ingest
+
+    d = t(spark, sf_dir, "documents")
+    # the static store: materialized once (localCheckpoint) so the
+    # per-batch probe re-reads |history|·bands tiny rows, not the plan
+    store = build_band_store(d, "doc_id", "text").localCheckpoint()
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .select("doc_id", "text")
+    )
+    did = F.col("doc_id")
+    exact = src.filter(did % 10 == 0).select(
+        (did + 100000).alias("doc_id"),
+        "text",
+        F.lit("exact_copy").alias("ingest_class"),
+    )
+    near = src.filter(did % 10 == 5).select(
+        (did + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+        F.lit("near_copy").alias("ingest_class"),
+    )
+    novel = src.filter(did % 10 == 2).select(
+        (did + 200000).alias("doc_id"),
+        F.concat(
+            F.lit("novel document "),
+            did.cast("string"),
+            F.lit(" unseen content payload"),
+        ).alias("text"),
+        F.lit("novel").alias("ingest_class"),
+    )
+    incoming = exact.unionByName(near).unionByName(novel)
+    run = tempfile.mkdtemp(prefix="neardup_ingest_")
+    run_neardup_ingest(
+        spark,
+        incoming,
+        store,
+        f"{run}/flags",
+        f"{run}/_ckpt",
+        "doc_id",
+        "text",
+    )
+    flags = spark.read.parquet(f"{run}/flags")
+    return flags.groupBy("ingest_class").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_neardup").cast("long").alias("n_flagged"),
+        F.sum(1 - F.col("_neardup")).cast("long").alias("n_passed"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Prefix-filtering set-similarity join (PPJoin family — Xiao et al.
 # 2008): the deterministic, recall-exact alternative to LSH for
 # Jaccard near-dedup.

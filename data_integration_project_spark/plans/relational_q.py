@@ -5472,6 +5472,241 @@ def orders_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# KLL-style level-sampling quantile sketch with the ASSOCIATIVE-MERGE
+# proof (operators/quantiles.level_counts) — the mergeable-sketch edge
+# estimator open since round 2: per-shard sketches built independently,
+# merged by refilter-at-max-level, proven bit-equal to the single-pass
+# sketch the way events_hll_mergeable_groups proved HLL merge.
+# ---------------------------------------------------------------------------
+
+_KLL_CAP = 256
+_KLL_LMAX = 20
+_KLL_HASH_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split(substr(md5(CAST({col} AS VARCHAR)), 1, 8), ''), "
+    "c -> CAST(CASE WHEN ascii(c) >= 97 THEN ascii(c) - 87 "
+    "ELSE ascii(c) - 48 END AS BIGINT))), (acc, d) -> acc * 16 + d)"
+)
+
+
+@query(
+    "orders_kll_quantiles",
+    oracle=f"""
+    WITH c AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+             o_orderkey AS id,
+             {_KLL_HASH_SQL.format(col="o_orderkey")} AS h,
+             o_orderkey % 4 AS shard
+      FROM orders
+    ),
+    lvls AS (SELECT unnest(range(0, {_KLL_LMAX + 1})) AS lvl),
+    shard_counts AS (
+      SELECT shard, lvl,
+             COUNT(*) FILTER (WHERE h % (CAST(1 AS BIGINT) << lvl) = 0)
+               AS cnt
+      FROM c, lvls GROUP BY shard, lvl
+    ),
+    shard_l AS (
+      SELECT shard, MIN(lvl) AS l_s FROM shard_counts
+      WHERE cnt <= {_KLL_CAP} GROUP BY shard
+    ),
+    gcounts AS (
+      SELECT lvl, SUM(cnt) AS cnt FROM shard_counts GROUP BY lvl
+    ),
+    l1 AS (SELECT MIN(lvl) AS l1 FROM gcounts WHERE cnt <= {_KLL_CAP}),
+    lm0 AS (SELECT MAX(l_s) AS lm0 FROM shard_l),
+    lstar AS (
+      SELECT MIN(lvl) AS lstar FROM gcounts, lm0
+      WHERE cnt <= {_KLL_CAP} AND lvl >= lm0
+    ),
+    union_ret AS (
+      SELECT c.* FROM c JOIN shard_l USING (shard)
+      WHERE h % (CAST(1 AS BIGINT) << l_s) = 0
+    ),
+    merged_ret AS (
+      SELECT u.v, u.id,
+             row_number() OVER (ORDER BY u.v, u.id) AS rn,
+             COUNT(*) OVER () AS n_ret
+      FROM union_ret u, lstar WHERE h % (CAST(1 AS BIGINT) << lstar) = 0
+    ),
+    single_ret AS (
+      SELECT c.v, c.id,
+             row_number() OVER (ORDER BY c.v, c.id) AS rn,
+             COUNT(*) OVER () AS n_ret
+      FROM c, l1 WHERE h % (CAST(1 AS BIGINT) << l1) = 0
+    ),
+    p AS (SELECT * FROM (VALUES ('p25', 1, 4), ('p50', 1, 2),
+                                ('p75', 3, 4), ('p90', 9, 10),
+                                ('p99', 99, 100)) AS t(label, num, den)),
+    est_s AS (
+      SELECT p.label, CAST(p.num AS DOUBLE) / p.den AS prob,
+             s.n_ret AS n_retained,
+             greatest(1, (p.num * s.n_ret + p.den - 1) // p.den)
+               AS target_rank,
+             s.v AS est_single_cents
+      FROM p JOIN single_ret s
+        ON s.rn = greatest(1, (p.num * s.n_ret + p.den - 1) // p.den)
+    ),
+    est_m AS (
+      SELECT p.label, m.v AS est_merged_cents
+      FROM p JOIN merged_ret m
+        ON m.rn = greatest(1, (p.num * m.n_ret + p.den - 1) // p.den)
+    )
+    SELECT est_s.label, est_s.prob,
+           CAST(l1.l1 AS INTEGER) AS level_single,
+           CAST(lstar.lstar AS INTEGER) AS level_merged,
+           CAST(est_s.n_retained AS BIGINT) AS n_retained,
+           CAST(est_s.n_retained * (CAST(1 AS BIGINT) << l1.l1) AS BIGINT)
+             AS n_est,
+           CAST(est_s.target_rank AS BIGINT) AS target_rank,
+           est_s.est_single_cents, est_m.est_merged_cents,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM c
+            WHERE c.v <= est_s.est_single_cents) AS true_rank_le,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_exact
+    FROM est_s JOIN est_m USING (label), l1, lstar
+    """,
+)
+def orders_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL-STYLE LEVEL-SAMPLING QUANTILE SKETCH with the associative
+    MERGE = SINGLE-PASS proof — the mergeable quantile member closing
+    the sketch roster (HLL [[events_hll_mergeable_groups]], KMV, CMS,
+    MG). KLL's random coin flips are de-randomized into bits of each
+    item's own md5 hash: the level-ℓ sample is {{i : h(i) % 2^ℓ = 0}}
+    (nested, deterministic ~1/2^ℓ subsamples), and a sketch at capacity
+    k keeps the shallowest level whose sample fits, every survivor
+    carrying weight 2^ℓ. Because membership is a pure function of the
+    ITEM — never of arrival order, batching, or partitioning — merging
+    two shard sketches (union, refilter at the max level, raise until
+    it fits) yields BIT-IDENTICALLY the sketch a single pass over the
+    union builds: the proof pair (est_merged_cents vs est_single_cents,
+    level_merged vs level_single) is computed through BOTH paths — four
+    shard sketches built independently then merged vs one global pass —
+    and the driver hash-checks they agree. That is the property that
+    lets 1000 executors sketch their splits independently and answer
+    "p99 over any union of days" by folding ≤k-row summaries.
+
+    Estimates: the level sample is an order-preserving subsample, so
+    the q-quantile estimate is the ceil(q·n_retained)-th smallest
+    retained value (exact integer rank arithmetic); true_rank_le
+    (exact rank of the estimate, via one broadcast comparison count)
+    sits beside target_rank·2^level for the realized error.
+
+    Scale shape: level counts are l_max+1 conditional sums in ONE
+    map-side-combined aggregate (operators/quantiles.level_counts — no
+    row explosion, shuffle carries |shards| wide rows); the retained
+    sets are map-side hash filters of ≤ capacity·|shards| rows; the
+    rank windows run over ≤256-row sketch panels, never data. The only
+    full-data aggregates are the count and the broadcast rank check.
+
+    Reference parity: reference computes order statistics by SQL sort
+    over staged tables (coffee_etl_clean/sql/create_merged_views.sql);
+    this is the bounded-state form of the same statistic."""
+    from ..operators.quantiles import level_counts, level_sample_retained
+    from ..operators.sketch import hll_hash
+
+    o = t(spark, sf_dir, "orders")
+    base = o.select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("v"),
+        F.col("o_orderkey").alias("id"),
+        hll_hash(F.col("o_orderkey")).alias("h"),
+        F.pmod(F.col("o_orderkey"), F.lit(4)).alias("shard"),
+    )
+    # one map-side-combined pass → 4×(l_max+1) sketch-metadata rows;
+    # localCheckpoint (house discipline): five consumers below read it
+    sc = level_counts(base, ["shard"], l_max=_KLL_LMAX).localCheckpoint()
+    shard_l = (
+        sc.filter(F.col("cnt") <= _KLL_CAP)
+        .groupBy("shard")
+        .agg(F.min("lvl").alias("l_s"))
+    )
+    gcounts = sc.groupBy("lvl").agg(F.sum("cnt").alias("cnt"))
+    l1_row = (
+        gcounts.filter(F.col("cnt") <= _KLL_CAP)
+        .agg(F.min("lvl").cast("int").alias("lvl"))
+    )
+    lm0 = shard_l.agg(F.max("l_s").alias("lm0"))
+    lstar_row = (
+        gcounts.crossJoin(F.broadcast(lm0))
+        .filter((F.col("cnt") <= _KLL_CAP) & (F.col("lvl") >= F.col("lm0")))
+        .agg(F.min("lvl").cast("int").alias("lvl"))
+    )
+    # merged path: the union of the four INDEPENDENT shard sketches,
+    # recompacted by refiltering at the merged level
+    union_ret = base.join(F.broadcast(shard_l), "shard").filter(
+        F.col("h") % F.expr("shiftleft(CAST(1 AS BIGINT), l_s)") == 0
+    )
+    w_rank = Window.orderBy("v", "id")
+    w_all = Window.partitionBy()
+
+    def ranked(ret):  # ≤ capacity-row sketch panel: bounded window
+        return ret.select("v", "id").withColumn(
+            "rn", F.row_number().over(w_rank)
+        ).withColumn("n_ret", F.count(F.lit(1)).over(w_all))
+
+    merged = ranked(level_sample_retained(union_ret, lstar_row))
+    single = ranked(level_sample_retained(base, l1_row))
+    targets = spark.createDataFrame(
+        [("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4), ("p90", 9, 10),
+         ("p99", 99, 100)],
+        schema="label string, num long, den long",
+    )
+    tgt = F.greatest(
+        F.lit(1).cast("long"),
+        F.expr("CAST((num * n_ret + den - 1) DIV den AS BIGINT)"),
+    )
+    est_s = (
+        F.broadcast(targets)
+        .join(single, single["rn"] == tgt)
+        .select(
+            "label",
+            (F.col("num").cast("double") / F.col("den")).alias("prob"),
+            F.col("n_ret").alias("n_retained"),
+            tgt.alias("target_rank"),
+            F.col("v").alias("est_single_cents"),
+        )
+    )
+    est_m = (
+        F.broadcast(targets)
+        .join(merged, merged["rn"] == tgt)
+        .select("label", F.col("v").alias("est_merged_cents"))
+    )
+    true_rank = (
+        base.join(
+            F.broadcast(est_s.select("label", "est_single_cents")),
+            F.col("v") <= F.col("est_single_cents"),
+        )
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("true_rank_le"))
+    )
+    n_exact = base.agg(F.count(F.lit(1)).alias("n_exact"))
+    return (
+        est_s.join(est_m, "label")
+        .join(F.broadcast(true_rank), "label")
+        .crossJoin(F.broadcast(l1_row.select(F.col("lvl").alias("level_single"))))
+        .crossJoin(F.broadcast(lstar_row.select(F.col("lvl").alias("level_merged"))))
+        .crossJoin(F.broadcast(n_exact))
+        .select(
+            "label",
+            "prob",
+            "level_single",
+            "level_merged",
+            "n_retained",
+            F.expr(
+                "CAST(n_retained * shiftleft(CAST(1 AS BIGINT), level_single)"
+                " AS BIGINT)"
+            ).alias("n_est"),
+            "target_rank",
+            "est_single_cents",
+            "est_merged_cents",
+            "true_rank_le",
+            "n_exact",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Weighted sampling without replacement: priority sampling
 # (operators/sampling.priority_sample) — the corpus-subsampling
 # primitive with calibrated totals.

@@ -150,3 +150,59 @@ def test_manifest_sink_replay_idempotent(spark, tmp_path):
     got, n_batches = read_manifested(spark, out)
     assert n_batches == 1
     assert sorted(r["v"] for r in got.collect()) == list(range(10))
+
+
+def test_neardup_ingest_replay_idempotent(spark, sf_small):
+    """foreachBatch replay contract: re-processing the same micro-batch
+    id overwrites its own prior output, so flags and the final rollup
+    are replay-invariant (checkpoint-recovery re-delivers the last
+    uncommitted batch with the SAME batch_id)."""
+    import os
+    import tempfile
+
+    from data_integration_project_spark.streaming.neardup import (
+        batch_neardup_flags,
+        build_band_store,
+    )
+
+    docs = spark.read.schema(TESTDATA["documents"]).parquet(
+        f"{sf_small}/documents.parquet"
+    ).select("doc_id", "text")
+    store = build_band_store(docs, "doc_id", "text").localCheckpoint()
+    batch = docs.limit(40)
+
+    out = tempfile.mkdtemp(prefix="neardup_replay_")
+    target = os.path.join(out, "batch_id=0")
+    for _ in range(2):  # deliver batch 0 twice — replay
+        batch_neardup_flags(batch, store, "doc_id", "text").write.mode(
+            "overwrite"
+        ).parquet(target)
+    flags = spark.read.parquet(target)
+    n = batch.count()
+    assert flags.count() == n  # no double-counting after replay
+    assert flags.select("doc_id").distinct().count() == n
+    # every replayed doc is an exact member of the store → all flagged
+    assert flags.agg(F.sum("_neardup")).collect()[0][0] == n
+
+
+def test_neardup_short_docs_pass(spark):
+    """Documents too short to shingle produce no buckets and PASS —
+    the gate must not crash or flag them."""
+    from data_integration_project_spark.streaming.neardup import (
+        batch_neardup_flags,
+        build_band_store,
+    )
+
+    hist = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], ["doc_id", "text"]
+    )
+    store = build_band_store(hist, "doc_id", "text").localCheckpoint()
+    batch = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon"), (11, "too short")],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r["_neardup"]
+        for r in batch_neardup_flags(batch, store, "doc_id", "text").collect()
+    }
+    assert rows == {10: 1, 11: 0}
