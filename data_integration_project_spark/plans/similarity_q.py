@@ -210,8 +210,17 @@ def embeddings_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         return tk.withColumn(
             "c", F.round(F.col("cos_sim") * 1000000000).cast("long")
         )
-    ta = side(A, B)
-    tb = side(B, A)
+
+    return _mine_margin_pairs(side(A, B), side(B, A))
+
+
+def _mine_margin_pairs(ta: DataFrame, tb: DataFrame) -> DataFrame:
+    """Artetxe-Schwenk margin mining from per-direction top-4 tables
+    ``(query_id, neighbor_id, c, rank)`` (c = cosine in exact integer
+    ppb): mutual-best pairs whose ratio margin — cosine over the mean
+    of both sides' top-4 neighborhood cosines — clears 1.10, in exact
+    integer arithmetic. Shared by the exact and SRP-bucketed miners;
+    everything here runs on |A|+|B| best-match rows."""
     besta = ta.filter(F.col("rank") == 1).select(
         F.col("query_id").alias("id_a"),
         F.col("neighbor_id").alias("best_b"),
@@ -245,6 +254,321 @@ def embeddings_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("best_b").alias("id_b"),
         F.col("c_ab").alias("cos_ppb"),
         "margin_ppb",
+    )
+
+
+def _dlit(v: float) -> str:
+    """DOUBLE literal for DuckDB: repr plus an exponent marker — a bare
+    decimal literal (even inside CAST([...] AS DOUBLE[])) materializes
+    as DECIMAL first and loses the exact round-trip; an 'e'-form
+    literal types as DOUBLE natively."""
+    r = repr(v)
+    return r if "e" in r or "E" in r else r + "e0"
+
+
+def _sql_srp_planes_values(n_planes: int, n_tables: int, dim: int = 64) -> str:
+    """VALUES rows (_table, _pw, comps) carrying the md5-derived
+    hyperplane components as literal DOUBLE lists — the DuckDB twin of
+    ``srp_bucket``'s driver-side plane literals. ``repr`` emits the
+    shortest round-trip decimal, which both engines parse to the
+    identical double, so buckets are bit-identical by construction.
+    (The previous affine-arithmetic planes were shifts of one lattice;
+    see operators/similarity.md5_plane_components.)"""
+    from ..operators.similarity import md5_plane_components
+
+    rows = []
+    for table in range(n_tables):
+        for p in range(n_planes):
+            comps = md5_plane_components(table, p)[:dim]
+            lst = "[" + ", ".join(_dlit(v) for v in comps) + "]"
+            rows.append(f"({table}, {1 << p}, {lst})")
+    return ",\n      ".join(rows)
+
+
+def _sql_srp_buck_cte(src: str, vec: str, n_planes: int, n_tables: int) -> str:
+    """planes/dots/buck CTE fragment: per-(vector, table) SRP bucket id
+    via SUM of power-of-two bits over the plane dots. Fold order and
+    multiplication order match srp_bucket exactly."""
+    dot = (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(range(1, len(e.{vec})+1), "
+        f"i -> CAST(e.{vec}[i] AS DOUBLE) * p.comps[i])), (x, y) -> x + y)"
+    )
+    return f"""
+    planes AS (
+      SELECT * FROM (VALUES
+      {_sql_srp_planes_values(n_planes, n_tables)}
+      ) AS p(_table, _pw, comps)
+    ),
+    dots AS (
+      SELECT e.vec_id, p._table, p._pw, {dot} AS dot
+      FROM {src} e CROSS JOIN planes p
+    ),
+    buck AS MATERIALIZED (
+      SELECT vec_id, _table,
+             CAST(SUM(CASE WHEN dot > 0 THEN _pw ELSE 0 END) AS INTEGER)
+               AS _bucket
+      FROM dots GROUP BY vec_id, _table
+    )"""
+
+
+
+_BITEXT_SRP_PLANES, _BITEXT_SRP_TABLES = 4, 4
+
+#: exact-leg CTE block shared wording with embeddings_bitext_mining's
+#: oracle (same fixture, same arithmetic) — emits pairs_exact(ia, ib)
+_BITEXT_EXACT_PAIRS_SQL = f"""
+    A AS (SELECT vec_id, embedding FROM embeddings WHERE label % 2 = 0),
+    B AS (SELECT vec_id, embedding FROM embeddings WHERE label % 2 = 1),
+    ab AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             {_cos('a.embedding', 'b.embedding')} AS cs
+      FROM A a, B b
+    ),
+    ra AS (SELECT ia, ib, CAST(round(cs * 1000000000) AS BIGINT) AS c,
+                  row_number() OVER (PARTITION BY ia
+                                     ORDER BY cs DESC, ib) AS rk
+           FROM ab),
+    rb AS (SELECT ia, ib, CAST(round(cs * 1000000000) AS BIGINT) AS c,
+                  row_number() OVER (PARTITION BY ib
+                                     ORDER BY cs DESC, ia) AS rk
+           FROM ab),
+    besta AS (SELECT ia, ib AS best_b, c AS c_ab FROM ra WHERE rk = 1),
+    bestb AS (SELECT ib, ia AS best_a FROM rb WHERE rk = 1),
+    s4a AS (SELECT ia, SUM(c) AS s4 FROM ra WHERE rk <= 4 GROUP BY ia),
+    s4b AS (SELECT ib, SUM(c) AS s4 FROM rb WHERE rk <= 4 GROUP BY ib),
+    pairs_exact AS (
+      SELECT ba.ia, ba.best_b AS ib
+      FROM besta ba
+      JOIN bestb bb ON bb.ib = ba.best_b AND bb.best_a = ba.ia
+      JOIN s4a sa ON sa.ia = ba.ia
+      JOIN s4b sb ON sb.ib = ba.best_b
+      WHERE sa.s4 + sb.s4 > 0
+        AND (ba.c_ab * 8 * 1000000000) // (sa.s4 + sb.s4) > 1100000000
+    )
+"""
+
+
+@query(
+    "embeddings_bitext_mining_srp",
+    oracle=f"""
+    WITH {_sql_srp_buck_cte("embeddings", "embedding",
+                            _BITEXT_SRP_PLANES, _BITEXT_SRP_TABLES)},
+    {_BITEXT_EXACT_PAIRS_SQL},
+    cand AS (
+      SELECT DISTINCT qa.vec_id AS ia, qb.vec_id AS ib
+      FROM buck qa
+      JOIN buck qb ON qa._table = qb._table AND qa._bucket = qb._bucket
+      JOIN A a ON a.vec_id = qa.vec_id
+      JOIN B b ON b.vec_id = qb.vec_id
+    ),
+    sc AS (
+      SELECT cand.ia, cand.ib, {_cos('a.embedding', 'b.embedding')} AS cs
+      FROM cand JOIN A a ON a.vec_id = cand.ia
+                JOIN B b ON b.vec_id = cand.ib
+    ),
+    sra AS (SELECT ia, ib, CAST(round(cs * 1000000000) AS BIGINT) AS c,
+                   row_number() OVER (PARTITION BY ia
+                                      ORDER BY cs DESC, ib) AS rk
+            FROM sc),
+    srb AS (SELECT ia, ib, CAST(round(cs * 1000000000) AS BIGINT) AS c,
+                   row_number() OVER (PARTITION BY ib
+                                      ORDER BY cs DESC, ia) AS rk
+            FROM sc),
+    sbesta AS (SELECT ia, ib AS best_b, c AS c_ab FROM sra WHERE rk = 1),
+    sbestb AS (SELECT ib, ia AS best_a FROM srb WHERE rk = 1),
+    ss4a AS (SELECT ia, SUM(c) AS s4 FROM sra WHERE rk <= 4 GROUP BY ia),
+    ss4b AS (SELECT ib, SUM(c) AS s4 FROM srb WHERE rk <= 4 GROUP BY ib),
+    pairs_srp AS (
+      SELECT ba.ia, ba.best_b AS ib
+      FROM sbesta ba
+      JOIN sbestb bb ON bb.ib = ba.best_b AND bb.best_a = ba.ia
+      JOIN ss4a sa ON sa.ia = ba.ia
+      JOIN ss4b sb ON sb.ib = ba.best_b
+      WHERE sa.s4 + sb.s4 > 0
+        AND (ba.c_ab * 8 * 1000000000) // (sa.s4 + sb.s4) > 1100000000
+    ),
+    sizes AS (
+      SELECT (SELECT COUNT(*) FROM A) * (SELECT COUNT(*) FROM B)
+               AS n_all_pairs,
+             (SELECT COUNT(*) FROM cand) AS n_cand_pairs,
+             (SELECT COUNT(*) FROM pairs_exact) AS n_pairs_exact,
+             (SELECT COUNT(*) FROM pairs_srp) AS n_pairs_srp,
+             (SELECT COUNT(*) FROM pairs_exact e
+              JOIN pairs_srp s ON e.ia = s.ia AND e.ib = s.ib) AS n_common
+    )
+    SELECT CAST(n_all_pairs AS BIGINT) AS n_all_pairs,
+           CAST(n_cand_pairs AS BIGINT) AS n_cand_pairs,
+           CAST(n_cand_pairs * 1000000 // n_all_pairs AS BIGINT)
+             AS cand_ppm,
+           CAST(n_pairs_exact AS BIGINT) AS n_pairs_exact,
+           CAST(n_pairs_srp AS BIGINT) AS n_pairs_srp,
+           CAST(n_common AS BIGINT) AS n_common,
+           CAST(CASE WHEN n_pairs_exact = 0 THEN 1000000
+                     ELSE n_common * 1000000 // n_pairs_exact END AS BIGINT)
+             AS recall_ppm,
+           CAST(CASE WHEN n_pairs_srp = 0 THEN 1000000
+                     ELSE n_common * 1000000 // n_pairs_srp END AS BIGINT)
+             AS precision_ppm
+    FROM sizes
+    """,
+)
+def embeddings_bitext_mining_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE BITEXT MINER'S 100 TB SCALE PATH, EXECUTED — not just named:
+    [[embeddings_bitext_mining]]'s docstring points at SRP/IVF
+    candidate generation as the drop-in for the brute-force top-4; this
+    query RUNS the SRP-bucketed variant and reports its MUTUAL-BEST
+    RECALL against the exact miner on the same fixture, mirroring how
+    [[ann_srp_bucketed]] proves itself against [[ann_cosine_topk]].
+    Candidates are pairs sharing an SRP bucket in ANY of 4 independent
+    4-plane tables (md5-derived literal hyperplanes — the oracle
+    rebuilds them bit-for-bit); margins, mutual-best, and the 1.10
+    threshold run UNCHANGED on the candidate set (the shared
+    _mine_margin_pairs core), so the only approximation is which pairs
+    were ever scored. The one-row report carries the scale evidence: a
+    candidate fraction (cand_ppm — the fraction of |A|·|B| actually
+    scored) next to recall/precision vs the exact pair set, which is
+    the curve a production miner tunes (more planes → fewer
+    candidates, lower recall; more tables → the reverse).
+
+    The exact leg rides along as the evaluation harness — at fixture
+    scale it is the cheap side; at 100 TB it is exactly the thing the
+    SRP leg exists to avoid, and recall is instead spot-checked on a
+    sampled panel.
+
+    Scale shape: bucketing is a map-side projection per (vector,
+    table); the candidate join is an equi-join on (table, bucket); the
+    margin stage runs on candidate rows only. No global windows over
+    data — the per-side rank windows partition by vector id."""
+    from ..functions.vectors import dot
+
+    e = t(spark, sf_dir, "embeddings")
+    A = e.filter(F.col("label") % 2 == 0).select("vec_id", "embedding")
+    B = e.filter(F.col("label") % 2 == 1).select("vec_id", "embedding")
+    dim = S.observed_dim(e, "embedding")
+
+    def bucketed(df: DataFrame, idn: str) -> DataFrame:
+        tables = F.array(
+            *[
+                S.srp_bucket(
+                    F.col("embedding"), _BITEXT_SRP_PLANES, tbl, dim
+                )
+                for tbl in range(_BITEXT_SRP_TABLES)
+            ]
+        )
+        return df.select(
+            F.col("vec_id").alias(idn), tables.alias("_tables")
+        ).select(idn, F.posexplode("_tables").alias("_table", "_bucket"))
+
+    cand = (
+        bucketed(A, "ia")
+        .join(bucketed(B, "ib"), ["_table", "_bucket"])
+        .select("ia", "ib")
+        .distinct()
+    )
+    # per-vector norms factored out of the pair loop: sqrt(v·v) is a
+    # pure per-vector value, so computing it once per side (|A|+|B|
+    # folds) instead of twice per candidate (2·|cand| folds) keeps the
+    # double expression tree — dot / (sqrt(x) * sqrt(y)) — identical to
+    # the oracle's _cos while cutting the interpreted fold count 3×
+    va = A.select(
+        F.col("vec_id").alias("ia"),
+        F.col("embedding").alias("_va"),
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("_na"),
+    )
+    vb = B.select(
+        F.col("vec_id").alias("ib"),
+        F.col("embedding").alias("_vb"),
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("_nb"),
+    )
+    # localCheckpoint (house discipline for reused sketch-sized panels):
+    # the candidate scoring — the expensive fold-cosine pass — feeds
+    # FOUR margin-stage consumers (best/top-4 per direction); without
+    # materialization each consumer replays the join + fold (measured
+    # 33s → 8s at sf0.1)
+    scored = (
+        cand.join(va, "ia")
+        .join(vb, "ib")
+        .select(
+            "ia",
+            "ib",
+            (
+                dot(F.col("_va"), F.col("_vb"))
+                / (F.col("_na") * F.col("_nb"))
+            ).alias("cs"),
+        )
+        .withColumn("c", F.round(F.col("cs") * 1000000000).cast("long"))
+        .localCheckpoint()
+    )
+    wa = Window.partitionBy("ia").orderBy(F.desc("cs"), F.asc("ib"))
+    wb = Window.partitionBy("ib").orderBy(F.desc("cs"), F.asc("ia"))
+    ta = (
+        scored.withColumn("rank", F.row_number().over(wa))
+        .filter(F.col("rank") <= 4)
+        .select(
+            F.col("ia").alias("query_id"),
+            F.col("ib").alias("neighbor_id"),
+            "c",
+            "rank",
+        )
+        .localCheckpoint()
+    )
+    tb = (
+        scored.withColumn("rank", F.row_number().over(wb))
+        .filter(F.col("rank") <= 4)
+        .select(
+            F.col("ib").alias("query_id"),
+            F.col("ia").alias("neighbor_id"),
+            "c",
+            "rank",
+        )
+        .localCheckpoint()
+    )
+    pairs_srp = _mine_margin_pairs(ta, tb).select("id_a", "id_b")
+
+    def exact_side(qs: DataFrame, corpus: DataFrame) -> DataFrame:
+        # ≤ 4·|side| rows; materialized so the margin stage's three
+        # consumers don't each replay the BLAS pass
+        tk = S.brute_force_topk_pandas(qs, corpus, "vec_id", "embedding", k=4)
+        return tk.withColumn(
+            "c", F.round(F.col("cos_sim") * 1000000000).cast("long")
+        ).localCheckpoint()
+
+    pairs_exact = _mine_margin_pairs(
+        exact_side(A, B), exact_side(B, A)
+    ).select("id_a", "id_b")
+
+    n_a = A.agg(F.count(F.lit(1)).alias("n_a"))
+    n_b = B.agg(F.count(F.lit(1)).alias("n_b"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_cand_pairs"))
+    n_e = pairs_exact.agg(F.count(F.lit(1)).alias("n_pairs_exact"))
+    n_s = pairs_srp.agg(F.count(F.lit(1)).alias("n_pairs_srp"))
+    n_c = pairs_exact.join(pairs_srp, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).alias("n_common")
+    )
+    return (
+        n_a.crossJoin(n_b)
+        .crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_e))
+        .crossJoin(F.broadcast(n_s))
+        .crossJoin(F.broadcast(n_c))
+        .select(
+            (F.col("n_a") * F.col("n_b")).cast("long").alias("n_all_pairs"),
+            F.col("n_cand_pairs").cast("long"),
+            F.expr("CAST((n_cand_pairs * 1000000) DIV (n_a * n_b) AS BIGINT)")
+            .alias("cand_ppm"),
+            F.col("n_pairs_exact").cast("long"),
+            F.col("n_pairs_srp").cast("long"),
+            F.col("n_common").cast("long"),
+            F.expr(
+                "CAST(CASE WHEN n_pairs_exact = 0 THEN 1000000 "
+                "ELSE (n_common * 1000000) DIV n_pairs_exact END AS BIGINT)"
+            ).alias("recall_ppm"),
+            F.expr(
+                "CAST(CASE WHEN n_pairs_srp = 0 THEN 1000000 "
+                "ELSE (n_common * 1000000) DIV n_pairs_srp END AS BIGINT)"
+            ).alias("precision_ppm"),
+        )
     )
 
 
@@ -507,61 +831,6 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(
         queries, e, "vec_id", "embedding", k=5, n_clusters=16, n_probe=6, n_iters=3
     )
-
-
-def _dlit(v: float) -> str:
-    """DOUBLE literal for DuckDB: repr plus an exponent marker — a bare
-    decimal literal (even inside CAST([...] AS DOUBLE[])) materializes
-    as DECIMAL first and loses the exact round-trip; an 'e'-form
-    literal types as DOUBLE natively."""
-    r = repr(v)
-    return r if "e" in r or "E" in r else r + "e0"
-
-
-def _sql_srp_planes_values(n_planes: int, n_tables: int, dim: int = 64) -> str:
-    """VALUES rows (_table, _pw, comps) carrying the md5-derived
-    hyperplane components as literal DOUBLE lists — the DuckDB twin of
-    ``srp_bucket``'s driver-side plane literals. ``repr`` emits the
-    shortest round-trip decimal, which both engines parse to the
-    identical double, so buckets are bit-identical by construction.
-    (The previous affine-arithmetic planes were shifts of one lattice;
-    see operators/similarity.md5_plane_components.)"""
-    from ..operators.similarity import md5_plane_components
-
-    rows = []
-    for table in range(n_tables):
-        for p in range(n_planes):
-            comps = md5_plane_components(table, p)[:dim]
-            lst = "[" + ", ".join(_dlit(v) for v in comps) + "]"
-            rows.append(f"({table}, {1 << p}, {lst})")
-    return ",\n      ".join(rows)
-
-
-def _sql_srp_buck_cte(src: str, vec: str, n_planes: int, n_tables: int) -> str:
-    """planes/dots/buck CTE fragment: per-(vector, table) SRP bucket id
-    via SUM of power-of-two bits over the plane dots. Fold order and
-    multiplication order match srp_bucket exactly."""
-    dot = (
-        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
-        f"list_transform(range(1, len(e.{vec})+1), "
-        f"i -> CAST(e.{vec}[i] AS DOUBLE) * p.comps[i])), (x, y) -> x + y)"
-    )
-    return f"""
-    planes AS (
-      SELECT * FROM (VALUES
-      {_sql_srp_planes_values(n_planes, n_tables)}
-      ) AS p(_table, _pw, comps)
-    ),
-    dots AS (
-      SELECT e.vec_id, p._table, p._pw, {dot} AS dot
-      FROM {src} e CROSS JOIN planes p
-    ),
-    buck AS MATERIALIZED (
-      SELECT vec_id, _table,
-             CAST(SUM(CASE WHEN dot > 0 THEN _pw ELSE 0 END) AS INTEGER)
-               AS _bucket
-      FROM dots GROUP BY vec_id, _table
-    )"""
 
 
 @query(

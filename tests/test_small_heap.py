@@ -31,7 +31,10 @@ for name in ["customer_golden_records", "dedup_clusters_largestar",
              # and the double-global-sort locality audit
              "corpus_dedup_cascade", "embeddings_bitext_mining",
              "embeddings_pca_power_iteration",
-             "doc_simhash_sort_locality"]:
+             "doc_simhash_sort_locality",
+             # round-5 heavies: the SRP-vs-exact recall harness (two
+             # miners in one plan) and the streaming banded-store probe
+             "embeddings_bitext_mining_srp", "streaming_neardup_ingest"]:
     n = qs[name](spark, "/root/testdata/sf0.01").count()
     print("HEAPCANARY", name, n, flush=True)
 print("HEAPCANARY ALL_OK", flush=True)
