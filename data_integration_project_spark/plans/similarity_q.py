@@ -2122,24 +2122,23 @@ def embeddings_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pca_it_cte(k: int) -> str:
-    p = f"v{k-1}"
+def _pca_it_cte(k: int, mat: str = "cov", vp: str = "v") -> str:
+    p = f"{vp}{k-1}"
     return f"""
-mv{k} AS MATERIALIZED (
+m{vp}{k} AS MATERIALIZED (
   SELECT s.i, SUM(s.s * v.val) AS raw
-  FROM cov s JOIN {p} v ON v.i = s.j GROUP BY s.i
+  FROM {mat} s JOIN {p} v ON v.i = s.j GROUP BY s.i
 ),
-v{k} AS MATERIALIZED (
+{vp}{k} AS MATERIALIZED (
   SELECT i, raw // (SELECT GREATEST(MAX(abs(raw)) // 1000000, 1)
-                    FROM mv{k}) AS val
-  FROM mv{k}
+                    FROM m{vp}{k}) AS val
+  FROM m{vp}{k}
 )"""
 
 
-@query(
-    "embeddings_pca_power_iteration",
-    oracle="""
-    WITH q AS MATERIALIZED (
+#: shared exact-integer covariance CTE block (q → mean → cent → cov) —
+#: the DuckDB twin of _pca_cov_panel
+_PCA_COV_SQL = """q AS MATERIALIZED (
       SELECT vec_id, i,
              CAST(round(CAST(e AS DOUBLE) * 1000000) AS BIGINT) AS xq
       FROM (SELECT vec_id, unnest(embedding) AS e,
@@ -2156,7 +2155,15 @@ v{k} AS MATERIALIZED (
       SELECT a.i, b.i AS j, SUM(a.c * b.c) // 1000000 AS s
       FROM cent a JOIN cent b ON b.vec_id = a.vec_id
       GROUP BY a.i, b.i
-    ),
+    )"""
+
+
+@query(
+    "embeddings_pca_power_iteration",
+    oracle="""
+    WITH """
+    + _PCA_COV_SQL
+    + """,
     v0 AS (SELECT i, CAST(1000000 AS BIGINT) AS val FROM mean),"""
     + ",".join(_pca_it_cte(k) for k in range(1, 7))
     + """
@@ -2198,6 +2205,31 @@ def embeddings_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFram
     outer products into the same d² cells); iterations ride the driver
     on the bounded panel."""
     e = t(spark, sf_dir, "embeddings")
+    S_, dims, trace = _pca_cov_panel(spark, e)
+    lam, v = _pca_power_iterate(S_, dims, rounds=6)
+    top = max(dims, key=lambda i: (abs(v[i]), -i))
+    out = [
+        (
+            int(lam),
+            int(trace),
+            int((lam * 10**6) // trace),
+            int(sum(i * v[i] for i in dims)),
+            int(top),
+        )
+    ]
+    return spark.createDataFrame(
+        out,
+        "lambda_est long, trace_total long, share_ppm long, "
+        "vec_checksum long, top_dim int",
+    )
+
+
+def _pca_cov_panel(spark: SparkSession, e: DataFrame):
+    """(S, dims, trace): the exact-integer d×d covariance panel of the
+    embedding table — micro-unit quantization, per-batch int64 outer
+    products (numpy matmul — exact), one tiny d² groupBy merge, and a
+    driver collect of the BOUNDED panel. Shared by the one- and
+    two-component PCA queries."""
     q = e.select(
         "vec_id", F.posexplode("embedding").alias("i0", "x")
     ).select(
@@ -2252,33 +2284,135 @@ def embeddings_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFram
     S = {(r["i"], r["j"]): r["s"] for r in cov_rows}
     dims = sorted({i for i, _ in S})
     trace = sum(S[(i, i)] for i in dims)
+    return S, dims, trace
 
-    def tdiv(a: int, b: int) -> int:
-        # truncate toward zero — Spark div / DuckDB // semantics
-        return -((-a) // b) if a < 0 else a // b
 
+def _pca_tdiv(a: int, b: int) -> int:
+    # truncate toward zero — Spark div / DuckDB // semantics
+    return -((-a) // b) if a < 0 else a // b
+
+
+def _pca_power_iterate(S: dict, dims: list, rounds: int = 6):
+    """(lam, v): ``rounds`` integer power-iteration steps on the
+    collected panel, max-abs renormalization to 1e6 per round, every
+    division truncating toward zero."""
     v = {i: 10**6 for i in dims}
     lam = 1
-    for _ in range(6):
+    for _ in range(rounds):
         raw = {
             i: sum(S[(i, j)] * v[j] for j in dims if (i, j) in S)
             for i in dims
         }
         d_ = max(max(abs(x) for x in raw.values()) // 10**6, 1)
         lam = d_
-        v = {i: tdiv(raw[i], d_) for i in dims}
-    top = max(dims, key=lambda i: (abs(v[i]), -i))
-    out = [
-        (
+        v = {i: _pca_tdiv(raw[i], d_) for i in dims}
+    return lam, v
+
+
+@query(
+    "embeddings_pca_two_components",
+    oracle="""
+    WITH """
+    + _PCA_COV_SQL
+    + """,
+    v0 AS (SELECT i, CAST(1000000 AS BIGINT) AS val FROM mean),"""
+    + ",".join(_pca_it_cte(k) for k in range(1, 7))
+    + """,
+    lam1 AS (SELECT MAX(abs(raw)) // 1000000 AS lam FROM mv6),
+    vd AS MATERIALIZED (SELECT i, val // 1000 AS vd FROM v6),
+    n2d AS (SELECT SUM(vd * vd) AS n2 FROM vd),
+    cov2 AS MATERIALIZED (
+      SELECT s.i, s.j,
+             s.s - ((SELECT lam FROM lam1) * a.vd * b.vd)
+                   // (SELECT n2 FROM n2d) AS s
+      FROM cov s JOIN vd a ON a.i = s.i JOIN vd b ON b.i = s.j
+    ),
+    w0 AS (SELECT i, CAST(1000000 AS BIGINT) AS val FROM mean),"""
+    + ",".join(_pca_it_cte(k, mat="cov2", vp="w") for k in range(1, 7))
+    + """,
+    lam2 AS (SELECT MAX(abs(raw)) // 1000000 AS lam FROM mw6),
+    tr AS (SELECT SUM(s) AS trace FROM cov WHERE i = j),
+    ortho AS (SELECT SUM(a.val * b.val) AS o
+              FROM v6 a JOIN w6 b ON b.i = a.i)
+    SELECT 1 AS component,
+           CAST((SELECT lam FROM lam1) AS BIGINT) AS lambda_est,
+           CAST(((SELECT lam FROM lam1) * 1000000)
+                // (SELECT trace FROM tr) AS BIGINT) AS share_ppm,
+           CAST((SELECT SUM(i * val) FROM v6) AS BIGINT) AS vec_checksum,
+           CAST((SELECT MIN(i) FROM v6
+                 WHERE abs(val) = (SELECT MAX(abs(val)) FROM v6))
+                AS INTEGER) AS top_dim,
+           CAST((SELECT o FROM ortho) AS BIGINT) AS ortho_raw
+    UNION ALL
+    SELECT 2,
+           CAST((SELECT lam FROM lam2) AS BIGINT),
+           CAST(((SELECT lam FROM lam2) * 1000000)
+                // (SELECT trace FROM tr) AS BIGINT),
+           CAST((SELECT SUM(i * val) FROM w6) AS BIGINT),
+           CAST((SELECT MIN(i) FROM w6
+                 WHERE abs(val) = (SELECT MAX(abs(val)) FROM w6))
+                AS INTEGER),
+           CAST((SELECT o FROM ortho) AS BIGINT)
+    """,
+)
+def embeddings_pca_two_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-COMPONENT PCA VIA INTEGER DEFLATION — the step that turns
+    [[embeddings_pca_power_iteration]]'s single-direction primitive
+    into an actual k-component decorrelator (the whitening transform
+    semdedup / DSIR preprocessing wants): after the top component
+    (λ1, v1) converges, the rank-1 term λ1·v̂v̂ᵀ is subtracted from the
+    covariance panel IN THE SAME INTEGER ARITHMETIC and the iteration
+    reruns on the deflated matrix for (λ2, v2). To keep every product
+    inside int64, v1 requantizes from micro-units to KILO-units for
+    the deflation (λ1·vd_i·vd_j ≤ λ1·10⁶ — the explicit overflow
+    budget; the ~1e-3 quantization leak is far below the residual of
+    six-round convergence and identical on both engines). Every
+    division truncates toward zero (Spark div / DuckDB // — the
+    Python-// pitfall), so deflated cells, both eigenpairs, and the
+    cross-component dot are bit-reproducible.
+
+    Reported per component: λ, its variance share (λ/trace ppm), the
+    position-weighted eigenvector checksum, the top loading dimension
+    — plus ortho_raw = v1·v2 in micro-unit² (self-dots are ~10¹³), the
+    orthogonality checksum that catches a botched deflation instantly
+    (a sign error or missing normalization reads ~the self-dot scale).
+    Calibration note: this fixture is deliberately near-isotropic —
+    share_ppm ≈ 24.5k vs 23.6k against a 15.6k flat-spectrum baseline
+    — so six rounds leave measurable eigenvector cross-talk and the
+    checksum REPORTS that residual (|v1·v2| ≈ 9% of the self-dot
+    scale) rather than asserting zero; on a spiked spectrum (λ1 ≫ λ2,
+    the real-corpus case) the same arithmetic drives it toward 0.
+
+    Scale shape: identical to the one-component query — the corpus is
+    touched ONCE for the d² covariance panel (per-batch int64 outer
+    products); deflation and both iteration chains ride the driver on
+    the bounded panel. Extending to k components is k repetitions of
+    the same panel-sized step, never another corpus pass."""
+    e = t(spark, sf_dir, "embeddings")
+    S_, dims, trace = _pca_cov_panel(spark, e)
+    lam1, v1 = _pca_power_iterate(S_, dims, rounds=6)
+    vd = {i: _pca_tdiv(v1[i], 1000) for i in dims}
+    n2d = sum(x * x for x in vd.values())
+    S2 = {
+        (i, j): S_[(i, j)] - _pca_tdiv(lam1 * vd[i] * vd[j], n2d)
+        for (i, j) in S_
+    }
+    lam2, v2 = _pca_power_iterate(S2, dims, rounds=6)
+    ortho = sum(v1[i] * v2[i] for i in dims)
+
+    def row(comp: int, lam: int, v: dict) -> tuple:
+        top = max(dims, key=lambda i: (abs(v[i]), -i))
+        return (
+            comp,
             int(lam),
-            int(trace),
             int((lam * 10**6) // trace),
             int(sum(i * v[i] for i in dims)),
             int(top),
+            int(ortho),
         )
-    ]
+
     return spark.createDataFrame(
-        out,
-        "lambda_est long, trace_total long, share_ppm long, "
-        "vec_checksum long, top_dim int",
+        [row(1, lam1, v1), row(2, lam2, v2)],
+        "component int, lambda_est long, share_ppm long, "
+        "vec_checksum long, top_dim int, ortho_raw long",
     )

@@ -441,3 +441,112 @@ def test_warc_framing_roundtrip_and_errors():
     # concatenation of many pairs parses record-by-record
     many = b"".join(encode_warc_pair(i, f"doc {i}".encode()) for i in range(5))
     assert len(parse_warc(many)) == 10
+
+
+def _jpeg_qblocks_payload(qblocks):
+    from data_integration_project_spark.operators.multimodal import (
+        _jpeg_container,
+        _jpeg_encode_scan,
+    )
+
+    return _jpeg_container(_jpeg_encode_scan(qblocks), 8, 8 * len(qblocks))
+
+
+def _jpeg_expected_stats(qblocks):
+    """Reference pixel stats from the SCALAR from-spec IDCT — what
+    decode_jpeg's einsum path must reproduce exactly."""
+    from data_integration_project_spark.operators.multimodal import (
+        _JPEG_Q,
+        _JPEG_ZIGZAG,
+        _jpeg_idct_block,
+    )
+
+    sums, means = [], []
+    for zz in qblocks:
+        deq = [c * _JPEG_Q for c in zz]
+        raster = [0] * 64
+        for k in range(64):
+            raster[_JPEG_ZIGZAG[k]] = deq[k]
+        px = _jpeg_idct_block(raster)
+        s = sum(px)
+        sums.append(s)
+        # decode_jpeg: DC-only means are the exact constant, AC means s//64
+        means.append(px[0] if not any(raster[1:]) else s // 64)
+    return (
+        sum(sums),
+        sum((i + 1) * m for i, m in enumerate(means)),
+    )
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(-255, 255),  # DC
+            st.lists(  # sparse nonzero ACs at random zigzag slots
+                st.tuples(
+                    st.integers(1, 63),
+                    st.integers(-300, 300).filter(lambda v: v != 0),
+                ),
+                max_size=6,
+            ),
+        ),
+        min_size=1,
+        max_size=11,  # > 2×DRI: restart resync with AC blocks present
+    )
+)
+def test_jpeg_general_coefficient_roundtrip(spec):
+    """The last untested quadrant of the JPEG codec (VERDICT r4 item
+    8): GENERAL coefficient blocks — nonzero ACs, ZRL runs, EOB-less
+    blocks, restart boundaries with live AC state — must (a) entropy
+    round-trip to the exact quantized coefficients and (b) produce
+    einsum-IDCT pixel stats equal to the scalar from-spec reference
+    through the REAL decode_jpeg path."""
+    from data_integration_project_spark.operators.multimodal import (
+        _JPEG_DRI,
+        _decode_jpeg_blocks,
+        decode_jpeg,
+    )
+
+    qblocks = []
+    for dc, acs in spec:
+        zz = [0] * 64
+        zz[0] = dc
+        for pos, val in acs:
+            zz[pos] = val
+        qblocks.append(zz)
+    payload = _jpeg_qblocks_payload(qblocks)
+    _, blocks, restarts = _decode_jpeg_blocks(payload)
+    assert blocks == qblocks
+    assert restarts == (len(qblocks) - 1) // _JPEG_DRI
+    d = decode_jpeg(payload)
+    exp_sum, exp_checksum = _jpeg_expected_stats(qblocks)
+    assert d["n_blocks"] == len(qblocks)
+    assert d["sum_pixels"] == exp_sum
+    assert d["dc_checksum"] == exp_checksum
+
+
+def test_jpeg_general_coefficient_adversarial_shapes():
+    """Deterministic worst cases the fuzz above may not always draw:
+    a 16-zero run (ZRL), a 32-zero run (double ZRL), a nonzero at
+    slot 63 (no EOB emitted), an all-zero block between AC blocks,
+    and a mixed stream crossing two restart boundaries."""
+    from data_integration_project_spark.operators.multimodal import (
+        _decode_jpeg_blocks,
+        decode_jpeg,
+    )
+
+    zrl = [10] + [0] * 16 + [7] + [0] * 46
+    zrl2 = [-3] + [0] * 32 + [-1] + [0] * 30
+    tail63 = [0] * 63 + [5]
+    allzero = [0] * 64
+    dense = [1] * 64
+    qblocks = [zrl, allzero, zrl2, tail63, dense] * 2  # 10 blocks, 2 restarts
+    payload = _jpeg_qblocks_payload(qblocks)
+    _, blocks, restarts = _decode_jpeg_blocks(payload)
+    assert blocks == qblocks
+    assert restarts == 2
+    d = decode_jpeg(payload)
+    exp_sum, exp_checksum = _jpeg_expected_stats(qblocks)
+    assert d["sum_pixels"] == exp_sum
+    assert d["dc_checksum"] == exp_checksum
