@@ -147,6 +147,16 @@ HEADLINE = [
     "embeddings_pca_power_iteration",
     "doc_simhash_sort_locality",
     "doc_warc_roundtrip",
+    # round 5: the mergeable level-sampling quantile sketch (map-side
+    # level counts + bounded rank panels), streaming banded near-dup
+    # ingest (foreachBatch + store probe), and integer-deflation PCA.
+    # (embeddings_bitext_mining_srp is correctness-gated and soaked in
+    # SCALE.md but not benched: it deliberately runs BOTH miners —
+    # exact + SRP — to report recall, so its wall measures the
+    # evaluation harness, not a production plan.)
+    "orders_kll_quantiles",
+    "streaming_neardup_ingest",
+    "embeddings_pca_two_components",
 ]
 
 

@@ -388,19 +388,29 @@ _BITEXT_EXACT_PAIRS_SQL = f"""
       WHERE sa.s4 + sb.s4 > 0
         AND (ba.c_ab * 8 * 1000000000) // (sa.s4 + sb.s4) > 1100000000
     ),
+    slots AS (
+      SELECT COALESCE(SUM(x.na * y.nb), 0) AS n_cand_slots
+      FROM (SELECT k._table, k._bucket, COUNT(*) AS na
+            FROM buck k JOIN A a ON a.vec_id = k.vec_id
+            GROUP BY k._table, k._bucket) x
+      JOIN (SELECT k._table, k._bucket, COUNT(*) AS nb
+            FROM buck k JOIN B b ON b.vec_id = k.vec_id
+            GROUP BY k._table, k._bucket) y
+        ON x._table = y._table AND x._bucket = y._bucket
+    ),
     sizes AS (
       SELECT (SELECT COUNT(*) FROM A) * (SELECT COUNT(*) FROM B)
                AS n_all_pairs,
-             (SELECT COUNT(*) FROM cand) AS n_cand_pairs,
+             (SELECT n_cand_slots FROM slots) AS n_cand_slots,
              (SELECT COUNT(*) FROM pairs_exact) AS n_pairs_exact,
              (SELECT COUNT(*) FROM pairs_srp) AS n_pairs_srp,
              (SELECT COUNT(*) FROM pairs_exact e
               JOIN pairs_srp s ON e.ia = s.ia AND e.ib = s.ib) AS n_common
     )
     SELECT CAST(n_all_pairs AS BIGINT) AS n_all_pairs,
-           CAST(n_cand_pairs AS BIGINT) AS n_cand_pairs,
-           CAST(n_cand_pairs * 1000000 // n_all_pairs AS BIGINT)
-             AS cand_ppm,
+           CAST(n_cand_slots AS BIGINT) AS n_cand_slots,
+           CAST(n_cand_slots * 1000000 // n_all_pairs AS BIGINT)
+             AS slot_ppm,
            CAST(n_pairs_exact AS BIGINT) AS n_pairs_exact,
            CAST(n_pairs_srp AS BIGINT) AS n_pairs_srp,
            CAST(n_common AS BIGINT) AS n_common,
@@ -426,10 +436,11 @@ def embeddings_bitext_mining_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold run UNCHANGED on the candidate set (the shared
     _mine_margin_pairs core), so the only approximation is which pairs
     were ever scored. The one-row report carries the scale evidence: a
-    candidate fraction (cand_ppm — the fraction of |A|·|B| actually
-    scored) next to recall/precision vs the exact pair set, which is
-    the curve a production miner tunes (more planes → fewer
-    candidates, lower recall; more tables → the reverse).
+    scored-work fraction (slot_ppm — Σ per-block |A_b|·|B_b| over
+    |A|·|B|, the pair slots the block gemms actually multiply) next to
+    recall/precision vs the exact pair set, which is the curve a
+    production miner tunes (more planes → fewer candidates, lower
+    recall; more tables → the reverse).
 
     The exact leg rides along as the evaluation harness — at fixture
     scale it is the cheap side; at 100 TB it is exactly the thing the
@@ -437,9 +448,13 @@ def embeddings_bitext_mining_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled panel.
 
     Scale shape: bucketing is a map-side projection per (vector,
-    table); the candidate join is an equi-join on (table, bucket); the
-    margin stage runs on candidate rows only. No global windows over
-    data — the per-side rank windows partition by vector id."""
+    table); candidate scoring is one numpy gemm per (table, bucket)
+    block inside applyInPandas, emitting only per-side top-4 survivor
+    pairs (tie-margin select, exact-fold rescore — the
+    brute_force_topk_pandas hybrid contract; the oracle scores every
+    candidate and must agree because top-4 over a superset of the true
+    top-4 is the true top-4). The margin stage runs on ≤(|A|+|B|)·16
+    survivor rows; no global windows anywhere."""
     from ..functions.vectors import dot
 
     e = t(spark, sf_dir, "embeddings")
@@ -460,10 +475,58 @@ def embeddings_bitext_mining_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias(idn), tables.alias("_tables")
         ).select(idn, F.posexplode("_tables").alias("_table", "_bucket"))
 
+    # ---- block-gemm candidate pruning (the sf1.0 soak catch) --------
+    # Scoring every distinct candidate with the interpreted fold was
+    # quadratic-in-practice: 23M candidate pairs at sf1.0 cost 34s to
+    # DISTINCT and ~90s to fold (139s query wall). Only each side's
+    # TOP-4 ever matters to the margin stage, and top-4 is block-local:
+    # a pair in a vector's true global top-4 outranks all but <4 pairs
+    # in EVERY bucket containing it, so the union of per-block top-4s
+    # (per row and per column) is a superset of both sides' true top-4
+    # — and top-4 over a superset of the true top-4 IS the true top-4.
+    # So: one numpy gemm per (table, bucket) block SELECTS survivors
+    # (k-th score with a 1e-12 tie margin — the brute_force_topk_pandas
+    # hybrid contract), and only the ~(|A|+|B|)·16 survivor pairs are
+    # rescored in the fold's exact IEEE order. Mined pairs identical.
+    ab_rows = (
+        bucketed(A, "vid")
+        .withColumn("_side", F.lit("a"))
+        .unionByName(bucketed(B, "vid").withColumn("_side", F.lit("b")))
+        .join(e.select(F.col("vec_id").alias("vid"), "embedding"), "vid")
+    )
+
+    def block_survivors(pdf):
+        import numpy as np
+        import pandas as pd
+
+        a = pdf[pdf["_side"] == "a"]
+        b = pdf[pdf["_side"] == "b"]
+        if not len(a) or not len(b):
+            return pd.DataFrame(
+                {"ia": pd.Series(dtype="int64"), "ib": pd.Series(dtype="int64")}
+            )
+        xa = np.stack([np.asarray(v, dtype=np.float64) for v in a["embedding"]])
+        xb = np.stack([np.asarray(v, dtype=np.float64) for v in b["embedding"]])
+        sm = (xa / np.linalg.norm(xa, axis=1, keepdims=True)) @ (
+            xb / np.linalg.norm(xb, axis=1, keepdims=True)
+        ).T
+        ids_a = a["vid"].to_numpy()
+        ids_b = b["vid"].to_numpy()
+        out_i, out_j = [], []
+        # per-ROW top-4 (a-side neighborhoods), then per-COLUMN (b-side)
+        for mat, is_rows in ((sm, True), (sm.T, False)):
+            kk = min(4, mat.shape[1])
+            kth = np.partition(mat, -kk, axis=1)[:, -kk]
+            keep_i, keep_j = np.nonzero(mat >= (kth - 1e-12)[:, None])
+            out_i.append(keep_i if is_rows else keep_j)
+            out_j.append(keep_j if is_rows else keep_i)
+        ii = np.concatenate(out_i)
+        jj = np.concatenate(out_j)
+        return pd.DataFrame({"ia": ids_a[ii], "ib": ids_b[jj]})
+
     cand = (
-        bucketed(A, "ia")
-        .join(bucketed(B, "ib"), ["_table", "_bucket"])
-        .select("ia", "ib")
+        ab_rows.groupBy("_table", "_bucket")
+        .applyInPandas(block_survivors, "ia long, ib long")
         .distinct()
     )
     # per-vector norms factored out of the pair loop: sqrt(v·v) is a
@@ -540,7 +603,20 @@ def embeddings_bitext_mining_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n_a = A.agg(F.count(F.lit(1)).alias("n_a"))
     n_b = B.agg(F.count(F.lit(1)).alias("n_b"))
-    n_cand = cand.agg(F.count(F.lit(1)).alias("n_cand_pairs"))
+    # scored-work metric: Σ over (table, bucket) of |A_b|·|B_b| — the
+    # pair slots each block gemm actually multiplies (multi-table
+    # re-finds counted, exactly like the compute is)
+    sz_a = bucketed(A, "vid").groupBy("_table", "_bucket").agg(
+        F.count(F.lit(1)).alias("na")
+    )
+    sz_b = bucketed(B, "vid").groupBy("_table", "_bucket").agg(
+        F.count(F.lit(1)).alias("nb")
+    )
+    n_slots = (
+        sz_a.join(sz_b, ["_table", "_bucket"])
+        .agg(F.sum(F.col("na") * F.col("nb")).alias("n_cand_slots"))
+        .na.fill({"n_cand_slots": 0})
+    )
     n_e = pairs_exact.agg(F.count(F.lit(1)).alias("n_pairs_exact"))
     n_s = pairs_srp.agg(F.count(F.lit(1)).alias("n_pairs_srp"))
     n_c = pairs_exact.join(pairs_srp, ["id_a", "id_b"]).agg(
@@ -548,15 +624,15 @@ def embeddings_bitext_mining_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         n_a.crossJoin(n_b)
-        .crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_slots))
         .crossJoin(F.broadcast(n_e))
         .crossJoin(F.broadcast(n_s))
         .crossJoin(F.broadcast(n_c))
         .select(
             (F.col("n_a") * F.col("n_b")).cast("long").alias("n_all_pairs"),
-            F.col("n_cand_pairs").cast("long"),
-            F.expr("CAST((n_cand_pairs * 1000000) DIV (n_a * n_b) AS BIGINT)")
-            .alias("cand_ppm"),
+            F.col("n_cand_slots").cast("long"),
+            F.expr("CAST((n_cand_slots * 1000000) DIV (n_a * n_b) AS BIGINT)")
+            .alias("slot_ppm"),
             F.col("n_pairs_exact").cast("long"),
             F.col("n_pairs_srp").cast("long"),
             F.col("n_common").cast("long"),
