@@ -1786,6 +1786,183 @@ def events_hll_mergeable_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Grouped KLL-style quantile sketch: per-group adaptive levels — the
+# "p99 per endpoint" production form of orders_kll_quantiles
+# ---------------------------------------------------------------------------
+
+_EKLL_CAP = 128
+_EKLL_LMAX = 20
+
+
+@query(
+    "events_kll_by_type",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+             event_id AS id,
+             {_HLL_HASH_SQL.format(col="event_id")} AS h
+      FROM events
+    ),
+    lvls AS (SELECT unnest(range(0, {_EKLL_LMAX + 1})) AS lvl),
+    gcounts AS (
+      SELECT event_type, lvl,
+             COUNT(*) FILTER (WHERE h % (CAST(1 AS BIGINT) << lvl) = 0)
+               AS cnt
+      FROM c, lvls GROUP BY event_type, lvl
+    ),
+    glevel AS (
+      SELECT event_type, MIN(lvl) AS lv FROM gcounts
+      WHERE cnt <= {_EKLL_CAP} GROUP BY event_type
+    ),
+    ret AS (
+      SELECT c.event_type, c.v, c.id, g.lv,
+             row_number() OVER (PARTITION BY c.event_type
+                                ORDER BY c.v, c.id) AS rn,
+             COUNT(*) OVER (PARTITION BY c.event_type) AS n_ret
+      FROM c JOIN glevel g USING (event_type)
+      WHERE h % (CAST(1 AS BIGINT) << lv) = 0
+    ),
+    p AS (SELECT * FROM (VALUES ('p50', 1, 2), ('p90', 9, 10),
+                                ('p99', 99, 100)) AS t(label, num, den)),
+    est AS (
+      SELECT r.event_type, p.label,
+             CAST(p.num AS DOUBLE) / p.den AS prob,
+             r.lv, r.n_ret,
+             greatest(1, (p.num * r.n_ret + p.den - 1) // p.den)
+               AS target_rank,
+             r.v AS est_cents
+      FROM p JOIN ret r
+        ON r.rn = greatest(1, (p.num * r.n_ret + p.den - 1) // p.den)
+    ),
+    ex AS (SELECT event_type, COUNT(*) AS n_exact FROM c
+           GROUP BY event_type),
+    tr AS (
+      SELECT e.event_type, e.label, COUNT(*) AS true_rank_le
+      FROM est e JOIN c ON c.event_type = e.event_type
+                       AND c.v <= e.est_cents
+      GROUP BY e.event_type, e.label
+    )
+    SELECT est.event_type, est.label, est.prob,
+           CAST(est.lv AS INTEGER) AS level,
+           CAST(est.n_ret AS BIGINT) AS n_retained,
+           CAST(est.n_ret * (CAST(1 AS BIGINT) << est.lv) AS BIGINT)
+             AS n_est,
+           CAST(est.target_rank AS BIGINT) AS target_rank,
+           est.est_cents,
+           tr.true_rank_le,
+           CAST(ex.n_exact AS BIGINT) AS n_exact
+    FROM est JOIN tr ON tr.event_type = est.event_type
+                    AND tr.label = est.label
+             JOIN ex ON ex.event_type = est.event_type
+    """,
+)
+def events_kll_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-GROUP QUANTILE SKETCH — the production form of
+    [[orders_kll_quantiles]] (whose single-set variant carries the
+    merge = single-pass proof): p50/p90/p99 of event value PER EVENT
+    TYPE, each group compacting to its own adaptive level (a hot event
+    type subsamples deeper, a rare one stays exact at level 0 — the
+    'p99 latency per endpoint' dashboard shape). Membership is the
+    same hash-level rule, so every per-group sketch inherits the
+    proven associativity: per-day/per-partition group sketches fold by
+    refilter-at-max-level without rescanning.
+
+    Exact per-group counts and the exact rank of each estimate
+    (true_rank_le, via one broadcast comparison join) ride along so
+    the realized rank error is visible next to target_rank·2^level.
+
+    Scale shape: level counts are l_max+1 conditional sums in ONE
+    map-side-combined groupBy(event_type); the retained filter is
+    map-side after a broadcast of the |groups|-row level panel; rank
+    windows partition by group over ≤capacity rows each. The only
+    full-data work is the one aggregate pass and the broadcast rank
+    check."""
+    from ..operators.quantiles import level_counts
+    from ..operators.sketch import hll_hash
+
+    ev = t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+        F.col("event_id").alias("id"),
+        hll_hash(F.col("event_id")).alias("h"),
+    )
+    gc = level_counts(base, ["event_type"], l_max=_EKLL_LMAX)
+    glevel = (
+        gc.filter(F.col("cnt") <= _EKLL_CAP)
+        .groupBy("event_type")
+        .agg(F.min("lvl").cast("int").alias("lv"))
+    )
+    ret = base.join(F.broadcast(glevel), "event_type").filter(
+        F.col("h") % F.expr("shiftleft(CAST(1 AS BIGINT), lv)") == 0
+    )
+    w_rank = Window.partitionBy("event_type").orderBy("v", "id")
+    w_cnt = Window.partitionBy("event_type")
+    ranked = ret.withColumn("rn", F.row_number().over(w_rank)).withColumn(
+        "n_ret", F.count(F.lit(1)).over(w_cnt)
+    )
+    targets = spark.createDataFrame(
+        [("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)],
+        schema="label string, num long, den long",
+    )
+    tgt = F.greatest(
+        F.lit(1).cast("long"),
+        F.expr("CAST((num * n_ret + den - 1) DIV den AS BIGINT)"),
+    )
+    est = (
+        F.broadcast(targets)
+        .join(ranked, ranked["rn"] == tgt)
+        .select(
+            "event_type",
+            "label",
+            (F.col("num").cast("double") / F.col("den")).alias("prob"),
+            F.col("lv").alias("level"),
+            F.col("n_ret").alias("n_retained"),
+            tgt.alias("target_rank"),
+            F.col("v").alias("est_cents"),
+        )
+        .localCheckpoint()  # ≤ |groups|·3 rows, read by two consumers
+    )
+    probe = est.select(
+        F.col("event_type").alias("_et"), "label",
+        F.col("est_cents").alias("_est")
+    )
+    true_rank = (
+        base.join(
+            F.broadcast(probe),
+            (F.col("event_type") == F.col("_et"))
+            & (F.col("v") <= F.col("_est")),
+        )
+        .groupBy("_et", "label")
+        .agg(F.count(F.lit(1)).alias("true_rank_le"))
+        .withColumnRenamed("_et", "event_type")
+    )
+    n_exact = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    return (
+        est.join(true_rank, ["event_type", "label"])
+        .join(F.broadcast(n_exact), "event_type")
+        .select(
+            "event_type",
+            "label",
+            "prob",
+            "level",
+            "n_retained",
+            F.expr(
+                "CAST(n_retained * shiftleft(CAST(1 AS BIGINT), level)"
+                " AS BIGINT)"
+            ).alias("n_est"),
+            "target_rank",
+            "est_cents",
+            "true_rank_le",
+            "n_exact",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Position-based multi-touch attribution
 # ---------------------------------------------------------------------------
 

@@ -104,6 +104,36 @@ def batch_neardup_flags(
     )
 
 
+def append_accepted_to_store(
+    store: DataFrame,
+    batch: DataFrame,
+    flags: DataFrame,
+    id_col: str,
+    text_col: str,
+    **lsh_kwargs,
+) -> DataFrame:
+    """The store's APPEND leg — what makes the ingest loop actually
+    incremental: documents the gate ACCEPTED (``_neardup = 0``)
+    contribute their band buckets to the store, so the next batch
+    dedups against them too. The store stays (band, bucket) rows only
+    — append is a union + distinct on the bucket key, the same
+    co-partitionable shape the probe joins on. Flagged documents add
+    nothing (their content is already represented).
+
+    Production form: the per-batch delta is appended to the store
+    table inside the same foreachBatch transaction that lands the
+    flags, keyed by batch_id for replay idempotence (a replayed append
+    of the same delta is absorbed by the distinct)."""
+    accepted = flags.filter(F.col("_neardup") == 0).select(id_col)
+    delta = build_band_store(
+        batch.join(accepted, id_col, "left_semi"),
+        id_col,
+        text_col,
+        **lsh_kwargs,
+    )
+    return store.unionByName(delta).distinct()
+
+
 def run_neardup_ingest(
     spark: SparkSession,
     incoming: DataFrame,

@@ -345,3 +345,50 @@ def test_geo_radius_join_is_equijoin(spark, sf_small):
     plan = _executed_plan(spark, "suppliers_geo_radius_join", sf_small)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_neardup_ingest_probe_is_equijoin(spark, sf_small):
+    # the per-batch store probe must stay a (band, bucket) equi-join
+    # (left-semi) — never an all-pairs or nested-loop scan
+    from pyspark.sql import functions as F
+
+    from data_integration_project_spark.streaming.neardup import (
+        batch_neardup_flags,
+        build_band_store,
+    )
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    store = build_band_store(docs, "doc_id", "text").localCheckpoint()
+    flags = batch_neardup_flags(docs.limit(50), store, "doc_id", "text")
+    flags.collect()
+    plan = flags._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan
+
+
+def test_kll_level_counts_single_aggregate(spark, sf_small):
+    # the level-count pass must be ONE map-side-combined aggregate over
+    # the base scan (no row explosion, no join before the groupBy)
+    from pyspark.sql import functions as F
+
+    from data_integration_project_spark.operators.quantiles import (
+        level_counts,
+    )
+    from data_integration_project_spark.operators.sketch import hll_hash
+
+    o = spark.read.parquet(f"{sf_small}/orders.parquet").select(
+        F.col("o_orderkey").alias("id"),
+        hll_hash(F.col("o_orderkey")).alias("h"),
+        F.pmod(F.col("o_orderkey"), F.lit(4)).alias("shard"),
+    )
+    counts = level_counts(o, ["shard"])
+    counts.collect()
+    plan = counts._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    # the stack() unpivot must sit ABOVE the aggregate (parents print
+    # first), i.e. it explodes the |groups|-row panel, never the data
+    assert "Generate stack" in plan
+    assert plan.index("Generate stack") < plan.index("HashAggregate")

@@ -206,3 +206,56 @@ def test_neardup_short_docs_pass(spark):
         for r in batch_neardup_flags(batch, store, "doc_id", "text").collect()
     }
     assert rows == {10: 1, 11: 0}
+
+
+def test_neardup_store_append_makes_ingest_incremental(spark):
+    """The ingest LOOP: batch-1 survivors' buckets append to the store,
+    so a batch-2 re-crawl of a batch-1-accepted document is flagged —
+    the property that makes the gate incremental rather than a
+    fixed-history filter. Flagged docs add nothing to the store, and a
+    replayed append is absorbed by the distinct."""
+    from pyspark.sql import types as T
+
+    from data_integration_project_spark.streaming.neardup import (
+        append_accepted_to_store,
+        batch_neardup_flags,
+        build_band_store,
+    )
+
+    empty_store = spark.createDataFrame(
+        [], T.StructType([
+            T.StructField("_band", T.IntegerType()),
+            T.StructField("_bucket", T.StringType()),
+        ])
+    )
+    doc_a = "the quick brown fox jumps over the lazy dog tonight"
+    doc_b = "completely different content about spark shuffle partitions"
+    b1 = spark.createDataFrame([(1, doc_a)], ["doc_id", "text"])
+    f1 = batch_neardup_flags(b1, empty_store, "doc_id", "text")
+    assert [r["_neardup"] for r in f1.collect()] == [0]  # empty store: pass
+    store1 = append_accepted_to_store(
+        empty_store, b1, f1, "doc_id", "text"
+    ).localCheckpoint()
+    assert store1.count() > 0
+
+    b2 = spark.createDataFrame(
+        [(2, doc_a), (3, doc_b)], ["doc_id", "text"]
+    )
+    f2 = {r["doc_id"]: r["_neardup"]
+          for r in batch_neardup_flags(b2, store1, "doc_id", "text").collect()}
+    assert f2 == {2: 1, 3: 0}  # re-crawl of accepted doc flagged, novel passes
+
+    # replayed append of the same delta is absorbed (idempotent store)
+    store2 = append_accepted_to_store(store1, b1, f1, "doc_id", "text")
+    assert store2.count() == store1.count()
+    # flagged docs contribute nothing
+    f2_df = batch_neardup_flags(b2, store1, "doc_id", "text")
+    store3 = append_accepted_to_store(store1, b2, f2_df, "doc_id", "text")
+    flagged_buckets = build_band_store(
+        b2.filter("doc_id = 2"), "doc_id", "text"
+    )
+    assert store3.join(
+        flagged_buckets, ["_band", "_bucket"], "left_semi"
+    ).count() == store1.join(
+        flagged_buckets, ["_band", "_bucket"], "left_semi"
+    ).count()
