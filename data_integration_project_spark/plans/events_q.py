@@ -1963,6 +1963,189 @@ def events_kll_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Stream-maintained KLL state: the quantile sketch living in the
+# checkpointed state store, provably equal to the batch sketch
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_streaming_kll_state",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+             event_id AS id,
+             {_HLL_HASH_SQL.format(col="event_id")} AS h
+      FROM events
+    ),
+    lvls AS (SELECT unnest(range(0, {_EKLL_LMAX + 1})) AS lvl),
+    gcounts AS (
+      SELECT event_type, lvl,
+             COUNT(*) FILTER (WHERE h % (CAST(1 AS BIGINT) << lvl) = 0)
+               AS cnt
+      FROM c, lvls GROUP BY event_type, lvl
+    ),
+    glevel AS (
+      SELECT event_type, MIN(lvl) AS lv FROM gcounts
+      WHERE cnt <= {_EKLL_CAP} GROUP BY event_type
+    ),
+    ret AS (
+      SELECT c.event_type, c.v, c.id, g.lv,
+             row_number() OVER (PARTITION BY c.event_type
+                                ORDER BY c.v, c.id) AS rn,
+             COUNT(*) OVER (PARTITION BY c.event_type) AS n_ret
+      FROM c JOIN glevel g USING (event_type)
+      WHERE h % (CAST(1 AS BIGINT) << lv) = 0
+    ),
+    ex AS (SELECT event_type, COUNT(*) AS n_seen FROM c
+           GROUP BY event_type)
+    SELECT r.event_type,
+           CAST(MAX(r.lv) AS INTEGER) AS level,
+           CAST(MAX(ex.n_seen) AS BIGINT) AS n_seen,
+           CAST(MAX(r.n_ret) AS BIGINT) AS n_retained,
+           CAST(SUM(r.v) AS BIGINT) AS ret_v_sum,
+           CAST(SUM(r.id) AS BIGINT) AS ret_id_sum,
+           CAST(MAX(CASE WHEN r.rn = greatest(1, (r.n_ret + 1) // 2)
+                    THEN r.v END) AS BIGINT) AS p50_cents,
+           CAST(MAX(CASE WHEN r.rn = greatest(1, (9 * r.n_ret + 9) // 10)
+                    THEN r.v END) AS BIGINT) AS p90_cents,
+           CAST(MAX(CASE WHEN r.rn = greatest(1, (99 * r.n_ret + 99) // 100)
+                    THEN r.v END) AS BIGINT) AS p99_cents
+    FROM ret r JOIN ex ON ex.event_type = r.event_type
+    GROUP BY r.event_type
+    """,
+)
+def events_streaming_kll_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE QUANTILE SKETCH AS STREAMING STATE — the composition the
+    level-sampling design exists for: per-key sketch state lives in
+    the checkpointed state store (``applyInPandasWithState``), each
+    micro-batch inserts its rows (filtered at the key's CURRENT
+    level) and raises the level until the sample fits capacity again.
+    Because membership is a pure function of each item's hash, the
+    state after ANY sequence of batches equals the single-pass batch
+    sketch BIT-EXACTLY — the same associativity that powered
+    [[orders_kll_quantiles]]'s shard-merge proof, here proving that a
+    stream consumer restarted mid-drain or fed by any batching
+    converges to the identical sketch. The ORACLE IS THE BATCH
+    SKETCH: the driver hash-compares the drained stream's final state
+    (level, retained sums, p50/p90/p99) against the relational
+    single-pass form — a full-strength equality, not a rows-only
+    check (tests/test_stateful_streaming.py additionally drives a
+    3-trigger split and asserts the same equality).
+
+    State per key: level + three ≤capacity arrays (values, ids,
+    hashes) — bounded regardless of stream length, the property that
+    lets this run indefinitely at 100 TB/day ingest. Emissions are
+    update-mode; the final update per key (max cumulative n_seen)
+    wins."""
+    import tempfile
+    import uuid
+
+    from collections.abc import Iterator
+    from typing import Any
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.sketch import hll_hash
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select(
+            "event_type",
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("v"),
+            F.col("event_id").alias("id"),
+            hll_hash(F.col("event_id")).alias("h"),
+        )
+    )
+    totals = src.groupBy("event_type").applyInPandasWithState(
+        _kll_state_fn,
+        "event_type string, level int, n_seen long, n_retained long, "
+        "ret_v_sum long, ret_id_sum long, p50_cents long, p90_cents long, "
+        "p99_cents long",
+        "lv int, n_seen long, vs array<long>, ids array<long>, "
+        "hs array<long>",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    name = "strkll_" + uuid.uuid4().hex[:8]
+    q = (
+        totals.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="strkll_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    w = Window.partitionBy("event_type").orderBy(F.desc("n_seen"))
+    return (
+        spark.table(name)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def _kll_state_fn(key, pdfs, state):
+    """State-update function for the streaming level sketch (module
+    level so tests drive it through their own stream wiring): insert
+    at the current level, raise the level until ≤ capacity, emit the
+    key's full sketch summary."""
+    import pandas as pd
+
+    cap, l_max = _EKLL_CAP, 32
+    if state.exists:
+        lv, n_seen, vs, ids, hs = state.get
+        vs, ids, hs = list(vs), list(ids), list(hs)
+    else:
+        lv, n_seen, vs, ids, hs = 0, 0, [], [], []
+    for pdf in pdfs:
+        n_seen += len(pdf)
+        hh = pdf["h"].to_numpy()
+        m = (hh % (1 << lv)) == 0
+        vs += pdf["v"].to_numpy()[m].tolist()
+        ids += pdf["id"].to_numpy()[m].tolist()
+        hs += hh[m].tolist()
+        while len(vs) > cap:
+            lv += 1
+            if lv > l_max:  # pragma: no cover — cap·2^32 rows per key
+                raise ValueError("kll state: level overflow")
+            keep = [j for j, h in enumerate(hs) if h % (1 << lv) == 0]
+            vs = [vs[j] for j in keep]
+            ids = [ids[j] for j in keep]
+            hs = [hs[j] for j in keep]
+    state.update((lv, n_seen, vs, ids, hs))
+    order = sorted(range(len(vs)), key=lambda j: (vs[j], ids[j]))
+    n = len(order)
+
+    def est(num: int, den: int):
+        if n == 0:
+            return None
+        return vs[order[max(1, (num * n + den - 1) // den) - 1]]
+
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "level": [lv],
+            "n_seen": [n_seen],
+            "n_retained": [n],
+            "ret_v_sum": [sum(vs)],
+            "ret_id_sum": [sum(ids)],
+            "p50_cents": [est(1, 2)],
+            "p90_cents": [est(9, 10)],
+            "p99_cents": [est(99, 100)],
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
 # Position-based multi-touch attribution
 # ---------------------------------------------------------------------------
 
