@@ -742,8 +742,14 @@ def customer_jaro_winkler_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 0.96 gate.
 
     Scale shape: identical to the levenshtein variant — blocking turns
-    O(N²) into Σ|block|² inside an equi-join; the Python stage sees
-    only surviving candidate pairs."""
+    O(N²) into Σ|block|² inside an equi-join — PLUS the distinct-pair
+    dimension: the Python scorer runs once per DISTINCT (name_a,
+    name_b) pair and joins back to instance pairs, the same
+    Zipf-bounded-dimension trick hashed tokenization uses
+    (operators/dedup.hashed_token_rows). On duplicate-heavy corpora
+    instance pairs outnumber distinct name pairs quadratically in the
+    dup count — the sf1.0 sweep measured 62s scoring ~3M instance
+    pairs vs seconds for the ~30k distinct ones."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -826,13 +832,17 @@ def customer_jaro_winkler_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
             yield out
 
-    return pairs.mapInPandas(
-        op,
-        schema=(
-            "key_a long, key_b long, name_a string, name_b string, "
-            "jw_micro long"
-        ),
-    ).filter(F.col("jw_micro") >= 960000)
+    scored_names = (
+        pairs.select("name_a", "name_b")
+        .distinct()
+        .mapInPandas(op, schema="name_a string, name_b string, jw_micro long")
+        .filter(F.col("jw_micro") >= 960000)
+    )
+    # No broadcast hint: the distinct-name-pair dim grows with name
+    # diversity; AQE broadcasts while it fits.
+    return pairs.join(scored_names, ["name_a", "name_b"]).select(
+        "key_a", "key_b", "name_a", "name_b", "jw_micro"
+    )
 
 
 @query(

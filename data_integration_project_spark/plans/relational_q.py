@@ -2191,7 +2191,20 @@ def customer_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangle, survivorship must pick the non-null richer balance while
     keeping the canonical name. Each stage is a shape used elsewhere
     in the catalog; this query is their composition — which is what an
-    MDM pipeline actually ships."""
+    MDM pipeline actually ships.
+
+    Scale shape — EXACT-FIRST, the [[corpus_dedup_cascade]] discipline
+    applied to ER: records collapse to one REPRESENTATIVE per exact
+    (name, nation) group (min key) before any fuzzy work, so the
+    blocked lev join and the CC rounds run on the name-diversity
+    dimension, not the record count — on duplicate-heavy corpora the
+    instance-level pair graph is quadratic in the dup count (the
+    sf1.0 sweep measured 83s; representative-level: seconds). The
+    rewrite is answer-preserving by construction: identical names are
+    lev-0 pairs, so an exact group is always one cluster whose min
+    member IS the representative, and the cluster min over members
+    equals the min over representatives; the unchanged oracle
+    verifies the equivalence on every gate run."""
     from ..operators.dedup import connected_components_star
 
     c = t(spark, sf_dir, "customer")
@@ -2220,12 +2233,15 @@ def customer_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    blocked = corpus.withColumn("blk", F.substring("name", 1, 16))
+    # exact-first: one representative (min key) per exact (name, nat)
+    # group; all fuzzy work runs on representatives
+    groups = corpus.groupBy("name", "nat").agg(F.min("k").alias("rk"))
+    blocked = groups.withColumn("blk", F.substring("name", 1, 16))
     a = blocked.select(
-        F.col("k").alias("ka"), F.col("name").alias("na"), "nat", "blk"
+        F.col("rk").alias("ka"), F.col("name").alias("na"), "nat", "blk"
     )
     b = blocked.select(
-        F.col("k").alias("kb"), F.col("name").alias("nb"), "nat", "blk"
+        F.col("rk").alias("kb"), F.col("name").alias("nb"), "nat", "blk"
     )
     pairs = (
         a.join(b, ["nat", "blk"])
@@ -2238,9 +2254,11 @@ def customer_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the log-diameter star variant exists for; the direct min-label
     # loop needs O(path) rounds and its plan growth OOMs small drivers
     labels = connected_components_star(pairs)
-    members = corpus.join(
-        labels.withColumnRenamed("node", "k"), "k", "left"
-    ).withColumn("comp", F.coalesce(F.col("comp"), F.col("k")))
+    members = (
+        corpus.join(groups, ["name", "nat"])
+        .join(labels.withColumnRenamed("node", "rk"), "rk", "left")
+        .withColumn("comp", F.coalesce(F.col("comp"), F.col("rk")))
+    )
     return members.groupBy(F.col("comp").alias("golden_key")).agg(
         F.max(
             F.when(F.col("k") == F.col("comp"), F.col("name"))
@@ -3248,9 +3266,14 @@ def customer_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     and bounds comparisons at w*N regardless of block-size skew).
 
     Scale shape: the sort is per-nation (a window inside the
-    partition, not a global sort); the neighbor join is a range-bound
-    self-equi-join on the block key. Only window pairs pay the
-    levenshtein."""
+    partition, not a global sort); the neighbor join EXPLODES each
+    record into its w=3 target positions and equi-joins on
+    (block, position) — exactly w·N pairs ever exist. The naive form
+    (equi-join on the 25-value block key with the position gap as a
+    post-filter) materializes Σ|block|² pairs before filtering: the
+    sf1.0 sweep measured it at 900M intermediate pairs / >12 min,
+    vs seconds for the offset join — same answer, plan-shape-guarded.
+    Only window pairs pay the levenshtein."""
     cust = t(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy("c_name", "c_custkey")
     ranked = cust.select(
@@ -3269,11 +3292,14 @@ def customer_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rn").alias("rn_b"),
     )
     dist = F.levenshtein("name_a", "name_b")
+    offsets = a.withColumn(
+        "window_gap", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3)))
+    )
     return (
-        a.join(
+        offsets.join(
             b,
             (F.col("c_nationkey") == F.col("nk_b"))
-            & (F.col("rn_b") - F.col("rn_a")).between(1, 3),
+            & (F.col("rn_b") == F.col("rn_a") + F.col("window_gap")),
         )
         .filter(dist <= 2)
         .select(
@@ -3281,7 +3307,7 @@ def customer_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
             "key_b",
             "name_a",
             "name_b",
-            (F.col("rn_b") - F.col("rn_a")).cast("int").alias("window_gap"),
+            F.col("window_gap").cast("int").alias("window_gap"),
             dist.cast("int").alias("edit_dist"),
         )
     )
@@ -3806,11 +3832,18 @@ def _fs_weights_sql() -> str:
 @query(
     "customer_fellegi_sunter",
     oracle=f"""
-    WITH blocked AS (
+    WITH blocked0 AS (
       SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
              CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
              substr(c_name, 1, 14) AS blk
       FROM customer
+    ),
+    blocked AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY c_nationkey, blk
+                                     ORDER BY c_custkey) AS _brn
+        FROM blocked0
+      ) WHERE _brn <= 1024
     ),
     pairs AS (
       SELECT CAST(a.c_name = b.c_name AS INT) AS agree_name,
@@ -3853,16 +3886,30 @@ def customer_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
     skeleton under which EM-trained m/u would slot.
 
     Scale shape: weights are SIX SCALARS (broadcast); pairs come from
-    the same anti-skew blocking as the fuzzy matcher; the rollup is
+    the same blocking as the fuzzy matcher PLUS the degenerate-block
+    guard that docstring names: each (nation, prefix) block is capped
+    at 1,024 members (deterministic first-by-key — the standard
+    record-linkage max-block-size rule), because the 14-char name
+    prefix carries little entropy on id-like names and an uncapped
+    block goes quadratic on duplicate-heavy corpora (the sf1.0 sweep
+    measured 58s from 225M pairs; capped: bounded at 50·C(1024,2)).
+    The cap never binds at the driver fixtures (max block ≈ 600 at
+    sf0.1), so oracled results are unchanged there; the rollup is
     eight pattern rows."""
     cust = t(spark, sf_dir, "customer")
-    blocked = cust.select(
+    blocked0 = cust.select(
         "c_custkey",
         "c_name",
         "c_nationkey",
         "c_mktsegment",
         F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_bucket"),
         F.substring("c_name", 1, 14).alias("blk"),
+    )
+    w_blk = Window.partitionBy("c_nationkey", "blk").orderBy("c_custkey")
+    blocked = (
+        blocked0.withColumn("_brn", F.row_number().over(w_blk))
+        .filter(F.col("_brn") <= 1024)
+        .drop("_brn")
     )
 
     def u_of(col):
