@@ -3318,10 +3318,17 @@ def customer_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (the spatial-join family: equi-join on space cells, never all pairs)
 # ---------------------------------------------------------------------------
 
-#: Deterministic synthetic coordinates in a 10x10-degree region
-#: (integer-hash-derived -> exact doubles in both engines).
+#: Deterministic synthetic coordinates (integer-hash-derived -> exact
+#: doubles in both engines).
+#: lat stays in a 10-degree low band (the 1-degree-cell >= 109 km
+#: recall argument needs small latitudes); lon spreads over 100
+#: degrees so point DENSITY — and with it the inherently quadratic
+#: within-radius pair count — stays bounded as the table replicates
+#: (the original 10x10-degree region put 68.8M true pairs / 17 min in
+#: the sf1.0 sweep; the plan was already the right grid join — the
+#: fixture density was the blow-up)
 _GEO_LAT = "((1103515245 * (c_custkey % 2147483647) + 12352) % 2147483647) % 100000 / 10000.0"
-_GEO_LON = "(100 + ((48271 * (c_custkey % 2147483647) + 11213) % 2147483647) % 100000 / 10000.0)"
+_GEO_LON = "(100 + ((48271 * (c_custkey % 2147483647) + 11213) % 2147483647) % 1000000 / 10000.0)"
 
 _HAV = (
     "round(2 * 6371.0088 * asin(sqrt("
@@ -3340,7 +3347,8 @@ _HAV = (
       FROM customer
     ),
     cells AS (
-      SELECT *, CAST(floor(lat) AS BIGINT) AS cy, CAST(floor(lon) AS BIGINT) AS cx
+      SELECT *, CAST(floor(lat * 2) AS BIGINT) AS cy,
+             CAST(floor(lon * 2) AS BIGINT) AS cx
       FROM pts
     ),
     rhs AS (
@@ -3356,12 +3364,15 @@ _HAV = (
 )
 def customers_geo_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPATIAL JOIN by grid binning: deterministic synthetic
-    coordinates (a 10x10-degree region), points bucketed into
-    1-degree cells, and candidate pairs generated by an EQUI-JOIN of
-    each point's home cell against its neighbors' 3x3 cell
-    replication — then only candidates pay the haversine, verified
-    under 50 km (a 1-degree neighborhood covers >= 109 km at these
-    latitudes, so recall is exact). This is the scale pattern for
+    coordinates (a 10x100-degree region — see the density note on
+    _GEO_LON), points bucketed into RADIUS-MATCHED 0.5-degree cells,
+    and candidate pairs generated by an EQUI-JOIN of each point's home
+    cell against its neighbors' 3x3 cell replication — then only
+    candidates pay the haversine, verified under 50 km (50 km ≤ 0.47
+    degrees of lat or lon at these latitudes, under the 0.5-degree
+    cell span, so neighbor cells give exact recall; an oversized cell
+    wastes candidates — the 1-degree version scored 3.5x more
+    haversines for the same answer). This is the scale pattern for
     proximity joins: space-filling bins make 'within distance' an
     equi-join; all-pairs distance is never computed.
 
@@ -3378,8 +3389,8 @@ def customers_geo_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id",
         "lat",
         "lon",
-        F.floor("lat").cast("long").alias("cy"),
-        F.floor("lon").cast("long").alias("cx"),
+        F.floor(F.col("lat") * 2).cast("long").alias("cy"),
+        F.floor(F.col("lon") * 2).cast("long").alias("cx"),
     )
     offsets = spark.range(-1, 2).select(F.col("id").alias("dy")).crossJoin(
         spark.range(-1, 2).select(F.col("id").alias("dx"))
