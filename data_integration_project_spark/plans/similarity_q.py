@@ -1523,30 +1523,53 @@ def embeddings_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair_bases = base.filter(F.col("vec_id") % 10 == 5)
 
     def variant(src: DataFrame, j: int, id_off: int) -> DataFrame:
-        vcol = F.col("v")
-        dims = F.sequence(F.lit(0), F.size(vcol) - 1)
-        cvec = F.transform(dims, lambda d: S._plane_component(77, j, d))
-        dcv = F.aggregate(
-            F.zip_with(vcol, cvec, lambda x, c: x * c),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        dvv = F.aggregate(
-            F.zip_with(vcol, vcol, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        pvec = F.zip_with(cvec, vcol, lambda c, x: c - (dcv / dvv) * x)
-        dpp = F.aggregate(
-            F.zip_with(pvec, pvec, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        scale = F.lit(float(_DB_A)) * F.sqrt(dvv) / F.sqrt(dpp)
-        vnew = F.zip_with(vcol, pvec, lambda x, p: x + scale * p)
-        return src.select(
-            (F.col("vec_id") + id_off).alias("vec_id"), vnew.alias("v")
-        )
+        # Python-exact twin of the former nested-HOF expression. The
+        # HOF form was the per-char trap SQUARED: dpp folded over
+        # zip_with(pvec, pvec) where pvec itself nests dcv/dvv folds,
+        # so the interpreted evaluator re-walked O(d²)-sized subtrees
+        # per element — O(d⁴) per row, measured 390s of the sf1.0
+        # sweep's 412s dbscan wall on 8,000 variant rows (invisible at
+        # driver SFs where the planted corpus is tiny). Python floats
+        # are IEEE doubles with the same per-op rounding, and every
+        # loop below preserves the fold's left-to-right order and the
+        # expression's association, so emitted vectors are bit-equal
+        # to the HOF form and to the oracle's SQL twin.
+        import math
+
+        from collections.abc import Iterator
+
+        import pandas as pd
+
+        base_h = 77 * 524287 + j * 8191
+
+        def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                ids, out = [], []
+                for vid, v in zip(pdf["vec_id"], pdf["v"]):
+                    x = [float(t) for t in v]
+                    c = [
+                        ((base_h + i + 1) * 2654435761 % 2147483648)
+                        / 1073741824.0
+                        - 1.0
+                        for i in range(len(x))
+                    ]
+                    dcv = 0.0
+                    for xi, ci in zip(x, c):
+                        dcv = dcv + xi * ci
+                    dvv = 0.0
+                    for xi in x:
+                        dvv = dvv + xi * xi
+                    r = dcv / dvv
+                    p = [ci - r * xi for xi, ci in zip(x, c)]
+                    dpp = 0.0
+                    for pi in p:
+                        dpp = dpp + pi * pi
+                    scale = float(_DB_A) * math.sqrt(dvv) / math.sqrt(dpp)
+                    out.append([xi + scale * pi for xi, pi in zip(x, p)])
+                    ids.append(int(vid) + id_off)
+                yield pd.DataFrame({"vec_id": ids, "v": out})
+
+        return src.mapInPandas(op, schema="vec_id long, v array<double>")
 
     # localCheckpoint: the variant builder is a deeply nested HOF
     # expression (folds referencing folds); inlining it into the 24
