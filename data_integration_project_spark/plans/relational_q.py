@@ -1956,10 +1956,26 @@ def orders_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH baskets AS (
       SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
     ),
-    edges AS (
+    raw_edges AS (
       SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
       FROM baskets a JOIN baskets b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM raw_edges
+        UNION ALL SELECT v FROM raw_edges
+      ) GROUP BY node
+    ),
+    edges AS (
+      SELECT CASE WHEN e.du < e.dv OR (e.du = e.dv AND e.u < e.v)
+                  THEN e.u ELSE e.v END AS u,
+             CASE WHEN e.du < e.dv OR (e.du = e.dv AND e.u < e.v)
+                  THEN e.v ELSE e.u END AS v
+      FROM (SELECT r.u, r.v, a.d AS du, b.d AS dv
+            FROM raw_edges r
+            JOIN deg a ON a.node = r.u
+            JOIN deg b ON b.node = r.v) e
     ),
     wedges AS (
       SELECT e1.u AS a, e1.v AS b, e2.v AS c
@@ -1973,17 +1989,29 @@ def orders_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def parts_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counting — the clustering-coefficient primitive of
-    graph analytics — on the parts co-purchase graph. Edges are
-    oriented low-id → high-id so each triangle is generated EXACTLY
-    once (a<b<c): wedge enumeration is one self-join on the middle
-    vertex, closure is one more equi-join back to the edge set. No
-    per-vertex adjacency materialization, no driver graph object —
-    three counts, two joins.
+    graph analytics — on the parts co-purchase graph, with DEGREE
+    ORDERING (the forward/node-iterator++ algorithm): every edge is
+    oriented from its lower-(degree, id) endpoint to the higher one, a
+    total acyclic order, so each triangle is generated exactly once
+    and — the scale property — wedge fan-out is bounded by O(m^1.5)
+    on skewed graphs, because no vertex's OUT-degree under this
+    orientation exceeds √(2m). Wedge enumeration is one self-join on
+    the middle vertex, closure one more equi-join back to the edge
+    set. No per-vertex adjacency materialization, no driver graph
+    object — three counts, two joins plus the degree attach.
 
-    The 100 TB refinement is degree ordering (orient edges from
-    low-degree to high-degree endpoint instead of by id) which bounds
-    wedge fan-out by O(m^1.5) on skewed graphs; id orientation keeps
-    the oracle trivial here and the join shapes are identical."""
+    n_edges and n_triangles are orientation-invariant; n_wedges is the
+    degree-ordered orientation's — i.e. the WORK the algorithm does,
+    reported as a first-class output. Exact triangle counting is
+    Θ(wedges) — no algorithm beats the wedge mass — so on a DENSE
+    graph the cost is the graph's, not the plan's: the sf1.0 replica
+    fixture multiplies basket overlap into a near-regular 12M-edge
+    graph with 492M degree-ordered wedges and 18.8M true triangles
+    (~3.5 min; SCALE.md round-5 sweep). On skewed real co-purchase
+    graphs the degree bound is the difference between feasible and
+    not; when even the wedge mass is too big, the sampled estimators
+    (the [[orders_aqp_sample_estimate]] pattern applied to wedges) are
+    the documented fallback."""
     li = t(spark, sf_dir, "lineitem")
     baskets = li.select("l_orderkey", "l_partkey").distinct()
     a = baskets.select(
@@ -1992,13 +2020,29 @@ def parts_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = baskets.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v")
     )
-    edges = (
+    raw_edges = (
         a.join(b, "ok")
         .filter(F.col("u") < F.col("v"))
         .select("u", "v")
         .distinct()
-        .persist()
     )
+    deg = (
+        raw_edges.select(F.col("u").alias("node"))
+        .unionAll(raw_edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    with_deg = (
+        raw_edges.join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
+    )
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    edges = with_deg.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("u"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("v"),
+    ).persist()
     e2 = edges.select(F.col("u").alias("b_"), F.col("v").alias("c_"))
     wedges = edges.join(e2, edges["v"] == e2["b_"]).select(
         F.col("u").alias("a_"), F.col("v").alias("mid"), "c_"
@@ -2032,11 +2076,15 @@ def _ns_fold(expr: str) -> str:
       SELECT DISTINCT o.o_custkey AS custkey, l.l_partkey AS partkey
       FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     ),
+    nb AS (SELECT GREATEST(8, COUNT(*) // 256) AS nb FROM part),
     part_bucket AS (
-      SELECT p_partkey, ({_ns_fold("p_partkey")}) % 8 AS bucket FROM part
+      SELECT p_partkey, ({_ns_fold("p_partkey")}) % (SELECT nb FROM nb)
+               AS bucket
+      FROM part
     ),
     user_bucket AS (
-      SELECT DISTINCT custkey, ({_ns_fold("custkey")}) % 8 AS bucket
+      SELECT DISTINCT custkey,
+             ({_ns_fold("custkey")}) % (SELECT nb FROM nb) AS bucket
       FROM positives
     ),
     cands AS (
@@ -2065,20 +2113,27 @@ def orders_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Negative sampling for recommender training: each customer gets
     3 parts they have NEVER ordered, chosen deterministically — the
     contrastive counterpart every implicit-feedback trainer needs.
-    The scale trick is the HASH BAND: parts pre-partition into 8
-    static buckets, a user's candidates are just their bucket
-    (broadcast join, |users|·|parts|/8 rows) — never the full
-    user×catalog cross product a naive sampler materializes. Within
-    the band, true positives drop by anti-join and the md5(user:part)
-    order picks a stable pseudo-random 3; the checksum proves both
-    engines choose identical items, not just identical counts.
+    The scale trick is the HASH BAND: parts pre-partition into
+    CATALOG-ADAPTIVE buckets (GREATEST(8, |parts|/256) — a fixed band
+    count leaves per-user candidates at |parts|/8, which the sf1.0
+    sweep measured as a 3.75-billion-row stall; sizing bands to the
+    catalog caps a user's candidates at ~256 regardless of scale, and
+    the floor of 8 keeps driver-fixture results identical to the
+    original). A user's candidates are just their band (broadcast
+    join) — never the full user×catalog cross product a naive sampler
+    materializes. Within the band, true positives drop by anti-join
+    and the md5(user:part) order picks a stable pseudo-random 3; the
+    checksum proves both engines choose identical items, not just
+    identical counts.
 
     Determinism is the point: resampling on retry/repartition would
     silently change the training set (same rule as
-    corpus_shard_assignment)."""
+    corpus_shard_assignment); the band count is a pure function of
+    the catalog, so it is deterministic too."""
     o = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part")
+    nb = max(8, p.count() // 256)  # scalar: cheap at any scale
 
     def fold(col):
         return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast(
@@ -2091,10 +2146,10 @@ def orders_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     part_bucket = p.select(
-        F.col("p_partkey"), (fold(F.col("p_partkey")) % 8).alias("bucket")
+        F.col("p_partkey"), (fold(F.col("p_partkey")) % nb).alias("bucket")
     )
     user_bucket = positives.select("custkey").distinct().select(
-        "custkey", (fold(F.col("custkey")) % 8).alias("bucket")
+        "custkey", (fold(F.col("custkey")) % nb).alias("bucket")
     )
     rkey = fold(
         F.concat(
