@@ -6,17 +6,20 @@ catalog so never-sampled queries come first, rotating fresh
 queries into the driver's ~50-query prefix sample every round.
 """
 
-# source files: CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json, CORRECTNESS_r04.json
+# source files: CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json, CORRECTNESS_r04.json, CORRECTNESS_r05.json
 
 DRIVER_SAMPLED: frozenset[str] = frozenset({
     "ann_context_packing",  # CORRECTNESS_r04.json
     "ann_cosine_topk",  # CORRECTNESS_r01.json
+    "ann_ivf_pq_adc",  # CORRECTNESS_r05.json
     "ann_ivf_topk",  # CORRECTNESS_r01.json, CORRECTNESS_r03.json
+    "ann_multiprobe_topk",  # CORRECTNESS_r05.json
     "ann_srp_bucketed",  # CORRECTNESS_r01.json, CORRECTNESS_r03.json
     "ann_topk_pandas",  # CORRECTNESS_r01.json, CORRECTNESS_r03.json
     "benchmark_decontamination",  # CORRECTNESS_r04.json
     "corpus_dedup_cascade",  # CORRECTNESS_r04.json
     "corpus_leakage_safe_split",  # CORRECTNESS_r03.json
+    "corpus_semdedup",  # CORRECTNESS_r05.json
     "customer_clean_rows",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
     "customer_error_replay",  # CORRECTNESS_r02.json, CORRECTNESS_r03.json
     "customer_error_rows",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
@@ -71,16 +74,60 @@ DRIVER_SAMPLED: frozenset[str] = frozenset({
     "doc_winnowing_fingerprints",  # CORRECTNESS_r04.json
     "embedding_near_dup",  # CORRECTNESS_r01.json
     "embeddings_bitext_mining",  # CORRECTNESS_r04.json
+    "embeddings_bitext_mining_srp",  # CORRECTNESS_r05.json
+    "embeddings_dbscan",  # CORRECTNESS_r05.json
+    "embeddings_hard_negatives",  # CORRECTNESS_r05.json
+    "embeddings_int8_quantization",  # CORRECTNESS_r05.json
+    "embeddings_jl_projection",  # CORRECTNESS_r05.json
     "embeddings_knn_classify",  # CORRECTNESS_r04.json
     "embeddings_label_centroids",  # CORRECTNESS_r04.json
     "embeddings_matryoshka_eval",  # CORRECTNESS_r04.json
+    "embeddings_mmr_rerank",  # CORRECTNESS_r05.json
+    "embeddings_pca_power_iteration",  # CORRECTNESS_r05.json
+    "embeddings_pca_two_components",  # CORRECTNESS_r05.json
+    "embeddings_pq_code_dedup",  # CORRECTNESS_r05.json
     "embeddings_pq_codebooks",  # CORRECTNESS_r04.json
     "events_asof_last_click",  # CORRECTNESS_r01.json
+    "events_churn_labels",  # CORRECTNESS_r05.json
+    "events_cohort_retention",  # CORRECTNESS_r05.json
+    "events_cross_correlation",  # CORRECTNESS_r05.json
+    "events_cumulative_unique_users",  # CORRECTNESS_r05.json
+    "events_ewma_smoothing",  # CORRECTNESS_r05.json
+    "events_gap_fill_locf",  # CORRECTNESS_r05.json
+    "events_hll_distinct",  # CORRECTNESS_r05.json
+    "events_hll_mergeable_groups",  # CORRECTNESS_r05.json
+    "events_hopping_window",  # CORRECTNESS_r05.json
     "events_hourly_by_type",  # CORRECTNESS_r01.json
+    "events_json_props",  # CORRECTNESS_r05.json
+    "events_kll_by_type",  # CORRECTNESS_r05.json
+    "events_kmv_distinct",  # CORRECTNESS_r05.json
     "events_multi_rollup",  # CORRECTNESS_r01.json
+    "events_partition_pruned_scan",  # CORRECTNESS_r05.json
+    "events_peak_concurrency",  # CORRECTNESS_r05.json
+    "events_per_user_capped_sample",  # CORRECTNESS_r05.json
+    "events_position_attribution",  # CORRECTNESS_r05.json
     "events_range_correlation",  # CORRECTNESS_r01.json
+    "events_rolling_wau",  # CORRECTNESS_r05.json
+    "events_rollup_cascade",  # CORRECTNESS_r05.json
+    "events_rollup_incremental_refresh",  # CORRECTNESS_r05.json
+    "events_seasonal_anomaly",  # CORRECTNESS_r05.json
+    "events_session_funnel",  # CORRECTNESS_r05.json
+    "events_session_patterns",  # CORRECTNESS_r05.json
     "events_sessionization",  # CORRECTNESS_r01.json
+    "events_stateful_user_totals",  # CORRECTNESS_r05.json
+    "events_stream_dedup_watermark",  # CORRECTNESS_r05.json
+    "events_stream_static_join",  # CORRECTNESS_r05.json
+    "events_stream_stream_join",  # CORRECTNESS_r05.json
+    "events_stream_stream_left_join",  # CORRECTNESS_r05.json
+    "events_streaming_dedup",  # CORRECTNESS_r05.json
+    "events_streaming_kll_state",  # CORRECTNESS_r05.json
+    "events_streaming_sessions",  # CORRECTNESS_r05.json
+    "events_temporal_split",  # CORRECTNESS_r05.json
+    "events_time_weighted_value",  # CORRECTNESS_r05.json
+    "events_trailing_hour_window",  # CORRECTNESS_r05.json
+    "events_user_robust_outliers",  # CORRECTNESS_r05.json
     "events_user_running_stats",  # CORRECTNESS_r01.json
+    "events_variant_props",  # CORRECTNESS_r05.json
     "fact_compensating_entries",  # CORRECTNESS_r02.json
     "fact_join_view_incremental",  # CORRECTNESS_r02.json
     "fact_late_dimension",  # CORRECTNESS_r02.json, CORRECTNESS_r03.json
@@ -119,6 +166,7 @@ DRIVER_SAMPLED: frozenset[str] = frozenset({
     "orders_fd_discovery",  # CORRECTNESS_r02.json, CORRECTNESS_r03.json
     "orders_first_wins_dedup",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
     "orders_fx_normalized",  # CORRECTNESS_r02.json
+    "orders_grouped_agg_median",  # CORRECTNESS_r05.json
     "orders_pit_dimension_join",  # CORRECTNESS_r02.json, CORRECTNESS_r03.json
     "orders_price_quantiles",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
     "orders_schema_evolution_read",  # CORRECTNESS_r03.json
@@ -135,6 +183,8 @@ DRIVER_SAMPLED: frozenset[str] = frozenset({
     "reconcile_only_in_source",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
     "star_revenue_by_region",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
     "streaming_inbox_pipeline",  # CORRECTNESS_r01.json, CORRECTNESS_r03.json
+    "streaming_manifest_sink",  # CORRECTNESS_r05.json
+    "streaming_neardup_ingest",  # CORRECTNESS_r05.json
     "supplier_balance_by_nation",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
     "table_row_counts",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
     "top10_orders",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
