@@ -352,15 +352,6 @@ def brute_force_topk_pandas(
     )
 
 
-def _collect_matrix(df: DataFrame, id_col: str, vec_col: str):
-    import numpy as np
-
-    rows = df.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    return ids, mat
-
-
 def kmeans_centroids(
     corpus: DataFrame,
     id_col: str,
@@ -1097,16 +1088,33 @@ def semdedup_flags(
     self-join plus a distinct, never a global sort."""
     cents = kmeans_centroids(corpus, id_col, vec_col, n_clusters, n_iters=n_iters)
     assigned = kmeans_assign(corpus, id_col, vec_col, cents)
-    a = assigned.select(
-        F.col(id_col).alias("_id_a"), F.col(vec_col).alias("_va"), "_cluster"
+    # per-vector norms factored out of the pair loop (the bitext-miner
+    # trick): sqrt(v·v) is a pure per-vector value, so one fold per
+    # VECTOR replaces two folds per PAIR, while the pair predicate's
+    # expression tree — dot / (sqrt(x)·sqrt(y)) — stays identical to
+    # cosine()'s, so every keep/drop decision is bit-unchanged
+    from ..functions.vectors import dot, norm2
+
+    with_norm = assigned.withColumn("_nrm", norm2(F.col(vec_col)))
+    a = with_norm.select(
+        F.col(id_col).alias("_id_a"),
+        F.col(vec_col).alias("_va"),
+        F.col("_nrm").alias("_na"),
+        "_cluster",
     )
-    b = assigned.select(
-        F.col(id_col).alias("_id_b"), F.col(vec_col).alias("_vb"), "_cluster"
+    b = with_norm.select(
+        F.col(id_col).alias("_id_b"),
+        F.col(vec_col).alias("_vb"),
+        F.col("_nrm").alias("_nb"),
+        "_cluster",
     )
     dropped = (
         a.join(b, "_cluster")
         .filter(F.col("_id_a") < F.col("_id_b"))
-        .filter(cosine(F.col("_va"), F.col("_vb")) >= threshold)
+        .filter(
+            dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+            >= threshold
+        )
         .select(F.col("_id_b").alias(id_col))
         .distinct()
         .withColumn("_dropped", F.lit(1))

@@ -76,13 +76,16 @@ def ingest_csv_dir(
         # cache: Spark disallows predicates over ONLY the corrupt-record
         # column of a raw CSV scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN)
         raw = with_line_numbers(read_entity_csv(spark, item["file_path"], entity)).cache()
-        ok = raw.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
-        enveloped = encode_envelope(
-            ok, source=source, entity_type=entity, run_id=run_id, order_col="_line_no"
-        )
-        out = os.path.join(zones.inbox, entity)
-        enveloped.write.mode("append").text(out)
-        counts[entity] = counts.get(entity, 0) + ok.count()
+        try:
+            ok = raw.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+            enveloped = encode_envelope(
+                ok, source=source, entity_type=entity, run_id=run_id, order_col="_line_no"
+            )
+            out = os.path.join(zones.inbox, entity)
+            enveloped.write.mode("append").text(out)
+            counts[entity] = counts.get(entity, 0) + ok.count()
+        finally:
+            raw.unpersist()  # both readers (write + count) are done
     return counts
 
 

@@ -85,6 +85,52 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, name, sf_dir)
 
 
+_TMP_ROOT: str | None = None
+
+
+def run_tmpdir(prefix: str) -> str:
+    """Per-invocation scratch directory under ONE process-scoped root
+    that is removed at interpreter exit (atexit).
+
+    Catalog queries that exercise sinks/streams need on-disk scratch
+    (checkpoints, staged stream files, written zones). Raw
+    ``tempfile.mkdtemp`` leaks one directory per invocation for the
+    machine's lifetime — in the long-lived bench/oracle-gate session
+    that is hundreds of directories, some holding row-scale parquet
+    (the leak class ADVICE flagged on ``streaming_neardup_ingest``).
+    Queries whose RETURNED plan reads from the scratch dir cannot
+    rmtree per-invocation, so the root-level atexit sweep is the
+    session-granularity backstop for the whole class; queries with
+    small-aggregate outputs additionally collect eagerly and rmtree
+    their own dir in try/finally.
+    """
+    import tempfile
+
+    return tempfile.mkdtemp(prefix=prefix, dir=_tmp_root())
+
+
+def run_tmpfile(prefix: str, suffix: str) -> str:
+    """Scratch FILE under the same atexit-swept root (sqlite twins)."""
+    import os
+    import tempfile
+
+    fd, path = tempfile.mkstemp(prefix=prefix, suffix=suffix, dir=_tmp_root())
+    os.close(fd)
+    return path
+
+
+def _tmp_root() -> str:
+    global _TMP_ROOT
+    import atexit
+    import shutil
+    import tempfile
+
+    if _TMP_ROOT is None:
+        _TMP_ROOT = tempfile.mkdtemp(prefix="spark_engine_scratch_")
+        atexit.register(shutil.rmtree, _TMP_ROOT, ignore_errors=True)
+    return _TMP_ROOT
+
+
 # ---------------------------------------------------------------------------
 # Determinism helpers (house style for oracle-comparable aggregates)
 # ---------------------------------------------------------------------------

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import dedup as D
-from .catalog import query, t
+from .catalog import query, run_tmpdir, t
 
 # ---------------------------------------------------------------------------
 # Shared corpus-with-injected-duplicates (Spark + SQL twins)
@@ -783,21 +783,275 @@ def streaming_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("novel").alias("ingest_class"),
     )
     incoming = exact.unionByName(near).unionByName(novel)
-    run = tempfile.mkdtemp(prefix="neardup_ingest_")
-    run_neardup_ingest(
-        spark,
-        incoming,
-        store,
-        f"{run}/flags",
-        f"{run}/_ckpt",
-        "doc_id",
-        "text",
+    # The rollup is 3 rows but the flags parquet is row-scale: collect
+    # the rollup eagerly and rmtree the run dir in finally (the
+    # doc_label_propagation eager-aggregate pattern), so a long-lived
+    # bench/oracle session doesn't accumulate per-invocation scratch.
+    import shutil
+
+    run = run_tmpdir("neardup_ingest_")
+    try:
+        run_neardup_ingest(
+            spark,
+            incoming,
+            store,
+            f"{run}/flags",
+            f"{run}/_ckpt",
+            "doc_id",
+            "text",
+        )
+        flags = spark.read.parquet(f"{run}/flags")
+        rows = (
+            flags.groupBy("ingest_class")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("_neardup").cast("long").alias("n_flagged"),
+                F.sum(1 - F.col("_neardup")).cast("long").alias("n_passed"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(run, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "ingest_class string, n_docs long, n_flagged long, n_passed long"
     )
-    flags = spark.read.parquet(f"{run}/flags")
-    return flags.groupBy("ingest_class").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("_neardup").cast("long").alias("n_flagged"),
-        F.sum(1 - F.col("_neardup")).cast("long").alias("n_passed"),
+
+
+# ---------------------------------------------------------------------------
+# STREAMING near-dup ingest with a GROWING store: batch N+1 probes the
+# buckets of everything batch N accepted (streaming/neardup.py's
+# append leg composed into the drain loop).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "streaming_neardup_store_growth",
+    oracle=f"""
+    WITH b1 AS (
+      SELECT doc_id + 100000 AS doc_id, text,
+             'b1_recrawl' AS ingest_class
+      FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 300000,
+             'growth document ' || CAST(doc_id AS VARCHAR)
+               || ' first sighting payload',
+             'b1_novel'
+      FROM documents WHERE doc_id % 10 = 3
+    ),
+    b2 AS (
+      SELECT doc_id + 400000 AS doc_id,
+             'growth document ' || CAST(doc_id AS VARCHAR)
+               || ' first sighting payload' AS text,
+             'b2_recrawl_of_b1' AS ingest_class
+      FROM documents WHERE doc_id % 10 = 3
+      UNION ALL
+      SELECT doc_id + 500000,
+             'growth document ' || CAST(doc_id AS VARCHAR)
+               || ' first sighting payload extra',
+             'b2_near_copy_of_b1'
+      FROM documents WHERE doc_id % 10 = 3
+      UNION ALL
+      SELECT doc_id + 600000,
+             'second wave ' || CAST(doc_id AS VARCHAR)
+               || ' unseen growth payload',
+             'b2_novel'
+      FROM documents WHERE doc_id % 10 = 7
+    ),
+    store_sh AS ({{store_sh}}),
+    b1_sh AS ({{b1_sh}}),
+    b2_sh AS ({{b2_sh}}),
+    params(hidx, a, b) AS (VALUES {_PARAMS_SQL}),
+    store_buckets AS (
+      SELECT DISTINCT band, bucket FROM (
+        SELECT doc_id, hidx // {_ROWS_PER_BAND} AS band,
+               string_agg(minhash, '-' ORDER BY hidx) AS bucket
+        FROM (
+          SELECT doc_id, hidx, min((a * shash + b) % 2147483647) AS minhash
+          FROM store_sh CROSS JOIN params GROUP BY doc_id, hidx
+        ) GROUP BY doc_id, hidx // {_ROWS_PER_BAND}
+      )
+    ),
+    b1_buckets AS (
+      SELECT doc_id, hidx // {_ROWS_PER_BAND} AS band,
+             string_agg(minhash, '-' ORDER BY hidx) AS bucket
+      FROM (
+        SELECT doc_id, hidx, min((a * shash + b) % 2147483647) AS minhash
+        FROM b1_sh CROSS JOIN params GROUP BY doc_id, hidx
+      ) GROUP BY doc_id, hidx // {_ROWS_PER_BAND}
+    ),
+    b2_buckets AS (
+      SELECT doc_id, hidx // {_ROWS_PER_BAND} AS band,
+             string_agg(minhash, '-' ORDER BY hidx) AS bucket
+      FROM (
+        SELECT doc_id, hidx, min((a * shash + b) % 2147483647) AS minhash
+        FROM b2_sh CROSS JOIN params GROUP BY doc_id, hidx
+      ) GROUP BY doc_id, hidx // {_ROWS_PER_BAND}
+    ),
+    hits1 AS (
+      SELECT DISTINCT i.doc_id
+      FROM b1_buckets i JOIN store_buckets s
+        ON i.band = s.band AND i.bucket = s.bucket
+    ),
+    store2 AS (
+      SELECT band, bucket FROM store_buckets
+      UNION
+      SELECT band, bucket FROM b1_buckets
+      WHERE doc_id NOT IN (SELECT doc_id FROM hits1)
+    ),
+    hits2 AS (
+      SELECT DISTINCT i.doc_id
+      FROM b2_buckets i JOIN store2 s
+        ON i.band = s.band AND i.bucket = s.bucket
+    ),
+    flags AS (
+      SELECT i.ingest_class,
+             CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END AS f
+      FROM b1 i LEFT JOIN hits1 h USING (doc_id)
+      UNION ALL
+      SELECT i.ingest_class,
+             CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END
+      FROM b2 i LEFT JOIN hits2 h USING (doc_id)
+    )
+    SELECT ingest_class,
+           COUNT(*) AS n_docs,
+           CAST(SUM(f) AS BIGINT) AS n_flagged,
+           CAST(SUM(1 - f) AS BIGINT) AS n_passed
+    FROM flags GROUP BY ingest_class
+    """.format(
+        store_sh=_shingles_sql_for("documents", 3),
+        b1_sh=_shingles_sql_for("b1", 3),
+        b2_sh=_shingles_sql_for("b2", 3),
+    ),
+)
+def streaming_neardup_store_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup ingest where the store GROWS as batches are accepted —
+    [[streaming_neardup_ingest]] closed into an actual loop
+    (``run_neardup_ingest(grow_store=True)``): after each micro-batch's
+    flags land, the accepted documents' band buckets are appended to
+    the store (``streaming/neardup.append_accepted_to_store``), so the
+    NEXT batch dedups against them. This is the cross-batch state the
+    reference's consume loop keeps in its accumulating ``seen_ids`` set
+    (main.py:663-700), generalized from "seen this id" to "seen this
+    content, approximately" — and the property the static-store query
+    cannot show: batch 2's exact re-crawls of batch-1 novelties are
+    flagged even though NO historical document matches them.
+
+    Fixture (two deterministic micro-batches via two staged parquet
+    files, maxFilesPerTrigger=1, mtime-ordered — the
+    orders_streaming_online_logreg recipe): batch 1 carries re-crawls
+    of history (flagged by the initial store) and synthesized novel
+    docs (accepted → appended); batch 2 carries exact re-crawls of
+    those batch-1 novelties (flagged IFF the store grew — every band
+    identical), one-token near copies (banding s-curve against the
+    GROWN store), and genuinely novel docs (pass). The oracle unrolls
+    the same two sequential probes in SQL: hits1 against the history
+    buckets, hits2 against history ∪ batch-1-accepted buckets.
+
+    Deterministic under driver replay: a fresh invocation rebuilds the
+    store from scratch and AvailableNow re-delivers both files in mtime
+    order; within-run batch replay re-probes the pre-append store
+    because the append lands after the flags write (see
+    run_neardup_ingest's replay note).
+
+    Scale shape: per batch, one codegen signature shuffle + one
+    (band, bucket) equi-join probe + one distinct-union append of
+    O(accepted · bands) short rows; the store never holds text and the
+    append's localCheckpoint keeps the growing plan's lineage flat."""
+    import os
+    import shutil
+
+    from ..streaming.neardup import build_band_store, run_neardup_ingest
+
+    d = t(spark, sf_dir, "documents")
+    store = build_band_store(d, "doc_id", "text").localCheckpoint()
+    did = F.col("doc_id")
+    novel_text = F.concat(
+        F.lit("growth document "),
+        did.cast("string"),
+        F.lit(" first sighting payload"),
+    )
+    b1 = (
+        d.filter(did % 10 == 0)
+        .select(
+            (did + 100000).alias("doc_id"),
+            "text",
+            F.lit("b1_recrawl").alias("ingest_class"),
+        )
+        .unionByName(
+            d.filter(did % 10 == 3).select(
+                (did + 300000).alias("doc_id"),
+                novel_text.alias("text"),
+                F.lit("b1_novel").alias("ingest_class"),
+            )
+        )
+    )
+    b2 = (
+        d.filter(did % 10 == 3)
+        .select(
+            (did + 400000).alias("doc_id"),
+            novel_text.alias("text"),
+            F.lit("b2_recrawl_of_b1").alias("ingest_class"),
+        )
+        .unionByName(
+            d.filter(did % 10 == 3).select(
+                (did + 500000).alias("doc_id"),
+                F.concat(novel_text, F.lit(" extra")).alias("text"),
+                F.lit("b2_near_copy_of_b1").alias("ingest_class"),
+            )
+        )
+        .unionByName(
+            d.filter(did % 10 == 7).select(
+                (did + 600000).alias("doc_id"),
+                F.concat(
+                    F.lit("second wave "),
+                    did.cast("string"),
+                    F.lit(" unseen growth payload"),
+                ).alias("text"),
+                F.lit("b2_novel").alias("ingest_class"),
+            )
+        )
+    )
+    run = run_tmpdir("neardup_growth_")
+    try:
+        src_dir = f"{run}/stream"
+        b1.coalesce(1).write.parquet(f"{src_dir}/b0")
+        b2.coalesce(1).write.parquet(f"{src_dir}/b1")
+        # FileStreamSource takes oldest-mtime first; pin the order
+        # explicitly instead of trusting write latency to separate them
+        for i, sub in enumerate(("b0", "b1")):
+            base = os.path.join(src_dir, sub)
+            for f in os.listdir(base):
+                os.utime(os.path.join(base, f), (1_000_000_000 + i * 10,) * 2)
+        incoming = (
+            spark.readStream.schema("doc_id long, text string, ingest_class string")
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(src_dir)
+        )
+        run_neardup_ingest(
+            spark,
+            incoming,
+            store,
+            f"{run}/flags",
+            f"{run}/_ckpt",
+            "doc_id",
+            "text",
+            grow_store=True,
+        )
+        rows = (
+            spark.read.parquet(f"{run}/flags")
+            .groupBy("ingest_class")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("_neardup").cast("long").alias("n_flagged"),
+                F.sum(1 - F.col("_neardup")).cast("long").alias("n_passed"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(run, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "ingest_class string, n_docs long, n_flagged long, n_passed long"
     )
 
 
@@ -1574,48 +1828,65 @@ def dedup_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(variant(200000, " extra"))
         .unionByName(variant(300000, " extra extra"))
     )
+    # output is one summary row: compute it eagerly inside try/finally
+    # so the persisted signature/candidate/truth frames (pair-scale at
+    # sf1.0) never outlive the call in a long-lived session
     sets = D.shingle_sets_with_signatures(
         corpus, "doc_id", "text", 3, _N_HASHES
     ).persist()
-    buckets = D.lsh_bucket_rows(sets, "doc_id", _N_BANDS, _ROWS_PER_BAND)
-    cand = D.candidate_pairs(buckets, "doc_id").persist()
-    ex = sets.select("doc_id", F.explode("_shs").alias("h"))
-    copairs = (
-        ex.select(F.col("doc_id").alias("_id_a"), "h")
-        .join(ex.select(F.col("doc_id").alias("_id_b"), "h"), "h")
-        .filter(F.col("_id_a") < F.col("_id_b"))
-        .select("_id_a", "_id_b")
-        .distinct()
-    )
-    truth = (
-        D.jaccard_on_pairs(copairs, sets, "doc_id")
-        .filter(F.col("jaccard") >= 0.5)
-        .select("_id_a", "_id_b")
-        .persist()
-    )
-    nd = corpus.agg(F.count(F.lit(1)).alias("nd"))
-    counts = (
-        nd.join(truth.agg(F.count(F.lit(1)).alias("n_true")))
-        .join(cand.agg(F.count(F.lit(1)).alias("n_cand")))
-        .join(
-            cand.join(truth, ["_id_a", "_id_b"], "left_semi").agg(
-                F.count(F.lit(1)).alias("n_tp")
+    try:
+        buckets = D.lsh_bucket_rows(sets, "doc_id", _N_BANDS, _ROWS_PER_BAND)
+        cand = D.candidate_pairs(buckets, "doc_id").persist()
+        try:
+            ex = sets.select("doc_id", F.explode("_shs").alias("h"))
+            copairs = (
+                ex.select(F.col("doc_id").alias("_id_a"), "h")
+                .join(ex.select(F.col("doc_id").alias("_id_b"), "h"), "h")
+                .filter(F.col("_id_a") < F.col("_id_b"))
+                .select("_id_a", "_id_b")
+                .distinct()
             )
-        )
-    )
-    all_pairs = F.expr("nd * (nd - 1) div 2")
-    return counts.select(
-        F.col("nd").cast("long").alias("n_docs"),
-        all_pairs.cast("long").alias("n_all_pairs"),
-        F.col("n_true").cast("long").alias("n_true"),
-        F.col("n_cand").cast("long").alias("n_cand"),
-        F.col("n_tp").cast("long").alias("n_cand_true"),
-        (F.col("n_tp").cast("double") / F.col("n_true")).alias(
-            "pair_completeness"
-        ),
-        (
-            (all_pairs - F.col("n_cand")).cast("double") / all_pairs
-        ).alias("reduction_ratio"),
+            truth = (
+                D.jaccard_on_pairs(copairs, sets, "doc_id")
+                .filter(F.col("jaccard") >= 0.5)
+                .select("_id_a", "_id_b")
+                .persist()
+            )
+            try:
+                nd = corpus.agg(F.count(F.lit(1)).alias("nd"))
+                counts = (
+                    nd.join(truth.agg(F.count(F.lit(1)).alias("n_true")))
+                    .join(cand.agg(F.count(F.lit(1)).alias("n_cand")))
+                    .join(
+                        cand.join(truth, ["_id_a", "_id_b"], "left_semi").agg(
+                            F.count(F.lit(1)).alias("n_tp")
+                        )
+                    )
+                )
+                all_pairs = F.expr("nd * (nd - 1) div 2")
+                rows = counts.select(
+                    F.col("nd").cast("long").alias("n_docs"),
+                    all_pairs.cast("long").alias("n_all_pairs"),
+                    F.col("n_true").cast("long").alias("n_true"),
+                    F.col("n_cand").cast("long").alias("n_cand"),
+                    F.col("n_tp").cast("long").alias("n_cand_true"),
+                    (F.col("n_tp").cast("double") / F.col("n_true")).alias(
+                        "pair_completeness"
+                    ),
+                    (
+                        (all_pairs - F.col("n_cand")).cast("double") / all_pairs
+                    ).alias("reduction_ratio"),
+                ).collect()
+            finally:
+                truth.unpersist()
+        finally:
+            cand.unpersist()
+    finally:
+        sets.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "n_docs long, n_all_pairs long, n_true long, n_cand long, "
+        "n_cand_true long, pair_completeness double, reduction_ratio double",
     )
 
 

@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 
 from ..functions.dates import DIM_DATE_SQL_COLUMNS
 from ..operators import dwh as W
-from .catalog import SQL_DSUM, dsum, query, t
+from .catalog import SQL_DSUM, dsum, query, run_tmpdir, t
 
 # ---------------------------------------------------------------------------
 # dim_date (create_dwh_tables.sql:112-127)
@@ -129,7 +129,7 @@ def dim_customer_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     import tempfile
 
     c = t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
-    dim_path = tempfile.mkdtemp(prefix="scd2_dim_") + "/dim"
+    dim_path = run_tmpdir("scd2_dim_") + "/dim"
     W.write_dim_bucketed(
         W.scd2_init(c, "2024-01-01"), dim_path, "c_custkey", n_buckets=16
     )
@@ -167,7 +167,7 @@ def dim_customer_scd2_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.upsert import scd2_stream_upsert
 
     c = t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
-    root = tempfile.mkdtemp(prefix="scd2_stream_")
+    root = run_tmpdir("scd2_stream_")
     dim_path = root + "/dim"
     W.write_dim_bucketed(
         W.scd2_init(c, "2024-01-01"), dim_path, "c_custkey", n_buckets=16

@@ -45,7 +45,7 @@ from ..operators.quality import reject_duplicates
 from ..operators.reconcile import category_lookup, merged_view
 from ..pipeline import run_full_pipeline, run_history
 from ..sources.csv import read_entity_csv, with_line_numbers
-from .catalog import SQL_DSUM, dsum, query
+from .catalog import SQL_DSUM, dsum, query, run_tmpdir
 
 # ---------------------------------------------------------------------------
 # Fixture rows (single source of truth for BOTH the CSV file Spark reads
@@ -247,7 +247,7 @@ def khachhang_csv_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     then apply BOTH ordered first-wins dedups (id, email). Returns
     every row's verdict. The oracle rebuilds the identical pipeline
     from VALUES."""
-    d = tempfile.mkdtemp(prefix="kh_csv_")
+    d = run_tmpdir("kh_csv_")
     path = os.path.join(d, "khachhang.csv")
     with open(path, "w", encoding="utf-8-sig") as f:
         f.write("id,ho_ten,sdt,thanh_pho,email\n")
@@ -255,10 +255,13 @@ def khachhang_csv_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             f.write(",".join(c if c is not None else "" for c in row) + "\n")
         f.write(_KH_CORRUPT_LINE + "\n")
 
-    # cache: Spark disallows querying ONLY the corrupt-record column of
-    # a raw CSV scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN); the fixture is
-    # tiny and read twice (corrupt + good branches)
-    raw = with_line_numbers(read_entity_csv(spark, path, "khach_hang")).cache()
+    # localCheckpoint (not cache): Spark disallows querying ONLY the
+    # corrupt-record column of a raw CSV scan
+    # (QUERY_ONLY_CORRUPT_RECORD_COLUMN) so the tiny fixture must be
+    # materialized for its two readers (corrupt + good branches) — and
+    # unlike a CacheManager entry, a checkpointed frame is
+    # GC-collectable once the returned plan is dropped
+    raw = with_line_numbers(read_entity_csv(spark, path, "khach_hang")).localCheckpoint()
     corrupt = raw.filter(F.col("_corrupt_record").isNotNull()).select(
         F.col("_line_no").alias("line_no"),
         *[
@@ -766,7 +769,7 @@ def nguyenlieu_csv_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     nha_cung_cap (FIXTURES.md §A4), so they pass as NULL — exactly the
     staging behavior. Every row gets a verdict; the oracle rebuilds the
     identical pipeline from VALUES."""
-    d = tempfile.mkdtemp(prefix="nl_csv_")
+    d = run_tmpdir("nl_csv_")
     path = os.path.join(d, "nguyenlieu.csv")
     with open(path, "w", encoding="utf-8-sig") as f:
         f.write("id,ten_nguyen_lieu,so_luong,don_vi,gia,ngay_nhap\n")
@@ -774,7 +777,8 @@ def nguyenlieu_csv_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             f.write(",".join(c if c is not None else "" for c in row) + "\n")
         f.write(_NL_CORRUPT_LINE + "\n")
 
-    raw = with_line_numbers(read_entity_csv(spark, path, "nguyen_lieu")).cache()
+    # localCheckpoint, not cache — see the khach_hang twin's note
+    raw = with_line_numbers(read_entity_csv(spark, path, "nguyen_lieu")).localCheckpoint()
     corrupt = raw.filter(F.col("_corrupt_record").isNotNull()).select(
         F.col("_line_no").alias("line_no"),
         F.lit(None).cast("string").alias("ma_nguyen_lieu"),
@@ -907,7 +911,7 @@ def dathang_csv_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout where so_luong arrives numeric; the oracle therefore carries
     its 17 observable verdicts. Message order = rule declaration order,
     then dedup, then FKs — exactly the engine's append order."""
-    d = tempfile.mkdtemp(prefix="dh_csv_")
+    d = run_tmpdir("dh_csv_")
     path = os.path.join(d, "dathang.csv")
     with open(path, "w", encoding="utf-8-sig") as f:
         f.write("id,khach_hang_id,mon_id,so_luong,ngay_dat,trang_thai\n")
@@ -915,7 +919,8 @@ def dathang_csv_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             f.write(",".join(c if c is not None else "" for c in row) + "\n")
         f.write(_DH_CORRUPT_LINE + "\n")
 
-    raw = with_line_numbers(read_entity_csv(spark, path, "dat_hang")).cache()
+    # localCheckpoint, not cache — see the khach_hang twin's note
+    raw = with_line_numbers(read_entity_csv(spark, path, "dat_hang")).localCheckpoint()
     corrupt = raw.filter(F.col("_corrupt_record").isNotNull()).select(
         F.col("_line_no").alias("line_no"),
         F.lit(None).cast("string").alias("ma_don_hang"),
@@ -1003,7 +1008,7 @@ def pipeline_run_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_history lineage table, which is then queried back — run-scoped
     counts survive as a queryable parquet table rather than the
     reference's per-run log files (pipeline_run_*.log)."""
-    out_root = tempfile.mkdtemp(prefix="runhist_")
+    out_root = run_tmpdir("runhist_")
     for tag, rows in (("r1", _KH_ROWS), ("r2", _KH_ROWS_RUN2)):
         data_dir = os.path.join(out_root, f"in_{tag}")
         os.makedirs(data_dir)

@@ -16,7 +16,7 @@ from pyspark.sql import Window
 
 from ..operators.quality import RuleSet, not_blank, positive
 from ..streaming.pipeline import ZonePaths, produce_to_inbox, run_inbox_pipeline, streaming_window_counts
-from .catalog import SQL_DSUM, dsum, query, t
+from .catalog import SQL_DSUM, dsum, query, run_tmpdir, t
 
 # ---------------------------------------------------------------------------
 # Tumbling windows (same code path batch/streaming)
@@ -279,7 +279,7 @@ def streaming_inbox_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     zones (K2/K3), and report zone counts. The oracle recomputes the
     expected split relationally. Each invocation uses a fresh temp run
     directory (run-scoped output, reference DB_{run_id} analogue)."""
-    zones = ZonePaths(tempfile.mkdtemp(prefix="inbox_run_"))
+    zones = ZonePaths(run_tmpdir("inbox_run_"))
     cust = t(spark, sf_dir, "customer")
     produce_to_inbox(
         cust, zones, entity="customer", source="csv", run_id="r1", order_col="c_custkey"
@@ -596,7 +596,7 @@ def events_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.writeStream.format("memory")
         .queryName(name)
         .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="strsess_ckpt_"))
+        .option("checkpointLocation", run_tmpdir("strsess_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -696,7 +696,7 @@ def events_rollup_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataF
         )
 
     # historical slice materialized once (the standing rollup table)
-    hist_path = tempfile.mkdtemp(prefix="rollup_hist_")
+    hist_path = run_tmpdir("rollup_hist_")
     rollup(ev.filter(F.date_trunc("day", "ts") < cutoff)).write.mode(
         "overwrite"
     ).parquet(hist_path)
@@ -897,7 +897,7 @@ def events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="strjoin_ckpt_"))
+        .option("checkpointLocation", run_tmpdir("strjoin_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -1031,7 +1031,7 @@ def events_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFram
     import datetime
 
     far = max_ts + datetime.timedelta(days=30)
-    stream_dir = tempfile.mkdtemp(prefix="strljoin_src_")
+    stream_dir = run_tmpdir("strljoin_src_")
     os.symlink(
         os.path.join(sf_dir, "events.parquet"),
         os.path.join(stream_dir, "events.parquet"),
@@ -1086,7 +1086,7 @@ def events_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFram
         joined.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="strljoin_ckpt_"))
+        .option("checkpointLocation", run_tmpdir("strljoin_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -1135,7 +1135,7 @@ def events_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream_dir = tempfile.mkdtemp(prefix="strdedup_src_")
+    stream_dir = run_tmpdir("strdedup_src_")
     # the same fixture file twice = an at-least-once replay
     os.symlink(
         os.path.join(sf_dir, "events.parquet"),
@@ -1161,7 +1161,7 @@ def events_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         deduped.writeStream.format("memory")
         .queryName(name)
         .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="strdedup_ckpt_"))
+        .option("checkpointLocation", run_tmpdir("strdedup_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -1352,7 +1352,7 @@ def events_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         totals.writeStream.format("memory")
         .queryName(name)
         .outputMode("update")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="stateful_ckpt_"))
+        .option("checkpointLocation", run_tmpdir("stateful_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -1454,7 +1454,7 @@ def events_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     day = e.agg(
         F.date_add(F.min(F.col("ts").cast("date")), 3).alias("d")
     ).collect()[0]["d"]
-    path = tempfile.mkdtemp(prefix="events_bydaylake_") + "/events"
+    path = run_tmpdir("events_bydaylake_") + "/events"
     e.withColumn("event_date", F.col("ts").cast("date")).write.partitionBy(
         "event_date"
     ).parquet(path)
@@ -1583,7 +1583,7 @@ def events_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.writeStream.format("memory")
         .queryName(name)
         .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="strstatic_ckpt_"))
+        .option("checkpointLocation", run_tmpdir("strstatic_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -2079,7 +2079,7 @@ def events_streaming_kll_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         totals.writeStream.format("memory")
         .queryName(name)
         .outputMode("update")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="strkll_ckpt_"))
+        .option("checkpointLocation", run_tmpdir("strkll_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -2100,7 +2100,10 @@ def _kll_state_fn(key, pdfs, state):
     key's full sketch summary."""
     import pandas as pd
 
-    cap, l_max = _EKLL_CAP, 32
+    # Share the oracle's level bound: the batch oracle only scans
+    # levels 0.._EKLL_LMAX, so a key raised beyond it would be emitted
+    # by the stream but invisible to the gate — fail loudly instead.
+    cap, l_max = _EKLL_CAP, _EKLL_LMAX
     if state.exists:
         lv, n_seen, vs, ids, hs = state.get
         vs, ids, hs = list(vs), list(ids), list(hs)
@@ -3089,7 +3092,7 @@ def streaming_manifest_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("rows_per_batch", "3072")
         .load()
     )
-    root = tempfile.mkdtemp(prefix="manifest_sink_")
+    root = run_tmpdir("manifest_sink_")
     manifest_sink(src, root + "/out", root + "/cp_" + uuid.uuid4().hex[:8])
     drained, n_batches = read_manifested(spark, root + "/out")
     return drained.groupBy("status").agg(
@@ -4907,7 +4910,7 @@ def orders_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFr
     import tempfile
 
     o = t(spark, sf_dir, "orders")
-    path = tempfile.mkdtemp(prefix="orders_dpp_") + "/orders"
+    path = run_tmpdir("orders_dpp_") + "/orders"
     o.withColumn("o_month", F.month("o_orderdate")).write.partitionBy(
         "o_month"
     ).parquet(path)
@@ -4974,7 +4977,7 @@ def events_stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFram
         .collect()[0]["m"]
     )
     far = max_ts + datetime.timedelta(days=30)
-    stream_dir = tempfile.mkdtemp(prefix="strfjoin_src_")
+    stream_dir = run_tmpdir("strfjoin_src_")
     os.symlink(
         os.path.join(sf_dir, "events.parquet"),
         os.path.join(stream_dir, "events.parquet"),
@@ -5033,7 +5036,7 @@ def events_stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFram
         joined.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="strfjoin_ckpt_"))
+        .option("checkpointLocation", run_tmpdir("strfjoin_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -5081,7 +5084,7 @@ def events_json_corrupt_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     e = t(spark, sf_dir, "events").select("event_id", "event_type", "user_id")
-    d = tempfile.mkdtemp(prefix="json_corrupt_")
+    d = run_tmpdir("json_corrupt_")
     path = os.path.join(d, "events_jsonl")
     # export clean JSONL, then mangle every 17th record: drop the
     # closing brace and trailing fields — guaranteed unparseable
@@ -5475,7 +5478,7 @@ def orders_streaming_online_logreg(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .withColumn("batch", (F.col("o_custkey") % 5).cast("int"))
     )
-    d = tempfile.mkdtemp(prefix="online_lr_")
+    d = run_tmpdir("online_lr_")
     src_dir = os.path.join(d, "stream")
     os.makedirs(src_dir)
     for i in range(5):  # sequential writes -> increasing mtimes
@@ -5677,7 +5680,7 @@ def events_streaming_dedup_sessions(spark: SparkSession, sf_dir: str) -> DataFra
         .collect()[0]["m"]
     )
     far = max_ts + datetime.timedelta(days=30)
-    stream_dir = tempfile.mkdtemp(prefix="dedupsess_src_")
+    stream_dir = run_tmpdir("dedupsess_src_")
     os.symlink(
         os.path.join(sf_dir, "events.parquet"),
         os.path.join(stream_dir, "events.parquet"),
@@ -5726,7 +5729,7 @@ def events_streaming_dedup_sessions(spark: SparkSession, sf_dir: str) -> DataFra
         sessions.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="dedupsess_ckpt_"))
+        .option("checkpointLocation", run_tmpdir("dedupsess_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -5783,7 +5786,7 @@ def events_streaming_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     to_ms = lambda dt_: calendar.timegm(dt_.timetuple()) * 1000 + dt_.microsecond // 1000
     cutoff_ms = (to_ms(mm["lo"]) + to_ms(mm["hi"])) // 2
     far = mm["hi"] + datetime.timedelta(days=30)
-    d = tempfile.mkdtemp(prefix="latedrop_")
+    d = run_tmpdir("latedrop_")
     src_dir = os.path.join(d, "stream")
     os.makedirs(src_dir)
     recent = ev.filter(F.unix_millis(F.col("ts").cast("timestamp")) >= cutoff_ms)

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import quality as Q
-from .catalog import SQL_DSUM, dsum, query, t
+from .catalog import SQL_DSUM, dsum, query, run_tmpdir, t
 
 # ---------------------------------------------------------------------------
 # Deterministic dirt injection (both engines must express this identically)
@@ -977,35 +977,62 @@ def customer_one_to_one_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-node argmin + a double semi-join), and its determinism comes
     from the same total order on edges both engines apply.
 
-    Scale shape per round: the argmin is one shuffle of the edge list
-    on node; the both-endpoints check is two equi-joins; survivors
-    filter via an anti-join on matched nodes. Round count is
-    O(log n) in theory, 3 in practice on blocked ER graphs."""
-    cust = t(spark, sf_dir, "customer")
-    blocked = cust.select(
-        "c_custkey",
-        "c_name",
-        "c_nationkey",
-        F.substring("c_name", 1, 16).alias("blk"),
-    )
-    a = blocked.select(
-        F.col("c_custkey").alias("a"),
-        F.col("c_name").alias("name_a"),
-        "c_nationkey",
-        "blk",
-    )
-    b = blocked.select(
-        F.col("c_custkey").alias("b"),
-        F.col("c_name").alias("name_b"),
-        "c_nationkey",
-        "blk",
-    )
-    edges = (
-        a.join(b, ["c_nationkey", "blk"])
-        .filter(F.col("a") < F.col("b"))
-        .select(
-            "a", "b", F.levenshtein("name_a", "name_b").alias("d")
+    Scale shape — the DISTINCT-NAME QUOTIENT rewrite (round-6; the
+    instance-level handshake was the largest remaining sf1.0 cost at
+    26s because a dup-dense corpus gives a k-duplicate name k² d=0
+    edges). The instance graph is never materialized; instead:
+
+    * A name with ≥2 remaining instances is INTERNAL: every member's
+      best edge is an in-group d=0 edge (cross-name edges have d≥1),
+      so (a) exactly one in-group pair — the two smallest remaining
+      keys — is mutually-best and selected per round, and (b) every
+      member is inert in the cross-name graph (no cross edge touching
+      it can be best-for-both). In-group pairing is a per-name array
+      operation, O(N) total, no join.
+    * A name with exactly 1 remaining instance is EXPOSED and plays
+      the handshake on the QUOTIENT graph (distinct (nation, name)
+      nodes, levenshtein 1..2 edges within the block — dup-invariant
+      size). Tie-breaks use the real instance keys: the best instance
+      of any name is its minimum remaining key, so each quotient edge
+      carries (d, min-key pair) — bit-identical ordering to the
+      instance algorithm. Internal names participate as BLOCKERS
+      (an exposed node whose best edge points at an internal name
+      stays unmatched that round), exactly as their inert instances
+      block in the instance-level algorithm.
+
+    Per round: one array slice (in-group pairs), one quotient-edge
+    re-key join, one per-node argmin shuffle, one mutual-best join.
+    The oracle is UNCHANGED (the instance-level SQL handshake), so the
+    gate proves the quotient rewrite emits the identical matching; the
+    multiplicity paths (the gate fixtures have no duplicate names) are
+    pinned by tests/test_quality.py's planted-duplicate comparison
+    against a pure-Python instance-level handshake."""
+    return quotient_one_to_one_matching(spark, t(spark, sf_dir, "customer"))
+
+
+def quotient_one_to_one_matching(spark: SparkSession, cust: DataFrame) -> DataFrame:
+    """Greedy maximal matching (3 handshake rounds) on the distinct-name
+    quotient graph — see customer_one_to_one_linkage's docstring. Input
+    needs c_custkey / c_name / c_nationkey columns."""
+    # state: one row per remaining (nation, name) with its sorted
+    # remaining instance keys
+    state = (
+        cust.groupBy(
+            F.col("c_nationkey").alias("nat"), F.col("c_name").alias("name")
         )
+        .agg(F.sort_array(F.collect_list("c_custkey")).alias("ks"))
+        .localCheckpoint(eager=True)
+    )
+    # quotient edges, computed once: distinct-name pairs in the same
+    # (nation, 16-prefix) block with levenshtein 1..2 (d=0 across
+    # DIFFERENT names is impossible; same-name d=0 is the multiplicity)
+    dn = state.select("nat", "name", F.substring("name", 1, 16).alias("blk"))
+    qa = dn.select("nat", "blk", F.col("name").alias("na"))
+    qb = dn.select("nat", "blk", F.col("name").alias("nb"))
+    qedges = (
+        qa.join(qb, ["nat", "blk"])
+        .filter(F.col("na") < F.col("nb"))
+        .select("nat", "na", "nb", F.levenshtein("na", "nb").alias("d"))
         .filter(F.col("d") <= 2)
         .localCheckpoint(eager=True)
     )
@@ -1013,45 +1040,111 @@ def customer_one_to_one_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = []
     for rnd in range(1, 4):
-        incid = edges.select(F.col("a").alias("node"), "a", "b", "d").unionAll(
-            edges.select(F.col("b").alias("node"), "a", "b", "d")
+        sz = F.size("ks")
+        # in-group: two smallest remaining keys of every ≥2 name
+        ingroup = state.filter(sz >= 2).select(
+            F.col("ks")[0].alias("a"),
+            F.col("ks")[1].alias("b"),
+            F.lit(0).alias("d"),
+            F.lit(rnd).alias("round"),
+        )
+        out.append(ingroup.localCheckpoint(eager=True))
+        # cross-name handshake on the quotient, re-keyed to this
+        # round's min instance keys; cnt distinguishes exposed/blocker
+        mk = state.select(
+            "nat", "name", F.col("ks")[0].alias("mk"), sz.alias("cnt")
+        )
+        e = (
+            qedges.join(
+                mk.select(
+                    "nat",
+                    F.col("name").alias("na"),
+                    F.col("mk").alias("mka"),
+                    F.col("cnt").alias("cnta"),
+                ),
+                ["nat", "na"],
+            )
+            .join(
+                mk.select(
+                    "nat",
+                    F.col("name").alias("nb"),
+                    F.col("mk").alias("mkb"),
+                    F.col("cnt").alias("cntb"),
+                ),
+                ["nat", "nb"],
+            )
+            .select(
+                "nat",
+                "na",
+                "nb",
+                "d",
+                "cnta",
+                "cntb",
+                F.least("mka", "mkb").alias("a"),
+                F.greatest("mka", "mkb").alias("b"),
+            )
+        )
+        incid = e.select(F.col("na").alias("node"), "nat", "na", "nb", "d", "a", "b").unionAll(
+            e.select(F.col("nb").alias("node"), "nat", "na", "nb", "d", "a", "b")
         )
         best = (
             incid.withColumn(
                 "rk",
                 F.row_number().over(
-                    W.partitionBy("node").orderBy("d", "a", "b")
+                    W.partitionBy("nat", "node").orderBy("d", "a", "b")
                 ),
             )
             .filter(F.col("rk") == 1)
-            .select("node", F.col("a").alias("ba"), F.col("b").alias("bb"))
+            .select("nat", "node", F.col("na").alias("ea"), F.col("nb").alias("eb"))
+        )
+        exposed_e = (
+            e.filter((F.col("cnta") == 1) & (F.col("cntb") == 1))
+            .select("nat", "na", "nb", "d", "a", "b")
+            .alias("s")
         )
         sel = (
-            edges.join(
-                best,
-                (best["node"] == edges["a"])
-                & (best["ba"] == edges["a"])
-                & (best["bb"] == edges["b"]),
+            exposed_e.join(
+                best.alias("b1"),
+                (F.col("b1.nat") == F.col("s.nat"))
+                & (F.col("b1.node") == F.col("s.na"))
+                & (F.col("b1.ea") == F.col("s.na"))
+                & (F.col("b1.eb") == F.col("s.nb")),
             )
-            .select("a", "b", "d")
             .join(
-                best.withColumnRenamed("node", "node2")
-                .withColumnRenamed("ba", "ba2")
-                .withColumnRenamed("bb", "bb2"),
-                (F.col("node2") == F.col("b"))
-                & (F.col("ba2") == F.col("a"))
-                & (F.col("bb2") == F.col("b")),
+                best.alias("b2"),
+                (F.col("b2.nat") == F.col("s.nat"))
+                & (F.col("b2.node") == F.col("s.nb"))
+                & (F.col("b2.ea") == F.col("s.na"))
+                & (F.col("b2.eb") == F.col("s.nb")),
             )
-            .select("a", "b", "d")
+            .select(
+                F.col("s.nat").alias("nat"),
+                F.col("s.na").alias("na"),
+                F.col("s.nb").alias("nb"),
+                F.col("s.d").alias("d"),
+                F.col("s.a").alias("a"),
+                F.col("s.b").alias("b"),
+            )
             .localCheckpoint(eager=True)
         )
-        out.append(sel.withColumn("round", F.lit(rnd)))
-        matched = sel.select(F.col("a").alias("m")).unionAll(
-            sel.select(F.col("b").alias("m"))
+        out.append(
+            sel.select("a", "b", "d", F.lit(rnd).alias("round"))
         )
-        edges = (
-            edges.join(matched, edges["a"] == matched["m"], "left_anti")
-            .join(matched, edges["b"] == matched["m"], "left_anti")
+        # update state: internal names drop their matched pair; names
+        # matched cross-name (exposed, cnt=1) drop out entirely
+        matched_names = sel.select("nat", F.col("na").alias("name")).unionAll(
+            sel.select("nat", F.col("nb").alias("name"))
+        )
+        state = (
+            state.join(matched_names, ["nat", "name"], "left_anti")
+            .select(
+                "nat",
+                "name",
+                F.when(sz >= 2, F.slice("ks", 3, F.greatest(sz - 2, F.lit(0))))
+                .otherwise(F.col("ks"))
+                .alias("ks"),
+            )
+            .filter(F.size("ks") >= 1)
             .localCheckpoint(eager=True)
         )
     res = out[0]
@@ -1243,7 +1336,7 @@ def orders_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    root = tempfile.mkdtemp(prefix="schema_evo_")
+    root = run_tmpdir("schema_evo_")
     o.filter(F.col("o_orderkey") % 2 == 0).write.mode("overwrite").parquet(
         os.path.join(root, "batch=1")
     )

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .catalog import SQL_DSUM, dsum, query, t
+from .catalog import SQL_DSUM, dsum, query, run_tmpdir, run_tmpfile, t
 
 
 def _view(spark: SparkSession, sf_dir: str, name: str, alias: str) -> None:
@@ -648,29 +648,39 @@ def orders_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         m=_BLOOM_M,
         k=_BLOOM_K,
     ).persist()
-    matched = cand.join(
-        F.broadcast(build),
-        cand["o_custkey"] == build["c_custkey"],
-        "left_semi",
-    )
-    stats = (
-        build.agg(F.count(F.lit(1)).alias("n_build_keys"))
-        .crossJoin(F.broadcast(pos.agg(F.count(F.lit(1)).alias("n_bits_set"))))
-        .crossJoin(
-            F.broadcast(cand.agg(F.count(F.lit(1)).alias("n_candidate_orders")))
+    # output is one stats row: compute eagerly, release the candidate
+    # cache before returning (no CacheManager entry outlives the call)
+    try:
+        matched = cand.join(
+            F.broadcast(build),
+            cand["o_custkey"] == build["c_custkey"],
+            "left_semi",
         )
-        .crossJoin(
-            F.broadcast(matched.agg(F.count(F.lit(1)).alias("n_matched_orders")))
+        stats = (
+            build.agg(F.count(F.lit(1)).alias("n_build_keys"))
+            .crossJoin(F.broadcast(pos.agg(F.count(F.lit(1)).alias("n_bits_set"))))
+            .crossJoin(
+                F.broadcast(cand.agg(F.count(F.lit(1)).alias("n_candidate_orders")))
+            )
+            .crossJoin(
+                F.broadcast(matched.agg(F.count(F.lit(1)).alias("n_matched_orders")))
+            )
         )
-    )
-    return stats.select(
-        "n_build_keys",
-        "n_bits_set",
-        "n_candidate_orders",
-        "n_matched_orders",
-        (F.col("n_candidate_orders") - F.col("n_matched_orders")).alias(
-            "n_false_positives"
-        ),
+        rows = stats.select(
+            "n_build_keys",
+            "n_bits_set",
+            "n_candidate_orders",
+            "n_matched_orders",
+            (F.col("n_candidate_orders") - F.col("n_matched_orders")).alias(
+                "n_false_positives"
+            ),
+        ).collect()
+    finally:
+        cand.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "n_build_keys long, n_bits_set long, n_candidate_orders long, "
+        "n_matched_orders long, n_false_positives long",
     )
 
 
@@ -1005,7 +1015,7 @@ def orders_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFram
     db = "bkt_" + uuid.uuid4().hex[:8]
     # explicit LOCATION: never drop bucket files into the caller's cwd
     # warehouse dir
-    loc = tempfile.mkdtemp(prefix="bkt_wh_")
+    loc = run_tmpdir("bkt_wh_")
     spark.sql(f"CREATE DATABASE {db} LOCATION '{loc}'")
     for name, df, key in (("orders_b", o, "o_orderkey"), ("lineitem_b", li, "l_orderkey")):
         (
@@ -1095,40 +1105,47 @@ def orders_chisq_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .persist()
     )
-    rows_ = obs.groupBy("seg").agg(F.sum("n").alias("rn"))
-    cols_ = obs.groupBy("st").agg(F.sum("n").alias("cn"))
-    tot = obs.agg(F.sum("n").alias("total"))
-    cells = (
-        obs.join(F.broadcast(rows_), "seg")
-        .join(F.broadcast(cols_), "st")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "n",
-            "total",
-            (F.col("rn").cast("double") * F.col("cn") / F.col("total")).alias(
-                "expected"
-            ),
+    # one output row: compute it eagerly and drop the contingency
+    # cache before returning (no CacheManager entry outlives the call)
+    try:
+        rows_ = obs.groupBy("seg").agg(F.sum("n").alias("rn"))
+        cols_ = obs.groupBy("st").agg(F.sum("n").alias("cn"))
+        tot = obs.agg(F.sum("n").alias("total"))
+        cells = (
+            obs.join(F.broadcast(rows_), "seg")
+            .join(F.broadcast(cols_), "st")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "n",
+                "total",
+                (F.col("rn").cast("double") * F.col("cn") / F.col("total")).alias(
+                    "expected"
+                ),
+            )
         )
-    )
-    term = F.round(
-        (F.col("n") - F.col("expected"))
-        * (F.col("n") - F.col("expected"))
-        / F.col("expected"),
-        6,
-    ).cast("decimal(28,6)")
-    dof = (
-        rows_.agg((F.count(F.lit(1)) - 1).alias("r1"))
-        .crossJoin(cols_.agg((F.count(F.lit(1)) - 1).alias("c1")))
-        .select((F.col("r1") * F.col("c1")).cast("long").alias("dof"))
-    )
-    return (
-        cells.agg(
-            F.max("total").cast("long").alias("n_orders"),
-            F.sum(term).cast("double").alias("chi2"),
+        term = F.round(
+            (F.col("n") - F.col("expected"))
+            * (F.col("n") - F.col("expected"))
+            / F.col("expected"),
+            6,
+        ).cast("decimal(28,6)")
+        dof = (
+            rows_.agg((F.count(F.lit(1)) - 1).alias("r1"))
+            .crossJoin(cols_.agg((F.count(F.lit(1)) - 1).alias("c1")))
+            .select((F.col("r1") * F.col("c1")).cast("long").alias("dof"))
         )
-        .crossJoin(F.broadcast(dof))
-        .select("n_orders", "dof", "chi2")
-    )
+        out = (
+            cells.agg(
+                F.max("total").cast("long").alias("n_orders"),
+                F.sum(term).cast("double").alias("chi2"),
+            )
+            .crossJoin(F.broadcast(dof))
+            .select("n_orders", "dof", "chi2")
+            .collect()
+        )
+    finally:
+        obs.unpersist()
+    return spark.createDataFrame(out, "n_orders long, dof long, chi2 double")
 
 
 # ---------------------------------------------------------------------------
@@ -1706,45 +1723,54 @@ def parts_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     back."""
     li = t(spark, sf_dir, "lineitem")
     baskets = li.select("l_orderkey", "l_partkey").distinct().persist()
-    n_orders = baskets.agg(F.countDistinct("l_orderkey").alias("n"))
-    item_supp = baskets.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("supp"))
-    a = baskets.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
-    )
-    b = baskets.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
-    )
-    pair_supp = (
-        a.join(b, "ok")
-        .filter(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).alias("pair_count"))
-    )
-    sa = item_supp.select(
-        F.col("l_partkey").alias("part_a"), F.col("supp").alias("supp_a")
-    )
-    sb = item_supp.select(
-        F.col("l_partkey").alias("part_b"), F.col("supp").alias("supp_b")
-    )
-    return (
-        pair_supp.join(F.broadcast(sa), "part_a")
-        .join(F.broadcast(sb), "part_b")
-        .crossJoin(F.broadcast(n_orders))
-        .select(
-            "part_a",
-            "part_b",
-            "pair_count",
-            "supp_a",
-            "supp_b",
-            (
-                F.col("pair_count").cast("double")
-                * F.col("n")
-                / (F.col("supp_a") * F.col("supp_b"))
-            ).alias("lift"),
+    # top-15 output: materialize it (localCheckpoint — GC-collectable)
+    # and release the basket cache before returning
+    try:
+        n_orders = baskets.agg(F.countDistinct("l_orderkey").alias("n"))
+        item_supp = baskets.groupBy("l_partkey").agg(
+            F.count(F.lit(1)).alias("supp")
         )
-        .orderBy(F.desc("pair_count"), F.asc("part_a"), F.asc("part_b"))
-        .limit(15)
-    )
+        a = baskets.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+        )
+        b = baskets.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+        )
+        pair_supp = (
+            a.join(b, "ok")
+            .filter(F.col("part_a") < F.col("part_b"))
+            .groupBy("part_a", "part_b")
+            .agg(F.count(F.lit(1)).alias("pair_count"))
+        )
+        sa = item_supp.select(
+            F.col("l_partkey").alias("part_a"), F.col("supp").alias("supp_a")
+        )
+        sb = item_supp.select(
+            F.col("l_partkey").alias("part_b"), F.col("supp").alias("supp_b")
+        )
+        out = (
+            pair_supp.join(F.broadcast(sa), "part_a")
+            .join(F.broadcast(sb), "part_b")
+            .crossJoin(F.broadcast(n_orders))
+            .select(
+                "part_a",
+                "part_b",
+                "pair_count",
+                "supp_a",
+                "supp_b",
+                (
+                    F.col("pair_count").cast("double")
+                    * F.col("n")
+                    / (F.col("supp_a") * F.col("supp_b"))
+                ).alias("lift"),
+            )
+            .orderBy(F.desc("pair_count"), F.asc("part_a"), F.asc("part_b"))
+            .limit(15)
+            .localCheckpoint()
+        )
+    finally:
+        baskets.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -2043,18 +2069,177 @@ def parts_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("u"),
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("v"),
     ).persist()
-    e2 = edges.select(F.col("u").alias("b_"), F.col("v").alias("c_"))
-    wedges = edges.join(e2, edges["v"] == e2["b_"]).select(
-        F.col("u").alias("a_"), F.col("v").alias("mid"), "c_"
-    ).persist()
-    e3 = edges.select(F.col("u").alias("a_"), F.col("v").alias("c_"))
-    closed = wedges.join(e3, ["a_", "c_"])
-    return (
-        edges.agg(F.count(F.lit(1)).alias("n_edges"))
-        .crossJoin(F.broadcast(wedges.agg(F.count(F.lit(1)).alias("n_wedges"))))
-        .crossJoin(
-            F.broadcast(closed.agg(F.count(F.lit(1)).alias("n_triangles")))
+    # output is three counts: compute them eagerly inside try/finally
+    # (the doc_label_propagation pattern) so the persisted edge and
+    # wedge frames — 12M edges / 492M wedges at sf1.0 — never outlive
+    # the call in a long-lived bench/oracle session
+    try:
+        e2 = edges.select(F.col("u").alias("b_"), F.col("v").alias("c_"))
+        wedges = edges.join(e2, edges["v"] == e2["b_"]).select(
+            F.col("u").alias("a_"), F.col("v").alias("mid"), "c_"
+        ).persist()
+        try:
+            e3 = edges.select(F.col("u").alias("a_"), F.col("v").alias("c_"))
+            closed = wedges.join(e3, ["a_", "c_"])
+            n_edges = edges.count()
+            n_wedges = wedges.count()
+            n_triangles = closed.count()
+        finally:
+            wedges.unpersist()
+    finally:
+        edges.unpersist()
+    return spark.createDataFrame(
+        [(n_edges, n_wedges, n_triangles)],
+        "n_edges long, n_wedges long, n_triangles long",
+    )
+
+
+_TW_MOD = 16  # deterministic center-sampling rate: 1/16 of mid vertices
+
+
+def _tw_center_sql(col: str) -> str:
+    from .events_q import _HLL_HASH_SQL
+
+    fold = _HLL_HASH_SQL.format(col=f"'tw:' || CAST({col} AS VARCHAR)")
+    return f"({fold}) % {_TW_MOD} = 0"
+
+
+@query(
+    "parts_triangle_estimate",
+    oracle=f"""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    raw_edges AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM raw_edges
+        UNION ALL SELECT v FROM raw_edges
+      ) GROUP BY node
+    ),
+    edges AS (
+      SELECT CASE WHEN e.du < e.dv OR (e.du = e.dv AND e.u < e.v)
+                  THEN e.u ELSE e.v END AS u,
+             CASE WHEN e.du < e.dv OR (e.du = e.dv AND e.u < e.v)
+                  THEN e.v ELSE e.u END AS v
+      FROM (SELECT r.u, r.v, a.d AS du, b.d AS dv
+            FROM raw_edges r
+            JOIN deg a ON a.node = r.u
+            JOIN deg b ON b.node = r.v) e
+    ),
+    swedges AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM edges e1 JOIN edges e2 ON e2.u = e1.v
+      WHERE {_tw_center_sql('e1.v')}
+    )
+    SELECT (SELECT COUNT(*) FROM edges) AS n_edges,
+           (SELECT COUNT(*) FROM deg WHERE {_tw_center_sql('node')})
+             AS n_sampled_centers,
+           (SELECT COUNT(*) FROM swedges) AS n_sampled_wedges,
+           (SELECT COUNT(*) FROM swedges w
+            JOIN edges e3 ON e3.u = w.a AND e3.v = w.c) AS n_sampled_closed,
+           (SELECT COUNT(*) FROM swedges) * {_TW_MOD} AS est_wedges,
+           (SELECT COUNT(*) FROM swedges w
+            JOIN edges e3 ON e3.u = w.a AND e3.v = w.c) * {_TW_MOD}
+             AS est_triangles
+    """,
+)
+def parts_triangle_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLED triangle estimation — the documented cheap twin of
+    [[parts_triangle_count]] for graphs whose wedge mass makes exact
+    counting Θ(wedges)-expensive (the sf1.0 replica's 492M wedges).
+    CENTER sampling, not wedge sampling: a deterministic 1/16 md5
+    coin on each MID vertex keeps or drops that vertex's ENTIRE wedge
+    fan, so the filter lands on both edge legs BEFORE the wedge join —
+    the join only ever materializes the sampled ~1/16 of the wedge
+    mass (wedge-level sampling would enumerate all wedges first, which
+    is the cost being avoided). Under the degree-ordered orientation
+    each triangle has exactly one mid vertex, so
+    E[closed·16] = exact triangle count; the estimator is the
+    Horvitz-Thompson count over the deterministic sample (both engines
+    replay the identical md5 coin — the [[orders_aqp_sample_estimate]]
+    doctrine applied to wedges). Realized error vs the exact count is
+    tracked in SCALE.md; the estimate is exact-integer so the oracle
+    hash-matches bit-for-bit.
+
+    Scale shape: the two sampled edge legs shuffle ~m/16 rows
+    (expected) into the wedge join; closure is one equi-join of the
+    sampled wedges back to the full edge set. Driver holds six
+    integers."""
+    from ..operators.sketch import hll_hash
+
+    li = t(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    a = baskets.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u")
+    )
+    b = baskets.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v")
+    )
+    raw_edges = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    deg = (
+        raw_edges.select(F.col("u").alias("node"))
+        .unionAll(raw_edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    with_deg = raw_edges.join(
+        deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u"
+    ).join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+
+    def coin(col):
+        return (
+            hll_hash(F.concat(F.lit("tw:"), col.cast("string"))) % _TW_MOD == 0
         )
+
+    edges = with_deg.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("u"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("v"),
+    ).persist()
+    try:
+        # the sampling filter sits UNDER the wedge join on both legs
+        ew = edges.filter(coin(F.col("v")))
+        e2 = edges.filter(coin(F.col("u"))).select(
+            F.col("u").alias("b_"), F.col("v").alias("c_")
+        )
+        swedges = ew.join(e2, ew["v"] == e2["b_"]).select(
+            F.col("u").alias("a_"), F.col("v").alias("mid"), "c_"
+        ).persist()
+        try:
+            e3 = edges.select(F.col("u").alias("a_"), F.col("v").alias("c_"))
+            n_edges = edges.count()
+            n_sampled_centers = deg.filter(coin(F.col("node"))).count()
+            n_sw = swedges.count()
+            n_sc = swedges.join(e3, ["a_", "c_"]).count()
+        finally:
+            swedges.unpersist()
+    finally:
+        edges.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                n_edges,
+                n_sampled_centers,
+                n_sw,
+                n_sc,
+                n_sw * _TW_MOD,
+                n_sc * _TW_MOD,
+            )
+        ],
+        "n_edges long, n_sampled_centers long, n_sampled_wedges long, "
+        "n_sampled_closed long, est_wedges long, est_triangles long",
     )
 
 
@@ -2289,39 +2474,46 @@ def customer_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     # exact-first: one representative (min key) per exact (name, nat)
-    # group; all fuzzy work runs on representatives
-    groups = corpus.groupBy("name", "nat").agg(F.min("k").alias("rk"))
-    blocked = groups.withColumn("blk", F.substring("name", 1, 16))
-    a = blocked.select(
-        F.col("rk").alias("ka"), F.col("name").alias("na"), "nat", "blk"
-    )
-    b = blocked.select(
-        F.col("rk").alias("kb"), F.col("name").alias("nb"), "nat", "blk"
-    )
-    pairs = (
-        a.join(b, ["nat", "blk"])
-        .filter(F.col("ka") < F.col("kb"))
-        .filter(F.levenshtein("na", "nb") <= 1)
-        .select(F.col("ka").alias("_id_a"), F.col("kb").alias("_id_b"))
-    )
-    # lev<=1 also matches digit-neighbor names (#...100 ~ #...101),
-    # chaining entities into LONG paths — exactly the adversarial case
-    # the log-diameter star variant exists for; the direct min-label
-    # loop needs O(path) rounds and its plan growth OOMs small drivers
-    labels = connected_components_star(pairs)
-    members = (
-        corpus.join(groups, ["name", "nat"])
-        .join(labels.withColumnRenamed("node", "rk"), "rk", "left")
-        .withColumn("comp", F.coalesce(F.col("comp"), F.col("rk")))
-    )
-    return members.groupBy(F.col("comp").alias("golden_key")).agg(
-        F.max(
-            F.when(F.col("k") == F.col("comp"), F.col("name"))
-        ).alias("golden_name"),
-        F.max("bal").cast("double").alias("best_acctbal"),
-        F.count(F.lit(1)).alias("n_members"),
-        F.sum(F.col("bal").isNull().cast("long")).alias("n_incomplete"),
-    )
+    # group; all fuzzy work runs on representatives. The golden-record
+    # rollup is materialized (localCheckpoint — GC-collectable) so the
+    # corpus cache, which the CC rounds and the member join both read,
+    # is released before returning.
+    try:
+        groups = corpus.groupBy("name", "nat").agg(F.min("k").alias("rk"))
+        blocked = groups.withColumn("blk", F.substring("name", 1, 16))
+        a = blocked.select(
+            F.col("rk").alias("ka"), F.col("name").alias("na"), "nat", "blk"
+        )
+        b = blocked.select(
+            F.col("rk").alias("kb"), F.col("name").alias("nb"), "nat", "blk"
+        )
+        pairs = (
+            a.join(b, ["nat", "blk"])
+            .filter(F.col("ka") < F.col("kb"))
+            .filter(F.levenshtein("na", "nb") <= 1)
+            .select(F.col("ka").alias("_id_a"), F.col("kb").alias("_id_b"))
+        )
+        # lev<=1 also matches digit-neighbor names (#...100 ~ #...101),
+        # chaining entities into LONG paths — exactly the adversarial case
+        # the log-diameter star variant exists for; the direct min-label
+        # loop needs O(path) rounds and its plan growth OOMs small drivers
+        labels = connected_components_star(pairs)
+        members = (
+            corpus.join(groups, ["name", "nat"])
+            .join(labels.withColumnRenamed("node", "rk"), "rk", "left")
+            .withColumn("comp", F.coalesce(F.col("comp"), F.col("rk")))
+        )
+        out = members.groupBy(F.col("comp").alias("golden_key")).agg(
+            F.max(
+                F.when(F.col("k") == F.col("comp"), F.col("name"))
+            ).alias("golden_name"),
+            F.max("bal").cast("double").alias("best_acctbal"),
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(F.col("bal").isNull().cast("long")).alias("n_incomplete"),
+        ).localCheckpoint()
+    finally:
+        corpus.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -5985,7 +6177,7 @@ def orders_python_datasink(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import pysink
 
     pysink.register(spark)
-    d = tempfile.mkdtemp(prefix="jsonl_sink_")
+    d = run_tmpdir("jsonl_sink_")
     (
         t(spark, sf_dir, "orders")
         .filter(F.col("o_orderkey") % 10 == 0)
@@ -6142,7 +6334,12 @@ def lineitem_zonemap_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when((F.col("max_d") < lo) | (F.col("min_d") >= hi), "skip")
         .when((F.col("min_d") >= lo) & (F.col("max_d") < hi), "full")
         .otherwise("partial"),
-    ).persist()
+    ).localCheckpoint()
+    # localCheckpoint, not persist: the zone-map class table is
+    # month-bounded metadata read by two legs; checkpointing keeps it
+    # computed-once AND GC-collectable (a CacheManager entry is not),
+    # with the returned plan still lazy so the broadcast-pruned scan
+    # shape stays visible to the plan guards
     counts = cls.agg(
         F.count(F.lit(1)).alias("n_blocks"),
         F.sum(F.when(F.col("c") == "full", 1).otherwise(0))
@@ -6163,7 +6360,8 @@ def lineitem_zonemap_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     part_scan = (
         li.join(
-            F.broadcast(cls.filter(F.col("c") == "partial").select("bk")), "bk"
+            F.broadcast(cls.filter(F.col("c") == "partial").select("bk")),
+            "bk",
         )
         .filter((F.col("d") >= lo) & (F.col("d") < hi))
         .agg(
@@ -6184,7 +6382,9 @@ def lineitem_zonemap_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_partial",
             "n_skipped",
             (F.col("full_rows") + F.col("p_rows")).alias("rows_pruned_path"),
-            (F.col("full_cents") + F.col("p_cents")).alias("cents_pruned_path"),
+            (F.col("full_cents") + F.col("p_cents")).alias(
+                "cents_pruned_path"
+            ),
             "rows_direct",
             "cents_direct",
         )
@@ -6229,8 +6429,8 @@ def sensors_streaming_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_source(spark)
     pysink.register(spark)
-    d = tempfile.mkdtemp(prefix="jsonl_stream_sink_")
-    ck = tempfile.mkdtemp(prefix="jsonl_stream_ck_")
+    d = run_tmpdir("jsonl_stream_sink_")
+    ck = run_tmpdir("jsonl_stream_ck_")
     src = (
         spark.readStream.format("sensorgen")
         .option("max_rows", str(_SGS_N))
@@ -6693,7 +6893,7 @@ def orders_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    d = os.path.join(tempfile.mkdtemp(prefix="orc_rt_"), "orders")
+    d = os.path.join(run_tmpdir("orc_rt_"), "orders")
     (
         t(spark, sf_dir, "orders")
         .filter(F.col("o_orderkey") % 7 == 0)
@@ -6734,7 +6934,7 @@ def customer_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     note = F.concat(
         F.col("c_name"), F.lit(', "x"\n'), F.col("c_mktsegment")
     )
-    d = os.path.join(tempfile.mkdtemp(prefix="csv_rt_"), "customer")
+    d = os.path.join(run_tmpdir("csv_rt_"), "customer")
     (
         t(spark, sf_dir, "customer")
         .select("c_custkey", note.alias("note"))
@@ -6787,7 +6987,7 @@ def orders_sqlite_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import pydb
 
     pydb.register(spark)
-    db = tempfile.mkstemp(prefix="orders_rt_", suffix=".db")[1]
+    db = run_tmpfile("orders_rt_", ".db")
     cols = "o_orderkey long, o_custkey long, o_orderstatus string, o_orderpriority string, o_totalprice double"
     (
         t(spark, sf_dir, "orders")
@@ -6861,7 +7061,7 @@ def orders_sqlite_partial_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import pydb
 
     pydb.register(spark)
-    db = tempfile.mkstemp(prefix="orders_pl_", suffix=".db")[1]
+    db = run_tmpfile("orders_pl_", ".db")
     ddl = (
         "CREATE TABLE IF NOT EXISTS orders_pl ("
         "o_orderkey, o_orderstatus, o_totalprice, "
@@ -6951,8 +7151,8 @@ def sensors_sqlite_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_source(spark)
     pydb.register(spark)
-    db = tempfile.mkstemp(prefix="sensors_stream_", suffix=".db")[1]
-    ck = tempfile.mkdtemp(prefix="sensors_stream_ck_")
+    db = run_tmpfile("sensors_stream_", ".db")
+    ck = run_tmpdir("sensors_stream_ck_")
     src = (
         spark.readStream.format("sensorgen")
         .option("max_rows", str(_SGS_N))
@@ -7013,7 +7213,7 @@ def sqlite_catalog_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import pydb
 
     pydb.register(spark)
-    db = tempfile.mkstemp(prefix="catalog_disc_", suffix=".db")[1]
+    db = run_tmpfile("catalog_disc_", ".db")
     for tbl, src, cols in [
         ("orders_stg", "orders", ["o_orderkey", "o_orderstatus"]),
         ("customers_stg", "customer", ["c_custkey", "c_mktsegment"]),
@@ -7080,7 +7280,7 @@ def orders_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import pyavro
 
     pyavro.register(spark)
-    d = tempfile.mkdtemp(prefix="pyavro_")
+    d = run_tmpdir("pyavro_")
     (
         t(spark, sf_dir, "orders")
         .filter(F.col("o_orderkey") % 7 == 0)
@@ -7561,7 +7761,7 @@ def orders_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    d = tempfile.mkdtemp(prefix="xml_rt_")
+    d = run_tmpdir("xml_rt_")
     path = os.path.join(d, "orders_xml")
     (
         t(spark, sf_dir, "orders")
@@ -8670,7 +8870,7 @@ def orders_avro_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import pyavro
 
     pyavro.register(spark)
-    d = tempfile.mkdtemp(prefix="pyavro_evo_")
+    d = run_tmpdir("pyavro_evo_")
     (
         t(spark, sf_dir, "orders")
         .filter(F.col("o_orderkey") % 9 == 0)
@@ -9669,7 +9869,7 @@ def orders_format_parity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cents"),
         )
     )
-    d = tempfile.mkdtemp(prefix="fmt_parity_")
+    d = run_tmpdir("fmt_parity_")
     reads = {}
 
     p_parquet = os.path.join(d, "p.parquet")
@@ -9936,7 +10136,7 @@ def orders_sqlite_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import pydb
 
     pydb.register(spark)
-    root = tempfile.mkdtemp(prefix="cdc_poll_")
+    root = run_tmpdir("cdc_poll_")
     db = os.path.join(root, "src.db")
     cols = "o_orderkey long, o_totalprice double"
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")

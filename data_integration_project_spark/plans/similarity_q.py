@@ -507,8 +507,13 @@ def embeddings_bitext_mining_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         xa = np.stack([np.asarray(v, dtype=np.float64) for v in a["embedding"]])
         xb = np.stack([np.asarray(v, dtype=np.float64) for v in b["embedding"]])
-        sm = (xa / np.linalg.norm(xa, axis=1, keepdims=True)) @ (
-            xb / np.linalg.norm(xb, axis=1, keepdims=True)
+        # zero-norm guard (same as cosine_near_dup_pairs.block_pairs):
+        # a zero vector must score 0 everywhere, not NaN-poison whole
+        # rows/columns of the gemm and shift other vectors' kth cuts
+        na = np.linalg.norm(xa, axis=1, keepdims=True)
+        nb = np.linalg.norm(xb, axis=1, keepdims=True)
+        sm = (xa / np.where(na == 0, 1.0, na)) @ (
+            xb / np.where(nb == 0, 1.0, nb)
         ).T
         ids_a = a["vid"].to_numpy()
         ids_b = b["vid"].to_numpy()
@@ -1559,11 +1564,23 @@ def embeddings_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
                     dvv = 0.0
                     for xi in x:
                         dvv = dvv + xi * xi
+                    if dvv == 0.0:
+                        # degenerate (all-zero) vector: the HOF form
+                        # produced NaNs without crashing; Python raises
+                        # ZeroDivisionError. Emit the row unchanged —
+                        # a zero vector has no perpendicular variant.
+                        out.append(x)
+                        ids.append(int(vid) + id_off)
+                        continue
                     r = dcv / dvv
                     p = [ci - r * xi for xi, ci in zip(x, c)]
                     dpp = 0.0
                     for pi in p:
                         dpp = dpp + pi * pi
+                    if dpp == 0.0:
+                        out.append(x)
+                        ids.append(int(vid) + id_off)
+                        continue
                     scale = float(_DB_A) * math.sqrt(dvv) / math.sqrt(dpp)
                     out.append([xi + scale * pi for xi, pi in zip(x, p)])
                     ids.append(int(vid) + id_off)
@@ -2036,9 +2053,22 @@ def embeddings_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("qid", "cid", "score", F.lit(r).cast("int").alias("round"))
         )
         sel = sel.unionByName(pick)
-    return sel.select(
-        "qid", "round", F.col("cid").alias("picked"), F.col("score").alias("mmr_score")
-    )
+    # the K-round plan reads cand/sims many times — that's what the
+    # persists are for — but the RESULT is 4 rows per query: eagerly
+    # localCheckpoint it (executor-side, GC-collectable — unlike
+    # CacheManager entries, which live until explicit unpersist) so
+    # both caches can be released before returning
+    try:
+        out = sel.select(
+            "qid",
+            "round",
+            F.col("cid").alias("picked"),
+            F.col("score").alias("mmr_score"),
+        ).localCheckpoint()
+    finally:
+        cand.unpersist()
+        sims.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------

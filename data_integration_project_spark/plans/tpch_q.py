@@ -1057,19 +1057,27 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ps_partkey",
         (F.col("ps_supplycost_cents") * F.col("ps_availqty")).alias("v"),
     ).persist()
-    total = natps.agg(F.sum("v").alias("tot"))
-    out = (
-        natps.groupBy("ps_partkey")
-        .agg(F.sum("v").alias("sv"))
-        .join(F.broadcast(total))
-        .filter(F.col("sv") * 1000 > F.lit(3) * F.col("tot"))
-        .select(
-            "ps_partkey",
-            (F.col("sv").cast("double") / 100.0).alias("stock_value"),
+    # the cache serves exactly two passes (grand total + group sums);
+    # the output is ≤100 rows — materialize it (localCheckpoint is
+    # GC-collectable, a CacheManager entry is not) and release the
+    # cache before returning
+    try:
+        total = natps.agg(F.sum("v").alias("tot"))
+        out = (
+            natps.groupBy("ps_partkey")
+            .agg(F.sum("v").alias("sv"))
+            .join(F.broadcast(total))
+            .filter(F.col("sv") * 1000 > F.lit(3) * F.col("tot"))
+            .select(
+                "ps_partkey",
+                (F.col("sv").cast("double") / 100.0).alias("stock_value"),
+            )
+            .orderBy(F.col("stock_value").desc(), "ps_partkey")
+            .limit(100)
+            .localCheckpoint()
         )
-        .orderBy(F.col("stock_value").desc(), "ps_partkey")
-        .limit(100)
-    )
+    finally:
+        natps.unpersist()
     return out
 
 

@@ -142,17 +142,54 @@ def run_neardup_ingest(
     checkpoint_dir: str,
     id_col: str,
     text_col: str,
+    grow_store: bool = False,
     **lsh_kwargs,
 ) -> None:
     """Drain the incoming stream with AvailableNow, flagging each
     micro-batch against the store and landing per-document flags under
-    ``out_dir/batch_id=N`` (overwrite — see module note on replay)."""
+    ``out_dir/batch_id=N`` (overwrite — see module note on replay).
+
+    With the default ``grow_store=False`` every micro-batch probes the
+    SAME fixed, pre-built store — intra-stream duplicates (batch N+1
+    re-crawling a document batch N accepted) pass silently; the append
+    leg is the caller's loop. With ``grow_store=True`` the loop is
+    closed here: after each batch's flags land, the ACCEPTED documents'
+    band buckets are appended to the store
+    (:func:`append_accepted_to_store`) and materialized
+    (localCheckpoint truncates the per-batch lineage chain), so batch
+    N+1 dedups against everything batch N let through — the module
+    docstring's "history of everything already accepted", now within a
+    single run as well as across runs.
+
+    Replay note for ``grow_store=True``: the grown store is driver
+    memory — a checkpoint-recovery RESTART rebuilds it from the initial
+    store and AvailableNow re-delivers every batch in order, arriving
+    at the same final state (append is a distinct-union, so replayed
+    deltas absorb idempotently); a WITHIN-RUN replay of batch N re-probes
+    the store as of batch N-1 only if the append happens after the
+    flags write, which is the order below."""
+
+    state = {"store": store}
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
-        flags = batch_neardup_flags(batch, store, id_col, text_col, **lsh_kwargs)
-        flags.write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"batch_id={batch_id}")
-        )
+        if grow_store:
+            batch = batch.persist()
+        try:
+            flags = batch_neardup_flags(
+                batch, state["store"], id_col, text_col, **lsh_kwargs
+            )
+            path = os.path.join(out_dir, f"batch_id={batch_id}")
+            flags.write.mode("overwrite").parquet(path)
+            if grow_store:
+                # re-read the landed flags: one probe-join execution per
+                # batch, and the append sees exactly what was written
+                landed = spark.read.parquet(path)
+                state["store"] = append_accepted_to_store(
+                    state["store"], batch, landed, id_col, text_col, **lsh_kwargs
+                ).localCheckpoint()
+        finally:
+            if grow_store:
+                batch.unpersist()
 
     q = (
         incoming.writeStream.foreachBatch(process_batch)

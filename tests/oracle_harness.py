@@ -58,6 +58,15 @@ def run_compare(spark, name: str, sf_dir: str) -> None:
     spark_cols = sorted(sdf.columns)
     spark_rows = [tuple(_norm(row[c]) for c in spark_cols) for row in sdf.collect()]
 
+    # no-leaked-cache invariant (VERDICT r5 item 2, generalized from the
+    # corpus_dataset_card ADVICE): after a catalog query is built AND
+    # executed, the CacheManager must hold nothing — every in-function
+    # persist() is released in try/finally; frames a returned plan must
+    # re-read are localCheckpoint'ed (GC-collectable) instead of cached.
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
+        f"{name}: leaked cached relation(s) after execution"
+    )
+
     assert spec.oracle is not None, f"{name}: no oracle registered"
     con = duck_connection(sf_dir)
     res = con.execute(spec.oracle)

@@ -85,3 +85,83 @@ def test_validation_is_single_projection(spark):
     rs = Q.RuleSet("t").rule("nn", Q.not_blank("name"))
     plan = rs.validate(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _instance_handshake(rows, rounds=3):
+    """Pure-Python instance-level greedy maximal matching — the oracle's
+    algorithm, used to pin the quotient rewrite on dup-dense inputs the
+    parquet fixtures don't contain (they have no duplicate names)."""
+    import itertools
+
+    blocks: dict = {}
+    for k, n, nat in rows:
+        blocks.setdefault((nat, n[:16]), []).append((k, n))
+    edges = set()
+    for mem in blocks.values():
+        for (ka, na), (kb, nb) in itertools.combinations(mem, 2):
+            d = _lev(na, nb)
+            if d <= 2 and ka != kb:
+                edges.add((d, min(ka, kb), max(ka, kb)))
+    out = []
+    for rnd in range(1, rounds + 1):
+        best: dict = {}
+        for e in edges:
+            for node in (e[1], e[2]):
+                if node not in best or e < best[node]:
+                    best[node] = e
+        sel = [e for e in edges if best.get(e[1]) == e and best.get(e[2]) == e]
+        out += [(a, b, d, rnd) for (d, a, b) in sel]
+        matched = {x for (d, a, b) in sel for x in (a, b)}
+        edges = {e for e in edges if e[1] not in matched and e[2] not in matched}
+    return sorted(out)
+
+
+def test_quotient_matching_equals_instance_handshake_on_dups(spark):
+    """The distinct-name quotient rewrite of one-to-one linkage must
+    emit the exact matching of the instance-level algorithm on a
+    DUP-DENSE corpus: name multiplicities 1-7 (odd leftovers joining
+    the cross-name pool mid-run), near-names at lev 1-2, interleaved
+    keys stressing the (d, a, b) tie-break, a blocker name whose
+    duplicates shield it from an exposed suitor, and a second nation
+    isolating blocks."""
+    from data_integration_project_spark.plans.quality_q import (
+        quotient_one_to_one_matching,
+    )
+
+    names = {
+        "alpha customer 0001": 3,   # odd: leftover exposed in round 2
+        "alpha customer 0002": 1,   # lev1 of 0001 — blocked in round 1
+        "alpha customer 0003": 2,   # even: never exposed
+        "alpha customer 0013": 1,   # lev1 of 0003, lev2 of 0001/0002
+        "beta customerxx 9999": 7,  # >6: members remain through round 3
+        "beta customerxx 9990": 1,  # lev1 suitor of the blocker above
+        "gamma lone 77": 1,         # isolated (no similar name)
+    }
+    rows, i = [], 0
+    for name, mult in names.items():
+        for _ in range(mult):
+            # (i*37) mod 991 is a permutation — keys of different names
+            # interleave, so min-key/tie-break order ≠ insertion order
+            rows.append((100 + (i * 37) % 991, name, 5))
+            i += 1
+    # second nation: same names, disjoint block space
+    rows += [(k + 10000, n, 9) for (k, n, _) in rows[:6]]
+    expected = _instance_handshake(rows)
+    df = spark.createDataFrame(
+        rows, "c_custkey long, c_name string, c_nationkey int"
+    )
+    got = sorted(
+        (r["key_a"], r["key_b"], r["edit_dist"], r["round"])
+        for r in quotient_one_to_one_matching(spark, df).collect()
+    )
+    assert got == expected

@@ -259,3 +259,60 @@ def test_neardup_store_append_makes_ingest_incremental(spark):
     ).count() == store1.join(
         flagged_buckets, ["_band", "_bucket"], "left_semi"
     ).count()
+
+
+def test_neardup_drain_grow_store_flags_cross_batch(spark):
+    """run_neardup_ingest(grow_store=True) closes the loop INSIDE the
+    drain: batch 2's exact re-crawl of a batch-1-accepted document is
+    flagged even though the initial store never saw it; with the
+    default grow_store=False the same re-crawl passes (fixed-store
+    semantics, the caller owns the append loop)."""
+    from data_integration_project_spark.streaming.neardup import (
+        build_band_store,
+        run_neardup_ingest,
+    )
+
+    hist = spark.createDataFrame(
+        [(0, "historical corpus document about coffee roasting times")],
+        ["doc_id", "text"],
+    )
+    store = build_band_store(hist, "doc_id", "text").localCheckpoint()
+    novel = "fresh network telemetry ingestion pipeline design notes"
+    b1 = spark.createDataFrame([(1, novel)], ["doc_id", "text"])
+    b2 = spark.createDataFrame(
+        [(2, novel), (3, "unrelated gardening soil acidity findings")],
+        ["doc_id", "text"],
+    )
+    for grow, expect in ((True, {1: 0, 2: 1, 3: 0}), (False, {1: 0, 2: 0, 3: 0})):
+        root = tempfile.mkdtemp(prefix="neardup_grow_")
+        try:
+            src = os.path.join(root, "stream")
+            b1.coalesce(1).write.parquet(os.path.join(src, "b0"))
+            b2.coalesce(1).write.parquet(os.path.join(src, "b1"))
+            for i, sub in enumerate(("b0", "b1")):
+                d = os.path.join(src, sub)
+                for f in os.listdir(d):
+                    os.utime(os.path.join(d, f), (1_000_000_000 + i * 10,) * 2)
+            incoming = (
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", "1")
+                .option("recursiveFileLookup", "true")
+                .parquet(src)
+            )
+            run_neardup_ingest(
+                spark,
+                incoming,
+                store,
+                os.path.join(root, "flags"),
+                os.path.join(root, "ckpt"),
+                "doc_id",
+                "text",
+                grow_store=grow,
+            )
+            got = {
+                r["doc_id"]: r["_neardup"]
+                for r in spark.read.parquet(os.path.join(root, "flags")).collect()
+            }
+            assert got == expect, (grow, got)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
