@@ -248,13 +248,15 @@ def minhash_lsh_dedup(
     The heavy lifting (tokenize → hash → window-fold) happens exactly
     once: a single groupBy emits each doc's shingle-set array AND its
     n min-hash signatures together (codegen ``min`` aggregates, one
-    shuffle), persisted so every downstream consumer (bucket self-join
-    sides, both jaccard sides) re-reads |docs| small cached rows
-    instead of re-scanning the corpus."""
+    shuffle), localCheckpoint'ed (eager, GC-collectable — NOT persist:
+    the returned plan re-reads this frame, and a persist would outlive
+    the call in a long-lived session; the no-leaked-cache invariant in
+    the oracle gate pins this) so every downstream consumer (bucket
+    self-join sides, both jaccard sides) re-reads |docs| small
+    materialized rows instead of re-scanning the corpus."""
     sets = shingle_sets_with_signatures(
         df, id_col, text_col, shingle_k, n_hashes
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    sets.count()  # fill before fan-out so consumers don't race an empty cache
+    ).localCheckpoint(eager=True)
     buckets = lsh_bucket_rows(sets, id_col, n_bands, n_hashes // n_bands)
     cands = candidate_pairs(buckets, id_col)
     verified = jaccard_on_pairs(cands, sets, id_col)

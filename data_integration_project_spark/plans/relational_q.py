@@ -9634,10 +9634,18 @@ def orders_queue_simulation(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmin tie-break. Capacity planning (how many servers keep p-max
     wait acceptable) is this query re-run over k.
 
-    Scale shape: the fold is inherently sequential, so the input is a
-    bounded slice (the simulation INPUT is small; the history it is
+    Scale shape: the replay is inherently sequential, so the input is
+    a bounded slice (the simulation INPUT is small; the history it is
     drawn from is not) — the standard simulate-on-a-sample pattern;
-    everything before the fold is distributed scan + sort."""
+    everything before the replay is distributed scan + sort. The
+    replay itself is a single-partition Arrow-batched mapInPandas
+    whose 3-slot free-time state lives in the task closure across
+    batches — LINEAR in the slice. (The previous form — a Catalyst
+    ``F.aggregate`` fold appending each step's record with
+    ``concat(acc.out, array(rec))`` — copied the accumulated array on
+    every step: O(n²) cells for an n-arrival slice, the sf1.0 soak's
+    47s wall. Python-int arithmetic is exact, so every wait is
+    bit-identical to the fold's.)"""
     arr = (
         t(spark, sf_dir, "orders")
         .filter(F.col("o_custkey") % 50 == 0)
@@ -9657,49 +9665,136 @@ def orders_queue_simulation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dur"),
         )
     )
-    grouped = arr.agg(
-        F.array_sort(
-            F.collect_list(
-                F.struct("arrival", "o_orderkey", "o_orderpriority", "dur")
+    ordered = arr.repartition(1).sortWithinPartitions("arrival", "o_orderkey")
+
+    def replay(batches):
+        import pandas as pd
+
+        free = [0, 0, 0]  # closure state persists across Arrow batches
+        for pdf in batches:
+            arrivals = pdf["arrival"].tolist()
+            durs = pdf["dur"].tolist()
+            waits = []
+            for a, d in zip(arrivals, durs):
+                mn = min(free)
+                srv = free.index(mn)  # tie -> lowest index, as the CTE
+                waits.append(mn - a if mn > a else 0)
+                free[srv] = (a if a > mn else mn) + d
+            yield pd.DataFrame(
+                {"o_orderpriority": pdf["o_orderpriority"], "wait": waits}
             )
-        ).alias("a")
-    )
 
-    def step(acc, x):
-        mn = F.array_min(acc["free"])
-        srv = F.when(F.element_at(acc["free"], 1) == mn, 1).when(
-            F.element_at(acc["free"], 2) == mn, 2
-        ).otherwise(3)
-        wait = F.greatest(mn - x["arrival"], F.lit(0).cast("long"))
-        newfree = F.transform(
-            F.sequence(F.lit(1), F.lit(3)),
-            lambda j: F.when(
-                j == srv, F.greatest(x["arrival"], mn) + x["dur"]
-            ).otherwise(F.element_at(acc["free"], j)),
-        )
-        rec = F.struct(
-            x["o_orderkey"].alias("k"),
-            x["o_orderpriority"].alias("p"),
-            wait.alias("w"),
-        )
-        return F.struct(
-            newfree.alias("free"),
-            F.concat(acc["out"], F.array(rec)).alias("out"),
-        )
-
-    init = F.struct(
-        F.array(
-            F.lit(0).cast("long"), F.lit(0).cast("long"), F.lit(0).cast("long")
-        ).alias("free"),
-        F.array().cast(
-            "array<struct<k:bigint,p:string,w:bigint>>"
-        ).alias("out"),
-    )
-    folded = grouped.select(F.aggregate(F.col("a"), init, step).alias("st"))
-    rows = folded.select(F.explode(F.col("st.out")).alias("r")).select(
-        F.col("r.p").alias("o_orderpriority"), F.col("r.w").alias("wait")
-    )
+    rows = ordered.mapInPandas(replay, "o_orderpriority string, wait long")
     return rows.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("wait").alias("total_wait_s"),
+        F.max("wait").alias("max_wait_s"),
+        F.sum(F.when(F.col("wait") > 0, 1).otherwise(0)).alias("n_queued"),
+    )
+
+
+#: server counts swept by the capacity plan — k=3 reproduces
+#: [[orders_queue_simulation]]'s configuration inside the sweep
+_QSIM_KS = (2, 3, 4, 5)
+
+
+@query(
+    "orders_queue_capacity_plan",
+    oracle="""
+    WITH RECURSIVE arr AS MATERIALIZED (
+      SELECT o_orderkey,
+             (epoch_ms(CAST(o_orderdate AS TIMESTAMP)) // 86400000) * 200
+               AS arrival,
+             1 + (CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) % 7200)
+               AS dur,
+             ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders WHERE o_custkey % 50 = 0
+    ),
+    ks AS (SELECT unnest([2, 3, 4, 5]) AS k),
+    sim AS (
+      SELECT ks.k, a.rn, a.arrival, a.dur,
+             CAST(0 AS BIGINT) AS wait,
+             list_transform(range(1, ks.k + 1),
+               j -> CASE WHEN j = 1 THEN a.arrival + a.dur
+                         ELSE CAST(0 AS BIGINT) END) AS free
+      FROM arr a, ks WHERE a.rn = 1
+      UNION ALL
+      SELECT s.k, a.rn, a.arrival, a.dur,
+             greatest(u.mn - a.arrival, 0) AS wait,
+             list_transform(range(1, s.k + 1),
+               j -> CASE WHEN j = u.srv
+                         THEN greatest(a.arrival, u.mn) + a.dur
+                         ELSE s.free[j] END)
+      FROM sim s JOIN arr a ON a.rn = s.rn + 1
+      CROSS JOIN LATERAL (
+        SELECT list_min(s.free) AS mn,
+               list_position(s.free, list_min(s.free)) AS srv
+      ) u
+    )
+    SELECT CAST(k AS INT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(wait) AS BIGINT) AS total_wait_s,
+           CAST(MAX(wait) AS BIGINT) AS max_wait_s,
+           CAST(SUM(CASE WHEN wait > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_queued
+    FROM sim GROUP BY k
+    """,
+)
+def orders_queue_capacity_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPACITY PLANNING over [[orders_queue_simulation]]'s M/G/k
+    queue: the SAME deterministic arrival slice replayed at k = 2..5
+    servers in ONE pass — per k, total/max wait and how many arrivals
+    queued, i.e. the table an operator reads to pick the smallest k
+    whose max wait is acceptable. k=3's totals tie back to the base
+    simulation (its per-priority rows sum to this one).
+
+    Scale shape: identical to the base simulation — distributed scan +
+    one single-partition sort feeding a linear Arrow-batched replay;
+    the k-sweep multiplies the Python fold's constant (4 free-lists in
+    the task closure), not the data motion. The oracle seeds one
+    recursive-CTE chain per k with a variable-length free list
+    (list_min / first-position argmin — the same tie-break as the
+    Python ``list.index``)."""
+    arr = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 50 == 0)
+        .select(
+            "o_orderkey",
+            (
+                F.floor(
+                    F.unix_millis(F.col("o_orderdate").cast("timestamp"))
+                    / 86400000
+                ).cast("long")
+                * 200
+            ).alias("arrival"),
+            (
+                1
+                + F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long") % 7200
+            ).alias("dur"),
+        )
+    )
+    ordered = arr.repartition(1).sortWithinPartitions("arrival", "o_orderkey")
+
+    def replay(batches):
+        import pandas as pd
+
+        free = {k: [0] * k for k in _QSIM_KS}
+        for pdf in batches:
+            arrivals = pdf["arrival"].tolist()
+            durs = pdf["dur"].tolist()
+            out_k, out_w = [], []
+            for a, d in zip(arrivals, durs):
+                for k in _QSIM_KS:
+                    fl = free[k]
+                    mn = min(fl)
+                    srv = fl.index(mn)
+                    out_k.append(k)
+                    out_w.append(mn - a if mn > a else 0)
+                    fl[srv] = (a if a > mn else mn) + d
+            yield pd.DataFrame({"k": out_k, "wait": out_w})
+
+    rows = ordered.mapInPandas(replay, "k int, wait long")
+    return rows.groupBy("k").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("wait").alias("total_wait_s"),
         F.max("wait").alias("max_wait_s"),

@@ -34,7 +34,11 @@ for name in ["customer_golden_records", "dedup_clusters_largestar",
              "doc_simhash_sort_locality",
              # round-5 heavies: the SRP-vs-exact recall harness (two
              # miners in one plan) and the streaming banded-store probe
-             "embeddings_bitext_mining_srp", "streaming_neardup_ingest"]:
+             "embeddings_bitext_mining_srp", "streaming_neardup_ingest",
+             # round-6: the single-partition queue replay (closure-state
+             # mapInPandas) and its k-sweep — the sorted slice must fit
+             # one task on a default heap
+             "orders_queue_simulation", "orders_queue_capacity_plan"]:
     n = qs[name](spark, "/root/testdata/sf0.01").count()
     print("HEAPCANARY", name, n, flush=True)
 print("HEAPCANARY ALL_OK", flush=True)
