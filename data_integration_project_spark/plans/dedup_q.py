@@ -1635,29 +1635,52 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") % 5 == 0)
         .count()
     )
-    thresholds = spark.createDataFrame(
-        [(50,), (70,), (90,), (100,)], "thr_pct int"
+    # one conditional-sum aggregate over the pair stream, unpivoted to a
+    # row per threshold — NOT a 4-row crossJoin: Catalyst plans that as a
+    # CartesianProduct whose pair-pipeline side is re-computed once per
+    # left partition (measured 87s of an 11s pipeline at sf1.0)
+    thrs = (50, 70, 90, 100)
+
+    def hit(thr: int):
+        return F.col("jaccard") * 100 >= thr
+
+    def true_hit(thr: int):
+        return hit(thr) & (F.col("is_planted") == 1)
+
+    wide = pairs.agg(
+        *[F.sum(hit(thr).cast("int")).alias(f"_np_{thr}") for thr in thrs],
+        *[
+            F.sum(true_hit(thr).cast("int")).alias(f"_nt_{thr}")
+            for thr in thrs
+        ],
     )
-    hit = F.col("jaccard") * 100 >= F.col("thr_pct")
-    true_hit = hit & (F.col("is_planted") == 1)
-    return (
-        thresholds.crossJoin(pairs)
-        .groupBy("thr_pct")
-        .agg(
-            F.sum(hit.cast("int")).alias("n_pairs"),
-            F.sum(true_hit.cast("int")).alias("n_true"),
-            F.round(
-                F.sum(true_hit.cast("int")).cast("double") * 1000000
-                / F.nullif(F.sum(hit.cast("int")), F.lit(0))
+    rows = wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(thr).alias("thr_pct"),
+                        F.col(f"_np_{thr}").alias("n_pairs"),
+                        F.col(f"_nt_{thr}").alias("n_true"),
+                    )
+                    for thr in thrs
+                ]
             )
-            .cast("long")
-            .alias("precision_ppm"),
-            F.round(
-                F.sum(true_hit.cast("int")).cast("double") * 1000000 / n_planted
-            )
-            .cast("long")
-            .alias("recall_ppm"),
+        ).alias("r")
+    ).select("r.*")
+    return rows.select(
+        "thr_pct",
+        "n_pairs",
+        "n_true",
+        F.round(
+            F.col("n_true").cast("double") * 1000000
+            / F.nullif(F.col("n_pairs"), F.lit(0))
         )
+        .cast("long")
+        .alias("precision_ppm"),
+        F.round(F.col("n_true").cast("double") * 1000000 / n_planted)
+        .cast("long")
+        .alias("recall_ppm"),
     )
 
 

@@ -392,3 +392,28 @@ def test_kll_level_counts_single_aggregate(spark, sf_small):
     # first), i.e. it explodes the |groups|-row panel, never the data
     assert "Generate stack" in plan
     assert plan.index("Generate stack") < plan.index("HashAggregate")
+
+
+def test_threshold_sweep_no_cartesian(spark, sf_small):
+    # the 4-threshold sweep must be ONE conditional-sum aggregate over
+    # the pair stream, not a 4-row crossJoin: Catalyst plans the latter
+    # as a CartesianProduct whose pair-pipeline side re-executes once
+    # per left partition (measured 87s of an 11s pipeline at sf1.0)
+    plan = _executed_plan(spark, "dedup_threshold_sweep", sf_small)
+    assert "CartesianProduct" not in plan
+
+
+def test_als_recommend_no_cartesian(spark, sf_small):
+    # the 3-user × item-factor scoring cross join must broadcast the
+    # 3-user side (the checkpointed item RDD has no stats, so an
+    # unmarked crossJoin falls back to CartesianProduct)
+    plan = _executed_plan(spark, "lineitem_als_recommend", sf_small)
+    assert "CartesianProduct" not in plan
+
+
+def test_priority_sampling_takeordered(spark, sf_small):
+    # the top-(k+1) priority cut must be a TakeOrderedAndProject (no
+    # global sort materialization), and the tau/total sides broadcast
+    plan = _executed_plan(spark, "orders_priority_sampling", sf_small)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
