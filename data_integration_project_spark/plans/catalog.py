@@ -45,6 +45,15 @@ def query(name: str, oracle: str | None = None):
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
         wrapped.__module__ = fn.__module__  # keep the defining plan module
+        if name in REGISTRY:
+            # a silent dict overwrite would drop an existing query from
+            # the catalog while its tests keep passing against the NEW
+            # function — fail at import instead (caught a real duplicate
+            # in round 6)
+            raise ValueError(
+                f"catalog query {name!r} registered twice "
+                f"({REGISTRY[name].fn.__module__} and {fn.__module__})"
+            )
         REGISTRY[name] = QuerySpec(name=name, fn=wrapped, oracle=oracle, doc=fn.__doc__ or "")
         return wrapped
 

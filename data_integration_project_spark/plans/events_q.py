@@ -6266,3 +6266,172 @@ def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("srm_flag"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HLL set operations: union by register max, intersection by
+# inclusion-exclusion — the sketch algebra a metrics platform uses for
+# "how many users did BOTH" without rescanning either side.
+# ---------------------------------------------------------------------------
+
+
+def _hll_setop_oracle() -> str:
+    from ..operators.sketch import hll_constants
+
+    m = 64
+    _, k_max, scaled_alpha = hll_constants(m)
+    rank = (
+        f"CASE WHEN hv // {m} = 0 THEN {k_max} "
+        f"ELSE {k_max} - length(bin(hv // {m})) END"
+    )
+
+    def est(regs: str) -> str:
+        s = (
+            f"(SELECT SUM(CAST(power(2, {k_max} - mr) AS BIGINT))"
+            f" + ({m} - COUNT(*)) * {1 << k_max} FROM {regs})"
+        )
+        return f"CAST(floor({scaled_alpha!r} / {s}) AS BIGINT)"
+
+    def regs(vals: str, out: str) -> str:
+        return f"""
+    {out} AS (
+      SELECT hv % {m} AS b, MAX({rank}) AS mr
+      FROM (SELECT {_HLL_HASH_SQL.format(col='v')} AS hv FROM {vals})
+      GROUP BY b
+    )"""
+
+    return (
+        f"""
+    WITH a_vals AS (
+      SELECT DISTINCT user_id AS v FROM events WHERE event_type = 'view'
+    ),
+    b_vals AS (
+      SELECT DISTINCT user_id AS v FROM events WHERE event_type = 'purchase'
+    ),"""
+        + regs("a_vals", "a_regs")
+        + ","
+        + regs("b_vals", "b_regs")
+        + f""",
+    u_regs AS (
+      SELECT COALESCE(a.b, b.b) AS b,
+             greatest(COALESCE(a.mr, 0), COALESCE(b.mr, 0)) AS mr
+      FROM a_regs a FULL JOIN b_regs b ON a.b = b.b
+    )
+    SELECT CAST({m} AS INTEGER) AS m,
+           {est('a_regs')} AS est_a,
+           {est('b_regs')} AS est_b,
+           {est('u_regs')} AS est_union,
+           {est('a_regs')} + {est('b_regs')} - {est('u_regs')}
+             AS est_intersection,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM a_vals) AS exact_a,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM b_vals) AS exact_b,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM a_vals
+            WHERE v IN (SELECT v FROM b_vals)) AS exact_intersection
+    """
+    )
+
+
+@query("events_hll_set_operations", oracle=_hll_setop_oracle())
+def events_hll_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL SET ALGEBRA over the portable sketch
+    ([[events_hll_distinct]]'s register layout): the union of two
+    sketches is the register-wise MAX (exact — the union sketch is
+    BIT-IDENTICAL to sketching A∪B directly, HLL's defining mergeable
+    property), and |A∩B| follows by inclusion-exclusion
+    est_a + est_b − est_union — the standard sketch-algebra answer to
+    "how many users VIEWED and also PURCHASED" without a join of the
+    raw sides. The intersection estimate is signed (inclusion-
+    exclusion over three estimators can undershoot 0 on small/disjoint
+    sets) and lands beside the three exact counts, so the estimator's
+    error at this register budget is part of the result.
+
+    Scale shape: each side is one groupBy onto ≤64 integer registers
+    (map-side combined max); the union is a 64-row full join; exact
+    audit legs are one distinct + one semi-join (they drop in the
+    sample-free production form). Sketches this small travel in a
+    dashboard cache — the 100 TB story is that the raw events are
+    touched once per side, ever."""
+    from ..operators.sketch import hll_constants, hll_hash
+
+    m = 64
+    _, k_max, scaled_alpha = hll_constants(m)
+    e = t(spark, sf_dir, "events")
+
+    def regs(etype: str) -> DataFrame:
+        vals = (
+            e.filter(F.col("event_type") == etype)
+            .select(F.col("user_id").alias("v"))
+            .distinct()
+        )
+        hv = hll_hash(F.col("v"))
+        w = F.floor(hv / m).cast("long")
+        rank = F.when(w == F.lit(0), F.lit(k_max)).otherwise(
+            F.lit(k_max) - F.length(F.bin(w))
+        )
+        return (
+            vals.select((hv % m).alias("b"), rank.alias("r"))
+            .groupBy("b")
+            .agg(F.max("r").alias("mr"))
+        )
+
+    def est(regs_df: DataFrame, name: str) -> DataFrame:
+        n_seen = F.count(F.lit(1))
+        s = (
+            F.sum(
+                F.pow(F.lit(2.0), F.lit(k_max) - F.col("mr")).cast("long")
+            )
+            + (F.lit(m) - n_seen) * F.lit(1 << k_max)
+        ).cast("long")
+        return regs_df.agg(s.alias("_s")).select(
+            F.floor(F.lit(scaled_alpha) / F.col("_s")).cast("long").alias(name)
+        )
+
+    ra, rb = regs("view"), regs("purchase")
+    ru = (
+        ra.withColumnRenamed("mr", "ma")
+        .join(rb.withColumnRenamed("mr", "mb"), "b", "full_outer")
+        .select(
+            "b",
+            F.greatest(
+                F.coalesce(F.col("ma"), F.lit(0)),
+                F.coalesce(F.col("mb"), F.lit(0)),
+            ).alias("mr"),
+        )
+    )
+    a_vals = (
+        e.filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v"))
+        .distinct()
+    )
+    b_vals = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("v"))
+        .distinct()
+    )
+    exacts = (
+        a_vals.agg(F.count(F.lit(1)).cast("long").alias("exact_a"))
+        .crossJoin(b_vals.agg(F.count(F.lit(1)).cast("long").alias("exact_b")))
+        .crossJoin(
+            a_vals.join(b_vals, "v", "left_semi").agg(
+                F.count(F.lit(1)).cast("long").alias("exact_intersection")
+            )
+        )
+    )
+    return (
+        est(ra, "est_a")
+        .crossJoin(F.broadcast(est(rb, "est_b")))
+        .crossJoin(F.broadcast(est(ru, "est_union")))
+        .crossJoin(F.broadcast(exacts))
+        .select(
+            F.lit(m).cast("int").alias("m"),
+            "est_a",
+            "est_b",
+            "est_union",
+            (F.col("est_a") + F.col("est_b") - F.col("est_union"))
+            .cast("long")
+            .alias("est_intersection"),
+            "exact_a",
+            "exact_b",
+            "exact_intersection",
+        )
+    )

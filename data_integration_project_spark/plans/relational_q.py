@@ -10476,274 +10476,3 @@ def orders_aqp_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rel_err_ppm"),
     )
-
-
-# ---------------------------------------------------------------------------
-# Priority sampling (Duffield-Lund-Thorup) and k-core decomposition
-# ---------------------------------------------------------------------------
-
-_PS_P = 2147483647  # hash modulus: u ∈ [1, P] plays the uniform (0, 1]
-_PS_K = 100
-
-
-@query(
-    "orders_priority_sampling",
-    oracle=f"""
-    WITH w AS (
-      SELECT o_orderkey,
-             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS w,
-             (CAST('0x' || substr(md5('ps:' || o_orderkey), 1, 8) AS BIGINT)
-              % {_PS_P}) + 1 AS u
-      FROM orders
-    ),
-    pri AS (
-      SELECT o_orderkey, w, (w * {_PS_P}) // u AS q FROM w
-    ),
-    ranked AS (
-      SELECT o_orderkey, w, q,
-             row_number() OVER (ORDER BY q DESC, o_orderkey) AS rk
-      FROM pri
-    ),
-    tau AS (SELECT q AS tau FROM ranked WHERE rk = {_PS_K + 1}),
-    samp AS (
-      SELECT r.o_orderkey, r.w, t.tau
-      FROM ranked r CROSS JOIN tau t WHERE r.rk <= {_PS_K}
-    ),
-    tot AS (SELECT CAST(SUM(w) AS BIGINT) AS exact_total_cents FROM w)
-    SELECT CAST({_PS_K} AS BIGINT) AS k,
-           CAST(MAX(s.tau) AS BIGINT) AS tau,
-           CAST(SUM(CASE WHEN s.w > s.tau THEN s.w ELSE s.tau END)
-                AS BIGINT) AS est_total_cents,
-           t.exact_total_cents,
-           CAST(abs(SUM(CASE WHEN s.w > s.tau THEN s.w ELSE s.tau END)
-                    - t.exact_total_cents) * 1000000
-                // t.exact_total_cents AS BIGINT) AS abs_err_ppm,
-           CAST(CASE WHEN SUM(CASE WHEN s.w > s.tau THEN s.w ELSE s.tau END)
-                          >= t.exact_total_cents
-                     THEN 1 ELSE 0 END AS INT) AS est_high,
-           CAST(SUM(s.o_orderkey) AS BIGINT) AS sample_checksum
-    FROM samp s CROSS JOIN tot t GROUP BY t.exact_total_cents
-    """,
-)
-def orders_priority_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PRIORITY SAMPLING (Duffield, Lund & Thorup, JACM'07) — the
-    weighted sample-of-k with an unbiased subset-sum estimator, the
-    form a curation pipeline uses to subsample a corpus by importance
-    weight while still estimating totals: each row draws priority
-    q = w/u (u uniform), the k highest-priority rows are kept, and
-    every kept row's weight estimate is max(w, τ) with τ the (k+1)-th
-    priority. Deterministic and integer-exact here: u = (md5 of the
-    key mod P) + 1 ∈ [1, P] (the hash-deterministic sampling house
-    rule), q = (w·P) div u in int64 — w is cents ≤ ~1e8 and
-    w·P ≤ ~1e17, inside int64 at any SF since per-order totals are
-    SF-invariant. The realized |error| in ppm and an est_high flag
-    land beside the exact total (signed division differs between
-    engines — DuckDB floors, Spark truncates — so the magnitude and
-    sign ship as separate exact columns).
-
-    Scale shape: one scan computes priorities; the top-(k+1) is a
-    TakeOrderedAndProject (no global sort materialization); τ, the
-    sample aggregate, and the exact audit total are all ≤(k+1)-row or
-    1-row frames. At 100 TB only the scan grows.
-
-    Extension beyond the reference: the weighted companion to its
-    uniform-sample reporting slices (dashboard.py:92-118), and the
-    estimator [[orders_aqp_sample_estimate]] generalizes to skewed
-    weights."""
-    o = t(spark, sf_dir, "orders")
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("ps:"), F.col("o_orderkey"))), 1, 8
-            ),
-            16,
-            10,
-        ).cast("long")
-        % _PS_P
-        + 1
-    )
-    pri = o.select(
-        "o_orderkey",
-        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("w"),
-        u.alias("u"),
-    ).withColumn("q", F.expr(f"(w * {_PS_P}) div u"))
-    top = pri.orderBy(F.desc("q"), "o_orderkey").limit(_PS_K + 1)
-    win = Window.orderBy(F.desc("q"), "o_orderkey")
-    ranked = top.withColumn("rk", F.row_number().over(win))
-    tau = ranked.filter(F.col("rk") == _PS_K + 1).select(
-        F.col("q").alias("tau")
-    )
-    samp = ranked.filter(F.col("rk") <= _PS_K).crossJoin(F.broadcast(tau))
-    tot = pri.agg(F.sum("w").cast("long").alias("exact_total_cents"))
-    est = F.sum(F.greatest(F.col("w"), F.col("tau")))
-    return (
-        samp.agg(
-            F.max("tau").cast("long").alias("tau"),
-            est.cast("long").alias("est_total_cents"),
-            F.sum("o_orderkey").cast("long").alias("sample_checksum"),
-        )
-        .crossJoin(F.broadcast(tot))
-        .select(
-            F.lit(_PS_K).cast("long").alias("k"),
-            "tau",
-            "est_total_cents",
-            "exact_total_cents",
-            F.expr(
-                "abs(est_total_cents - exact_total_cents) * 1000000"
-                " div exact_total_cents"
-            )
-            .cast("long")
-            .alias("abs_err_ppm"),
-            (F.col("est_total_cents") >= F.col("exact_total_cents"))
-            .cast("int")
-            .alias("est_high"),
-            "sample_checksum",
-        )
-    )
-
-
-_KCORE_ROUNDS = 6
-
-
-def _kcore_round_sql(prev: str, rnd: int) -> str:
-    return f"""
-    deg{rnd} AS (
-      SELECT node, COUNT(*) AS d FROM (
-        SELECT e.u AS node FROM kedges e
-        JOIN {prev} pa ON pa.node = e.u
-        JOIN {prev} pb ON pb.node = e.v
-        UNION ALL
-        SELECT e.v FROM kedges e
-        JOIN {prev} pa ON pa.node = e.u
-        JOIN {prev} pb ON pb.node = e.v
-      ) GROUP BY node
-    ),
-    a{rnd} AS (
-      SELECT d.node FROM deg{rnd} d, kval WHERE d.d >= kval.k
-    )"""
-
-
-@query(
-    "parts_kcore_decomposition",
-    oracle="""
-    WITH baskets AS (
-      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-      WHERE l_partkey % 4 = 0
-    ),
-    kedges AS MATERIALIZED (
-      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-      FROM baskets a JOIN baskets b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-    ),
-    a0 AS (
-      SELECT DISTINCT node FROM (
-        SELECT u AS node FROM kedges UNION ALL SELECT v FROM kedges
-      )
-    ),
-    deg0 AS (
-      SELECT node, COUNT(*) AS d FROM (
-        SELECT u AS node FROM kedges UNION ALL SELECT v FROM kedges
-      ) GROUP BY node
-    ),
-    kval AS MATERIALIZED (
-      SELECT CAST(MIN(d) AS BIGINT) AS k FROM (
-        SELECT d, SUM(COUNT(*)) OVER (ORDER BY d) AS cum,
-               SUM(COUNT(*)) OVER () AS n
-        FROM deg0 GROUP BY d
-      ) WHERE cum * 4 >= n * 3
-    ),
-    """
-    + ",".join(_kcore_round_sql(f"a{r - 1}", r) for r in range(1, _KCORE_ROUNDS + 1))
-    + """
-    SELECT * FROM ("""
-    + " UNION ALL ".join(
-        f"""
-      SELECT CAST({r} AS INT) AS round, kval.k,
-             CAST(COUNT(a.node) AS BIGINT) AS n_alive,
-             CAST(COALESCE(SUM(a.node), 0) AS BIGINT) AS alive_checksum
-      FROM kval LEFT JOIN a{r} a ON TRUE GROUP BY kval.k"""
-        for r in range(1, _KCORE_ROUNDS + 1)
-    )
-    + ")",
-)
-def parts_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K-CORE PEELING (Seidman'83 / Batagelj-Zaveršnik) on a bounded
-    slice of the parts co-purchase graph — the degeneracy primitive
-    graph curation uses to find the dense backbone (and, inverted, to
-    prune noise nodes before expensive graph ops like the triangle
-    count). k is the graph's OWN 75th-percentile degree (smallest d
-    with cum-degree-histogram ≥ 3/4 of nodes — exact integer, so the
-    cut bites on any fixture), and the output is the peeling
-    TRAJECTORY: per round, surviving-node count and id checksum —
-    convergence is visible as consecutive equal rows.
-
-    Both engines run the same FIXED round count
-    (the [[nations_trade_pagerank]] fixed-iteration discipline): each
-    round restricts edges to both-endpoints-alive (two semi-joins),
-    recounts degrees (one map-side-combined aggregate), and keeps
-    nodes ≥ k. Rounds after the fixpoint are idempotent. The %4
-    partkey slice bounds the dense replica fixture's edge mass the
-    same way the triangle count's docstring prescribes for wedges.
-
-    Scale shape: per round one bounded shuffle on node id; the alive
-    set only shrinks; per-round localCheckpoint truncates the
-    self-referential lineage (the connected-components case law). No
-    driver-side graph: k is the single collected scalar (a 1-row
-    histogram cut)."""
-    li = t(spark, sf_dir, "lineitem").filter(F.col("l_partkey") % 4 == 0)
-    baskets = li.select("l_orderkey", "l_partkey").distinct()
-    a = baskets.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
-    b = baskets.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
-    edges = (
-        a.join(b, "ok")
-        .filter(F.col("u") < F.col("v"))
-        .select("u", "v")
-        .distinct()
-        .localCheckpoint(eager=True)  # feeds every round; GC-collectable
-    )
-    all_nodes = edges.select(F.col("u").alias("node")).unionAll(
-        edges.select(F.col("v").alias("node"))
-    )
-    deg0 = all_nodes.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
-    hist = deg0.groupBy("d").agg(F.count(F.lit(1)).alias("c"))
-    wc = Window.orderBy("d")
-    cut = (
-        hist.withColumn("cum", F.sum("c").over(wc))
-        .crossJoin(F.broadcast(deg0.agg(F.count(F.lit(1)).alias("n"))))
-        .filter(F.col("cum") * 4 >= F.col("n") * 3)
-        .agg(F.min("d").alias("k"))
-        .collect()
-    )
-    k = int(cut[0]["k"])  # the single collected scalar
-    alive = deg0.select("node")
-    out = None
-    for rnd in range(1, _KCORE_ROUNDS + 1):
-        ua = alive.select(F.col("node").alias("u"))
-        va = alive.select(F.col("node").alias("v"))
-        live_edges = edges.join(ua, "u", "left_semi").join(
-            va, "v", "left_semi"
-        )
-        deg = (
-            live_edges.select(F.col("u").alias("node"))
-            .unionAll(live_edges.select(F.col("v").alias("node")))
-            .groupBy("node")
-            .agg(F.count(F.lit(1)).alias("d"))
-        )
-        alive = (
-            deg.filter(F.col("d") >= k)
-            .select("node")
-            .localCheckpoint(eager=True)
-        )
-        row = alive.agg(
-            F.count(F.lit(1)).cast("long").alias("n_alive"),
-            F.coalesce(F.sum("node"), F.lit(0))
-            .cast("long")
-            .alias("alive_checksum"),
-        ).select(
-            F.lit(rnd).cast("int").alias("round"),
-            F.lit(k).cast("long").alias("k"),
-            "n_alive",
-            "alive_checksum",
-        )
-        out = row if out is None else out.unionByName(row)
-    return out

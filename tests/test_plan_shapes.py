@@ -409,11 +409,3 @@ def test_als_recommend_no_cartesian(spark, sf_small):
     # unmarked crossJoin falls back to CartesianProduct)
     plan = _executed_plan(spark, "lineitem_als_recommend", sf_small)
     assert "CartesianProduct" not in plan
-
-
-def test_priority_sampling_takeordered(spark, sf_small):
-    # the top-(k+1) priority cut must be a TakeOrderedAndProject (no
-    # global sort materialization), and the tau/total sides broadcast
-    plan = _executed_plan(spark, "orders_priority_sampling", sf_small)
-    assert "TakeOrderedAndProject" in plan
-    assert "CartesianProduct" not in plan
