@@ -253,7 +253,14 @@ def minhash_lsh_dedup(
     the call in a long-lived session; the no-leaked-cache invariant in
     the oracle gate pins this) so every downstream consumer (bucket
     self-join sides, both jaccard sides) re-reads |docs| small
-    materialized rows instead of re-scanning the corpus."""
+    materialized rows instead of re-scanning the corpus.
+
+    Cluster caveat: localCheckpoint truncates lineage, so losing an
+    executor that holds checkpoint blocks is unrecoverable (Spark
+    documents it as unsafe with dynamic allocation / spot kills). On a
+    long-lived cluster with decommissioning, swap for persist + an
+    explicit unpersist at the end of the consuming job, or a reliable
+    checkpoint dir."""
     sets = shingle_sets_with_signatures(
         df, id_col, text_col, shingle_k, n_hashes
     ).localCheckpoint(eager=True)

@@ -75,6 +75,42 @@ def hll_constants(m: int) -> tuple[int, int, float]:
     return bucket_bits, k_max, alpha * m * m * float(1 << k_max)
 
 
+def hll_registers(df: DataFrame, col: str, m: int = 64) -> DataFrame:
+    """(_b, _m) register table of the portable HLL — THE shared layout:
+    every consumer (the one-row estimate below, shard merging, the
+    set-algebra union) must build registers through this one function,
+    or two sketches stop being mergeable without any test noticing."""
+    _, k_max, _ = hll_constants(m)
+    hv = hll_hash(F.col(col))
+    w = F.floor(hv / m).cast("long")
+    rank = F.when(w == F.lit(0), F.lit(k_max)).otherwise(
+        F.lit(k_max) - F.length(F.bin(w))
+    )
+    return (
+        df.select((hv % m).alias("_b"), rank.alias("_r"))
+        .groupBy("_b")
+        .agg(F.max("_r").alias("_m"))
+    )
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame, m: int, name: str = "n_estimate"
+) -> DataFrame:
+    """One-row distinct estimate from a (_b, _m) register table —
+    floor(scaled_alpha / s_scaled), the same single double division as
+    ``hll_distinct_estimate`` (which inlines it to also emit the
+    s_scaled/n_empty proof columns)."""
+    _, k_max, scaled_alpha = hll_constants(m)
+    n_seen = F.count(F.lit(1))
+    s = (
+        F.sum(F.pow(F.lit(2.0), F.lit(k_max) - F.col("_m")).cast("long"))
+        + (F.lit(m) - n_seen) * F.lit(1 << k_max)
+    ).cast("long")
+    return regs.agg(s.alias("_s")).select(
+        F.floor(F.lit(scaled_alpha) / F.col("_s")).cast("long").alias(name)
+    )
+
+
 def hll_distinct_estimate(df: DataFrame, col: str, m: int = 64) -> DataFrame:
     """One-row portable-HLL summary: (m, n_empty, s_scaled, n_estimate).
 
@@ -95,16 +131,7 @@ def hll_distinct_estimate(df: DataFrame, col: str, m: int = 64) -> DataFrame:
     then a single m-row final fold — constant state, mergeable, the
     same plan at any scale."""
     _, k_max, scaled_alpha = hll_constants(m)
-    hv = hll_hash(F.col(col))
-    w = F.floor(hv / m).cast("long")
-    rank = F.when(w == F.lit(0), F.lit(k_max)).otherwise(
-        F.lit(k_max) - F.length(F.bin(w))
-    )
-    regs = (
-        df.select((hv % m).alias("_b"), rank.alias("_r"))
-        .groupBy("_b")
-        .agg(F.max("_r").alias("_m"))
-    )
+    regs = hll_registers(df, col, m)
     n_seen = F.count(F.lit(1))
     s_scaled = (
         F.sum(F.pow(F.lit(2.0), F.lit(k_max) - F.col("_m")).cast("long"))

