@@ -6419,3 +6419,143 @@ def events_hll_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_intersection",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream-maintained HLL state: the cardinality sketch living in the
+# checkpointed state store, provably equal to the batch sketch
+# ---------------------------------------------------------------------------
+
+
+def _hll_state_oracle() -> str:
+    from ..operators.sketch import hll_constants
+
+    m = 64
+    _, k_max, scaled_alpha = hll_constants(m)
+    s_scaled = (
+        f"SUM(CAST(power(2, {k_max} - mreg) AS BIGINT))"
+        f" + ({m} - COUNT(*)) * {1 << k_max}"
+    )
+    return f"""
+    WITH c AS (
+      SELECT event_type, {_HLL_HASH_SQL.format(col="user_id")} AS hv
+      FROM events
+    ),
+    regs AS (
+      SELECT event_type, hv % {m} AS b,
+             MAX({_hll_rank_sql(m, k_max)}) AS mreg
+      FROM c GROUP BY event_type, b
+    ),
+    ex AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_seen
+           FROM c GROUP BY event_type)
+    SELECT r.event_type,
+           CAST({m} AS INTEGER) AS m,
+           CAST({m} - COUNT(*) AS INTEGER) AS n_empty,
+           CAST({s_scaled} AS BIGINT) AS s_scaled,
+           CAST(floor({scaled_alpha!r} / ({s_scaled})) AS BIGINT)
+             AS n_estimate,
+           MAX(ex.n_seen) AS n_seen
+    FROM regs r JOIN ex ON ex.event_type = r.event_type
+    GROUP BY r.event_type
+    """
+
+
+@query("events_streaming_hll_state", oracle=_hll_state_oracle())
+def events_streaming_hll_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE CARDINALITY SKETCH AS STREAMING STATE — the HLL companion
+    to [[events_streaming_kll_state]]: per event_type, the 64-register
+    table lives in the checkpointed state store
+    (``applyInPandasWithState``), each micro-batch max-merges its
+    rows' (register, rank) pairs into it, and the emitted summary is
+    [[events_hll_distinct]]'s exact column set plus the cumulative row
+    count. Register max is associative/commutative/idempotent, so the
+    state after ANY batching — restarts, replays, reordered files —
+    is BIT-EQUAL to the single-pass batch sketch, and the ORACLE IS
+    THE BATCH SKETCH (full-strength hash equality, not a rows-only
+    check): distinct users per event_type, the streaming form of the
+    per-group cardinality panel a metrics platform maintains.
+
+    State per key: 64 small ints — constant regardless of stream
+    length or key cardinality, the bound that lets this run forever at
+    100 TB/day. Rank arithmetic reuses ``operators.sketch``'s
+    constants; the estimate is the same single double division."""
+    import uuid
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..operators.sketch import hll_hash
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select("event_type", hll_hash(F.col("user_id")).alias("hv"))
+    )
+    totals = src.groupBy("event_type").applyInPandasWithState(
+        _hll_state_fn,
+        "event_type string, m int, n_empty int, s_scaled long, "
+        "n_estimate long, n_seen long",
+        "regs array<int>, n_seen long",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    name = "strhll_" + uuid.uuid4().hex[:8]
+    q = (
+        totals.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", run_tmpdir("strhll_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    w = Window.partitionBy("event_type").orderBy(F.desc("n_seen"))
+    return (
+        spark.table(name)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def _hll_state_fn(key, pdfs, state):
+    """State-update function for the streaming HLL (module level so
+    tests drive it through their own stream wiring): max-merge each
+    batch's (register, rank) pairs, emit the key's full sketch
+    summary. Rank/estimate arithmetic mirrors operators.sketch
+    (hll_registers / hll_distinct_estimate) exactly."""
+    import math
+
+    import pandas as pd
+
+    from ..operators.sketch import hll_constants
+
+    m = 64
+    _, k_max, scaled_alpha = hll_constants(m)
+    if state.exists:
+        regs, n_seen = state.get
+        regs = list(regs)
+    else:
+        regs, n_seen = [0] * m, 0
+    for pdf in pdfs:
+        n_seen += len(pdf)
+        for hv in pdf["hv"].tolist():
+            w = hv // m
+            rank = k_max if w == 0 else k_max - w.bit_length()
+            b = hv % m
+            if rank > regs[b]:
+                regs[b] = rank
+    state.update((regs, n_seen))
+    s_scaled = sum(1 << (k_max - r) for r in regs)
+    n_empty = sum(1 for r in regs if r == 0)
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "m": [m],
+            "n_empty": [n_empty],
+            "s_scaled": [s_scaled],
+            "n_estimate": [math.floor(scaled_alpha / s_scaled)],
+            "n_seen": [n_seen],
+        }
+    )

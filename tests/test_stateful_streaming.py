@@ -195,3 +195,86 @@ def test_streaming_kll_state_equals_batch_sketch(spark, dirs):
     # the rare key (60 < capacity) must have stayed exact at level 0
     assert got["rare"]["level"] == 0 and got["rare"]["n_retained"] == 60
     assert got["hot"]["level"] >= 1
+
+
+def test_streaming_hll_state_equals_batch_sketch(spark, dirs):
+    """Batching invariance of the HLL register state: drain the same
+    rows as THREE micro-batches (maxFilesPerTrigger=1) and the final
+    per-key state must equal the single-pass batch sketch — registers
+    enter via max, so any batching converges to the same s_scaled and
+    estimate."""
+    import hashlib
+    import json
+    import math
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from data_integration_project_spark.operators.sketch import (
+        hll_constants,
+        hll_hash,
+    )
+    from data_integration_project_spark.plans.events_q import _hll_state_fn
+
+    rows = [
+        {"event_type": "hot" if i % 10 else "rare", "user_id": i % 97}
+        for i in range(600)
+    ]
+    for part in range(3):
+        with open(os.path.join(dirs["in"], f"p{part}.json"), "w") as f:
+            for r in rows[part * 200:(part + 1) * 200]:
+                f.write(json.dumps(r) + "\n")
+
+    stream = (
+        spark.readStream.schema("event_type string, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .json(dirs["in"])
+        .select("event_type", hll_hash(F.col("user_id")).alias("hv"))
+    )
+    staged = stream.groupBy("event_type").applyInPandasWithState(
+        _hll_state_fn,
+        "event_type string, m int, n_empty int, s_scaled long, "
+        "n_estimate long, n_seen long",
+        "regs array<int>, n_seen long",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+    def sink(batch, batch_id):
+        if batch.count():
+            batch.write.mode("append").parquet(dirs["out"])
+
+    q = (
+        staged.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", dirs["ckpt"])
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["event_type"]: r.asDict()
+        for r in spark.read.parquet(dirs["out"])
+        .orderBy(F.desc("n_seen"))
+        .dropDuplicates(["event_type"])
+        .collect()
+    }
+    assert got["hot"]["n_seen"] == 540 and got["rare"]["n_seen"] == 60
+
+    # single-pass python reference with the identical rules
+    m = 64
+    _, k_max, scaled_alpha = hll_constants(m)
+    for key in ("hot", "rare"):
+        regs = [0] * m
+        for r in rows:
+            if r["event_type"] != key:
+                continue
+            hv = int(hashlib.md5(str(r["user_id"]).encode()).hexdigest()[:8], 16)
+            w = hv // m
+            rank = k_max if w == 0 else k_max - w.bit_length()
+            regs[hv % m] = max(regs[hv % m], rank)
+        s = sum(1 << (k_max - v) for v in regs)
+        assert got[key]["s_scaled"] == s
+        assert got[key]["n_empty"] == sum(1 for v in regs if v == 0)
+        assert got[key]["n_estimate"] == math.floor(scaled_alpha / s)
