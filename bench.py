@@ -157,6 +157,14 @@ HEADLINE = [
     "orders_kll_quantiles",
     "streaming_neardup_ingest",
     "embeddings_pca_two_components",
+    # round 6: the single-partition closure-state replay (linear
+    # discrete-event sim — the shape that replaced the O(n²) Catalyst
+    # fold), hashed-shingle containment verify (in-row long-array
+    # intersect over an anti-skewed postings probe), and HLL set
+    # algebra (register max-merge + inclusion-exclusion)
+    "orders_queue_simulation",
+    "doc_containment_pairs",
+    "events_hll_set_operations",
 ]
 
 
