@@ -2244,21 +2244,33 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket log-ratios (Laplace-smoothed) are computed ONCE each and
     rounded to integer micro-nats, so per-doc totals are exact BIGINT
     sums (the charlm determinism pattern — no float-order hazard).
-    Scale: the 64-row ratio table is broadcast; the corpus side is one
-    explode + one groupBy(doc) — map-side combined, single shuffle.
+    Scale: the 64-row ratio table is broadcast; the corpus side is the
+    DISTINCT-TOKEN-dim hashing discipline (``hashed_token_rows`` —
+    char folds run once per vocabulary entry, not per occurrence; the
+    in-array ``token_hash_array`` form re-evaluated the interpreted
+    fold per occurrence AND per consumer, 33.7s → 4.4s at sf1.0),
+    one doc-keyed window for the bigram pairing, one explode, one
+    map-side-combined groupBy(doc).
     """
     from ..functions.text import HASH_P as P
+    from ..operators.dedup import hashed_token_rows
 
     d = t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    th = X.token_hash_array(F.col("text"))
-    bigrams = F.zip_with(
-        F.slice(th, 1, F.greatest(F.size(th) - 1, F.lit(0))),
-        F.slice(th, 2, F.greatest(F.size(th) - 1, F.lit(0))),
-        lambda a, b: (a * 131 + b) % P,
+    toks = hashed_token_rows(d, "doc_id", "text")
+    wdoc = Window.partitionBy("doc_id").orderBy("_pos")
+    tb = toks.withColumn("_hn", F.lead("_h", 1).over(wdoc))
+    # one row per unigram, plus the bigram fold where a successor
+    # exists — a single window pass and a single explode
+    pair = F.when(
+        F.col("_hn").isNull(), F.array(F.col("_h"))
+    ).otherwise(
+        F.array(F.col("_h"), (F.col("_h") * 131 + F.col("_hn")) % P)
     )
-    feats = d.select(
-        "doc_id", "lang", F.explode(F.concat(th, bigrams)).alias("h")
-    ).select("doc_id", "lang", (F.col("h") % _DSIR_B).alias("b"))
+    feats = (
+        tb.select("doc_id", F.explode(pair).alias("h"))
+        .join(F.broadcast(d.select("doc_id", "lang")), "doc_id")
+        .select("doc_id", "lang", (F.col("h") % _DSIR_B).alias("b"))
+    )
     cnts = feats.groupBy("b").agg(
         F.count(F.lit(1)).alias("cr"),
         F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("ct"),
