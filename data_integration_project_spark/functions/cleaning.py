@@ -36,12 +36,29 @@ def normalized_email(col: Column) -> Column:
     return F.lower(F.trim(col))
 
 
+# Python numeric grammars (ASCII): ``try_cast`` alone is WIDER than the
+# reference's ``float()``/``int()`` — it parses Java-suffixed literals
+# ('1D', '2F', '1e3d') that ``float()`` rejects (hypothesis
+# counterexample, VERDICT r6 item 2) — so parsing is gated on the
+# reference grammar first and anything outside it falls to the default.
+_FLOAT_RE = (
+    r"^\s*[+-]?((\d+\.?\d*|\.\d+)([eE][+-]?\d+)?"
+    r"|[iI][nN][fF]([iI][nN][iI][tT][yY])?|[nN][aA][nN])\s*$"
+)
+_INT_RE = r"^\s*[+-]?\d+\s*$"
+_INT_DTYPES = {"int", "integer", "bigint", "long", "smallint", "tinyint", "short", "byte"}
+
+
 def cast_default(col: Column, dtype: str, default) -> Column:
-    """``float(x) if parseable else default`` (ref P2/P4/P5,
-    data_transformer.py:57-65): ``try_cast`` yields NULL on malformed
-    input (ANSI-safe), and coalesce supplies the reference's fallback
-    default."""
-    return F.coalesce(col.try_cast(dtype), F.lit(default).cast(dtype))
+    """``float(x) if parseable else default`` (ref P2/P4,
+    data_transformer.py:57-65) / ``int(x) if x else 0`` (ref P5,
+    data_transformer.py:169-172): a regexp gate pins the accepted
+    grammar to Python's, then ``try_cast`` yields NULL on anything the
+    engine itself can't parse (ANSI-safe), and coalesce supplies the
+    reference's fallback default."""
+    gate = _INT_RE if dtype.lower() in _INT_DTYPES else _FLOAT_RE
+    parsed = F.when(col.rlike(gate), col).try_cast(dtype)
+    return F.coalesce(parsed, F.lit(default).cast(dtype))
 
 
 def nullify_blank(col: Column) -> Column:

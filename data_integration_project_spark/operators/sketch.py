@@ -102,8 +102,16 @@ def hll_estimate_from_registers(
     s_scaled/n_empty proof columns)."""
     _, k_max, scaled_alpha = hll_constants(m)
     n_seen = F.count(F.lit(1))
+    # Empty-input contract: SUM over zero rows is NULL — coalesce to 0
+    # so an empty register table degrades to the all-zero sketch
+    # (s = m·2^k_max, i.e. the raw estimator's floor(alpha·m) empty
+    # bias) instead of a NULL estimate. The set-op oracle
+    # (plans/events_q._hll_setop_oracle) mirrors this COALESCE.
     s = (
-        F.sum(F.pow(F.lit(2.0), F.lit(k_max) - F.col("_m")).cast("long"))
+        F.coalesce(
+            F.sum(F.pow(F.lit(2.0), F.lit(k_max) - F.col("_m")).cast("long")),
+            F.lit(0),
+        )
         + (F.lit(m) - n_seen) * F.lit(1 << k_max)
     ).cast("long")
     return regs.agg(s.alias("_s")).select(
@@ -134,7 +142,10 @@ def hll_distinct_estimate(df: DataFrame, col: str, m: int = 64) -> DataFrame:
     regs = hll_registers(df, col, m)
     n_seen = F.count(F.lit(1))
     s_scaled = (
-        F.sum(F.pow(F.lit(2.0), F.lit(k_max) - F.col("_m")).cast("long"))
+        F.coalesce(
+            F.sum(F.pow(F.lit(2.0), F.lit(k_max) - F.col("_m")).cast("long")),
+            F.lit(0),
+        )
         + (F.lit(m) - n_seen) * F.lit(1 << k_max)
     ).cast("long")
     return regs.agg(

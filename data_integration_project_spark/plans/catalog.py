@@ -43,16 +43,23 @@ def query(name: str, oracle: str | None = None):
             return fn(spark, sf_dir)
 
         wrapped.__name__ = fn.__name__
+        wrapped.__qualname__ = fn.__qualname__
         wrapped.__doc__ = fn.__doc__
         wrapped.__module__ = fn.__module__  # keep the defining plan module
-        if name in REGISTRY:
+        prev = REGISTRY.get(name)
+        if prev is not None and not (
+            prev.fn.__module__ == fn.__module__
+            and prev.fn.__qualname__ == fn.__qualname__
+        ):
             # a silent dict overwrite would drop an existing query from
             # the catalog while its tests keep passing against the NEW
             # function — fail at import instead (caught a real duplicate
-            # in round 6)
+            # in round 6). Same module+qualname means a true module
+            # reload (importlib.reload, re-import under a sys.path
+            # alias): re-register idempotently instead of failing.
             raise ValueError(
                 f"catalog query {name!r} registered twice "
-                f"({REGISTRY[name].fn.__module__} and {fn.__module__})"
+                f"({prev.fn.__module__} and {fn.__module__})"
             )
         REGISTRY[name] = QuerySpec(name=name, fn=wrapped, oracle=oracle, doc=fn.__doc__ or "")
         return wrapped

@@ -6,7 +6,7 @@ catalog so never-sampled queries come first, rotating fresh
 queries into the driver's ~50-query prefix sample every round.
 """
 
-# source files: CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json, CORRECTNESS_r04.json, CORRECTNESS_r05.json
+# source files: CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json, CORRECTNESS_r04.json, CORRECTNESS_r05.json, CORRECTNESS_r06.json
 
 DRIVER_SAMPLED: frozenset[str] = frozenset({
     "ann_context_packing",  # CORRECTNESS_r04.json
@@ -32,7 +32,10 @@ DRIVER_SAMPLED: frozenset[str] = frozenset({
     "customers_l_diversity",  # CORRECTNESS_r04.json
     "customers_pseudonymized",  # CORRECTNESS_r02.json, CORRECTNESS_r03.json
     "customers_rtbf_purge_audit",  # CORRECTNESS_r02.json
+    "customers_setops_cohorts",  # CORRECTNESS_r06.json
     "customers_snapshot_changelog",  # CORRECTNESS_r02.json
+    "customers_without_bulk_orders",  # CORRECTNESS_r06.json
+    "dathang_csv_quality",  # CORRECTNESS_r06.json
     "dathang_fk_validation",  # CORRECTNESS_r01.json
     "dedup_blocking_quality",  # CORRECTNESS_r04.json
     "dedup_clusters",  # CORRECTNESS_r04.json
@@ -87,40 +90,73 @@ DRIVER_SAMPLED: frozenset[str] = frozenset({
     "embeddings_pca_two_components",  # CORRECTNESS_r05.json
     "embeddings_pq_code_dedup",  # CORRECTNESS_r05.json
     "embeddings_pq_codebooks",  # CORRECTNESS_r04.json
+    "events_ab_srm_check",  # CORRECTNESS_r06.json
     "events_asof_last_click",  # CORRECTNESS_r01.json
+    "events_capture_recapture",  # CORRECTNESS_r06.json
+    "events_chain_ladder",  # CORRECTNESS_r06.json
     "events_churn_labels",  # CORRECTNESS_r05.json
+    "events_cohort_ltv",  # CORRECTNESS_r06.json
     "events_cohort_retention",  # CORRECTNESS_r05.json
     "events_cross_correlation",  # CORRECTNESS_r05.json
     "events_cumulative_unique_users",  # CORRECTNESS_r05.json
+    "events_cuped_adjustment",  # CORRECTNESS_r06.json
+    "events_cusum_changepoint",  # CORRECTNESS_r06.json
+    "events_debounce",  # CORRECTNESS_r06.json
+    "events_dynamic_session_gaps",  # CORRECTNESS_r06.json
     "events_ewma_smoothing",  # CORRECTNESS_r05.json
+    "events_frequent_sequences",  # CORRECTNESS_r06.json
+    "events_funnel_time_to_convert",  # CORRECTNESS_r06.json
+    "events_gap_fill_lerp",  # CORRECTNESS_r06.json
     "events_gap_fill_locf",  # CORRECTNESS_r05.json
     "events_hll_distinct",  # CORRECTNESS_r05.json
     "events_hll_mergeable_groups",  # CORRECTNESS_r05.json
+    "events_hll_set_operations",  # CORRECTNESS_r06.json
+    "events_holt_forecast",  # CORRECTNESS_r06.json
+    "events_holt_winters_forecast",  # CORRECTNESS_r06.json
     "events_hopping_window",  # CORRECTNESS_r05.json
     "events_hourly_by_type",  # CORRECTNESS_r01.json
+    "events_interval_join",  # CORRECTNESS_r06.json
+    "events_json_corrupt_capture",  # CORRECTNESS_r06.json
     "events_json_props",  # CORRECTNESS_r05.json
+    "events_kaplan_meier",  # CORRECTNESS_r06.json
     "events_kll_by_type",  # CORRECTNESS_r05.json
     "events_kmv_distinct",  # CORRECTNESS_r05.json
+    "events_ks_two_sample",  # CORRECTNESS_r06.json
+    "events_local_hour_report",  # CORRECTNESS_r06.json
+    "events_max_drawdown",  # CORRECTNESS_r06.json
     "events_multi_rollup",  # CORRECTNESS_r01.json
     "events_partition_pruned_scan",  # CORRECTNESS_r05.json
     "events_peak_concurrency",  # CORRECTNESS_r05.json
     "events_per_user_capped_sample",  # CORRECTNESS_r05.json
+    "events_pmi_cooccurrence",  # CORRECTNESS_r06.json
     "events_position_attribution",  # CORRECTNESS_r05.json
+    "events_process_durations",  # CORRECTNESS_r06.json
     "events_range_correlation",  # CORRECTNESS_r01.json
     "events_rolling_wau",  # CORRECTNESS_r05.json
     "events_rollup_cascade",  # CORRECTNESS_r05.json
     "events_rollup_incremental_refresh",  # CORRECTNESS_r05.json
     "events_seasonal_anomaly",  # CORRECTNESS_r05.json
+    "events_seasonal_naive_backtest",  # CORRECTNESS_r06.json
+    "events_segmented_regression",  # CORRECTNESS_r06.json
     "events_session_funnel",  # CORRECTNESS_r05.json
     "events_session_patterns",  # CORRECTNESS_r05.json
     "events_sessionization",  # CORRECTNESS_r01.json
+    "events_shapley_attribution",  # CORRECTNESS_r06.json
+    "events_slo_burn_rate",  # CORRECTNESS_r06.json
+    "events_sprt_monitor",  # CORRECTNESS_r06.json
+    "events_sprt_sequential_test",  # CORRECTNESS_r06.json
     "events_stateful_user_totals",  # CORRECTNESS_r05.json
+    "events_stl_lite_decomposition",  # CORRECTNESS_r06.json
     "events_stream_dedup_watermark",  # CORRECTNESS_r05.json
     "events_stream_static_join",  # CORRECTNESS_r05.json
+    "events_stream_stream_full_join",  # CORRECTNESS_r06.json
     "events_stream_stream_join",  # CORRECTNESS_r05.json
     "events_stream_stream_left_join",  # CORRECTNESS_r05.json
     "events_streaming_dedup",  # CORRECTNESS_r05.json
+    "events_streaming_dedup_sessions",  # CORRECTNESS_r06.json
+    "events_streaming_hll_state",  # CORRECTNESS_r06.json
     "events_streaming_kll_state",  # CORRECTNESS_r05.json
+    "events_streaming_late_drop",  # CORRECTNESS_r06.json
     "events_streaming_sessions",  # CORRECTNESS_r05.json
     "events_temporal_split",  # CORRECTNESS_r05.json
     "events_time_weighted_value",  # CORRECTNESS_r05.json
@@ -128,6 +164,8 @@ DRIVER_SAMPLED: frozenset[str] = frozenset({
     "events_user_robust_outliers",  # CORRECTNESS_r05.json
     "events_user_running_stats",  # CORRECTNESS_r01.json
     "events_variant_props",  # CORRECTNESS_r05.json
+    "events_viterbi_decode",  # CORRECTNESS_r06.json
+    "events_wow_change_report",  # CORRECTNESS_r06.json
     "fact_compensating_entries",  # CORRECTNESS_r02.json
     "fact_join_view_incremental",  # CORRECTNESS_r02.json
     "fact_late_dimension",  # CORRECTNESS_r02.json, CORRECTNESS_r03.json
@@ -135,7 +173,9 @@ DRIVER_SAMPLED: frozenset[str] = frozenset({
     "fact_period_end_balance",  # CORRECTNESS_r02.json
     "fact_sales_by_brand_year",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
     "khachhang_csv_pipeline",  # CORRECTNESS_r01.json
+    "khachhang_golden_records",  # CORRECTNESS_r06.json
     "merged_customer_sources",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "mon_csv_quality",  # CORRECTNESS_r06.json
     "mon_dual_source_merge",  # CORRECTNESS_r01.json
     "monitoring_entity_summary",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
     "monitoring_file_stats",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
@@ -157,24 +197,33 @@ DRIVER_SAMPLED: frozenset[str] = frozenset({
     "multimodal_tga_decode",  # CORRECTNESS_r04.json
     "multimodal_video_near_dup",  # CORRECTNESS_r04.json
     "multimodal_wav_decode",  # CORRECTNESS_r04.json
+    "nguyenlieu_csv_quality",  # CORRECTNESS_r06.json
     "nguyenlieu_inventory_fact",  # CORRECTNESS_r01.json
     "order_line_value",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
     "orders_cdc_apply",  # CORRECTNESS_r02.json, CORRECTNESS_r03.json
     "orders_constraint_suite",  # CORRECTNESS_r02.json, CORRECTNESS_r03.json
     "orders_daily_spine",  # CORRECTNESS_r02.json
     "orders_dp_noisy_counts",  # CORRECTNESS_r03.json
+    "orders_dynamic_partition_pruning",  # CORRECTNESS_r06.json
     "orders_fd_discovery",  # CORRECTNESS_r02.json, CORRECTNESS_r03.json
     "orders_first_wins_dedup",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
     "orders_fx_normalized",  # CORRECTNESS_r02.json
     "orders_grouped_agg_median",  # CORRECTNESS_r05.json
+    "orders_grouping_sets",  # CORRECTNESS_r06.json
     "orders_pit_dimension_join",  # CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "orders_pivot_status",  # CORRECTNESS_r06.json
+    "orders_price_histogram",  # CORRECTNESS_r06.json
+    "orders_price_percentile_disc",  # CORRECTNESS_r06.json
     "orders_price_quantiles",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
     "orders_schema_evolution_read",  # CORRECTNESS_r03.json
     "orders_status_report",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "orders_streaming_online_logreg",  # CORRECTNESS_r06.json
     "orders_target_encoding_loo",  # CORRECTNESS_r03.json
+    "orders_unpivot_measures",  # CORRECTNESS_r06.json
     "orders_winsorized_stats",  # CORRECTNESS_r02.json, CORRECTNESS_r03.json
     "orders_with_late_lines",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
     "part_category_lookup",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "pipeline_run_history",  # CORRECTNESS_r06.json
     "q1_pricing_summary",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
     "q3_shipping_priority",  # CORRECTNESS_r02.json, CORRECTNESS_r03.json
     "q5_local_supplier_volume",  # CORRECTNESS_r02.json, CORRECTNESS_r03.json
@@ -185,6 +234,7 @@ DRIVER_SAMPLED: frozenset[str] = frozenset({
     "streaming_inbox_pipeline",  # CORRECTNESS_r01.json, CORRECTNESS_r03.json
     "streaming_manifest_sink",  # CORRECTNESS_r05.json
     "streaming_neardup_ingest",  # CORRECTNESS_r05.json
+    "streaming_neardup_store_growth",  # CORRECTNESS_r06.json
     "supplier_balance_by_nation",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
     "table_row_counts",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
     "top10_orders",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json

@@ -5311,8 +5311,9 @@ def events_holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
            COALESCE((SELECT c.hit FROM crossed c
                      WHERE c.arm = f.arm AND c.rn = fh.decision_day),
                     'continue') AS decision,
-           (SELECT l.cum_llr FROM llr l
-            WHERE l.arm = f.arm AND l.rn = f.n_days) AS final_llr_milli
+           CAST((SELECT l.cum_llr FROM llr l
+                 WHERE l.arm = f.arm AND l.rn = f.n_days) AS BIGINT)
+             AS final_llr_milli
     FROM final f LEFT JOIN first_hit fh ON fh.arm = f.arm
     """,
 )
@@ -5369,12 +5370,13 @@ def events_sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     final = crossed.groupBy("arm").agg(F.max("rn").alias("n_days"))
     decision = (
-        first_hit.join(
-            crossed.select("arm", "rn", "hit"),
-            (first_hit["decision_day"] == F.col("rn"))
-            & (first_hit["arm"] == crossed["arm"]),
+        first_hit.alias("fh")
+        .join(
+            crossed.select("arm", "rn", "hit").alias("ch"),
+            (F.col("fh.decision_day") == F.col("ch.rn"))
+            & (F.col("fh.arm") == F.col("ch.arm")),
         )
-        .select(first_hit["arm"].alias("d_arm"), "decision_day", "hit")
+        .select(F.col("fh.arm").alias("d_arm"), "decision_day", "hit")
     )
     final_llr = crossed.alias("c").join(
         final.alias("f2"),
@@ -5996,7 +5998,7 @@ def events_frequent_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT unnest(range(0, 4)) AS dev) d
     ),
     latest AS (
-      SELECT cohort, 4 - cohort AS observed_dev, c AS latest_cum
+      SELECT cohort, 4 - cohort AS observed_dev, CAST(c AS BIGINT) AS latest_cum
       FROM cum WHERE dev = 4 - cohort
     )
     SELECT l.cohort,
@@ -6291,7 +6293,7 @@ def _hll_setop_oracle() -> str:
 
     def est(regs: str) -> str:
         s = (
-            f"(SELECT SUM(CAST(power(2, {k_max} - mr) AS BIGINT))"
+            f"(SELECT COALESCE(SUM(CAST(power(2, {k_max} - mr) AS BIGINT)), 0)"
             f" + ({m} - COUNT(*)) * {1 << k_max} FROM {regs})"
         )
         return f"CAST(floor({scaled_alpha!r} / {s}) AS BIGINT)"
@@ -6541,6 +6543,12 @@ def _hll_state_fn(key, pdfs, state):
     for pdf in pdfs:
         n_seen += len(pdf)
         for hv in pdf["hv"].tolist():
+            # NULL user_id: degrade like the batch sketch (a NULL hash
+            # never lands a register). Arrow->pandas renders a nullable
+            # long column as None (object) or NaN (float64) — skip both.
+            if hv is None or hv != hv:
+                continue
+            hv = int(hv)
             w = hv // m
             rank = k_max if w == 0 else k_max - w.bit_length()
             b = hv % m

@@ -483,7 +483,8 @@ _DIFF_HASH = (
     )
     SELECT COALESCE(a.block, b.block) AS block,
            a.n_rows AS n_rows_a, b.n_rows AS n_rows_b,
-           a.checksum AS checksum_a, b.checksum AS checksum_b
+           CAST(a.checksum AS BIGINT) AS checksum_a,
+           CAST(b.checksum AS BIGINT) AS checksum_b
     FROM a FULL OUTER JOIN b ON a.block = b.block
     WHERE a.n_rows IS NULL OR b.n_rows IS NULL
        OR a.n_rows <> b.n_rows OR a.checksum <> b.checksum
@@ -898,7 +899,7 @@ def _pr_round_sql(prev: str, rnd: int) -> str:
     r0 AS (SELECT node, CAST({_PR_SCALE} AS BIGINT) AS rank_scaled FROM nodes)
     {"".join("," + _pr_round_sql(f"r{i}", i + 1) for i in range(_PR_ITERS))}
     SELECT r.node AS nationkey, n.n_name AS nation_name,
-           r.rank_scaled,
+           CAST(r.rank_scaled AS BIGINT) AS rank_scaled,
            CAST(r.rank_scaled AS DOUBLE) / {_PR_SCALE} AS pagerank
     FROM r{_PR_ITERS} r JOIN nation n ON n.n_nationkey = r.node
     """,
@@ -1886,7 +1887,7 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cand WHERE nl > 0 AND nl < n
     )
     SELECT CAST(threshold AS DOUBLE) AS threshold,
-           nl AS n_left, nr AS n_right, gini
+           CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right, gini
     FROM scored
     ORDER BY gini, k LIMIT 1
     """,
@@ -2667,7 +2668,7 @@ _COLSUM_SPECS = [
     """
     + "\n      UNION ALL\n".join(
         f"""SELECT '{name}' AS col_name, COUNT(*) AS n_rows,
-             SUM({expr}) % 2147483647 AS checksum FROM orders"""
+             CAST(SUM({expr}) % 2147483647 AS BIGINT) AS checksum FROM orders"""
         for name, expr in _COLSUM_SPECS
     )
     + """
@@ -7860,19 +7861,22 @@ _TREE_ORACLE = (
     + _tree_split_sql("feats_r", "r")
     + """
     SELECT 'root' AS node, f AS feature, CAST(v AS BIGINT) AS threshold,
-           CAST(n AS BIGINT) AS n_node, pos AS n_pos FROM split_root
+           CAST(n AS BIGINT) AS n_node, CAST(pos AS BIGINT) AS n_pos
+    FROM split_root
     UNION ALL
-    SELECT 'L', f, CAST(v AS BIGINT), CAST(n AS BIGINT), pos FROM split_l
+    SELECT 'L', f, CAST(v AS BIGINT), CAST(n AS BIGINT), CAST(pos AS BIGINT)
+    FROM split_l
     UNION ALL
-    SELECT 'R', f, CAST(v AS BIGINT), CAST(n AS BIGINT), pos FROM split_r
+    SELECT 'R', f, CAST(v AS BIGINT), CAST(n AS BIGINT), CAST(pos AS BIGINT)
+    FROM split_r
     UNION ALL
-    SELECT 'LL', NULL, NULL, CAST(nl AS BIGINT), pl FROM split_l
+    SELECT 'LL', NULL, NULL, CAST(nl AS BIGINT), CAST(pl AS BIGINT) FROM split_l
     UNION ALL
-    SELECT 'LR', NULL, NULL, CAST(nr AS BIGINT), pr FROM split_l
+    SELECT 'LR', NULL, NULL, CAST(nr AS BIGINT), CAST(pr AS BIGINT) FROM split_l
     UNION ALL
-    SELECT 'RL', NULL, NULL, CAST(nl AS BIGINT), pl FROM split_r
+    SELECT 'RL', NULL, NULL, CAST(nl AS BIGINT), CAST(pl AS BIGINT) FROM split_r
     UNION ALL
-    SELECT 'RR', NULL, NULL, CAST(nr AS BIGINT), pr FROM split_r
+    SELECT 'RR', NULL, NULL, CAST(nr AS BIGINT), CAST(pr AS BIGINT) FROM split_r
     """
 )
 

@@ -69,6 +69,23 @@ def run_compare(spark, name: str, sf_dir: str) -> None:
 
     assert spec.oracle is not None, f"{name}: no oracle registered"
     con = duck_connection(sf_dir)
+
+    # Oracle result-TYPE guard (VERDICT r6 item 1): the driver's value
+    # hash is type-sensitive, while _norm folds int128 -> Python int and
+    # is structurally blind to DuckDB widening a SUM to HUGEINT where
+    # Spark returns bigint.  Bind the relation and reject any unsigned /
+    # 128-bit integer type (including nested in LIST/STRUCT — the
+    # substring check covers those) so an uncast SUM fails HERE, locally,
+    # instead of in the driver's sample (this class bit rounds 2 and 6).
+    rel = con.sql(spec.oracle)
+    for col, typ in zip(rel.columns, rel.types):
+        t = str(typ).upper()
+        for bad in ("HUGEINT", "UBIGINT", "UINTEGER", "USMALLINT", "UTINYINT"):
+            assert bad not in t, (
+                f"{name}: oracle column {col!r} has DuckDB type {t} — "
+                f"driver hash would mismatch Spark; CAST it (e.g. AS BIGINT)"
+            )
+
     res = con.execute(spec.oracle)
     duck_cols_raw = [d[0] for d in res.description]
     duck_cols = sorted(duck_cols_raw)
