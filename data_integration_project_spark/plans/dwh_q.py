@@ -1482,3 +1482,163 @@ def customers_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_rows_at_risk"),
     )
+
+
+@query(
+    "customers_t_closeness",
+    oracle="""
+    WITH rows_s AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor((c_acctbal + 1000) / 2200) AS BIGINT) AS sb
+      FROM customer
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM rows_s),
+    gdist AS (
+      SELECT sb, CAST(COUNT(*) AS BIGINT) AS g FROM rows_s GROUP BY sb
+    ),
+    gcum AS (
+      SELECT b.sb,
+             CAST(COALESCE(SUM(g2.g), 0) AS BIGINT) AS cum_g
+      FROM (SELECT unnest(range(0, 5)) AS sb) b
+      LEFT JOIN gdist g2 ON g2.sb <= b.sb
+      GROUP BY b.sb
+    ),
+    cdist AS (
+      SELECT c_nationkey, c_mktsegment, sb, CAST(COUNT(*) AS BIGINT) AS n
+      FROM rows_s GROUP BY c_nationkey, c_mktsegment, sb
+    ),
+    classes AS (
+      SELECT c_nationkey, c_mktsegment, CAST(SUM(n) AS BIGINT) AS n_g
+      FROM cdist GROUP BY c_nationkey, c_mktsegment
+    ),
+    dense AS (
+      SELECT cl.c_nationkey, cl.c_mktsegment, cl.n_g, b.sb,
+             CAST(COALESCE(cd.n, 0) AS BIGINT) AS n
+      FROM classes cl
+      CROSS JOIN (SELECT unnest(range(0, 5)) AS sb) b
+      LEFT JOIN cdist cd ON cd.c_nationkey = cl.c_nationkey
+                        AND cd.c_mktsegment = cl.c_mktsegment
+                        AND cd.sb = b.sb
+    ),
+    cum AS (
+      SELECT c_nationkey, c_mktsegment, n_g, sb,
+             CAST(SUM(n) OVER (PARTITION BY c_nationkey, c_mktsegment
+                               ORDER BY sb) AS BIGINT) AS cum_n
+      FROM dense
+    ),
+    emd AS (
+      SELECT c.c_nationkey, c.c_mktsegment, c.n_g,
+             CAST((1000000 * SUM(CASE WHEN c.sb < 4
+                    THEN abs(c.cum_n * t.n_total - g.cum_g * c.n_g)
+                    ELSE 0 END))
+                  // (4 * c.n_g * t.n_total) AS BIGINT) AS emd_micro
+      FROM cum c JOIN gcum g ON g.sb = c.sb CROSS JOIN tot t
+      GROUP BY c.c_nationkey, c.c_mktsegment, c.n_g, t.n_total
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(MAX(emd_micro) AS BIGINT) AS t_closeness_micro,
+           CAST(SUM(emd_micro) // COUNT(*) AS BIGINT) AS avg_emd_micro,
+           CAST(SUM(CASE WHEN emd_micro > 200000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating_classes,
+           CAST(SUM(CASE WHEN emd_micro > 200000 THEN n_g ELSE 0 END)
+                AS BIGINT) AS n_rows_at_risk
+    FROM emd
+    """,
+)
+def customers_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-CLOSENESS audit (Li, Li & Venkatasubramanian, ICDE'07) — the
+    third rung of the release-gate ladder after
+    [[customers_k_anonymity]] and [[customers_l_diversity]]: a class
+    can be large AND diverse yet still leak if its sensitive-value
+    DISTRIBUTION differs sharply from the table's (a skew attack —
+    "this class is mostly top-balance customers"). Per
+    quasi-identifier class (nation × segment) this measures the Earth
+    Mover's Distance between the class's balance-quintile distribution
+    and the global one; the dataset's t is the maximum.
+
+    EMD for an ORDERED attribute with unit ground distance is the
+    mean of absolute cumulative-distribution gaps —
+    ``Σ_{i<m-1} |CumP_i - CumQ_i| / (m-1)`` — computed here in exact
+    integer arithmetic: cumulative COUNTS cross-multiplied by the two
+    totals (``|cum_n·N - cum_g·n_g|``), one floor division to micro
+    units per class, so both engines agree bit-for-bit.
+
+    Scale shape: one class×bucket count (map-side combined), a
+    5-bucket dense spine broadcast against the class list, one
+    cumulative window per class, and the global 5-row distribution
+    broadcast into the EMD fold — no row-scale joins. The integer
+    cross-product bounds (n_g·N) fit bigint through ~10^9 rows;
+    beyond that, normalize per-class to micro units before the
+    difference (noted, not needed at fixture scale)."""
+    c = t(spark, sf_dir, "customer")
+    rows_s = c.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor((F.col("c_acctbal") + 1000) / 2200).cast("long").alias("sb"),
+    )
+    tot = rows_s.agg(F.count(F.lit(1)).alias("n_total"))
+    gdist = rows_s.groupBy("sb").agg(F.count(F.lit(1)).alias("g"))
+    buckets = spark.range(5).select(F.col("id").cast("long").alias("sb"))
+    gcum = (
+        buckets.join(gdist, "sb", "left")
+        .select("sb", F.coalesce("g", F.lit(0)).alias("g"))
+        .withColumn(
+            "cum_g",
+            F.sum("g").over(
+                Window.orderBy("sb").rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .select("sb", "cum_g")
+    )
+    cdist = rows_s.groupBy("c_nationkey", "c_mktsegment", "sb").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    classes = cdist.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("n").alias("n_g")
+    )
+    dense = (
+        classes.crossJoin(F.broadcast(buckets))
+        .join(cdist, ["c_nationkey", "c_mktsegment", "sb"], "left")
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "n_g",
+            "sb",
+            F.coalesce("n", F.lit(0)).alias("n"),
+        )
+    )
+    wcum = Window.partitionBy("c_nationkey", "c_mktsegment").orderBy("sb")
+    cum = dense.withColumn("cum_n", F.sum("n").over(wcum))
+    emd = (
+        cum.join(F.broadcast(gcum), "sb")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("c_nationkey", "c_mktsegment", "n_g", "n_total")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("sb") < 4,
+                    F.abs(
+                        F.col("cum_n") * F.col("n_total")
+                        - F.col("cum_g") * F.col("n_g")
+                    ),
+                ).otherwise(0)
+            ).alias("gap_sum")
+        )
+        .select(
+            "n_g",
+            F.expr("(1000000 * gap_sum) div (4 * n_g * n_total)").alias(
+                "emd_micro"
+            ),
+        )
+    )
+    return emd.agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.max("emd_micro").cast("long").alias("t_closeness_micro"),
+        F.expr("sum(emd_micro) div count(*)").cast("long").alias("avg_emd_micro"),
+        F.sum(F.when(F.col("emd_micro") > 200000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_violating_classes"),
+        F.sum(F.when(F.col("emd_micro") > 200000, F.col("n_g")).otherwise(0))
+        .cast("long")
+        .alias("n_rows_at_risk"),
+    )

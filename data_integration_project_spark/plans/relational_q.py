@@ -2028,15 +2028,31 @@ def parts_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     object — three counts, two joins plus the degree attach.
 
     n_edges and n_triangles are orientation-invariant; n_wedges is the
-    degree-ordered orientation's — i.e. the WORK the algorithm does,
-    reported as a first-class output. Exact triangle counting is
-    Θ(wedges) — no algorithm beats the wedge mass — so on a DENSE
-    graph the cost is the graph's, not the plan's: the sf1.0 replica
-    fixture multiplies basket overlap into a near-regular 12M-edge
-    graph with 492M degree-ordered wedges and 18.8M true triangles
-    (~3.5 min; SCALE.md round-5 sweep). On skewed real co-purchase
-    graphs the degree bound is the difference between feasible and
-    not; when even the wedge mass is too big, the sampled estimators
+    degree-ordered orientation's — i.e. the WORK a wedge-enumerating
+    algorithm would do, reported as a first-class output. Neither
+    count MATERIALIZES wedges here (the round-7 rewrite of the 203s
+    sf1.0 row):
+
+    - n_wedges is analytic — a wedge is an (in-edge, out-edge) pair
+      sharing a middle vertex, so the count is Σ_x in(x)·out(x) over
+      the oriented degree table: two 1-column aggregates, zero joins.
+    - n_triangles is compact-forward proper: per-source sorted
+      adjacency arrays (out-degree ≤ √(2m) under the orientation, so
+      every array is bounded), then per EDGE (u,v) the closure is
+      |adj(u) ∩ adj(v)| via ``array_intersect`` — the shuffle moves
+      m edge rows carrying bounded arrays (Θ(wedge-mass) array
+      ELEMENTS as payload) instead of one row per wedge, and the
+      intersection work happens inside whole-stage codegen with no
+      second wide shuffle. Same Θ(wedges) arithmetic floor, a
+      fraction of the shuffle bytes and no 492M-row sort.
+
+    Exact triangle counting is Θ(wedges) — no algorithm beats the
+    wedge mass — so on a DENSE graph the cost is the graph's, not the
+    plan's: the sf1.0 replica fixture multiplies basket overlap into
+    a near-regular 12M-edge graph with 492M degree-ordered wedges and
+    18.8M true triangles. On skewed real co-purchase graphs the
+    degree bound is the difference between feasible and not; when
+    even the wedge mass is too big, the sampled estimators
     (the [[orders_aqp_sample_estimate]] pattern applied to wedges) are
     the documented fallback."""
     li = t(spark, sf_dir, "lineitem")
@@ -2071,22 +2087,34 @@ def parts_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("v"),
     ).persist()
     # output is three counts: compute them eagerly inside try/finally
-    # (the doc_label_propagation pattern) so the persisted edge and
-    # wedge frames — 12M edges / 492M wedges at sf1.0 — never outlive
-    # the call in a long-lived bench/oracle session
+    # (the doc_label_propagation pattern) so the persisted edge frame —
+    # 12M rows at sf1.0 — never outlives the call in a long-lived
+    # bench/oracle session
     try:
-        e2 = edges.select(F.col("u").alias("b_"), F.col("v").alias("c_"))
-        wedges = edges.join(e2, edges["v"] == e2["b_"]).select(
-            F.col("u").alias("a_"), F.col("v").alias("mid"), "c_"
-        ).persist()
-        try:
-            e3 = edges.select(F.col("u").alias("a_"), F.col("v").alias("c_"))
-            closed = wedges.join(e3, ["a_", "c_"])
-            n_edges = edges.count()
-            n_wedges = wedges.count()
-            n_triangles = closed.count()
-        finally:
-            wedges.unpersist()
+        n_edges = edges.count()
+        # analytic wedge count: Σ_x in(x)·out(x) — no wedge rows exist
+        odeg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("o"))
+        ideg = edges.groupBy("v").agg(F.count(F.lit(1)).alias("i"))
+        n_wedges = (
+            odeg.join(ideg, odeg["u"] == ideg["v"])
+            .agg(F.sum(F.col("o") * F.col("i")).cast("long").alias("w"))
+            .collect()[0]["w"]
+        ) or 0
+        # compact-forward closure: sorted out-adjacency per source, one
+        # edge-keyed shuffle, per-row bounded array_intersect in codegen
+        adj = edges.groupBy("u").agg(F.sort_array(F.collect_list("v")).alias("nbrs"))
+        au = adj.select(F.col("u").alias("_au"), F.col("nbrs").alias("_nu"))
+        av = adj.select(F.col("u").alias("_av"), F.col("nbrs").alias("_nv"))
+        n_triangles = (
+            edges.join(au, edges["u"] == au["_au"])
+            .join(av, edges["v"] == av["_av"])
+            .agg(
+                F.sum(F.size(F.array_intersect("_nu", "_nv")))
+                .cast("long")
+                .alias("t")
+            )
+            .collect()[0]["t"]
+        ) or 0
     finally:
         edges.unpersist()
     return spark.createDataFrame(
@@ -10473,3 +10501,204 @@ def orders_aqp_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rel_err_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# pass@k estimation (code-eval combinatorics over grouped samples)
+# ---------------------------------------------------------------------------
+
+_PAK_NUM = (
+    "CASE k WHEN 1 THEN (n - c)"
+    " WHEN 2 THEN (n - c) * (n - c - 1)"
+    " ELSE (n - c) * (n - c - 1) * (n - c - 2) * (n - c - 3) * (n - c - 4)"
+    " END"
+)
+_PAK_DEN = (
+    "CASE k WHEN 1 THEN n"
+    " WHEN 2 THEN n * (n - 1)"
+    " ELSE n * (n - 1) * (n - 2) * (n - 3) * (n - 4) END"
+)
+
+
+@query(
+    "orders_pass_at_k",
+    oracle=f"""
+    WITH tasks AS (
+      SELECT o_custkey,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT k.k, t.n, t.c,
+             CAST(1000000 - (1000000 * ({_PAK_NUM}))
+                  // ({_PAK_DEN}) AS BIGINT) AS pass_micro
+      FROM tasks t
+      CROSS JOIN (SELECT unnest([1, 2, 5]) AS k) k
+      WHERE t.n >= k.k
+    )
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_tasks,
+           CAST(SUM(pass_micro) // COUNT(*) AS BIGINT) AS avg_pass_micro,
+           CAST(SUM(CASE WHEN n - c < k THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_certain_tasks
+    FROM scored GROUP BY k
+    """,
+)
+def orders_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pass@k — the UNBIASED combinatorial estimator every code-eval
+    pipeline reports (Chen et al. 2021, eq. 1): for a task with n
+    samples of which c pass, ``pass@k = 1 - C(n-c,k)/C(n,k)``, the
+    probability that a uniformly drawn size-k subset contains at least
+    one passing sample. Naively averaging per-sample success or taking
+    min(1, c·k/n) is biased; the falling-factorial ratio is exact.
+    Fixture mapping: task = customer, samples = their orders, "pass" =
+    finished status; k ∈ {{1, 2, 5}}, each averaged over the tasks with
+    n ≥ k (the estimator is undefined below).
+
+    Determinism: the binomial RATIO is computed as falling factorials
+    — ``Π_{{i<k}}(n-c-i) / Π_{{i<k}}(n-i)`` — entirely in bigint
+    (n ≤ ~40 at any fixture scale keeps the 5-term product < 10^9;
+    the micro-scaled product stays inside bigint through n ≈ 390 —
+    cap or sample n above that), one floor division to micro units per
+    (task, k), integer average. No doubles anywhere.
+
+    Scale shape: one map-side-combined groupBy builds the (n, c)
+    task table — at 100 TB that is the only row-scale pass; the k
+    spine is a broadcast 3-row cross join and the rollup is 3 rows
+    out."""
+    o = t(spark, sf_dir, "orders")
+    tasks = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("long")
+        .alias("c"),
+    )
+    ks = spark.createDataFrame([(1,), (2,), (5,)], "k long")
+    scored = (
+        tasks.crossJoin(F.broadcast(ks))
+        .filter(F.col("n") >= F.col("k"))
+        .select(
+            "k",
+            "n",
+            "c",
+            F.expr(f"1000000 - (1000000 * ({_PAK_NUM})) div ({_PAK_DEN})")
+            .cast("long")
+            .alias("pass_micro"),
+        )
+    )
+    return scored.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tasks"),
+        F.expr("sum(pass_micro) div count(*)").cast("long").alias(
+            "avg_pass_micro"
+        ),
+        F.sum(F.when(F.col("n") - F.col("c") < F.col("k"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_certain_tasks"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Merkle tree over block checksums (log-depth anti-entropy drill-down)
+# ---------------------------------------------------------------------------
+
+_MERKLE_P = 2147483647
+
+
+def _merkle_level_sql(prev: str, out: str) -> str:
+    """One tree level in engine-neutral SQL: pair (2j, 2j+1) -> j."""
+    return f"""
+    {out} AS (
+      SELECT blk // 2 AS blk,
+             (31 * SUM(CASE WHEN blk % 2 = 0 THEN h ELSE 0 END)
+              + 37 * SUM(CASE WHEN blk % 2 = 1 THEN h ELSE 0 END))
+             % {_MERKLE_P} AS h
+      FROM {prev} GROUP BY blk // 2
+    )"""
+
+
+def _merkle_panel_sql(src: str, level: int) -> str:
+    return f"""SELECT CAST({level} AS BIGINT) AS level,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(h * (blk + 1)) % {_MERKLE_P} AS BIGINT) AS level_checksum
+    FROM {src}"""
+
+
+@query(
+    "orders_merkle_root",
+    oracle="""
+    WITH blocks AS (
+      SELECT o_orderkey % 64 AS blk,
+             CAST(SUM("""
+    + _DIFF_HASH
+    + f""") % {_MERKLE_P} AS BIGINT) AS h
+      FROM orders GROUP BY o_orderkey % 64
+    ),
+    l0 AS (
+      SELECT b.blk, CAST(COALESCE(bl.h, 0) AS BIGINT) AS h
+      FROM (SELECT unnest(range(0, 64)) AS blk) b
+      LEFT JOIN blocks bl ON bl.blk = b.blk
+    )"""
+    + "".join(
+        "," + _merkle_level_sql(f"l{i}", f"l{i + 1}") for i in range(6)
+    )
+    + "\n    "
+    + "\n    UNION ALL\n    ".join(
+        _merkle_panel_sql(f"l{i}", i) for i in range(7)
+    ),
+)
+def orders_merkle_root(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERKLE TREE over the table's 64 block checksums — the log-depth
+    completion of the anti-entropy toolkit ([[orders_zone_diff]] finds
+    WHICH blocks differ in O(blocks) comparisons; a Merkle exchange
+    finds them in O(log blocks) round trips, the Cassandra/Dynamo
+    repair protocol). Leaves are the additive mod-P block row-hashes
+    on a DENSE 64-slot spine (missing block = 0, so the tree is always
+    a full binary tree and two replicas' trees are structurally
+    comparable); each parent is the order-sensitive combine
+    ``(31·left + 37·right) mod P``; six levels reach the root. Two
+    replicas agree iff the roots agree; on disagreement, descend only
+    the unequal children.
+
+    Output: one row per level (0 = leaves .. 6 = root) with the node
+    count and a position-weighted level checksum — level 6's checksum
+    IS the root hash (single node, weight 1).
+
+    Scale shape: ONE row-scale scan builds the 64 leaf checksums
+    (map-side combined, order-independent additive hash); the six
+    folds above it touch ≤ 64 rows total. At 100 TB the tree is
+    rebuilt incrementally: a changed partition updates its leaf and
+    the log-depth path to the root, nothing else."""
+    o = t(spark, sf_dir, "orders")
+    blocks = o.groupBy((F.col("o_orderkey") % 64).alias("blk")).agg(
+        (F.sum(F.expr(_DIFF_HASH)) % _MERKLE_P).cast("long").alias("h")
+    )
+    spine = spark.range(64).select(F.col("id").cast("long").alias("blk"))
+    level = (
+        spine.join(blocks, "blk", "left")
+        .select("blk", F.coalesce("h", F.lit(0)).alias("h"))
+    )
+    even = F.sum(F.when(F.col("blk") % 2 == 0, F.col("h")).otherwise(0))
+    odd = F.sum(F.when(F.col("blk") % 2 == 1, F.col("h")).otherwise(0))
+    panels = []
+
+    def panel(df: DataFrame, lvl: int) -> DataFrame:
+        return df.agg(
+            F.lit(lvl).cast("long").alias("level"),
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            (F.sum(F.col("h") * (F.col("blk") + 1)) % _MERKLE_P)
+            .cast("long")
+            .alias("level_checksum"),
+        )
+
+    panels.append(panel(level, 0))
+    for lvl in range(1, 7):
+        level = level.groupBy(
+            F.expr("blk div 2").alias("blk")
+        ).agg(((31 * even + 37 * odd) % _MERKLE_P).alias("h"))
+        panels.append(panel(level, lvl))
+    out = panels[0]
+    for p in panels[1:]:
+        out = out.unionByName(p)
+    return out
