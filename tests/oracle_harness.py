@@ -67,6 +67,17 @@ def run_compare(spark, name: str, sf_dir: str) -> None:
         f"{name}: leaked cached relation(s) after execution"
     )
 
+    # zero-CartesianProduct invariant (VERDICT r6 hygiene item 8,
+    # promoted from the round-6 ad-hoc catalog scan): a crossJoin
+    # against a stats-less frame silently plans as CartesianProduct and
+    # re-executes one side per partition of the other — the recurring
+    # scale killer. Checked on the RETURNED plan after execution (AQE
+    # final); driver-side composed results (createDataFrame panels)
+    # have trivial plans and pass vacuously.
+    assert "CartesianProduct" not in (
+        sdf._jdf.queryExecution().executedPlan().toString()
+    ), f"{name}: CartesianProduct in executed plan"
+
     assert spec.oracle is not None, f"{name}: no oracle registered"
     con = duck_connection(sf_dir)
 

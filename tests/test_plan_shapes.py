@@ -409,3 +409,20 @@ def test_als_recommend_no_cartesian(spark, sf_small):
     # unmarked crossJoin falls back to CartesianProduct)
     plan = _executed_plan(spark, "lineitem_als_recommend", sf_small)
     assert "CartesianProduct" not in plan
+
+
+def test_t_closeness_spines_broadcast(spark, sf_small):
+    # the 5-bucket spine, the 5-row global cumulative distribution, and
+    # the 1-row total must all broadcast into the class-level EMD fold —
+    # the only shuffles are the class/bucket counts and their windows
+    plan = _executed_plan(spark, "customers_t_closeness", sf_small)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pass_at_k_spine_broadcast(spark, sf_small):
+    # the 3-row k spine joins the task table via broadcast; the task
+    # build is the single row-scale aggregate
+    plan = _executed_plan(spark, "orders_pass_at_k", sf_small)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
