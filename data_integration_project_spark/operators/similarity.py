@@ -1088,35 +1088,41 @@ def semdedup_flags(
     self-join plus a distinct, never a global sort."""
     cents = kmeans_centroids(corpus, id_col, vec_col, n_clusters, n_iters=n_iters)
     assigned = kmeans_assign(corpus, id_col, vec_col, cents)
-    # per-vector norms factored out of the pair loop (the bitext-miner
-    # trick): sqrt(v·v) is a pure per-vector value, so one fold per
-    # VECTOR replaces two folds per PAIR, while the pair predicate's
-    # expression tree — dot / (sqrt(x)·sqrt(y)) — stays identical to
-    # cosine()'s, so every keep/drop decision is bit-unchanged
-    from ..functions.vectors import dot, norm2
 
-    with_norm = assigned.withColumn("_nrm", norm2(F.col(vec_col)))
-    a = with_norm.select(
-        F.col(id_col).alias("_id_a"),
-        F.col(vec_col).alias("_va"),
-        F.col("_nrm").alias("_na"),
-        "_cluster",
-    )
-    b = with_norm.select(
-        F.col(id_col).alias("_id_b"),
-        F.col(vec_col).alias("_vb"),
-        F.col("_nrm").alias("_nb"),
-        "_cluster",
-    )
+    # The pair stage is an exact-order numpy twin of the Column fold
+    # (the charlm-trap cure, SCALE.md round 7): an interpreted
+    # zip_with/aggregate dot per PAIR costs Θ(pairs·d) lambda
+    # evaluations — 20.1M in-cluster pairs at sf1.0 measured 112s —
+    # while one applyInPandas per cluster vectorizes the same
+    # arithmetic. Bit-parity with the SQL oracle's left-to-right
+    # double fold holds because each float32×float32 product is exact
+    # in double (≤48-bit mantissa) and ``np.cumsum`` accumulates
+    # strictly left-to-right (no pairwise summation, unlike np.sum),
+    # so dot, norm = sqrt(fold(v·v)), and the cos ≥ threshold decision
+    # are all bit-identical to the previous Column-expression form.
+    import numpy as np
+    import pandas as pd
+
+    def drop_in_cluster(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf[id_col].to_numpy()
+        v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+        nrm = np.sqrt(np.cumsum(v * v, axis=1)[:, -1])
+        n = len(ids)
+        dropped_mask = np.zeros(n, dtype=bool)
+        block = 256  # i-block bounds peak memory at block·|cluster|·d doubles
+        for s in range(0, n, block):
+            e = min(s + block, n)
+            prods = v[s:e, None, :] * v[None, :, :]
+            dots = np.cumsum(prods, axis=2)[:, :, -1]
+            cos = dots / (nrm[s:e, None] * nrm[None, :])
+            hit = (ids[s:e, None] < ids[None, :]) & (cos >= threshold)
+            dropped_mask |= hit.any(axis=0)
+        return pd.DataFrame({id_col: ids[dropped_mask]})
+
     dropped = (
-        a.join(b, "_cluster")
-        .filter(F.col("_id_a") < F.col("_id_b"))
-        .filter(
-            dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
-            >= threshold
-        )
-        .select(F.col("_id_b").alias(id_col))
-        .distinct()
+        assigned.select(id_col, vec_col, "_cluster")
+        .groupBy("_cluster")
+        .applyInPandas(drop_in_cluster, schema=f"{id_col} long")
         .withColumn("_dropped", F.lit(1))
     )
     return (

@@ -833,13 +833,18 @@ def orders_fx_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     A rate series is TINY (|weeks| rows) however big the fact side is
     — so instead of the generic as-of join (whose window would put a
     single currency's entire fact stream in one sort partition), the
-    rates collapse into ONE broadcast sorted array and each order picks
-    its rate with a local array scan (the same broadcast-boundaries
-    pattern as orders_range_partition_hist). The general
-    operators/temporal.asof_join remains the tool when BOTH sides are
-    large (events as-of events); DuckDB's native ASOF LEFT JOIN is the
-    oracle either way — certifying against an independent engine's
-    dedicated operator."""
+    series EXPANDS to its daily effective grain (each rate row covers
+    [rate_ts, next rate_ts); |days| rows, still dim-sized for any
+    realistic horizon) and the fact side picks its rate with a plain
+    broadcast EQUI-join on the date — whole-stage codegen, no per-row
+    array scan (the prior broadcast-sorted-array form evaluated an
+    interpreted lambda over all |weeks| entries per ORDER: ~550M
+    lambda evals at sf1.0, measured 30s; the daily-grain join is
+    ~1.5s). Works for irregular series too — expansion needs only
+    each row and its successor. The general operators/temporal.asof_join
+    remains the tool when BOTH sides are large (events as-of events);
+    DuckDB's native ASOF LEFT JOIN is the oracle either way —
+    certifying against an independent engine's dedicated operator."""
     o = t(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_orderdate",
@@ -860,21 +865,23 @@ def orders_fx_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
             * 1000,
         )
     )
-    rate_arr = rates.agg(
-        F.array_sort(
-            F.collect_list(F.struct(F.col("rate_ts"), F.col("rate_micro")))
-        ).alias("arr")
+    wnext = Window.orderBy("rate_ts")
+    daily = (
+        rates.withColumn("rate_d", F.col("rate_ts").cast("date"))
+        .withColumn("next_d", F.lead("rate_d").over(wnext))
+        .select(
+            F.explode(
+                F.sequence(
+                    F.col("rate_d"),
+                    F.coalesce(F.date_sub("next_d", 1), F.col("rate_d")),
+                )
+            ).alias("day"),
+            "rate_micro",
+        )
     )
-    joined = o.crossJoin(F.broadcast(rate_arr)).select(
-        "o_orderdate",
-        "cents",
-        F.element_at(
-            F.col("arr"),
-            F.size(
-                F.filter(F.col("arr"), lambda r: r["rate_ts"] <= F.col("o_orderdate"))
-            ),
-        )["rate_micro"].alias("rate_micro"),
-    )
+    joined = o.join(
+        F.broadcast(daily), o["o_orderdate"] == daily["day"], "left"
+    ).select("o_orderdate", "cents", "rate_micro")
     conv = joined.select(
         "o_orderdate",
         "rate_micro",
