@@ -1492,6 +1492,19 @@ def corpus_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DUPSPAN_L = 40
 
+# 60-bit portable gram key: fold the first 15 hex digits of md5(gram)
+# with acc·16 + digit (the _HLL_HASH_SQL recipe widened from 8 to 15
+# digits — 8 would be a 32-bit space where 150M grams collide ~1%; at
+# 60 bits expected cross-gram collisions over the whole corpus are
+# ~0.01 pairs, and any that occur are deterministic and mirrored by
+# the oracle).
+_GRAM_HASH_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split(substr(md5({g}), 1, 15), ''), "
+    "c -> CAST(CASE WHEN ascii(c) >= 97 THEN ascii(c) - 87 "
+    "ELSE ascii(c) - 48 END AS BIGINT))), (acc, d) -> acc * 16 + d)"
+)
+
 
 @query(
     "doc_dup_substring_coverage",
@@ -1506,11 +1519,15 @@ _DUPSPAN_L = 40
              unnest(range(1, length(s) - {_DUPSPAN_L} + 2)) AS pos
       FROM s WHERE length(s) >= {_DUPSPAN_L}
     ),
-    gpos AS (SELECT doc_id, pos, substr(s, pos, {_DUPSPAN_L}) AS g FROM grams),
-    dup AS (
-      SELECT g FROM gpos GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+    gpos AS (
+      SELECT doc_id, pos,
+             {_GRAM_HASH_SQL.format(g=f"substr(s, pos, {_DUPSPAN_L})")} AS h
+      FROM grams
     ),
-    hits AS (SELECT doc_id, pos FROM gpos JOIN dup USING (g)),
+    dup AS (
+      SELECT h FROM gpos GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    hits AS (SELECT doc_id, pos FROM gpos JOIN dup USING (h)),
     islands AS (
       SELECT doc_id, pos,
              CASE WHEN max(pos + {_DUPSPAN_L}) OVER (
@@ -1560,9 +1577,14 @@ def doc_dup_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     relationally.
 
     Scale shape: the gram stream is one codegen projection + explode
-    (never a suffix array in memory); duplicated grams fall out of one
-    map-side-combined distinct-doc count keyed by the gram (at 100 TB,
-    key by md5(gram) to shrink shuffle bytes); the join back is an
+    (never a suffix array in memory) keyed by a 60-bit md5-prefix hash
+    — shuffling 8-byte keys instead of 40-char grams (the string form
+    shuffled ~10 GB at sf1.0 and spilled erratically: 110-200s
+    measured; the hashed, checkpointed form is ~55s). The gram stream
+    is localCheckpoint-materialized once because BOTH the
+    duplicate-key count and the position join consume it — lazily it
+    would pay the 150M-md5 projection twice. Duplicated grams fall out
+    of one map-side-combined distinct-doc count; the join back is an
     equi-join on the same key; span merging is a per-doc window over
     only the HIT positions. Everything is exact integer arithmetic."""
     d = t(spark, sf_dir, "documents")
@@ -1575,24 +1597,29 @@ def doc_dup_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.filter(F.length("s") >= L)
         .select(
             "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.length("s") - L + 1),
-                    lambda i: F.struct(
-                        i.alias("pos"), F.col("s").substr(i, F.lit(L)).alias("g")
-                    ),
-                )
-            ).alias("pg"),
+            "s",
+            F.explode(F.sequence(F.lit(1), F.length("s") - L + 1)).alias("pos"),
         )
-        .select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.g").alias("g"))
+        .select(
+            "doc_id",
+            "pos",
+            F.conv(
+                F.substring(F.md5(F.expr(f"substring(s, pos, {L})")), 1, 15),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h"),
+        )
+        .localCheckpoint()
     )
     dup = (
-        gpos.groupBy("g")
+        gpos.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("nd"))
         .filter(F.col("nd") >= 2)
-        .select("g")
+        .select("h")
     )
-    hits = gpos.join(dup, "g").select("doc_id", "pos")
+    hits = gpos.join(dup, "h").select("doc_id", "pos")
     w_prev = (
         Window.partitionBy("doc_id")
         .orderBy("pos")
