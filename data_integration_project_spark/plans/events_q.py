@@ -6567,3 +6567,153 @@ def _hll_state_fn(key, pdfs, state):
             "n_seen": [n_seen],
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# State-TTL eviction: the watermark-driven timeout that BOUNDS the
+# state store — the mechanism that lets a stateful stream run forever.
+# ---------------------------------------------------------------------------
+
+_TTL_DAYS = 30
+
+
+def _ttl_state_fn(key, pdfs, state):
+    """Per-user running totals with an event-time TTL: every data
+    batch advances the timeout to last_ts + TTL; when the watermark
+    passes it, the key times out — the state's totals are EMITTED as
+    the closed record and the state is REMOVED (the store shrinks).
+    Nothing is emitted on ordinary updates, so the query's entire
+    output is eviction-driven."""
+    import pandas as pd
+
+    ttl_ms = _TTL_DAYS * 86400 * 1000
+    if state.hasTimedOut:
+        first_ms, last_ms, n, cents = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_cents": [cents],
+                "first_ms": [first_ms],
+                "last_ms": [last_ms],
+            }
+        )
+        return
+    if state.exists:
+        first_ms, last_ms, n, cents = state.get
+    else:
+        first_ms, last_ms, n, cents = None, None, 0, 0
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        n += len(pdf)
+        cents += int(pdf["cents"].sum())
+        lo, hi = int(pdf["us"].min()), int(pdf["us"].max())
+        first_ms = lo if first_ms is None else min(first_ms, lo)
+        last_ms = hi if last_ms is None else max(last_ms, hi)
+    state.update((first_ms, last_ms, n, cents))
+    state.setTimeoutTimestamp(last_ms + ttl_ms)
+    return
+    yield  # pragma: no cover - generator form required by the API
+
+
+@query(
+    "events_streaming_state_ttl",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           CAST(MIN(epoch_ms(ts)) AS BIGINT) AS first_ms,
+           CAST(MAX(epoch_ms(ts)) AS BIGINT) AS last_ms
+    FROM events GROUP BY user_id
+    """,
+)
+def events_streaming_state_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATE-TTL EVICTION — the missing half of every stateful-stream
+    story ([[events_stateful_user_totals]] keeps per-user state with
+    ``GroupStateTimeout.NoTimeout``; its own docstring says "at web
+    scale add a TTL timeout to bound the store"; this query IS that
+    bound). Per-user totals live in ``applyInPandasWithState`` with an
+    EVENT-TIME timeout of last-activity + 30 days: when the watermark
+    passes it, the key is evicted — its totals emit as the CLOSED
+    record and the state slot is freed. The entire output is
+    eviction-driven (updates emit nothing), so the value check proves
+    the full eviction path: every user's closed record must equal the
+    batch aggregate of their events — totals survive arbitrary
+    batching, eviction fires exactly once per key, and nothing is
+    emitted early or lost.
+
+    Delivery schedule (the [[events_streaming_late_drop]] discipline:
+    one file per trigger, mtime-pinned order, default trigger so the
+    watermark advances BETWEEN micro-batches, spacer batch absorbing
+    the engine's one-batch watermark lag): b0 = the full history →
+    state opens for every user; b1 = a far-future sentinel pushing the
+    watermark past every user's last_ts + TTL; b2 = a second sentinel
+    whose batch processes the now-expired timers → every key evicts.
+
+    Scale shape: state per key is four longs, and the TTL guarantees
+    the store's size tracks the ACTIVE key set, not the ever-seen key
+    set — the difference between a stream that runs forever and one
+    that OOMs on key churn. Timeout timestamps ride the same
+    watermark the aggregate already maintains; no second clock."""
+    import datetime
+    import os
+    import uuid
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    max_ts = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    far1 = max_ts + datetime.timedelta(days=_TTL_DAYS + 2)
+    far2 = far1 + datetime.timedelta(hours=1)
+    d = run_tmpdir("statettl_")
+    src_dir = os.path.join(d, "stream")
+    os.makedirs(src_dir)
+    ev.coalesce(1).write.parquet(os.path.join(src_dir, "b0_events"))
+    for i, (far, sub) in enumerate([(far1, "b1_spacer"), (far2, "b2_spacer")]):
+        spark.createDataFrame(
+            [(-1 - i, far, -1 - i, "view", 0.0, "{}")], schema
+        ).coalesce(1).write.parquet(os.path.join(src_dir, sub))
+    now = 1_700_000_000
+    for i, sub in enumerate(("b0_events", "b1_spacer", "b2_spacer")):
+        for root, _, files in os.walk(os.path.join(src_dir, sub)):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (now + 100 * i, now + 100 * i))
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src_dir)
+        .select(
+            "user_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.unix_millis(F.col("ts").cast("timestamp")).alias("us"),
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        )
+    )
+    closed = (
+        src.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _ttl_state_fn,
+            "user_id long, n_events long, total_cents long, "
+            "first_ms long, last_ms long",
+            "first_ms long, last_ms long, n long, cents long",
+            "update",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    name = "statettl_" + uuid.uuid4().hex[:8]
+    q = (
+        closed.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(d, "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name).filter(F.col("user_id") >= 0)
