@@ -41,11 +41,17 @@ def normalized_email(col: Column) -> Column:
 # ('1D', '2F', '1e3d') that ``float()`` rejects (hypothesis
 # counterexample, VERDICT r6 item 2) — so parsing is gated on the
 # reference grammar first and anything outside it falls to the default.
+# Python also accepts underscore digit SEPARATORS ('1_000', '1_0.5e1_0',
+# between digits only), which ``try_cast`` rejects — the gate admits
+# them and the underscores are stripped before the cast. Known residual
+# narrowing: non-ASCII unicode digits (float('١٢٣') parses in Python;
+# the engine cast cannot) fall to the default.
+_D = r"\d(?:_?\d)*"  # digit run with optional single underscores between
 _FLOAT_RE = (
-    r"^\s*[+-]?((\d+\.?\d*|\.\d+)([eE][+-]?\d+)?"
+    rf"^\s*[+-]?(({_D}\.(?:{_D})?|\.{_D}|{_D})([eE][+-]?{_D})?"
     r"|[iI][nN][fF]([iI][nN][iI][tT][yY])?|[nN][aA][nN])\s*$"
 )
-_INT_RE = r"^\s*[+-]?\d+\s*$"
+_INT_RE = rf"^\s*[+-]?{_D}\s*$"
 _INT_DTYPES = {"int", "integer", "bigint", "long", "smallint", "tinyint", "short", "byte"}
 
 
@@ -57,7 +63,9 @@ def cast_default(col: Column, dtype: str, default) -> Column:
     engine itself can't parse (ANSI-safe), and coalesce supplies the
     reference's fallback default."""
     gate = _INT_RE if dtype.lower() in _INT_DTYPES else _FLOAT_RE
-    parsed = F.when(col.rlike(gate), col).try_cast(dtype)
+    parsed = F.when(
+        col.rlike(gate), F.regexp_replace(col, "_", "")
+    ).try_cast(dtype)
     return F.coalesce(parsed, F.lit(default).cast(dtype))
 
 

@@ -1113,9 +1113,19 @@ def semdedup_flags(
         for s in range(0, n, block):
             e = min(s + block, n)
             prods = v[s:e, None, :] * v[None, :, :]
-            dots = np.cumsum(prods, axis=2)[:, :, -1]
-            cos = dots / (nrm[s:e, None] * nrm[None, :])
-            hit = (ids[s:e, None] < ids[None, :]) & (cos >= threshold)
+            # in-place cumsum: same strictly-sequential accumulation,
+            # no second (block × n × d) buffer
+            dots = np.cumsum(prods, axis=2, out=prods)[:, :, -1]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dots / (nrm[s:e, None] * nrm[None, :])
+            # NaN-ordering parity: Spark and DuckDB order NaN ABOVE all
+            # doubles, so the Column filter `cos >= t` was TRUE for a
+            # 0/0 pair (two zero-norm vectors); numpy's NaN comparison
+            # is False — re-add NaN as a hit to keep decisions
+            # bit-identical on degenerate embeddings.
+            hit = (ids[s:e, None] < ids[None, :]) & (
+                (cos >= threshold) | np.isnan(cos)
+            )
             dropped_mask |= hit.any(axis=0)
         return pd.DataFrame({id_col: ids[dropped_mask]})
 

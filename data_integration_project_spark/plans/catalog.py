@@ -29,6 +29,9 @@ class QuerySpec:
     fn: Callable[[SparkSession, str], DataFrame]
     oracle: str | None  # None → driver does a weaker rows-only check
     doc: str = ""
+    # (filename, first line) of the defining code object — the
+    # reload-stable identity the duplicate-name guard compares
+    src: tuple = ()
 
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -47,21 +50,24 @@ def query(name: str, oracle: str | None = None):
         wrapped.__doc__ = fn.__doc__
         wrapped.__module__ = fn.__module__  # keep the defining plan module
         prev = REGISTRY.get(name)
-        if prev is not None and not (
-            prev.fn.__module__ == fn.__module__
-            and prev.fn.__qualname__ == fn.__qualname__
-        ):
+        src = (fn.__code__.co_filename, fn.__code__.co_firstlineno)
+        if prev is not None and prev.src != src:
             # a silent dict overwrite would drop an existing query from
             # the catalog while its tests keep passing against the NEW
             # function — fail at import instead (caught a real duplicate
-            # in round 6). Same module+qualname means a true module
-            # reload (importlib.reload, re-import under a sys.path
-            # alias): re-register idempotently instead of failing.
+            # in round 6). Identity is (filename, first line) of the
+            # code object: identical on a true module reload
+            # (importlib.reload, re-import under a sys.path alias) —
+            # re-register idempotently — but DIFFERENT for two same-name
+            # defs in one module (copy-paste duplicate), which
+            # module+qualname matching would wave through.
             raise ValueError(
                 f"catalog query {name!r} registered twice "
                 f"({prev.fn.__module__} and {fn.__module__})"
             )
-        REGISTRY[name] = QuerySpec(name=name, fn=wrapped, oracle=oracle, doc=fn.__doc__ or "")
+        REGISTRY[name] = QuerySpec(
+            name=name, fn=wrapped, oracle=oracle, doc=fn.__doc__ or "", src=src
+        )
         return wrapped
 
     return deco

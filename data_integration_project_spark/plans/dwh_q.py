@@ -865,6 +865,11 @@ def orders_fx_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
             * 1000,
         )
     )
+    # ASOF semantics for the LAST rate: it stays effective through the
+    # fact horizon (DuckDB's ASOF JOIN matches it for any later order),
+    # so the final interval extends to max(o_orderdate), not to the
+    # rate's own day.
+    horizon = o.agg(F.max("o_orderdate").alias("h")).collect()[0]["h"]
     wnext = Window.orderBy("rate_ts")
     daily = (
         rates.withColumn("rate_d", F.col("rate_ts").cast("date"))
@@ -873,7 +878,10 @@ def orders_fx_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(
                 F.sequence(
                     F.col("rate_d"),
-                    F.coalesce(F.date_sub("next_d", 1), F.col("rate_d")),
+                    F.coalesce(
+                        F.date_sub("next_d", 1),
+                        F.greatest(F.col("rate_d"), F.lit(horizon)),
+                    ),
                 )
             ).alias("day"),
             "rate_micro",

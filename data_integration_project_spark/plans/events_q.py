@@ -6441,7 +6441,7 @@ def _hll_state_oracle() -> str:
     return f"""
     WITH c AS (
       SELECT event_type, {_HLL_HASH_SQL.format(col="user_id")} AS hv
-      FROM events
+      FROM events WHERE user_id IS NOT NULL
     ),
     regs AS (
       SELECT event_type, hv % {m} AS b,
@@ -6492,6 +6492,13 @@ def events_streaming_hll_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
+        # NULL contract, pinned on BOTH sides (oracle filters the same
+        # way): a NULL user_id contributes nothing — neither a register
+        # nor a phantom seen-bucket. Without the filter the batch
+        # sketch counts the NULL hash as a seen group (shifting n_empty
+        # and s_scaled) while the state fn skips it — divergent on the
+        # first NULL row.
+        .filter(F.col("user_id").isNotNull())
         .select("event_type", hll_hash(F.col("user_id")).alias("hv"))
     )
     totals = src.groupBy("event_type").applyInPandasWithState(

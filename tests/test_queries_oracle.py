@@ -76,3 +76,36 @@ def test_driver_sampled_is_current():
         with open(path) as fh:
             names |= set(json.load(fh))
     assert names == set(DRIVER_SAMPLED)
+
+
+def test_duplicate_name_guard_and_reload_idempotency(tmp_path):
+    """The @query duplicate-name guard must RAISE for two same-name
+    defs (copy-paste duplicate — round 6's real bug) while allowing a
+    true module re-execution (importlib.reload) to re-register
+    idempotently. Identity is the code object's (filename, firstlineno),
+    which is stable across reloads but differs between duplicate defs."""
+    import importlib
+    import importlib.util
+
+    import data_integration_project_spark.plans.events_q as eq
+
+    n0 = len(plans.REGISTRY)
+    importlib.reload(eq)  # true reload: same file, same line numbers
+    assert len(plans.REGISTRY) == n0
+
+    dup_src = (
+        "from data_integration_project_spark.plans.catalog import query\n"
+        '@query("zz_dup_probe")\n'
+        "def f(spark, sf): ...\n"
+        '@query("zz_dup_probe")\n'
+        "def f(spark, sf): ...\n"
+    )
+    p = tmp_path / "zz_dup_probe_mod.py"
+    p.write_text(dup_src)
+    spec = importlib.util.spec_from_file_location("zz_dup_probe_mod", p)
+    mod = importlib.util.module_from_spec(spec)
+    try:
+        with pytest.raises(ValueError, match="registered twice"):
+            spec.loader.exec_module(mod)
+    finally:
+        plans.REGISTRY.pop("zz_dup_probe", None)
