@@ -43,9 +43,14 @@ def normalized_email(col: Column) -> Column:
 # reference grammar first and anything outside it falls to the default.
 # Python also accepts underscore digit SEPARATORS ('1_000', '1_0.5e1_0',
 # between digits only), which ``try_cast`` rejects — the gate admits
-# them and the underscores are stripped before the cast. Known residual
-# narrowing: non-ASCII unicode digits (float('١٢٣') parses in Python;
-# the engine cast cannot) fall to the default.
+# them and the underscores are stripped before the cast. Python also
+# accepts SIGNED nan ('-nan'/'+nan' → NaN, the sign is unobservable)
+# which ``try_cast`` nulls — the sign is stripped before the cast so
+# both parse to NaN as in Python. Known residual narrowings: non-ASCII
+# unicode digits (float('١٢٣') parses in Python; the engine cast
+# cannot) fall to the default, and integer literals beyond int64
+# (Python ints are arbitrary-precision; a bigint column is not)
+# overflow to the default rather than the out-of-range value.
 _D = r"\d(?:_?\d)*"  # digit run with optional single underscores between
 _FLOAT_RE = (
     rf"^\s*[+-]?(({_D}\.(?:{_D})?|\.{_D}|{_D})([eE][+-]?{_D})?"
@@ -63,9 +68,13 @@ def cast_default(col: Column, dtype: str, default) -> Column:
     engine itself can't parse (ANSI-safe), and coalesce supplies the
     reference's fallback default."""
     gate = _INT_RE if dtype.lower() in _INT_DTYPES else _FLOAT_RE
-    parsed = F.when(
-        col.rlike(gate), F.regexp_replace(col, "_", "")
-    ).try_cast(dtype)
+    # strip underscore separators, then a sign directly before a nan
+    # payload (gate-guaranteed: [+-][nN] can only start a signed nan,
+    # which Python parses to NaN but try_cast would NULL)
+    cleaned = F.regexp_replace(
+        F.regexp_replace(col, "_", ""), r"[+-](?=[nN])", ""
+    )
+    parsed = F.when(col.rlike(gate), cleaned).try_cast(dtype)
     return F.coalesce(parsed, F.lit(default).cast(dtype))
 
 

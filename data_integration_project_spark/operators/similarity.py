@@ -1108,14 +1108,23 @@ def semdedup_flags(
         v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
         nrm = np.sqrt(np.cumsum(v * v, axis=1)[:, -1])
         n = len(ids)
+        d = v.shape[1] if v.ndim == 2 else 0
         dropped_mask = np.zeros(n, dtype=bool)
-        block = 256  # i-block bounds peak memory at block·|cluster|·d doubles
+        # i-block sized to a fixed byte budget: peak memory is two
+        # (block, n) double buffers (accumulator + broadcast temp),
+        # INDEPENDENT of d — the previous (block, n, d) product buffer
+        # could reach block·|cluster|·d·8 bytes on a large cluster at
+        # high dim (e.g. 256·100k·512·8 ≈ 100 GB; ADVICE r7).
+        block = max(1, (64 << 20) // max(1, n * 16))
         for s in range(0, n, block):
             e = min(s + block, n)
-            prods = v[s:e, None, :] * v[None, :, :]
-            # in-place cumsum: same strictly-sequential accumulation,
-            # no second (block × n × d) buffer
-            dots = np.cumsum(prods, axis=2, out=prods)[:, :, -1]
+            # strictly-sequential per-dimension accumulation: the very
+            # same left-to-right double additions as the previous
+            # cumsum-over-axis-2 fold (0.0 + x == x exactly), so the
+            # dots stay bit-identical to the SQL oracle's fold.
+            dots = np.zeros((e - s, n))
+            for k in range(d):
+                dots += v[s:e, k, None] * v[None, :, k]
             with np.errstate(divide="ignore", invalid="ignore"):
                 cos = dots / (nrm[s:e, None] * nrm[None, :])
             # NaN-ordering parity: Spark and DuckDB order NaN ABOVE all

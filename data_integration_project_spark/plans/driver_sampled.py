@@ -6,7 +6,7 @@ catalog so never-sampled queries come first, rotating fresh
 queries into the driver's ~50-query prefix sample every round.
 """
 
-# source files: CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json, CORRECTNESS_r04.json, CORRECTNESS_r05.json, CORRECTNESS_r06.json
+# source files: CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json, CORRECTNESS_r04.json, CORRECTNESS_r05.json, CORRECTNESS_r06.json, CORRECTNESS_r07.json
 
 DRIVER_SAMPLED: frozenset[str] = frozenset({
     "ann_context_packing",  # CORRECTNESS_r04.json
@@ -23,17 +23,29 @@ DRIVER_SAMPLED: frozenset[str] = frozenset({
     "customer_clean_rows",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
     "customer_error_replay",  # CORRECTNESS_r02.json, CORRECTNESS_r03.json
     "customer_error_rows",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "customer_fuzzy_match",  # CORRECTNESS_r07.json
+    "customer_golden_records",  # CORRECTNESS_r07.json
     "customer_imputation",  # CORRECTNESS_r02.json, CORRECTNESS_r03.json
     "customer_jaro_winkler_match",  # CORRECTNESS_r02.json, CORRECTNESS_r03.json
     "customer_one_to_one_linkage",  # CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "customer_profile",  # CORRECTNESS_r07.json
     "customer_quality_report",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "customer_sorted_neighborhood",  # CORRECTNESS_r07.json
     "customers_aes_envelope",  # CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "customers_collated_segments",  # CORRECTNESS_r07.json
+    "customers_correlated_subquery",  # CORRECTNESS_r07.json
+    "customers_geo_proximity",  # CORRECTNESS_r07.json
+    "customers_hierarchy_rollup",  # CORRECTNESS_r07.json
     "customers_k_anonymity",  # CORRECTNESS_r04.json
     "customers_l_diversity",  # CORRECTNESS_r04.json
+    "customers_lateral_top2_orders",  # CORRECTNESS_r07.json
     "customers_pseudonymized",  # CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "customers_recursive_root_path",  # CORRECTNESS_r07.json
     "customers_rtbf_purge_audit",  # CORRECTNESS_r02.json
     "customers_setops_cohorts",  # CORRECTNESS_r06.json
     "customers_snapshot_changelog",  # CORRECTNESS_r02.json
+    "customers_t_closeness",  # CORRECTNESS_r07.json
+    "customers_union_evolving_schema",  # CORRECTNESS_r07.json
     "customers_without_bulk_orders",  # CORRECTNESS_r06.json
     "dathang_csv_quality",  # CORRECTNESS_r06.json
     "dathang_fk_validation",  # CORRECTNESS_r01.json
@@ -90,6 +102,7 @@ DRIVER_SAMPLED: frozenset[str] = frozenset({
     "embeddings_pca_two_components",  # CORRECTNESS_r05.json
     "embeddings_pq_code_dedup",  # CORRECTNESS_r05.json
     "embeddings_pq_codebooks",  # CORRECTNESS_r04.json
+    "events_ab_conversion_ztest",  # CORRECTNESS_r07.json
     "events_ab_srm_check",  # CORRECTNESS_r06.json
     "events_asof_last_click",  # CORRECTNESS_r01.json
     "events_capture_recapture",  # CORRECTNESS_r06.json
@@ -158,9 +171,11 @@ DRIVER_SAMPLED: frozenset[str] = frozenset({
     "events_streaming_kll_state",  # CORRECTNESS_r05.json
     "events_streaming_late_drop",  # CORRECTNESS_r06.json
     "events_streaming_sessions",  # CORRECTNESS_r05.json
+    "events_streaming_state_ttl",  # CORRECTNESS_r07.json
     "events_temporal_split",  # CORRECTNESS_r05.json
     "events_time_weighted_value",  # CORRECTNESS_r05.json
     "events_trailing_hour_window",  # CORRECTNESS_r05.json
+    "events_transition_matrix",  # CORRECTNESS_r07.json
     "events_user_robust_outliers",  # CORRECTNESS_r05.json
     "events_user_running_stats",  # CORRECTNESS_r01.json
     "events_variant_props",  # CORRECTNESS_r05.json
@@ -174,6 +189,9 @@ DRIVER_SAMPLED: frozenset[str] = frozenset({
     "fact_sales_by_brand_year",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
     "khachhang_csv_pipeline",  # CORRECTNESS_r01.json
     "khachhang_golden_records",  # CORRECTNESS_r06.json
+    "lineitem_correlation_matrix",  # CORRECTNESS_r07.json
+    "lineitem_key_skew_profile",  # CORRECTNESS_r07.json
+    "lineitem_ols_regression",  # CORRECTNESS_r07.json
     "merged_customer_sources",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
     "mon_csv_quality",  # CORRECTNESS_r06.json
     "mon_dual_source_merge",  # CORRECTNESS_r01.json
@@ -197,12 +215,19 @@ DRIVER_SAMPLED: frozenset[str] = frozenset({
     "multimodal_tga_decode",  # CORRECTNESS_r04.json
     "multimodal_video_near_dup",  # CORRECTNESS_r04.json
     "multimodal_wav_decode",  # CORRECTNESS_r04.json
+    "nations_trade_pagerank",  # CORRECTNESS_r07.json
     "nguyenlieu_csv_quality",  # CORRECTNESS_r06.json
     "nguyenlieu_inventory_fact",  # CORRECTNESS_r01.json
     "order_line_value",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "orders_benford_leading_digit",  # CORRECTNESS_r07.json
+    "orders_bloom_semi_join",  # CORRECTNESS_r07.json
+    "orders_bucketed_colocated_join",  # CORRECTNESS_r07.json
     "orders_cdc_apply",  # CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "orders_chisq_segment_status",  # CORRECTNESS_r07.json
+    "orders_column_checksums",  # CORRECTNESS_r07.json
     "orders_constraint_suite",  # CORRECTNESS_r02.json, CORRECTNESS_r03.json
     "orders_daily_spine",  # CORRECTNESS_r02.json
+    "orders_decision_stump",  # CORRECTNESS_r07.json
     "orders_dp_noisy_counts",  # CORRECTNESS_r03.json
     "orders_dynamic_partition_pruning",  # CORRECTNESS_r06.json
     "orders_fd_discovery",  # CORRECTNESS_r02.json, CORRECTNESS_r03.json
@@ -210,26 +235,51 @@ DRIVER_SAMPLED: frozenset[str] = frozenset({
     "orders_fx_normalized",  # CORRECTNESS_r02.json
     "orders_grouped_agg_median",  # CORRECTNESS_r05.json
     "orders_grouping_sets",  # CORRECTNESS_r06.json
+    "orders_kmv_set_algebra",  # CORRECTNESS_r07.json
+    "orders_multipass_quantiles",  # CORRECTNESS_r07.json
+    "orders_negative_sampling",  # CORRECTNESS_r07.json
+    "orders_nested_lines",  # CORRECTNESS_r07.json
+    "orders_observed_metrics",  # CORRECTNESS_r07.json
+    "orders_pipe_syntax",  # CORRECTNESS_r07.json
     "orders_pit_dimension_join",  # CORRECTNESS_r02.json, CORRECTNESS_r03.json
     "orders_pivot_status",  # CORRECTNESS_r06.json
+    "orders_poisson_bootstrap",  # CORRECTNESS_r07.json
     "orders_price_histogram",  # CORRECTNESS_r06.json
     "orders_price_percentile_disc",  # CORRECTNESS_r06.json
     "orders_price_quantiles",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "orders_psi_drift",  # CORRECTNESS_r07.json
+    "orders_quantile_buckets",  # CORRECTNESS_r07.json
+    "orders_range_partition_hist",  # CORRECTNESS_r07.json
+    "orders_rebate_proration",  # CORRECTNESS_r07.json
     "orders_schema_evolution_read",  # CORRECTNESS_r03.json
     "orders_status_report",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
     "orders_streaming_online_logreg",  # CORRECTNESS_r06.json
     "orders_target_encoding_loo",  # CORRECTNESS_r03.json
+    "orders_top3_per_customer",  # CORRECTNESS_r07.json
     "orders_unpivot_measures",  # CORRECTNESS_r06.json
+    "orders_window_rank_suite",  # CORRECTNESS_r07.json
     "orders_winsorized_stats",  # CORRECTNESS_r02.json, CORRECTNESS_r03.json
     "orders_with_late_lines",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "orders_zone_diff",  # CORRECTNESS_r07.json
+    "orders_zorder_layout",  # CORRECTNESS_r07.json
     "part_category_lookup",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "parts_abc_classification",  # CORRECTNESS_r07.json
+    "parts_market_basket",  # CORRECTNESS_r07.json
+    "parts_triangle_count",  # CORRECTNESS_r07.json
+    "parts_triangle_estimate",  # CORRECTNESS_r07.json
     "pipeline_run_history",  # CORRECTNESS_r06.json
+    "q14_promotion_effect",  # CORRECTNESS_r07.json
+    "q18_large_volume_customer",  # CORRECTNESS_r07.json
     "q1_pricing_summary",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
     "q3_shipping_priority",  # CORRECTNESS_r02.json, CORRECTNESS_r03.json
     "q5_local_supplier_volume",  # CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "q7_volume_shipping",  # CORRECTNESS_r07.json
     "reconcile_conflicts",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
     "reconcile_not_in_null_keys",  # CORRECTNESS_r02.json, CORRECTNESS_r03.json
     "reconcile_only_in_source",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "sensors_pushdown_scan",  # CORRECTNESS_r07.json
+    "sensors_python_datasource",  # CORRECTNESS_r07.json
+    "sensors_streaming_source",  # CORRECTNESS_r07.json
     "star_revenue_by_region",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
     "streaming_inbox_pipeline",  # CORRECTNESS_r01.json, CORRECTNESS_r03.json
     "streaming_manifest_sink",  # CORRECTNESS_r05.json

@@ -840,8 +840,13 @@ def orders_fx_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     array scan (the prior broadcast-sorted-array form evaluated an
     interpreted lambda over all |weeks| entries per ORDER: ~550M
     lambda evals at sf1.0, measured 30s; the daily-grain join is
-    ~1.5s). Works for irregular series too — expansion needs only
-    each row and its successor. The general operators/temporal.asof_join
+    ~1.5s). Irregular (non-weekly) series work too — expansion needs
+    only each row and its successor — PROVIDED the series is
+    midnight-aligned at day grain (the fact side is a DATE, so
+    sub-day rate timestamps can't be honored at timestamp precision
+    anyway); multiple publications on one calendar day are collapsed
+    keep-LAST before the expand, so duplicate day keys can never
+    multiply fact rows. The general operators/temporal.asof_join
     remains the tool when BOTH sides are large (events as-of events);
     DuckDB's native ASOF LEFT JOIN is the oracle either way —
     certifying against an independent engine's dedicated operator."""
@@ -870,9 +875,17 @@ def orders_fx_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so the final interval extends to max(o_orderdate), not to the
     # rate's own day.
     horizon = o.agg(F.max("o_orderdate").alias("h")).collect()[0]["h"]
-    wnext = Window.orderBy("rate_ts")
+    wnext = Window.orderBy("rate_d")
+    # collapse to one rate per calendar day (keep-last): without this a
+    # same-day republish would make sequence(d, next_d-1) = sequence(d,
+    # d-1) — a DESCENDING 2-day sequence whose duplicate day keys
+    # multiply fact rows through the equi-join (ADVICE r7)
+    wday = Window.partitionBy("rate_d").orderBy(F.col("rate_ts").desc())
     daily = (
         rates.withColumn("rate_d", F.col("rate_ts").cast("date"))
+        .withColumn("_rn", F.row_number().over(wday))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
         .withColumn("next_d", F.lead("rate_d").over(wnext))
         .select(
             F.explode(

@@ -38,7 +38,14 @@ for name in ["customer_golden_records", "dedup_clusters_largestar",
              # round-6: the single-partition queue replay (closure-state
              # mapInPandas) and its k-sweep — the sorted slice must fit
              # one task on a default heap
-             "orders_queue_simulation", "orders_queue_capacity_plan"]:
+             "orders_queue_simulation", "orders_queue_capacity_plan",
+             # round-7 rewrites: the analytic wedge-count triangle plan
+             # (judge-observed GCLocker death on a default heap at
+             # sf0.1 pre-rewrite), the per-cluster numpy semdedup, the
+             # md5-folded substring-gram coverage, and the daily-dim
+             # broadcast FX join
+             "parts_triangle_count", "corpus_semdedup",
+             "doc_dup_substring_coverage", "orders_fx_normalized"]:
     n = qs[name](spark, "/root/testdata/sf0.01").count()
     print("HEAPCANARY", name, n, flush=True)
 print("HEAPCANARY ALL_OK", flush=True)
