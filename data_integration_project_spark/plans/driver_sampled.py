@@ -289,3 +289,14 @@ DRIVER_SAMPLED: frozenset[str] = frozenset({
     "table_row_counts",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
     "top10_orders",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
 })
+
+# Names whose LATEST driver sampling was red (any *_match false or
+# an error): the catalog puts these FIRST — ahead even of
+# never-sampled names — so every fix is re-validated by the very
+# next round's ~50-query prefix instead of waiting out the
+# rotation (VERDICT r7 items 1 and 5).
+DRIVER_RED_LATEST: frozenset[str] = frozenset({
+    "customers_correlated_subquery",
+    "events_chain_ladder",
+    "events_sprt_sequential_test",
+})

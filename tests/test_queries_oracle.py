@@ -44,20 +44,27 @@ def test_entry_contract(spark):
 
 
 def test_never_sampled_rotation():
-    """queries()/oracle_sql() must lead with every query absent from all
-    past CORRECTNESS_r{N}.json files, so the driver's ~50-query prefix
+    """queries()/oracle_sql() must lead with every query whose latest
+    driver sampling was RED (so fixes re-validate the very next round —
+    VERDICT r7 items 1/5), then every query absent from all past
+    CORRECTNESS_r{N}.json files, so the driver's ~50-query prefix
     sample covers new ground each round (VERDICT r3 item 2)."""
     from data_integration_project_spark.plans.driver_sampled import (
+        DRIVER_RED_LATEST,
         DRIVER_SAMPLED,
     )
 
     qs = list(plans.queries())
+    n_red = len(DRIVER_RED_LATEST & set(plans.REGISTRY))
     n_fresh = sum(1 for n in qs if n not in DRIVER_SAMPLED)
     assert n_fresh > 0, "rotation is pointless once everything is sampled"
-    assert all(n not in DRIVER_SAMPLED for n in qs[:n_fresh])
-    assert all(n in DRIVER_SAMPLED for n in qs[n_fresh:])
+    assert all(n in DRIVER_RED_LATEST for n in qs[:n_red])
+    mid = qs[n_red : n_red + n_fresh]
+    assert all(n not in DRIVER_SAMPLED for n in mid)
+    assert all(n in DRIVER_SAMPLED for n in qs[n_red + n_fresh :])
     # sampled names must exist in the registry (catches typos/renames)
     assert DRIVER_SAMPLED <= set(plans.REGISTRY)
+    assert DRIVER_RED_LATEST <= DRIVER_SAMPLED
 
 
 def test_driver_sampled_is_current():

@@ -25,15 +25,26 @@ OUT = os.path.join(
 )
 
 
+def _is_green(result: dict) -> bool:
+    """A sampled row passes iff every *_match flag is true and no error
+    was recorded (rows-only checks simply carry fewer flags)."""
+    if result.get("err"):
+        return False
+    return all(v for k, v in result.items() if k.endswith("_match"))
+
+
 def main() -> None:
     files = sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json")))
     sampled: dict[str, list[str]] = {}
-    for path in files:
+    latest_green: dict[str, bool] = {}
+    for path in files:  # sorted => later rounds overwrite latest status
         with open(path) as fh:
             data = json.load(fh)
         tag = os.path.basename(path)
-        for name in data:
+        for name, result in data.items():
             sampled.setdefault(name, []).append(tag)
+            latest_green[name] = _is_green(result)
+    red_latest = sorted(n for n, ok in latest_green.items() if not ok)
 
     lines = [
         '"""Queries the driver has sampled in past rounds (GENERATED).',
@@ -50,6 +61,18 @@ def main() -> None:
     ]
     for name in sorted(sampled):
         lines.append(f'    "{name}",  # {", ".join(sampled[name])}')
+    lines += [
+        "})",
+        "",
+        "# Names whose LATEST driver sampling was red (any *_match false or",
+        "# an error): the catalog puts these FIRST — ahead even of",
+        "# never-sampled names — so every fix is re-validated by the very",
+        "# next round's ~50-query prefix instead of waiting out the",
+        "# rotation (VERDICT r7 items 1 and 5).",
+        "DRIVER_RED_LATEST: frozenset[str] = frozenset({",
+    ]
+    for name in red_latest:
+        lines.append(f'    "{name}",')
     lines += ["})", ""]
     content = "\n".join(lines)
     # write only on change: keeps mtimes stable and makes the call safe
@@ -66,7 +89,8 @@ def main() -> None:
             fh.write(content)
     print(
         f"{'unchanged' if unchanged else 'wrote'} {OUT}: "
-        f"{len(sampled)} sampled names from {len(files)} rounds"
+        f"{len(sampled)} sampled names from {len(files)} rounds; "
+        f"{len(red_latest)} red at latest sampling: {red_latest}"
     )
 
 
