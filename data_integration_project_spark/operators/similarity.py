@@ -1106,16 +1106,24 @@ def semdedup_flags(
     def drop_in_cluster(pdf: "pd.DataFrame") -> "pd.DataFrame":
         ids = pdf[id_col].to_numpy()
         v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
-        nrm = np.sqrt(np.cumsum(v * v, axis=1)[:, -1])
         n = len(ids)
         d = v.shape[1] if v.ndim == 2 else 0
+        # zero-width vectors: fold-from-0.0 gives dot = 0, norm = 0,
+        # cos = 0/0 = NaN — which the pinned NaN rule below counts as a
+        # hit, exactly like the previous Column-expression form (the
+        # cumsum path would IndexError on axis width 0 instead)
+        nrm = (
+            np.sqrt(np.cumsum(v * v, axis=1)[:, -1]) if d else np.zeros(n)
+        )
         dropped_mask = np.zeros(n, dtype=bool)
-        # i-block sized to a fixed byte budget: peak memory is two
-        # (block, n) double buffers (accumulator + broadcast temp),
-        # INDEPENDENT of d — the previous (block, n, d) product buffer
-        # could reach block·|cluster|·d·8 bytes on a large cluster at
-        # high dim (e.g. 256·100k·512·8 ≈ 100 GB; ADVICE r7).
-        block = max(1, (64 << 20) // max(1, n * 16))
+        # i-block sized to a fixed byte budget, INDEPENDENT of d — the
+        # previous (block, n, d) product buffer could reach
+        # block·|cluster|·d·8 bytes on a large cluster at high dim
+        # (e.g. 256·100k·512·8 ≈ 100 GB; ADVICE r7). Peak live set per
+        # block is ~3 (block, n) float64 buffers (accumulator, the
+        # broadcast product temp, cos) plus the bool hit matrix, so the
+        # divisor budgets 4 eight-byte buffers per cell.
+        block = max(1, (64 << 20) // max(1, n * 32))
         for s in range(0, n, block):
             e = min(s + block, n)
             # strictly-sequential per-dimension accumulation: the very

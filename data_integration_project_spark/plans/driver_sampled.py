@@ -1,9 +1,10 @@
 """Queries the driver has sampled in past rounds (GENERATED).
 
 Regenerate with ``python tools/gen_driver_sampled.py`` after each
-round's CORRECTNESS_r{N}.json lands. plans/catalog.py orders the
-catalog so never-sampled queries come first, rotating fresh
-queries into the driver's ~50-query prefix sample every round.
+round's CORRECTNESS_r{N}.json lands (tests/conftest.py also
+auto-regens at pytest session start). plans/catalog.py orders the
+catalog red-at-latest-sampling first (so fixes re-validate the
+very next round), then never-sampled, then the green remainder.
 """
 
 # source files: CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json, CORRECTNESS_r04.json, CORRECTNESS_r05.json, CORRECTNESS_r06.json, CORRECTNESS_r07.json

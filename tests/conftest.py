@@ -24,7 +24,10 @@ def pytest_configure(config):
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    mod.main()
+    try:
+        mod.main()
+    except OSError:
+        pass  # read-only checkout: the committed module is used as-is
 
 SF_SMALL = "/root/testdata/sf0.001"
 SF_MEDIUM = "/root/testdata/sf0.01"

@@ -26,15 +26,34 @@ OUT = os.path.join(
 
 
 def _is_green(result: dict) -> bool:
-    """A sampled row passes iff every *_match flag is true and no error
-    was recorded (rows-only checks simply carry fewer flags)."""
-    if result.get("err"):
+    """A sampled row is red iff a match flag is explicitly False or the
+    driver recorded a real error. Oracle-less queries get the weaker
+    rows-only check: the driver writes ``err: "no_oracle"`` with every
+    ``*_match`` flag null (e.g. monitoring_file_stats in r01) — that is
+    a PASS of the weaker check, not a red; treating it as red would pin
+    such a query to the catalog head forever (it can never turn
+    hash-green)."""
+    err = result.get("err")
+    if err and err != "no_oracle":
         return False
-    return all(v for k, v in result.items() if k.endswith("_match"))
+    return not any(
+        v is False for k, v in result.items() if k.endswith("_match")
+    )
+
+
+def _round_key(path: str) -> int:
+    """Numeric round order: lexicographic sort would put r100 between
+    r10 and r11, making 'latest status' come from the wrong round."""
+    import re
+
+    m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+    return int(m.group(1)) if m else 0
 
 
 def main() -> None:
-    files = sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json")))
+    files = sorted(
+        glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json")), key=_round_key
+    )
     sampled: dict[str, list[str]] = {}
     latest_green: dict[str, bool] = {}
     for path in files:  # sorted => later rounds overwrite latest status
@@ -50,9 +69,10 @@ def main() -> None:
         '"""Queries the driver has sampled in past rounds (GENERATED).',
         "",
         "Regenerate with ``python tools/gen_driver_sampled.py`` after each",
-        "round's CORRECTNESS_r{N}.json lands. plans/catalog.py orders the",
-        "catalog so never-sampled queries come first, rotating fresh",
-        "queries into the driver's ~50-query prefix sample every round.",
+        "round's CORRECTNESS_r{N}.json lands (tests/conftest.py also",
+        "auto-regens at pytest session start). plans/catalog.py orders the",
+        "catalog red-at-latest-sampling first (so fixes re-validate the",
+        "very next round), then never-sampled, then the green remainder.",
         '"""',
         "",
         "# source files: " + ", ".join(os.path.basename(p) for p in files),
