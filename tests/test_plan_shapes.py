@@ -426,3 +426,14 @@ def test_pass_at_k_spine_broadcast(spark, sf_small):
     plan = _executed_plan(spark, "orders_pass_at_k", sf_small)
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_fx_normalized_daily_dim_broadcast(spark, sf_small):
+    # the rate series expands to its daily effective grain (dim-sized)
+    # and the fact side must pick its rate via a BROADCAST equi-join —
+    # a shuffle join here would re-sort the whole fact table per rate
+    # refresh at 100 TB (SCALE.md round-7 fix; r8 added the same-day
+    # keep-last dedup, which must not change the join strategy)
+    plan = _executed_plan(spark, "orders_fx_normalized", sf_small)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

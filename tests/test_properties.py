@@ -100,6 +100,39 @@ def test_cast_default_total(spark, values):
         assert got[i] in (expected, 0.0), (s, got[i])
 
 
+def test_cast_default_python_grammar_edges(spark):
+    """Deterministic pins for the grammar-gate edge cases the generic
+    property can't assert (NaN compares unequal to itself): signed nan
+    parses like Python (ADVICE r7 — try_cast alone nulls '-nan'),
+    underscore separators strip, Java-suffixed literals fall to the
+    default, and the two DOCUMENTED residual narrowings (non-ASCII
+    digits, beyond-int64 integers) fall to the default too."""
+    import math
+
+    cases = {
+        "nan": "nan", "-nan": "nan", "+nan": "nan", "-NaN": "nan",
+        "+inf": math.inf, "-infinity": -math.inf, "Infinity": math.inf,
+        "1_000.5": 1000.5, "1_0e1_0": 1e11, "-.5": -0.5,
+        "1D": 0.0, "2F": 0.0, "1e3d": 0.0, "": 0.0, "x": 0.0,
+        "١٢٣": 0.0,  # documented narrowing: non-ASCII digits
+    }
+    vals = list(cases)
+    got = _one_job(spark, vals, lambda c: cast_default(c, "double", 0.0))
+    for i, s in enumerate(vals):
+        want = cases[s]
+        if want == "nan":
+            assert got[i] != got[i], (s, got[i])
+        else:
+            assert got[i] == want, (s, got[i])
+    # beyond-int64 integer literal: Python int() parses it, the bigint
+    # column can't hold it — documented to fall to the default
+    got_int = _one_job(
+        spark, ["99999999999999999999", "7", "-1_2"],
+        lambda c: cast_default(c, "bigint", 0),
+    )
+    assert [got_int[i] for i in range(3)] == [0, 7, -12]
+
+
 @settings(**_SETTINGS)
 @given(st.lists(_TEXT, min_size=1, max_size=30))
 def test_char_fold_hash_model(spark, values):
