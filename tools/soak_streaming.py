@@ -12,6 +12,12 @@ and state-store size from the progress reports:
   rows = events inside the watermark horizon — the eviction test)
 * ``stream_stream_join`` — watermarked view⋈click attribution join
   with a time-range bound (two buffered sides, watermark-evicted)
+* ``state_ttl_eviction`` — per-user totals with an EventTimeTimeout
+  TTL (round-7's events_streaming_state_ttl shape): state must GROW
+  to the active key set, then COLLAPSE when the watermark passes
+  last-activity + TTL — the store-bounding half of the state story;
+  two far-future sentinel chunks force the full eviction cliff into
+  the table
 
 Usage::
 
@@ -184,6 +190,93 @@ def soak(spark, sf_dir: str, n_chunks: int) -> dict[str, list[dict]]:
     _drain(q)
     results["stream_stream_join"] = _progress_rows(q)
     print(f"# stream_stream_join drained in {time.time() - t0:.1f}s", file=sys.stderr)
+
+    # 4) event-time-TTL eviction (round-7 events_streaming_state_ttl) ----
+    # per-user totals whose state closes when the watermark passes
+    # last_activity + TTL; with a 2-day TTL over the fixture's 30-day
+    # span, churned-out users evict mid-stream and two far-future
+    # sentinel chunks evict the remainder — state_rows must grow to the
+    # active key set, then collapse toward zero.
+    import datetime
+
+    from pyspark.sql.streaming.state import GroupStateTimeout as _GST
+
+    ttl_ms = 2 * 86400 * 1000
+
+    def ttl_fn(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            n, cents = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
+            )
+            return
+        import numpy as np
+
+        n, cents = state.get if state.exists else (0, 0)
+        last_ms = None
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            n += len(pdf)
+            cents += int(
+                np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype("int64").sum()
+            )
+            hi = int(pdf["us"].max())
+            last_ms = hi if last_ms is None else max(last_ms, hi)
+        state.update((n, cents))
+        if last_ms is not None:
+            state.setTimeoutTimestamp(last_ms + ttl_ms)
+        return
+        yield  # pragma: no cover - generator form required by the API
+
+    # sentinel chunks: one event far past max_ts + TTL, then +1h more,
+    # written AFTER the data chunks (file order = trigger order)
+    import duckdb as _dd
+
+    max_ts = _dd.sql(
+        f"SELECT max(ts) FROM '{sf_dir}/events.parquet'"
+    ).fetchone()[0]
+    for i, far in enumerate(
+        (
+            max_ts + datetime.timedelta(days=4),
+            max_ts + datetime.timedelta(days=4, hours=1),
+        )
+    ):
+        spark.createDataFrame(
+            [(-1 - i, far, -1 - i, "view", 0.0, "{}")], schema
+        ).coalesce(1).write.parquet(f"{chunks}/zz-sentinel-{i}.parquet")
+
+    t0 = time.time()
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(chunks)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select(
+            "user_id",
+            "ts",
+            "value",
+            F.unix_millis(F.col("ts")).alias("us"),
+        )
+        .withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            ttl_fn,
+            outputStructType="user_id long, n_events long, total_cents long",
+            stateStructType="n long, cents long",
+            outputMode="update",
+            timeoutConf=_GST.EventTimeTimeout,
+        )
+        .writeStream.format("noop")
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_ttl_"))
+        .start()
+    )
+    _drain(q)
+    results["state_ttl_eviction"] = _progress_rows(q)
+    print(f"# state_ttl_eviction drained in {time.time() - t0:.1f}s", file=sys.stderr)
 
     shutil.rmtree(chunks, ignore_errors=True)
     return results
