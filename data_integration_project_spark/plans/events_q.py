@@ -5308,13 +5308,17 @@ def events_holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(f.arm AS INTEGER) AS arm,
            CAST(f.n_days AS BIGINT) AS n_days,
            CAST(COALESCE(fh.decision_day, 0) AS BIGINT) AS decision_day,
-           COALESCE((SELECT c.hit FROM crossed c
-                     WHERE c.arm = f.arm AND c.rn = fh.decision_day),
-                    'continue') AS decision,
-           CAST((SELECT l.cum_llr FROM llr l
-                 WHERE l.arm = f.arm AND l.rn = f.n_days) AS BIGINT)
-             AS final_llr_milli
-    FROM final f LEFT JOIN first_hit fh ON fh.arm = f.arm
+           CAST(COALESCE(ch.hit, 'continue') AS VARCHAR) AS decision,
+           CAST(lf.cum_llr AS BIGINT) AS final_llr_milli
+    FROM final f
+    LEFT JOIN first_hit fh ON fh.arm = f.arm
+    -- pre-decorrelated (r8 hardening, same class as the r7
+    -- customers_correlated_subquery driver skew): crossed/llr are
+    -- unique per (arm, rn), so these 1:<=1 LEFT JOINs are exactly the
+    -- correlated scalar lookups without exposing any engine's
+    -- scalar-subquery decorrelation/typing path
+    LEFT JOIN crossed ch ON ch.arm = f.arm AND ch.rn = fh.decision_day
+    LEFT JOIN llr lf ON lf.arm = f.arm AND lf.rn = f.n_days
     """,
 )
 def events_sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5988,14 +5992,25 @@ def events_frequent_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(inc) OVER (PARTITION BY cohort ORDER BY dev) AS c
       FROM grid
     ),
+    -- pre-decorrelated (r8 hardening, same class as the r7
+    -- customers_correlated_subquery driver skew): the per-dev factor
+    -- is a plain GROUP BY, and the final SELECT reads the three
+    -- factors from a pivoted ONE-ROW cross join instead of repeated
+    -- scalar subqueries — a dev with no complete cohort pair pivots
+    -- to NULL exactly as the empty correlated SUM did
     f AS (
-      SELECT d.dev AS fd,
-             (SELECT SUM(c2.c) * 1000000 // SUM(c1.c)
-              FROM cum c1 JOIN cum c2
-                ON c2.cohort = c1.cohort AND c2.dev = c1.dev + 1
-              WHERE c1.dev = d.dev AND c1.cohort + c1.dev + 1 <= 4)
-               AS f_micro
-      FROM (SELECT unnest(range(0, 4)) AS dev) d
+      SELECT c1.dev AS fd,
+             SUM(c2.c) * 1000000 // SUM(c1.c) AS f_micro
+      FROM cum c1 JOIN cum c2
+        ON c2.cohort = c1.cohort AND c2.dev = c1.dev + 1
+      WHERE c1.cohort + c1.dev + 1 <= 4
+      GROUP BY c1.dev
+    ),
+    fp AS (
+      SELECT MAX(CASE WHEN fd = 1 THEN f_micro END) AS f1,
+             MAX(CASE WHEN fd = 2 THEN f_micro END) AS f2,
+             MAX(CASE WHEN fd = 3 THEN f_micro END) AS f3
+      FROM f
     ),
     latest AS (
       SELECT cohort, 4 - cohort AS observed_dev, CAST(c AS BIGINT) AS latest_cum
@@ -6006,29 +6021,21 @@ def events_frequent_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
            l.latest_cum,
            CAST(CASE l.cohort
              WHEN 0 THEN l.latest_cum
-             WHEN 1 THEN l.latest_cum * (SELECT f_micro FROM f WHERE fd = 3)
+             WHEN 1 THEN l.latest_cum * fp.f3 // 1000000
+             WHEN 2 THEN (l.latest_cum * fp.f2 // 1000000) * fp.f3
                          // 1000000
-             WHEN 2 THEN (l.latest_cum * (SELECT f_micro FROM f WHERE fd = 2)
-                          // 1000000) * (SELECT f_micro FROM f WHERE fd = 3)
-                         // 1000000
-             ELSE ((l.latest_cum * (SELECT f_micro FROM f WHERE fd = 1)
-                    // 1000000) * (SELECT f_micro FROM f WHERE fd = 2)
-                   // 1000000) * (SELECT f_micro FROM f WHERE fd = 3)
-                  // 1000000
+             ELSE ((l.latest_cum * fp.f1 // 1000000) * fp.f2
+                   // 1000000) * fp.f3 // 1000000
            END AS BIGINT) AS ultimate,
            CAST(CASE l.cohort
              WHEN 0 THEN 0
-             WHEN 1 THEN l.latest_cum * (SELECT f_micro FROM f WHERE fd = 3)
+             WHEN 1 THEN l.latest_cum * fp.f3 // 1000000 - l.latest_cum
+             WHEN 2 THEN (l.latest_cum * fp.f2 // 1000000) * fp.f3
                          // 1000000 - l.latest_cum
-             WHEN 2 THEN (l.latest_cum * (SELECT f_micro FROM f WHERE fd = 2)
-                          // 1000000) * (SELECT f_micro FROM f WHERE fd = 3)
-                         // 1000000 - l.latest_cum
-             ELSE ((l.latest_cum * (SELECT f_micro FROM f WHERE fd = 1)
-                    // 1000000) * (SELECT f_micro FROM f WHERE fd = 2)
-                   // 1000000) * (SELECT f_micro FROM f WHERE fd = 3)
-                  // 1000000 - l.latest_cum
+             ELSE ((l.latest_cum * fp.f1 // 1000000) * fp.f2
+                   // 1000000) * fp.f3 // 1000000 - l.latest_cum
            END AS BIGINT) AS ibnr
-    FROM latest l
+    FROM latest l, fp
     """,
 )
 def events_chain_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:

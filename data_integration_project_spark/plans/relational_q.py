@@ -5751,13 +5751,19 @@ def orders_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum AS (SELECT v, SUM(w) OVER (ORDER BY v, b, rn) AS cw FROM samp),
     est AS (SELECT r.label, r.prob, r.rank, MIN(cum.v) AS est_cents
             FROM r JOIN cum ON cum.cw >= r.rank
-            GROUP BY r.label, r.prob, r.rank)
+            GROUP BY r.label, r.prob, r.rank),
+    -- true_rank_le pre-decorrelated (r8 hardening): a 4-row × |c|
+    -- filtered-count join instead of a correlated scalar COUNT, so no
+    -- engine's scalar-subquery decorrelation path is exposed
+    tr AS (SELECT est.label,
+                  CAST(COUNT(*) FILTER (WHERE c.v <= est.est_cents)
+                       AS BIGINT) AS true_rank_le
+           FROM est, c GROUP BY est.label)
     SELECT est.label, est.prob, est.rank, est.est_cents,
            CAST(est.est_cents AS DOUBLE) / 100 AS est_price,
-           (SELECT CAST(COUNT(*) AS BIGINT) FROM c
-            WHERE c.v <= est.est_cents) AS true_rank_le,
+           tr.true_rank_le,
            meta.err_bound, meta.summary_rows
-    FROM est, meta
+    FROM est JOIN tr ON tr.label = est.label, meta
     """,
 )
 def orders_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5900,7 +5906,15 @@ _KLL_HASH_SQL = (
       SELECT p.label, m.v AS est_merged_cents
       FROM p JOIN merged_ret m
         ON m.rn = greatest(1, (p.num * m.n_ret + p.den - 1) // p.den)
-    )
+    ),
+    -- true_rank_le / n_exact pre-decorrelated (r8 hardening): a
+    -- 5-row × |c| filtered-count join and a one-row total instead of
+    -- correlated/uncorrelated scalar subqueries in the SELECT list
+    tr AS (SELECT est_s.label,
+                  CAST(COUNT(*) FILTER (WHERE c.v <= est_s.est_single_cents)
+                       AS BIGINT) AS true_rank_le
+           FROM est_s, c GROUP BY est_s.label),
+    nx AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM c)
     SELECT est_s.label, est_s.prob,
            CAST(l1.l1 AS INTEGER) AS level_single,
            CAST(lstar.lstar AS INTEGER) AS level_merged,
@@ -5909,10 +5923,9 @@ _KLL_HASH_SQL = (
              AS n_est,
            CAST(est_s.target_rank AS BIGINT) AS target_rank,
            est_s.est_single_cents, est_m.est_merged_cents,
-           (SELECT CAST(COUNT(*) AS BIGINT) FROM c
-            WHERE c.v <= est_s.est_single_cents) AS true_rank_le,
-           (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_exact
-    FROM est_s JOIN est_m USING (label), l1, lstar
+           tr.true_rank_le, nx.n_exact
+    FROM est_s JOIN est_m USING (label)
+         JOIN tr ON tr.label = est_s.label, l1, lstar, nx
     """,
 )
 def orders_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6643,17 +6656,19 @@ def orders_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ks AS (SELECT unnest(range(0, 40)) AS k),
     cs AS (SELECT CAST(CAST(1 AS BIGINT) << k AS BIGINT) AS cutoff FROM ks),
     tot AS (SELECT COUNT(*) AS n FROM orders),
+    -- pre-decorrelated (r8 hardening): the per-cutoff count is a
+    -- 40-row × |orders| filtered-count join and the winning row comes
+    -- back by equi-join, not by correlated scalar subqueries
     ab AS (SELECT cutoff,
-                  (SELECT COUNT(*) FROM orders WHERE o_totalprice >= cutoff)
-                    AS n_above
-           FROM cs),
+                  CAST(COUNT(*) FILTER (WHERE o.o_totalprice >= cs.cutoff)
+                       AS BIGINT) AS n_above
+           FROM cs, orders o GROUP BY cutoff),
     best AS (SELECT MIN(cutoff) AS cutoff
              FROM ab, tot WHERE ab.n_above * 10 < tot.n)
     SELECT best.cutoff AS cutoff,
-           CAST((SELECT n_above FROM ab WHERE ab.cutoff = best.cutoff)
-                AS BIGINT) AS n_above,
+           CAST(ab.n_above AS BIGINT) AS n_above,
            CAST(tot.n AS BIGINT) AS n_total
-    FROM best, tot
+    FROM best JOIN ab ON ab.cutoff = best.cutoff, tot
     """,
 )
 def orders_sql_script_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
