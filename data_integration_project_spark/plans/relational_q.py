@@ -6658,17 +6658,22 @@ def orders_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT COUNT(*) AS n FROM orders),
     -- pre-decorrelated (r8 hardening): the per-cutoff count is a
     -- 40-row × |orders| filtered-count join and the winning row comes
-    -- back by equi-join, not by correlated scalar subqueries
-    ab AS (SELECT cutoff,
-                  CAST(COUNT(*) FILTER (WHERE o.o_totalprice >= cs.cutoff)
+    -- back by equi-join, not by correlated scalar subqueries. LEFT
+    -- joins on both legs keep the empty-orders contract of the old
+    -- correlated form (ab always has 40 rows with n_above = 0; the
+    -- final row survives with NULL cutoff/n_above and n_total = 0) —
+    -- the empty-agg mirroring trap from the playbook.
+    ab AS (SELECT cs.cutoff,
+                  CAST(COUNT(o.o_orderkey)
+                       FILTER (WHERE o.o_totalprice >= cs.cutoff)
                        AS BIGINT) AS n_above
-           FROM cs, orders o GROUP BY cutoff),
+           FROM cs LEFT JOIN orders o ON true GROUP BY cs.cutoff),
     best AS (SELECT MIN(cutoff) AS cutoff
              FROM ab, tot WHERE ab.n_above * 10 < tot.n)
     SELECT best.cutoff AS cutoff,
            CAST(ab.n_above AS BIGINT) AS n_above,
            CAST(tot.n AS BIGINT) AS n_total
-    FROM best JOIN ab ON ab.cutoff = best.cutoff, tot
+    FROM best LEFT JOIN ab ON ab.cutoff = best.cutoff, tot
     """,
 )
 def orders_sql_script_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:

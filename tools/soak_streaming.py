@@ -87,13 +87,25 @@ def soak(spark, sf_dir: str, n_chunks: int) -> dict[str, list[dict]]:
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     results: dict[str, list[dict]] = {}
 
-    def stream():
+    def stream(recursive: bool = False):
+        # recursive=True also picks up the sentinel chunk DIRECTORIES
+        # shape 4 writes under the chunk root
+        r = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        if recursive:
+            r = r.option("recursiveFileLookup", "true")
         return (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(chunks)
+            r.parquet(chunks)
             # fixture ts is timestamp_ntz; watermarks require TIMESTAMP
             .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+
+    def _cents(pdf) -> int:
+        """floor(value·100 + 0.5) summed as int64 — the one rounding
+        rule every stateful shape shares."""
+        import numpy as np
+
+        return int(
+            np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype("int64").sum()
         )
 
     # 1) applyInPandasWithState per-user totals ---------------------------
@@ -105,14 +117,10 @@ def soak(spark, sf_dir: str, n_chunks: int) -> dict[str, list[dict]]:
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def fn(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState):
-        import numpy as np
-
         n, cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            cents += int(
-                np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype("int64").sum()
-            )
+            cents += _cents(pdf)
         state.update((n, cents))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
@@ -199,8 +207,6 @@ def soak(spark, sf_dir: str, n_chunks: int) -> dict[str, list[dict]]:
     # active key set, then collapse toward zero.
     import datetime
 
-    from pyspark.sql.streaming.state import GroupStateTimeout as _GST
-
     ttl_ms = 2 * 86400 * 1000
 
     def ttl_fn(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState):
@@ -211,18 +217,14 @@ def soak(spark, sf_dir: str, n_chunks: int) -> dict[str, list[dict]]:
                 {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
             )
             return
-        import numpy as np
-
         n, cents = state.get if state.exists else (0, 0)
         last_ms = None
         for pdf in pdfs:
             if not len(pdf):
                 continue
             n += len(pdf)
-            cents += int(
-                np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype("int64").sum()
-            )
-            hi = int(pdf["us"].max())
+            cents += _cents(pdf)
+            hi = int(pdf["event_ms"].max())
             last_ms = hi if last_ms is None else max(last_ms, hi)
         state.update((n, cents))
         if last_ms is not None:
@@ -249,16 +251,12 @@ def soak(spark, sf_dir: str, n_chunks: int) -> dict[str, list[dict]]:
 
     t0 = time.time()
     q = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .option("recursiveFileLookup", "true")
-        .parquet(chunks)
-        .withColumn("ts", F.col("ts").cast("timestamp"))
+        stream(recursive=True)
         .select(
             "user_id",
             "ts",
             "value",
-            F.unix_millis(F.col("ts")).alias("us"),
+            F.unix_millis(F.col("ts")).alias("event_ms"),
         )
         .withWatermark("ts", "1 hour")
         .groupBy("user_id")
@@ -267,7 +265,7 @@ def soak(spark, sf_dir: str, n_chunks: int) -> dict[str, list[dict]]:
             outputStructType="user_id long, n_events long, total_cents long",
             stateStructType="n long, cents long",
             outputMode="update",
-            timeoutConf=_GST.EventTimeTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
         .writeStream.format("noop")
         .outputMode("update")
