@@ -96,8 +96,16 @@ def test_cast_default_total(spark, values):
         except ValueError:
             expected = 0.0
         # try_cast accepts a subset of float()'s grammar; when it parses,
-        # it must agree — when it rejects, the default must appear
-        assert got[i] in (expected, 0.0), (s, got[i])
+        # it must agree — when it rejects, the default must appear.
+        # NaN needs its own arm: `in` compares by equality and
+        # NaN != NaN, so a drawn 'nan' string would flake the test
+        # even though the engine's NaN is exactly right (found by the
+        # round-8 widened fuzz; the deterministic edge test pins the
+        # NaN variants).
+        if expected != expected:
+            assert got[i] != got[i] or got[i] == 0.0, (s, got[i])
+        else:
+            assert got[i] in (expected, 0.0), (s, got[i])
 
 
 def test_cast_default_python_grammar_edges(spark):
