@@ -7,7 +7,7 @@ catalog red-at-latest-sampling first (so fixes re-validate the
 very next round), then never-sampled, then the green remainder.
 """
 
-# source files: CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json, CORRECTNESS_r04.json, CORRECTNESS_r05.json, CORRECTNESS_r06.json, CORRECTNESS_r07.json
+# source files: CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json, CORRECTNESS_r04.json, CORRECTNESS_r05.json, CORRECTNESS_r06.json, CORRECTNESS_r07.json, CORRECTNESS_r08.json
 
 DRIVER_SAMPLED: frozenset[str] = frozenset({
     "ann_context_packing",  # CORRECTNESS_r04.json
@@ -18,12 +18,16 @@ DRIVER_SAMPLED: frozenset[str] = frozenset({
     "ann_srp_bucketed",  # CORRECTNESS_r01.json, CORRECTNESS_r03.json
     "ann_topk_pandas",  # CORRECTNESS_r01.json, CORRECTNESS_r03.json
     "benchmark_decontamination",  # CORRECTNESS_r04.json
+    "catalog_analyze_stats",  # CORRECTNESS_r08.json
+    "catalog_integrity_audit",  # CORRECTNESS_r08.json
     "corpus_dedup_cascade",  # CORRECTNESS_r04.json
     "corpus_leakage_safe_split",  # CORRECTNESS_r03.json
     "corpus_semdedup",  # CORRECTNESS_r05.json
     "customer_clean_rows",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "customer_csv_roundtrip",  # CORRECTNESS_r08.json
     "customer_error_replay",  # CORRECTNESS_r02.json, CORRECTNESS_r03.json
     "customer_error_rows",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "customer_fellegi_sunter",  # CORRECTNESS_r08.json
     "customer_fuzzy_match",  # CORRECTNESS_r07.json
     "customer_golden_records",  # CORRECTNESS_r07.json
     "customer_imputation",  # CORRECTNESS_r02.json, CORRECTNESS_r03.json
@@ -33,15 +37,21 @@ DRIVER_SAMPLED: frozenset[str] = frozenset({
     "customer_quality_report",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
     "customer_sorted_neighborhood",  # CORRECTNESS_r07.json
     "customers_aes_envelope",  # CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "customers_cogroup_recon",  # CORRECTNESS_r08.json
     "customers_collated_segments",  # CORRECTNESS_r07.json
-    "customers_correlated_subquery",  # CORRECTNESS_r07.json
+    "customers_correlated_subquery",  # CORRECTNESS_r07.json, CORRECTNESS_r08.json
+    "customers_cv_stump",  # CORRECTNESS_r08.json
+    "customers_decision_tree",  # CORRECTNESS_r08.json
     "customers_geo_proximity",  # CORRECTNESS_r07.json
+    "customers_gini_revenue",  # CORRECTNESS_r08.json
     "customers_hierarchy_rollup",  # CORRECTNESS_r07.json
     "customers_k_anonymity",  # CORRECTNESS_r04.json
     "customers_l_diversity",  # CORRECTNESS_r04.json
     "customers_lateral_top2_orders",  # CORRECTNESS_r07.json
+    "customers_logreg_gd",  # CORRECTNESS_r08.json
     "customers_pseudonymized",  # CORRECTNESS_r02.json, CORRECTNESS_r03.json
     "customers_recursive_root_path",  # CORRECTNESS_r07.json
+    "customers_rfm_segments",  # CORRECTNESS_r08.json
     "customers_rtbf_purge_audit",  # CORRECTNESS_r02.json
     "customers_setops_cohorts",  # CORRECTNESS_r06.json
     "customers_snapshot_changelog",  # CORRECTNESS_r02.json
@@ -107,7 +117,7 @@ DRIVER_SAMPLED: frozenset[str] = frozenset({
     "events_ab_srm_check",  # CORRECTNESS_r06.json
     "events_asof_last_click",  # CORRECTNESS_r01.json
     "events_capture_recapture",  # CORRECTNESS_r06.json
-    "events_chain_ladder",  # CORRECTNESS_r06.json
+    "events_chain_ladder",  # CORRECTNESS_r06.json, CORRECTNESS_r08.json
     "events_churn_labels",  # CORRECTNESS_r05.json
     "events_cohort_ltv",  # CORRECTNESS_r06.json
     "events_cohort_retention",  # CORRECTNESS_r05.json
@@ -158,7 +168,7 @@ DRIVER_SAMPLED: frozenset[str] = frozenset({
     "events_shapley_attribution",  # CORRECTNESS_r06.json
     "events_slo_burn_rate",  # CORRECTNESS_r06.json
     "events_sprt_monitor",  # CORRECTNESS_r06.json
-    "events_sprt_sequential_test",  # CORRECTNESS_r06.json
+    "events_sprt_sequential_test",  # CORRECTNESS_r06.json, CORRECTNESS_r08.json
     "events_stateful_user_totals",  # CORRECTNESS_r05.json
     "events_stl_lite_decomposition",  # CORRECTNESS_r06.json
     "events_stream_dedup_watermark",  # CORRECTNESS_r05.json
@@ -190,12 +200,16 @@ DRIVER_SAMPLED: frozenset[str] = frozenset({
     "fact_sales_by_brand_year",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
     "khachhang_csv_pipeline",  # CORRECTNESS_r01.json
     "khachhang_golden_records",  # CORRECTNESS_r06.json
+    "lineitem_bradley_terry",  # CORRECTNESS_r08.json
+    "lineitem_bt_calibration",  # CORRECTNESS_r08.json
     "lineitem_correlation_matrix",  # CORRECTNESS_r07.json
     "lineitem_key_skew_profile",  # CORRECTNESS_r07.json
     "lineitem_ols_regression",  # CORRECTNESS_r07.json
+    "lineitem_zonemap_pruning",  # CORRECTNESS_r08.json
     "merged_customer_sources",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
     "mon_csv_quality",  # CORRECTNESS_r06.json
     "mon_dual_source_merge",  # CORRECTNESS_r01.json
+    "monitoring_compaction_plan",  # CORRECTNESS_r08.json
     "monitoring_entity_summary",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
     "monitoring_file_stats",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
     "multimodal_aiff_decode",  # CORRECTNESS_r04.json
@@ -216,31 +230,45 @@ DRIVER_SAMPLED: frozenset[str] = frozenset({
     "multimodal_tga_decode",  # CORRECTNESS_r04.json
     "multimodal_video_near_dup",  # CORRECTNESS_r04.json
     "multimodal_wav_decode",  # CORRECTNESS_r04.json
+    "nations_dtw_profiles",  # CORRECTNESS_r08.json
+    "nations_shortest_paths",  # CORRECTNESS_r08.json
     "nations_trade_pagerank",  # CORRECTNESS_r07.json
     "nguyenlieu_csv_quality",  # CORRECTNESS_r06.json
     "nguyenlieu_inventory_fact",  # CORRECTNESS_r01.json
     "order_line_value",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "orders_avro_roundtrip",  # CORRECTNESS_r08.json
     "orders_benford_leading_digit",  # CORRECTNESS_r07.json
+    "orders_bitmap_index_scan",  # CORRECTNESS_r08.json
     "orders_bloom_semi_join",  # CORRECTNESS_r07.json
     "orders_bucketed_colocated_join",  # CORRECTNESS_r07.json
     "orders_cdc_apply",  # CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "orders_change_contribution",  # CORRECTNESS_r08.json
     "orders_chisq_segment_status",  # CORRECTNESS_r07.json
     "orders_column_checksums",  # CORRECTNESS_r07.json
+    "orders_conformal_intervals",  # CORRECTNESS_r08.json
     "orders_constraint_suite",  # CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "orders_cube",  # CORRECTNESS_r08.json
     "orders_daily_spine",  # CORRECTNESS_r02.json
     "orders_decision_stump",  # CORRECTNESS_r07.json
+    "orders_diff_in_diff",  # CORRECTNESS_r08.json
     "orders_dp_noisy_counts",  # CORRECTNESS_r03.json
     "orders_dynamic_partition_pruning",  # CORRECTNESS_r06.json
+    "orders_encoding_advisor",  # CORRECTNESS_r08.json
     "orders_fd_discovery",  # CORRECTNESS_r02.json, CORRECTNESS_r03.json
     "orders_first_wins_dedup",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
     "orders_fx_normalized",  # CORRECTNESS_r02.json
     "orders_grouped_agg_median",  # CORRECTNESS_r05.json
     "orders_grouping_sets",  # CORRECTNESS_r06.json
+    "orders_kll_quantiles",  # CORRECTNESS_r08.json
     "orders_kmv_set_algebra",  # CORRECTNESS_r07.json
+    "orders_mann_whitney",  # CORRECTNESS_r08.json
+    "orders_matched_att",  # CORRECTNESS_r08.json
     "orders_multipass_quantiles",  # CORRECTNESS_r07.json
     "orders_negative_sampling",  # CORRECTNESS_r07.json
     "orders_nested_lines",  # CORRECTNESS_r07.json
+    "orders_neyman_allocation",  # CORRECTNESS_r08.json
     "orders_observed_metrics",  # CORRECTNESS_r07.json
+    "orders_orc_roundtrip",  # CORRECTNESS_r08.json
     "orders_pipe_syntax",  # CORRECTNESS_r07.json
     "orders_pit_dimension_join",  # CORRECTNESS_r02.json, CORRECTNESS_r03.json
     "orders_pivot_status",  # CORRECTNESS_r06.json
@@ -248,24 +276,40 @@ DRIVER_SAMPLED: frozenset[str] = frozenset({
     "orders_price_histogram",  # CORRECTNESS_r06.json
     "orders_price_percentile_disc",  # CORRECTNESS_r06.json
     "orders_price_quantiles",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "orders_priority_sample",  # CORRECTNESS_r08.json
+    "orders_protobuf_roundtrip",  # CORRECTNESS_r08.json
     "orders_psi_drift",  # CORRECTNESS_r07.json
+    "orders_python_datasink",  # CORRECTNESS_r08.json
     "orders_quantile_buckets",  # CORRECTNESS_r07.json
+    "orders_quantile_sketch",  # CORRECTNESS_r08.json
     "orders_range_partition_hist",  # CORRECTNESS_r07.json
     "orders_rebate_proration",  # CORRECTNESS_r07.json
     "orders_schema_evolution_read",  # CORRECTNESS_r03.json
+    "orders_segment_welch_tests",  # CORRECTNESS_r08.json
+    "orders_sql_script_cutoff",  # CORRECTNESS_r08.json
+    "orders_sqlite_partial_load",  # CORRECTNESS_r08.json
+    "orders_sqlite_roundtrip",  # CORRECTNESS_r08.json
     "orders_status_report",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
     "orders_streaming_online_logreg",  # CORRECTNESS_r06.json
     "orders_target_encoding_loo",  # CORRECTNESS_r03.json
+    "orders_theil_sen_slope",  # CORRECTNESS_r08.json
     "orders_top3_per_customer",  # CORRECTNESS_r07.json
     "orders_unpivot_measures",  # CORRECTNESS_r06.json
     "orders_window_rank_suite",  # CORRECTNESS_r07.json
     "orders_winsorized_stats",  # CORRECTNESS_r02.json, CORRECTNESS_r03.json
     "orders_with_late_lines",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "orders_xml_roundtrip",  # CORRECTNESS_r08.json
     "orders_zone_diff",  # CORRECTNESS_r07.json
     "orders_zorder_layout",  # CORRECTNESS_r07.json
     "part_category_lookup",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
     "parts_abc_classification",  # CORRECTNESS_r07.json
+    "parts_also_bought_topk",  # CORRECTNESS_r08.json
+    "parts_decayed_popularity",  # CORRECTNESS_r08.json
     "parts_market_basket",  # CORRECTNESS_r07.json
+    "parts_price_elasticity",  # CORRECTNESS_r08.json
+    "parts_price_volume_mix",  # CORRECTNESS_r08.json
+    "parts_recsys_eval",  # CORRECTNESS_r08.json
+    "parts_skyline_2d",  # CORRECTNESS_r08.json
     "parts_triangle_count",  # CORRECTNESS_r07.json
     "parts_triangle_estimate",  # CORRECTNESS_r07.json
     "pipeline_run_history",  # CORRECTNESS_r06.json
@@ -280,7 +324,10 @@ DRIVER_SAMPLED: frozenset[str] = frozenset({
     "reconcile_only_in_source",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
     "sensors_pushdown_scan",  # CORRECTNESS_r07.json
     "sensors_python_datasource",  # CORRECTNESS_r07.json
+    "sensors_sqlite_stream_sink",  # CORRECTNESS_r08.json
+    "sensors_streaming_sink",  # CORRECTNESS_r08.json
     "sensors_streaming_source",  # CORRECTNESS_r07.json
+    "sqlite_catalog_discovery",  # CORRECTNESS_r08.json
     "star_revenue_by_region",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
     "streaming_inbox_pipeline",  # CORRECTNESS_r01.json, CORRECTNESS_r03.json
     "streaming_manifest_sink",  # CORRECTNESS_r05.json
@@ -298,6 +345,4 @@ DRIVER_SAMPLED: frozenset[str] = frozenset({
 # rotation (VERDICT r7 items 1 and 5).
 DRIVER_RED_LATEST: frozenset[str] = frozenset({
     "customers_correlated_subquery",
-    "events_chain_ladder",
-    "events_sprt_sequential_test",
 })
