@@ -26,8 +26,18 @@ def pytest_configure(config):
     spec.loader.exec_module(mod)
     try:
         mod.main()
-    except OSError:
-        pass  # read-only checkout: the committed module is used as-is
+    except Exception as exc:  # noqa: BLE001 — regen is best-effort
+        # Read-only checkout, a malformed/truncated CORRECTNESS_r{N}.json
+        # (json.JSONDecodeError), or any generator bug must NOT abort
+        # collection for the whole suite (ADVICE r8): warn and fall back
+        # to the committed module, which is always importable.
+        import warnings
+
+        warnings.warn(
+            f"driver_sampled auto-regen skipped ({type(exc).__name__}: {exc}); "
+            f"using the committed module",
+            stacklevel=1,
+        )
 
 SF_SMALL = "/root/testdata/sf0.001"
 SF_MEDIUM = "/root/testdata/sf0.01"

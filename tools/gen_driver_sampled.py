@@ -105,8 +105,25 @@ def main() -> None:
     except OSError:
         unchanged = False
     if not unchanged:
-        with open(OUT, "w") as fh:
-            fh.write(content)
+        # atomic replace: pytest_configure may run this concurrently
+        # under parallel test runners — a non-atomic in-place write
+        # could leave a half-written module for another process to
+        # import (ADVICE r8).
+        import tempfile
+
+        fd, tmp = tempfile.mkstemp(
+            dir=os.path.dirname(OUT), prefix=".driver_sampled.", suffix=".tmp"
+        )
+        try:
+            with os.fdopen(fd, "w") as fh:
+                fh.write(content)
+            os.replace(tmp, OUT)
+        except BaseException:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
     print(
         f"{'unchanged' if unchanged else 'wrote'} {OUT}: "
         f"{len(sampled)} sampled names from {len(files)} rounds; "
