@@ -15,3 +15,22 @@ row-at-a-time).
 """
 
 __version__ = "0.1.0"
+
+# Make the package importable inside Spark's Python WORKERS regardless
+# of the launch cwd: custom Python DataSources (sources/pydb.py,
+# sources/pygen.py) and Arrow UDFs are cloudpickled BY REFERENCE, so the
+# forked worker must be able to `import data_integration_project_spark`
+# itself. Workers inherit the driver process environment at JVM launch;
+# the repo root is only implicitly on sys.path when the driver happens
+# to run from it. Exporting PYTHONPATH here (package import time —
+# always before this package builds or touches a session) removes that
+# cwd dependency. No-op when already present.
+import os as _os
+
+_repo_root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+_pp = _os.environ.get("PYTHONPATH", "")
+if _repo_root not in _pp.split(_os.pathsep):
+    _os.environ["PYTHONPATH"] = (
+        _repo_root + (_os.pathsep + _pp if _pp else "")
+    )
+del _os, _pp, _repo_root

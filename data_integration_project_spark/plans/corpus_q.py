@@ -3995,3 +3995,89 @@ def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     for leg in legs[1:]:
         out = out.unionByName(leg)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Curriculum phases: global difficulty quartiles without a global sort
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus_curriculum_phases",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, n_chars, lang,
+             ntile(4) OVER (ORDER BY n_chars, doc_id) AS phase
+      FROM documents
+    )
+    SELECT CAST(phase AS INT) AS phase,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS avg_chars,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM ranked
+    GROUP BY phase
+    """,
+)
+def corpus_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning phase assignment: split the corpus into 4
+    difficulty quartiles (difficulty = document length, the standard
+    first-pass proxy) and profile each phase — the ordering step of an
+    easy-to-hard pretraining schedule. Semantics are exactly SQL
+    NTILE(4) OVER (ORDER BY n_chars, doc_id), but implemented WITHOUT
+    a global sort: a global ORDER BY window collapses to one task at
+    100 TB, so the global rank is decomposed as
+
+        rank(doc) = #docs with smaller n_chars   (histogram cumsum)
+                  + row_number within its n_chars (partitioned window)
+
+    The histogram groupBy runs over the bounded DISTINCT-length domain
+    (its cumsum window orders thousands of rows, not the corpus), the
+    per-length row_number is partitioned by n_chars, and NTILE's
+    first-buckets-get-the-remainder split is reproduced arithmetically
+    from (rank, total). One corpus scan, two small shuffles, no
+    single-task stage."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars", "lang")
+    hist = docs.groupBy("n_chars").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    wc = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, -1)
+    cum = hist.select(
+        "n_chars", F.coalesce(F.sum("cnt").over(wc), F.lit(0)).alias("below")
+    )
+    n_total = int(docs.count())  # bounded driver-side scalar (row count)
+    k = 4
+    size_big = (n_total + k - 1) // k  # first (n % k) buckets get this
+    n_big = n_total % k
+    cut = n_big * size_big
+    size_small = max(n_total // k, 1)
+    wr = Window.partitionBy("n_chars").orderBy("doc_id")
+    ranked = (
+        docs.join(F.broadcast(cum), "n_chars")
+        .withColumn(
+            "grank", F.col("below") + F.row_number().over(wr).cast("long")
+        )
+        .withColumn(
+            "phase",
+            (
+                F.floor(
+                    F.when(
+                        F.col("grank") <= F.lit(cut),
+                        (F.col("grank") - 1) / F.lit(size_big),
+                    ).otherwise(
+                        F.lit(n_big) + (F.col("grank") - 1 - F.lit(cut)) / F.lit(size_small)
+                    )
+                )
+                + 1
+            ).cast("int"),
+        )
+    )
+    return ranked.groupBy("phase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+        (
+            F.sum("n_chars").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("avg_chars"),
+        F.count_distinct(F.col("lang")).cast("long").alias("n_langs"),
+    )

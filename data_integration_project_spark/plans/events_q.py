@@ -6731,3 +6731,107 @@ def events_streaming_state_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.processAllAvailable()
     q.stop()
     return spark.table(name).filter(F.col("user_id") >= 0)
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation function (ACF) of the hourly arrival-count series
+# ---------------------------------------------------------------------------
+
+_ACF_MAX_LAG = 5
+
+_ACF_ORACLE = f"""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ),
+    lagged AS (
+      SELECT c,
+             {", ".join(f"lag(c, {k}) OVER (ORDER BY h) AS y{k}" for k in range(1, _ACF_MAX_LAG + 1))}
+      FROM hourly
+    ),
+    m AS (
+      SELECT {", ".join(
+        f"CAST(COUNT(y{k}) AS BIGINT) AS n{k}, "
+        f"CAST(SUM(c) FILTER (WHERE y{k} IS NOT NULL) AS BIGINT) AS sx{k}, "
+        f"CAST(SUM(y{k}) AS BIGINT) AS sy{k}, "
+        f"CAST(SUM(c * c) FILTER (WHERE y{k} IS NOT NULL) AS BIGINT) AS sxx{k}, "
+        f"CAST(SUM(y{k} * y{k}) AS BIGINT) AS syy{k}, "
+        f"CAST(SUM(c * y{k}) AS BIGINT) AS sxy{k}"
+        for k in range(1, _ACF_MAX_LAG + 1))}
+      FROM lagged
+    )
+    {" UNION ALL ".join(
+      f'''SELECT CAST({k} AS INT) AS lag_hours,
+             n{k} AS n_pairs,
+             (CAST(n{k} AS DOUBLE) * CAST(sxy{k} AS DOUBLE)
+                - CAST(sx{k} AS DOUBLE) * CAST(sy{k} AS DOUBLE))
+             / NULLIF(sqrt(
+                 (CAST(n{k} AS DOUBLE) * CAST(sxx{k} AS DOUBLE)
+                    - CAST(sx{k} AS DOUBLE) * CAST(sx{k} AS DOUBLE))
+                 * (CAST(n{k} AS DOUBLE) * CAST(syy{k} AS DOUBLE)
+                    - CAST(sy{k} AS DOUBLE) * CAST(sy{k} AS DOUBLE))
+               ), 0) AS acf
+      FROM m'''
+      for k in range(1, _ACF_MAX_LAG + 1))}
+"""
+
+
+@query("events_hourly_autocorrelation", oracle=_ACF_ORACLE)
+def events_hourly_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function (ACF) of the hourly event-count series
+    at lags 1..5 — the seasonality/burstiness screen a traffic pipeline
+    runs before capacity planning or anomaly thresholds (reference's
+    monitoring layer has only static counts; this is the time-series
+    extension). Pearson r between the series and its lag-k shift over
+    the OBSERVED hour buckets, via the exact-integer-moments house
+    pattern (see lineitem_correlation_matrix): counts are integers, so
+    every moment is an exact BIGINT sum and the single
+    double-arithmetic epilogue is bit-identical in both engines;
+    constant series yield NULL acf via NULLIF.
+
+    Scale shape: the groupBy(hour) rollup is a map-side-combined
+    aggregation over the raw stream (the only pass that sees data
+    volume); the lag windows run over the HOURLY series, whose length
+    is bounded by calendar time (8,760 rows/year) — not by data volume
+    — so the unpartitioned ORDER BY window is safe at any scale, and
+    all 5 lags + all 30 moments land in ONE aggregate row (one scan,
+    one tiny shuffle)."""
+    k_max = _ACF_MAX_LAG
+    hourly = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w = Window.orderBy("h")
+    lagged = hourly.select(
+        "c", *[F.lag("c", k).over(w).alias(f"y{k}") for k in range(1, k_max + 1)]
+    )
+    aggs = []
+    for k in range(1, k_max + 1):
+        y = F.col(f"y{k}")
+        mask = y.isNotNull()
+        c = F.when(mask, F.col("c"))  # pair-complete x leg
+        aggs += [
+            F.count(y).cast("long").alias(f"n{k}"),
+            F.sum(c).cast("long").alias(f"sx{k}"),
+            F.sum(y).cast("long").alias(f"sy{k}"),
+            F.sum(c * c).cast("long").alias(f"sxx{k}"),
+            F.sum(y * y).cast("long").alias(f"syy{k}"),
+            F.sum(c * y).cast("long").alias(f"sxy{k}"),
+        ]
+    m = lagged.agg(*aggs)
+    out = None
+    for k in range(1, k_max + 1):
+        def D(name: str) -> F.Column:  # noqa: N802 — house style (corr matrix)
+            return F.col(name).cast("double")
+
+        num = D(f"n{k}") * D(f"sxy{k}") - D(f"sx{k}") * D(f"sy{k}")
+        vx = D(f"n{k}") * D(f"sxx{k}") - D(f"sx{k}") * D(f"sx{k}")
+        vy = D(f"n{k}") * D(f"syy{k}") - D(f"sy{k}") * D(f"sy{k}")
+        row = m.select(
+            F.lit(k).cast("int").alias("lag_hours"),
+            F.col(f"n{k}").alias("n_pairs"),
+            (num / F.nullif(F.sqrt(vx * vy), F.lit(0.0))).alias("acf"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -2308,3 +2308,97 @@ def doc_html_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         (content == norm_orig).cast("int").alias("roundtrip_ok"),
         F.md5(content).alias("content_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PMI-lift feature selection: tokens most associated with each language
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_token_class_pmi",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang, unnest({_TOKENS_SQL}) AS token FROM documents
+    ),
+    counts_tl AS (
+      SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS n_token_lang
+      FROM toks GROUP BY 1, 2
+    ),
+    tok_tot AS (
+      SELECT token, CAST(SUM(n_token_lang) AS BIGINT) AS n_t
+      FROM counts_tl GROUP BY token
+    ),
+    lang_tot AS (
+      SELECT lang, CAST(SUM(n_token_lang) AS BIGINT) AS n_l
+      FROM counts_tl GROUP BY lang
+    ),
+    tot AS (SELECT CAST(SUM(n_l) AS BIGINT) AS n FROM lang_tot),
+    lifted AS (
+      SELECT c.lang, c.token, c.n_token_lang,
+             (CAST(c.n_token_lang AS DOUBLE) * CAST(t.n AS DOUBLE))
+               / (CAST(tt.n_t AS DOUBLE) * CAST(lt.n_l AS DOUBLE)) AS pmi_lift
+      FROM counts_tl c
+      JOIN tok_tot tt USING (token)
+      JOIN lang_tot lt USING (lang)
+      CROSS JOIN tot t
+      WHERE c.n_token_lang >= 5
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY pmi_lift DESC, token) AS rn
+      FROM lifted
+    )
+    SELECT lang, token, n_token_lang, pmi_lift, CAST(rn AS INT) AS lang_rank
+    FROM ranked WHERE rn <= 10
+    """,
+)
+def doc_token_class_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information feature selection: the 10 tokens
+    most over-represented in each language, ranked by PMI lift
+    P(token, lang) / (P(token)·P(lang)) = (n_tl·N) / (n_t·n_l) — how a
+    corpus pipeline picks marker features for a cheap lang-id or
+    quality classifier (the statistical step BEFORE doc_nb_lang_classify
+    trains on them). The lift is reported instead of log-PMI because
+    the ratio is a single IEEE division of exactly-converted integer
+    counts (bit-identical in both engines), while ln() is libm-
+    implementation-defined in its last ulp.
+
+    Scale shape: explode → ONE map-side-combined groupBy(lang, token);
+    the marginals derive from the (lang × vocab) count table, never a
+    second corpus pass — n_t by token-partitioned window, n_l and N by
+    broadcast of the per-language totals (a few rows). The min-count
+    gate (n_tl ≥ 5) runs before ranking so the window sees only
+    candidate features."""
+    toks = t(spark, sf_dir, "documents").select(
+        "lang", F.explode(X.tokens(F.col("text"))).alias("token")
+    )
+    counts_tl = toks.groupBy("lang", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("n_token_lang")
+    )
+    n_t = F.sum("n_token_lang").over(Window.partitionBy("token")).cast("long")
+    with_nt = counts_tl.withColumn("n_t", n_t)
+    lang_tot = counts_tl.groupBy("lang").agg(
+        F.sum("n_token_lang").cast("long").alias("n_l")
+    )
+    total = lang_tot.agg(F.sum("n_l").cast("long").alias("n"))
+    lifted = (
+        with_nt.join(F.broadcast(lang_tot), "lang")
+        .crossJoin(F.broadcast(total))
+        .where(F.col("n_token_lang") >= 5)
+        .select(
+            "lang",
+            "token",
+            "n_token_lang",
+            (
+                (F.col("n_token_lang").cast("double") * F.col("n").cast("double"))
+                / (F.col("n_t").cast("double") * F.col("n_l").cast("double"))
+            ).alias("pmi_lift"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("pmi_lift"), F.asc("token"))
+    return (
+        lifted.withColumn("lang_rank", F.row_number().over(w).cast("int"))
+        .where(F.col("lang_rank") <= 10)
+    )
