@@ -591,3 +591,38 @@ def test_jpeg_general_coefficient_adversarial_shapes():
     exp_sum, exp_checksum = _jpeg_expected_stats(qblocks)
     assert d["sum_pixels"] == exp_sum
     assert d["dc_checksum"] == exp_checksum
+
+
+# ---------------------------------------------------------------------------
+# corpus_curriculum_phases: the arithmetic NTILE reproduction
+# ---------------------------------------------------------------------------
+
+
+@given(st.integers(min_value=1, max_value=500), st.integers(min_value=1, max_value=8))
+@settings(max_examples=60, deadline=None)
+def test_arithmetic_ntile_matches_duckdb(n, k):
+    """The sort-free NTILE formula used by corpus_curriculum_phases
+    (histogram-rank decomposition; plans/corpus_q.py) must reproduce
+    SQL NTILE(k) for EVERY (n, k), including the remainder split where
+    the first (n % k) buckets get one extra row. Checked against
+    DuckDB's ntile directly — the same engine the query's oracle runs
+    on — in pure Python (no Spark session needed)."""
+    import duckdb
+
+    expected = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT ntile({k}) OVER (ORDER BY i) FROM range({n}) t(i) ORDER BY i"
+        ).fetchall()
+    ]
+    size_big = (n + k - 1) // k
+    n_big = n % k
+    cut = n_big * size_big
+    size_small = max(n // k, 1)
+    got = [
+        (rank - 1) // size_big + 1
+        if rank <= cut
+        else n_big + (rank - 1 - cut) // size_small + 1
+        for rank in range(1, n + 1)
+    ]
+    assert got == expected, (n, k, got[:20], expected[:20])
