@@ -437,3 +437,35 @@ def test_fx_normalized_daily_dim_broadcast(spark, sf_small):
     plan = _executed_plan(spark, "orders_fx_normalized", sf_small)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_curriculum_histogram_rank_no_global_sort(spark, sf_small):
+    # corpus_curriculum_phases promises NTILE semantics WITHOUT a global
+    # sort: the cumsum join must be broadcast and the only windows are
+    # the tiny histogram cumsum + the per-length partitioned row_number
+    plan = _executed_plan(spark, "corpus_curriculum_phases", sf_small)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pmi_marginals_broadcast(spark, sf_small):
+    # doc_token_class_pmi derives n_l and N from the count table and
+    # broadcasts them — the corpus is exploded and shuffled exactly
+    # twice (groupBy(lang, token), then the token-partitioned window);
+    # the per-language totals must never arrive via a shuffle join
+    plan = _executed_plan(spark, "doc_token_class_pmi", sf_small)
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin"
+    ) >= 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_acf_moments_single_aggregate_row(spark, sf_small):
+    # events_hourly_autocorrelation: the raw stream is touched by ONE
+    # map-side-combined groupBy(hour); the lag windows and all 30
+    # moments run over the calendar-bounded hourly series
+    plan = _executed_plan(spark, "events_hourly_autocorrelation", sf_small)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
