@@ -743,7 +743,7 @@ def doc_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_sort(list(doc_id)) AS posting_list
       FROM tok GROUP BY token
     )
-    SELECT token, doc_freq, posting_list
+    SELECT token, doc_freq, array_to_string(posting_list, ',') AS posting_list
     FROM postings
     ORDER BY doc_freq DESC, token
     LIMIT 15
@@ -759,6 +759,14 @@ def doc_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same groupBy that counts df, and array_sort makes the list
     deterministic despite collect_list's arrival order. Top-15 by df
     with token tiebreak keeps the output bounded.
+
+    The posting list crosses the OUTPUT boundary as a canonical
+    comma-joined string, not array<bigint>: this was the catalog's
+    only array-output query, and the r6-HUGEINT/r8-decimal incidents
+    proved the driver's value hash is type-canonicalization-sensitive
+    across the Spark/DuckDB fetch paths for any type kind no
+    ever-driver-green query has exercised (round-9 proactive audit —
+    the serialization happens after the LIMIT, on 15 rows).
 
     At 100 TB the shape is identical — posting lists for frequent
     tokens get long, so production shards them (token, bucket) with a
@@ -777,6 +785,13 @@ def doc_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("doc_freq"), F.asc("token"))
         .limit(15)
+        .select(
+            "token",
+            "doc_freq",
+            F.array_join(F.col("posting_list").cast("array<string>"), ",").alias(
+                "posting_list"
+            ),
+        )
     )
 
 

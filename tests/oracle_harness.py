@@ -56,23 +56,34 @@ def run_compare(spark, name: str, sf_dir: str) -> None:
     spec = plans.REGISTRY[name]
     sdf = spec.fn(spark, sf_dir)
 
-    # Output-boundary TYPE guard, Spark side (VERDICT r8 item 1): the
-    # driver's value hash is TYPE-CANONICALIZATION-sensitive across the
-    # Spark/DuckDB fetch paths, and _norm below folds Decimal -> float,
+    # Output-boundary TYPE guard, Spark side (VERDICT r8 item 1,
+    # widened to an ALLOWLIST in round 9): the driver's value hash is
+    # TYPE-CANONICALIZATION-sensitive across the Spark/DuckDB fetch
+    # paths, and _norm below folds Decimal -> float / int128 -> int,
     # making this harness structurally blind to the class.  r6's
     # HUGEINT reds and r8's customers_correlated_subquery red (the only
     # decimal-output query of 405; red for two driver rounds while
     # repr-identical locally) are one family: equal values, divergent
     # type canonicalization.  Decimal math INSIDE a query is fine and
     # load-bearing for bit-determinism — only the RETURNED schema is
-    # restricted: cast money outputs to DOUBLE (or bigint cents) at the
-    # boundary, like every ever-driver-green query does.
-    assert "decimal" not in sdf.schema.simpleString().lower(), (
-        f"{name}: returned Spark schema contains DecimalType "
-        f"({sdf.schema.simpleString()}) — driver hash canonicalizes "
-        f"Spark DecimalType vs DuckDB DECIMAL differently; CAST the "
-        f"output column(s) to DOUBLE at the boundary"
-    )
+    # restricted, to the kinds some ever-driver-green query has
+    # actually exercised (the round-9 type-surface audit: bigint 1050
+    # cols, string 278, double 250, int 203, date 36, timestamp 23,
+    # boolean 11, timestamp_ntz 2 — everything else is unproven against
+    # the driver's hash and banned until proven; the audit caught
+    # doc_inverted_index's array<bigint> posting list, now serialized
+    # to a canonical string at the boundary).
+    _PROVEN_KINDS = {
+        "bigint", "boolean", "date", "double", "int", "string",
+        "timestamp", "timestamp_ntz",
+    }
+    for f in sdf.schema.fields:
+        assert f.dataType.simpleString() in _PROVEN_KINDS, (
+            f"{name}: returned column {f.name!r} has type "
+            f"{f.dataType.simpleString()} — not in the driver-proven "
+            f"boundary set {sorted(_PROVEN_KINDS)}; cast/serialize at the "
+            f"output boundary (r6 HUGEINT / r8 decimal family)"
+        )
     spark_cols = sorted(sdf.columns)
     spark_rows = [tuple(_norm(row[c]) for c in spark_cols) for row in sdf.collect()]
 
@@ -99,30 +110,28 @@ def run_compare(spark, name: str, sf_dir: str) -> None:
     assert spec.oracle is not None, f"{name}: no oracle registered"
     con = duck_connection(sf_dir)
 
-    # Oracle result-TYPE guard (VERDICT r6 item 1): the driver's value
-    # hash is type-sensitive, while _norm folds int128 -> Python int and
-    # is structurally blind to DuckDB widening a SUM to HUGEINT where
-    # Spark returns bigint.  Bind the relation and reject any unsigned /
-    # 128-bit integer type (including nested in LIST/STRUCT — the
-    # substring check covers those) so an uncast SUM fails HERE, locally,
-    # instead of in the driver's sample (this class bit rounds 2 and 6).
+    # Oracle result-TYPE guard (VERDICT r6 item 1, widened to the
+    # symmetric ALLOWLIST in round 9): the driver's value hash is
+    # type-sensitive, while _norm folds int128 -> Python int and is
+    # structurally blind to DuckDB widening a SUM to HUGEINT where
+    # Spark returns bigint.  Bind the relation and reject any type kind
+    # no ever-driver-green oracle has exercised, so an uncast SUM (r6),
+    # a decimal money column (r8), or a future LIST/FLOAT/struct output
+    # fails HERE, locally, instead of in the driver's sample.  TINYINT
+    # is in the set because dedup_simhash's hamming column was
+    # driver-green with it in round 1.
+    _PROVEN_DUCK_KINDS = {
+        "BIGINT", "BOOLEAN", "DATE", "DOUBLE", "INTEGER", "TINYINT",
+        "TIMESTAMP", "VARCHAR",
+    }
     rel = con.sql(spec.oracle)
     for col, typ in zip(rel.columns, rel.types):
         t = str(typ).upper()
-        for bad in ("HUGEINT", "UBIGINT", "UINTEGER", "USMALLINT", "UTINYINT"):
-            assert bad not in t, (
-                f"{name}: oracle column {col!r} has DuckDB type {t} — "
-                f"driver hash would mismatch Spark; CAST it (e.g. AS BIGINT)"
-            )
-        # Symmetric half of the Spark-side DecimalType guard above
-        # (VERDICT r8 item 2): the oracle must not emit DECIMAL either —
-        # the driver hashes both fetch paths, so a decimal on EITHER
-        # side re-opens the r6-HUGEINT / r8-decimal canonicalization
-        # family.  CAST(... AS DOUBLE) at the output boundary.
-        assert "DECIMAL" not in t, (
-            f"{name}: oracle column {col!r} has DuckDB type {t} — "
-            f"decimal outputs are banned at the boundary (r8 driver-red "
-            f"root cause); CAST it AS DOUBLE"
+        assert t in _PROVEN_DUCK_KINDS, (
+            f"{name}: oracle column {col!r} has DuckDB type {t} — not in "
+            f"the driver-proven boundary set {sorted(_PROVEN_DUCK_KINDS)}; "
+            f"CAST/serialize at the output boundary (r6 HUGEINT / "
+            f"r8 decimal family)"
         )
 
     res = con.execute(spec.oracle)

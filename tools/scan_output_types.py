@@ -34,6 +34,19 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 _BAD_ORACLE = ("HUGEINT", "UBIGINT", "UINTEGER", "USMALLINT", "UTINYINT")
 
+#: Spark boundary kinds some ever-driver-green query has exercised
+#: (keep in sync with tests/oracle_harness.run_compare's allowlist)
+_PROVEN_KINDS = {
+    "bigint", "boolean", "date", "double", "int", "string",
+    "timestamp", "timestamp_ntz",
+}
+
+#: DuckDB-side twin (TINYINT via dedup_simhash's r1-green hamming col)
+_PROVEN_DUCK_KINDS = {
+    "BIGINT", "BOOLEAN", "DATE", "DOUBLE", "INTEGER", "TINYINT",
+    "TIMESTAMP", "VARCHAR",
+}
+
 
 def scan(spark, con, name: str, sf_dir: str) -> dict:
     from data_integration_project_spark import plans
@@ -46,6 +59,8 @@ def scan(spark, con, name: str, sf_dir: str) -> dict:
         out["spark"] = spark_types
         if any("decimal" in t.lower() for t in spark_types.values()):
             out["flags"].append("spark_decimal_output")
+        if any(t not in _PROVEN_KINDS for t in spark_types.values()):
+            out["flags"].append("spark_unproven_kind")
     except Exception as exc:  # noqa: BLE001 — survey tool, keep scanning
         out["spark_error"] = f"{type(exc).__name__}: {exc}"[:200]
     if spec.oracle is None:
@@ -60,6 +75,8 @@ def scan(spark, con, name: str, sf_dir: str) -> dict:
                 out["flags"].append("oracle_decimal_output")
             if any(b in t for b in _BAD_ORACLE):
                 out["flags"].append("oracle_hugeint_or_unsigned")
+            if t not in _PROVEN_DUCK_KINDS:
+                out["flags"].append("oracle_unproven_kind")
     except Exception as exc:  # noqa: BLE001
         out["oracle_error"] = f"{type(exc).__name__}: {exc}"[:200]
     out["flags"] = sorted(set(out["flags"]))
