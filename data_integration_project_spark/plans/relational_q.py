@@ -2364,6 +2364,18 @@ def orders_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     checksum proves both engines choose identical items, not just
     identical counts.
 
+    The anti-join exploits the band structure: a candidate (u, p)
+    always has bucket(p) == bucket(u), so positives in OTHER bands can
+    never match — the anti-join runs against only the IN-BAND subset
+    of positives (expected |positives|/nb = 256·|positives|/|parts|
+    rows, broadcastable at any scale since nb grows with the catalog).
+    That removes the (custkey, partkey) shuffle of the full candidate
+    set (~256 rows/user — the sf1.0 sweep's worst row at 92s was this
+    exchange + sort-merge anti-join) and leaves the candidates hash-
+    partitioned on custkey from the user-distinct, which the top-3
+    window and final aggregate then reuse without re-exchanging; the
+    only remaining shuffles are the two distincts over positives.
+
     Determinism is the point: resampling on retry/repartition would
     silently change the training set (same rule as
     corpus_shard_assignment); the band count is a pure function of
@@ -2386,8 +2398,22 @@ def orders_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     part_bucket = p.select(
         F.col("p_partkey"), (fold(F.col("p_partkey")) % nb).alias("bucket")
     )
-    user_bucket = positives.select("custkey").distinct().select(
-        "custkey", (fold(F.col("custkey")) % nb).alias("bucket")
+    # Explicit round-robin repartition: the user list is tiny relative
+    # to the ~256-candidates-per-user expansion below it, so AQE
+    # coalesces the distinct's exchange to ONE partition and would run
+    # the whole expansion + window serially (the sf1.0 sweep's 92s).
+    # Round-robin (not keyed — a keyed repartition is collapsed into
+    # the distinct's identical exchange and then coalesced anyway)
+    # spreads whole users across tasks; every candidate of a user is
+    # generated inside one task, so the partial window-group-limit
+    # reduces each task's output to <=3 rows per user before the only
+    # remaining wide exchange.
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    user_bucket = (
+        positives.select("custkey")
+        .distinct()
+        .repartition(n_shuffle)
+        .select("custkey", (fold(F.col("custkey")) % nb).alias("bucket"))
     )
     rkey = fold(
         F.concat(
@@ -2397,7 +2423,13 @@ def orders_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = user_bucket.join(F.broadcast(part_bucket), "bucket").select(
         "custkey", F.col("p_partkey").alias("partkey"), rkey.alias("rkey")
     )
-    negs = cands.join(positives, ["custkey", "partkey"], "left_anti")
+    # Only positives in the user's OWN band can collide with a
+    # candidate (candidates are band-local by construction), so the
+    # anti-join needs just this ~|positives|/nb-row broadcast side.
+    pos_in_band = positives.filter(
+        (fold(F.col("custkey")) % nb) == (fold(F.col("partkey")) % nb)
+    )
+    negs = cands.join(F.broadcast(pos_in_band), ["custkey", "partkey"], "left_anti")
     w = Window.partitionBy("custkey").orderBy("rkey", "partkey")
     return (
         negs.withColumn("rk", F.row_number().over(w))

@@ -469,3 +469,20 @@ def test_acf_moments_single_aggregate_row(spark, sf_small):
     plan = _executed_plan(spark, "events_hourly_autocorrelation", sf_small)
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_negative_sampling_band_local_anti_join(spark, sf_small):
+    # orders_negative_sampling: the anti-join must run against the
+    # band-local positives broadcast (only positives in the user's own
+    # hash band can collide with a candidate), never shuffle the full
+    # ~256-per-user candidate expansion on (custkey, partkey) — the
+    # sort-merge form was the sf1.0 sweep's worst row at 92s.  The
+    # top-3-per-user filter must push into the window as a group limit,
+    # and the expansion must stay wide (explicit round-robin
+    # repartition; AQE would coalesce the tiny user-distinct to one
+    # task and serialize the whole expansion).
+    plan = _executed_plan(spark, "orders_negative_sampling", sf_small)
+    assert "SortMergeJoin" not in plan
+    assert "LeftAnti, BuildRight" in plan, "anti-join must be broadcast"
+    assert "WindowGroupLimit" in plan
+    assert "REPARTITION_BY_NUM" in plan or "RoundRobinPartitioning" in plan
