@@ -6847,12 +6847,26 @@ def customers_cogroup_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one co-partitioned shuffle on the key for both sides,
     then embarrassingly parallel per-key calls; per-call memory is one
-    key's rows, not a partition."""
+    key's rows, not a partition.  The repartitions are EXPLICIT
+    (user-specified counts are exempt from AQE coalescing): the
+    operator's cost is ~1-2 ms of Python per KEY, which AQE's
+    byte-sized coalescing cannot see — it folded the two small
+    shuffles to 2 partitions and serialized ~15k per-key UDF calls
+    into a 35s stage at sf0.1 (1.1s wide)."""
     import numpy as np
     import pandas as pd
 
-    c = t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
-    o = t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    c = (
+        t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_acctbal")
+        .repartition(n_shuffle, "c_custkey")
+    )
+    o = (
+        t(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .repartition(n_shuffle, "o_custkey")
+    )
 
     def recon(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if len(left):
