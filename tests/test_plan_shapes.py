@@ -486,3 +486,18 @@ def test_negative_sampling_band_local_anti_join(spark, sf_small):
     assert "LeftAnti, BuildRight" in plan, "anti-join must be broadcast"
     assert "WindowGroupLimit" in plan
     assert "REPARTITION_BY_NUM" in plan or "RoundRobinPartitioning" in plan
+
+
+def test_cogroup_recon_stays_wide_under_aqe(spark, sf_small):
+    # customers_cogroup_recon: cogrouped applyInPandas costs ~1-2 ms of
+    # Python per KEY, invisible to AQE's byte-based coalescing — it
+    # folded the co-partitioned shuffles to 2 partitions and serialized
+    # ~15k per-key calls (35s at sf0.1, 3.4s wide).  The explicit keyed
+    # repartitions are exempt from coalescing and must stay.
+    df = plans.REGISTRY["customers_cogroup_recon"].fn(spark, sf_small)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "AQEShuffleRead coalesced" not in plan, (
+        "cogroup inputs must keep their explicit partition count"
+    )
