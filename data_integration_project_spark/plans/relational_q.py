@@ -416,34 +416,67 @@ def customer_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     levenshtein. The J1 reconciliation join generalized from exact
     equality to typo tolerance.
 
-    Scale shape: blocking converts O(N²) comparisons into a hash join
-    whose cost is Σ |block|² — with sane blocking keys, blocks are
-    dozens of rows at any corpus size. Same-block skew (a degenerate
-    key) is the risk; cap block size or refine the key, exactly like
-    the LSH bucket-size cap in dedup."""
-    cust = t(spark, sf_dir, "customer")
+    Scale shape: naive prefix blocking costs Σ |block|², and on
+    sequential-ID name distributions the 16-char-prefix blocks GROW
+    with the table (sf0.1 max block 14, sf1.0 max 140 — Σ|b|² went
+    100×, the sweep's one genuinely superlinear non-output-bound
+    row). The candidate join therefore refines each block by the
+    DELETION-1 NEIGHBORHOOD of the post-prefix suffix: two co-blocked
+    names (they share the first 16 chars exactly, so by the
+    prefix-stripping property of edit distance the single edit lies
+    entirely in the suffixes) are lev<=1 only if their deletion
+    neighborhoods {suffix} ∪ {suffix minus one char} intersect, so
+    joining on (nation, prefix, variant) finds every qualifying pair
+    while the per-variant buckets stay ~|block|/alphabet. Candidates
+    are deduped before the one exact levenshtein per pair. Same
+    result, same oracle — only the candidate generator changed.
+
+    The explicit round-robin repartition matters as much as the
+    algorithm here: customer at sf1.0 is ONE ~8 MB parquet split, so
+    without it the explode + probe + levenshtein stage runs in a
+    single task regardless of how good the blocking is."""
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cust = t(spark, sf_dir, "customer").repartition(n_shuffle)
+    suffix = F.expr("substring(c_name, 17)")
+    # {suffix} ∪ {suffix with position i deleted}: per-ROW HOF over a
+    # handful of variants (never per-pair — the charlm lesson)
+    variants = F.array_distinct(
+        F.concat(
+            F.array(suffix),
+            F.expr(
+                "transform(sequence(1, length(substring(c_name, 17))),"
+                " i -> concat(substring(substring(c_name, 17), 1, i - 1),"
+                "             substring(substring(c_name, 17), i + 1)))"
+            ),
+        )
+    )
     blocked = cust.select(
         "c_custkey",
         "c_name",
         "c_nationkey",
         F.substring("c_name", 1, 16).alias("blk"),
+        F.explode(variants).alias("vkey"),
     )
     a = blocked.select(
         F.col("c_custkey").alias("key_a"),
         F.col("c_name").alias("name_a"),
         "c_nationkey",
         "blk",
+        "vkey",
     )
     b = blocked.select(
         F.col("c_custkey").alias("key_b"),
         F.col("c_name").alias("name_b"),
         "c_nationkey",
         "blk",
+        "vkey",
     )
     dist = F.levenshtein("name_a", "name_b")
     return (
-        a.join(b, ["c_nationkey", "blk"])
+        a.join(b, ["c_nationkey", "blk", "vkey"])
         .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b", "name_a", "name_b")
+        .distinct()  # a pair can meet under several shared variants
         .filter(dist <= 1)
         .select(
             "key_a", "key_b", "name_a", "name_b", dist.cast("int").alias("edit_dist")

@@ -501,3 +501,18 @@ def test_cogroup_recon_stays_wide_under_aqe(spark, sf_small):
     assert "AQEShuffleRead coalesced" not in plan, (
         "cogroup inputs must keep their explicit partition count"
     )
+
+
+def test_fuzzy_match_deletion_neighborhood_candidates(spark, sf_small):
+    # customer_fuzzy_match: candidates must come from the (nation,
+    # prefix, deletion-1 variant) equi-join, not the bare 16-char
+    # prefix block — prefix blocks GROW with the table on sequential-ID
+    # names (sf0.1 max 14 → sf1.0 max 140, Σ|b|² ×100), and the
+    # single-split customer file must be round-robin repartitioned so
+    # the probe + levenshtein stage isn't one task.
+    df = plans.REGISTRY["customer_fuzzy_match"].fn(spark, sf_small)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "vkey" in plan, "join must include the deletion-1 variant key"
+    assert "RoundRobinPartitioning" in plan or "REPARTITION_BY_NUM" in plan
+    assert "CartesianProduct" not in plan
