@@ -165,6 +165,14 @@ HEADLINE = [
     "orders_queue_simulation",
     "doc_containment_pairs",
     "events_hll_set_operations",
+    # round 9: the three late scale fixes join the regression set so
+    # their shapes stay visible per round — band-local broadcast
+    # anti-join negative sampling (wide under AQE), per-key cogrouped
+    # applyInPandas reconciliation (explicit co-partition width), and
+    # deletion-1-neighborhood blocked levenshtein
+    "orders_negative_sampling",
+    "customers_cogroup_recon",
+    "customer_fuzzy_match",
 ]
 
 
