@@ -436,17 +436,19 @@ def customer_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     without it the explode + probe + levenshtein stage runs in a
     single task regardless of how good the blocking is."""
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    cust = t(spark, sf_dir, "customer").repartition(n_shuffle)
-    suffix = F.expr("substring(c_name, 17)")
+    cust = (
+        t(spark, sf_dir, "customer")
+        .repartition(n_shuffle)
+        .withColumn("sfx", F.expr("substring(c_name, 17)"))
+    )
     # {suffix} ∪ {suffix with position i deleted}: per-ROW HOF over a
     # handful of variants (never per-pair — the charlm lesson)
     variants = F.array_distinct(
         F.concat(
-            F.array(suffix),
+            F.array(F.col("sfx")),
             F.expr(
-                "transform(sequence(1, length(substring(c_name, 17))),"
-                " i -> concat(substring(substring(c_name, 17), 1, i - 1),"
-                "             substring(substring(c_name, 17), i + 1)))"
+                "transform(sequence(1, length(sfx)),"
+                " i -> concat(substring(sfx, 1, i - 1), substring(sfx, i + 1)))"
             ),
         )
     )
@@ -2404,10 +2406,11 @@ def orders_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, broadcastable at any scale since nb grows with the catalog).
     That removes the (custkey, partkey) shuffle of the full candidate
     set (~256 rows/user — the sf1.0 sweep's worst row at 92s was this
-    exchange + sort-merge anti-join) and leaves the candidates hash-
-    partitioned on custkey from the user-distinct, which the top-3
-    window and final aggregate then reuse without re-exchanging; the
-    only remaining shuffles are the two distincts over positives.
+    exchange + sort-merge anti-join). The remaining shuffles are the
+    two cheap distincts over positives, the round-robin scatter of the
+    tiny user list (see the comment below — it buys 32-wide expansion),
+    and one custkey exchange into the final window/aggregate that the
+    partial window-group-limit has already cut to ≤3 rows per user.
 
     Determinism is the point: resampling on retry/repartition would
     silently change the training set (same rule as

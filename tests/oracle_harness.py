@@ -18,6 +18,24 @@ from data_integration_project_spark.schemas import TABLE_NAMES
 
 _REL_TOL = 0.0  # exact by default; queries are designed to be bit-deterministic
 
+#: Output-boundary type ALLOWLISTS (round 9, single source of truth —
+#: imported by tests/test_oracle_types.py and tools/scan_output_types.py).
+#: The driver's value hash is TYPE-CANONICALIZATION-sensitive across the
+#: Spark/DuckDB fetch paths (r6 HUGEINT reds, r8 decimal red — one
+#: family), so only the kinds some ever-driver-green query has actually
+#: exercised may cross the output boundary.  Spark-side census from the
+#: round-9 audit: bigint 1050 cols, string 278, double 250, int 203,
+#: date 36, timestamp 23, boolean 11, timestamp_ntz 2; DuckDB-side
+#: TINYINT is proven via dedup_simhash's r1-green hamming column.
+PROVEN_SPARK_KINDS = {
+    "bigint", "boolean", "date", "double", "int", "string",
+    "timestamp", "timestamp_ntz",
+}
+PROVEN_DUCK_KINDS = {
+    "BIGINT", "BOOLEAN", "DATE", "DOUBLE", "INTEGER", "TINYINT",
+    "TIMESTAMP", "VARCHAR",
+}
+
 
 def _norm(v):
     if v is None:
@@ -66,23 +84,15 @@ def run_compare(spark, name: str, sf_dir: str) -> None:
     # repr-identical locally) are one family: equal values, divergent
     # type canonicalization.  Decimal math INSIDE a query is fine and
     # load-bearing for bit-determinism — only the RETURNED schema is
-    # restricted, to the kinds some ever-driver-green query has
-    # actually exercised (the round-9 type-surface audit: bigint 1050
-    # cols, string 278, double 250, int 203, date 36, timestamp 23,
-    # boolean 11, timestamp_ntz 2 — everything else is unproven against
-    # the driver's hash and banned until proven; the audit caught
-    # doc_inverted_index's array<bigint> posting list, now serialized
-    # to a canonical string at the boundary).
-    _PROVEN_KINDS = {
-        "bigint", "boolean", "date", "double", "int", "string",
-        "timestamp", "timestamp_ntz",
-    }
+    # restricted, to PROVEN_SPARK_KINDS (see the module constant; the
+    # round-9 audit caught doc_inverted_index's array<bigint> posting
+    # list this way, now serialized to a canonical string).
     for f in sdf.schema.fields:
-        assert f.dataType.simpleString() in _PROVEN_KINDS, (
+        assert f.dataType.simpleString() in PROVEN_SPARK_KINDS, (
             f"{name}: returned column {f.name!r} has type "
             f"{f.dataType.simpleString()} — not in the driver-proven "
-            f"boundary set {sorted(_PROVEN_KINDS)}; cast/serialize at the "
-            f"output boundary (r6 HUGEINT / r8 decimal family)"
+            f"boundary set {sorted(PROVEN_SPARK_KINDS)}; cast/serialize at "
+            f"the output boundary (r6 HUGEINT / r8 decimal family)"
         )
     spark_cols = sorted(sdf.columns)
     spark_rows = [tuple(_norm(row[c]) for c in spark_cols) for row in sdf.collect()]
@@ -117,19 +127,13 @@ def run_compare(spark, name: str, sf_dir: str) -> None:
     # Spark returns bigint.  Bind the relation and reject any type kind
     # no ever-driver-green oracle has exercised, so an uncast SUM (r6),
     # a decimal money column (r8), or a future LIST/FLOAT/struct output
-    # fails HERE, locally, instead of in the driver's sample.  TINYINT
-    # is in the set because dedup_simhash's hamming column was
-    # driver-green with it in round 1.
-    _PROVEN_DUCK_KINDS = {
-        "BIGINT", "BOOLEAN", "DATE", "DOUBLE", "INTEGER", "TINYINT",
-        "TIMESTAMP", "VARCHAR",
-    }
+    # fails HERE, locally, instead of in the driver's sample.
     rel = con.sql(spec.oracle)
     for col, typ in zip(rel.columns, rel.types):
         t = str(typ).upper()
-        assert t in _PROVEN_DUCK_KINDS, (
+        assert t in PROVEN_DUCK_KINDS, (
             f"{name}: oracle column {col!r} has DuckDB type {t} — not in "
-            f"the driver-proven boundary set {sorted(_PROVEN_DUCK_KINDS)}; "
+            f"the driver-proven boundary set {sorted(PROVEN_DUCK_KINDS)}; "
             f"CAST/serialize at the output boundary (r6 HUGEINT / "
             f"r8 decimal family)"
         )

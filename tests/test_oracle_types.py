@@ -20,17 +20,7 @@ from __future__ import annotations
 
 import pytest
 
-from tests.oracle_harness import duck_connection
-
-#: DuckDB boundary kinds some ever-driver-green oracle has exercised
-#: (round-9 audit; TINYINT via dedup_simhash's r1-green hamming column).
-#: Keep in sync with tests/oracle_harness.run_compare's oracle-side
-#: allowlist — everything else (HUGEINT, DECIMAL, FLOAT, LIST, STRUCT,
-#: unsigned ints, ...) is unproven against the driver's hash and banned.
-_PROVEN_DUCK_KINDS = {
-    "BIGINT", "BOOLEAN", "DATE", "DOUBLE", "INTEGER", "TINYINT",
-    "TIMESTAMP", "VARCHAR",
-}
+from tests.oracle_harness import PROVEN_DUCK_KINDS, duck_connection
 
 
 def test_every_oracle_output_kind_is_driver_proven(sf_small):
@@ -47,7 +37,7 @@ def test_every_oracle_output_kind_is_driver_proven(sf_small):
             pytest.fail(f"{name}: oracle failed to bind: {exc}")
         for col, typ in zip(rel.columns, rel.types):
             t = str(typ).upper()
-            if t not in _PROVEN_DUCK_KINDS:
+            if t not in PROVEN_DUCK_KINDS:
                 offenders.append(f"{name}.{col}: {t}")
     assert not offenders, (
         "oracle output type kinds never driver-proven (CAST/serialize at "

@@ -494,9 +494,7 @@ def test_cogroup_recon_stays_wide_under_aqe(spark, sf_small):
     # folded the co-partitioned shuffles to 2 partitions and serialized
     # ~15k per-key calls (35s at sf0.1, 3.4s wide).  The explicit keyed
     # repartitions are exempt from coalescing and must stay.
-    df = plans.REGISTRY["customers_cogroup_recon"].fn(spark, sf_small)
-    df.collect()
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = _executed_plan(spark, "customers_cogroup_recon", sf_small)
     assert "FlatMapCoGroupsInPandas" in plan
     assert "AQEShuffleRead coalesced" not in plan, (
         "cogroup inputs must keep their explicit partition count"
@@ -510,9 +508,7 @@ def test_fuzzy_match_deletion_neighborhood_candidates(spark, sf_small):
     # names (sf0.1 max 14 → sf1.0 max 140, Σ|b|² ×100), and the
     # single-split customer file must be round-robin repartitioned so
     # the probe + levenshtein stage isn't one task.
-    df = plans.REGISTRY["customer_fuzzy_match"].fn(spark, sf_small)
-    df.collect()
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = _executed_plan(spark, "customer_fuzzy_match", sf_small)
     assert "vkey" in plan, "join must include the deletion-1 variant key"
     assert "RoundRobinPartitioning" in plan or "REPARTITION_BY_NUM" in plan
     assert "CartesianProduct" not in plan

@@ -14,9 +14,10 @@ red in every driver sample.  The triage rule this tool implements:
 For each registered query it builds the Spark plan (no execution beyond
 what the builder itself runs) and binds the oracle in DuckDB, then
 prints one JSON line per query with both type surfaces and a
-``flags`` list of non-portable boundary types (decimal on either side,
-HUGEINT/unsigned on the oracle side).  Exit code 1 if any query is
-flagged.
+``flags`` list of boundary type kinds no ever-driver-green query has
+exercised (the allowlists live in tests/oracle_harness.py; DECIMAL,
+HUGEINT, unsigned ints, LIST, STRUCT, FLOAT all fall outside them).
+Exit code 1 if any query is flagged.
 
 Usage:
 
@@ -32,20 +33,10 @@ import sys
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
-_BAD_ORACLE = ("HUGEINT", "UBIGINT", "UINTEGER", "USMALLINT", "UTINYINT")
-
-#: Spark boundary kinds some ever-driver-green query has exercised
-#: (keep in sync with tests/oracle_harness.run_compare's allowlist)
-_PROVEN_KINDS = {
-    "bigint", "boolean", "date", "double", "int", "string",
-    "timestamp", "timestamp_ntz",
-}
-
-#: DuckDB-side twin (TINYINT via dedup_simhash's r1-green hamming col)
-_PROVEN_DUCK_KINDS = {
-    "BIGINT", "BOOLEAN", "DATE", "DOUBLE", "INTEGER", "TINYINT",
-    "TIMESTAMP", "VARCHAR",
-}
+# Single source of truth for the output-boundary allowlists (any type
+# containing DECIMAL / HUGEINT / unsigned ints is by construction not
+# in them, so per-kind ban flags would be subsumed).
+from tests.oracle_harness import PROVEN_DUCK_KINDS, PROVEN_SPARK_KINDS  # noqa: E402
 
 
 def scan(spark, con, name: str, sf_dir: str) -> dict:
@@ -57,9 +48,7 @@ def scan(spark, con, name: str, sf_dir: str) -> dict:
         sdf = spec.fn(spark, sf_dir)
         spark_types = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
         out["spark"] = spark_types
-        if any("decimal" in t.lower() for t in spark_types.values()):
-            out["flags"].append("spark_decimal_output")
-        if any(t not in _PROVEN_KINDS for t in spark_types.values()):
+        if any(t not in PROVEN_SPARK_KINDS for t in spark_types.values()):
             out["flags"].append("spark_unproven_kind")
     except Exception as exc:  # noqa: BLE001 — survey tool, keep scanning
         out["spark_error"] = f"{type(exc).__name__}: {exc}"[:200]
@@ -71,11 +60,7 @@ def scan(spark, con, name: str, sf_dir: str) -> dict:
         duck_types = {c: str(t).upper() for c, t in zip(rel.columns, rel.types)}
         out["oracle"] = duck_types
         for t in duck_types.values():
-            if "DECIMAL" in t:
-                out["flags"].append("oracle_decimal_output")
-            if any(b in t for b in _BAD_ORACLE):
-                out["flags"].append("oracle_hugeint_or_unsigned")
-            if t not in _PROVEN_DUCK_KINDS:
+            if t not in PROVEN_DUCK_KINDS:
                 out["flags"].append("oracle_unproven_kind")
     except Exception as exc:  # noqa: BLE001
         out["oracle_error"] = f"{type(exc).__name__}: {exc}"[:200]

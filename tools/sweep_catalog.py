@@ -78,7 +78,7 @@ def compare(small_path: str, big_path: str, k: float) -> int:
 
 
 def main(argv: list[str]) -> int:
-    if len(argv) >= 3 and argv[1] == "run":
+    if len(argv) >= 4 and argv[1] == "run":
         return run(argv[2], argv[3], argv[4:])
     if len(argv) >= 4 and argv[1] == "compare":
         return compare(argv[2], argv[3], float(argv[4]) if len(argv) > 4 else 10.0)
