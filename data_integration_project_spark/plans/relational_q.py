@@ -10828,3 +10828,82 @@ def orders_merkle_root(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in panels[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Group-relative advantage normalization (GRPO-style RL data prep)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_group_relative_advantage",
+    oracle="""
+    WITH rollouts AS (
+      SELECT o_custkey AS group_id, o_orderkey AS rollout_id,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS reward_centi
+      FROM orders WHERE o_custkey % 20 = 0
+    ),
+    stats AS (
+      SELECT group_id,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(reward_centi) AS BIGINT) AS s1,
+             CAST(SUM(reward_centi * reward_centi) AS BIGINT) AS s2
+      FROM rollouts GROUP BY group_id
+    )
+    SELECT r.group_id, r.rollout_id, r.reward_centi, s.n AS group_n,
+           CASE WHEN s.n * s.s2 - s.s1 * s.s1 = 0 THEN CAST(0.0 AS DOUBLE)
+                ELSE CAST(s.n * r.reward_centi - s.s1 AS DOUBLE)
+                     / sqrt(CAST(s.n * s.s2 - s.s1 * s.s1 AS DOUBLE))
+           END AS advantage
+    FROM rollouts r JOIN stats s USING (group_id)
+    """,
+)
+def orders_group_relative_advantage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-RELATIVE ADVANTAGE normalization — the RL-training-data
+    shape popularized by GRPO: each prompt's sampled rollouts are a
+    group, and every rollout's reward is standardized against its OWN
+    group's mean and std, (r - mean)/std, so the learning signal is
+    comparable across prompts of wildly different reward scales with
+    no learned value baseline. Groups are customers (the "prompt"),
+    rollouts their orders, reward the order value in integer centis
+    (the house money rule used everywhere the reference parses prices,
+    coffee_etl_clean/etl/transformers/data_transformer.py:63).
+
+    Bit-determinism without the usual float-variance trap: with
+    integer rewards, (r - mean)/std == (n*r - s1) / sqrt(n*s2 - s1^2)
+    where n, s1, s2 and both the numerator and the sqrt argument are
+    EXACT int64 — the only floating ops are one IEEE-correctly-rounded
+    sqrt and one division, identical in every engine (no ln/exp, the
+    PMI libm lesson). The degenerate group — one rollout, or all
+    rewards equal, so variance 0 — gets advantage 0 by the GRPO
+    convention, expressed as an integer predicate (n*s2 - s1^2 = 0),
+    never a float epsilon test.
+
+    Scale shape: one map-side-combined aggregate for the moments, one
+    broadcast-or-shuffle join back on the group key; rollout counts
+    per group are bounded by construction (a prompt's sample budget),
+    so no skew. The %20 gate bounds the audited slice the way
+    orders_rebate_proration's %100 gate does."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 20 == 0)
+    r = o.select(
+        F.col("o_custkey").alias("group_id"),
+        F.col("o_orderkey").alias("rollout_id"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("reward_centi"),
+    )
+    stats = r.groupBy("group_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("reward_centi").alias("s1"),
+        F.sum(F.col("reward_centi") * F.col("reward_centi")).alias("s2"),
+    )
+    var_num = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    adv = F.when(var_num == 0, F.lit(0.0)).otherwise(
+        (F.col("n") * F.col("reward_centi") - F.col("s1")).cast("double")
+        / F.sqrt(var_num.cast("double"))
+    )
+    return r.join(stats, "group_id").select(
+        "group_id",
+        "rollout_id",
+        "reward_centi",
+        F.col("n").alias("group_n"),
+        adv.alias("advantage"),
+    )

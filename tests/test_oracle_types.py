@@ -7,7 +7,7 @@ family — round 6's HUGEINT reds (DuckDB widens SUM(BIGINT) to int128)
 and round 8's two-round `customers_correlated_subquery` red (the only
 decimal-output query of 405; Spark DecimalType vs DuckDB DECIMAL).
 `tests/oracle_harness.run_compare` guards both sides per query inside
-the full gate; this module is the FAST half — binding all 408 oracles
+the full gate; this module is the FAST half — binding all 409 oracles
 takes ~2s, so an offending cast fails at authoring time even in a
 targeted test run that never reaches the big gate.
 

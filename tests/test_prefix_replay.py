@@ -1,7 +1,7 @@
 """Driver-order prefix replay: the first queries of ``queries()`` in
 CATALOG order, one shared session, each immediately oracle-compared.
 
-The full gate (test_queries_oracle) runs every REGISTRY query (408 as of round 9)
+The full gate (test_queries_oracle) runs every REGISTRY query (409 as of round 9)
 order; the driver runs a ~50-query PREFIX in CATALOG order (red-first,
 then never-sampled — plans/catalog._ordered_names). A query that
 mutates session state (confs, temp views, registered sources) can pass

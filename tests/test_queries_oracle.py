@@ -7,6 +7,7 @@ scale). Queries without an oracle get a smoke-run (schema + rows>=0).
 
 from __future__ import annotations
 
+import math
 import os
 
 import pytest
@@ -159,3 +160,46 @@ def test_duplicate_name_guard_and_reload_idempotency(tmp_path):
             spec.loader.exec_module(mod)
     finally:
         plans.REGISTRY.pop("zz_dup_probe", None)
+
+
+def test_group_relative_advantage_degenerate_groups(spark, tmp_path):
+    # The fixture orders give every sampled customer several distinct
+    # prices, so the GRPO zero-variance branch (n=1 group, or all
+    # rewards equal -> advantage 0 by convention) never fires in the
+    # catalog gate.  Pin it end-to-end on a crafted orders table run
+    # through the full Spark-vs-DuckDB compare.
+    import shutil
+
+    from data_integration_project_spark.schemas import TABLE_NAMES
+
+    src = TEST_SF
+    for name in TABLE_NAMES:
+        shutil.copy(f"{src}/{name}.parquet", tmp_path / f"{name}.parquet")
+    rows = [
+        # group 20: single rollout -> n=1, variance 0, advantage 0
+        (1, 20, 11.00),
+        # group 40: constant rewards -> variance 0, advantage 0
+        (2, 40, 5.00), (3, 40, 5.00), (4, 40, 5.00),
+        # group 60: ordinary spread -> exact (n*r - s1)/sqrt(n*s2 - s1^2)
+        (5, 60, 1.00), (6, 60, 2.00), (7, 60, 6.00),
+        # group 7: not on the %20 gate -> must not appear
+        (8, 7, 9.99),
+    ]
+    crafted = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_totalprice double"
+    )
+    crafted.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "_orders_tmp"))
+    import glob
+    import os
+
+    part = glob.glob(str(tmp_path / "_orders_tmp" / "part-*.parquet"))[0]
+    os.replace(part, tmp_path / "orders.parquet")
+    run_compare(spark, "orders_group_relative_advantage", str(tmp_path))
+
+    df = plans.REGISTRY["orders_group_relative_advantage"].fn(spark, str(tmp_path))
+    got = {r["rollout_id"]: r["advantage"] for r in df.collect()}
+    assert set(got) == {1, 2, 3, 4, 5, 6, 7}
+    assert got[1] == 0.0 and got[2] == got[3] == got[4] == 0.0
+    # group 60 exact check: n=3, s1=900, s2=410000 -> 900/sqrt(420000)
+    assert got[5] < got[6] < got[7]
+    assert got[7] == 900.0 / math.sqrt(420000.0)
