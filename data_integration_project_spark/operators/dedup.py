@@ -37,6 +37,7 @@ from pyspark.sql import Window
 
 from ..functions.text import HASH_P as P
 from ..functions.text import char_fold_hash, fingerprint_md5, tokens
+from ..session import iterative_loop
 
 #: Multiplier folding token hashes into a window (shingle) hash.
 #: acc < P ≈ 2^31 and M ≈ 2^20, so acc·M + h < 2^52 — safe in int64.
@@ -317,43 +318,48 @@ def connected_components(
         .withColumn("comp", F.col("node"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    labels.count()
-    for _ in range(max_iter):
-        neigh = (
-            edges.join(labels.withColumnRenamed("node", "dst"), "dst")
-            .groupBy("src")
-            .agg(F.min("comp").alias("_ncomp"))
-            .withColumnRenamed("src", "node")
-        )
-        # localCheckpoint, not persist: persist alone truncates
-        # RE-COMPUTATION but keeps the logical lineage, so a consumer
-        # that builds further plan on the returned labels (e.g. the
-        # B-cubed evaluation) inherits a plan tree that grows with the
-        # round count — measured as a driver OOM in AQE's plan-string
-        # rendering on a default 1g heap. Same lesson as the star
-        # variant below: iterative self-referential plans must cut
-        # lineage every round.
-        new_labels = (
-            labels.join(neigh, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("_ncomp"), F.col("comp"))
-                ).alias("comp"),
+    n_nodes = labels.count()
+    # Round-9 optimization: same iterative_loop discipline as the star
+    # variant below — loop shuffles sized from the measured node count,
+    # AQE suspended for the loop's fixed join+agg shape (it re-planned
+    # every exchange of every round as its own job).
+    with iterative_loop(pairs.sparkSession, n_nodes):
+        for _ in range(max_iter):
+            neigh = (
+                edges.join(labels.withColumnRenamed("node", "dst"), "dst")
+                .groupBy("src")
+                .agg(F.min("comp").alias("_ncomp"))
+                .withColumnRenamed("src", "node")
             )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.withColumnRenamed("comp", "_new_comp")
-            .join(labels, "node")
-            .filter(F.col("_new_comp") != F.col("comp"))
-            .limit(1)
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
+            # localCheckpoint, not persist: persist alone truncates
+            # RE-COMPUTATION but keeps the logical lineage, so a consumer
+            # that builds further plan on the returned labels (e.g. the
+            # B-cubed evaluation) inherits a plan tree that grows with the
+            # round count — measured as a driver OOM in AQE's plan-string
+            # rendering on a default 1g heap. Same lesson as the star
+            # variant below: iterative self-referential plans must cut
+            # lineage every round.
+            new_labels = (
+                labels.join(neigh, "node", "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("comp"), F.coalesce(F.col("_ncomp"), F.col("comp"))
+                    ).alias("comp"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_labels.withColumnRenamed("comp", "_new_comp")
+                .join(labels, "node")
+                .filter(F.col("_new_comp") != F.col("comp"))
+                .limit(1)
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
     edges.unpersist()
     return labels
 
@@ -543,6 +549,61 @@ def intra_doc_dedup(
     )
 
 
+def _contract_partitions(e: DataFrame, parts: int) -> DataFrame:
+    """Partition-local union-find contraction: (node, rep) rows where
+    ``rep`` is the smallest node reachable from ``node`` using only
+    edges that landed in the same partition (a node that appears in
+    several partitions gets one row per partition).
+
+    Why (optimization guide §8 — use what the optimizer doesn't know):
+    the star loop pays O(log L) global rounds for a path of length L.
+    One linear local pass first contracts every chain segment that fits
+    in a partition, so the distributed rounds only see the
+    cross-partition remainder — O(parts) super-nodes instead of O(n)
+    nodes, O(log parts) rounds instead of O(log n). Edges are
+    range-partitioned on ``u`` so graphs with id-locality (edit chains,
+    consecutive doc ids — the common dedup shapes) contract maximally;
+    a layout with no locality loses nothing but this one extra pass.
+    Per-task memory is bounded by the partition's node count, which the
+    caller sizes via ``iterative_loop``'s rows-per-partition target.
+
+    Deterministic: the rep of a local set is its minimum node id,
+    independent of edge arrival order."""
+
+    def uf(batches):
+        import pyarrow as pa
+
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for b in batches:
+            for u, v in zip(b.column("u").to_pylist(), b.column("v").to_pylist()):
+                parent.setdefault(u, u)
+                parent.setdefault(v, v)
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    # smaller id becomes the root, so roots are set minima
+                    if ru < rv:
+                        parent[rv] = ru
+                    else:
+                        parent[ru] = rv
+        nodes = list(parent)
+        yield pa.record_batch(
+            [pa.array(nodes, pa.int64()), pa.array([find(n) for n in nodes], pa.int64())],
+            names=["node", "rep"],
+        )
+
+    ranged = e.repartitionByRange(max(1, parts), "u")
+    return ranged.mapInArrow(uf, "node long, rep long")
+
+
 def connected_components_star(
     pairs: DataFrame,
     *,
@@ -591,58 +652,104 @@ def connected_components_star(
         ).collect()[0]
         return (row["n"], row["h"], row["su"], row["sv"])
 
-    prev_sig = _sig(e)
-    # Each round is exactly THREE shuffles: a window-min keyed on u for
-    # large-star, a window-min keyed on u for small-star, and the final
-    # distinct. The groupBy+join formulation of "attach min(N(u)) to
-    # every (u,v)" costs two extra exchanges per star; a min OVER
+    # Round-9 optimization, two layers (guide §1.2 step 1 — fix the
+    # distributed algorithm first):
+    #
+    # 1. Partition-local contraction (see _contract_partitions): one
+    #    linear pass collapses every chain that fits in a partition, so
+    #    the star rounds run on the cross-partition SUPER-graph —
+    #    O(log parts) rounds instead of O(log n). At bench scale the
+    #    5k-edge path graph contracts to zero super-edges and the loop
+    #    vanishes; at cluster scale the loop's working set is
+    #    proportional to partition count, not corpus size.
+    # 2. The loop runs under iterative_loop — shuffle partitions
+    #    derived from the measured edge count (resized as the set
+    #    shrinks), AQE suspended for the fixed-shape exchanges it was
+    #    re-planning into ~8 jobs per round (101 jobs total for the
+    #    12-round / 5k-edge fixture; now ~10 jobs end to end).
+    #
+    # Each star round is exactly THREE shuffles: a window-min keyed on
+    # u for large-star, a window-min keyed on u for small-star, and the
+    # final distinct. The groupBy+join formulation of "attach min(N(u))
+    # to every (u,v)" costs two extra exchanges per star; a min OVER
     # (PARTITION BY u) computes the same value in the single exchange
     # that co-locates each node's edges. Intermediate duplicates are
     # carried (they can't change a min) and collapsed once, at the end.
     wu = Window.partitionBy("u")
-    for _ in range(max_iter):
-        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        large = (
-            sym.withColumn("_m", F.least(F.min("v").over(wu), F.col("u")))
-            .filter(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("u"), F.col("_m").alias("v"))
-            .filter(F.col("u") != F.col("v"))
-        )
-        directed = large.select(
-            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-        )
-        withmin = directed.withColumn("_m", F.min("v").over(wu))
-        small = (
-            withmin.select(F.col("v").alias("u"), F.col("_m").alias("v"))
-            .union(withmin.select("u", F.col("_m").alias("v")))
-            .filter(F.col("u") != F.col("v"))
+    with iterative_loop(pairs.sparkSession, e.count()) as loop:
+        locals_ = _contract_partitions(e, loop.parts).localCheckpoint(eager=True)
+        minrep = locals_.groupBy("node").agg(F.min("rep").alias("_mrep"))
+        se = (
+            locals_.join(minrep, "node")
+            .filter(F.col("rep") != F.col("_mrep"))
+            .select(F.col("_mrep").alias("u"), F.col("rep").alias("v"))
             .distinct()
             .localCheckpoint(eager=True)
         )
-        # Convergence: ONE cheap aggregate per round (count + three
-        # order-independent sums over the checkpointed set). Only when
-        # the signature repeats do we pay for the exact set-equality
-        # confirm — so the expensive exceptAll pair runs once, at the
-        # fixpoint, instead of every round (measured ~30% of loop time).
-        sig = _sig(small)
-        if sig == prev_sig:
-            changed = (
-                small.exceptAll(e).limit(1).count()
-                + e.exceptAll(small).limit(1).count()
+        prev_sig = _sig(se)
+        loop.resize(prev_sig[0])
+        for _ in range(max_iter if prev_sig[0] else 0):
+            sym = se.union(se.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            large = (
+                sym.withColumn("_m", F.least(F.min("v").over(wu), F.col("u")))
+                .filter(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("_m").alias("v"))
+                .filter(F.col("u") != F.col("v"))
             )
-            if changed == 0:
-                e = small
-                break
-        prev_sig = sig
-        e = small
+            directed = large.select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            withmin = directed.withColumn("_m", F.min("v").over(wu))
+            small = (
+                withmin.select(F.col("v").alias("u"), F.col("_m").alias("v"))
+                .union(withmin.select("u", F.col("_m").alias("v")))
+                .filter(F.col("u") != F.col("v"))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            # Convergence: ONE cheap aggregate per round (count + three
+            # order-independent sums over the checkpointed set). Only when
+            # the signature repeats do we pay for the exact set-equality
+            # confirm — so the expensive exceptAll pair runs once, at the
+            # fixpoint, instead of every round (measured ~30% of loop time).
+            sig = _sig(small)
+            if sig == prev_sig:
+                changed = (
+                    small.exceptAll(se).limit(1).count()
+                    + se.exceptAll(small).limit(1).count()
+                )
+                if changed == 0:
+                    se = small
+                    break
+            prev_sig = sig
+            se = small
+            loop.resize(sig[0])
+    # The star fixpoint is depth-1 stars over super-nodes: (u=member
+    # rep, v=component-minimum rep). Expand back to original nodes —
+    # a super-node absent from the fixpoint edges is its own root.
     roots = (
-        e.select(F.col("v").alias("node"))
+        se.select(F.col("v").alias("rep"))
         .distinct()
-        .join(e.select(F.col("u").alias("node")).distinct(), "node", "left_anti")
-        .withColumn("comp", F.col("node"))
+        .join(se.select(F.col("u").alias("rep")).distinct(), "rep", "left_anti")
+        .withColumn("comp", F.col("rep"))
     )
-    labels = e.select(F.col("u").alias("node"), F.col("v").alias("comp"))
-    return labels.unionByName(roots)
+    slabels = se.select(F.col("u").alias("rep"), F.col("v").alias("comp")).unionByName(
+        roots
+    )
+    rep_comp = (
+        locals_.select("rep")
+        .distinct()
+        .join(slabels, "rep", "left")
+        .select("rep", F.coalesce("comp", F.col("rep")).alias("comp"))
+    )
+    # a node seen in several partitions has several (node, rep) rows;
+    # all its reps share one super-component, so min() just collapses
+    # the duplicates deterministically.
+    return (
+        locals_.join(rep_comp, "rep")
+        .groupBy("node")
+        .agg(F.min("comp").alias("comp"))
+    )
 
 
 # ---------------------------------------------------------------------------

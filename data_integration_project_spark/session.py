@@ -64,6 +64,69 @@ def get_spark(app_name: str = "data_integration_project_spark") -> SparkSession:
     return spark
 
 
+#: Target shuffle-partition size for iterative loops, in ROWS of the
+#: loop's working frame (edges, labels, coefficients). 2M rows of two
+#: int64s ≈ 32 MB per partition — inside the guide's 100 MB-1 GB band
+#: once real-world row widths are counted. Env-tunable for clusters.
+LOOP_ROWS_PER_PARTITION = int(
+    os.environ.get("SPARK_GRAFT_LOOP_ROWS_PER_PARTITION", str(2_000_000))
+)
+
+
+class iterative_loop:
+    """Context manager pinning shuffle partitioning for a fixed-shape
+    iterative loop (connected components, label propagation, PageRank,
+    gradient descent, BPE merge rounds).
+
+    Why (optimization guide §1.2/§2): each loop round is a handful of
+    exchanges over a working frame whose size the OPERATOR knows
+    exactly (it counts the frame every round for its convergence
+    check). AQE re-plans every exchange of every round as its own job
+    — measured 101 Spark jobs for a 12-round / 5k-edge star loop,
+    ~8 jobs per round of pure scheduler+py4j overhead. Inside the
+    loop we size ``spark.sql.shuffle.partitions`` directly from the
+    measured row count (``rows / LOOP_ROWS_PER_PARTITION``, clamped to
+    at least 1) and suspend AQE: coalescing is subsumed by the exact
+    sizing, and AQE's skew handling only rewrites joins — the loop
+    bodies here are windows and aggregates it would never touch.
+    Confs are restored on exit; ``tune_session`` re-applies engine
+    defaults at the next catalog call anyway.
+
+    Scale-adaptive by construction: at 5k edges this yields 1
+    partition (one task per stage instead of 32 empties); at 10^12
+    edges it yields 500k partitions of ~32 MB. Not a local[32] tune —
+    the same formula serves both ends, and the divisor is env-tunable.
+    """
+
+    def __init__(self, spark: SparkSession, rows: int):
+        self.spark = spark
+        self.rows = rows
+        self._saved: dict[str, str] = {}
+
+    def resize(self, rows: int) -> None:
+        """Re-derive the loop partition count from a fresh row count
+        (working frames can shrink round over round)."""
+        self.parts = max(1, -(-int(rows) // LOOP_ROWS_PER_PARTITION))
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.parts))
+
+    def __enter__(self) -> "iterative_loop":
+        for k in ("spark.sql.shuffle.partitions", "spark.sql.adaptive.enabled"):
+            try:
+                self._saved[k] = self.spark.conf.get(k)
+            except Exception:  # unset on this session — restore to unset
+                self._saved[k] = None
+        self.spark.conf.set("spark.sql.adaptive.enabled", "false")
+        self.resize(self.rows)
+        return self
+
+    def __exit__(self, *exc) -> None:
+        for k, v in self._saved.items():
+            if v is None:
+                self.spark.conf.unset(k)
+            else:
+                self.spark.conf.set(k, v)
+
+
 def tune_session(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine confs to an externally built session.
 

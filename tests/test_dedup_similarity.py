@@ -421,6 +421,30 @@ def test_star_cc_matches_direct_cc(spark):
     assert all(r["comp"] == 0 for r in labels)
 
 
+def test_star_cc_contraction_across_partitions(spark, monkeypatch):
+    """The round-9 partition-local contraction pre-pass must stitch
+    components whose edges are scattered across many partitions: shrink
+    the loop's rows-per-partition target so the contraction genuinely
+    runs on several range partitions, on an interleaved two-component
+    graph whose chains all cross partition boundaries."""
+    from data_integration_project_spark import session as S
+    from data_integration_project_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    # 40 edges / 8 per partition -> 5 range partitions; each holds a
+    # slice of BOTH chains, and every slice must be stitched to its
+    # neighbors through shared boundary nodes.
+    monkeypatch.setattr(S, "LOOP_ROWS_PER_PARTITION", 8)
+    # component A: even chain 0-2-4-...-40; component B: odd chain
+    # 1-3-...-41.
+    edges = [(i, i + 2) for i in range(0, 40)]
+    pairs = spark.createDataFrame(edges, ["_id_a", "_id_b"])
+    labels = {r["node"]: r["comp"] for r in connected_components_star(pairs).collect()}
+    assert len(labels) == 42
+    assert all(c == (n % 2) for n, c in labels.items())
+
+
 def test_heavy_hitters_guarantee(spark):
     """Output equals the exact HAVING count*(cap+1) > N set even under
     adversarial partitioning."""
