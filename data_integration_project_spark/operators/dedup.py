@@ -96,23 +96,40 @@ def shingle_rows(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame
     semantics where needed).
 
     Window hash = numeric fold ``(acc·M + tok_hash) mod P`` over k
-    consecutive token hashes, assembled with ``lead`` over the in-doc
-    position (one shuffle on the doc id, which downstream per-doc
-    groupBys reuse). Docs shorter than k tokens simply produce no rows
-    (trailing ``lead`` nulls are filtered)."""
-    th = hashed_token_rows(df, id_col, text_col)
-    w = Window.partitionBy(id_col).orderBy("_pos")
-    acc = F.lit(0).cast("long")
-    last = None
-    for i in range(k):
-        h_i = F.col("_h") if i == 0 else F.lead("_h", i).over(w)
-        last = h_i
-        acc = (acc * M + h_i) % P
-    return (
-        th.select(F.col(id_col), acc.alias("_shash"), last.isNotNull().alias("_full"))
-        .filter(F.col("_full"))
-        .select(id_col, "_shash")
+    consecutive token hashes. Round-9 optimization (guide §2.4 —
+    remove shuffles outright): the fold is assembled with ARRAY
+    expressions inside the scan projection (``token_hash_array`` +
+    ``transform`` over a window-start ``sequence``), replacing the
+    former posexplode → distinct-token dim → hash join → window(lead)
+    chain — three exchanges per call, and shingle producers are the
+    hottest subtree in the dedup family (the blocking self-joins
+    evaluate them once per join side). The trade is hashing per token
+    OCCURRENCE instead of per distinct token; the char fold is a
+    codegen'd array aggregate, and at cluster scale the three removed
+    shuffles are the wall, not the hash CPU (guide §2.2). Bit-equal to
+    the window formulation — same left fold, verified by A/B multiset
+    compare and the unchanged DuckDB oracles. Docs shorter than k
+    tokens simply produce no rows."""
+    # materialize the per-token hash array as its own projection so the
+    # window lambda below reads it with O(1) element_at instead of
+    # re-evaluating the transform expression per access
+    th = df.select(
+        F.col(id_col),
+        F.transform(tokens(F.col(text_col)), char_fold_hash).alias("_hs"),
     )
+    hs = F.col("_hs")
+    n_windows = F.size(hs) - F.lit(k - 1)
+
+    def fold(i):
+        acc = F.lit(0).cast("long")
+        for j in range(k):
+            acc = (acc * M + F.element_at(hs, i + F.lit(j))) % P
+        return acc
+
+    shingles = F.when(
+        n_windows < 1, F.array().cast("array<long>")
+    ).otherwise(F.transform(F.sequence(F.lit(1), F.greatest(n_windows, F.lit(1))), fold))
+    return th.select(F.col(id_col), F.explode(shingles).alias("_shash"))
 
 
 def shingle_sets(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as X
+from ..session import iterative_loop
 from .catalog import query, t
 
 _TOKENS_SQL = "regexp_split_to_array(lower(trim(text)), '\\s+')"
@@ -3005,7 +3006,14 @@ def doc_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     th = d.select(
         "doc_id", "text", F.size(X.tokens(F.col("text"))).alias("n_tok")
     )
-    sh = shingle_rows(th, "doc_id", "text", 3).distinct()
+    # Round-9 optimization (guide §1.1): `sh` feeds the rare-filter AND
+    # both sides of the blocking self-join — Catalyst does not share
+    # common subtrees across join inputs, so the tokenize+window
+    # pipeline ran FOUR times inside the edges plan (measured: edge
+    # build was ~4/5 of the query's wall). Persist the shingle set for
+    # the duration of edge materialization; released right after the
+    # edge count below, so the no-leaked-cache invariant holds.
+    sh = shingle_rows(th, "doc_id", "text", 3).distinct().persist()
     rare = (
         sh.groupBy("_shash")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -3024,55 +3032,75 @@ def doc_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     seeds = th.filter(F.col("doc_id") % 4 == 0).select(
-        "doc_id", F.least(F.lit(2), (F.col("n_tok") / 40).cast("int")).alias("label")
+        "doc_id", F.least(F.lit(2), (F.col("n_tok") / 40).cast("int")).alias("seeded")
     )
     nodes = th.select("doc_id")
-    labels = nodes.join(seeds, "doc_id", "left").localCheckpoint(eager=True)
+    # Round-9 optimization (guide §1.2): `nodes ⋈ seeds` is loop-
+    # invariant but was rebuilt INSIDE every round — re-reading and
+    # re-tokenizing the corpus three extra times. Checkpoint the seeded
+    # base once; each round is then exactly one vote shuffle + one
+    # window + one join against the 2-column base. The loop runs under
+    # iterative_loop (shuffle partitions from the measured edge count,
+    # AQE suspended for the fixed-shape rounds — the connected-
+    # components lesson; 40 jobs → ~12 at sf0.1).
+    base = nodes.join(seeds, "doc_id", "left").localCheckpoint(eager=True)
+    labels = base.select("doc_id", F.col("seeded").alias("label"))
     out = []
     try:
-        for rnd in range(1, 4):
-            votes = (
-                edges.join(
-                    labels.filter(F.col("label").isNotNull()).withColumnRenamed(
-                        "doc_id", "src"
-                    ),
-                    "src",
+        n_edges = edges.count()  # materializes the persisted edge set
+        sh.unpersist()
+        with iterative_loop(spark, n_edges):
+            for rnd in range(1, 4):
+                votes = (
+                    edges.join(
+                        labels.filter(F.col("label").isNotNull()).withColumnRenamed(
+                            "doc_id", "src"
+                        ),
+                        "src",
+                    )
+                    .groupBy("dst", "label")
+                    .agg(F.count(F.lit(1)).alias("n"))
                 )
-                .groupBy("dst", "label")
-                .agg(F.count(F.lit(1)).alias("n"))
-            )
-            from pyspark.sql import Window as W
+                from pyspark.sql import Window as W
 
-            pick = (
-                votes.withColumn(
-                    "rk",
-                    F.row_number().over(
-                        W.partitionBy("dst").orderBy(
-                            F.desc("n"), F.asc("label")
+                pick = (
+                    votes.withColumn(
+                        "rk",
+                        F.row_number().over(
+                            W.partitionBy("dst").orderBy(
+                                F.desc("n"), F.asc("label")
+                            )
+                        ),
+                    )
+                    .filter(F.col("rk") == 1)
+                    .select(F.col("dst").alias("doc_id"), F.col("label").alias("voted"))
+                )
+                nxt = (
+                    base.join(pick, "doc_id", "left")
+                    .select(
+                        "doc_id",
+                        F.coalesce("seeded", "voted").alias("label"),
+                    )
+                    .localCheckpoint(eager=True)
+                )
+                if rnd > 1:
+                    labels.unpersist()
+                labels = nxt
+                for row in (
+                    labels.groupBy("label").agg(F.count(F.lit(1)).alias("n")).collect()
+                ):
+                    out.append(
+                        (
+                            rnd,
+                            None if row["label"] is None else int(row["label"]),
+                            int(row["n"]),
                         )
-                    ),
-                )
-                .filter(F.col("rk") == 1)
-                .select(F.col("dst").alias("doc_id"), F.col("label").alias("voted"))
-            )
-            nxt = (
-                nodes.join(seeds.withColumnRenamed("label", "seeded"), "doc_id", "left")
-                .join(pick, "doc_id", "left")
-                .select(
-                    "doc_id",
-                    F.coalesce("seeded", "voted").alias("label"),
-                )
-                .localCheckpoint(eager=True)
-            )
-            labels.unpersist()
-            labels = nxt
-            for row in labels.groupBy("label").agg(F.count(F.lit(1)).alias("n")).collect():
-                out.append(
-                    (rnd, None if row["label"] is None else int(row["label"]), int(row["n"]))
-                )
+                    )
     finally:
+        sh.unpersist()  # no-op when already released after the edge count
         edges.unpersist()
         labels.unpersist()
+        base.unpersist()
     return spark.createDataFrame(out, "round int, label int, n_nodes long")
 
 
