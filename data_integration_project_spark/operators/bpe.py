@@ -73,10 +73,31 @@ def train_bpe(
     weighted count, the merged symbol, and the corpus-weighted symbol
     total AFTER applying the merge (which certifies the merge was
     applied, not just selected)."""
+    from ..session import iterative_loop
+
     cur = words.select(
         "word", "cnt", F.split(F.col("word"), "").alias("syms")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)  # materialized by the count below
     out = []
+    # Round-9 optimization (guide §1.2/§2): every round after the
+    # histogram runs on |vocab| rows — size the loop's shuffles from
+    # the measured vocab count and suspend AQE's per-exchange
+    # re-planning for the fixed-shape rounds; with the lazy
+    # checkpoints below each round is 2 actions (argmax +
+    # symbols_after-materializes-checkpoint) instead of 3. 34 jobs →
+    # ~16 at sf0.1; at cluster scale the vocab is still dim-sized, so
+    # 1-2 partitions replace the session default.
+    n_vocab = cur.count()
+    with iterative_loop(spark, n_vocab):
+        out = _train_rounds(cur, n_merges, out)
+    return spark.createDataFrame(
+        out,
+        "round int, left_sym string, right_sym string, "
+        "pair_count long, merged string, symbols_after long",
+    )
+
+
+def _train_rounds(cur: DataFrame, n_merges: int, out: list) -> list:
     for rnd in range(1, n_merges + 1):
         pairs = (
             cur.filter(F.size("syms") >= 2)
@@ -101,21 +122,23 @@ def train_bpe(
         if not pairs:
             break
         left, right, n = pairs[0]["a"], pairs[0]["b"], int(pairs[0]["n"])
+        # LAZY checkpoint: the symbols_after aggregate below is the
+        # first action on `nxt` and materializes the checkpoint as a
+        # side effect — one action does both jobs (was: eager
+        # checkpoint + separate aggregate). Only unpersist the old
+        # frame AFTER nxt is materialized: nxt's plan reads cur's
+        # checkpointed blocks, which cannot be recomputed once freed.
         nxt = cur.select(
             "word", "cnt", _apply_merge(F.col("syms"), left, right).alias("syms")
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
+        symbols_after = int(
+            nxt.select(F.sum(F.col("cnt") * F.size("syms"))).collect()[0][0]
+        )
         cur.unpersist()
         cur = nxt
-        symbols_after = int(
-            cur.select(F.sum(F.col("cnt") * F.size("syms"))).collect()[0][0]
-        )
         out.append((rnd, left, right, n, left + right, symbols_after))
     cur.unpersist()
-    return spark.createDataFrame(
-        out,
-        "round int, left_sym string, right_sym string, "
-        "pair_count long, merged string, symbols_after long",
-    )
+    return out
 
 
 def encode_words_with_merges(

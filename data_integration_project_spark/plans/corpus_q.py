@@ -2807,7 +2807,10 @@ def doc_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents")
     toks = X.tokens(F.col("text"))
-    words = word_histogram(d, toks)
+    # Round-9 optimization (guide §1.1): `words` feeds BOTH the training
+    # loop and the encode side — without the checkpoint the corpus-wide
+    # tokenize+explode+groupBy histogram pass ran twice. One pass, reused.
+    words = word_histogram(d, toks).localCheckpoint(eager=True)
     merges_rows = train_bpe(spark, words, n_merges=6).orderBy("round").collect()
     merges = [(r["left_sym"], r["right_sym"]) for r in merges_rows]
     enc = encode_words_with_merges(words.select("word"), merges)
@@ -2869,7 +2872,10 @@ def doc_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents")
     toks = X.tokens(F.col("text"))
-    words = word_histogram(d, toks)
+    # Round-9 optimization (guide §1.1): `words` feeds BOTH the training
+    # loop and the encode side — without the checkpoint the corpus-wide
+    # tokenize+explode+groupBy histogram pass ran twice. One pass, reused.
+    words = word_histogram(d, toks).localCheckpoint(eager=True)
     merges_rows = train_bpe(spark, words, n_merges=6).orderBy("round").collect()
     merges = [(r["left_sym"], r["right_sym"]) for r in merges_rows]
     enc = encode_words_with_merges(words.select("word"), merges)

@@ -971,37 +971,49 @@ def nations_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
+    from ..session import iterative_loop
+
+    # Round-9 optimization (guide §1.2): nodes and outdegree are
+    # loop-invariant but were rebuilt from `edges` INSIDE every round
+    # (2 + 1 exchanges per round of redundant work) — checkpoint nodes
+    # once and attach outdeg to the edge list once, so each round is
+    # exactly one equi-join + one map-side-combined sum + the rank
+    # rebuild. The 5 fixed-shape rounds run under iterative_loop
+    # (shuffle partitions from the measured edge count, AQE's
+    # per-exchange re-planning jobs suspended).
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    outdeg = edges.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("outdeg")
-    )
+    edges_deg = edges.join(
+        edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")), "src"
+    ).localCheckpoint(eager=True)
+    n_edges = edges_deg.count()
     ranks = nodes.withColumn("rank_scaled", F.lit(_PR_SCALE).cast("long"))
-    for _ in range(_PR_ITERS):
-        contrib = (
-            edges.join(ranks.withColumnRenamed("node", "src"), "src")
-            .join(outdeg.withColumnRenamed("node", "src"), "src")
-            .select(
-                F.col("dst").alias("node"),
-                F.expr("rank_scaled div outdeg").alias("c"),
+    with iterative_loop(spark, n_edges):
+        for _ in range(_PR_ITERS):
+            contrib = (
+                edges_deg.join(ranks.withColumnRenamed("node", "src"), "src")
+                .select(
+                    F.col("dst").alias("node"),
+                    F.expr("rank_scaled div outdeg").alias("c"),
+                )
+                .groupBy("node")
+                .agg(F.sum("c").alias("contrib"))
             )
-            .groupBy("node")
-            .agg(F.sum("c").alias("contrib"))
-        )
-        ranks = (
-            nodes.join(contrib, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(_PR_BASE)
-                    + F.expr("85 * coalesce(contrib, 0) div 100")
-                ).cast("long").alias("rank_scaled"),
+            ranks = (
+                nodes.join(contrib, "node", "left")
+                .select(
+                    "node",
+                    (
+                        F.lit(_PR_BASE)
+                        + F.expr("85 * coalesce(contrib, 0) div 100")
+                    ).cast("long").alias("rank_scaled"),
+                )
+                .localCheckpoint(eager=True)
             )
-            .localCheckpoint(eager=True)
-        )
     return ranks.join(
         F.broadcast(n), ranks["node"] == n["n_nationkey"]
     ).select(
@@ -7567,43 +7579,58 @@ def customers_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
+    import math
+
+    from ..session import iterative_loop
+
+    def _sig(w):
+        # hard sigmoid in integer micro-units under weight vector w
+        z = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
+        return F.least(
+            F.greatest(F.floor(z / 4.0).cast("long") + F.lit(500000), F.lit(0)),
+            F.lit(1000000),
+        )
+
+    def _grad_cols(s):
+        err = s - F.col("y") * F.lit(1000000)
+        return [
+            F.sum(err).alias("g0"),
+            F.sum(F.col("x1") * err).alias("g1"),
+            F.sum(F.col("x2") * err).alias("g2"),
+        ]
+
     try:
-        n = feats.count()
+        # Round-9 optimization (guide §1.2 — fewer passes, fewer
+        # actions): iteration i's training-accuracy scan and iteration
+        # i+1's gradient scan both evaluate under the SAME weight
+        # vector (the one produced by update i), so they fuse into ONE
+        # aggregate; the row count rides the initial gradient pass.
+        # 17 actions -> 9, and at scale 17 full scans -> 9. Values are
+        # identical by construction (same expressions, same weights).
+        # The 8 fixed-shape single-row aggregates run under
+        # iterative_loop (AQE re-planning jobs are pure overhead here).
         w = [0, 0, 0]
         rows = []
-        for it in range(1, 9):
-            z = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
-            s = F.least(
-                F.greatest(
-                    F.floor(z / 4.0).cast("long") + F.lit(500000), F.lit(0)
-                ),
-                F.lit(1000000),
-            )
-            err = s - F.col("y") * F.lit(1000000)
-            g = feats.select(
-                F.sum(err).alias("g0"),
-                F.sum(F.col("x1") * err).alias("g1"),
-                F.sum(F.col("x2") * err).alias("g2"),
-            ).collect()[0]
-            import math
-
-            w = [
-                w[j] - int(math.floor(float(g[j]) / (32.0 * n)))
-                for j in range(3)
-            ]
-            z2 = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
-            s2 = F.least(
-                F.greatest(
-                    F.floor(z2 / 4.0).cast("long") + F.lit(500000), F.lit(0)
-                ),
-                F.lit(1000000),
-            )
-            correct = feats.select(
-                F.sum(
-                    F.when(s2 >= 500000, F.col("y")).otherwise(1 - F.col("y"))
-                ).alias("c")
-            ).collect()[0]["c"]
-            rows.append((it, w[0], w[1], w[2], int(correct), n))
+        first = feats.select(
+            F.count(F.lit(1)).alias("n"), *_grad_cols(_sig(w))
+        ).collect()[0]
+        n = first["n"]
+        g = [first["g0"], first["g1"], first["g2"]]
+        with iterative_loop(spark, n):
+            for it in range(1, 9):
+                w = [
+                    w[j] - int(math.floor(float(g[j]) / (32.0 * n)))
+                    for j in range(3)
+                ]
+                s = _sig(w)
+                res = feats.select(
+                    F.sum(
+                        F.when(s >= 500000, F.col("y")).otherwise(1 - F.col("y"))
+                    ).alias("c"),
+                    *_grad_cols(s),
+                ).collect()[0]
+                rows.append((it, w[0], w[1], w[2], int(res["c"]), n))
+                g = [res["g0"], res["g1"], res["g2"]]
     finally:
         feats.unpersist()
     return spark.createDataFrame(
