@@ -83,8 +83,20 @@ def hashed_token_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     occurrence counts — then joined back. No broadcast hint: AQE
     converts to broadcast when the dim fits, falls back to a shuffle
     join for web-scale vocabularies; both are linear."""
-    toks = df.select(
-        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("_pos", "_tok")
+    from ..session import default_parallelism
+
+    # Spread the raw (id, text) rows before exploding (guide §2.6):
+    # the corpus often arrives as few fat files (one split locally),
+    # and everything up to the first downstream exchange — explode,
+    # the dim probe when AQE broadcasts it, any map-side partial
+    # aggregate — would otherwise run inside a single scan task.
+    toks = (
+        df.select(F.col(id_col), F.col(text_col))
+        .repartition(default_parallelism(), id_col)
+        .select(
+            F.col(id_col),
+            F.posexplode(tokens(F.col(text_col))).alias("_pos", "_tok"),
+        )
     )
     dim = toks.select("_tok").distinct().withColumn("_h", char_fold_hash(F.col("_tok")))
     return toks.join(dim, "_tok").select(id_col, "_pos", "_h")
@@ -112,10 +124,23 @@ def shingle_rows(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame
     tokens simply produce no rows."""
     # materialize the per-token hash array as its own projection so the
     # window lambda below reads it with O(1) element_at instead of
-    # re-evaluating the transform expression per access
-    th = df.select(
-        F.col(id_col),
-        F.transform(tokens(F.col(text_col)), char_fold_hash).alias("_hs"),
+    # re-evaluating the transform expression per access. The char-fold
+    # hash is an interpreted HOF — the query's CPU-fat stage — and the
+    # corpus often arrives as few fat files (documents.parquet is ONE
+    # split locally), so spread the raw (id, text) rows across the
+    # session parallelism first (guide §2.6): one narrow exchange of
+    # raw text, in exchange for the hash CPU running wide instead of
+    # inside a single scan task. Projecting to the two needed columns
+    # keeps the shuffled bytes minimal (guide §2.2).
+    from ..session import default_parallelism
+
+    th = (
+        df.select(F.col(id_col), F.col(text_col))
+        .repartition(default_parallelism(), id_col)
+        .select(
+            F.col(id_col),
+            F.transform(tokens(F.col(text_col)), char_fold_hash).alias("_hs"),
+        )
     )
     hs = F.col("_hs")
     n_windows = F.size(hs) - F.lit(k - 1)
@@ -806,10 +831,15 @@ def cdc_chunk_rows(
     Expected chunk length is ``divisor`` characters; ``window`` bounds
     the re-synchronization distance after an edit.
     """
+    from ..session import default_parallelism
+
     w1 = window - 1
+    # spread raw docs before the per-position explode+md5 — the CPU-fat
+    # stage would otherwise run inside however few scan tasks the file
+    # layout yields (one, locally); see shingle_rows (guide §2.6)
     c = df.select(
         F.col(id_col), F.col(text_col).alias("_t"), F.length(text_col).alias("_n")
-    )
+    ).repartition(default_parallelism(), id_col)
     pos = c.select(
         id_col,
         "_t",

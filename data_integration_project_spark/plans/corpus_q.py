@@ -1609,8 +1609,19 @@ def doc_dup_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.lower(F.trim(F.col("text"))).alias("s"),
     ).withColumn("n_chars", F.length("s").cast("long"))
+    # Round-9 optimization (guide §2.6 — parallelize the CPU-fat
+    # stage): the per-position md5 projection is the query's dominant
+    # CPU, but the documents table is one small parquet file, so the
+    # explode+md5 ran as ONE task (profiled: 3 tasks total, serial
+    # wall). Spread the doc rows across the session's parallelism
+    # before exploding; at cluster scale the scan is already
+    # many-partitioned and this one narrow exchange of raw docs is
+    # noise next to the gram stream it fans out into.
+    from ..session import default_parallelism
+
     gpos = (
         s.filter(F.length("s") >= L)
+        .repartition(default_parallelism(), "doc_id")
         .select(
             "doc_id",
             "s",
@@ -3012,14 +3023,13 @@ def doc_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     th = d.select(
         "doc_id", "text", F.size(X.tokens(F.col("text"))).alias("n_tok")
     )
-    # Round-9 optimization (guide §1.1): `sh` feeds the rare-filter AND
-    # both sides of the blocking self-join — Catalyst does not share
-    # common subtrees across join inputs, so the tokenize+window
-    # pipeline ran FOUR times inside the edges plan (measured: edge
-    # build was ~4/5 of the query's wall). Persist the shingle set for
-    # the duration of edge materialization; released right after the
-    # edge count below, so the no-leaked-cache invariant holds.
-    sh = shingle_rows(th, "doc_id", "text", 3).distinct().persist()
+    # Round-9 NOTE (measured, left alone): `sh` feeds the rare-filter
+    # AND both sides of the blocking self-join, but persisting it is a
+    # small LOSS (interleaved A/B: edge build 1.42 s plain vs 1.70 s
+    # persisted warm) — ReuseExchange dedups the identical distinct
+    # exchange across the branches, so only cheap post-exchange work
+    # re-runs.
+    sh = shingle_rows(th, "doc_id", "text", 3).distinct()
     rare = (
         sh.groupBy("_shash")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -3054,7 +3064,6 @@ def doc_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = []
     try:
         n_edges = edges.count()  # materializes the persisted edge set
-        sh.unpersist()
         with iterative_loop(spark, n_edges):
             for rnd in range(1, 4):
                 votes = (
@@ -3103,7 +3112,6 @@ def doc_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
                         )
                     )
     finally:
-        sh.unpersist()  # no-op when already released after the edge count
         edges.unpersist()
         labels.unpersist()
         base.unpersist()

@@ -1152,6 +1152,14 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     w_ord = Window.partitionBy("doc_id").orderBy("df", "token")
     w_sz = Window.partitionBy("doc_id")
+    # Round-9 NOTE (measured, left alone): `ordered` feeds three plan
+    # branches, but checkpointing it is a LOSS here (interleaved A/B
+    # 2.66 s plain vs 4.29 s checkpointed at sf0.1) — ReuseExchange
+    # already dedups the identical doc_id window exchange across the
+    # branches, so only the cheap post-exchange window re-runs, while
+    # a localCheckpoint would serialize the whole 260k-row token
+    # stream. The wall is the verify stage's array_intersect — honest
+    # candidate-verification work.
     ordered = (
         toks.join(freq, "token")
         .withColumn("rn", F.row_number().over(w_ord))
