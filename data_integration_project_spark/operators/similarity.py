@@ -352,6 +352,122 @@ def brute_force_topk_pandas(
     )
 
 
+def mutual_topk_pandas(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    side_col,
+    k: int,
+) -> DataFrame:
+    """BOTH directions of a two-sided exact top-k (the bitext-mining
+    shape) in ONE corpus pass: ``side_col`` (a boolean Column) splits
+    the corpus into side A (false) and side B (true); side-A rows are
+    queries against the side-B corpus and vice versa.
+
+    One collect ships both query matrices to the executors; each Arrow
+    batch is sliced by side and scored against the OPPOSITE side's
+    query matrix with the exact :func:`brute_force_topk_pandas`
+    arithmetic (gemm SELECTS candidates, the shipped values are
+    recomputed in the fold cosine's IEEE operation order), so emitted
+    values are bit-identical to running the two directional passes
+    separately — per-batch partials are batch-content-independent and
+    the global per-(dir, query) window merges them exactly as the
+    one-sided merge does.
+
+    Versus two ``brute_force_topk_pandas`` calls: one corpus scan
+    instead of two (each directional pass reads EVERY page — a parity
+    filter prunes nothing at the parquet level), one query collect
+    instead of two, one repartition+window instead of two. Returns
+    ``(dir, query_id, neighbor_id, cos_sim, rank)`` with dir 0 = side-A
+    queries, dir 1 = side-B queries."""
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    rows = corpus.select(id_col, vec_col, side_col.alias("_side")).collect()
+    sides = []
+    for want in (False, True):
+        picked = [r for r in rows if bool(r[2]) == want]
+        ids = np.array([r[0] for r in picked], dtype=np.int64)
+        mat = np.array([r[1] for r in picked], dtype=np.float64)
+        qaa = np.zeros(len(mat), dtype=np.float64)
+        for d_ in range(mat.shape[1] if len(mat) else 0):
+            qaa += mat[:, d_] * mat[:, d_]
+        sides.append((ids, mat, np.sqrt(qaa)))
+    bc = spark.sparkContext.broadcast(sides)
+
+    def op(batches):
+        qsides = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            all_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            all_side = pdf["_side"].to_numpy(dtype=bool)
+            all_v = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            # dir 0: side-A queries vs the batch's side-B rows; dir 1 mirrored
+            for direction, corpus_side in ((0, True), (1, False)):
+                qi, qm, q_norm = qsides[direction]
+                if not len(qi):
+                    continue
+                mask = all_side == corpus_side
+                if not mask.any():
+                    continue
+                c_ids = all_ids[mask]
+                c = all_v[mask]
+                caa = np.zeros(len(c), dtype=np.float64)
+                for d_ in range(c.shape[1]):
+                    caa += c[:, d_] * c[:, d_]
+                c_norm = np.sqrt(caa)
+                sims = (qm @ c.T) / (q_norm[:, None] * c_norm[None, :])
+                self_m = qi[:, None] == c_ids[None, :]
+                sims[self_m] = -np.inf
+                kk = min(k, sims.shape[1])
+                thresh = -np.partition(-sims, kk - 1, axis=1)[:, kk - 1]
+                cand = (sims >= (thresh - 1e-12)[:, None]) & ~self_m
+                r, ci = np.nonzero(cand)
+                if len(r) == 0:
+                    continue
+                dots = np.zeros(len(r), dtype=np.float64)
+                for d_ in range(c.shape[1]):
+                    dots += qm[r, d_] * c[ci, d_]
+                s_f = dots / (q_norm[r] * c_norm[ci])
+                order = np.lexsort((c_ids[ci], -s_f, r))
+                r2, ci2, s2 = r[order], ci[order], s_f[order]
+                counts = np.bincount(r, minlength=sims.shape[0])
+                nz = counts > 0
+                starts = np.concatenate(([0], np.cumsum(counts[nz])[:-1]))
+                pos = np.arange(len(r2)) - np.repeat(starts, counts[nz])
+                keep = pos < kk
+                yield pd.DataFrame(
+                    {
+                        "dir": np.int32(direction),
+                        "query_id": qi[r2[keep]],
+                        "neighbor_id": c_ids[ci2[keep]],
+                        "cos_sim": s2[keep],
+                    }
+                )
+
+    n_parts = spark.sparkContext.defaultParallelism
+    partial = (
+        corpus.select(id_col, vec_col, side_col.alias("_side"))
+        .repartition(n_parts, F.col(id_col))
+        .mapInPandas(
+            op,
+            schema="dir int, query_id long, neighbor_id long, cos_sim double",
+        )
+    )
+    w = Window.partitionBy("dir", "query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("dir", "query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     id_col: str,
@@ -710,54 +826,180 @@ def pq_codebooks(
     return books
 
 
-def pq_encode(
-    corpus: DataFrame, id_col: str, vec_col: str, codebooks: list
-) -> DataFrame:
-    """Encode every vector against pre-trained codebooks: one linear
-    mapInPandas pass per subspace yielding (id, sub, code, err_d2)."""
+def _fused_ivf_pq_train(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    n_clusters: int,
+    n_iters: int,
+    m: int,
+    n_codes: int,
+    pq_iters: int,
+) -> tuple:
+    """Train the IVF coarse centroids AND the ``m`` PQ subspace
+    codebooks in one fused loop (guide §1.2 — fewer passes over the
+    data): the m+1 quantizers are mutually independent given each one's
+    previous-round centroids, so every round is ONE mapInPandas
+    assignment pass emitting (space, cluster, subvector) rows — space
+    -1 carries the full vector for the coarse quantizer, spaces 0..m-1
+    the PQ slices — and ONE codegen mean aggregate + collect.
+
+    Arithmetic per space is identical to ``kmeans_centroids`` /
+    ``pq_codebooks`` run separately: same id-stride seeds, same 6 dp
+    rounded assignment distances with argmin-ties-to-lowest-id, same
+    6 dp rounded means (the rounding absorbs summation-order noise, the
+    same tolerance the unfused trainers already rely on), so oracles
+    that unroll the quantizers separately still match bit-for-bit.
+
+    Driver-action census: 1 count + 1 seed collect (2 when the coarse
+    and PQ widths differ) + max(n_iters, pq_iters) mean collects —
+    versus (2 + n_iters) + (3 + pq_iters) for the unfused pair, and
+    every saved action is a saved full corpus scan at cluster scale.
+
+    Returns ``(coarse_centroids, codebooks)``."""
     import numpy as np
 
-    m = len(codebooks)
-    sub = codebooks[0].shape[1]
     spark = corpus.sparkSession
-    parts = []
-    for s in range(m):
-        sliced = corpus.select(
-            id_col, F.slice(vec_col, s * sub + 1, sub).alias(vec_col)
-        )
-        bc = spark.sparkContext.broadcast(codebooks[s])
+    n = corpus.count()
 
-        def op(batches, _bc=bc, _s=s):
+    def seed_mat(k: int):
+        step = max(n // k, 1)
+        rows = (
+            corpus.select(id_col, vec_col)
+            .filter(F.pmod(F.col(id_col), F.lit(step)) == 0)
+            .orderBy(id_col)
+            .limit(k)
+            .select(vec_col)
+            .collect()
+        )
+        return np.array([r[0] for r in rows], dtype=np.float64)
+
+    coarse = seed_mat(n_clusters)
+    seeds_p = coarse if n_codes == n_clusters else seed_mat(n_codes)
+    dim = coarse.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books = [seeds_p[:, s * sub : (s + 1) * sub].copy() for s in range(m)]
+
+    for it in range(max(n_iters, pq_iters)):
+        do_c, do_p = it < n_iters, it < pq_iters
+        bc = spark.sparkContext.broadcast(
+            (coarse if do_c else None, books if do_p else None)
+        )
+
+        def assign(batches):
             import pandas as pd
 
-            cents_ = _bc.value
+            cents, bks = bc.value
             for pdf in batches:
                 if not len(pdf):
                     continue
                 v = np.stack(
                     [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
                 )
-                d2 = ((v[:, None, :] - cents_[None, :, :]) ** 2).sum(axis=2)
+                frames = []
+                if cents is not None:
+                    d2 = np.round(
+                        ((v[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2), 6
+                    )
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "_space": np.int32(-1),
+                                "_cluster": d2.argmin(axis=1).astype("int32"),
+                                "_sv": list(v),
+                            }
+                        )
+                    )
+                if bks is not None:
+                    for s, cb in enumerate(bks):
+                        vs = v[:, s * sub : (s + 1) * sub]
+                        d2 = np.round(
+                            ((vs[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2), 6
+                        )
+                        frames.append(
+                            pd.DataFrame(
+                                {
+                                    "_space": np.int32(s),
+                                    "_cluster": d2.argmin(axis=1).astype("int32"),
+                                    "_sv": list(vs),
+                                }
+                            )
+                        )
+                yield pd.concat(frames, ignore_index=True)
+
+        assigned = corpus.select(vec_col).mapInPandas(
+            assign, schema="_space int, _cluster int, _sv array<double>"
+        )
+        means = (
+            assigned.select("_space", "_cluster", F.posexplode("_sv").alias("_d", "_x"))
+            .groupBy("_space", "_cluster", "_d")
+            .agg(F.avg("_x").alias("_m"))
+            .collect()
+        )
+        new_c = coarse.copy()
+        new_b = [b.copy() for b in books]
+        for r in means:
+            if r["_space"] < 0:
+                new_c[r["_cluster"], r["_d"]] = r["_m"]
+            else:
+                new_b[r["_space"]][r["_cluster"], r["_d"]] = r["_m"]
+        if do_c:
+            coarse = np.round(new_c, 6)
+        if do_p:
+            books = [np.round(b, 6) for b in new_b]
+    return coarse, books
+
+
+def pq_encode(
+    corpus: DataFrame, id_col: str, vec_col: str, codebooks: list
+) -> DataFrame:
+    """Encode every vector against pre-trained codebooks in ONE linear
+    mapInPandas pass: each Arrow batch emits the (id, sub, code, err_d2)
+    rows for ALL ``m`` subspaces — the per-subspace slice, 6 dp distance
+    rounding and argmin are computed independently per subspace on the
+    in-memory batch, so every emitted value is bit-identical to the
+    former one-pass-per-subspace plan while the corpus is scanned (and
+    crosses the Arrow boundary) once instead of ``m`` times."""
+    import numpy as np
+
+    m = len(codebooks)
+    sub = codebooks[0].shape[1]
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast(codebooks)
+
+    def op(batches):
+        import pandas as pd
+
+        books = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+            ids = pdf[id_col].to_numpy()
+            frames = []
+            for s, cents_ in enumerate(books):
+                vs = v[:, s * sub : (s + 1) * sub]
+                d2 = ((vs[:, None, :] - cents_[None, :, :]) ** 2).sum(axis=2)
                 d2 = np.round(d2, 6)  # argmin ties -> lowest code
                 code = d2.argmin(axis=1)
-                yield pd.DataFrame(
-                    {
-                        id_col: pdf[id_col].values,
-                        "sub": _s,
-                        "code": code.astype("int32"),
-                        "err_d2": d2[np.arange(len(code)), code],
-                    }
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            id_col: ids,
+                            "sub": np.int32(s),
+                            "code": code.astype("int32"),
+                            "err_d2": d2[np.arange(len(code)), code],
+                        }
+                    )
                 )
+            yield pd.concat(frames, ignore_index=True)
 
-        parts.append(
-            sliced.mapInPandas(
-                op, schema=f"{id_col} long, sub int, code int, err_d2 double"
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return corpus.select(id_col, vec_col).mapInPandas(
+        op, schema=f"{id_col} long, sub int, code int, err_d2 double"
+    )
 
 
 def ivf_pq_topk(
@@ -792,7 +1034,18 @@ def ivf_pq_topk(
     import pandas as pd
 
     spark = corpus.sparkSession
-    coarse = kmeans_centroids(corpus, id_col, vec_col, n_clusters, n_iters=n_iters)
+    # fused trainer: one assignment pass + one mean collect per round
+    # covers the coarse quantizer AND all m subspace codebooks
+    coarse, codebooks = _fused_ivf_pq_train(
+        corpus,
+        id_col,
+        vec_col,
+        n_clusters=n_clusters,
+        n_iters=n_iters,
+        m=m,
+        n_codes=n_codes,
+        pq_iters=pq_iters,
+    )
     bc_coarse = spark.sparkContext.broadcast(coarse)
 
     def assign_one(batches):
@@ -832,9 +1085,6 @@ def ivf_pq_topk(
         assign_probes, schema=f"{id_col} long, _cluster int"
     )
 
-    codebooks = pq_codebooks(
-        corpus, id_col, vec_col, m=m, k=n_codes, n_iters=pq_iters
-    )
     enc = pq_encode(corpus, id_col, vec_col, codebooks).select(
         F.col(id_col).alias("neighbor_id"), "sub", "code"
     )

@@ -3096,14 +3096,22 @@ def doc_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "doc_id",
                         F.coalesce("seeded", "voted").alias("label"),
                     )
-                    .localCheckpoint(eager=True)
+                    # LAZY checkpoint: the histogram collect below
+                    # materializes it as a side effect — one action per
+                    # round instead of two (the BPE merge-round lesson).
+                    # The prior round's blocks are freed only AFTER that
+                    # materialization (localCheckpoint blocks cannot be
+                    # recomputed once freed).
+                    .localCheckpoint(eager=False)
+                )
+                prev = labels
+                labels = nxt
+                hist = (
+                    labels.groupBy("label").agg(F.count(F.lit(1)).alias("n")).collect()
                 )
                 if rnd > 1:
-                    labels.unpersist()
-                labels = nxt
-                for row in (
-                    labels.groupBy("label").agg(F.count(F.lit(1)).alias("n")).collect()
-                ):
+                    prev.unpersist()
+                for row in hist:
                     out.append(
                         (
                             rnd,

@@ -1355,6 +1355,14 @@ def events_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         GroupStateTimeout.NoTimeout,
     )
     name = "stateful_" + uuid.uuid4().hex[:8]
+    # Round-9 NOTE (measured, left alone): sizing the state-store
+    # partition count from input BYTES (64 MB/partition → 1 at sf0.1)
+    # regressed this query 2.6 → 6.6 s — the stateful operator's cost
+    # is per-KEY Python calls, which byte-based sizing serializes onto
+    # one core (the same blindness ROADMAP r9 documented for AQE's
+    # byte-based coalescing over grouped-pandas stages). The session
+    # default (one state partition per core) is the right shape for a
+    # per-key-Python operator; left as-is.
     q = (
         totals.writeStream.format("memory")
         .queryName(name)

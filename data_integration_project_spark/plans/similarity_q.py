@@ -192,26 +192,28 @@ def embeddings_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     adds (double summation order would differ between engines), and the
     margin is one floored integer division.
 
-    Scale shape: both directions are the [[ann_cosine_topk]] plan
-    (k = 4; at 100 TB the SRP/IVF candidate generators drop in); the
-    mutual join and margin arithmetic run on |A|+|B| best-match rows.
-    Everything after the top-k is tiny."""
+    Scale shape: both directions run in ONE corpus pass
+    (operators/similarity.mutual_topk_pandas — each Arrow batch is
+    sliced by label parity and scored against the opposite side's
+    broadcast query matrix; a parity filter prunes nothing at the
+    parquet level, so the former two directional passes each read
+    every page); the per-direction top-4 table is materialized once
+    (localCheckpoint — its four margin-stage consumers would otherwise
+    each replay the BLAS pass) and the mutual join and margin
+    arithmetic run on |A|+|B| best-match rows. Everything after the
+    top-k is tiny. The BLAS pandas path: the fold-based plan would pay
+    |A|·|B|·d interpreted lambda evals — measured minutes at sf1.0 vs
+    seconds for BLAS; ppb rounding absorbs the ~1e-15 summation-order
+    difference (the ann_topk_pandas contract)."""
     e = t(spark, sf_dir, "embeddings")
-    A = e.filter(F.col("label") % 2 == 0)
-    B = e.filter(F.col("label") % 2 == 1)
-
-    def side(qs: DataFrame, corpus: DataFrame) -> DataFrame:
-        # the BLAS pandas path (one matmul per Arrow batch): both sides
-        # are query sets here, so the fold-based plan would pay
-        # |A|·|B|·d interpreted lambda evals — measured minutes at
-        # sf1.0 vs seconds for BLAS. ppb rounding absorbs the ~1e-15
-        # summation-order difference (the ann_topk_pandas contract).
-        tk = S.brute_force_topk_pandas(qs, corpus, "vec_id", "embedding", k=4)
-        return tk.withColumn(
-            "c", F.round(F.col("cos_sim") * 1000000000).cast("long")
-        )
-
-    return _mine_margin_pairs(side(A, B), side(B, A))
+    tk = (
+        S.mutual_topk_pandas(e, "vec_id", "embedding", F.col("label") % 2 == 1, k=4)
+        .withColumn("c", F.round(F.col("cos_sim") * 1000000000).cast("long"))
+        .localCheckpoint()
+    )
+    ta = tk.filter(F.col("dir") == 0).drop("dir")
+    tb = tk.filter(F.col("dir") == 1).drop("dir")
+    return _mine_margin_pairs(ta, tb)
 
 
 def _mine_margin_pairs(ta: DataFrame, tb: DataFrame) -> DataFrame:
