@@ -356,8 +356,19 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs found via pigeonhole banding (4 chunks — a pair within
     distance 3 must agree on one whole chunk), so no all-pairs scan.
     The oracle checks the same pair set the slow way (its corpus is
-    small); signatures are bit-identical across engines."""
-    sigs = D.simhash_signature(_corpus(spark, sf_dir), "doc_id", "text", bits=62)
+    small); signatures are bit-identical across engines.
+
+    Round-9 optimization (guide §1.1): the banding self-join evaluates
+    its input once PER SIDE, and the signature pipeline (tokenize, dim
+    hash join, 62-way bit-sum aggregate — measured 1.8 s of the
+    query's 2.2 s at sf0.1) sits entirely AFTER its last exchange, so
+    ReuseExchange cannot dedup it — the whole corpus pass ran twice.
+    localCheckpoint materializes the |docs|-row signature table once;
+    both join sides read the checkpointed blocks (GC-collectable, not
+    a leaked cache)."""
+    sigs = D.simhash_signature(
+        _corpus(spark, sf_dir), "doc_id", "text", bits=62
+    ).localCheckpoint()
     return D.simhash_pairs(sigs, "doc_id", max_hamming=3, bits=62).select(
         "_id_a", "_id_b", "hamming"
     )
@@ -2469,11 +2480,28 @@ def doc_simhash_sort_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbor pairing is a lead window over a global sort (at 100 TB:
     range-partition by simhash prefix — [[orders_range_partition_hist]]
     — and pair within partitions, one boundary row each); the Jaccard
-    audit joins only |docs| adjacent pairs against the shingle table."""
+    audit attaches each side's per-doc shingle-set ARRAY (one row per
+    doc) to the |docs| adjacent pairs and intersects in-row.
+
+    Round-9 optimization (guide §2.4/§1.1): the audit previously joined
+    the EXPLODED shingle table three ways (both sides of the
+    intersection join plus a size aggregate) and paired neighbors with
+    a rn = rn+1 self-join — Catalyst replicates the whole
+    tokenize+hash+explode subtree into every branch (106 Exchange
+    nodes). Now the shingle sets materialize ONCE as per-doc arrays
+    (``shingle_sets`` — set size = ``size(_shs)``, no separate
+    aggregate), neighbor pairing is a ``lead`` window on the existing
+    sort (no self-join), and ``ni`` is an in-row ``array_intersect``
+    size — the [[dedup_prefix_filter_join]] verify discipline. Same
+    integers (set semantics preserved: collect_set ≡ distinct rows;
+    inner joins drop the same shingle-less docs), oracle-exact."""
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-    sigs = D.simhash_signature(docs, "doc_id", "text", bits=62)
-    sh = D.shingle_rows(docs, "doc_id", "text", k=3).distinct()
-    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    # Both per-doc tables feed TWO plan branches each (sigs: the two
+    # orderings; sets: both sides of the pair audit), and both sit
+    # after their last exchange — localCheckpoint materializes each
+    # corpus pass once (the [[dedup_simhash]] lesson).
+    sigs = D.simhash_signature(docs, "doc_id", "text", bits=62).localCheckpoint()
+    sets = D.shingle_sets(docs, "doc_id", "text", k=3).localCheckpoint()
     by_id = sigs.select(
         F.lit("doc_id").alias("ordering"),
         "doc_id",
@@ -2485,35 +2513,30 @@ def doc_simhash_sort_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(Window.orderBy("simhash", "doc_id")).alias("rn"),
     )
     orderings = by_id.unionByName(by_sig)
-    nxt = orderings.select(
-        F.col("ordering").alias("o2"),
-        F.col("doc_id").alias("id_b"),
-        (F.col("rn") - 1).alias("rn2"),
+    w_next = Window.partitionBy("ordering").orderBy("rn")
+    pairs = (
+        orderings.withColumn("id_b", F.lead("doc_id").over(w_next))
+        .filter(F.col("id_b").isNotNull())
+        .select("ordering", F.col("doc_id").alias("id_a"), "id_b")
     )
-    pairs = orderings.join(
-        nxt,
-        (F.col("o2") == F.col("ordering")) & (F.col("rn2") == F.col("rn")),
-    ).select("ordering", F.col("doc_id").alias("id_a"), "id_b")
-    inter = (
-        pairs.join(
-            sh.select(F.col("doc_id").alias("id_a"), "_shash"), "id_a"
-        )
-        .join(
-            sh.select(F.col("doc_id").alias("_db"), F.col("_shash").alias("_sb")),
-            (F.col("_db") == F.col("id_b")) & (F.col("_sb") == F.col("_shash")),
-        )
-        .groupBy("ordering", "id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("ni"))
+    sa = sets.select(
+        F.col("doc_id").alias("id_a"), F.col("_shs").alias("_sa")
     )
+    sb = sets.select(
+        F.col("doc_id").alias("id_b"), F.col("_shs").alias("_sb")
+    )
+    ni = F.size(F.array_intersect("_sa", "_sb")).cast("long")
     scored = (
-        pairs.join(inter, ["ordering", "id_a", "id_b"], "left")
-        .join(sz.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("za")), "id_a")
-        .join(sz.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("zb")), "id_b")
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
         .select(
             "ordering",
-            F.expr(
-                "(coalesce(ni, 0) * 1000000) div (za + zb - coalesce(ni, 0))"
-            ).alias("j_ppm"),
+            ni.alias("ni"),
+            (F.size("_sa") + F.size("_sb")).cast("long").alias("zab"),
+        )
+        .select(
+            "ordering",
+            F.expr("(ni * 1000000) div (zab - ni)").alias("j_ppm"),
         )
     )
     return scored.groupBy("ordering").agg(
