@@ -3023,13 +3023,18 @@ def doc_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     th = d.select(
         "doc_id", "text", F.size(X.tokens(F.col("text"))).alias("n_tok")
     )
-    # Round-9 NOTE (measured, left alone): `sh` feeds the rare-filter
-    # AND both sides of the blocking self-join, but persisting it is a
-    # small LOSS (interleaved A/B: edge build 1.42 s plain vs 1.70 s
-    # persisted warm) — ReuseExchange dedups the identical distinct
-    # exchange across the branches, so only cheap post-exchange work
-    # re-runs.
-    sh = shingle_rows(th, "doc_id", "text", 3).distinct()
+    # Round-9: `sh` feeds the rare-filter AND both sides of the
+    # blocking self-join — FOUR evaluations of the tokenize+fold
+    # pipeline in the edge plan, and the (doc,shash) distinct rides the
+    # doc_id repartition without its own exchange, so ReuseExchange has
+    # nothing to dedup past the raw-text scatter. A persist() was
+    # measured a small warm loss earlier this round (1.42 vs 1.70 —
+    # materialization serializes branches that overlap on idle local
+    # cores); localCheckpoint re-measured interleaved: hot-window WASH
+    # (1.51 plain vs 1.57), cold-window win (9.4 vs 3.4). Kept: at
+    # cluster scale the four corpus passes are 4x scan+hash CPU, and
+    # the checkpoint is |distinct shingles| * 16 bytes.
+    sh = shingle_rows(th, "doc_id", "text", 3).distinct().localCheckpoint()
     rare = (
         sh.groupBy("_shash")
         .agg(F.count(F.lit(1)).alias("df"))

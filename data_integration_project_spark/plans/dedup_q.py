@@ -774,26 +774,30 @@ def streaming_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
     )
     did = F.col("doc_id")
-    exact = src.filter(did % 10 == 0).select(
-        (did + 100000).alias("doc_id"),
-        "text",
-        F.lit("exact_copy").alias("ingest_class"),
+    # Round-9 optimization (guide §2.4): the three ingest classes were
+    # a UNION of three filtered selections of the SAME stream source —
+    # every micro-batch planned three scans of the batch's files. One
+    # scan with CASE-branched projections emits the identical row set
+    # (the classes partition on doc_id % 10, so no row belongs to two
+    # branches and union order is immaterial to the rollup).
+    mod = did % 10
+    incoming = src.filter(mod.isin(0, 5, 2)).select(
+        F.when(mod == 2, did + 200000).otherwise(did + 100000).alias("doc_id"),
+        F.when(mod == 0, F.col("text"))
+        .when(mod == 5, F.concat(F.col("text"), F.lit(" extra")))
+        .otherwise(
+            F.concat(
+                F.lit("novel document "),
+                did.cast("string"),
+                F.lit(" unseen content payload"),
+            )
+        )
+        .alias("text"),
+        F.when(mod == 0, F.lit("exact_copy"))
+        .when(mod == 5, F.lit("near_copy"))
+        .otherwise(F.lit("novel"))
+        .alias("ingest_class"),
     )
-    near = src.filter(did % 10 == 5).select(
-        (did + 100000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
-        F.lit("near_copy").alias("ingest_class"),
-    )
-    novel = src.filter(did % 10 == 2).select(
-        (did + 200000).alias("doc_id"),
-        F.concat(
-            F.lit("novel document "),
-            did.cast("string"),
-            F.lit(" unseen content payload"),
-        ).alias("text"),
-        F.lit("novel").alias("ingest_class"),
-    )
-    incoming = exact.unionByName(near).unionByName(novel)
     # The rollup is 3 rows but the flags parquet is row-scale: collect
     # the rollup eagerly and rmtree the run dir in finally (the
     # doc_label_propagation eager-aggregate pattern), so a long-lived
