@@ -499,7 +499,15 @@ def hamming_band_pairs(
     EQUI-join on (chunk_idx, value) — 4 chunks guarantee perfect
     recall for Hamming ≤ 3 ≥ ``max_hamming`` — and candidates verify
     by exact ``bit_count`` arithmetic. One shuffle on the band key at
-    any scale; never an all-pairs scan."""
+    any scale; never an all-pairs scan.
+
+    ``h`` feeds BOTH join sides, and its producer is typically an
+    encode→decode Arrow pipeline whose cost sits after its last
+    exchange (ReuseExchange cannot dedup it — the [[dedup_simhash]]
+    situation); localCheckpoint materializes the tiny (id, c0..c3)
+    table once so the media pipeline runs once, not once per side
+    (GC-collectable blocks, not a leaked cache)."""
+    h = h.localCheckpoint()
     out_a, out_b = f"{id_col}_a", f"{id_col}_b"
     chunk = F.explode(
         F.array(

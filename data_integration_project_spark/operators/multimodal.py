@@ -56,6 +56,35 @@ FEATURE_SCHEMA = (
 )
 
 
+def _mark_spread(media: DataFrame) -> DataFrame:
+    """Tag a media frame whose rows were already hash-spread across the
+    session parallelism (every ``documents_as_*_media`` encode adapter
+    repartitions on the id BEFORE its CPU-fat Arrow stage)."""
+    media._payload_spread = True  # plain attribute: survives only direct
+    return media                  # composition, which is the adapter→decode shape
+
+
+def _spread(media: DataFrame, *cols: str) -> DataFrame:
+    """Hash-spread payload rows on the id so the CPU-fat Arrow stage
+    that follows runs wide even from a single-file source. Frames an
+    encode adapter already spread pass through untouched: re-shuffling
+    them would move the fat binary payloads a second time with zero
+    redistribution (same key, same partition count) — the decode stage
+    instead pipelines into the encode stage's tasks with no exchange.
+    Any intermediate transform drops the tag, so the fallback is the
+    safe direction (a redundant shuffle, never a serial stage).
+
+    ``cols`` optionally projects to the columns the Arrow stage needs:
+    applied BEFORE an actual shuffle (fewer bytes on the exchange),
+    after a pass-through (a free narrow op)."""
+    if getattr(media, "_payload_spread", False):
+        return media.select(*cols) if cols else media
+    if cols:
+        media = media.select(*cols)
+    n_parts = media.sparkSession.sparkContext.defaultParallelism
+    return media.repartition(n_parts, F.col("media_id"))
+
+
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Adapter: treat the documents fixture's text as a binary payload so
     the multimodal plumbing is exercisable with in-container data."""
@@ -320,7 +349,7 @@ def documents_as_wav_media(docs: DataFrame) -> DataFrame:
             )
 
     n_parts = docs.sparkSession.sparkContext.defaultParallelism
-    return (
+    return _mark_spread(
         docs.select("doc_id", "text")
         .repartition(n_parts, F.col("doc_id"))
         .mapInPandas(op, schema="media_id long, payload binary")
@@ -345,8 +374,7 @@ def decode_audio_features(media: DataFrame) -> DataFrame:
             out.insert(0, "media_id", pdf["media_id"].values)
             yield out
 
-    n_parts = media.sparkSession.sparkContext.defaultParallelism
-    return media.repartition(n_parts, F.col("media_id")).mapInPandas(
+    return _spread(media).mapInPandas(
         op, schema=AUDIO_FEATURE_SCHEMA
     )
 
@@ -457,7 +485,7 @@ def documents_as_aiff_media(docs: DataFrame) -> DataFrame:
             )
 
     n_parts = docs.sparkSession.sparkContext.defaultParallelism
-    return (
+    return _mark_spread(
         docs.select("doc_id", "text")
         .repartition(n_parts, F.col("doc_id"))
         .mapInPandas(op, schema="media_id long, payload binary")
@@ -497,7 +525,7 @@ def documents_as_ppm_media(docs: DataFrame) -> DataFrame:
             )
 
     n_parts = docs.sparkSession.sparkContext.defaultParallelism
-    return (
+    return _mark_spread(
         docs.select("doc_id", "text")
         .repartition(n_parts, F.col("doc_id"))
         .mapInPandas(op, schema="media_id long, payload binary")
@@ -864,7 +892,7 @@ def documents_as_gif_media(docs: DataFrame) -> DataFrame:
             )
 
     n_parts = docs.sparkSession.sparkContext.defaultParallelism
-    return (
+    return _mark_spread(
         docs.select("doc_id", "text")
         .repartition(n_parts, F.col("doc_id"))
         .mapInPandas(op, schema="media_id long, payload binary")
@@ -887,7 +915,7 @@ def documents_as_png_media(docs: DataFrame) -> DataFrame:
             )
 
     n_parts = docs.sparkSession.sparkContext.defaultParallelism
-    return (
+    return _mark_spread(
         docs.select("doc_id", "text")
         .repartition(n_parts, F.col("doc_id"))
         .mapInPandas(op, schema="media_id long, payload binary")
@@ -925,7 +953,7 @@ def documents_as_tga_media(docs: DataFrame) -> DataFrame:
             )
 
     n_parts = docs.sparkSession.sparkContext.defaultParallelism
-    return (
+    return _mark_spread(
         docs.select("doc_id", "text")
         .repartition(n_parts, F.col("doc_id"))
         .mapInPandas(op, schema="media_id long, payload binary")
@@ -950,8 +978,7 @@ def decode_image_features(media: DataFrame) -> DataFrame:
             out.insert(0, "media_id", pdf["media_id"].values)
             yield out
 
-    n_parts = media.sparkSession.sparkContext.defaultParallelism
-    return media.repartition(n_parts, F.col("media_id")).mapInPandas(
+    return _spread(media).mapInPandas(
         op, schema=IMAGE_FEATURE_SCHEMA
     )
 
@@ -1020,8 +1047,7 @@ def decode_dhash_features(media: DataFrame) -> DataFrame:
                 recs, columns=["media_id", "c0", "c1", "c2", "c3"]
             )
 
-    n_parts = media.sparkSession.sparkContext.defaultParallelism
-    return media.repartition(n_parts, F.col("media_id")).mapInPandas(
+    return _spread(media).mapInPandas(
         op, schema=DHASH_SCHEMA
     )
 
@@ -1076,8 +1102,7 @@ def decode_audio_fingerprints(media: DataFrame) -> DataFrame:
                 recs, columns=["media_id", "c0", "c1", "c2", "c3"]
             )
 
-    n_parts = media.sparkSession.sparkContext.defaultParallelism
-    return media.repartition(n_parts, F.col("media_id")).mapInPandas(
+    return _spread(media).mapInPandas(
         op, schema=AUDIO_FP_SCHEMA
     )
 
@@ -1097,8 +1122,7 @@ def extract_features(media: DataFrame, *, batch_hint: int | None = None) -> Data
 
     # payloads hash-partition on the id so decode work spreads across
     # executors even from a single-file source
-    n_parts = media.sparkSession.sparkContext.defaultParallelism
-    return media.repartition(n_parts, F.col("media_id")).mapInPandas(op, schema=FEATURE_SCHEMA)
+    return _spread(media, "media_id", "payload").mapInPandas(op, schema=FEATURE_SCHEMA)
 
 
 def frame_sample(media: DataFrame, n_frames: int = 4) -> DataFrame:
@@ -1174,8 +1198,7 @@ def resize_image_nn(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFra
                 )
             yield pd.DataFrame(rows)
 
-    n_parts = media.sparkSession.sparkContext.defaultParallelism
-    return media.repartition(n_parts, F.col("media_id")).mapInPandas(op, schema=RESIZE_SCHEMA)
+    return _spread(media).mapInPandas(op, schema=RESIZE_SCHEMA)
 
 
 AUDIO_FRAME_SCHEMA = (
@@ -1221,8 +1244,7 @@ def audio_frame_features(media: DataFrame, frame_len: int = 256) -> DataFrame:
                     )
             yield pd.DataFrame(rows)
 
-    n_parts = media.sparkSession.sparkContext.defaultParallelism
-    return media.repartition(n_parts, F.col("media_id")).mapInPandas(
+    return _spread(media).mapInPandas(
         op, schema=AUDIO_FRAME_SCHEMA
     )
 
@@ -1264,10 +1286,11 @@ def extract_features_arrow(media: DataFrame) -> DataFrame:
                 names=["media_id", "byte_len", "sum_bytes", "mean_byte", "head_hex"],
             )
 
-    n_parts = media.sparkSession.sparkContext.defaultParallelism
-    return media.repartition(n_parts, F.col("media_id")).select(
-        "media_id", "payload"
-    ).mapInArrow(op, schema=FEATURE_SCHEMA)
+    # project to the two needed columns BEFORE the spread so the meta
+    # struct never rides the exchange (guide §2.2 — shuffle fewer bytes)
+    return _spread(media, "media_id", "payload").mapInArrow(
+        op, schema=FEATURE_SCHEMA
+    )
 
 
 AUDIO_RESAMPLE_SCHEMA = (
@@ -1841,7 +1864,7 @@ def documents_as_flac_media(docs: DataFrame) -> DataFrame:
             )
 
     n_parts = docs.sparkSession.sparkContext.defaultParallelism
-    return (
+    return _mark_spread(
         docs.select("doc_id", "text")
         .repartition(n_parts, F.col("doc_id"))
         .mapInPandas(op, schema="media_id long, payload binary")
@@ -1879,8 +1902,7 @@ def decode_flac_features(media: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    n_parts = media.sparkSession.sparkContext.defaultParallelism
-    return media.repartition(n_parts, F.col("media_id")).mapInPandas(
+    return _spread(media).mapInPandas(
         op, schema=FLAC_FEATURE_SCHEMA
     )
 
@@ -2521,7 +2543,7 @@ def documents_as_jpeg_media(docs: DataFrame) -> DataFrame:
             )
 
     n = docs.sparkSession.sparkContext.defaultParallelism
-    return (
+    return _mark_spread(
         docs.select("doc_id", "text")
         .repartition(n, F.col("doc_id"))
         .mapInPandas(op, schema="media_id long, payload binary")
@@ -2557,11 +2579,10 @@ def decode_jpeg_features(media: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    # explicit partition count: an AQE-coalesced column repartition
-    # collapses this tiny-but-CPU-heavy shuffle to one task (the
-    # payloads are small; the DECODE is the cost)
-    n = media.sparkSession.sparkContext.defaultParallelism
-    return media.repartition(n, F.col("media_id")).mapInPandas(
+    # explicit partition count (inside _spread): an AQE-coalesced column
+    # repartition collapses this tiny-but-CPU-heavy shuffle to one task
+    # (the payloads are small; the DECODE is the cost)
+    return _spread(media).mapInPandas(
         op, schema=JPEG_FEATURE_SCHEMA
     )
 
@@ -2765,7 +2786,7 @@ def documents_as_avi_media(docs: DataFrame) -> DataFrame:
             )
 
     n_parts = docs.sparkSession.sparkContext.defaultParallelism
-    return (
+    return _mark_spread(
         docs.select("doc_id", "text")
         .repartition(n_parts, F.col("doc_id"))
         .mapInPandas(op, schema="media_id long, payload binary")
@@ -2835,8 +2856,7 @@ def decode_avi_signatures(media: DataFrame) -> DataFrame:
                 recs, columns=["media_id", "c0", "c1", "c2", "c3"]
             )
 
-    n_parts = media.sparkSession.sparkContext.defaultParallelism
-    return media.repartition(n_parts, F.col("media_id")).mapInPandas(
+    return _spread(media).mapInPandas(
         op, schema=VIDEO_FP_SCHEMA
     )
 
@@ -2852,7 +2872,6 @@ def sample_avi_keyframes(media: DataFrame, n_samples: int = 4) -> DataFrame:
                     rows.append({"media_id": int(mid_), **d})
             yield pd.DataFrame(rows)
 
-    n_parts = media.sparkSession.sparkContext.defaultParallelism
-    return media.repartition(n_parts, F.col("media_id")).mapInPandas(
+    return _spread(media).mapInPandas(
         op, schema=AVI_SAMPLE_SCHEMA
     )

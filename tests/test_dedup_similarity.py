@@ -134,6 +134,33 @@ def test_multimodal_stub_contract(spark):
         assert len(r["head_hex"]) == 16  # 8 bytes hex
 
 
+def test_spread_skips_redundant_payload_shuffle(spark):
+    """Round-9: an encode adapter already hash-spreads payload rows, so
+    a decode stage composed directly on it must NOT re-shuffle the fat
+    binary payloads (one Exchange end-to-end); any intermediate
+    transform drops the tag and the decode stage falls back to
+    spreading itself (safe direction — wide, never serial)."""
+    docs = _docs(spark).limit(20)
+
+    direct = M.decode_audio_features(M.documents_as_wav_media(docs))
+    plan = direct._jdf.queryExecution().executedPlan().toString()
+    # the limit contributes one SinglePartition exchange; the spread
+    # shuffles are the hash-partitioned ones
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+    # .filter() is a narrow op but loses the marker -> fallback spread
+    filtered = M.decode_audio_features(
+        M.documents_as_wav_media(docs).filter("media_id >= 0")
+    )
+    plan2 = filtered._jdf.queryExecution().executedPlan().toString()
+    assert plan2.count("Exchange hashpartitioning") == 2, plan2
+
+    # values identical either way
+    a = sorted(map(tuple, direct.collect()))
+    b = sorted(map(tuple, filtered.collect()))
+    assert a == b and len(a) == 20
+
+
 def test_decode_ppm_roundtrip_and_bmp():
     # PPM: encode arbitrary bytes, decode must recover dims + channel means
     raw = bytes(range(256)) * 3
