@@ -77,19 +77,24 @@ def train_bpe(
 
     cur = words.select(
         "word", "cnt", F.split(F.col("word"), "").alias("syms")
-    ).localCheckpoint(eager=False)  # materialized by the count below
-    out = []
+    ).localCheckpoint(eager=False)  # materialized by the agg below
     # Round-9 optimization (guide §1.2/§2): every round after the
     # histogram runs on |vocab| rows — size the loop's shuffles from
     # the measured vocab count and suspend AQE's per-exchange
-    # re-planning for the fixed-shape rounds; with the lazy
-    # checkpoints below each round is 2 actions (argmax +
-    # symbols_after-materializes-checkpoint) instead of 3. 34 jobs →
-    # ~16 at sf0.1; at cluster scale the vocab is still dim-sized, so
-    # 1-2 partitions replace the session default.
-    n_vocab = cur.count()
+    # re-planning for the fixed-shape rounds. Each round is then ONE
+    # action (the pair aggregate), because symbols_after folds into it
+    # arithmetically: |syms_w| = 1 + #adjacent-pairs_w, so
+    #   Σ_w cnt_w·|syms_w|  =  Σ_w cnt_w  +  Σ_pairs n  =  W + Σ n
+    # with W constant across rounds — round r's certification value
+    # rides round r+1's pair aggregate (one trailing aggregate covers
+    # the last round). 13 actions → 8 at n_merges=6, i.e. 8 vocab
+    # passes at cluster scale instead of 13.
+    first = cur.agg(
+        F.count(F.lit(1)).alias("n_vocab"), F.sum("cnt").alias("w")
+    ).collect()[0]
+    n_vocab, total_w = first["n_vocab"], int(first["w"] or 0)
     with iterative_loop(spark, n_vocab):
-        out = _train_rounds(cur, n_merges, out)
+        out = _train_rounds(cur, n_merges, total_w)
     return spark.createDataFrame(
         out,
         "round int, left_sym string, right_sym string, "
@@ -97,46 +102,77 @@ def train_bpe(
     )
 
 
-def _train_rounds(cur: DataFrame, n_merges: int, out: list) -> list:
-    for rnd in range(1, n_merges + 1):
-        pairs = (
-            cur.filter(F.size("syms") >= 2)
-            .select(
-                "cnt",
-                F.explode(
-                    F.transform(
-                        F.sequence(F.lit(0), F.size("syms") - 2),
-                        lambda i: F.struct(
-                            F.col("syms")[i].alias("a"),
-                            F.col("syms")[i + 1].alias("b"),
-                        ),
-                    )
-                ).alias("p"),
-            )
-            .groupBy("p.a", "p.b")
-            .agg(F.sum("cnt").alias("n"))
-            .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
-            .limit(1)
-            .collect()
+def _pair_stats(cur: DataFrame):
+    """ONE action per round: the weighted adjacent-pair counts reduced
+    to (argmax pair under the total order count-desc/pair-asc, Σ n).
+    The argmax is ``min(struct(-n, a, b))`` — lexicographic struct
+    comparison reproduces the orderBy(desc n, asc a, asc b).limit(1)
+    choice without a sort; Σ n yields symbols_after via the W + Σ n
+    identity (see :func:`train_bpe`)."""
+    return (
+        cur.filter(F.size("syms") >= 2)
+        .select(
+            "cnt",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("syms") - 2),
+                    lambda i: F.struct(
+                        F.col("syms")[i].alias("a"),
+                        F.col("syms")[i + 1].alias("b"),
+                    ),
+                )
+            ).alias("p"),
         )
-        if not pairs:
+        .groupBy("p.a", "p.b")
+        .agg(F.sum("cnt").alias("n"))
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("n")).alias("negn"), F.col("a"), F.col("b")
+                )
+            ).alias("best"),
+            F.sum("n").alias("tot"),
+        )
+        .collect()[0]
+    )
+
+
+def _train_rounds(cur: DataFrame, n_merges: int, total_w: int) -> list:
+    out: list = []
+    pending = None  # (rnd, left, right, n) awaiting its symbols_after
+    grandparent = None  # frame to free once `cur` is materialized
+    for rnd in range(1, n_merges + 1):
+        stats = _pair_stats(cur)  # also materializes cur's lazy checkpoint
+        # cur is materialized now, so its parent's blocks can go (a
+        # lazy-checkpointed frame cannot be recomputed once freed —
+        # only unpersist AFTER the child is materialized)
+        if grandparent is not None:
+            grandparent.unpersist()
+            grandparent = None
+        if pending is not None:
+            out.append((*pending, int(total_w + int(stats["tot"] or 0))))
+            pending = None
+        if stats["best"] is None:
             break
-        left, right, n = pairs[0]["a"], pairs[0]["b"], int(pairs[0]["n"])
-        # LAZY checkpoint: the symbols_after aggregate below is the
-        # first action on `nxt` and materializes the checkpoint as a
-        # side effect — one action does both jobs (was: eager
-        # checkpoint + separate aggregate). Only unpersist the old
-        # frame AFTER nxt is materialized: nxt's plan reads cur's
-        # checkpointed blocks, which cannot be recomputed once freed.
+        left, right = stats["best"]["a"], stats["best"]["b"]
+        n = int(-stats["best"]["negn"])
         nxt = cur.select(
             "word", "cnt", _apply_merge(F.col("syms"), left, right).alias("syms")
         ).localCheckpoint(eager=False)
-        symbols_after = int(
-            nxt.select(F.sum(F.col("cnt") * F.size("syms"))).collect()[0][0]
-        )
-        cur.unpersist()
+        pending = (rnd, left, right, n, left + right)
+        grandparent = cur
         cur = nxt
-        out.append((rnd, left, right, n, left + right, symbols_after))
+    if pending is not None:
+        # last round's certification: one trailing vocab aggregate
+        symbols_after = int(
+            cur.select(F.sum(F.col("cnt") * F.size("syms"))).collect()[0][0]
+        )
+        if grandparent is not None:
+            grandparent.unpersist()
+            grandparent = None
+        out.append((*pending, symbols_after))
+    if grandparent is not None:
+        grandparent.unpersist()
     cur.unpersist()
     return out
 

@@ -106,7 +106,12 @@ def scd2_merge(
     * changed + brand-new keys → opened as the new current version;
     * unchanged current rows and historical rows pass through.
 
-    One broadcast-or-shuffle join on the key; the dimension is rewritten
+    One join on the key (round-9, guide §1.1/§1.2: was TWO mirror
+    left joins whose union scanned the dimension three times and the
+    updates twice — now one FULL OUTER join emits untouched, closed
+    and opened rows from a single pass via an exploded CASE; the row
+    multiset is identical branch-by-branch, including the degenerate
+    duplicate-update-key multiplicity); the dimension is rewritten
     wholesale (idempotent, deterministic — no ``dropDuplicates``).
     """
     eff = F.lit(effective_date).cast("date")
@@ -116,60 +121,48 @@ def scd2_merge(
     current = dim.filter(F.col(cur_col))
     history = dim.filter(~F.col(cur_col))
 
-    # one join; differs==NULL means the key is absent from updates
-    cmp = current.alias("c").join(
+    joined = current.withColumn("_in_cur", F.lit(True)).join(
         upd.select(
             F.col(key),
             *[F.col(c).alias(f"_u_{c}") for c in tracked],
             F.lit(True).alias("_in_upd"),
         ),
-        key,
-        "left",
+        key,  # USING join: `key` coalesces across the full outer
+        "full_outer",
     )
+    in_cur = F.coalesce(F.col("_in_cur"), F.lit(False))
+    in_upd = F.coalesce(F.col("_in_upd"), F.lit(False))
+    # differs==NULL means the key is absent from updates
     differs = F.coalesce(
-        ~F.expr(" AND ".join(f"c.{c} <=> _u_{c}" for c in tracked)), F.lit(False)
+        ~F.expr(" AND ".join(f"{c} <=> _u_{c}" for c in tracked)), F.lit(False)
     )
 
-    untouched = cmp.filter(~F.coalesce(F.col("_in_upd"), F.lit(False)) | ~differs).select(
-        key, *[F.col(f"c.{c}") for c in tracked], *[F.col(f"c.{c}") for c in meta]
+    untouched_r = F.struct(
+        *[F.col(c).alias(c) for c in tracked],
+        *[F.col(c).alias(c) for c in meta],
     )
-    closed = cmp.filter(F.coalesce(F.col("_in_upd"), F.lit(False)) & differs).select(
-        key,
-        *[F.col(f"c.{c}") for c in tracked],
-        F.col(f"c.{from_col}").alias(from_col),
+    closed_r = F.struct(
+        *[F.col(c).alias(c) for c in tracked],
+        F.col(from_col).alias(from_col),
         eff.alias(to_col),
         F.lit(False).alias(cur_col),
     )
-    changed_or_new = upd.join(
-        current.select(
-            key,
-            *[F.col(c).alias(f"_c_{c}") for c in tracked],
-            F.lit(True).alias("_in_cur"),
-        ),
-        key,
-        "left",
+    opened_r = F.struct(
+        *[F.col(f"_u_{c}").alias(c) for c in tracked],
+        eff.alias(from_col),
+        F.lit(None).cast("date").alias(to_col),
+        F.lit(True).alias(cur_col),
     )
-    is_new = ~F.coalesce(F.col("_in_cur"), F.lit(False))  # key absent from current
-    upd_differs = F.coalesce(
-        ~F.expr(" AND ".join(f"{c} <=> _c_{c}" for c in tracked)), F.lit(True)
-    )
-    opened = (
-        changed_or_new.filter(is_new | upd_differs)
-        .select(
-            key,
-            *tracked,
-            eff.alias(from_col),
-            F.lit(None).cast("date").alias(to_col),
-            F.lit(True).alias(cur_col),
-        )
+    rows = (
+        F.when(in_cur & in_upd & differs, F.array(closed_r, opened_r))
+        .when(in_cur, F.array(untouched_r))  # no update, or update equal
+        .otherwise(F.array(opened_r))  # brand-new key
     )
     cols = [key, *tracked, *meta]
-    return (
-        history.select(*cols)
-        .unionByName(untouched.select(*cols))
-        .unionByName(closed.select(*cols))
-        .unionByName(opened.select(*cols))
+    merged = joined.select(key, F.explode(rows).alias("_r")).select(
+        key, *[F.col(f"_r.{c}") for c in [*tracked, *meta]]
     )
+    return history.select(*cols).unionByName(merged.select(*cols))
 
 
 def _bucket_of(key: str, n_buckets: int) -> Column:
@@ -190,9 +183,13 @@ def write_dim_bucketed(
     (``bucket=0..n-1`` partition directories). The bucket is the
     MERGE pruning unit: an incremental merge touches only the buckets
     whose keys changed, never the whole dimension."""
-    dim.withColumn(bucket_col, _bucket_of(key, n_buckets)).write.mode(
-        "overwrite"
-    ).partitionBy(bucket_col).parquet(path)
+    # round-9 (guide §6): align write tasks to the bucket layout — one
+    # file per bucket directory instead of (scan tasks × buckets) small
+    # files; the bucket dir is the pruning/merge unit, so one file per
+    # bucket IS the sensible output sizing here
+    dim.withColumn(bucket_col, _bucket_of(key, n_buckets)).repartition(
+        n_buckets, F.col(bucket_col)
+    ).write.mode("overwrite").partitionBy(bucket_col).parquet(path)
 
 
 def scd2_merge_incremental(
@@ -248,6 +245,10 @@ def scd2_merge_incremental(
         to_col=to_col,
         cur_col=cur_col,
     ).withColumn(bucket_col, _bucket_of(key, n_buckets))
+    # round-9 (guide §6): one write task per affected bucket — the
+    # rewrite emits exactly one file per bucket directory (was: every
+    # merge task writing a sliver into every affected bucket)
+    merged = merged.repartition(len(affected), F.col(bucket_col))
     merged = merged.localCheckpoint(eager=True)  # break lineage to `path`
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

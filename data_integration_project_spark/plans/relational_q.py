@@ -6083,11 +6083,29 @@ def orders_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("cnt") <= _KLL_CAP) & (F.col("lvl") >= F.col("lm0")))
         .agg(F.min("lvl").cast("int").alias("lvl"))
     )
-    # merged path: the union of the four INDEPENDENT shard sketches,
-    # recompacted by refiltering at the merged level
-    union_ret = base.join(F.broadcast(shard_l), "shard").filter(
-        F.col("h") % F.expr("shiftleft(CAST(1 AS BIGINT), l_s)") == 0
+    # Round-9 (guide §1.2 — fewer passes): the merged-path retained set
+    # (per-shard level filter) and the single-pass retained set (global
+    # level filter) were TWO separate full scans of orders; both are
+    # map-side hash filters, so one scan computes both membership flags
+    # and a localCheckpoint of the ≤ capacity·(shards+1)-row union
+    # feeds both panels. Row sets identical by construction: the flags
+    # are exactly the two original filter predicates.
+    ret_both = (
+        base.join(F.broadcast(shard_l), "shard")
+        .crossJoin(F.broadcast(l1_row.select(F.col("lvl").alias("_l1"))))
+        .select(
+            "v",
+            "id",
+            "h",
+            (F.col("h") % F.expr("shiftleft(CAST(1 AS BIGINT), l_s)") == 0)
+            .alias("_in_merged"),
+            (F.col("h") % F.expr("shiftleft(CAST(1 AS BIGINT), _l1)") == 0)
+            .alias("_in_single"),
+        )
+        .filter(F.col("_in_merged") | F.col("_in_single"))
+        .localCheckpoint()
     )
+    union_ret = ret_both.filter("_in_merged")
     w_rank = Window.orderBy("v", "id")
     w_all = Window.partitionBy()
 
@@ -6097,7 +6115,7 @@ def orders_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).withColumn("n_ret", F.count(F.lit(1)).over(w_all))
 
     merged = ranked(level_sample_retained(union_ret, lstar_row))
-    single = ranked(level_sample_retained(base, l1_row))
+    single = ranked(ret_both.filter("_in_single"))
     targets = spark.createDataFrame(
         [("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4), ("p90", 9, 10),
          ("p99", 99, 100)],
@@ -6131,7 +6149,12 @@ def orders_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(F.count(F.lit(1)).alias("true_rank_le"))
     )
-    n_exact = base.agg(F.count(F.lit(1)).alias("n_exact"))
+    # Round-9 (guide §1.2): the exact row count is the level-0 retained
+    # count the sketch-metadata pass already computed (h % 1 == 0 holds
+    # for every row) — was a fifth full scan of orders.
+    n_exact = gcounts.filter(F.col("lvl") == 0).select(
+        F.col("cnt").alias("n_exact")
+    )
     return (
         est_s.join(est_m, "label")
         .join(F.broadcast(true_rank), "label")
@@ -7458,7 +7481,13 @@ def orders_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_totalprice",
             F.col("o_orderdate").cast("date").alias("o_orderdate"),
         )
-        .repartition(2)
+        # Round-9 (guide §2.6): was repartition(2) — two tasks did ALL
+        # the per-record Python Avro encoding while the rest of the
+        # session sat idle (write leg 4.7 s cold / 1.2 s warm at sf0.1;
+        # 1.3 / 0.8 spread). Smaller files still get >=2 byte-range
+        # splits each at sf0.1 via the smaller split_size below, so the
+        # mid-file sync resynchronization path stays exercised.
+        .repartition(spark.sparkContext.defaultParallelism)
         .write.format("pyavro")
         .option("path", d)
         .option("block_rows", "100")
@@ -7468,7 +7497,7 @@ def orders_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = (
         spark.read.format("pyavro")
         .option("path", d)
-        .option("split_size", str(16 * 1024))
+        .option("split_size", str(4 * 1024))
         .load()
     )
     # the split planner must actually fan out (several byte ranges/file)
