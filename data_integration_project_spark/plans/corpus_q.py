@@ -2320,14 +2320,23 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(
         F.array(F.col("_h"), (F.col("_h") * 131 + F.col("_hn")) % P)
     )
-    feats = (
+    # Round-9 (guide §1.2): `feats` fed BOTH the bucket-ratio pass and
+    # the scoring join — the whole corpus-side pipeline (token dim
+    # join, window, explode) ran twice. Collapse to the per-(doc,
+    # bucket) count panel first (|docs|·64 rows — doc-scale, never
+    # token-scale) and checkpoint THAT; both consumers fold from it
+    # with exact integer arithmetic (Σ lrw per row ≡ Σ n·lrw).
+    db = (
         tb.select("doc_id", F.explode(pair).alias("h"))
         .join(F.broadcast(d.select("doc_id", "lang")), "doc_id")
         .select("doc_id", "lang", (F.col("h") % _DSIR_B).alias("b"))
+        .groupBy("doc_id", "lang", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
     )
-    cnts = feats.groupBy("b").agg(
-        F.count(F.lit(1)).alias("cr"),
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("ct"),
+    cnts = db.groupBy("b").agg(
+        F.sum("n").alias("cr"),
+        F.sum(F.when(F.col("lang") == "en", F.col("n")).otherwise(0)).alias("ct"),
     )
     bt = (
         spark.range(_DSIR_B)
@@ -2355,12 +2364,12 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("lrw"),
     )
     scored = (
-        feats.join(F.broadcast(lr), "b")
+        db.join(F.broadcast(lr), "b")
         .groupBy("doc_id")
         .agg(
             F.first("lang").alias("lang"),
-            F.count(F.lit(1)).cast("long").alias("n_features"),
-            F.sum("lrw").cast("long").alias("dsir_micro_nats"),
+            F.sum("n").cast("long").alias("n_features"),
+            F.sum(F.col("n") * F.col("lrw")).cast("long").alias("dsir_micro_nats"),
         )
     )
     return (

@@ -33,19 +33,33 @@ _CORPUS_SQL = """
 
 
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-9 (guide §2.4): was a UNION of three selections of the SAME
+    # table — three scans per reference, and ten queries reference this
+    # corpus (several more than once per plan). One scan emits each
+    # row's variants as a conditional array + explode: identical row
+    # multiset (injected branches partition on doc_id % 10; the base
+    # branch keeps every row).
     d = t(spark, sf_dir, "documents").select("doc_id", "text")
-    exact = (
-        d.filter(F.col("doc_id") % 10 == 0)
-        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    did, txt = F.col("doc_id"), F.col("text")
+    mod = did % 10
+    empty = F.array().cast("array<struct<doc_id:bigint,text:string>>")
+    rows = F.concat(
+        F.array(F.struct(did.alias("doc_id"), txt.alias("text"))),
+        F.when(
+            mod == 0,
+            F.array(F.struct((did + 100000).alias("doc_id"), txt.alias("text"))),
+        ).otherwise(empty),
+        F.when(
+            mod == 5,
+            F.array(
+                F.struct(
+                    (did + 100000).alias("doc_id"),
+                    F.concat(txt, F.lit(" extra")).alias("text"),
+                )
+            ),
+        ).otherwise(empty),
     )
-    near = (
-        d.filter(F.col("doc_id") % 10 == 5)
-        .select(
-            (F.col("doc_id") + 100000).alias("doc_id"),
-            F.concat(F.col("text"), F.lit(" extra")).alias("text"),
-        )
-    )
-    return d.unionByName(exact).unionByName(near)
+    return d.select(F.explode(rows).alias("_r")).select("_r.doc_id", "_r.text")
 
 
 _PORTABLE_HASH_SQL = (
@@ -422,7 +436,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``array_intersect`` per surviving candidate
     (``tests/test_plan_shapes.py`` pins the no-cartesian contract)."""
     corpus = _corpus(spark, sf_dir).filter(F.col("doc_id") % 20 == 0)
-    sets = D.shingle_sets(corpus, "doc_id", "text", 3)
+    # Round-9 (guide §1.2): `sets` feeds the frequency pass, the
+    # prefix-ordering window, BOTH prefix-join sides and BOTH verify
+    # attaches — since the shingle fold is pure scan projection, the
+    # un-checkpointed plan re-ran the corpus scan 18 times (the a/b
+    # prefix branches broadcast one side, so ReuseExchange has nothing
+    # to dedup — unlike [[dedup_prefix_filter_join]] where the shared
+    # window exchange IS reused and a checkpoint measured a loss).
+    # localCheckpoint of sets + prefix: 18 scans -> 1, interleaved A/B
+    # lower on every rep (1.28 vs 1.17 best), parity exact.
+    sets = D.shingle_sets(corpus, "doc_id", "text", 3).localCheckpoint()
     rows = sets.select("doc_id", F.explode("_shs").alias("_shash"))
     freq = rows.groupBy("_shash").agg(F.count(F.lit(1)).alias("df"))
     w_ord = Window.partitionBy("doc_id").orderBy("df", "_shash")
@@ -437,7 +460,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix_len = F.col("sz") - ((3 * F.col("sz") + 9) / 10).cast("long") + 1
     prefix = ordered.filter(F.col("rn") <= prefix_len).select(
         "doc_id", "_shash", "sz", "rn"
-    )
+    ).localCheckpoint()
     a, b = prefix.alias("a"), prefix.alias("b")
     # length + positional necessary conditions for J >= 0.3 (see
     # dedup_prefix_filter_join): 10|A| >= 3|B| both ways; overlap bound
@@ -1952,19 +1975,23 @@ _CDC_W, _CDC_D = 16, 32
 
 
 def _cdc_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-9 (guide §2.4, the [[streaming_neardup_ingest]] fold): was a
+    # UNION of four selections of the SAME table — four scans per
+    # reference. One scan emits each row's variants as a conditional
+    # array + explode: identical row multiset (the injected branches
+    # partition on doc_id % 10; the base branch keeps every row).
     d = t(spark, sf_dir, "documents").select("doc_id", "text")
-    exact = d.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    did, txt = F.col("doc_id"), F.col("text")
+    mod = did % 10
+    empty = F.array().cast("array<struct<doc_id:bigint,text:string>>")
+    variant = lambda cond, i, s: F.when(cond, F.array(F.struct(i.alias("doc_id"), s.alias("text")))).otherwise(empty)  # noqa: E731
+    rows = F.concat(
+        F.array(F.struct(did.alias("doc_id"), txt.alias("text"))),
+        variant(mod == 0, did + 100000, txt),
+        variant(mod == 5, did + 100000, F.concat(txt, F.lit(" extra"))),
+        variant(mod == 3, did + 200000, F.concat(F.lit("early preamble "), txt)),
     )
-    suffix = d.filter(F.col("doc_id") % 10 == 5).select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
-    )
-    prefix = d.filter(F.col("doc_id") % 10 == 3).select(
-        (F.col("doc_id") + 200000).alias("doc_id"),
-        F.concat(F.lit("early preamble "), F.col("text")).alias("text"),
-    )
-    return d.unionByName(exact).unionByName(suffix).unionByName(prefix)
+    return d.select(F.explode(rows).alias("_r")).select("_r.doc_id", "_r.text")
 
 
 @query(
@@ -2298,6 +2325,10 @@ def doc_rougel_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     W = _ROUGE_W
     d = t(spark, sf_dir, "documents").select("doc_id", "text")
     c = _corpus(spark, sf_dir)
+    # Round-9 (guide §1.2): `th` feeds BOTH pair-attach join sides, and
+    # the tokenize+hash pipeline is pure scan projection (nothing for
+    # ReuseExchange to dedup) — localCheckpoint the (doc_id, 16-hash
+    # window) table so the corpus pass runs once, not twice.
     th = c.select(
         "doc_id", X.token_hash_array(F.col("text")).alias("th")
     ).select(
@@ -2305,7 +2336,7 @@ def doc_rougel_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(
             "th", F.greatest(F.size("th") - (W - 1), F.lit(1)), W
         ).alias("w"),
-    )
+    ).localCheckpoint()
     base = d.select("doc_id")
     rep = base.filter(F.col("doc_id") % 10 == 0).select(
         F.col("doc_id").alias("id_a"),
