@@ -242,6 +242,8 @@ def brute_force_topk_pandas(
     id_col: str,
     vec_col: str,
     k: int,
+    *,
+    exclude_label_col: str | None = None,
 ) -> DataFrame:
     """Exact top-k via an Arrow-batched Pandas UDF: the corpus index is
     broadcast to executors as one numpy matrix; each query batch is a
@@ -261,18 +263,31 @@ def brute_force_topk_pandas(
     the fold cosine's exact IEEE operation order — see the in-body
     comments and ``test_topk_pandas_matches_fold_path_with_ties``,
     which pins tie-break-by-id for content-identical vectors split
-    across batches."""
+    across batches.
+
+    ``exclude_label_col``: when set, pairs whose query and corpus rows
+    share that label are excluded — the hard-negative-mining contract
+    ([[embeddings_hard_negatives]]) in ONE corpus pass instead of one
+    leg per label (round-9, the mutual_topk_pandas single-pass trick);
+    the exclusion only masks CANDIDATES, so shipped values keep the
+    bit-equality contract."""
     import numpy as np
     import pandas as pd
 
     spark = queries.sparkSession
-    rows = queries.select(id_col, vec_col).collect()  # bounded query set
+    q_cols = [id_col, vec_col] + ([exclude_label_col] if exclude_label_col else [])
+    rows = queries.select(*q_cols).collect()  # bounded query set
     q_ids = np.array([r[0] for r in rows], dtype=np.int64)
     q_mat = np.array([r[1] for r in rows], dtype=np.float64)
-    bc = spark.sparkContext.broadcast((q_ids, q_mat))
+    q_lab = (
+        np.array([r[2] for r in rows], dtype=object)
+        if exclude_label_col
+        else None
+    )
+    bc = spark.sparkContext.broadcast((q_ids, q_mat, q_lab))
 
     def op(batches):
-        qi, qm = bc.value
+        qi, qm, qlab = bc.value
         # exact query self-norms, accumulated in DIMENSION order (the
         # fold's add sequence)
         qaa = np.zeros(len(qm), dtype=np.float64)
@@ -297,6 +312,9 @@ def brute_force_topk_pandas(
             # test_topk_pandas_matches_fold_path_with_ties).
             sims = (qm @ c.T) / (q_norm[:, None] * c_norm[None, :])
             self_m = qi[:, None] == c_ids[None, :]
+            if qlab is not None:
+                c_lab = np.array(list(pdf[exclude_label_col]), dtype=object)
+                self_m = self_m | (qlab[:, None] == c_lab[None, :])
             sims[self_m] = -np.inf
             kk = min(k, sims.shape[1])
             # O(W) partition per row, then a 1e-12 margin so every
@@ -335,8 +353,9 @@ def brute_force_topk_pandas(
     # |Q|x|batch| matrix sized by the whole corpus (the AQE-coalesce /
     # media-decode lesson; measured 5x on the bitext-mining shape)
     n_parts = spark.sparkContext.defaultParallelism
+    c_cols = [id_col, vec_col] + ([exclude_label_col] if exclude_label_col else [])
     partial = (
-        corpus.select(id_col, vec_col)
+        corpus.select(*c_cols)
         .repartition(n_parts, F.col(id_col))
         .mapInPandas(
             op, schema="query_id long, neighbor_id long, cos_sim double"

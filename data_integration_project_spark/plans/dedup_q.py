@@ -289,19 +289,27 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") % 10 == 0)
     )
 
-    def variant(offset: int, suffix: str) -> DataFrame:
+    # Round-9 (guide §2.4, the [[streaming_neardup_ingest]] fold): was a
+    # 4-branch UNION of the same filtered base — 4 scans per reference.
+    # One scan emits all four variants per row; identical row multiset.
+    def variant(offset: int, suffix: str):
         txt = (
             F.concat(F.col("text"), F.lit(suffix)) if suffix else F.col("text")
         )
-        return base.select(
+        return F.struct(
             (F.col("doc_id") + offset).alias("doc_id"), txt.alias("text")
         )
 
-    corpus = (
-        base.unionByName(variant(100000, ""))
-        .unionByName(variant(200000, " extra"))
-        .unionByName(variant(300000, " extra extra"))
-    )
+    corpus = base.select(
+        F.explode(
+            F.array(
+                variant(0, ""),
+                variant(100000, ""),
+                variant(200000, " extra"),
+                variant(300000, " extra extra"),
+            )
+        ).alias("_r")
+    ).select("_r.doc_id", "_r.text")
     pairs = D.minhash_lsh_dedup(
         corpus,
         "doc_id",
@@ -1490,19 +1498,27 @@ def dedup_clusters_bcubed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") % 10 == 0)
     )
 
-    def variant(offset: int, suffix: str) -> DataFrame:
+    # Round-9 (guide §2.4, the [[streaming_neardup_ingest]] fold): was a
+    # 4-branch UNION of the same filtered base — 4 scans per reference.
+    # One scan emits all four variants per row; identical row multiset.
+    def variant(offset: int, suffix: str):
         txt = (
             F.concat(F.col("text"), F.lit(suffix)) if suffix else F.col("text")
         )
-        return base.select(
+        return F.struct(
             (F.col("doc_id") + offset).alias("doc_id"), txt.alias("text")
         )
 
-    corpus = (
-        base.unionByName(variant(100000, ""))
-        .unionByName(variant(200000, " extra"))
-        .unionByName(variant(300000, " extra extra"))
-    )
+    corpus = base.select(
+        F.explode(
+            F.array(
+                variant(0, ""),
+                variant(100000, ""),
+                variant(200000, " extra"),
+                variant(300000, " extra extra"),
+            )
+        ).alias("_r")
+    ).select("_r.doc_id", "_r.text")
     pairs = D.minhash_lsh_dedup(
         corpus,
         "doc_id",
@@ -1772,19 +1788,27 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") % 10 == 0)
     )
 
-    def variant(offset: int, suffix: str) -> DataFrame:
+    # Round-9 (guide §2.4, the [[streaming_neardup_ingest]] fold): was a
+    # 4-branch UNION of the same filtered base — 4 scans per reference.
+    # One scan emits all four variants per row; identical row multiset.
+    def variant(offset: int, suffix: str):
         txt = (
             F.concat(F.col("text"), F.lit(suffix)) if suffix else F.col("text")
         )
-        return base.select(
+        return F.struct(
             (F.col("doc_id") + offset).alias("doc_id"), txt.alias("text")
         )
 
-    corpus = (
-        base.unionByName(variant(100000, ""))
-        .unionByName(variant(200000, " extra"))
-        .unionByName(variant(300000, " extra extra"))
-    )
+    corpus = base.select(
+        F.explode(
+            F.array(
+                variant(0, ""),
+                variant(100000, ""),
+                variant(200000, " extra"),
+                variant(300000, " extra extra"),
+            )
+        ).alias("_r")
+    ).select("_r.doc_id", "_r.text")
     pairs = D.minhash_lsh_dedup(
         corpus,
         "doc_id",
@@ -1877,19 +1901,27 @@ def dedup_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") % 10 == 0)
     )
 
-    def variant(offset: int, suffix: str) -> DataFrame:
+    # Round-9 (guide §2.4, the [[streaming_neardup_ingest]] fold): was a
+    # 4-branch UNION of the same filtered base — 4 scans per reference.
+    # One scan emits all four variants per row; identical row multiset.
+    def variant(offset: int, suffix: str):
         txt = (
             F.concat(F.col("text"), F.lit(suffix)) if suffix else F.col("text")
         )
-        return base.select(
+        return F.struct(
             (F.col("doc_id") + offset).alias("doc_id"), txt.alias("text")
         )
 
-    corpus = (
-        base.unionByName(variant(100000, ""))
-        .unionByName(variant(200000, " extra"))
-        .unionByName(variant(300000, " extra extra"))
-    )
+    corpus = base.select(
+        F.explode(
+            F.array(
+                variant(0, ""),
+                variant(100000, ""),
+                variant(200000, " extra"),
+                variant(300000, " extra extra"),
+            )
+        ).alias("_r")
+    ).select("_r.doc_id", "_r.text")
     # output is one summary row: compute it eagerly inside try/finally
     # so the persisted signature/candidate/truth frames (pair-scale at
     # sf1.0) never outlive the call in a long-lived session

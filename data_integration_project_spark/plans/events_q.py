@@ -788,23 +788,41 @@ def events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_new_s", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
     ).withColumn(
         "sid", F.sum("_new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
-    ).select("user_id", "sid", "ts", "event_type")
-    s1 = srows.groupBy("user_id", "sid").agg(
-        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view")
+    ).select("user_id", "sid", "ts", "event_id", "event_type")
+    # Round-9 (guide §1.2): the three dependent minima were three
+    # groupBy legs each re-running the sessionization window, joined
+    # back twice — six scans and three shuffled joins. One pass with
+    # RUNNING minima instead: at any row, the running min view (resp.
+    # qualified-click) time over (ts, event_id)-ordered preceding rows
+    # EQUALS the session-global first view (resp. first qualified
+    # click) whenever one precedes this row — and when none precedes,
+    # the session value (if any) is >= this row's ts, so the strict
+    # `>` qualification is false either way. Hence per-row
+    # qualification against the running min is identical to the
+    # original join-against-global-min, and the three minima fold into
+    # one groupBy. Window partitioning (user_id, sid) is satisfied by
+    # the sessionize window's user_id hash — no new exchange.
+    w_run = Window.partitionBy("user_id", "sid").orderBy(
+        "ts", "event_id"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    fv = F.min(
+        F.when(F.col("event_type") == "view", F.col("ts"))
+    ).over(w_run)
+    q = srows.withColumn(
+        "_click_q",
+        (F.col("event_type") == "click") & (F.col("ts") > fv),
     )
-    s2 = (
-        srows.join(s1, ["user_id", "sid"])
-        .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")))
-        .groupBy("user_id", "sid")
-        .agg(F.min("ts").alias("t_click"))
+    fc = F.min(F.when(F.col("_click_q"), F.col("ts"))).over(w_run)
+    q = q.withColumn(
+        "_purch_q",
+        (F.col("event_type") == "purchase") & (F.col("ts") > fc),
     )
-    s3 = (
-        srows.join(s2, ["user_id", "sid"])
-        .filter(
-            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t_click"))
-        )
-        .groupBy("user_id", "sid")
-        .agg(F.min("ts").alias("t_purchase"))
+    per_session = q.groupBy("user_id", "sid").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.col("ts"))
+        ).alias("t_view"),
+        F.min(F.when(F.col("_click_q"), F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("_purch_q"), F.col("ts"))).alias("t_purchase"),
     )
     stage = (
         F.when(F.col("t_purchase").isNotNull(), 3)
@@ -813,9 +831,7 @@ def events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
     )
     return (
-        s1.join(s2, ["user_id", "sid"], "left")
-        .join(s3, ["user_id", "sid"], "left")
-        .select(stage.alias("funnel_stage"))
+        per_session.select(stage.alias("funnel_stage"))
         .groupBy("funnel_stage")
         .agg(F.count(F.lit(1)).alias("n_sessions"))
     )

