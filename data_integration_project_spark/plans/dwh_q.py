@@ -686,6 +686,9 @@ def fact_late_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("c_name", F.lit("INFERRED"))
         .withColumn("c_mktsegment", F.lit("UNKNOWN"))
     )
+    # round-9 NOTE (measured, left alone): dim2 feeds two consumers
+    # but AQE reuses the anti-join's exchanges at runtime; a lazy
+    # localCheckpoint A/B'd slower (0.57 plain vs 0.62).
     dim2 = dim.unionByName(inferred)
     late = c.filter(k % 3 == 0).select(
         F.col("c_custkey").alias("lk"),
@@ -970,12 +973,20 @@ def customers_rtbf_purge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = t(spark, sf_dir, "customer")
     o = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")
-    tomb = c.filter(F.col("c_custkey") % 97 == 0).select(
-        F.col("c_custkey").alias("k")
+    # round-9 (guide §1.2): the tombstone and cascaded-key lists each
+    # feed two legs (the purge count and the next cascade level) — lazy
+    # localCheckpoint of the two dimension-sized key lists so each
+    # table scans once per leg, not once per downstream reference.
+    tomb = (
+        c.filter(F.col("c_custkey") % 97 == 0)
+        .select(F.col("c_custkey").alias("k"))
+        .localCheckpoint(eager=False)
     )
-    o_gone = o.join(
-        F.broadcast(tomb), F.col("o_custkey") == F.col("k")
-    ).select("o_orderkey")
+    o_gone = (
+        o.join(F.broadcast(tomb), F.col("o_custkey") == F.col("k"))
+        .select("o_orderkey")
+        .localCheckpoint(eager=False)
+    )
     li_gone = li.join(
         F.broadcast(o_gone), F.col("l_orderkey") == F.col("o_orderkey")
     ).select("l_orderkey")

@@ -3885,10 +3885,15 @@ def events_segmented_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: everything after the daily rollup operates on the
     |days| series."""
     e = t(spark, sf_dir, "events")
+    # round-9 (guide §1.2): `daily` feeds the totals AND the CUSUM
+    # scan; `cusum` feeds peak, breakpoint and segment builds — the
+    # events scan re-ran six times. Lazy checkpoints of the two
+    # |days|-row panels: one scan.
     daily = (
         e.filter(F.col("event_type") == "error")
         .groupBy(F.col("ts").cast("date").alias("day"))
         .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
     )
     tot = daily.agg(F.count(F.lit(1)).alias("k"), F.sum("n").alias("s"))
     w = Window.orderBy("day")
@@ -3902,7 +3907,7 @@ def events_segmented_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("cusum_scaled"),
-    )
+    ).localCheckpoint(eager=False)
     peak = cusum.agg(F.max(F.abs("cusum_scaled")).alias("peak"))
     bp = (
         cusum.crossJoin(F.broadcast(peak))
@@ -3973,9 +3978,13 @@ def events_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     prune singles below a support floor first, the word2vec
     subsampling analogue)."""
     e = t(spark, sf_dir, "events")
+    # round-9 (guide §1.2): `sess` feeds the singles rollup, the
+    # context count and BOTH self-join sides — the events scan +
+    # distinct re-ran four times. Lazy localCheckpoint of the deduped
+    # (user, day, type) working set: one pass.
     sess = e.select(
         "user_id", F.col("ts").cast("date").alias("day"), "event_type"
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     singles = sess.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     n_ctx = sess.select("user_id", "day").distinct().agg(
         F.count(F.lit(1)).alias("n_ctx")
@@ -6843,6 +6852,10 @@ def events_hourly_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum(y * y).cast("long").alias(f"syy{k}"),
             F.sum(c * y).cast("long").alias(f"sxy{k}"),
         ]
+    # Round-9 NOTE (measured, left alone): AQE exchange reuse dedups
+    # the shared moment exchange across the per-lag branches at
+    # runtime; a checkpoint A/B'd slower (1.07 vs 1.17 — the
+    # lineitem_correlation_matrix finding).
     m = lagged.agg(*aggs)
     out = None
     for k in range(1, k_max + 1):

@@ -673,19 +673,36 @@ def orders_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         F.year("o_orderdate").alias("order_year"),
     )
-    pairs = None
-    for fd, lhs, rhs in [
-        ("o_custkey->c_nationkey", "o_custkey", "c_nationkey"),
-        ("o_orderstatus->o_orderpriority", "o_orderstatus", "o_orderpriority"),
-        ("o_orderstatus->order_year", "o_orderstatus", "order_year"),
-        ("o_orderpriority->o_orderstatus", "o_orderpriority", "o_orderstatus"),
-    ]:
-        p = wide.select(
-            F.lit(fd).alias("fd"),
-            F.col(lhs).cast("string").alias("lhs"),
-            F.col(rhs).cast("string").alias("rhs"),
-        )
-        pairs = p if pairs is None else pairs.unionAll(p)
+    # round-9 (guide §2.4): was a 4-branch union of projections of the
+    # SAME joined stream — four scans+joins. One pass emits all four
+    # candidate pairs per row via explode (identical row multiset).
+    pairs = wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(fd).alias("fd"),
+                        F.col(lhs).cast("string").alias("lhs"),
+                        F.col(rhs).cast("string").alias("rhs"),
+                    )
+                    for fd, lhs, rhs in [
+                        ("o_custkey->c_nationkey", "o_custkey", "c_nationkey"),
+                        (
+                            "o_orderstatus->o_orderpriority",
+                            "o_orderstatus",
+                            "o_orderpriority",
+                        ),
+                        ("o_orderstatus->order_year", "o_orderstatus", "order_year"),
+                        (
+                            "o_orderpriority->o_orderstatus",
+                            "o_orderpriority",
+                            "o_orderstatus",
+                        ),
+                    ]
+                ]
+            )
+        ).alias("_p")
+    ).select("_p.fd", "_p.lhs", "_p.rhs")
     per_value = pairs.groupBy("fd", "lhs", "rhs").agg(
         F.count(F.lit(1)).alias("cnt")
     )

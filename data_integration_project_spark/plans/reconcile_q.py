@@ -145,10 +145,16 @@ def reconcile_not_in_null_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     (every source row qualifies, NULLs included)."""
     c = t(spark, sf_dir, "customer")
     k = F.col("c_custkey")
+    # round-9 (guide §1.2): `src` feeds all three NOT-IN legs and
+    # `tgt_clean` two of them — lazy localCheckpoint of the key lists
+    # so the source scans once, not once per leg (the 3VL legs
+    # themselves are the demonstrated surface and stay untouched).
     src = c.filter(k % 2 == 0).select(
         F.when(k % 10 == 0, F.lit(None)).otherwise(k).alias("k")
+    ).localCheckpoint(eager=False)
+    tgt_clean = c.filter(k % 3 == 0).select(k.alias("k")).localCheckpoint(
+        eager=False
     )
-    tgt_clean = c.filter(k % 3 == 0).select(k.alias("k"))
     tgt_null = tgt_clean.unionByName(
         spark.range(1).select(F.lit(None).cast("long").alias("k"))
     )

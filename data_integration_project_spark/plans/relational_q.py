@@ -248,7 +248,13 @@ def customers_setops_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
 
-    y95, y96 = keys(1995), keys(1996)
+    # round-9 (guide §1.2): each year panel feeds two of the three
+    # set-ops — the year-filtered scan+distinct re-ran per reference
+    # (6 scans). Lazy localCheckpoint of the two distinct-custkey
+    # panels: one scan per year; the INTERSECT/EXCEPT operators (the
+    # demonstrated U3 surface) are untouched.
+    y95 = keys(1995).localCheckpoint(eager=False)
+    y96 = keys(1996).localCheckpoint(eager=False)
     legs = [
         ("retained", y95.intersect(y96)),
         ("churned", y95.subtract(y96)),
@@ -1726,6 +1732,11 @@ def lineitem_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j in range(len(_CORR_COLS))
         if i <= j
     ]
+    # Round-9 NOTE (measured, left alone): the moment row feeds one
+    # union branch per pair, but AQE exchange reuse already dedups the
+    # identical partial-aggregate exchange at runtime — a lazy
+    # localCheckpoint A/B'd SLOWER (0.75 plain vs 1.16; RDD
+    # materialization overhead for nothing).
     m = li.agg(*aggs)
     out = None
     for i, a in enumerate(_CORR_COLS):
@@ -4961,10 +4972,19 @@ def orders_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")
     nl = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_lines"))
-    base = o.join(nl, F.col("o_orderkey") == F.col("l_orderkey")).select(
-        F.col("o_orderkey").alias("k"),
-        F.col("n_lines").cast("long").alias("x"),
-        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("y"),
+    # Round-9 (guide §1.2): `base` feeds the kmax probe and BOTH pair
+    # sides, and `slopes` feeds the rank window and its count — the
+    # orders⋈lineitem join ran four times (8 scans). Lazy checkpoints:
+    # the kmax collect materializes `base`; one pair join feeds both
+    # slope consumers.
+    base = (
+        o.join(nl, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("n_lines").cast("long").alias("x"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("y"),
+        )
+        .localCheckpoint(eager=False)
     )
     kmax = base.agg((F.max("k") + 1).alias("m")).collect()[0]["m"]
     a = base.select(
@@ -4982,6 +5002,7 @@ def orders_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("x2") - F.col("x1")).cast("double")
             ).alias("slope")
         )
+        .localCheckpoint(eager=False)
     )
     w = Window.orderBy("slope")
     ranked = slopes.withColumn("rn", F.row_number().over(w)).crossJoin(
@@ -10876,6 +10897,11 @@ def orders_merkle_root(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(F.expr(_DIFF_HASH)) % _MERKLE_P).cast("long").alias("h")
     )
     spine = spark.range(64).select(F.col("id").cast("long").alias("blk"))
+    # Round-9 NOTE (measured, left alone): the 7 level panels fold up
+    # from this leaf table and the static plan shows one leaf scan per
+    # panel — but AQE exchange reuse dedups the shared block-checksum
+    # exchange at runtime, and a lazy localCheckpoint A/B'd slower
+    # (0.63 plain vs 0.86).
     level = (
         spine.join(blocks, "blk", "left")
         .select("blk", F.coalesce("h", F.lit(0)).alias("h"))
