@@ -7,7 +7,7 @@ catalog red-at-latest-sampling first (so fixes re-validate the
 very next round), then never-sampled, then the green remainder.
 """
 
-# source files: CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json, CORRECTNESS_r04.json, CORRECTNESS_r05.json, CORRECTNESS_r06.json, CORRECTNESS_r07.json, CORRECTNESS_r08.json
+# source files: CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json, CORRECTNESS_r04.json, CORRECTNESS_r05.json, CORRECTNESS_r06.json, CORRECTNESS_r07.json, CORRECTNESS_r08.json, CORRECTNESS_r09.json
 
 DRIVER_SAMPLED: frozenset[str] = frozenset({
     "ann_context_packing",  # CORRECTNESS_r04.json
@@ -20,9 +20,17 @@ DRIVER_SAMPLED: frozenset[str] = frozenset({
     "benchmark_decontamination",  # CORRECTNESS_r04.json
     "catalog_analyze_stats",  # CORRECTNESS_r08.json
     "catalog_integrity_audit",  # CORRECTNESS_r08.json
+    "corpus_clean_summary",  # CORRECTNESS_r09.json
     "corpus_dedup_cascade",  # CORRECTNESS_r04.json
+    "corpus_dsir_weights",  # CORRECTNESS_r09.json
+    "corpus_epoch_shuffle",  # CORRECTNESS_r09.json
+    "corpus_heaps_law",  # CORRECTNESS_r09.json
     "corpus_leakage_safe_split",  # CORRECTNESS_r03.json
+    "corpus_mixture_weights",  # CORRECTNESS_r09.json
     "corpus_semdedup",  # CORRECTNESS_r05.json
+    "corpus_shard_assignment",  # CORRECTNESS_r09.json
+    "corpus_temperature_mixture",  # CORRECTNESS_r09.json
+    "corpus_zipf_law",  # CORRECTNESS_r09.json
     "customer_clean_rows",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
     "customer_csv_roundtrip",  # CORRECTNESS_r08.json
     "customer_error_replay",  # CORRECTNESS_r02.json, CORRECTNESS_r03.json
@@ -37,14 +45,17 @@ DRIVER_SAMPLED: frozenset[str] = frozenset({
     "customer_quality_report",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
     "customer_sorted_neighborhood",  # CORRECTNESS_r07.json
     "customers_aes_envelope",  # CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "customers_brier_calibration",  # CORRECTNESS_r09.json
     "customers_cogroup_recon",  # CORRECTNESS_r08.json
     "customers_collated_segments",  # CORRECTNESS_r07.json
-    "customers_correlated_subquery",  # CORRECTNESS_r07.json, CORRECTNESS_r08.json
+    "customers_correlated_subquery",  # CORRECTNESS_r07.json, CORRECTNESS_r08.json, CORRECTNESS_r09.json
     "customers_cv_stump",  # CORRECTNESS_r08.json
     "customers_decision_tree",  # CORRECTNESS_r08.json
+    "customers_gains_lift",  # CORRECTNESS_r09.json
     "customers_geo_proximity",  # CORRECTNESS_r07.json
     "customers_gini_revenue",  # CORRECTNESS_r08.json
     "customers_hierarchy_rollup",  # CORRECTNESS_r07.json
+    "customers_ipw_ate",  # CORRECTNESS_r09.json
     "customers_k_anonymity",  # CORRECTNESS_r04.json
     "customers_l_diversity",  # CORRECTNESS_r04.json
     "customers_lateral_top2_orders",  # CORRECTNESS_r07.json
@@ -79,24 +90,43 @@ DRIVER_SAMPLED: frozenset[str] = frozenset({
     "dim_date",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
     "dim_date_holidays",  # CORRECTNESS_r02.json, CORRECTNESS_r03.json
     "dim_date_tet_holidays",  # CORRECTNESS_r02.json
+    "doc_bpe_pair_counts",  # CORRECTNESS_r09.json
+    "doc_bpe_train_merges",  # CORRECTNESS_r09.json
     "doc_cdc_chunk_dedup",  # CORRECTNESS_r04.json
+    "doc_charlm_score",  # CORRECTNESS_r09.json
+    "doc_chunk_packing",  # CORRECTNESS_r09.json
     "doc_classifier_kappa",  # CORRECTNESS_r04.json
+    "doc_cms_token_counts",  # CORRECTNESS_r09.json
     "doc_containment_pairs",  # CORRECTNESS_r04.json
+    "doc_dup_substring_coverage",  # CORRECTNESS_r09.json
     "doc_fingerprints",  # CORRECTNESS_r01.json
+    "doc_gopher_quality",  # CORRECTNESS_r09.json
     "doc_hashed_features",  # CORRECTNESS_r04.json
+    "doc_heavy_hitters_mg",  # CORRECTNESS_r09.json
     "doc_html_boilerplate_strip",  # CORRECTNESS_r04.json
+    "doc_importance_sample",  # CORRECTNESS_r09.json
+    "doc_inverted_index",  # CORRECTNESS_r09.json
     "doc_lang_id",  # CORRECTNESS_r01.json
     "doc_nb_calibration",  # CORRECTNESS_r04.json
     "doc_nb_lang_classify",  # CORRECTNESS_r04.json
     "doc_nb_margin_auc",  # CORRECTNESS_r04.json
+    "doc_paragraph_dedup",  # CORRECTNESS_r09.json
     "doc_phrase_search",  # CORRECTNESS_r04.json
+    "doc_pii_scrub",  # CORRECTNESS_r09.json
     "doc_preference_pairs",  # CORRECTNESS_r04.json
     "doc_quality_scores",  # CORRECTNESS_r01.json
     "doc_rougel_pairs",  # CORRECTNESS_r04.json
     "doc_simhash_sort_locality",  # CORRECTNESS_r04.json
+    "doc_span_corruption",  # CORRECTNESS_r09.json
     "doc_stratified_sample",  # CORRECTNESS_r04.json
+    "doc_tfidf_top_terms",  # CORRECTNESS_r09.json
+    "doc_token_class_pmi",  # CORRECTNESS_r09.json
+    "doc_token_runs",  # CORRECTNESS_r09.json
     "doc_token_stats",  # CORRECTNESS_r01.json
+    "doc_top_tokens",  # CORRECTNESS_r09.json
+    "doc_trigram_search",  # CORRECTNESS_r09.json
     "doc_unicode_nfc",  # CORRECTNESS_r04.json
+    "doc_vocab_encode",  # CORRECTNESS_r09.json
     "doc_winnowing_fingerprints",  # CORRECTNESS_r04.json
     "embedding_near_dup",  # CORRECTNESS_r01.json
     "embeddings_bitext_mining",  # CORRECTNESS_r04.json
@@ -138,6 +168,7 @@ DRIVER_SAMPLED: frozenset[str] = frozenset({
     "events_holt_forecast",  # CORRECTNESS_r06.json
     "events_holt_winters_forecast",  # CORRECTNESS_r06.json
     "events_hopping_window",  # CORRECTNESS_r05.json
+    "events_hourly_autocorrelation",  # CORRECTNESS_r09.json
     "events_hourly_by_type",  # CORRECTNESS_r01.json
     "events_interval_join",  # CORRECTNESS_r06.json
     "events_json_corrupt_capture",  # CORRECTNESS_r06.json
@@ -198,13 +229,17 @@ DRIVER_SAMPLED: frozenset[str] = frozenset({
     "fact_order_lifecycle",  # CORRECTNESS_r02.json
     "fact_period_end_balance",  # CORRECTNESS_r02.json
     "fact_sales_by_brand_year",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "fx_arbitrage_detection",  # CORRECTNESS_r09.json
     "khachhang_csv_pipeline",  # CORRECTNESS_r01.json
     "khachhang_golden_records",  # CORRECTNESS_r06.json
+    "lineitem_als_recommend",  # CORRECTNESS_r09.json
     "lineitem_bradley_terry",  # CORRECTNESS_r08.json
     "lineitem_bt_calibration",  # CORRECTNESS_r08.json
+    "lineitem_cms_selfjoin_size",  # CORRECTNESS_r09.json
     "lineitem_correlation_matrix",  # CORRECTNESS_r07.json
     "lineitem_key_skew_profile",  # CORRECTNESS_r07.json
     "lineitem_ols_regression",  # CORRECTNESS_r07.json
+    "lineitem_price_indexes",  # CORRECTNESS_r09.json
     "lineitem_zonemap_pruning",  # CORRECTNESS_r08.json
     "merged_customer_sources",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
     "mon_csv_quality",  # CORRECTNESS_r06.json
@@ -236,7 +271,9 @@ DRIVER_SAMPLED: frozenset[str] = frozenset({
     "nguyenlieu_csv_quality",  # CORRECTNESS_r06.json
     "nguyenlieu_inventory_fact",  # CORRECTNESS_r01.json
     "order_line_value",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "orders_aqp_sample_estimate",  # CORRECTNESS_r09.json
     "orders_avro_roundtrip",  # CORRECTNESS_r08.json
+    "orders_avro_schema_evolution",  # CORRECTNESS_r09.json
     "orders_benford_leading_digit",  # CORRECTNESS_r07.json
     "orders_bitmap_index_scan",  # CORRECTNESS_r08.json
     "orders_bloom_semi_join",  # CORRECTNESS_r07.json
@@ -256,22 +293,29 @@ DRIVER_SAMPLED: frozenset[str] = frozenset({
     "orders_encoding_advisor",  # CORRECTNESS_r08.json
     "orders_fd_discovery",  # CORRECTNESS_r02.json, CORRECTNESS_r03.json
     "orders_first_wins_dedup",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "orders_format_parity_audit",  # CORRECTNESS_r09.json
     "orders_fx_normalized",  # CORRECTNESS_r02.json
+    "orders_group_relative_advantage",  # CORRECTNESS_r09.json
     "orders_grouped_agg_median",  # CORRECTNESS_r05.json
     "orders_grouping_sets",  # CORRECTNESS_r06.json
+    "orders_hhi_concentration",  # CORRECTNESS_r09.json
+    "orders_isotonic_calibration",  # CORRECTNESS_r09.json
     "orders_kll_quantiles",  # CORRECTNESS_r08.json
     "orders_kmv_set_algebra",  # CORRECTNESS_r07.json
     "orders_mann_whitney",  # CORRECTNESS_r08.json
     "orders_matched_att",  # CORRECTNESS_r08.json
+    "orders_merkle_root",  # CORRECTNESS_r09.json
     "orders_multipass_quantiles",  # CORRECTNESS_r07.json
     "orders_negative_sampling",  # CORRECTNESS_r07.json
     "orders_nested_lines",  # CORRECTNESS_r07.json
     "orders_neyman_allocation",  # CORRECTNESS_r08.json
     "orders_observed_metrics",  # CORRECTNESS_r07.json
     "orders_orc_roundtrip",  # CORRECTNESS_r08.json
+    "orders_pass_at_k",  # CORRECTNESS_r09.json
     "orders_pipe_syntax",  # CORRECTNESS_r07.json
     "orders_pit_dimension_join",  # CORRECTNESS_r02.json, CORRECTNESS_r03.json
     "orders_pivot_status",  # CORRECTNESS_r06.json
+    "orders_point_in_polygon",  # CORRECTNESS_r09.json
     "orders_poisson_bootstrap",  # CORRECTNESS_r07.json
     "orders_price_histogram",  # CORRECTNESS_r06.json
     "orders_price_percentile_disc",  # CORRECTNESS_r06.json
@@ -282,11 +326,14 @@ DRIVER_SAMPLED: frozenset[str] = frozenset({
     "orders_python_datasink",  # CORRECTNESS_r08.json
     "orders_quantile_buckets",  # CORRECTNESS_r07.json
     "orders_quantile_sketch",  # CORRECTNESS_r08.json
+    "orders_queue_capacity_plan",  # CORRECTNESS_r09.json
+    "orders_queue_simulation",  # CORRECTNESS_r09.json
     "orders_range_partition_hist",  # CORRECTNESS_r07.json
     "orders_rebate_proration",  # CORRECTNESS_r07.json
     "orders_schema_evolution_read",  # CORRECTNESS_r03.json
     "orders_segment_welch_tests",  # CORRECTNESS_r08.json
     "orders_sql_script_cutoff",  # CORRECTNESS_r08.json
+    "orders_sqlite_cdc_stream",  # CORRECTNESS_r09.json
     "orders_sqlite_partial_load",  # CORRECTNESS_r08.json
     "orders_sqlite_roundtrip",  # CORRECTNESS_r08.json
     "orders_status_report",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
@@ -305,6 +352,7 @@ DRIVER_SAMPLED: frozenset[str] = frozenset({
     "parts_abc_classification",  # CORRECTNESS_r07.json
     "parts_also_bought_topk",  # CORRECTNESS_r08.json
     "parts_decayed_popularity",  # CORRECTNESS_r08.json
+    "parts_eoq_inventory_policy",  # CORRECTNESS_r09.json
     "parts_market_basket",  # CORRECTNESS_r07.json
     "parts_price_elasticity",  # CORRECTNESS_r08.json
     "parts_price_volume_mix",  # CORRECTNESS_r08.json
@@ -334,6 +382,7 @@ DRIVER_SAMPLED: frozenset[str] = frozenset({
     "streaming_neardup_ingest",  # CORRECTNESS_r05.json
     "streaming_neardup_store_growth",  # CORRECTNESS_r06.json
     "supplier_balance_by_nation",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "suppliers_geo_radius_join",  # CORRECTNESS_r09.json
     "table_row_counts",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
     "top10_orders",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
 })
@@ -344,5 +393,4 @@ DRIVER_SAMPLED: frozenset[str] = frozenset({
 # next round's ~50-query prefix instead of waiting out the
 # rotation (VERDICT r7 items 1 and 5).
 DRIVER_RED_LATEST: frozenset[str] = frozenset({
-    "customers_correlated_subquery",
 })
