@@ -7511,6 +7511,23 @@ def orders_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pyavro.register(spark)
     d = run_tmpdir("pyavro_")
+    # Round-9 (guide §2.6): was repartition(2) — two tasks did ALL the
+    # per-record Python Avro encoding while the rest of the session sat
+    # idle (write leg 4.7 s cold / 1.2 s warm at sf0.1). Round-10: a
+    # flat defaultParallelism width overshot the other way at small
+    # inputs (32 Python writer tasks for a 21k-row slice — task/worker
+    # startup dominated). Derive the width from the SOURCE size —
+    # ~1 MB of orders parquet per writer task, clamped to
+    # [2, defaultParallelism] — so the encode stage still fans out with
+    # the data (at sf1.0+ it saturates every core) without paying 32
+    # startups for kilobytes.
+    import os as _os
+
+    src_bytes = _os.path.getsize(_os.path.join(sf_dir, "orders.parquet"))
+    n_writers = min(
+        spark.sparkContext.defaultParallelism,
+        max(2, src_bytes // (1024 * 1024)),
+    )
     (
         t(spark, sf_dir, "orders")
         .filter(F.col("o_orderkey") % 7 == 0)
@@ -7521,23 +7538,35 @@ def orders_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_totalprice",
             F.col("o_orderdate").cast("date").alias("o_orderdate"),
         )
-        # Round-9 (guide §2.6): was repartition(2) — two tasks did ALL
-        # the per-record Python Avro encoding while the rest of the
-        # session sat idle (write leg 4.7 s cold / 1.2 s warm at sf0.1;
-        # 1.3 / 0.8 spread). Smaller files still get >=2 byte-range
-        # splits each at sf0.1 via the smaller split_size below, so the
-        # mid-file sync resynchronization path stays exercised.
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(n_writers)
         .write.format("pyavro")
         .option("path", d)
         .option("block_rows", "100")
         .mode("append")
         .save()
     )
+    # Round-10 (guide §6 — input split size): split_size was a fixed
+    # 4 KB, planned against r9's 32 smaller files it meant ~5 byte-range
+    # splits per ~20 KB file (~160 Python-task partitions for a 21k-row
+    # read) — the round's one real local regression (1.54 → 2.70 s, and
+    # 3.73 s on the 8-core leg: pure per-task overhead). Derive the
+    # split size from the actual file size instead — half the largest
+    # file — so every file still plans >=2 byte ranges (the mid-file
+    # sync-marker resynchronization path stays exercised at EVERY
+    # scale) while the split count tracks the data instead of a 4 KB
+    # constant.
+    import os as _os
+
+    sizes = [
+        _os.path.getsize(_os.path.join(d, n))
+        for n in _os.listdir(d)
+        if n.endswith(".avro")
+    ]
+    split_size = max(1024, max(sizes, default=4096) // 2)
     back = (
         spark.read.format("pyavro")
         .option("path", d)
-        .option("split_size", str(4 * 1024))
+        .option("split_size", str(split_size))
         .load()
     )
     # the split planner must actually fan out (several byte ranges/file)
