@@ -418,27 +418,78 @@ def simhash_signature(
     hashes supply up to 62 pseudo-random bits (h1 → bits 0..30,
     h2 = (A2·h1+B2) mod P → bits 31..61); each bit contributes ±1 per
     occurrence; the fingerprint sets bit j where the weighted sum is
-    positive. Distinct-token hashing + one codegen groupBy — linear in
-    corpus size, single shuffle."""
-    rows = hashed_token_rows(df, id_col, text_col).withColumn(
-        "_h2", (F.lit(A2) * F.col("_h") + F.lit(B2)) % P
-    )
+    positive.
 
-    def bit_src(j: int):
-        return F.col("_h") if j < 31 else F.col("_h2")
+    Round-10 (guide §4.2 — hand whole batches to native code): the
+    whole fold is ONE ``mapInArrow`` stage. Every datum the signature
+    needs lives inside the document's own row, so the former pipeline —
+    posexplode → distinct-token dim → hash join → 62 conditional SUM
+    aggregates → 62-branch fingerprint CASE chain — collapses to a
+    zero-exchange narrow stage (the repartition spreads rows for
+    parallelism, not correctness), and the two ~190-node Catalyst
+    expression trees (62 aggs + 62 whens) that cost ~1 s of driver
+    analysis per plan build disappear. Bit-exactness is pinned by
+    tests: the Python tokenizer replicates trim-space-only +
+    ASCII ``\\s+`` split (Java regex) and ``ord`` == ``ascii``
+    (codepoints, not bytes); hashes are cached per distinct token per
+    task (the Zipf discipline the old dim join encoded).
 
-    bit_sums = [
-        F.sum(
-            F.when(bit_src(j).bitwiseAND(F.lit(1 << (j % 31))) != 0, 1).otherwise(-1)
-        ).alias(f"_s{j}")
-        for j in range(bits)
-    ]
-    summed = rows.groupBy(id_col).agg(*bit_sums)
-    fingerprint = sum(
-        (F.when(F.col(f"_s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)) for j in range(bits)),
-        start=F.lit(0),
+    Scale shape: linear scan, no shuffle of token rows at all; per-task
+    memory is one token-hash dict (vocabulary-of-partition) plus one
+    (tokens × 31) bit matrix per document."""
+    from ..session import default_parallelism
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    n1 = min(bits, 31)
+    n2 = bits - n1
+
+    def fold(batches):
+        import re
+
+        import numpy as np
+        import pyarrow as pa
+
+        split_re = re.compile(r"\s+", re.ASCII)
+        cache: dict = {}
+
+        def tok_hash(tok: str):
+            h = cache.get(tok)
+            if h is None:
+                acc = 0
+                for ch in tok:
+                    acc = (acc * 31 + ord(ch)) % P
+                h = (acc, (A2 * acc + B2) % P)
+                cache[tok] = h
+            return h
+
+        sh1 = np.arange(n1, dtype=np.int64)
+        sh2 = np.arange(n2, dtype=np.int64)
+        weights = np.ones(bits, dtype=np.int64) << np.arange(bits, dtype=np.int64)
+        for b in batches:
+            ids = b.column(0)
+            texts = b.column(1).to_pylist()
+            keep: list = []
+            sigs: list = []
+            for i, s in enumerate(texts):
+                if s is None:
+                    continue  # null text produced no token rows before
+                toks = split_re.split(s.strip(" ").lower())
+                hs = np.array([tok_hash(t_) for t_ in toks], dtype=np.int64)
+                n = hs.shape[0]
+                c1 = ((hs[:, 0:1] >> sh1) & 1).sum(axis=0)
+                c2 = ((hs[:, 1:2] >> sh2) & 1).sum(axis=0)
+                sums = np.concatenate([2 * c1 - n, 2 * c2 - n])
+                sigs.append(int(weights[sums > 0].sum()))
+                keep.append(i)
+            yield pa.record_batch(
+                [ids.take(pa.array(keep, pa.int32())), pa.array(sigs, pa.int64())],
+                names=[id_col, "simhash"],
+            )
+
+    narrow = df.select(id_col, text_col).repartition(
+        default_parallelism(), id_col
     )
-    return summed.select(id_col, fingerprint.cast("long").alias("simhash"))
+    return narrow.mapInArrow(fold, f"{id_col} {id_type}, simhash long")
 
 
 def simhash_pairs(
