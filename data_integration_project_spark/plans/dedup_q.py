@@ -1196,26 +1196,40 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    w_ord = Window.partitionBy("doc_id").orderBy("df", "token")
-    w_sz = Window.partitionBy("doc_id")
-    # Round-9 NOTE (measured, left alone): `ordered` feeds three plan
-    # branches, but checkpointing it is a LOSS here (interleaved A/B
-    # 2.66 s plain vs 4.29 s checkpointed at sf0.1) — ReuseExchange
-    # already dedups the identical doc_id window exchange across the
-    # branches, so only the cheap post-exchange window re-runs, while
-    # a localCheckpoint would serialize the whole 260k-row token
-    # stream. The wall is the verify stage's array_intersect — honest
-    # candidate-verification work.
-    ordered = (
+    # Round-10 (guide §2.4): the rarest-first ordering used to be a
+    # row_number + count WINDOW over the exploded 260k-row token stream
+    # — a full sort of every partition's tokens — followed by a
+    # separate collect_set aggregate for the verify sets. Each doc's
+    # ordering is decidable in-row: ONE groupBy(doc_id) collects
+    # (df, token) structs and array_sort orders them (df asc, token
+    # asc — the window's exact key), so prefix selection is an in-row
+    # slice, the verify sets are the same array re-projected, and the
+    # global sort disappears (at scale: bounded per-doc array sorts
+    # instead of partition-wide sorts). localCheckpoint of docs_arr
+    # re-measured a LOSS (4.2 vs 2.8 s — serializes the fat string
+    # arrays; ReuseExchange already shares the one doc_id exchange),
+    # same verdict as round 9's `ordered` checkpoint.
+    docs_arr = (
         toks.join(freq, "token")
-        .withColumn("rn", F.row_number().over(w_ord))
-        .withColumn("set_size", F.count(F.lit(1)).over(w_sz))
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "token"))).alias("_ord"))
+        .withColumn("set_size", F.size("_ord"))
     )
     prefix_len = (
         F.col("set_size") - ((3 * F.col("set_size") + 4) / 5).cast("long") + 1
-    )
-    prefix = ordered.filter(F.col("rn") <= prefix_len).select(
-        "doc_id", "token", "set_size", "rn"
+    ).cast("int")
+    prefix = (
+        docs_arr.select(
+            "doc_id",
+            "set_size",
+            F.posexplode(F.slice("_ord", F.lit(1), prefix_len)).alias("_p", "_s"),
+        )
+        .select(
+            "doc_id",
+            "set_size",
+            (F.col("_p") + 1).alias("rn"),
+            F.col("_s.token").alias("token"),
+        )
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     # PPJoin LENGTH + POSITIONAL filters alongside the prefix filter
@@ -1252,15 +1266,15 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # verify on COLLECTED shingle sets, not a second exploded join: one
-    # (doc -> sorted set) materialization, then each candidate pair is
-    # a single codegen array_intersect over two ~|doc|-sized arrays —
-    # the exploded (doc, token) x (doc, token) verify join this
-    # replaces shuffled the whole shingle stream a second time
-    # reuse the ordered stream (already shuffled onto doc_id for the
-    # window) instead of re-exploding the corpus a second time
-    sets = ordered.groupBy("doc_id").agg(
-        F.collect_set("token").alias("toks"), F.count(F.lit(1)).alias("set_size")
+    # verify on the SAME per-doc arrays, not a second exploded join:
+    # each candidate pair is a single codegen array_intersect over two
+    # ~|doc|-sized arrays — the exploded (doc, token) x (doc, token)
+    # verify join this replaces shuffled the whole shingle stream a
+    # second time
+    sets = docs_arr.select(
+        "doc_id",
+        F.transform("_ord", lambda s: s["token"]).alias("toks"),
+        "set_size",
     )
     sa = sets.select(
         F.col("doc_id").alias("doc_a"),
