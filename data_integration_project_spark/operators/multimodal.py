@@ -30,6 +30,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..session import spread_width
+
 #: Canonical multimodal record schema: payload + typed metadata.
 MEDIA_SCHEMA = T.StructType(
     [
@@ -81,7 +83,7 @@ def _spread(media: DataFrame, *cols: str) -> DataFrame:
         return media.select(*cols) if cols else media
     if cols:
         media = media.select(*cols)
-    n_parts = media.sparkSession.sparkContext.defaultParallelism
+    n_parts = spread_width(media, per_byte_cost=4)
     return media.repartition(n_parts, F.col("media_id"))
 
 
@@ -348,7 +350,7 @@ def documents_as_wav_media(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    n_parts = spread_width(docs.select("doc_id", "text"), per_byte_cost=4)
     return _mark_spread(
         docs.select("doc_id", "text")
         .repartition(n_parts, F.col("doc_id"))
@@ -484,7 +486,7 @@ def documents_as_aiff_media(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    n_parts = spread_width(docs.select("doc_id", "text"), per_byte_cost=4)
     return _mark_spread(
         docs.select("doc_id", "text")
         .repartition(n_parts, F.col("doc_id"))
@@ -524,7 +526,7 @@ def documents_as_ppm_media(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    n_parts = spread_width(docs.select("doc_id", "text"), per_byte_cost=4)
     return _mark_spread(
         docs.select("doc_id", "text")
         .repartition(n_parts, F.col("doc_id"))
@@ -891,7 +893,7 @@ def documents_as_gif_media(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    n_parts = spread_width(docs.select("doc_id", "text"), per_byte_cost=64)
     return _mark_spread(
         docs.select("doc_id", "text")
         .repartition(n_parts, F.col("doc_id"))
@@ -914,7 +916,7 @@ def documents_as_png_media(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    n_parts = spread_width(docs.select("doc_id", "text"), per_byte_cost=64)
     return _mark_spread(
         docs.select("doc_id", "text")
         .repartition(n_parts, F.col("doc_id"))
@@ -952,7 +954,7 @@ def documents_as_tga_media(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    n_parts = spread_width(docs.select("doc_id", "text"), per_byte_cost=4)
     return _mark_spread(
         docs.select("doc_id", "text")
         .repartition(n_parts, F.col("doc_id"))
@@ -1863,7 +1865,7 @@ def documents_as_flac_media(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    n_parts = spread_width(docs.select("doc_id", "text"), per_byte_cost=64)
     return _mark_spread(
         docs.select("doc_id", "text")
         .repartition(n_parts, F.col("doc_id"))
@@ -2542,7 +2544,7 @@ def documents_as_jpeg_media(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    n = docs.sparkSession.sparkContext.defaultParallelism
+    n = spread_width(docs.select("doc_id", "text"), per_byte_cost=64)
     return _mark_spread(
         docs.select("doc_id", "text")
         .repartition(n, F.col("doc_id"))
@@ -2785,7 +2787,7 @@ def documents_as_avi_media(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    n_parts = spread_width(docs.select("doc_id", "text"), per_byte_cost=64)
     return _mark_spread(
         docs.select("doc_id", "text")
         .repartition(n_parts, F.col("doc_id"))

@@ -18,6 +18,8 @@ from functools import lru_cache
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from ..session import spread_width
 from pyspark.sql import Window
 
 from ..functions.vectors import cosine
@@ -352,8 +354,8 @@ def brute_force_topk_pandas(
     # one partition and the per-batch matmul runs on one core with a
     # |Q|x|batch| matrix sized by the whole corpus (the AQE-coalesce /
     # media-decode lesson; measured 5x on the bitext-mining shape)
-    n_parts = spark.sparkContext.defaultParallelism
     c_cols = [id_col, vec_col] + ([exclude_label_col] if exclude_label_col else [])
+    n_parts = spread_width(corpus.select(*c_cols))
     partial = (
         corpus.select(*c_cols)
         .repartition(n_parts, F.col(id_col))
@@ -468,7 +470,7 @@ def mutual_topk_pandas(
                     }
                 )
 
-    n_parts = spark.sparkContext.defaultParallelism
+    n_parts = spread_width(corpus.select(id_col, vec_col))
     partial = (
         corpus.select(id_col, vec_col, side_col.alias("_side"))
         .repartition(n_parts, F.col(id_col))

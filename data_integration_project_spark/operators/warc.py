@@ -22,6 +22,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import spread_width
+
 _CRLF = b"\r\n"
 
 
@@ -102,7 +104,7 @@ def documents_as_warc(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    n_parts = spread_width(docs.select("doc_id", "text"), per_byte_cost=4)
     return (
         docs.select("doc_id", "text")
         .repartition(n_parts, F.col("doc_id"))
@@ -151,7 +153,7 @@ def parse_warc_features(media: DataFrame) -> DataFrame:
                 ],
             )
 
-    n_parts = media.sparkSession.sparkContext.defaultParallelism
+    n_parts = spread_width(media, per_byte_cost=4)
     return media.repartition(n_parts, F.col("media_id")).mapInPandas(
         op, schema=WARC_SCHEMA
     )

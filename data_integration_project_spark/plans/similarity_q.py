@@ -2410,7 +2410,9 @@ def _pca_cov_panel(spark: SparkSession, e: DataFrame):
                 {"i": ii.ravel(), "j": jj.ravel(), "p": cc.ravel()}
             )
 
-    n_parts = spark.sparkContext.defaultParallelism
+    from ..session import spread_width
+
+    n_parts = spread_width(e.select("embedding"))
     cov_rows = (
         e.select("embedding")
         .repartition(n_parts)

@@ -25,6 +25,23 @@ RUNTIME_CONFS: dict[str, str] = {
     ),
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # Round-10 (guide §2.2 — fewer, larger reduce partitions): with
+    # parallelismFirst at its default (true) AQE coalesces only down to
+    # the session parallelism, so at small inputs every post-shuffle
+    # stage still launches <cores> near-empty tasks — measured ~16 s of
+    # pure task overhead across the 86-query suite at 32 cores / sf0.1
+    # (the 8-core suite beat the 32-core one). false makes AQE honor
+    # advisoryPartitionSizeInBytes instead: partition count tracks
+    # DATA SIZE at every scale (sf0.1 collapses to 1-2 real tasks,
+    # 100 TB still gets hundreds of thousands) — the scale-adaptive
+    # setting, not a local[32] tune. Env-tunable for clusters that
+    # prefer idle-core backfill over per-task efficiency.
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": os.environ.get(
+        "SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"
+    ),
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": os.environ.get(
+        "SPARK_GRAFT_ADVISORY_PARTITION_BYTES", str(32 * 1024 * 1024)
+    ),
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # let custom Python DataSources (sources/pygen.py) absorb filters
@@ -62,6 +79,46 @@ def get_spark(app_name: str = "data_integration_project_spark") -> SparkSession:
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+#: Target INPUT bytes per task for CPU-fat Python/Arrow stages (encode/
+#: decode adapters, signature folds). Round-10 (guide §2.6/§6): these
+#: stages used to fan out to a flat ``defaultParallelism`` — at 32
+#: local cores that is 32 Python task launches + Arrow stream setups
+#: for kilobytes of input, measured ~0.3-0.6 s of pure overhead per
+#: query at sf0.1 (width 8 or 4 recovers the 8-core times exactly).
+#: ~512 KB of source bytes per task keeps per-task overhead (~30 ms)
+#: under ~20% of the stage's real work while still saturating every
+#: core once the input is a few MB per core — at 100 TB any of these
+#: stages clamps to the full session parallelism. Env-tunable: raise
+#: it on clusters with fatter cores or cheaper schedulers.
+SPREAD_TARGET_BYTES = int(
+    os.environ.get("SPARK_GRAFT_SPREAD_TARGET_BYTES", str(512 * 1024))
+)
+
+
+def spread_width(df, per_byte_cost: float = 1.0) -> int:
+    """Partition width for a CPU-fat Python stage over ``df``: enough
+    tasks to cover Catalyst's size estimate at ~SPREAD_TARGET_BYTES
+    input bytes per task, clamped to [2, defaultParallelism]. Falls
+    back to the full parallelism whenever the estimate is missing or
+    huge — mis-estimation can only cost a too-wide (current behavior)
+    spread, never a serial stage.
+
+    ``per_byte_cost`` scales the target down for stages whose work per
+    input byte is far above a hash/tokenize pass (media codecs: ~4) —
+    measured at sf0.1, the LZW/deflate image decodes want ~4x more
+    tasks per byte than the token-hash folds before task overhead wins
+    again."""
+    cores = default_parallelism()
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return cores
+    target = max(1, int(SPREAD_TARGET_BYTES / max(per_byte_cost, 1e-9)))
+    if est <= 0 or est >= cores * target:
+        return cores
+    return min(cores, max(2, -(-est // target)))
 
 
 #: Target shuffle-partition size for iterative loops, in ROWS of the
