@@ -89,12 +89,16 @@ def train_bpe(
     # rides round r+1's pair aggregate (one trailing aggregate covers
     # the last round). 13 actions → 8 at n_merges=6, i.e. 8 vocab
     # passes at cluster scale instead of 13.
-    first = cur.agg(
-        F.count(F.lit(1)).alias("n_vocab"), F.sum("cnt").alias("w")
-    ).collect()[0]
+    # Round-10 (guide §1.2 — fewer actions): the (n_vocab, W) sizing
+    # aggregate no longer gets its own job; it rides round 1's
+    # pair-stats action as a 1-row crossJoin branch, so round 1 runs
+    # at session confs and only rounds 2+ run under iterative_loop
+    # (sized from the vocab count round 1 measured). 8 actions → 7.
+    meta = cur.agg(F.count(F.lit(1)).alias("n_vocab"), F.sum("cnt").alias("w"))
+    first = _pair_stats(cur, meta)
     n_vocab, total_w = first["n_vocab"], int(first["w"] or 0)
     with iterative_loop(spark, n_vocab):
-        out = _train_rounds(cur, n_merges, total_w)
+        out = _train_rounds(cur, n_merges, total_w, first)
     return spark.createDataFrame(
         out,
         "round int, left_sym string, right_sym string, "
@@ -102,14 +106,16 @@ def train_bpe(
     )
 
 
-def _pair_stats(cur: DataFrame):
+def _pair_stats(cur: DataFrame, meta: DataFrame | None = None):
     """ONE action per round: the weighted adjacent-pair counts reduced
     to (argmax pair under the total order count-desc/pair-asc, Σ n).
     The argmax is ``min(struct(-n, a, b))`` — lexicographic struct
     comparison reproduces the orderBy(desc n, asc a, asc b).limit(1)
     choice without a sort; Σ n yields symbols_after via the W + Σ n
-    identity (see :func:`train_bpe`)."""
-    return (
+    identity (see :func:`train_bpe`). An optional 1-row ``meta``
+    aggregate rides the same action as a crossJoin branch (round 1's
+    loop-sizing counts)."""
+    stats = (
         cur.filter(F.size("syms") >= 2)
         .select(
             "cnt",
@@ -133,16 +139,22 @@ def _pair_stats(cur: DataFrame):
             ).alias("best"),
             F.sum("n").alias("tot"),
         )
-        .collect()[0]
     )
+    if meta is not None:
+        stats = stats.crossJoin(meta)  # two 1-row aggregates, one action
+    return stats.collect()[0]
 
 
-def _train_rounds(cur: DataFrame, n_merges: int, total_w: int) -> list:
+def _train_rounds(
+    cur: DataFrame, n_merges: int, total_w: int, first_stats=None
+) -> list:
     out: list = []
     pending = None  # (rnd, left, right, n) awaiting its symbols_after
     grandparent = None  # frame to free once `cur` is materialized
     for rnd in range(1, n_merges + 1):
-        stats = _pair_stats(cur)  # also materializes cur's lazy checkpoint
+        # round 1's stats may have been computed by the caller (fused
+        # with the loop-sizing aggregate)
+        stats = first_stats if (rnd == 1 and first_stats is not None) else _pair_stats(cur)
         # cur is materialized now, so its parent's blocks can go (a
         # lazy-checkpointed frame cannot be recomputed once freed —
         # only unpersist AFTER the child is materialized)

@@ -556,8 +556,11 @@ def hamming_band_pairs(
     exchange (ReuseExchange cannot dedup it — the [[dedup_simhash]]
     situation); localCheckpoint materializes the tiny (id, c0..c3)
     table once so the media pipeline runs once, not once per side
-    (GC-collectable blocks, not a leaked cache)."""
-    h = h.localCheckpoint()
+    (GC-collectable blocks, not a leaked cache). Lazy (round-9 advice
+    item): merely BUILDING a plan through this operator must not
+    trigger Spark jobs — the first action still materializes the
+    checkpoint exactly once for both join sides."""
+    h = h.localCheckpoint(eager=False)
     out_a, out_b = f"{id_col}_a", f"{id_col}_b"
     chunk = F.explode(
         F.array(

@@ -272,7 +272,12 @@ def brute_force_topk_pandas(
     ([[embeddings_hard_negatives]]) in ONE corpus pass instead of one
     leg per label (round-9, the mutual_topk_pandas single-pass trick);
     the exclusion only masks CANDIDATES, so shipped values keep the
-    bit-equality contract."""
+    bit-equality contract. Labels are assumed NON-NULL (round-9 advice
+    item): the numpy equality mask treats NULL==NULL as a match only,
+    so NULL-labeled queries are mined and NULL-labeled corpus rows are
+    candidates for every non-NULL query — unlike the per-label-leg
+    plan this replaced, which dropped NULL on both sides. Pre-filter
+    NULL labels upstream if the old semantics are needed."""
     import numpy as np
     import pandas as pd
 
