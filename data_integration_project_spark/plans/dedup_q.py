@@ -1196,9 +1196,9 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    # Round-10 (guide §2.4): the rarest-first ordering used to be a
-    # row_number + count WINDOW over the exploded 260k-row token stream
-    # — a full sort of every partition's tokens — followed by a
+    # Round-10 part 1 (guide §2.4): the rarest-first ordering used to
+    # be a row_number + count WINDOW over the exploded 260k-row token
+    # stream — a full sort of every partition's tokens — followed by a
     # separate collect_set aggregate for the verify sets. Each doc's
     # ordering is decidable in-row: ONE groupBy(doc_id) collects
     # (df, token) structs and array_sort orders them (df asc, token
@@ -1209,10 +1209,41 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-measured a LOSS (4.2 vs 2.8 s — serializes the fat string
     # arrays; ReuseExchange already shares the one doc_id exchange),
     # same verdict as round 9's `ordered` checkpoint.
+    #
+    # Round-10 part 2 (guide §2.3 — shuffle keys, not payloads): every
+    # downstream comparison (prefix equi-join, candidate verify
+    # intersect) only needs token IDENTITY, never the string, so each
+    # distinct token gets an INJECTIVE int64 id and the ~18-char
+    # 3-gram strings never leave the vocab dim:
+    #   tid = (row_number() within hash-bucket ordered by token − 1)·B
+    #         + bucket,       bucket = pmod(xxhash64(token), B)
+    # Distinct tokens in the same bucket differ in rank, in different
+    # buckets differ in bucket ⇒ injective BY CONSTRUCTION (this is an
+    # exact dense-id assignment, not a probabilistic hash), fully
+    # deterministic, and the rank window partitions on B=2^20 buckets
+    # — parallel at any vocab size, never a global sort. The verify
+    # then intersects int64 arrays instead of string arrays (~2.3× the
+    # array bytes and per-element hash/equality cost gone). Measured:
+    # sf0.1 interleaved 4.55 → 2.67 s; sf1.0 (6.6M candidate pairs)
+    # 135.4 → 45.4 s, parity exact on all 250,600 output rows.
+    B = 1 << 20
+    bucket = F.pmod(F.xxhash64("token"), F.lit(B)).cast("long")
+    w_bucket = Window.partitionBy(bucket).orderBy("token")
+    vocab = freq.select(
+        "token",
+        "df",
+        ((F.row_number().over(w_bucket) - 1).cast("long") * B + bucket).alias(
+            "tid"
+        ),
+    )
     docs_arr = (
-        toks.join(freq, "token")
+        toks.join(vocab, "token")
         .groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list(F.struct("df", "token"))).alias("_ord"))
+        .agg(
+            F.array_sort(F.collect_list(F.struct("df", "token", "tid"))).alias(
+                "_ord"
+            )
+        )
         .withColumn("set_size", F.size("_ord"))
     )
     prefix_len = (
@@ -1228,7 +1259,7 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "set_size",
             (F.col("_p") + 1).alias("rn"),
-            F.col("_s.token").alias("token"),
+            F.col("_s.tid").alias("tid"),
         )
     )
     a, b = prefix.alias("a"), prefix.alias("b")
@@ -1255,7 +1286,7 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = (
         a.join(
             b,
-            (F.col("a.token") == F.col("b.token"))
+            (F.col("a.tid") == F.col("b.tid"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             & (5 * F.col("a.set_size") >= 3 * F.col("b.set_size"))
             & (5 * F.col("b.set_size") >= 3 * F.col("a.set_size"))
@@ -1273,7 +1304,7 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # second time
     sets = docs_arr.select(
         "doc_id",
-        F.transform("_ord", lambda s: s["token"]).alias("toks"),
+        F.transform("_ord", lambda s: s["tid"]).alias("toks"),
         "set_size",
     )
     sa = sets.select(
