@@ -7,7 +7,7 @@ catalog red-at-latest-sampling first (so fixes re-validate the
 very next round), then never-sampled, then the green remainder.
 """
 
-# source files: CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json, CORRECTNESS_r04.json, CORRECTNESS_r05.json, CORRECTNESS_r06.json, CORRECTNESS_r07.json, CORRECTNESS_r08.json, CORRECTNESS_r09.json
+# source files: CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json, CORRECTNESS_r04.json, CORRECTNESS_r05.json, CORRECTNESS_r06.json, CORRECTNESS_r07.json, CORRECTNESS_r08.json, CORRECTNESS_r09.json, CORRECTNESS_r10.json
 
 DRIVER_SAMPLED: frozenset[str] = frozenset({
     "ann_context_packing",  # CORRECTNESS_r04.json
@@ -20,7 +20,10 @@ DRIVER_SAMPLED: frozenset[str] = frozenset({
     "benchmark_decontamination",  # CORRECTNESS_r04.json
     "catalog_analyze_stats",  # CORRECTNESS_r08.json
     "catalog_integrity_audit",  # CORRECTNESS_r08.json
+    "corpus_ccnet_buckets",  # CORRECTNESS_r10.json
     "corpus_clean_summary",  # CORRECTNESS_r09.json
+    "corpus_curriculum_phases",  # CORRECTNESS_r10.json
+    "corpus_dataset_card",  # CORRECTNESS_r10.json
     "corpus_dedup_cascade",  # CORRECTNESS_r04.json
     "corpus_dsir_weights",  # CORRECTNESS_r09.json
     "corpus_epoch_shuffle",  # CORRECTNESS_r09.json
@@ -31,18 +34,18 @@ DRIVER_SAMPLED: frozenset[str] = frozenset({
     "corpus_shard_assignment",  # CORRECTNESS_r09.json
     "corpus_temperature_mixture",  # CORRECTNESS_r09.json
     "corpus_zipf_law",  # CORRECTNESS_r09.json
-    "customer_clean_rows",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "customer_clean_rows",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json, CORRECTNESS_r10.json
     "customer_csv_roundtrip",  # CORRECTNESS_r08.json
     "customer_error_replay",  # CORRECTNESS_r02.json, CORRECTNESS_r03.json
-    "customer_error_rows",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "customer_error_rows",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json, CORRECTNESS_r10.json
     "customer_fellegi_sunter",  # CORRECTNESS_r08.json
     "customer_fuzzy_match",  # CORRECTNESS_r07.json
     "customer_golden_records",  # CORRECTNESS_r07.json
-    "customer_imputation",  # CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "customer_imputation",  # CORRECTNESS_r02.json, CORRECTNESS_r03.json, CORRECTNESS_r10.json
     "customer_jaro_winkler_match",  # CORRECTNESS_r02.json, CORRECTNESS_r03.json
     "customer_one_to_one_linkage",  # CORRECTNESS_r02.json, CORRECTNESS_r03.json
     "customer_profile",  # CORRECTNESS_r07.json
-    "customer_quality_report",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "customer_quality_report",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json, CORRECTNESS_r10.json
     "customer_sorted_neighborhood",  # CORRECTNESS_r07.json
     "customers_aes_envelope",  # CORRECTNESS_r02.json, CORRECTNESS_r03.json
     "customers_brier_calibration",  # CORRECTNESS_r09.json
@@ -90,7 +93,10 @@ DRIVER_SAMPLED: frozenset[str] = frozenset({
     "dim_date",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
     "dim_date_holidays",  # CORRECTNESS_r02.json, CORRECTNESS_r03.json
     "dim_date_tet_holidays",  # CORRECTNESS_r02.json
+    "doc_bm25_search",  # CORRECTNESS_r10.json
+    "doc_bpe_encode",  # CORRECTNESS_r10.json
     "doc_bpe_pair_counts",  # CORRECTNESS_r09.json
+    "doc_bpe_train",  # CORRECTNESS_r10.json
     "doc_bpe_train_merges",  # CORRECTNESS_r09.json
     "doc_cdc_chunk_dedup",  # CORRECTNESS_r04.json
     "doc_charlm_score",  # CORRECTNESS_r09.json
@@ -98,14 +104,19 @@ DRIVER_SAMPLED: frozenset[str] = frozenset({
     "doc_classifier_kappa",  # CORRECTNESS_r04.json
     "doc_cms_token_counts",  # CORRECTNESS_r09.json
     "doc_containment_pairs",  # CORRECTNESS_r04.json
+    "doc_diverse_subset_mis",  # CORRECTNESS_r10.json
     "doc_dup_substring_coverage",  # CORRECTNESS_r09.json
     "doc_fingerprints",  # CORRECTNESS_r01.json
     "doc_gopher_quality",  # CORRECTNESS_r09.json
     "doc_hashed_features",  # CORRECTNESS_r04.json
     "doc_heavy_hitters_mg",  # CORRECTNESS_r09.json
     "doc_html_boilerplate_strip",  # CORRECTNESS_r04.json
+    "doc_hybrid_rrf",  # CORRECTNESS_r10.json
     "doc_importance_sample",  # CORRECTNESS_r09.json
     "doc_inverted_index",  # CORRECTNESS_r09.json
+    "doc_kcore_decomposition",  # CORRECTNESS_r10.json
+    "doc_kneser_ney_lm",  # CORRECTNESS_r10.json
+    "doc_label_propagation",  # CORRECTNESS_r10.json
     "doc_lang_id",  # CORRECTNESS_r01.json
     "doc_nb_calibration",  # CORRECTNESS_r04.json
     "doc_nb_lang_classify",  # CORRECTNESS_r04.json
@@ -115,6 +126,7 @@ DRIVER_SAMPLED: frozenset[str] = frozenset({
     "doc_pii_scrub",  # CORRECTNESS_r09.json
     "doc_preference_pairs",  # CORRECTNESS_r04.json
     "doc_quality_scores",  # CORRECTNESS_r01.json
+    "doc_rake_keyphrases",  # CORRECTNESS_r10.json
     "doc_rougel_pairs",  # CORRECTNESS_r04.json
     "doc_simhash_sort_locality",  # CORRECTNESS_r04.json
     "doc_span_corruption",  # CORRECTNESS_r09.json
@@ -123,11 +135,14 @@ DRIVER_SAMPLED: frozenset[str] = frozenset({
     "doc_token_class_pmi",  # CORRECTNESS_r09.json
     "doc_token_runs",  # CORRECTNESS_r09.json
     "doc_token_stats",  # CORRECTNESS_r01.json
+    "doc_tokenizer_fertility",  # CORRECTNESS_r10.json
     "doc_top_tokens",  # CORRECTNESS_r09.json
     "doc_trigram_search",  # CORRECTNESS_r09.json
     "doc_unicode_nfc",  # CORRECTNESS_r04.json
     "doc_vocab_encode",  # CORRECTNESS_r09.json
+    "doc_warc_roundtrip",  # CORRECTNESS_r10.json
     "doc_winnowing_fingerprints",  # CORRECTNESS_r04.json
+    "doc_word_eigencentrality",  # CORRECTNESS_r10.json
     "embedding_near_dup",  # CORRECTNESS_r01.json
     "embeddings_bitext_mining",  # CORRECTNESS_r04.json
     "embeddings_bitext_mining_srp",  # CORRECTNESS_r05.json
@@ -197,6 +212,8 @@ DRIVER_SAMPLED: frozenset[str] = frozenset({
     "events_session_patterns",  # CORRECTNESS_r05.json
     "events_sessionization",  # CORRECTNESS_r01.json
     "events_shapley_attribution",  # CORRECTNESS_r06.json
+    "events_skew_salted_agg",  # CORRECTNESS_r10.json
+    "events_skew_salted_join",  # CORRECTNESS_r10.json
     "events_slo_burn_rate",  # CORRECTNESS_r06.json
     "events_sprt_monitor",  # CORRECTNESS_r06.json
     "events_sprt_sequential_test",  # CORRECTNESS_r06.json, CORRECTNESS_r08.json
@@ -270,7 +287,7 @@ DRIVER_SAMPLED: frozenset[str] = frozenset({
     "nations_trade_pagerank",  # CORRECTNESS_r07.json
     "nguyenlieu_csv_quality",  # CORRECTNESS_r06.json
     "nguyenlieu_inventory_fact",  # CORRECTNESS_r01.json
-    "order_line_value",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "order_line_value",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json, CORRECTNESS_r10.json
     "orders_aqp_sample_estimate",  # CORRECTNESS_r09.json
     "orders_avro_roundtrip",  # CORRECTNESS_r08.json
     "orders_avro_schema_evolution",  # CORRECTNESS_r09.json
@@ -292,7 +309,7 @@ DRIVER_SAMPLED: frozenset[str] = frozenset({
     "orders_dynamic_partition_pruning",  # CORRECTNESS_r06.json
     "orders_encoding_advisor",  # CORRECTNESS_r08.json
     "orders_fd_discovery",  # CORRECTNESS_r02.json, CORRECTNESS_r03.json
-    "orders_first_wins_dedup",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "orders_first_wins_dedup",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json, CORRECTNESS_r10.json
     "orders_format_parity_audit",  # CORRECTNESS_r09.json
     "orders_fx_normalized",  # CORRECTNESS_r02.json
     "orders_group_relative_advantage",  # CORRECTNESS_r09.json
@@ -319,7 +336,7 @@ DRIVER_SAMPLED: frozenset[str] = frozenset({
     "orders_poisson_bootstrap",  # CORRECTNESS_r07.json
     "orders_price_histogram",  # CORRECTNESS_r06.json
     "orders_price_percentile_disc",  # CORRECTNESS_r06.json
-    "orders_price_quantiles",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "orders_price_quantiles",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json, CORRECTNESS_r10.json
     "orders_priority_sample",  # CORRECTNESS_r08.json
     "orders_protobuf_roundtrip",  # CORRECTNESS_r08.json
     "orders_psi_drift",  # CORRECTNESS_r07.json
@@ -336,7 +353,7 @@ DRIVER_SAMPLED: frozenset[str] = frozenset({
     "orders_sqlite_cdc_stream",  # CORRECTNESS_r09.json
     "orders_sqlite_partial_load",  # CORRECTNESS_r08.json
     "orders_sqlite_roundtrip",  # CORRECTNESS_r08.json
-    "orders_status_report",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "orders_status_report",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json, CORRECTNESS_r10.json
     "orders_streaming_online_logreg",  # CORRECTNESS_r06.json
     "orders_target_encoding_loo",  # CORRECTNESS_r03.json
     "orders_theil_sen_slope",  # CORRECTNESS_r08.json
@@ -344,7 +361,7 @@ DRIVER_SAMPLED: frozenset[str] = frozenset({
     "orders_unpivot_measures",  # CORRECTNESS_r06.json
     "orders_window_rank_suite",  # CORRECTNESS_r07.json
     "orders_winsorized_stats",  # CORRECTNESS_r02.json, CORRECTNESS_r03.json
-    "orders_with_late_lines",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "orders_with_late_lines",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json, CORRECTNESS_r10.json
     "orders_xml_roundtrip",  # CORRECTNESS_r08.json
     "orders_zone_diff",  # CORRECTNESS_r07.json
     "orders_zorder_layout",  # CORRECTNESS_r07.json
@@ -360,13 +377,30 @@ DRIVER_SAMPLED: frozenset[str] = frozenset({
     "parts_skyline_2d",  # CORRECTNESS_r08.json
     "parts_triangle_count",  # CORRECTNESS_r07.json
     "parts_triangle_estimate",  # CORRECTNESS_r07.json
+    "partsupp_fifo_allocation",  # CORRECTNESS_r10.json
     "pipeline_run_history",  # CORRECTNESS_r06.json
+    "q10_returned_items",  # CORRECTNESS_r10.json
+    "q11_important_stock",  # CORRECTNESS_r10.json
+    "q12_late_priority_split",  # CORRECTNESS_r10.json
+    "q13_order_count_distribution",  # CORRECTNESS_r10.json
     "q14_promotion_effect",  # CORRECTNESS_r07.json
+    "q15_top_supplier",  # CORRECTNESS_r10.json
+    "q16_supplier_part_counts",  # CORRECTNESS_r10.json
+    "q17_small_quantity_revenue",  # CORRECTNESS_r10.json
     "q18_large_volume_customer",  # CORRECTNESS_r07.json
-    "q1_pricing_summary",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
-    "q3_shipping_priority",  # CORRECTNESS_r02.json, CORRECTNESS_r03.json
-    "q5_local_supplier_volume",  # CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "q19_disjunctive_revenue",  # CORRECTNESS_r10.json
+    "q1_pricing_summary",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json, CORRECTNESS_r10.json
+    "q20_volume_suppliers",  # CORRECTNESS_r10.json
+    "q21_waiting_suppliers",  # CORRECTNESS_r10.json
+    "q22_sales_opportunity",  # CORRECTNESS_r10.json
+    "q2_min_cost_supplier",  # CORRECTNESS_r10.json
+    "q3_shipping_priority",  # CORRECTNESS_r02.json, CORRECTNESS_r03.json, CORRECTNESS_r10.json
+    "q4_order_priority",  # CORRECTNESS_r10.json
+    "q5_local_supplier_volume",  # CORRECTNESS_r02.json, CORRECTNESS_r03.json, CORRECTNESS_r10.json
+    "q6_forecast_revenue",  # CORRECTNESS_r10.json
     "q7_volume_shipping",  # CORRECTNESS_r07.json
+    "q8_market_share",  # CORRECTNESS_r10.json
+    "q9_product_profit",  # CORRECTNESS_r10.json
     "reconcile_conflicts",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
     "reconcile_not_in_null_keys",  # CORRECTNESS_r02.json, CORRECTNESS_r03.json
     "reconcile_only_in_source",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
@@ -376,15 +410,15 @@ DRIVER_SAMPLED: frozenset[str] = frozenset({
     "sensors_streaming_sink",  # CORRECTNESS_r08.json
     "sensors_streaming_source",  # CORRECTNESS_r07.json
     "sqlite_catalog_discovery",  # CORRECTNESS_r08.json
-    "star_revenue_by_region",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "star_revenue_by_region",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json, CORRECTNESS_r10.json
     "streaming_inbox_pipeline",  # CORRECTNESS_r01.json, CORRECTNESS_r03.json
     "streaming_manifest_sink",  # CORRECTNESS_r05.json
     "streaming_neardup_ingest",  # CORRECTNESS_r05.json
     "streaming_neardup_store_growth",  # CORRECTNESS_r06.json
-    "supplier_balance_by_nation",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "supplier_balance_by_nation",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json, CORRECTNESS_r10.json
     "suppliers_geo_radius_join",  # CORRECTNESS_r09.json
-    "table_row_counts",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
-    "top10_orders",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json
+    "table_row_counts",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json, CORRECTNESS_r10.json
+    "top10_orders",  # CORRECTNESS_r01.json, CORRECTNESS_r02.json, CORRECTNESS_r03.json, CORRECTNESS_r10.json
 })
 
 # Names whose LATEST driver sampling was red (any *_match false or
